@@ -1,0 +1,125 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import graft.llm.{HttpLlmClient, LlmClient}
+import graft.operators.Enrich
+import graft.sources.OrderedCsv
+
+/** Reference-parity HTTP surface: `POST /process_csv` with the exact ten
+  * body params (test.py:148-159), 400 on missing keys (test.py:161),
+  * completion webhook fired non-fatally (test.py:263-279), JSON response
+  * `{message, file_url, error_count, request_id}` (test.py:261).
+  *
+  * Control plane only — the server submits a Spark pipeline per request;
+  * all data-plane work (read, enrich, order, write) is the distributed
+  * operators in [[graft.operators.Enrich]] / [[graft.sources.OrderedCsv]].
+  * Built on the JDK's HttpServer: zero extra dependencies.
+  */
+class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
+                       clientFactory: () => LlmClient,
+                       webhookUrl: Option[String] = None) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def start(): Unit = {
+    server.createContext("/process_csv", new Handler)
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val json = try JsonMethods.parse(body) catch {
+        case _: Throwable => respond(ex, 400, """{"error":"invalid JSON"}"""); return
+      }
+      implicit val fmt: Formats = DefaultFormats
+
+      // the reference's ten params, same names (test.py:148-159)
+      def str(k: String) = (json \ k).extractOpt[String]
+      def num[T](k: String)(implicit m: Manifest[T]) = (json \ k).extractOpt[T]
+      val parsed = for {
+        csvUrl <- str("s3_file_url")
+        columnIndex <- num[Int]("column_index")
+        maxRows <- num[Int]("max_rows")
+        systemPrompt <- str("system_prompt")
+        model <- str("model")
+        temperature <- num[Double]("temperature")
+        tokens <- num[Int]("tokens")
+        fileName <- str("file_name")
+        requestId <- str("request_id")
+        versionId <- str("version_id")
+      } yield (csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, versionId)
+
+      parsed match {
+        case None => respond(ex, 400, """{"error":"missing required parameter"}""") // test.py:161
+        case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, _)) =>
+          try {
+            val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csvUrl)
+            val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
+              maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong)
+            val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory)
+            val (errorCount, _) = Enrich.errorReport(enriched)
+            val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
+            val respJson =
+              s"""{"message":${jstr("Processing complete")},"file_url":${jstr(fileUrl)},""" +
+                s""""error_count":$errorCount,"request_id":${jstr(requestId)}}"""
+            webhookUrl.foreach(postWebhook(_, respJson)) // non-fatal (test.py:278-279)
+            respond(ex, 200, respJson)
+          } catch {
+            case e: Throwable => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+          }
+      }
+    }
+  }
+
+  private def postWebhook(url: String, payload: String): Unit =
+    try {
+      val req = HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
+        .timeout(Duration.ofSeconds(200)) // test.py:273
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(payload))
+        .build()
+      HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
+      ()
+    } catch { case e: Throwable => System.err.println(s"[webhook] failed (non-fatal): ${e.getMessage}") }
+}
+
+object ProcessCsvServer {
+  /** Production wiring from the reference's env names (test.py:17-30). */
+  def fromEnv(spark: SparkSession, port: Int, outDir: String): ProcessCsvServer = {
+    val baseUrl = sys.env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1")
+    val apiKey = sys.env.getOrElse("OPENAI_API_KEY", "")
+    new ProcessCsvServer(spark, port, outDir, () => new HttpLlmClient(baseUrl, apiKey))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, ExecutionContextExecutorService, Future}
+
+import graft.llm.{LlmClient, LlmRequest, Retry}
+
+/** The reference's core operator (SURVEY.md §2.9): enrich one column of
+  * every row with an LLM completion, preserving input order exactly.
+  *
+  * Spark formulation:
+  *   - stable `_row_idx` from `zipWithIndex` (order is a semantic
+  *     invariant of the reference — test.py:221/229; Spark's
+  *     `monotonically_increasing_id` is NOT contiguous, so zipWithIndex);
+  *   - head/tail split at `maxRows` (test.py:190, 234-239), tail passes
+  *     through with an empty Response;
+  *   - `repartitionByRange` on `_row_idx` into ~batchSize-row contiguous
+  *     batches (test.py:163) — partitions play the reference's
+  *     batch-pool role, so total in-flight = partitions x rowConcurrency;
+  *   - `mapPartitions` drives `rowConcurrency` concurrent calls per task
+  *     (test.py:116-120's 20-thread pool), each with 7x exponential
+  *     backoff and the `"Error: Unable to process"` sentinel on
+  *     exhaustion (test.py:66-80);
+  *   - global `orderBy(_row_idx)` reassembles input order (test.py:221).
+  *
+  * mapPartitions on a Dataset is an optimizer barrier, so Catalyst can
+  * never collapse, reorder, or duplicate the paid external call.
+  */
+object Enrich {
+
+  /** test.py:80 — failure sentinel lives in the data plane. */
+  val ErrorSentinel = "Error: Unable to process"
+
+  /** Reference concurrency envelope (test.py:163-165). */
+  final case class Config(
+      systemPrompt: String,
+      model: String = "gpt-4o-mini",
+      maxTokens: Int = 256,
+      temperature: Double = 0.7,
+      maxRows: Long = Long.MaxValue,
+      batchSize: Int = 1000,
+      rowConcurrency: Int = 20,
+      retries: Int = 7,
+      retryBaseDelayMs: Long = 1000L)
+
+  /** Stable contiguous row index, attached before any shuffle. Costs one
+    * extra job (zipWithIndex counts partition sizes) — the documented
+    * price of the reference's order-preservation invariant. */
+  def withRowIndex(df: DataFrame, idxCol: String = "_row_idx"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  // One IO pool per executor JVM, shared across tasks; sized generously —
+  // per-task concurrency is bounded by the grouped() batching below, so
+  // the pool just needs to be >= tasks-per-executor * rowConcurrency.
+  @transient private lazy val ioPool: ExecutionContextExecutorService =
+    ExecutionContext.fromExecutorService(Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-enrich-io")
+      t.setDaemon(true)
+      t
+    }))
+
+  /** Enrich `df.columns(columnIndex)` (positional addressing — the
+    * reference's API, test.py:151) through `client`, appending a
+    * `Response` string column. `clientFactory` is evaluated once per
+    * partition, on the executor. Returns ALL input columns + `_row_idx` +
+    * `Response`, in input order. */
+  def enrich(df: DataFrame, columnIndex: Int, cfg: Config,
+             clientFactory: () => LlmClient,
+             progress: Option[LongAccumulator] = None): DataFrame = {
+    val indexed = withRowIndex(df)
+    val head = indexed.filter(col("_row_idx") < cfg.maxRows)
+    val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
+      .withColumn("Response", lit(""))
+
+    val n = head.count()
+    val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
+    val batched = head.repartitionByRange(numBatches, col("_row_idx"))
+
+    val outSchema = StructType(batched.schema.fields :+ StructField("Response", StringType, nullable = true))
+    val colIdx = columnIndex // avoid closing over `this`
+    val conf = cfg
+
+    val enriched = batched.mapPartitions { rows =>
+      val client = clientFactory()
+      implicit val ec: ExecutionContext = ioPool
+      rows.grouped(conf.rowConcurrency).flatMap { group =>
+        val futures = group.map { row =>
+          Future {
+            val cell = row.get(colIdx)
+            // pandas str(nan) == "nan" (test.py:86) — reproduce deliberately
+            val input = if (cell == null) "nan" else cell.toString
+            val prompt = s"${conf.systemPrompt}\n\nInput: $input"
+            val response =
+              try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs) {
+                client.complete(LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature)).trim
+              } catch { case _: Throwable => ErrorSentinel }
+            progress.foreach(_.add(1))
+            Row.fromSeq(row.toSeq :+ response)
+          }
+        }
+        futures.map(Await.result(_, Duration.Inf))
+      }
+    }(Encoders.row(outSchema))
+
+    enriched.unionByName(tail).orderBy(col("_row_idx"))
+  }
+
+  /** Error accounting (test.py:40-54): count + 1-based row indexes of
+    * sentinel rows. Two small aggregate jobs over the Response column. */
+  def errorReport(enriched: DataFrame): (Long, Seq[Long]) = {
+    val errs = enriched.filter(col("Response") === ErrorSentinel)
+    val idx = errs.select((col("_row_idx") + 1).as("i")).orderBy(col("i"))
+      .collect().map(_.getLong(0)).toSeq
+    (idx.size.toLong, idx)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` columns with a typed metadata struct, and
+  * per-modality compute runs as batched partition functions — the Scala
+  * analogue of `mapInPandas` (iterator-of-batches, bounded memory,
+  * library handles instantiated once per task, never serialized).
+  *
+  * The decode step is a STUB by design: codec libraries aren't in this
+  * container. `FakeDecoder` is deterministic so pipelines stay
+  * oracle-checkable; a real deployment swaps in an actual decoder behind
+  * the same `Decoder` interface without touching the Spark plumbing
+  * (schema, batching, partitioning — all real and tested).
+  */
+object Multimodal {
+
+  /** Typed media metadata carried alongside the opaque payload. */
+  final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
+
+  /** One media row in, fixed-width features out. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int, checksum16: Long)
+
+  /** Decoder seam. Real deployments: JavaCV/TwelveMonkeys/ffmpeg here. */
+  trait Decoder extends Serializable {
+    def features(bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a pixel decoder: "features" are cheap
+    * byte statistics (count, first byte, 16-byte prefix checksum). */
+  final class FakeDecoder extends Decoder {
+    override def features(bytes: Array[Byte]): MediaFeatures = {
+      val checksum = bytes.take(16).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+      MediaFeatures(0L, bytes.length, if (bytes.isEmpty) 0 else bytes(0) & 0xff, checksum)
+    }
+  }
+
+  /** Attach a binary payload + metadata struct to a text corpus —
+    * in production the binary comes off object storage; here the
+    * document body doubles as the payload so the column plumbing is
+    * exercised end-to-end on real fixtures. */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col(textCol)).cast("long").as("nBytes")).as("meta"))
+
+  /** Batched feature extraction: decoder constructed once per partition,
+    * rows streamed through it (the mapInPandas batch shape). Output is a
+    * typed Dataset — schema checked at compile time. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, idCol: String,
+                      decoder: () => Decoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val d = decoder() // once per task — never serialized
+        rows.map { case (id, bytes) => d.features(bytes).copy(doc_id = id) }
+      }
+  }
+
+  /** Deterministic frame sampling for video-like payloads: n evenly
+    * spaced byte-offset "frames" per row (stub for real frame decode;
+    * the explode/fan-out shape is what matters at scale — rows explode
+    * into frames BEFORE the shuffle, so frame work distributes). */
+  def frameSample(media: DataFrame, idCol: String, nFrames: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_offset",
+        (col("frame_idx") * col("meta.nBytes")) / nFrames)
+      .select(col(idCol), col("frame_idx"), col("frame_offset").cast("long").as("frame_offset"),
+        col("content").substr((col("frame_offset") + 1).cast("int"), lit(16)).as("frame_bytes"))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over embedding columns (`array<float>`).
+  *
+  * Arithmetic is done in double precision via `zip_with`/`aggregate`
+  * folds — sequential accumulation, so results are deterministic and
+  * reproducible (and oracle-comparable). All expressions codegen.
+  *
+  * Two tiers:
+  *   - [[knnBruteForce]]: exact top-k via broadcast of the (small) query
+  *     set against the full corpus — the right plan when |queries| is
+  *     small: one pass over the corpus, no shuffle of the corpus itself.
+  *   - [[annLshTopK]]: random-hyperplane LSH — corpus and queries are
+  *     bucketed by a 16-bit sign signature and only same-bucket pairs are
+  *     scored. At 100 TB this is the scale path: the equi-join on bucket
+  *     replaces the cross product; recall is tunable via bits/probes.
+  */
+object Similarity {
+
+  /** Cast a float vector to double for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (greatest(l2Norm(a), lit(1e-12)) * greatest(l2Norm(b), lit(1e-12)))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec float array). The query side is
+    * broadcast; ranking keys are rounded before the window so FP noise
+    * can't flip ranks between runs/engines. */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                    qVec: String, cVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes x `dim` components
+    * derived from a fixed-seed PRNG, embedded as a literal. At 64 dims x
+    * 16 bits this is a 1k-element literal — negligible plan size. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature (bucket id in [0, 2^bits)). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: score only pairs that share an LSH bucket.
+    * Multi-probe (`probes` bit-flip variants of the query signature)
+    * recovers recall lost at bucket boundaries. Output schema matches
+    * [[knnBruteForce]]; `rk` may have gaps vs exact when a true neighbor
+    * hashed elsewhere — that's the documented recall tradeoff. */
+  def annLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                 qVec: String, cVec: String, k: Int, bits: Int = 12, probes: Int = 4,
+                 dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_bucket", lshBucket(col("_cv"), planes))
+    // query probes: exact bucket + single-bit flips (multi-probe LSH)
+    val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_b0", lshBucket(col("_qv"), planes))
+      .withColumn("_bucket", explode(array(
+        col("_b0") +: (0 until (probes - 1)).map(i => col("_b0").bitwiseXOR(shiftleft(lit(1L), i))): _*)))
+      .select(col("query_id"), col("_qv"), col("_bucket"))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .distinct() // same pair via multiple probes
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within blocks (e.g. same label):
+    * cosine >= threshold. Blocked equi-join, not all-pairs. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select(col(idCol) +: blockCols.map(col) :+ asDouble(col(vecCol)).as("_v"): _*)
+    val a = base.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("_v").as("_va"): _*)
+    val b = base.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("_v").as("_vb"): _*)
+    val cond = blockCols.map(c => col(c) === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b")
+    a.join(b, cond)
+      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs), so the whole surface stays inside WholeStageCodegen and
+  * scales linearly with input — the shape you want scanning 100 TB of
+  * documents: narrow transformations only, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (runs of whitespace collapse). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count; 0 for empty/blank input. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish regex token count: letter runs, digit runs, or single
+    * non-alphanumeric symbols — a cheap proxy for subword token counts. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny in-plan stopword list (enough for quality ratios; a real
+    * deployment would broadcast a larger set). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(EnStopwords: _*)))
+
+  /** Ratio of distinct tokens to tokens — low values flag boilerplate /
+    * word-spam documents. */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / greatest(size(t), lit(1)).cast("double"), 4)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    val totalChars = aggregate(t, lit(0), (acc, tok) => acc + length(tok))
+    round(totalChars.cast("double") / greatest(size(t), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, stopword
+    * presence, vocabulary diversity. Deterministic and cheap; the weights
+    * mirror common pretraining-corpus heuristics (C4-style). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(50.0), lit(1.0))
+    val stopTerm = least(stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)) * lit(4.0), lit(1.0))
+    val diversityTerm = size(array_distinct(tokens(text))).cast("double") / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * diversityTerm, 4)
+  }
+
+  /** Language-marker hit counts: distinct marker words present. */
+  private val markers = Map(
+    "en" -> Seq("the", "a", "is", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  private def markerHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(markers(lang).map(lit): _*)))
+
+  /** N-gram/stopword-marker language ID over {en, de, fr}; ties resolve
+    * en > de > fr (fixed order, so the result is deterministic). */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, "en")
+    val de = markerHits(text, "de")
+    val fr = markerHits(text, "fr")
+    when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Canonical text form for fingerprinting: lowercase, punctuation
+    * stripped, whitespace collapsed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. Stable across
+    * whitespace/case/punctuation perturbations — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.StubLlmClient
+import graft.operators.{AsOfJoin, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis) and event-time operators (windows, sessions, as-of join),
+  * each exposed as a driver-gated query. SQL-expressible ones carry a
+  * DuckDB oracle twin; hash-seeded ones (MinHash/SimHash/LSH signatures)
+  * are verified by ScalaTest + the driver's rows-only check.
+  */
+object Ext {
+
+  // ---- text analysis ------------------------------------------------
+
+  def txtStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"),
+      TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"),
+      TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def txtLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def txtFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- dedup ---------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def dedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- similarity search ----------------------------------------------
+
+  def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.knnBruteForce(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // 8 bits + 9 probes: ~N/256*9 candidates per query. Recall against
+    // exact top-5 is inherently poor on THIS corpus (near-orthogonal
+    // random vectors, max cos ~0.5 — no LSH family separates that), but
+    // the bucketed-join shape is the point: it replaces the cross product
+    // at scale.
+    Similarity.annLshTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, bits = 8, probes = 9)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCols = Seq("label"), threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- event-time operators -------------------------------------------
+
+  def evTumbling(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  def evSliding(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  def evSession(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "8 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  def evJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("k"))
+  }
+
+  def evAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- enrichment pipeline (the reference's core operator) -------------
+
+  /** End-to-end LLM enrichment with a deterministic stub client: the full
+    * distributed path (zipWithIndex -> range-batch -> mapPartitions with
+    * bounded concurrency -> order restore) hash-checked against SQL. */
+  def enrichStub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cfg = Enrich.Config(systemPrompt = "Summarize", rowConcurrency = 8)
+    val stub = () => new StubLlmClient(prompt => s"len:${prompt.length}")
+    Enrich.enrich(docs, columnIndex = 1, cfg, stub)
+      .select(col("doc_id"), col("Response"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- multimodal columns ----------------------------------------------
+
+  /** Binary-column plumbing + batched (fake-)decode: attach payload +
+    * metadata struct, extract fixed-width features per row. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(s, media, "doc_id", () => new Multimodal.FakeDecoder)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling fan-out shape over binary payloads (rows-only check:
+    * binary output column). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.frameSample(media, "doc_id", nFrames = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "enrich_stub" -> enrichStub,
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames,
+    "txt_stats" -> txtStats,
+    "txt_langid" -> txtLangId,
+    "txt_fingerprint" -> txtFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_keepfirst" -> dedupKeepFirst,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash" -> dedupMinHash,
+    "dedup_simhash" -> dedupSimHash,
+    "sim_knn_brute" -> simKnnBrute,
+    "sim_ann_lsh" -> simAnnLsh,
+    "dedup_embed_cosine" -> dedupEmbedCosine,
+    "ev_tumbling" -> evTumbling,
+    "ev_sliding" -> evSliding,
+    "ev_session" -> evSession,
+    "ev_json" -> evJson,
+    "ev_asof" -> evAsOf)
+
+  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+  private val duckShingles =
+    s"""list_distinct(CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
+       |ELSE list_transform(generate_series(1, len($duckToks)-2),
+       |  i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]) END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
+    "enrich_stub" ->
+      """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_regex_tokens,
+         |  round(len(list_distinct(toks)) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_ratio,
+         |  round(list_sum(list_transform(toks, x -> length(x))) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
+         |  round(0.4 * least(len(toks) / 50.0, 1.0)
+         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)), 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckToks) AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_intersect(toks, ['the','a','is','and','of','to'])) AS en,
+         |  len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS de,
+         |  len(list_intersect(toks, ['le','la','les','et','est','un'])) AS fr FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_keepfirst" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
+    // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
+    // output equals the exact all-pairs answer — which IS SQL-expressible.
+    "dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "sim_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+        |      FROM s)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ev_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "ev_sliding" ->
+      """WITH x AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, value FROM events)
+        |SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "ev_session" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "ev_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "ev_asof" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |       c.event_id AS asof_event_id, c.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin)
+}
