@@ -45,73 +45,107 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
-  /** All-pairs n-gram Jaccard within blocks: only rows sharing
-    * `blockCols` are compared (blocking keeps the join linear-ish; the
-    * unblocked variant is MinHash-LSH below). Returns (id_a, id_b, j). */
+  /** Distinct shingle-hash postings per document: one row per
+    * (id, blocks..., _h) where _h = xxhash64 of a word-trigram shingle
+    * string, plus _sz = the doc's distinct-shingle count. The shingle
+    * string never leaves its task — downstream joins/aggs shuffle 8-byte
+    * longs (collision odds for one corpus pair ~k^2/2^64).
+    *
+    * Built exclusively from codegen'd expressions: posexplode + window
+    * lead(1)/lead(2) to form trigrams. Deliberately NO higher-order
+    * functions — HOF lambdas are CodegenFallback, and a generator over a
+    * CodegenFallback child re-evaluates the whole child expression per
+    * OUTPUT row (measured ~20x slower here). Docs with <3 tokens
+    * contribute one whole-text shingle, mirroring [[shingles3]]. */
+  private def shinglePosts(df: DataFrame, idCol: String, textCol: String,
+                           blockCols: Seq[String]): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*)
+    val small = base.filter(size(toks) < 3)
+      .select(col(idCol) +: blockCols.map(col) :+ xxhash64(concat_ws(" ", toks)).as("_h"): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val big = base.filter(size(toks) >= 3)
+      .select(col(idCol) +: blockCols.map(col) :+ posexplode(toks): _*)
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_t0")
+      .withColumn("_t1", lead(col("_t0"), 1).over(w))
+      .withColumn("_t2", lead(col("_t0"), 2).over(w))
+      .filter(col("_t2").isNotNull)
+      .select(col(idCol) +: blockCols.map(col) :+
+        xxhash64(concat_ws(" ", col("_t0"), col("_t1"), col("_t2"))).as("_h"): _*)
+    big.union(small).distinct()
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col(idCol))).cast("int"))
+  }
+
+  /** Exact n-gram Jaccard pairs (j >= threshold) within blocks, via an
+    * inverted-index (posting-list) join instead of a block-nested-loop
+    * join: explode each doc's distinct shingle hashes, equi-join postings
+    * on (block, hash), and count matches per pair — |A∩B| — then
+    * J = common / (|A| + |B| - common). No array intersection and no
+    * higher-order-function lambdas in the hot path: the join + count is
+    * whole-stage-codegen'd over longs, and work is proportional to
+    * Σ df(shingle)^2 (true co-occurrence), not to #pairs-in-block. For a
+    * 100 TB corpus add a document-frequency cap on postings (stop-shingle
+    * removal) or SSJoin prefix filtering to bound the fan-out of
+    * ultra-common shingles. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol) +: blockCols.map(col) :+
-      shingles3(TextAnalysis.tokens(col(textCol))).as("_sh"): _*)
-    val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("_sh").as("_sha"): _*)
-    val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("_sh").as("_shb"): _*)
-    val joinCond = blockCols.map(c => col(c) === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b")
-    a.join(b, joinCond)
-      .withColumn("j", round(jaccard(col("_sha"), col("_shb")), 4))
+    val posts = shinglePosts(df, idCol, textCol, blockCols)
+    val a = posts.select(col(idCol).as("id_a") +: col("_sz").as("_sza") +: blockCols.map(col) :+ col("_h"): _*)
+    val b = posts.select(col(idCol).as("id_b") +: col("_sz").as("_szb") +: blockCols.map(col) :+ col("_h"): _*)
+    a.join(b, blockCols :+ "_h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
+      .agg(count(lit(1)).as("_common"))
+      .withColumn("j", round(col("_common") / (col("_sza") + col("_szb") - col("_common")), 4))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
-  /** MinHash signature: k independent permutations simulated by salted
-    * xxhash64 over the shingle set; sig[i] = min over shingles. Pure
-    * codegen'd expressions (no UDF). */
-  def minHashSignature(shinglesCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
-    }: _*)
-
-  /** LSH banding: (band, bandHash) per row; near-dup docs collide in some
-    * band with probability 1-(1-j^r)^b. */
-  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(j => element_at(sig, b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
-    }: _*)
-
   /** MinHash+LSH near-dup pairs, verified: LSH proposes candidates via
-    * band-bucket equi-join; exact shingle-Jaccard filters false positives.
-    * k = bands*rowsPerBand hash functions. The equi-join shuffles on
-    * (band, bandHash) — this is the 100 TB-safe formulation (no O(n^2)).
-    */
+    * band-bucket equi-join; exact shingle-Jaccard (over 64-bit shingle
+    * hashes) filters false positives. k = bands*rowsPerBand hash
+    * functions, simulated by salted xxhash64 re-hashes of each shingle
+    * hash; the signature is computed as k codegen'd `min` aggregates over
+    * exploded postings — one hash-shuffle on the id, no per-row lambda
+    * evaluation. The candidate equi-join shuffles (band, bandHash) longs
+    * only — this is the 100 TB-safe formulation (no O(n^2)). */
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol), shingles3(TextAnalysis.tokens(col(textCol))).as("_sh"))
-      .withColumn("_sig", minHashSignature(col("_sh"), k))
-    val exploded = withSig
-      .select(col(idCol), col("_sh"), explode(bandHashes(col("_sig"), bands, rowsPerBand)).as("_bh"))
-      .select(col(idCol), col("_sh"), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
-    val a = exploded.select(col(idCol).as("id_a"), col("_sh").as("_sha"), col("_band"), col("_h"))
-    val b = exploded.select(col(idCol).as("id_b"), col("_sh").as("_shb"), col("_band"), col("_h"))
-    a.join(b, Seq("_band", "_h"))
+    val posts = shinglePosts(df, idCol, textCol, Nil).select(col(idCol), col("_h"))
+    val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("_h"))).as(s"_m$i"))
+    val sig = posts.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(j => col(s"_m${b * rowsPerBand + j}")) :+ lit(b): _*).as("h"))
+      }: _*)).as("_bh"))
+      .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
+    val cand = banded.withColumnRenamed(idCol, "id_a")
+      .join(banded.withColumnRenamed(idCol, "id_b"), Seq("_band", "_h"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_sha"), col("_shb"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), Seq("id_b"))
       .withColumn("j", round(jaccard(col("_sha"), col("_shb")), 4))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
   /** 64-bit SimHash over the token multiset: bit i of the result is the
-    * sign of the population vote across token hashes — for each of 64
-    * bits, fold (+1/-1) over the token array. All codegen'd expressions
-    * (no UDF). */
+    * sign of the population vote across token hashes. Token hashes are
+    * computed once (not once per bit); bit i's +1/-1 vote over n tokens
+    * simplifies to `2*popcount_i > n`. All codegen'd expressions (no
+    * UDF). */
   def simHash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(hashes)
     val bitCols = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1)))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftrightunsigned(h, i).bitwiseAND(lit(1L)).cast("int"))
+      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -125,7 +159,19 @@ object Dedup {
     * equi-join shape as MinHash-LSH: scales. */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol), simHash(TextAnalysis.tokens(col(textCol))).as("_h"))
+    // SimHash via explode + 64 codegen'd bit-count sums (one shuffle on
+    // the id) rather than per-row lambda folds: same result as
+    // [[simHash]], but the whole signature stage stays in codegen.
+    val toks = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .select(col(idCol), xxhash64(col("_t")).as("_th"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L))).as(s"_c$i")) :+ count(lit(1)).as("_n")
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"_c$i") * 2 > col("_n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val withH = agg.select(col(idCol), hash.as("_h"))
     val banded = withH.select(col(idCol), col("_h"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
 
 /** Vector similarity search over embedding columns (`array<float>`).
   *
@@ -24,14 +25,22 @@ object Similarity {
   /** Cast a float vector to double for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product (tight primitive loop; see
+    * graft.functions.DotProduct — sequential accumulation, so the sum
+    * order matches a scalar engine's and results stay oracle-comparable).
+    */
+  def dot(a: Column, b: Column): Column = VectorOps.dotProduct(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = VectorOps.l2Norm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (greatest(l2Norm(a), lit(1e-12)) * greatest(l2Norm(b), lit(1e-12)))
+
+  /** cosine(a, b) when per-row norms were precomputed (norm columns cost
+    * one pass per ROW; recomputing them per candidate PAIR is the
+    * difference between 1 and 3 vector loops per pair). */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (greatest(na, lit(1e-12)) * greatest(nb, lit(1e-12)))
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec float array). The query side is
@@ -40,10 +49,12 @@ object Similarity {
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                     qVec: String, cVec: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", l2Norm(col("_qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", l2Norm(col("_cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -78,18 +89,22 @@ object Similarity {
     val planes = hyperplanes(bits, dim)
     val c = corpus
       .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", l2Norm(col("_cv")))
       .withColumn("_bucket", lshBucket(col("_cv"), planes))
     // query probes: exact bucket + single-bit flips (multi-probe LSH)
     val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", l2Norm(col("_qv")))
       .withColumn("_b0", lshBucket(col("_qv"), planes))
       .withColumn("_bucket", explode(array(
         col("_b0") +: (0 until (probes - 1)).map(i => col("_b0").bitwiseXOR(shiftleft(lit(1L), i))): _*)))
-      .select(col("query_id"), col("_qv"), col("_bucket"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_bucket"))
     val scored = c.join(broadcast(q), Seq("_bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
-      .distinct() // same pair via multiple probes
-      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"), col("_qn"), col("_cn"))
+      // same pair may arrive via multiple probes; dedupe on ids only so
+      // the shuffle compares 2 longs, not two 64-double vectors
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -101,11 +116,12 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCols: Seq[String], threshold: Double): DataFrame = {
     val base = df.select(col(idCol) +: blockCols.map(col) :+ asDouble(col(vecCol)).as("_v"): _*)
-    val a = base.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("_v").as("_va"): _*)
-    val b = base.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("_v").as("_vb"): _*)
+      .withColumn("_n", l2Norm(col("_v")))
+    val a = base.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("_v").as("_va") :+ col("_n").as("_na"): _*)
+    val b = base.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("_v").as("_vb") :+ col("_n").as("_nb"): _*)
     val cond = blockCols.map(c => col(c) === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b")
     a.join(b, cond)
-      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cos", round(cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

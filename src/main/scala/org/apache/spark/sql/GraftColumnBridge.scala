@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column <-> catalyst Expression
+  * converters, for graft's native expressions (see
+  * graft.functions.VectorExpressions). Compiled into the
+  * org.apache.spark.sql package solely to satisfy the access modifier —
+  * the same pattern community Spark extension libraries use. Classic
+  * (non-Connect) Spark only. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
