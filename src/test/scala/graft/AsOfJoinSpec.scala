@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("leftAsOf attaches latest right row at or before left ts, per key") {
+    val left = Seq(
+      (1L, "u1", ts(100)), (2L, "u1", ts(205)), (3L, "u2", ts(50)), (4L, "u3", ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts(90), 1.0), (102L, "u1", ts(100), 2.0), (103L, "u1", ts(200), 3.0),
+      (104L, "u2", ts(60), 4.0))
+      .toDF("click_id", "user_id", "ts", "value")
+
+    val m = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id", "value"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(m(1L).contains(102L)) // tie: right.ts == left.ts matches
+    assert(m(2L).contains(103L)) // latest preceding
+    assert(m(3L).isEmpty)        // right row is after left ts
+    assert(m(4L).isEmpty)        // no right rows for key
+  }
+
+  test("left rows and columns are preserved") {
+    val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
+    val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("rid"))
+    assert(out.columns.toSeq == Seq("id", "user_id", "ts", "extra", "asof_rid"))
+    assert(out.count() == 1)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Dedup
+import scala.util.Random
+
+/** Dedup operators vs brute-force Scala reference implementations. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- reference implementations (mirror TextAnalysis.tokens + shingles3) ---
+
+  private def refTokens(text: String): Array[String] = text.trim.split("\\s+", -1)
+
+  private def refShingles(text: String): Set[String] = {
+    val t = refTokens(text)
+    if (t.length < 3) Set(t.mkString(" "))
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private def refJaccard(a: Set[String], b: Set[String]): Double = {
+    val u = (a ++ b).size
+    a.intersect(b).size.toDouble / math.max(u, 1)
+  }
+
+  private def bruteforcePairs(docs: Seq[(Long, String, String)], threshold: Double,
+                              blocked: Boolean): Set[(Long, Long, Double)] = {
+    (for {
+      (ia, ba, ta) <- docs
+      (ib, bb, tb) <- docs
+      if ia < ib && (!blocked || ba == bb)
+      j = refJaccard(refShingles(ta), refShingles(tb))
+      if j >= threshold
+    } yield (ia, ib, j)).toSet
+  }
+
+  private def randomCorpus(seed: Int, n: Int): Seq[(Long, String, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (0L until n).map { i =>
+      val len = rnd.nextInt(13) // includes 0..2-token docs (whole-text shingle path)
+      val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (rnd.nextBoolean()) "en" else "fr", base)
+    }
+  }
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"), (5L, "cc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L), (2L, 1L), (5L, 1L)))
+  }
+
+  test("keepFirst keeps lowest order value per key") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("id", "k")
+    val out = Dedup.keepFirst(df, Seq("k"), "id").select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 10L))
+  }
+
+  test("ngramJaccardPairs matches brute force on a randomized corpus") {
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = randomCorpus(seed, 40)
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("lang"), 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteforcePairs(docs, 0.3, blocked = true)
+      assert(got.map(p => (p._1, p._2)) === want.map(p => (p._1, p._2)), s"seed=$seed pair sets differ")
+      val wantJ = want.map(p => (p._1, p._2) -> p._3).toMap
+      got.foreach { case (a, b, j) =>
+        assert(math.abs(j - wantJ((a, b))) < 1e-4, s"seed=$seed j mismatch for ($a,$b)")
+      }
+    }
+  }
+
+  test("ngramJaccardPairs handles short and empty docs") {
+    val docs = Seq((1L, "x", ""), (2L, "x", ""), (3L, "x", "one two"),
+      (4L, "x", "one two"), (5L, "x", "a b c d"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("lang"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minHashNearDupPairs finds high-similarity pairs, rejects low ones") {
+    val rnd = new Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    // 10 well-separated base docs + a near-dup of each (1 token changed => J ~ 0.9)
+    val bases = (0 until 10).map { i =>
+      (i * 2L, Seq.fill(33)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = bases.map { case (id, t) =>
+      val toks = t.split(" "); toks(toks.length - 1) = "CHANGED"
+      (id + 1, toks.mkString(" "))
+    }
+    val df = (bases ++ dups).toDF("doc_id", "text")
+    val got = Dedup.minHashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = bruteforcePairs(
+      (bases ++ dups).map { case (id, t) => (id, "x", t) }, 0.5, blocked = false)
+      .map(p => (p._1, p._2))
+    assert(got === want)
+    assert(got.size >= 10) // every (base, dup) pair found
+  }
+
+  test("simHashNearDupPairs: duplicates at hamming 0, distinct docs rejected") {
+    val rnd = new Random(11)
+    val vocab = Vector.tabulate(500)(i => s"tok$i")
+    val docs = (0 until 8).map { i =>
+      (i * 2L, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val exactDups = docs.map { case (id, t) => (id + 1, t) }
+    val df = (docs ++ exactDups).toDF("doc_id", "text")
+    val got = Dedup.simHashNearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val dupPairs = got.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(docs.map { case (id, _) => (id, id + 1) }.toSet.subsetOf(dupPairs))
+    // no cross-document pair (different base text) should appear
+    got.foreach { case (a, b, _) => assert(b - a == 1 && a % 2 == 0, s"unexpected pair ($a,$b)") }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{DotProduct, L2Norm, L2Normalize}
+import graft.operators.Similarity
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import scala.util.Random
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lit(a: Array[Double]): Literal =
+    Literal.create(a, ArrayType(DoubleType, containsNull = false))
+
+  private def refDot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private def refCos(a: Array[Double], b: Array[Double]): Double =
+    refDot(a, b) / (math.sqrt(refDot(a, a)) * math.sqrt(refDot(b, b)))
+
+  test("DotProduct / L2Norm / L2Normalize interpreted eval matches reference") {
+    val rnd = new Random(3)
+    for (_ <- 0 until 20) {
+      val a = Array.fill(16)(rnd.nextGaussian())
+      val b = Array.fill(16)(rnd.nextGaussian())
+      val d = DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      assert(math.abs(d - refDot(a, b)) < 1e-12)
+      val n = L2Norm(lit(a)).eval(null).asInstanceOf[Double]
+      assert(math.abs(n - math.sqrt(refDot(a, a))) < 1e-12)
+      val u = L2Normalize(lit(a)).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      assert(math.abs(math.sqrt(refDot(u, u)) - 1.0) < 1e-9)
+    }
+    // nulls propagate; zero vector survives normalize
+    assert(DotProduct(Literal.create(null, ArrayType(DoubleType)), lit(Array(1.0))).eval(null) == null)
+    val z = L2Normalize(lit(Array(0.0, 0.0))).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    assert(z.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("codegen path (via DataFrame) agrees with interpreted eval") {
+    val rnd = new Random(5)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()), Array.fill(8)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", Similarity.dot($"a", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      assert(math.abs(got(id) - refDot(a, b)) < 1e-12, s"id=$id")
+    }
+  }
+
+  test("knnBruteForce matches a Scala reference ranking") {
+    val rnd = new Random(9)
+    val corpus = (0L until 60L).map(i => (i, Array.fill(12)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val got = Similarity.knnBruteForce(queries, df, "vec_id", "vec_id", "embedding", "embedding", k = 4)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+
+    val dbl = corpus.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    for (q <- 0L until 5L) {
+      val want = dbl.keys.filter(_ != q).map { c =>
+        val cos = BigDecimal(refCos(dbl(q), dbl(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (c, cos)
+      }.toSeq.sortBy { case (c, cos) => (-cos, c) }.take(4)
+      assert(got(q) === want, s"query $q")
+    }
+  }
+
+  test("annLshTopK returns correctly-scored subsets of the corpus") {
+    val rnd = new Random(13)
+    val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val got = Similarity.annLshTopK(queries, df, "vec_id", "vec_id", "embedding", "embedding",
+      k = 3, bits = 4, probes = 3, dim = 16).as[(Long, Int, Long, Double)].collect()
+    val dbl = corpus.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, c, cos) =>
+      assert(c != q)
+      val want = BigDecimal(refCos(dbl(q), dbl(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cos - want) < 1e-9, s"pair ($q,$c)")
+    }
+    // ranks are 1..k contiguous per query
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"query $q ranks")
+    }
+  }
+
+  test("cosineNearDupPairs finds planted near-duplicates within blocks") {
+    val rnd = new Random(17)
+    val base = Array.fill(12)(rnd.nextGaussian())
+    val nearDup = base.map(_ + rnd.nextGaussian() * 0.01)
+    val far = Array.fill(12)(rnd.nextGaussian())
+    val rows = Seq(
+      (1L, "g1", base.map(_.toFloat)), (2L, "g1", nearDup.map(_.toFloat)),
+      (3L, "g1", far.map(_.toFloat)),
+      (4L, "g2", base.map(_.toFloat))) // same vec as id 1 but different block
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", Seq("label"), 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+}
