@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` schema
+  * (event_id, user_id, event_type, ts, value, props — TESTDATA.md).
+  *
+  * Batch twins of these queries live in graft.queries.Ext (ev_tumbling /
+  * ev_sliding / ev_session) and are DuckDB-oracle-checked; the streaming
+  * versions here share the same aggregation expressions, so correctness
+  * transfers — what this module adds is event-time semantics: watermarks
+  * bound state (without one, windowed state grows forever on an unbounded
+  * stream — a 100 TB-pipeline non-negotiable), late rows beyond the
+  * watermark are dropped, and append-mode emission waits until a window
+  * can no longer change.
+  */
+object EventStreams {
+
+  /** Read a directory of parquet events as a stream (file source —
+    * processes files as they land; schema must be supplied for streams). */
+  def fileSource(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 2-hour windows every hour. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Built-in session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "8 hours",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on a key with watermark-bounded state: the
+    * streaming twin of Dedup.exact — each key is emitted once; dedup
+    * state for keys older than the watermark is dropped, so state stays
+    * O(keys-per-watermark-window), not O(stream). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----------
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Int, total_value: Double)
+
+  /** Gap-based sessionizer with explicit state — the escape hatch for
+    * session logic `session_window` can't express (per-session caps,
+    * custom close conditions, enrichment at close). Emits a session when
+    * the gap elapses (event-time timeout against the watermark). State per
+    * live session only: O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

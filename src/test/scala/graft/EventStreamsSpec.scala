@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("tumbling windows emit on watermark advance; late data is dropped") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      // two events in hour-0 window, one in hour-1
+      input.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(65), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 1 => both windows close
+      input.addData((ts(300), "view", 0.5))
+      q.processAllAvailable()
+      // this event's window (hour 0) is far behind the watermark => dropped
+      input.addData((ts(7), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb")
+        .select($"win_start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))   // late row NOT counted
+      assert(rows.contains((ts(60), "view", 1L, 3.0)))
+      assert(!rows.exists { case (w, t, n, v) => t == "click" && v == 103.0 })
+    } finally q.stop()
+  }
+
+  test("streaming session_window groups events within the gap") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF.toDF("ts", "user_id", "value")
+    val q = EventStreams.sessionCounts(events, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 90 min gap (new session)
+      input.addData((ts(0), 1L, 1.0), (ts(10), 1L, 2.0), (ts(100), 1L, 4.0))
+      q.processAllAvailable()
+      input.addData((ts(1000), 2L, 9.0)) // advance watermark to close all sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select($"user_id", $"session_start", $"n_events", $"total_value")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((1L, ts(0), 2L, 3.0)))
+      assert(rows.contains((1L, ts(100), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("fmgs").outputMode("append").start()
+    try {
+      // NOTE: times start at minute 60 — an event whose ts equals the
+      // current watermark (epoch 0 initially) is filtered as late.
+      input.addData(Event(1L, ts(60), 1.0), Event(1L, ts(70), 2.0), Event(2L, ts(65), 5.0))
+      q.processAllAvailable()
+      // in-batch session split: 90-min gap closes the first session inline
+      input.addData(Event(1L, ts(160), 4.0))
+      q.processAllAvailable()
+      // advance event time far ahead => remaining sessions time out
+      input.addData(Event(3L, ts(1000), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts(2000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("fmgs").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start, s.n_events, s.total_value)).toSet
+      assert(rows.contains((1L, ts(60), 2, 3.0)))   // closed by the in-stream gap
+      assert(rows.contains((1L, ts(160), 1, 4.0))) // closed by timeout
+      assert(rows.contains((2L, ts(65), 1, 5.0)))   // closed by timeout
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF.toDF("ts", "event_id", "payload")
+    val q = EventStreams.streamingDedup(events, Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a"), (ts(2), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L, "a"), (ts(4), 3L, "c"))
+      q.processAllAvailable()
+      val n = spark.table("dedup").count()
+      assert(n == 3) // event_ids 1, 2, 3 — exactly once each (same (id, ts) dup dropped)
+    } finally q.stop()
+  }
+}
