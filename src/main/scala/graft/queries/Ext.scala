@@ -86,6 +86,21 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Custom typed Aggregator (map-side combined): mean embedding per
+    * label. Output is exploded to one row per (label, dim) — scalar
+    * columns hash-compare cleanly against the oracle. */
+  def simCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.CentroidAggregator.centroid(col("embedding")).as("_c"))
+      .select(col("label"), col("n"), posexplode(col("_c")))
+      .select(col("label"), col("n"), (col("pos") + 1).cast("int").as("dim"),
+        round(col("col"), 6).as("m"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.35)
@@ -188,6 +203,7 @@ object Ext {
     "dedup_simhash" -> dedupSimHash,
     "sim_knn_brute" -> simKnnBrute,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_centroid" -> simCentroid,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
@@ -270,6 +286,11 @@ object Ext {
         |      FROM s)
         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_centroid" ->
+      """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT label, count(*) AS n, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS m
+        |FROM d CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
