@@ -84,7 +84,8 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
         case None => respond(ex, 400, """{"error":"missing required parameter"}""") // test.py:161
         case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, _)) =>
           try {
-            val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csvUrl)
+            val staged = graft.sources.UrlStaging.stage(csvUrl)
+            val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
               maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong)
             val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory)

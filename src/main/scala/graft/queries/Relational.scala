@@ -268,7 +268,32 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`). */
+  def q23Percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Pivot: returnflag rows x explicit linestatus columns (values fixed
+    * so the output schema is deterministic). */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_percentiles" -> q23Percentiles,
+    "q24_pivot" -> q24Pivot,
     "q01_agg_pricing" -> q01AggPricing,
     "q02_filter_project" -> q02FilterProject,
     "q03_region_revenue" -> q03RegionRevenue,
@@ -292,9 +317,23 @@ object Relational {
     "q21_list_agg" -> q21ListAgg,
     "q22_join_window" -> q22JoinWindow)
 
+  private val extraOracles: Map[String, String] = Map(
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_pivot" ->
+      """SELECT l_returnflag,
+        |round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   /** DuckDB oracle twins. Casts align DuckDB's wider return types
     * (BIGINT year/length/row_number, DOUBLE ceil/floor) with Spark's. */
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = extraOracles ++ Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |round(sum(l_extendedprice),2) AS sum_base_price,

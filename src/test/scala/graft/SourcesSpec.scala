@@ -25,6 +25,33 @@ class SourcesSpec extends SparkSpec {
     assert(lines.tail == (0 until 37).map(i => s"v$i,${i * 2}").toVector)
   }
 
+  test("UrlStaging fetches http URLs to a local file and passes other schemes through") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val csv = "a,b\n1,2\n3,4\n"
+    server.createContext("/data.csv", ex => {
+      val bytes = csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.createContext("/missing.csv", ex => { ex.sendResponseHeaders(404, -1); ex.close() })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val staged = graft.sources.UrlStaging.stage(s"http://localhost:$port/data.csv")
+      assert(staged.startsWith("file:"))
+      val df = spark.read.option("header", "true").csv(staged)
+      assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
+      intercept[RuntimeException] {
+        graft.sources.UrlStaging.stage(s"http://localhost:$port/missing.csv")
+      }
+      assert(graft.sources.UrlStaging.stage("s3a://bucket/k.csv") == "s3a://bucket/k.csv")
+      assert(graft.sources.UrlStaging.stage("/local/path.csv") == "/local/path.csv")
+    } finally server.stop(0)
+  }
+
   test("withRowIndex is contiguous and matches input order across partitions") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Tuple1(s"r$i")), 7))
