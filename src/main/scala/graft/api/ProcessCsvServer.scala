@@ -87,10 +87,15 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             val staged = graft.sources.UrlStaging.stage(csvUrl)
             val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
-              maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong)
+              maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong,
+              requestId = requestId)
             val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // persist: errorReport and the CSV write are two actions over
+            // the same plan — without it each would re-run the LLM calls
             val (errorCount, _) = Enrich.errorReport(enriched)
             val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
+            enriched.unpersist()
             val respJson =
               s"""{"message":${jstr("Processing complete")},"file_url":${jstr(fileUrl)},""" +
                 s""""error_count":$errorCount,"request_id":${jstr(requestId)}}"""

@@ -6,8 +6,14 @@ import java.time.Duration
 
 /** One chat-completion call (reference: test.py:57-74 builds
   * `{model, messages:[{role:"user",content:prompt}], max_tokens,
-  * temperature}` against `{base_url}/chat/completions`). */
-final case class LlmRequest(prompt: String, model: String, maxTokens: Int, temperature: Double)
+  * temperature}` against `{base_url}/chat/completions`).
+  *
+  * `idempotencyKey` (stable per (request_id, row_idx)) lets a proxy or
+  * provider dedupe the retry a Spark task re-execution would otherwise
+  * double-spend — the reference never re-runs a *succeeded* call, Spark
+  * task retry might. Empty = not sent. */
+final case class LlmRequest(prompt: String, model: String, maxTokens: Int, temperature: Double,
+                            idempotencyKey: String = "")
 
 /** Pluggable completion client. Implementations must be constructible on
   * executors (the enrich operator ships a factory, not a live client —
@@ -50,13 +56,14 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, timeoutSec: Long = 20
     val body =
       s"""{"model":"${jsonEscape(req.model)}","messages":[{"role":"user","content":"${jsonEscape(req.prompt)}"}],""" +
         s""""max_tokens":${req.maxTokens},"temperature":${req.temperature}}"""
-    val httpReq = HttpRequest.newBuilder()
+    val builder = HttpRequest.newBuilder()
       .uri(URI.create(s"$baseUrl/chat/completions"))
       .timeout(Duration.ofSeconds(timeoutSec))
       .header("Content-Type", "application/json")
       .header("Authorization", s"Bearer $apiKey")
       .POST(HttpRequest.BodyPublishers.ofString(body))
-      .build()
+    if (req.idempotencyKey.nonEmpty) builder.header("Idempotency-Key", req.idempotencyKey)
+    val httpReq = builder.build()
     val resp = http.send(httpReq, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new RuntimeException(s"LLM call failed: HTTP ${resp.statusCode()}")

@@ -37,7 +37,16 @@ object Enrich {
   /** test.py:80 — failure sentinel lives in the data plane. */
   val ErrorSentinel = "Error: Unable to process"
 
-  /** Reference concurrency envelope (test.py:163-165). */
+  /** Reference concurrency envelope (test.py:163-165).
+    *
+    * `requestId` feeds per-(request, row) idempotency keys so a Spark
+    * task retry can't double-spend a succeeded paid call.
+    * `globalMaxInFlightPerJvm` is the reference's 200-call ceiling
+    * (10 batches x 20 workers): a JVM-wide semaphore gates every HTTP
+    * call, so in-flight stays bounded no matter how many task slots the
+    * executor runs (per-partition concurrency alone would give
+    * slots x rowConcurrency). On a cluster, set it to
+    * globalBudget / numExecutors. 0 = uncapped. */
   final case class Config(
       systemPrompt: String,
       model: String = "gpt-4o-mini",
@@ -47,7 +56,9 @@ object Enrich {
       batchSize: Int = 1000,
       rowConcurrency: Int = 20,
       retries: Int = 7,
-      retryBaseDelayMs: Long = 1000L)
+      retryBaseDelayMs: Long = 1000L,
+      requestId: String = "",
+      globalMaxInFlightPerJvm: Int = 200)
 
   /** Stable contiguous row index, attached before any shuffle. Costs one
     * extra job (zipWithIndex counts partition sizes) — the documented
@@ -67,6 +78,13 @@ object Enrich {
       t.setDaemon(true)
       t
     }))
+
+  // JVM-wide in-flight gate, one per configured cap (executors share it
+  // across all concurrently-running enrich tasks in the JVM).
+  @transient private lazy val gates =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
+  private def gate(permits: Int): java.util.concurrent.Semaphore =
+    gates.computeIfAbsent(permits, p => new java.util.concurrent.Semaphore(p))
 
   /** Enrich `df.columns(columnIndex)` (positional addressing — the
     * reference's API, test.py:151) through `client`, appending a
@@ -99,9 +117,15 @@ object Enrich {
             // pandas str(nan) == "nan" (test.py:86) — reproduce deliberately
             val input = if (cell == null) "nan" else cell.toString
             val prompt = s"${conf.systemPrompt}\n\nInput: $input"
+            val rowIdx = row.getLong(row.length - 1) // _row_idx is last
+            val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
+            val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
             val response =
               try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs) {
-                client.complete(LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature)).trim
+                g.foreach(_.acquire())
+                try client.complete(
+                  LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature, idemKey)).trim
+                finally g.foreach(_.release())
               } catch { case _: Throwable => ErrorSentinel }
             progress.foreach(_.add(1))
             Row.fromSeq(row.toSeq :+ response)
@@ -111,7 +135,14 @@ object Enrich {
       }
     }(Encoders.row(outSchema))
 
-    enriched.unionByName(tail).orderBy(col("_row_idx"))
+    // NOT a global orderBy: RangePartitioning runs a SAMPLING pass over
+    // the child, which would execute the paid LLM mapPartitions a second
+    // time (observed: 2x calls). The head partitions are already
+    // contiguous _row_idx ranges (repartitionByRange) and the tail
+    // follows in input order, so sortWithinPartitions yields total
+    // _row_idx order for partition-ordered consumers (collect,
+    // coalesce(1) write) with zero extra executions.
+    enriched.unionByName(tail).sortWithinPartitions(col("_row_idx"))
   }
 
   /** Error accounting (test.py:40-54): count + 1-based row indexes of

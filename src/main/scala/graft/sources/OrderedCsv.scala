@@ -22,8 +22,11 @@ object OrderedCsv {
   def write(df: DataFrame, dir: String, fileName: String, orderCol: String = "_row_idx"): String = {
     val spark = df.sparkSession
     val tmp = s"$dir/_tmp_${fileName}_${System.nanoTime()}"
-    df.orderBy(col(orderCol)).drop(orderCol)
-      .coalesce(1)
+    // coalesce(1) merges partitions in order; the in-partition sort then
+    // gives exact total order WITHOUT a global orderBy — whose range
+    // sampling would re-execute the upstream plan (paid LLM calls) a
+    // second time.
+    df.coalesce(1).sortWithinPartitions(col(orderCol)).drop(orderCol)
       .write.option("header", "true").mode("overwrite").csv(tmp)
 
     val conf = spark.sparkContext.hadoopConfiguration

@@ -5,6 +5,33 @@ import graft.operators.Enrich
 import org.apache.spark.sql.functions.col
 import scala.collection.mutable.ArrayBuffer
 
+/** Static (per-JVM) probes: enrich clients are serialized into task
+  * closures, so captured fields would be deserialized COPIES — a shared
+  * object is the only way to observe executor-side behavior in local
+  * mode. */
+object EnrichProbes {
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val keys: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def reset(): Unit = { inFlight.set(0); maxSeen.set(0); calls.set(0); keys.clear() }
+
+  class ProbeClient extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      val cur = inFlight.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, cur))
+      calls.incrementAndGet()
+      Thread.sleep(5)
+      inFlight.decrementAndGet()
+      "ok"
+    }
+  }
+
+  class KeyCapture extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = { keys.add(req.idempotencyKey); "ok" }
+  }
+}
+
 class EnrichSpec extends SparkSpec {
   import spark.implicits._
 
@@ -71,6 +98,25 @@ class EnrichSpec extends SparkSpec {
     }
     assert(calls == 7)
     assert(delays.toSeq == Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L))
+  }
+
+  test("global in-flight gate bounds concurrent LLM calls JVM-wide") {
+    EnrichProbes.reset()
+    // 4 partitions x 8 rowConcurrency = 32 potential, gate caps at 3
+    val cfg = Enrich.Config(systemPrompt = "P", batchSize = 10, rowConcurrency = 8,
+      globalMaxInFlightPerJvm = 3)
+    Enrich.enrich(corpus(40), 0, cfg, () => new EnrichProbes.ProbeClient).collect()
+    assert(EnrichProbes.calls.get() == 40, "probe must actually observe the calls")
+    assert(EnrichProbes.maxSeen.get() <= 3,
+      s"saw ${EnrichProbes.maxSeen.get()} concurrent calls, cap was 3")
+  }
+
+  test("idempotency key is stable per (requestId, row index)") {
+    EnrichProbes.reset()
+    val cfg = Enrich.Config(systemPrompt = "P", requestId = "req9", batchSize = 5)
+    Enrich.enrich(corpus(12), 0, cfg, () => new EnrichProbes.KeyCapture).collect()
+    import scala.jdk.CollectionConverters._
+    assert(EnrichProbes.keys.asScala.toSet == (0 until 12).map(i => s"req9-$i").toSet)
   }
 
   test("StubLlmClient is a pure function of the prompt") {
