@@ -156,6 +156,24 @@ object Ext {
       .orderBy(col("event_id"))
   }
 
+  /** Bin-bucketed range join: clicks landing inside each purchase's
+    * 2-hour follow-up window (equi-join on (user, time-bin), exact
+    * BETWEEN filter inside the bin — no nested-loop join). */
+  def evRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, Seq("user_id"), "ts", "start_ts", "end_ts",
+        maxIntervalWidthSec = 7200L)
+      .groupBy(col("ivl_event_id").as("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), round(sum(col("value")), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- enrichment pipeline (the reference's core operator) -------------
 
   /** End-to-end LLM enrichment with a deterministic stub client: the full
@@ -209,7 +227,8 @@ object Ext {
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
     "ev_json" -> evJson,
-    "ev_asof" -> evAsOf)
+    "ev_asof" -> evAsOf,
+    "ev_range_join" -> evRangeJoin)
 
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
   private val duckShingles =
@@ -322,6 +341,12 @@ object Ext {
       """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "ev_range_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks, round(sum(c.value), 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "ev_asof" ->
       """SELECT p.event_id, p.user_id, p.value,
         |       c.event_id AS asof_event_id, c.value AS asof_value
