@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import scala.collection.mutable
+
+/** Native top-k-per-key operator (custom LogicalPlan + Strategy +
+  * SparkPlan, SURVEY.md §4.2 escape hatch (c)).
+  *
+  * The built-in formulation — `row_number().over(Window.partitionBy(key)
+  * .orderBy(v.desc)) <= k` — shuffles EVERY row to rank it, then throws
+  * almost all of them away. This operator runs a bounded per-key heap in
+  * each input partition first (partial), shuffles only the <= k survivors
+  * per (key, partition) — the same partial/final split Spark uses for
+  * aggregates — and finishes with an exact per-key top-k after the
+  * exchange. At 100 TB with small k this cuts the shuffle by orders of
+  * magnitude; the exchange is inserted by EnsureRequirements from the
+  * final node's ClusteredDistribution requirement.
+  *
+  * Semantics: keep rows ranked <= k per key by (orderCol DESC, tieCol
+  * ASC) — the tie column makes results deterministic and
+  * oracle-comparable. orderCol is evaluated as double, tieCol as long.
+  */
+case class TopKPerKey(keys: Seq[Attribute], order: Expression, tie: Expression,
+                      k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expression,
+                          k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val orderExpr = order
+    val tieExpr = tie
+    val childOutput = child.output
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordEval = BindReferences.bindReference(Cast(orderExpr, DoubleType), childOutput)
+      val tieEval = BindReferences.bindReference(Cast(tieExpr, LongType), childOutput)
+      // "better" = higher order value; ties broken by LOWER tie value
+      val betterOrd = Ordering.by[(Double, Long, InternalRow), (Double, Long)] {
+        case (v, t, _) => (v, -t)
+      }
+      // min-heap under betterOrd: the root is the current worst survivor
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+      iter.foreach { row =>
+        val v = ordEval.eval(row)
+        if (v != null) {
+          val t = tieEval.eval(row).asInstanceOf[Long]
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case None =>
+              val h = mutable.PriorityQueue.empty(betterOrd.reverse)
+              h.enqueue((v.asInstanceOf[Double], t, row.copy()))
+              heaps.put(key.copy(), h)
+            case Some(h) =>
+              if (h.size < kLocal) {
+                h.enqueue((v.asInstanceOf[Double], t, row.copy()))
+              } else if (betterOrd.compare((v.asInstanceOf[Double], t, null), h.head) > 0) {
+                h.dequeue()
+                h.enqueue((v.asInstanceOf[Double], t, row.copy()))
+              }
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, tie, k, child) =>
+      val part = TopKPerKeyExec(keys, order, tie, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, tie, k, partial = false, part) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Column API: top-k rows per key by (orderCol DESC, tieCol ASC).
+    * Registers the planner strategy on first use (public
+    * `spark.experimental.extraStrategies` hook). */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+             tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    val node = TopKPerKey(keyCols.map(attr), attr(orderCol), attr(tieCol), k, analyzed)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
+  }
+}

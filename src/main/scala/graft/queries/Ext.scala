@@ -174,6 +174,15 @@ object Ext {
       .orderBy(col("event_id"))
   }
 
+  /** Native top-k-per-key physical operator (custom Strategy+SparkPlan):
+    * partial per-partition heaps, shuffle only survivors. Top-3 orders by
+    * totalprice per customer. */
+  def topkNative(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopK.perKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---- enrichment pipeline (the reference's core operator) -------------
 
   /** End-to-end LLM enrichment with a deterministic stub client: the full
@@ -228,7 +237,8 @@ object Ext {
     "ev_session" -> evSession,
     "ev_json" -> evJson,
     "ev_asof" -> evAsOf,
-    "ev_range_join" -> evRangeJoin)
+    "ev_range_join" -> evRangeJoin,
+    "topk_native" -> topkNative)
 
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
   private val duckShingles =
@@ -341,6 +351,12 @@ object Ext {
       """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ev_range_join" ->
       """SELECT p.event_id, p.user_id, count(*) AS n_clicks, round(sum(c.value), 2) AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
