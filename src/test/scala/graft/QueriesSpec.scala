@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class QueriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("approximate distinct-count aggregates land within rsd of exact") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+    // Datasketches HLL surface (sketch -> merge -> estimate)
+    val est = li.select(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1, s"hll=$est exact=$exact")
+  }
+
+  test("approximate percentile tracks exact percentile") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val Array(approx, exact) = li.select(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
+      expr("percentile(l_extendedprice, 0.5)")).collect()(0).toSeq.map(_.toString.toDouble).toArray
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
