@@ -59,6 +59,22 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming LLM enrichment: each micro-batch runs through the batch
+    * enrich operator (same ordering, retry, sentinel, idempotency, and
+    * in-flight-cap semantics), and the caller's sink receives the
+    * enriched frame per batch — continuous enrichment as a composition
+    * of the proven batch operator, which is exactly how Structured
+    * Streaming wants side-effecting externals handled (foreachBatch). */
+  def enrichStream(stream: DataFrame, columnIndex: Int,
+                   cfg: graft.operators.Enrich.Config,
+                   clientFactory: () => graft.llm.LlmClient)
+                  (writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(graft.operators.Enrich.enrich(batch, columnIndex, cfg, clientFactory), batchId)
+      }
+      .start()
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -81,6 +81,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream enriches every micro-batch through the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val collected = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    val cfg = graft.operators.Enrich.Config(systemPrompt = "S", batchSize = 2)
+    val q = EventStreams.enrichStream(
+      input.toDF.toDF("text", "num"), 0, cfg,
+      () => new graft.llm.StubLlmClient(p => p.takeRight(2))) { (batch, _) =>
+      batch.select("text", "Response").collect().foreach(r =>
+        collected.add((r.getString(0), r.getString(1))))
+    }
+    try {
+      input.addData(("aa", 1L), ("bb", 2L))
+      q.processAllAvailable()
+      input.addData(("cc", 3L))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(collected.asScala.toSet === Set(("aa", "aa"), ("bb", "bb"), ("cc", "cc")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]

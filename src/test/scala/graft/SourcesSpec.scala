@@ -52,6 +52,21 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("round-trips through parquet, orc, json, and csv preserve data") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val df = (0 until 200).map(i => (i.toLong, s"s$i", i * 1.5)).toDF("id", "name", "v")
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      val path = s"$dir/$fmt"
+      df.write.format(fmt).option("header", "true").save(path)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(path)
+      assert(back.count() == 200, fmt)
+      val got = back.select("id", "name", "v").collect()
+        .map(r => (r.get(0).toString.toLong, r.getString(1), r.get(2).toString.toDouble)).toSet
+      assert(got === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet, fmt)
+    }
+  }
+
   test("withRowIndex is contiguous and matches input order across partitions") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Tuple1(s"r$i")), 7))
