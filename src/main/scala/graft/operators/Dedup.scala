@@ -134,6 +134,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * returns (id, rep) where rep = min id reachable. Iterative min-label
+    * propagation — each round one shuffle join; rounds = graph diameter.
+    * Near-dup graphs are unions of small clusters (diameter ~1-3), so
+    * this converges in a few rounds; for web-scale general graphs swap in
+    * a large-star/small-star implementation, same contract. */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node: min(own rep, min rep among neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "_nrep"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("_nrep")).as("_minN"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("_minN"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "_old"), Seq("id"))
+        .filter(col("rep") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: MinHash-LSH pairs -> connected
+    * components -> keep each cluster's min-id representative. Returns the
+    * surviving rows of `df` (original columns). */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDupPairs(df, idCol, textCol, threshold)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the result is the
     * sign of the population vote across token hashes. Token hashes are
     * computed once (not once per bit); bit i's +1/-1 vote over n tokens

@@ -64,6 +64,16 @@ object Ext {
     Dedup.simHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup cluster map: MinHash pairs -> connected components ->
+    * (doc_id, rep). The end-to-end "apply dedup" path. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- similarity search ----------------------------------------------
 
   def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -228,6 +238,7 @@ object Ext {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
+    "dedup_components" -> dedupComponents,
     "sim_knn_brute" -> simKnnBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
@@ -305,6 +316,18 @@ object Ext {
          |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         |SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "sim_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -104,6 +104,31 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= 10) // every (base, dup) pair found
   }
 
+  test("connectedComponents labels chains and isolated nodes correctly") {
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
+    // components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val rnd = new Random(23)
+    val vocab = Vector.tabulate(300)(i => s"v$i")
+    val bases = (0 until 6).map(i => Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // each base appears 3x (ids 3i, 3i+1, 3i+2: original + 2 near-copies)
+    val docs = bases.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val mut = toks.clone(); mut(mut.length - 1) = "X"
+      Seq((i * 3L, t), (i * 3L + 1, t), (i * 3L + 2, mut.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (0 until 6).map(_ * 3L).toSet)
+  }
+
   test("simHashNearDupPairs: duplicates at hamming 0, distinct docs rejected") {
     val rnd = new Random(11)
     val vocab = Vector.tabulate(500)(i => s"tok$i")
