@@ -135,13 +135,57 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (id_a, id_b):
-    * returns (id, rep) where rep = min id reachable. Iterative min-label
-    * propagation — each round one shuffle join; rounds = graph diameter.
-    * Near-dup graphs are unions of small clusters (diameter ~1-3), so
-    * this converges in a few rounds; for web-scale general graphs swap in
-    * a large-star/small-star implementation, same contract. */
+    * returns (id, rep) where rep = min id reachable.
+    *
+    * Two paths, chosen by edge count:
+    *   - **Driver union-find** when edges fit driver memory
+    *     (`maxDriverEdges`, default 10M ≈ 160 MB). Near-dup EDGE lists
+    *     are a small derived set even for huge corpora, and driver
+    *     union-find avoids the real cost of iterative DataFrame CC:
+    *     every propagation round builds new plans and recompiles
+    *     codegen, ~1-2 s/round of fixed overhead regardless of data
+    *     size. The label map returns as a broadcast join.
+    *   - **Distributed min-label propagation** (one shuffle join per
+    *     round, rounds = graph diameter) beyond that; for web-scale
+    *     general graphs swap in large-star/small-star, same contract. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 10): DataFrame = {
+                          maxIter: Int = 10, maxDriverEdges: Long = 10_000_000L): DataFrame = {
+    val persistedPairs = pairs.select(col("id_a"), col("id_b")).persist()
+    val nEdges = persistedPairs.count()
+    if (nEdges <= maxDriverEdges) {
+      val edges = persistedPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      persistedPairs.unpersist()
+      // union-find with path compression; roots normalized to component min
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { val lo = math.min(ra, rb); val hi = math.max(ra, rb); parent(hi) = lo }
+      }
+      val labels = (edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(id => (id, find(id)))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = broadcast(labels.toDF("id", "_rep"))
+      nodes.select(col(idCol).as("id"))
+        .join(labelDf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_rep"), col("id")).as("rep"))
+    } else {
+      val out = propagateComponents(nodes, idCol, persistedPairs, maxIter)
+      persistedPairs.unpersist()
+      out
+    }
+  }
+
+  /** Distributed path of [[connectedComponents]]. */
+  private def propagateComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                                  maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))

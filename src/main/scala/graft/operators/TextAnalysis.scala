@@ -54,7 +54,11 @@ object TextAnalysis {
     val lengthTerm = least(nTok / lit(50.0), lit(1.0))
     val stopTerm = least(stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)) * lit(4.0), lit(1.0))
     val diversityTerm = size(array_distinct(tokens(text))).cast("double") / greatest(nTok, lit(1.0))
-    round(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * diversityTerm, 4)
+    // +1e-9 pushes exact half-way values (e.g. 0.49975 from nice token
+    // ratios) off the rounding boundary, where engines legitimately
+    // disagree (binary-double vs shortest-decimal half-up). The oracle
+    // applies the same nudge.
+    round(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * diversityTerm + lit(1e-9), 4)
   }
 
   /** Language-marker hit counts: distinct marker words present. */

@@ -277,7 +277,7 @@ object Ext {
          |  round(list_sum(list_transform(toks, x -> length(x))) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
          |  round(0.4 * least(len(toks) / 50.0, 1.0)
          |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)), 4) AS quality
+         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
     "txt_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckToks) AS toks FROM documents),

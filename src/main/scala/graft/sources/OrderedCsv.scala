@@ -38,4 +38,24 @@ object OrderedCsv {
     fs.delete(new Path(tmp), true)
     dest.toString
   }
+
+  /** Lake-scale variant: `numShards` part files whose LEXICOGRAPHIC name
+    * order equals row order — `repartitionByRange` on the order column
+    * gives contiguous ascending ranges per output task, and Spark's
+    * part-00000..part-NNNNN numbering follows partition order. Readers
+    * concatenate in file-name order (or an S3 multipart concat does) to
+    * recover the exact input order without any single-node bottleneck.
+    * Returns the directory. NOTE: `repartitionByRange` runs a sampling
+    * pass over `df` to pick boundaries — if the upstream stage is
+    * side-effecting (paid LLM calls), persist `df` first, as
+    * ProcessCsvServer does. */
+  def writeSharded(df: DataFrame, dir: String, fileName: String,
+                   numShards: Int, orderCol: String = "_row_idx"): String = {
+    val out = s"$dir/${fileName}_final_csv"
+    df.repartitionByRange(numShards, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .drop(orderCol)
+      .write.option("header", "true").mode("overwrite").csv(out)
+    out
+  }
 }

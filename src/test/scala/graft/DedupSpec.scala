@@ -108,9 +108,14 @@ class DedupSpec extends SparkSpec {
     val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
     // components: {1,2,3,4} (chain), {5,6}, {7} isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, "id", pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    val gotDriver = Dedup.connectedComponents(nodes, "id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(gotDriver === want)
+    // force the distributed min-label-propagation path
+    val gotDistributed = Dedup.connectedComponents(nodes, "id", pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDistributed === want)
   }
 
   test("dropNearDuplicates keeps one representative per near-dup cluster") {

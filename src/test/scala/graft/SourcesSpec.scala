@@ -52,6 +52,23 @@ class SourcesSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("writeSharded: file-name order concatenation recovers exact row order") {
+    val dir = Files.createTempDirectory("graft_shard").toString
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 500).map(i => (s"v$i", i)), 7))
+      .toDF("name", "num")
+    val out = OrderedCsv.writeSharded(Enrich.withRowIndex(base), dir, "big", numShards = 5)
+    val parts = new java.io.File(new java.net.URI(out).getPath match {
+        case p if p.nonEmpty => p; case _ => out
+      }).listFiles((_, n) => n.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 5)
+    val lines = parts.toSeq.flatMap { f =>
+      val src = Source.fromFile(f)
+      try src.getLines().toVector.tail finally src.close() // drop per-file header
+    }
+    assert(lines == (0 until 500).map(i => s"v$i,$i"))
+  }
+
   test("round-trips through parquet, orc, json, and csv preserve data") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val df = (0 until 200).map(i => (i.toLong, s"s$i", i * 1.5)).toDF("id", "name", "v")
