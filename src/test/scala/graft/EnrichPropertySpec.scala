@@ -1,0 +1,41 @@
+package graft
+
+import graft.llm.StubLlmClient
+import graft.operators.Enrich
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5.2 property tests: for any (row count, maxRows, partition
+  * count, batch size), enrichment preserves order and size, and the tail
+  * beyond maxRows has an empty Response. Deterministic seeds — a failure
+  * reproduces. */
+class EnrichPropertySpec extends SparkSpec {
+
+  private val gen = for {
+    n <- Gen.choose(0, 60)
+    maxRows <- Gen.choose(0, 70)
+    parts <- Gen.choose(1, 6)
+    batch <- Gen.choose(1, 25)
+  } yield (n, maxRows, parts, batch)
+
+  test("order, size, and tail invariants hold for arbitrary shapes") {
+    val cases = (1 to 12).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))) :+ ((0, 0, 1, 1)) :+ ((60, 0, 6, 1))
+    cases.foreach { case (n, maxRows, parts, batch) =>
+      val label = s"n=$n maxRows=$maxRows parts=$parts batch=$batch"
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(i => (s"r$i", i)), parts))
+        .toDF("v", "num")
+      val cfg = Enrich.Config(systemPrompt = "P", maxRows = maxRows.toLong,
+        batchSize = batch, rowConcurrency = 4)
+      val out = Enrich.enrich(df, 0, cfg, () => new StubLlmClient(identity)).collect()
+      assert(out.length == n, label)                             // |output| == |input|
+      assert(out.map(_.getAs[String]("v")).toSeq == (0 until n).map(i => s"r$i"), label)
+      out.zipWithIndex.foreach { case (r, i) =>
+        val resp = r.getAs[String]("Response")
+        if (i < maxRows) assert(resp == s"P\n\nInput: r$i", label) // head enriched
+        else assert(resp == "", label)                             // tail empty
+      }
+    }
+  }
+}
