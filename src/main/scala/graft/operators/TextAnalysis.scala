@@ -89,4 +89,10 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text. Stable across
     * whitespace/case/punctuation perturbations — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Rolling-hash fingerprint of the normalized text (codegen'd
+    * polynomial hash — see graft.functions.RollingHash). Cheaper than
+    * md5 and incrementally computable. */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash(normalize(text))
 }

@@ -40,6 +40,12 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  def txtRollHash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -233,6 +239,7 @@ object Ext {
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
     "txt_fingerprint" -> txtFingerprint,
+    "txt_rollhash" -> txtRollHash,
     "dedup_exact" -> dedupExact,
     "dedup_keepfirst" -> dedupKeepFirst,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -293,6 +300,16 @@ object Ext {
       """SELECT doc_id,
         |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_rollhash" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(nt) = 0 THEN 0
+        |  ELSE list_reduce(
+        |    list_transform(generate_series(1, length(nt)), i -> CAST(unicode(substring(nt, i, 1)) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) END AS rh
+        |FROM n ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
