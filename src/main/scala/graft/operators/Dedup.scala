@@ -113,12 +113,15 @@ object Dedup {
                           threshold: Double, bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val posts = shinglePosts(df, idCol, textCol, Nil).select(col(idCol), col("_h"))
+    // ONE aggregation builds the shingle set per doc; the k-permutation
+    // signature is a single native expression over it (see
+    // graft.functions.MinHashSignature) — no second wide aggregate.
     val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("_h"))).as(s"_m$i"))
-    val sig = posts.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = sh.withColumn("_sig",
+      graft.functions.MinHashSignature(col("_sh"), k))
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(j => col(s"_m${b * rowsPerBand + j}")) :+ lit(b): _*).as("h"))
+          xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
       }: _*)).as("_bh"))
       .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
     val cand = banded.withColumnRenamed(idCol, "id_a")
