@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** SQL registration for graft's native expressions — after
+  * `registerAll`, `spark.sql` queries can call them directly:
+  * `SELECT graft_dot(a.embedding, b.embedding) ...`. */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    GraftColumnBridge.registerFunction(spark, "graft_dot", es => DotProduct(es(0), es(1)))
+    GraftColumnBridge.registerFunction(spark, "graft_l2norm", es => L2Norm(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_l2normalize", es => L2Normalize(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_rolling_hash", es => RollingHash(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_minhash_sig", {
+      case Seq(arr, Literal(k: Int, _)) => MinHashSignature(arr, k)
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash_sig(array<bigint>, k) requires a literal integer k")
+    })
+  }
+}

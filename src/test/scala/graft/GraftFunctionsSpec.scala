@@ -1,0 +1,22 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val norm = spark.sql("SELECT graft_l2norm(array(3.0d, 4.0d)) AS n")
+      .collect()(0).getDouble(0)
+    assert(norm == 5.0)
+    // value cross-checked against DuckDB list_reduce((acc,x)->(acc*31+x)%2147483647)
+    val rh = spark.sql("SELECT graft_rolling_hash('hi') AS h").collect()(0).getLong(0)
+    assert(rh == 3329L)
+    val sig = spark.sql("SELECT graft_minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 4)
+  }
+}
