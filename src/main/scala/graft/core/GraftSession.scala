@@ -31,10 +31,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
-  /** Get-or-create with graft defaults (used by tests and mains). */
+  /** Get-or-create with graft defaults (used by tests and mains); graft's
+    * native SQL functions are registered on the session. */
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(s)
     s
   }
 }

@@ -46,6 +46,17 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sequence packing over documents, per language: chunk
+    * ids + per-chunk totals. */
+  def txtPack(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Pack.byTokenBudget(d, "doc_id", "n_tok", budget = 512L, partitionCols = Seq("lang"))
+      .groupBy(col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
+      .orderBy(col("lang"), col("chunk"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -240,6 +251,7 @@ object Ext {
     "txt_langid" -> txtLangId,
     "txt_fingerprint" -> txtFingerprint,
     "txt_rollhash" -> txtRollHash,
+    "txt_pack" -> txtPack,
     "dedup_exact" -> dedupExact,
     "dedup_keepfirst" -> dedupKeepFirst,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -300,6 +312,15 @@ object Ext {
       """SELECT doc_id,
         |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($duckToks) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT lang, n_tok,
+         |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 512) AS BIGINT) AS chunk
+         |  FROM t)
+         |SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+         |FROM c GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin,
     "txt_rollhash" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
