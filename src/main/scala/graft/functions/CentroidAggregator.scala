@@ -20,8 +20,13 @@ object CentroidAggregator {
     new Aggregator[Array[Float], Buf, Array[Double]] {
       override def zero: Buf = Buf(Array.empty, 0L)
 
+      // null/empty vectors are skipped entirely (not counted in n), so
+      // the divisor is partition-layout independent; ragged dimensions
+      // merge over the common prefix instead of crashing (callers should
+      // treat mixed-dimension groups as a data bug, but an aggregate must
+      // not take the executor down over it).
       override def reduce(b: Buf, v: Array[Float]): Buf = {
-        if (v == null) return b
+        if (v == null || v.length == 0) return b
         if (b.sums.length == 0) b.sums = new Array[Double](v.length)
         var i = 0
         while (i < v.length && i < b.sums.length) { b.sums(i) += v(i); i += 1 }
@@ -30,10 +35,15 @@ object CentroidAggregator {
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        if (a.sums.length == 0) return b
-        if (b.sums.length == 0) return a
+        if (a.n == 0) return b
+        if (b.n == 0) return a
+        val n = math.min(a.sums.length, b.sums.length)
         var i = 0
-        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+        while (i < n) { a.sums(i) += b.sums(i); i += 1 }
+        if (b.sums.length > a.sums.length) {
+          a.sums = java.util.Arrays.copyOf(a.sums, b.sums.length)
+          while (i < b.sums.length) { a.sums(i) = b.sums(i); i += 1 }
+        }
         a.n += b.n
         a
       }

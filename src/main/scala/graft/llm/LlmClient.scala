@@ -42,15 +42,7 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, timeoutSec: Long = 20
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec)).build()
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   override def complete(req: LlmRequest): String = {
     val body =
@@ -94,7 +86,10 @@ object Retry {
     while (i < attempts) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: an InterruptedException (task kill) or OOM must
+        // propagate immediately, not burn up to 63s of backoff sleeps
+        // and then masquerade as a row-level failure.
+        case e if scala.util.control.NonFatal(e) =>
           last = e
           i += 1
           if (i < attempts) { sleeper(delay); delay *= 2 }

@@ -116,7 +116,10 @@ object Dedup {
     // ONE aggregation builds the shingle set per doc; the k-permutation
     // signature is a single native expression over it (see
     // graft.functions.MinHashSignature) — no second wide aggregate.
-    val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh"))
+    // persisted: consumed by the signature stage AND both verification
+    // joins — without it the tokenize/explode/window/aggregate subtree
+    // runs three times. ContextCleaner unpersists once unreferenced.
+    val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh")).persist()
     val sig = sh.withColumn("_sig",
       graft.functions.MinHashSignature(col("_sh"), k))
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
@@ -153,7 +156,11 @@ object Dedup {
     *     general graphs swap in large-star/small-star, same contract. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 10, maxDriverEdges: Long = 10_000_000L): DataFrame = {
-    val persistedPairs = pairs.select(col("id_a"), col("id_b")).persist()
+    // ids flow through driver union-find as longs — cast up front so any
+    // integral id type works (a string id would be a caller bug; fail here)
+    val persistedPairs = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .persist()
     val nEdges = persistedPairs.count()
     if (nEdges <= maxDriverEdges) {
       val edges = persistedPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -209,6 +216,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter rounds — " +
+        "labels may split components; raise maxIter for graphs of larger diameter")
+    // the returned `labels` stays persisted while referenced; Spark's
+    // ContextCleaner unpersists it once the DataFrame is GC'd
     labels
   }
 
@@ -216,9 +228,9 @@ object Dedup {
     * components -> keep each cluster's min-id representative. Returns the
     * surviving rows of `df` (original columns). */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5, maxIter: Int = 10): DataFrame = {
     val pairs = minHashNearDupPairs(df, idCol, textCol, threshold)
-    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
     df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
   }
 

@@ -27,7 +27,9 @@ import graft.llm.{LlmClient, LlmRequest, Retry}
   *     (test.py:116-120's 20-thread pool), each with 7x exponential
   *     backoff and the `"Error: Unable to process"` sentinel on
   *     exhaustion (test.py:66-80);
-  *   - global `orderBy(_row_idx)` reassembles input order (test.py:221).
+  *   - per-partition sort over the existing contiguous range layout
+  *     reassembles input order (test.py:221) without a global sort's
+  *     sampling pass re-running the paid calls.
   *
   * mapPartitions on a Dataset is an optimizer barrier, so Catalyst can
   * never collapse, reorder, or duplicate the paid external call.
@@ -126,7 +128,7 @@ object Enrich {
                 try client.complete(
                   LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature, idemKey)).trim
                 finally g.foreach(_.release())
-              } catch { case _: Throwable => ErrorSentinel }
+              } catch { case e if scala.util.control.NonFatal(e) => ErrorSentinel }
             progress.foreach(_.add(1))
             Row.fromSeq(row.toSeq :+ response)
           }

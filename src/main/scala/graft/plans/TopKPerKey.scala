@@ -59,23 +59,27 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       // min-heap under betterOrd: the root is the current worst survivor
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
       iter.foreach { row =>
-        val v = ordEval.eval(row)
-        if (v != null) {
-          val t = tieEval.eval(row).asInstanceOf[Long]
-          val key = keyProj(row)
-          heaps.get(key) match {
-            case None =>
-              val h = mutable.PriorityQueue.empty(betterOrd.reverse)
-              h.enqueue((v.asInstanceOf[Double], t, row.copy()))
-              heaps.put(key.copy(), h)
-            case Some(h) =>
-              if (h.size < kLocal) {
-                h.enqueue((v.asInstanceOf[Double], t, row.copy()))
-              } else if (betterOrd.compare((v.asInstanceOf[Double], t, null), h.head) > 0) {
-                h.dequeue()
-                h.enqueue((v.asInstanceOf[Double], t, row.copy()))
-              }
-          }
+        // null order values rank LAST (matching row_number over DESC,
+        // which puts nulls last) — modeled as -Infinity, below every
+        // real double
+        val v0 = ordEval.eval(row)
+        val v: Double =
+          if (v0 == null) java.lang.Double.NEGATIVE_INFINITY
+          else v0.asInstanceOf[Double]
+        val t = tieEval.eval(row).asInstanceOf[Long]
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty(betterOrd.reverse)
+            h.enqueue((v, t, row.copy()))
+            heaps.put(key.copy(), h)
+          case Some(h) =>
+            if (h.size < kLocal) {
+              h.enqueue((v, t, row.copy()))
+            } else if (betterOrd.compare((v, t, null), h.head) > 0) {
+              h.dequeue()
+              h.enqueue((v, t, row.copy()))
+            }
         }
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_._3))

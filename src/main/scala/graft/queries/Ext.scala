@@ -281,6 +281,9 @@ object Ext {
     "enrich_stub" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOTE: compares byte stats vs DuckDB character functions — exact only
+    // while the fixture text is ASCII (it is; synthetic English-ish vocab
+    // for every lang). A non-ASCII corpus needs a blob-based oracle.
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -294,7 +297,7 @@ object Ext {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_regex_tokens,
          |  round(len(list_distinct(toks)) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_ratio,
          |  round(list_sum(list_transform(toks, x -> length(x))) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
-         |  round(0.4 * least(len(toks) / 50.0, 1.0)
+         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
          |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
          |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,

@@ -22,6 +22,17 @@ class TopKSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("TopK.perKey ranks null order values last, like the window formulation") {
+    val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(7.0)))
+      .toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L)) // null row excluded only because k=2 non-nulls exist
+    val withNull = TopK.perKey(df, Seq("k"), "v", "id", 3)
+      .select("id").as[Long].collect().toSet
+    assert(withNull === Set(1L, 2L, 3L)) // k=3: null row kept, ranked last
+  }
+
   test("TopK.perKey with k larger than group size keeps all rows") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.9)).toDF("k", "id", "v")
     assert(TopK.perKey(df, Seq("k"), "v", "id", 10).count() == 3)
