@@ -46,14 +46,7 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
     ex.close()
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.llm.JsonUtil.quote(s)
 
   private class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
