@@ -82,11 +82,25 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
               maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong,
               requestId = requestId)
-            val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory)
+            // progress accumulator + periodic log, mirroring the
+            // reference's every-100-rows counter (test.py:98-101)
+            val progress = spark.sparkContext.longAccumulator(s"enrich-$requestId")
+            val logger = new Thread(() => {
+              var last = -1L
+              while (!Thread.currentThread().isInterrupted) {
+                val v = progress.value
+                if (v / 100 > last / 100) { println(s"[graft] $requestId processed $v rows"); last = v }
+                try Thread.sleep(2000) catch { case _: InterruptedException => return }
+              }
+            }, s"graft-progress-$requestId")
+            logger.setDaemon(true)
+            logger.start()
+            val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory, Some(progress))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // persist: errorReport and the CSV write are two actions over
             // the same plan — without it each would re-run the LLM calls
             val (errorCount, _) = Enrich.errorReport(enriched)
+            logger.interrupt()
             val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
             enriched.unpersist()
             val respJson =
