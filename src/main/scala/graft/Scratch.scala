@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time queries at SPARK_GRAFT_SF_DIR (default sf0.1), or dump
-  * plans with `explain <names...>`. Not part of the driver contract. */
+/** Dev tool: time queries at SPARK_GRAFT_SF_DIR (default sf0.1), dump
+  * plans with `explain <names...>`, or run the distributed CC path with
+  * `ccdist`. Not part of the driver contract. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,6 +13,18 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("ccdist")) {
+      // distributed-propagation CC on real near-dup pairs (driver path off)
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val pairs = graft.operators.Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5)
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Dedup.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", pairs, maxDriverEdges = 0L)
+      val nClusters = labels.filter(col("id") =!= col("rep")).count()
+      println(f"[scratch] ccdist ${(System.nanoTime() - t0) / 1e9}%8.2f s  non-rep rows=$nClusters")
+      spark.stop(); return
+    }
     val explain = args.headOption.contains("explain")
     val names = if (explain) args.tail else args
     for (name <- names) {
