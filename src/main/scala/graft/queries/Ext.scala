@@ -113,6 +113,17 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF ANN: coarse k-means quantizer + probe-limited search
+    * (rows-only check — approximate by design; recall is spec-tested on
+    * clustered data in IvfSpec). */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 16, iters = 2)
+    graft.operators.Ivf.searchTopK(e.filter(col("vec_id") < 20), e, model,
+        "vec_id", "vec_id", "embedding", "embedding", topK = 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Custom typed Aggregator (map-side combined): mean embedding per
     * label. Output is exploded to one row per (label, dim) — scalar
     * columns hash-compare cleanly against the oracle. */
@@ -261,6 +272,7 @@ object Ext {
     "sim_knn_brute" -> simKnnBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
+    "sim_ivf" -> simIvf,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
