@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted dataset mixing for training-corpus assembly: sample each
+  * source at its own rate and union, tagging provenance. Rates > 1 mean
+  * oversampling (whole repeats + a fractional sample — epochs-style
+  * upweighting). Deterministic per seed; sampling is a narrow
+  * transformation, so mixing N sources is N scans and zero shuffles. */
+object Mixture {
+
+  /** @param sources (name, df, rate) — rate in [0, inf): expected copies
+    *                of each source row in the mix.
+    * @return union of sampled sources with a `mix_source` column. */
+  def mix(sources: Seq[(String, DataFrame, Double)], seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty)
+    val parts = sources.map { case (name, df, rate) =>
+      require(rate >= 0, s"negative rate for $name")
+      val whole = math.floor(rate).toInt
+      val frac = rate - whole
+      val repeats = Seq.fill(whole)(df) ++
+        (if (frac > 0) Seq(df.sample(withReplacement = false, frac, seed)) else Nil)
+      repeats match {
+        case Nil => df.limit(0).withColumn("mix_source", lit(name))
+        case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+}
