@@ -76,6 +76,7 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
       parsed match {
         case None => respond(ex, 400, """{"error":"missing required parameter"}""") // test.py:161
         case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, _)) =>
+          var logger: Thread = null
           try {
             val staged = graft.sources.UrlStaging.stage(csvUrl)
             val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
@@ -85,7 +86,7 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             // progress accumulator + periodic log, mirroring the
             // reference's every-100-rows counter (test.py:98-101)
             val progress = spark.sparkContext.longAccumulator(s"enrich-$requestId")
-            val logger = new Thread(() => {
+            logger = new Thread(() => {
               var last = -1L
               while (!Thread.currentThread().isInterrupted) {
                 val v = progress.value
@@ -100,7 +101,6 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             // persist: errorReport and the CSV write are two actions over
             // the same plan — without it each would re-run the LLM calls
             val (errorCount, _) = Enrich.errorReport(enriched)
-            logger.interrupt()
             val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
             enriched.unpersist()
             val respJson =
@@ -110,6 +110,10 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             respond(ex, 200, respJson)
           } catch {
             case e: Throwable => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+          } finally {
+            // always stop the polling thread — a failed request must not
+            // leak it (it would spin for the life of the server)
+            if (logger != null) logger.interrupt()
           }
       }
     }

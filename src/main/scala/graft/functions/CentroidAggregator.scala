@@ -20,16 +20,16 @@ object CentroidAggregator {
     new Aggregator[Array[Float], Buf, Array[Double]] {
       override def zero: Buf = Buf(Array.empty, 0L)
 
-      // null/empty vectors are skipped entirely (not counted in n), so
-      // the divisor is partition-layout independent; ragged dimensions
-      // merge over the common prefix instead of crashing (callers should
-      // treat mixed-dimension groups as a data bug, but an aggregate must
-      // not take the executor down over it).
+      // null/empty vectors are skipped entirely (not counted in n).
+      // Ragged dimensions: the buffer grows to the longest vector seen and
+      // each dim accumulates over the vectors that have it — dim sums are
+      // order- and partition-layout-independent, so results are
+      // deterministic even on (buggy) mixed-dimension groups.
       override def reduce(b: Buf, v: Array[Float]): Buf = {
         if (v == null || v.length == 0) return b
-        if (b.sums.length == 0) b.sums = new Array[Double](v.length)
+        if (v.length > b.sums.length) b.sums = java.util.Arrays.copyOf(b.sums, v.length)
         var i = 0
-        while (i < v.length && i < b.sums.length) { b.sums(i) += v(i); i += 1 }
+        while (i < v.length) { b.sums(i) += v(i); i += 1 }
         b.n += 1
         b
       }

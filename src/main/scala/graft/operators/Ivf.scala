@@ -85,7 +85,9 @@ object Ivf {
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("_cell"))
+    // no broadcast hint: a small probe set broadcasts via AQE anyway; a
+    // huge query set must be allowed to shuffle-join on _cell
+    c.join(q, Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(VectorOps.dotProduct(col("_qv"), col("_cv")), 6))
       .withColumn("rk", row_number().over(w))

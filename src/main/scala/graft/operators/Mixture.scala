@@ -15,12 +15,14 @@ object Mixture {
     * @return union of sampled sources with a `mix_source` column. */
   def mix(sources: Seq[(String, DataFrame, Double)], seed: Long = 42L): DataFrame = {
     require(sources.nonEmpty)
-    val parts = sources.map { case (name, df, rate) =>
+    val parts = sources.zipWithIndex.map { case ((name, df, rate), idx) =>
       require(rate >= 0, s"negative rate for $name")
       val whole = math.floor(rate).toInt
       val frac = rate - whole
       val repeats = Seq.fill(whole)(df) ++
-        (if (frac > 0) Seq(df.sample(withReplacement = false, frac, seed)) else Nil)
+        // per-source seed: the same df mixed twice must yield independent
+        // samples, not two copies of the same subset
+        (if (frac > 0) Seq(df.sample(withReplacement = false, frac, seed + idx)) else Nil)
       repeats match {
         case Nil => df.limit(0).withColumn("mix_source", lit(name))
         case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))

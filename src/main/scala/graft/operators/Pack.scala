@@ -12,10 +12,14 @@ import org.apache.spark.sql.expressions.Window
   * chunk = floor((cumsum(tokens) - tokens) / budget) — every chunk holds
   * consecutive documents and at most `budget` tokens of SLACK-FREE
   * prefix; a document longer than the budget gets its own chunk(s)
-  * boundary. One window over the ordering key — a single range shuffle at
-  * scale, and deterministic given the order column, so it stays
-  * oracle-checkable (unlike random-assignment packing). For per-key
-  * streams (e.g. pack within language), put the key in `partitionCols`.
+  * boundary. Deterministic given the order column, so it stays
+  * oracle-checkable (unlike random-assignment packing).
+  *
+  * SCALE NOTE: the cumulative sum runs one window per partition key. With
+  * `partitionCols` empty the window has no partition spec and Spark
+  * funnels ALL rows through one task — fine for per-group or test-sized
+  * data, wrong for a whole corpus. At scale always pack within keys
+  * (language, source, shard) so the windows parallelize.
   */
 object Pack {
 

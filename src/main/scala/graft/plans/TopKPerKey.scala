@@ -52,37 +52,36 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = BindReferences.bindReference(Cast(orderExpr, DoubleType), childOutput)
       val tieEval = BindReferences.bindReference(Cast(tieExpr, LongType), childOutput)
-      // "better" = higher order value; ties broken by LOWER tie value
-      val betterOrd = Ordering.by[(Double, Long, InternalRow), (Double, Long)] {
-        case (v, t, _) => (v, -t)
+      // "better" = (non-null, higher order value, lower tie): an explicit
+      // non-null flag keeps null order values BELOW genuine -Infinity
+      // data, matching row_number over DESC (NULLS LAST) exactly
+      type Entry = (Boolean, Double, Long, InternalRow)
+      val betterOrd = Ordering.by[Entry, (Boolean, Double, Long)] {
+        case (nn, v, t, _) => (nn, v, -t)
       }
       // min-heap under betterOrd: the root is the current worst survivor
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       iter.foreach { row =>
-        // null order values rank LAST (matching row_number over DESC,
-        // which puts nulls last) — modeled as -Infinity, below every
-        // real double
         val v0 = ordEval.eval(row)
-        val v: Double =
-          if (v0 == null) java.lang.Double.NEGATIVE_INFINITY
-          else v0.asInstanceOf[Double]
+        val nonNull = v0 != null
+        val v: Double = if (nonNull) v0.asInstanceOf[Double] else 0.0
         val t = tieEval.eval(row).asInstanceOf[Long]
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
             val h = mutable.PriorityQueue.empty(betterOrd.reverse)
-            h.enqueue((v, t, row.copy()))
+            h.enqueue((nonNull, v, t, row.copy()))
             heaps.put(key.copy(), h)
           case Some(h) =>
             if (h.size < kLocal) {
-              h.enqueue((v, t, row.copy()))
-            } else if (betterOrd.compare((v, t, null), h.head) > 0) {
+              h.enqueue((nonNull, v, t, row.copy()))
+            } else if (betterOrd.compare((nonNull, v, t, null), h.head) > 0) {
               h.dequeue()
-              h.enqueue((v, t, row.copy()))
+              h.enqueue((nonNull, v, t, row.copy()))
             }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+      heaps.valuesIterator.flatMap(_.iterator.map(_._4))
     }, preservesPartitioning = true)
   }
 

@@ -13,10 +13,11 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
     // a previously-failed run can leave managed-table dirs behind
-    for (t <- Seq("b_orders", "b_lines")) {
-      val d = new java.io.File(s"spark-warehouse/$t")
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
     }
+    for (t <- Seq("b_orders", "b_lines")) rmRf(new java.io.File(s"spark-warehouse/$t"))
 
     (0L until 1000L).map(i => (i, s"o$i")).toDF("key", "o_payload")
       .write.bucketBy(8, "key").sortBy("key").saveAsTable("b_orders")
