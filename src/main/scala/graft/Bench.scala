@@ -1,15 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Benchmark the engine's own bootstrap (AQE, 64 MB broadcast
+    // threshold, shuffle partitions = cores), not a detuned default —
+    // round 1 measured dedup_components 5x slower under a minimal config.
+    val spark = graft.core.GraftSession.get("graft-bench")
     // Untimed warmup: initialize parquet reader, shuffle machinery, and
     // codegen before the first measured query (first-query overhead was
     // ~4s of pure infra init, not query work).

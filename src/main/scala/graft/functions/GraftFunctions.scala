@@ -13,6 +13,7 @@ object GraftFunctions {
     GraftColumnBridge.registerFunction(spark, "graft_l2norm", es => L2Norm(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_l2normalize", es => L2Normalize(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_rolling_hash", es => RollingHash(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_simhash64", es => SimHash64(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_minhash_sig", {
       case Seq(arr, Literal(k: Int, _)) => MinHashSignature(arr, k)
       case _ => throw new IllegalArgumentException(

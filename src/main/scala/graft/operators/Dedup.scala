@@ -122,11 +122,16 @@ object Dedup {
     val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh")).persist()
     val sig = sh.withColumn("_sig",
       graft.functions.MinHashSignature(col("_sh"), k))
+    // persisted: the banding self-join consumes `banded` on BOTH sides —
+    // unpersisted, each side re-evaluates the k-permutation signature
+    // (k x n hashes per doc, the most expensive narrow stage here).
+    // ContextCleaner unpersists once the result is no longer referenced.
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
       }: _*)).as("_bh"))
       .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
+      .persist()
     val cand = banded.withColumnRenamed(idCol, "id_a")
       .join(banded.withColumnRenamed(idCol, "id_b"), Seq("_band", "_h"))
       .filter(col("id_a") < col("id_b"))
@@ -235,20 +240,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: bit i of the result is the
-    * sign of the population vote across token hashes. Token hashes are
-    * computed once (not once per bit); bit i's +1/-1 vote over n tokens
-    * simplifies to `2*popcount_i > n`. All codegen'd expressions (no
-    * UDF). */
-  def simHash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    val bitCols = (0 until 64).map { i =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftrightunsigned(h, i).bitwiseAND(lit(1L)).cast("int"))
-      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * sign of the population vote across token hashes (`2*popcount_i > n`).
+    * One native codegen'd expression (graft.functions.SimHash64) — a
+    * narrow per-row map, no shuffle, no HOF lambda. */
+  def simHash(toks: Column): Column = graft.functions.SimHash64(toks)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -259,19 +254,11 @@ object Dedup {
     * equi-join shape as MinHash-LSH: scales. */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    // SimHash via explode + 64 codegen'd bit-count sums (one shuffle on
-    // the id) rather than per-row lambda folds: same result as
-    // [[simHash]], but the whole signature stage stays in codegen.
-    val toks = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .select(col(idCol), xxhash64(col("_t")).as("_th"))
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftrightunsigned(col("_th"), i).bitwiseAND(lit(1L))).as(s"_c$i")) :+ count(lit(1)).as("_n")
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { i =>
-      when(col(s"_c$i") * 2 > col("_n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val withH = agg.select(col(idCol), hash.as("_h"))
+    // Signature stage is a NARROW map (native SimHash64 expression): no
+    // shuffle at all before banding. The previous formulation (explode +
+    // 64 sum-aggregate columns) paid a full shuffle on the id plus a huge
+    // generated HashAggregate class — the round-1 bench outlier.
+    val withH = df.select(col(idCol), simHash(TextAnalysis.tokens(col(textCol))).as("_h"))
     val banded = withH.select(col(idCol), col("_h"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
