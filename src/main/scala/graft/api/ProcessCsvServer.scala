@@ -26,9 +26,12 @@ import graft.sources.OrderedCsv
   */
 class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
                        clientFactory: () => LlmClient,
-                       webhookUrl: Option[String] = None) {
+                       webhookUrlTemplate: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Actual listening port (differs from `port` when constructed with 0). */
+  def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
     server.createContext("/process_csv", new Handler)
@@ -57,9 +60,14 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
       }
       implicit val fmt: Formats = DefaultFormats
 
-      // the reference's ten params, same names (test.py:148-159)
+      // the reference's ten params, same names (test.py:148-159); the 400
+      // names the first missing key exactly like Python's KeyError str
+      // (test.py:161: {"error": "Missing parameter: 's3_file_url'"})
       def str(k: String) = (json \ k).extractOpt[String]
       def num[T](k: String)(implicit m: Manifest[T]) = (json \ k).extractOpt[T]
+      val required = Seq("s3_file_url", "column_index", "max_rows", "system_prompt",
+        "model", "temperature", "tokens", "file_name", "request_id", "version_id")
+      val missing = required.find(k => (json \ k) == JNothing)
       val parsed = for {
         csvUrl <- str("s3_file_url")
         columnIndex <- num[Int]("column_index")
@@ -74,12 +82,18 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
       } yield (csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, versionId)
 
       parsed match {
-        case None => respond(ex, 400, """{"error":"missing required parameter"}""") // test.py:161
-        case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, _)) =>
+        case None =>
+          val msg = missing.map(k => s"Missing parameter: '$k'").getOrElse("Missing parameter: malformed value")
+          respond(ex, 400, s"""{"error":${jstr(msg)}}""") // test.py:161
+        case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, versionId)) =>
           var logger: Thread = null
+          // staged 500 messages, matching the reference's per-stage error
+          // payloads (test.py:172 read, test.py:213 batch, test.py:254 upload)
+          var stagePrefix = "Error reading CSV file"
           try {
             val staged = graft.sources.UrlStaging.stage(csvUrl)
             val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
+            df.schema // force analysis so read errors surface under the read stage
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
               maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong,
               requestId = requestId)
@@ -96,20 +110,28 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             }, s"graft-progress-$requestId")
             logger.setDaemon(true)
             logger.start()
+            stagePrefix = "Error during batch processing" // test.py:213
             val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory, Some(progress))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // persist: errorReport and the CSV write are two actions over
             // the same plan — without it each would re-run the LLM calls
             val (errorCount, _) = Enrich.errorReport(enriched)
+            stagePrefix = "Error uploading to S3" // test.py:254
             val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
             enriched.unpersist()
             val respJson =
-              s"""{"message":${jstr("Processing complete")},"file_url":${jstr(fileUrl)},""" +
+              s"""{"message":${jstr("Processing completed")},"file_url":${jstr(fileUrl)},""" +
                 s""""error_count":$errorCount,"request_id":${jstr(requestId)}}"""
-            webhookUrl.foreach(postWebhook(_, respJson)) // non-fatal (test.py:278-279)
+            // the reference ALWAYS fires the completion webhook, deriving
+            // the URL from version_id (test.py:263); here the URL shape is
+            // an env-configured template with a {version_id} placeholder
+            // (vendor-neutral), fired non-fatally (test.py:278-279)
+            webhookUrlTemplate.map(_.replace("{version_id}", versionId))
+              .foreach(postWebhook(_, respJson))
             respond(ex, 200, respJson)
           } catch {
-            case e: Throwable => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+            case e: Throwable =>
+              respond(ex, 500, s"""{"error":${jstr(s"$stagePrefix: ${String.valueOf(e.getMessage)}")}}""")
           } finally {
             // always stop the polling thread — a failed request must not
             // leak it (it would spin for the life of the server)
@@ -133,10 +155,18 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
 }
 
 object ProcessCsvServer {
+  /** Env name for the completion-webhook URL template. `{version_id}` is
+    * replaced with the request's `version_id` — the vendor-neutral form
+    * of the reference's hardcoded
+    * `.../version-{version_id}/api/1.1/wf/data-enrichment/` (test.py:263).
+    * Unset = no webhook. */
+  val WebhookTemplateEnv = "GRAFT_WEBHOOK_URL_TEMPLATE"
+
   /** Production wiring from the reference's env names (test.py:17-30). */
   def fromEnv(spark: SparkSession, port: Int, outDir: String): ProcessCsvServer = {
     val baseUrl = sys.env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1")
     val apiKey = sys.env.getOrElse("OPENAI_API_KEY", "")
-    new ProcessCsvServer(spark, port, outDir, () => new HttpLlmClient(baseUrl, apiKey))
+    new ProcessCsvServer(spark, port, outDir, () => new HttpLlmClient(baseUrl, apiKey),
+      webhookUrlTemplate = sys.env.get(WebhookTemplateEnv))
   }
 }

@@ -18,7 +18,8 @@ object ServeMain {
                   else () => new HttpLlmClient(
                     sys.env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1"),
                     sys.env.getOrElse("OPENAI_API_KEY", ""))
-    val server = new ProcessCsvServer(spark, port, outDir, factory)
+    val server = new ProcessCsvServer(spark, port, outDir, factory,
+      webhookUrlTemplate = sys.env.get(ProcessCsvServer.WebhookTemplateEnv))
     server.start()
     println(s"[graft] serving POST /process_csv on :$port -> $outDir")
     Thread.currentThread().join()

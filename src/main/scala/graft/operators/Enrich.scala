@@ -48,7 +48,13 @@ object Enrich {
     * call, so in-flight stays bounded no matter how many task slots the
     * executor runs (per-partition concurrency alone would give
     * slots x rowConcurrency). On a cluster, set it to
-    * globalBudget / numExecutors. 0 = uncapped. */
+    * globalBudget / numExecutors. 0 = uncapped.
+    * `batchTimeoutMs` is the reference's per-batch 3600 s deadline
+    * (test.py:122-124, `as_completed(futures, timeout=3600)`): a batch
+    * whose calls have not all finished by the deadline fails its Spark
+    * task with a TimeoutException in bounded time instead of hanging the
+    * job on a silent socket, and the failure surfaces as the reference's
+    * mid-stream 500 (test.py:213) in the HTTP layer. */
   final case class Config(
       systemPrompt: String,
       model: String = "gpt-4o-mini",
@@ -60,7 +66,8 @@ object Enrich {
       retries: Int = 7,
       retryBaseDelayMs: Long = 1000L,
       requestId: String = "",
-      globalMaxInFlightPerJvm: Int = 200)
+      globalMaxInFlightPerJvm: Int = 200,
+      batchTimeoutMs: Long = 3600000L)
 
   /** Stable contiguous row index, attached before any shuffle. Costs one
     * extra job (zipWithIndex counts partition sizes) — the documented
@@ -71,8 +78,11 @@ object Enrich {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** End-of-partition marker for the sliding-window submission queue. */
+  private object BatchDone
+
   // One IO pool per executor JVM, shared across tasks; sized generously —
-  // per-task concurrency is bounded by the grouped() batching below, so
+  // per-task concurrency is bounded by the sliding submission window, so
   // the pool just needs to be >= tasks-per-executor * rowConcurrency.
   @transient private lazy val ioPool: ExecutionContextExecutorService =
     ExecutionContext.fromExecutorService(Executors.newCachedThreadPool(r => {
@@ -112,28 +122,75 @@ object Enrich {
     val enriched = batched.mapPartitions { rows =>
       val client = clientFactory()
       implicit val ec: ExecutionContext = ioPool
-      rows.grouped(conf.rowConcurrency).flatMap { group =>
-        val futures = group.map { row =>
-          Future {
+      val deadlineNs = System.nanoTime() + conf.batchTimeoutMs * 1000000L
+      def remainingNs: Long = deadlineNs - System.nanoTime()
+
+      // Completion-driven sliding window: every finished call submits the
+      // next row, so `rowConcurrency` calls stay CONTINUOUSLY in flight —
+      // the reference's thread-pool + as_completed shape (test.py:116-129).
+      // (The previous grouped()+await formulation stalled each group of 20
+      // on its slowest call — head-of-line blocking under heavy-tailed LLM
+      // latencies.) Futures enter `queue` in submission = input order, so
+      // draining the queue head-first restores exact row order; completed-
+      // but-unemitted results buffer at most one partition (the reference
+      // buffers a full batch's results the same way, test.py:114).
+      val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef]()
+      val lock = new Object
+      var exhausted = false
+      def submitNext(): Unit = lock.synchronized {
+        if (!exhausted) {
+          if (rows.hasNext) {
+            // copy everything the async call needs NOW — the source
+            // iterator is only ever touched under the lock
+            val row = rows.next()
             val cell = row.get(colIdx)
-            // pandas str(nan) == "nan" (test.py:86) — reproduce deliberately
-            val input = if (cell == null) "nan" else cell.toString
-            val prompt = s"${conf.systemPrompt}\n\nInput: $input"
             val rowIdx = row.getLong(row.length - 1) // _row_idx is last
-            val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
-            val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
-            val response =
-              try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs) {
-                g.foreach(_.acquire())
-                try client.complete(
-                  LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature, idemKey)).trim
-                finally g.foreach(_.release())
-              } catch { case e if scala.util.control.NonFatal(e) => ErrorSentinel }
-            progress.foreach(_.add(1))
-            Row.fromSeq(row.toSeq :+ response)
+            val seq = row.toSeq
+            val f = Future {
+              // pandas str(nan) == "nan" (test.py:86) — reproduce deliberately
+              val input = if (cell == null) "nan" else cell.toString
+              val prompt = s"${conf.systemPrompt}\n\nInput: $input"
+              val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
+              val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
+              val response =
+                try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs) {
+                  g.foreach(_.acquire())
+                  try client.complete(
+                    LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature, idemKey)).trim
+                  finally g.foreach(_.release())
+                } catch { case e if scala.util.control.NonFatal(e) => ErrorSentinel }
+              progress.foreach(_.add(1))
+              Row.fromSeq(seq :+ response)
+            }
+            queue.put(f)
+            f.onComplete(_ => submitNext())
+          } else {
+            exhausted = true
+            queue.put(BatchDone)
           }
         }
-        futures.map(Await.result(_, Duration.Inf))
+      }
+      var i = 0
+      while (i < math.max(1, conf.rowConcurrency)) { submitNext(); i += 1 }
+
+      new Iterator[Row] {
+        private def timeout() = throw new java.util.concurrent.TimeoutException(
+          s"enrich batch exceeded ${conf.batchTimeoutMs} ms " +
+            "(reference per-batch as_completed timeout, test.py:122)")
+        private def take(): AnyRef = {
+          val x = queue.poll(math.max(remainingNs, 0L), java.util.concurrent.TimeUnit.NANOSECONDS)
+          if (x == null) timeout()
+          x
+        }
+        private var cur: AnyRef = take()
+        override def hasNext: Boolean = cur.asInstanceOf[AnyRef] ne BatchDone
+        override def next(): Row = {
+          val f = cur.asInstanceOf[Future[Row]]
+          val r = try Await.result(f, Duration.fromNanos(math.max(remainingNs, 1L)))
+          catch { case _: java.util.concurrent.TimeoutException => timeout() }
+          cur = take()
+          r
+        }
       }
     }(Encoders.row(outSchema))
 
@@ -148,11 +205,19 @@ object Enrich {
   }
 
   /** Error accounting (test.py:40-54): count + 1-based row indexes of
-    * sentinel rows. Two small aggregate jobs over the Response column. */
-  def errorReport(enriched: DataFrame): (Long, Seq[Long]) = {
+    * sentinel rows. Two small aggregate jobs over the Response column.
+    *
+    * Deliberate divergence from the reference: the reference collects
+    * EVERY failing index into a Python list (test.py:47-52) — at cluster
+    * scale an all-rows-failed run would collect |df| longs to the driver.
+    * The count is always exact; the index list is capped at the first
+    * `maxIndexes` (ascending), which covers the reference's logging use
+    * unboundedly better than an OOM. */
+  def errorReport(enriched: DataFrame, maxIndexes: Int = 10000): (Long, Seq[Long]) = {
     val errs = enriched.filter(col("Response") === ErrorSentinel)
+    val total = errs.count()
     val idx = errs.select((col("_row_idx") + 1).as("i")).orderBy(col("i"))
-      .collect().map(_.getLong(0)).toSeq
-    (idx.size.toLong, idx)
+      .limit(maxIndexes).collect().map(_.getLong(0)).toSeq
+    (total, idx)
   }
 }

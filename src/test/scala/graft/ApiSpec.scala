@@ -1,0 +1,125 @@
+package graft
+
+import com.sun.net.httpserver.HttpServer
+import graft.api.ProcessCsvServer
+import graft.llm.StubLlmClient
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** End-to-end contract tests for the reference-parity HTTP surface
+  * (test.py:140-282): the ten-param POST, the exact response payload
+  * (`"Processing completed"`, test.py:261), the staged 500 messages, the
+  * KeyError-shaped 400 (test.py:161), and the completion webhook derived
+  * from `version_id` (test.py:263) observed on a real local listener. */
+class ApiSpec extends SparkSpec {
+
+  private implicit val fmt: Formats = DefaultFormats
+  private val http = HttpClient.newHttpClient()
+
+  private def post(port: Int, body: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://localhost:$port/process_csv"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def requestJson(csvPath: String, overrides: Map[String, String] = Map.empty,
+                          drop: Set[String] = Set.empty): String = {
+    val base = Map(
+      "s3_file_url" -> s""""$csvPath"""",
+      "column_index" -> "0",
+      "max_rows" -> "100",
+      "system_prompt" -> "\"Classify\"",
+      "model" -> "\"m\"",
+      "temperature" -> "0.1",
+      "tokens" -> "64",
+      "file_name" -> "\"api_e2e_out\"",
+      "request_id" -> "\"req-e2e-1\"",
+      "version_id" -> "\"v77test\"")
+    (base ++ overrides).filterNot { case (k, _) => drop(k) }
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  }
+
+  private def withServer(webhookTemplate: Option[String])(f: Int => Unit): Unit = {
+    val outDir = Files.createTempDirectory("graft_api_out").toString
+    val server = new ProcessCsvServer(spark, 0, outDir,
+      () => new StubLlmClient(p => s"R${p.length}"), webhookTemplate)
+    server.start()
+    try f(server.boundPort) finally server.stop()
+  }
+
+  private def writeCsv(): String = {
+    val f = Files.createTempFile("graft_api_in", ".csv")
+    Files.writeString(f, "name,score\nalpha,1\nbeta,2\ngamma,3\n")
+    f.toString
+  }
+
+  test("e2e: 200 payload parity + webhook hit at the version_id-substituted URL") {
+    // local webhook listener standing in for the reference's workflow URL
+    val received = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    val hook = HttpServer.create(new InetSocketAddress(0), 0)
+    hook.createContext("/", ex => {
+      val b = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      received.put((ex.getRequestURI.getPath, b))
+      val ok = "ok".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, ok.length); ex.getResponseBody.write(ok); ex.close()
+    })
+    hook.start()
+    try {
+      val tmpl = s"http://localhost:${hook.getAddress.getPort}/version-{version_id}/wf/data-enrichment"
+      withServer(Some(tmpl)) { port =>
+        val resp = post(port, requestJson(writeCsv()))
+        assert(resp.statusCode() == 200, s"body: ${resp.body()}")
+        val j = JsonMethods.parse(resp.body())
+        assert((j \ "message").extract[String] == "Processing completed") // test.py:261 exact string
+        assert((j \ "error_count").extract[Long] == 0L)
+        assert((j \ "request_id").extract[String] == "req-e2e-1")
+        assert((j \ "file_url").extract[String].nonEmpty)
+
+        val (path, body) = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+        assert(path == "/version-v77test/wf/data-enrichment",
+          s"webhook URL not derived from version_id: $path")
+        assert(body == resp.body(), "webhook payload must be the response JSON (test.py:270)")
+      }
+    } finally hook.stop(0)
+  }
+
+  test("400 names the first missing parameter, KeyError-style") {
+    withServer(None) { port =>
+      val resp = post(port, requestJson(writeCsv(), drop = Set("model")))
+      assert(resp.statusCode() == 400)
+      assert((JsonMethods.parse(resp.body()) \ "error").extract[String] == "Missing parameter: 'model'")
+    }
+  }
+
+  test("500 stages: unreadable CSV vs batch-processing failure") {
+    withServer(None) { port =>
+      val bad = post(port, requestJson("/nonexistent/graft/in.csv"))
+      assert(bad.statusCode() == 500)
+      assert((JsonMethods.parse(bad.body()) \ "error").extract[String]
+        .startsWith("Error reading CSV file:"), s"got: ${bad.body()}")
+
+      // column_index out of range blows up inside the enrich stage
+      val boom = post(port, requestJson(writeCsv(), overrides = Map("column_index" -> "99")))
+      assert(boom.statusCode() == 500)
+      assert((JsonMethods.parse(boom.body()) \ "error").extract[String]
+        .startsWith("Error during batch processing:"), s"got: ${boom.body()}")
+    }
+  }
+
+  test("webhook failure is non-fatal: request still returns 200") {
+    // template points at a port nothing listens on
+    withServer(Some("http://localhost:1/version-{version_id}/dead")) { port =>
+      val resp = post(port, requestJson(writeCsv()))
+      assert(resp.statusCode() == 200, s"body: ${resp.body()}")
+      assert((JsonMethods.parse(resp.body()) \ "message").extract[String] == "Processing completed")
+    }
+  }
+}

@@ -67,6 +67,57 @@ class EnrichSpec extends SparkSpec {
     assert(enriched.filter(col("Response") === Enrich.ErrorSentinel).count() == 1)
   }
 
+  test("batch timeout: a never-returning call fails the job in bounded time") {
+    // reference: as_completed(futures, timeout=3600) bounds every batch
+    // (test.py:122-124); a silent socket must not hang the task forever
+    val cfg = Enrich.Config(systemPrompt = "P", retries = 1, batchSize = 10,
+      rowConcurrency = 2, batchTimeoutMs = 1500L)
+    val hang = () => new StubLlmClient(p => { Thread.sleep(20000); p })
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      Enrich.enrich(corpus(4), 0, cfg, hang).collect()
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 15000, s"job took ${elapsedMs}ms — timeout did not bound it")
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected a TimeoutException in the cause chain, got $e")
+  }
+
+  test("sliding window: slow calls don't head-of-line-block fast ones") {
+    // 16 rows, every 4th sleeps 500ms, others 2ms, window of 4. The old
+    // grouped() formulation stalls each group of 4 on its slow member:
+    // >= 4 x 500 = 2000ms. The sliding window overlaps all slow calls:
+    // ~500ms + fast work. Assert well under the grouped floor.
+    val cfg = Enrich.Config(systemPrompt = "P", batchSize = 100, rowConcurrency = 4)
+    val bimodal = () => new StubLlmClient(p => {
+      val i = p.split("row").last.trim.toInt
+      Thread.sleep(if (i % 4 == 0) 500 else 2)
+      s"ok$i"
+    })
+    val t0 = System.nanoTime()
+    val out = Enrich.enrich(corpus(16), 0, cfg, bimodal)
+      .select("val", "Response").collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 1500, s"took ${elapsedMs}ms — grouped-style head-of-line blocking (floor 2000ms)")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == s"row$i" && r.getString(1) == s"ok$i", s"order broken at $i")
+    }
+  }
+
+  test("errorReport caps the collected index list, count stays exact") {
+    val cfg = Enrich.Config(systemPrompt = "P", retries = 1, batchSize = 25000)
+    val allFail = () => new StubLlmClient(_ => "x", failOn = _ => true)
+    val enriched = Enrich.enrich(corpus(100000), 0, cfg, allFail)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (count, idx) = Enrich.errorReport(enriched, maxIndexes = 50)
+      assert(count == 100000L, "count must be exact, not capped")
+      assert(idx == (1L to 50L), "indexes must be the FIRST 50, ascending, 1-based")
+    } finally enriched.unpersist()
+  }
+
   test("null cells stringify as \"nan\" (pandas str(nan) parity)") {
     val df = Seq[(Option[String], Int)]((Some("a"), 1), (None, 2)).toDF("val", "num")
     val cfg = Enrich.Config(systemPrompt = "SYS")
