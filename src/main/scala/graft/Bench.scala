@@ -2,6 +2,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Runs per query: the headline is the per-query MEDIAN, so one
+    // external CPU spike can't poison the round's number (round 2's
+    // driver bench recorded 380s on a contended machine for an engine a
+    // controlled re-run measured at 56s).
+    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Benchmark the engine's own bootstrap (AQE, 64 MB broadcast
     // threshold, shuffle partitions = cores), not a detuned default —
     // round 1 measured dedup_components 5x slower under a minimal config.
@@ -10,15 +15,24 @@ object Bench {
     // codegen before the first measured query (first-query overhead was
     // ~4s of pure infra init, not query work).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.values.map(median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

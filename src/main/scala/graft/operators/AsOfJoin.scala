@@ -45,8 +45,15 @@ object AsOfJoin {
         lit(null).cast(l.schema("_l").dataType).as("_l"),
         payload.as("_r")): _*)
 
+    // The payload struct is the final sort key: among right rows sharing
+    // (key, ts), the GREATEST payload deterministically wins the tie —
+    // without it, `last(_r)` is run-order-dependent (partitioning-
+    // sensitive), a latent result-hash flake. Left rows all carry a null
+    // payload, so their relative order never matters (ignoreNulls skips
+    // them). Requires an orderable payload type (no maps) — true of any
+    // payload a sort-merge join could emit deterministically either.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -83,13 +83,30 @@ object Dedup {
     * J = common / (|A| + |B| - common). No array intersection and no
     * higher-order-function lambdas in the hot path: the join + count is
     * whole-stage-codegen'd over longs, and work is proportional to
-    * Σ df(shingle)^2 (true co-occurrence), not to #pairs-in-block. For a
-    * 100 TB corpus add a document-frequency cap on postings (stop-shingle
-    * removal) or SSJoin prefix filtering to bound the fan-out of
-    * ultra-common shingles. */
+    * Σ df(shingle)^2 (true co-occurrence), not to #pairs-in-block.
+    *
+    * `maxDocFreq` (0 = off) is the 100 TB knob: postings whose document
+    * frequency within their block exceeds it are dropped BEFORE the join
+    * (stop-shingle removal), bounding the fan-out of ultra-common
+    * shingles — one shingle shared by n docs otherwise produces n^2 join
+    * rows. Capping keeps the TRUE shingle-set sizes in the denominator,
+    * so measured J = (i - c) / (u + c) for a pair sharing c capped
+    * shingles: it only UNDERESTIMATES — precision is unaffected (every
+    * reported pair is a true >= -threshold pair); recall is lost only for
+    * pairs whose overlap depends on stop-shingles, which at a df cap of
+    * thousands are exactly the pairs a near-dup detector shouldn't match
+    * on anyway. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], threshold: Double): DataFrame = {
-    val posts = shinglePosts(df, idCol, textCol, blockCols)
+                        blockCols: Seq[String], threshold: Double,
+                        maxDocFreq: Int = 0): DataFrame = {
+    val allPosts = shinglePosts(df, idCol, textCol, blockCols)
+    val posts = if (maxDocFreq <= 0) allPosts else {
+      // df per (block, shingle-hash): window count over the same keys the
+      // candidate join shuffles on — no extra shuffle shape at scale
+      val dfw = Window.partitionBy(blockCols.map(col) :+ col("_h"): _*)
+      allPosts.withColumn("_df", count(lit(1)).over(dfw))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    }
     val a = posts.select(col(idCol).as("id_a") +: col("_sz").as("_sza") +: blockCols.map(col) :+ col("_h"): _*)
     val b = posts.select(col(idCol).as("id_b") +: col("_sz").as("_szb") +: blockCols.map(col) :+ col("_h"): _*)
     a.join(b, blockCols :+ "_h")

@@ -82,11 +82,26 @@ object Similarity {
     * Multi-probe (`probes` bit-flip variants of the query signature)
     * recovers recall lost at bucket boundaries. Output schema matches
     * [[knnBruteForce]]; `rk` may have gaps vs exact when a true neighbor
-    * hashed elsewhere — that's the documented recall tradeoff. */
+    * hashed elsewhere — that's the documented recall tradeoff.
+    *
+    * `dim` (0 = infer) is VERIFIED against the data: the hyperplane
+    * family must span the full vector width, or buckets silently key on a
+    * prefix and recall collapses. Inference reads one corpus row and one
+    * query row (two `limit(1)` jobs — negligible); an explicit `dim` that
+    * contradicts the data throws instead of degrading. */
   def annLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                  qVec: String, cVec: String, k: Int, bits: Int = 12, probes: Int = 4,
-                 dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bits, dim)
+                 dim: Int = 0): DataFrame = {
+    val cDim = corpus.select(size(col(cVec)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("annLshTopK: empty corpus"))
+    queries.select(size(col(qVec)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == cDim,
+        s"annLshTopK: query vectors are ${r.getInt(0)}-dim but corpus vectors are $cDim-dim")
+    }
+    require(dim <= 0 || dim == cDim,
+      s"annLshTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
+    val planes = hyperplanes(bits, cDim)
     val c = corpus
       .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
       .withColumn("_cn", l2Norm(col("_cv")))

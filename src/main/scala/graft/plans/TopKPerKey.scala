@@ -48,6 +48,17 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
     val orderExpr = order
     val tieExpr = tie
     val childOutput = child.output
+    // The PARTIAL phase's heap map grows with the distinct keys seen in a
+    // partition — unbounded key cardinality would OOM where the window
+    // formulation spills. Bound it: past `flushThreshold` buffered rows
+    // the map is emitted downstream and cleared (some keys then ship more
+    // than k rows from one partition — harmless, the final phase
+    // re-ranks; this is the same shape as partial-aggregation fallback).
+    // The FINAL phase's state is the result itself (<= k rows per key,
+    // all keys of the hash-clustered partition) and is never flushed.
+    val flushThreshold =
+      if (partial) conf.getConfString("graft.topk.partialMaxBufferedRows", "1000000").toInt
+      else Int.MaxValue
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = BindReferences.bindReference(Cast(orderExpr, DoubleType), childOutput)
@@ -61,7 +72,8 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       }
       // min-heap under betterOrd: the root is the current worst survivor
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
-      iter.foreach { row =>
+      var bufferedRows = 0
+      def processRow(row: InternalRow): Unit = {
         val v0 = ordEval.eval(row)
         val nonNull = v0 != null
         val v: Double = if (nonNull) v0.asInstanceOf[Double] else 0.0
@@ -72,16 +84,32 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
             val h = mutable.PriorityQueue.empty(betterOrd.reverse)
             h.enqueue((nonNull, v, t, row.copy()))
             heaps.put(key.copy(), h)
+            bufferedRows += 1
           case Some(h) =>
             if (h.size < kLocal) {
               h.enqueue((nonNull, v, t, row.copy()))
+              bufferedRows += 1
             } else if (betterOrd.compare((nonNull, v, t, null), h.head) > 0) {
               h.dequeue()
               h.enqueue((nonNull, v, t, row.copy()))
             }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._4))
+      // materialize entry references (rows are already copies) before
+      // clearing, so the drained iterator survives the reset
+      def drain(): Iterator[InternalRow] = {
+        val vs = heaps.valuesIterator.map(_.toArray).toArray
+        heaps.clear()
+        bufferedRows = 0
+        vs.iterator.flatMap(_.iterator.map(_._4))
+      }
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext || heaps.nonEmpty
+        override def next(): Iterator[InternalRow] = {
+          while (iter.hasNext && bufferedRows < flushThreshold) processRow(iter.next())
+          drain()
+        }
+      }.flatten
     }, preservesPartitioning = true)
   }
 

@@ -25,6 +25,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m(4L).isEmpty)        // no right rows for key
   }
 
+  test("duplicate (key, ts) right rows resolve deterministically across partitionings") {
+    // ten right rows at the SAME (key, ts) with distinct payloads: without
+    // a full tiebreak in the window orderBy, last(_r) is run-order-
+    // dependent. Contract: the greatest payload struct wins.
+    val left = Seq((1L, "u1", ts(100)), (2L, "u1", ts(300))).toDF("event_id", "user_id", "ts")
+    val rightRows = (0 until 10).map(i => (200L + i, "u1", ts(100), i.toDouble))
+    val expected = Map(1L -> Some(209L), 2L -> Some(209L)) // max (click_id, value) struct
+
+    (1 to 10).foreach { run =>
+      // vary the physical layout: different partition counts and row orders
+      val right = scala.util.Random.shuffle(rightRows).toDF("click_id", "user_id", "ts", "value")
+        .repartition(1 + run % 5)
+      val m = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id", "value"))
+        .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+      assert(m == expected, s"run $run: nondeterministic tie resolution: $m")
+    }
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
     val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")

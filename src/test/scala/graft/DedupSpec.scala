@@ -83,6 +83,50 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("ngramJaccardPairs df-cap: stop-shingle corpus stays linear, true pairs survive") {
+    // adversarial corpus: EVERY doc opens with the same trigram, so the
+    // uncapped posting join fans out n^2 rows on that single shingle.
+    // True near-dups share their 10 rare tokens except the last.
+    val vocab = Vector.tabulate(50000)(i => s"t$i")
+    def corpus(n: Int, seed: Int): Seq[(Long, String, String)] = {
+      val rnd = new Random(seed)
+      (0 until n / 2).flatMap { i =>
+        val rare = Seq.fill(10)(vocab(rnd.nextInt(vocab.size)))
+        val a = ("the quick fox" +: rare).mkString(" ")
+        val b = ("the quick fox" +: (rare.dropRight(1) :+ "CHANGED")).mkString(" ")
+        Seq((i * 2L, "x", a), (i * 2L + 1, "x", b))
+      }
+    }
+    def run(docs: Seq[(Long, String, String)], cap: Int): (Set[(Long, Long)], Long) = {
+      val df = docs.toDF("doc_id", "lang", "text").repartition(8)
+      val t0 = System.nanoTime()
+      val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("lang"), 0.4, maxDocFreq = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (out, (System.nanoTime() - t0) / 1000000L)
+    }
+
+    // correctness vs brute force at small n: the cap only drops the stop
+    // shingle, and true pairs overlap in rare shingles, so the capped run
+    // must report exactly the above-threshold pair set
+    val small = corpus(400, 11)
+    val want = bruteforcePairs(small, 0.4, blocked = true).map(p => (p._1, p._2))
+    assert(want.size == 200, "corpus construction: every (a,b) pair must be a true near-dup")
+    assert(run(small, 100)._1 === want, "df-capped pairs must match brute force")
+    assert(run(small, 0)._1 === want, "uncapped pairs must match brute force")
+
+    // scale behavior at n=6000: uncapped fans out n^2/2 = 18M join rows on
+    // the stop shingle; capped stays ~linear. Both plans are warm from the
+    // small runs above. Expected pairs are by construction.
+    val big = corpus(6000, 12)
+    val expect = (0 until 3000).map(i => (i * 2L, i * 2L + 1L)).toSet
+    val (cappedBig, tCapped) = run(big, 100)
+    val (uncappedBig, tUncapped) = run(big, 0)
+    assert(cappedBig === expect)
+    assert(uncappedBig === expect)
+    assert(tCapped * 2 < tUncapped,
+      s"capped run (${tCapped}ms) should be well under uncapped (${tUncapped}ms) on a stop-shingle corpus")
+  }
+
   test("minHashNearDupPairs finds high-similarity pairs, rejects low ones") {
     val rnd = new Random(7)
     val vocab = Vector.tabulate(200)(i => s"w$i")

@@ -89,6 +89,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annLshTopK infers vector dim; an explicit wrong dim fails loudly") {
+    val rnd = new Random(29)
+    // 128-dim vectors: the old hardcoded dim=64 default would silently
+    // bucket on a 64-component prefix here
+    val corpus = (0L until 60L).map(i => (i, Array.fill(128)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val got = Similarity.annLshTopK(queries, df, "vec_id", "vec_id", "embedding", "embedding",
+      k = 3, bits = 4, probes = 3).as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val dbl = corpus.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    got.foreach { case (q, _, c, cos) =>
+      val want = BigDecimal(refCos(dbl(q), dbl(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cos - want) < 1e-9, s"pair ($q,$c): full 128-dim vector must be scored")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annLshTopK(queries, df, "vec_id", "vec_id", "embedding", "embedding",
+        k = 3, bits = 4, probes = 3, dim = 64).collect()
+    }
+    assert(e.getMessage.contains("128-dimensional"))
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates within blocks") {
     val rnd = new Random(17)
     val base = Array.fill(12)(rnd.nextGaussian())

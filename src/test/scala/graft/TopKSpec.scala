@@ -33,6 +33,28 @@ class TopKSpec extends SparkSpec {
     assert(withNull === Set(1L, 2L, 3L)) // k=3: null row kept, ranked last
   }
 
+  test("partial-phase flush: tiny buffer bound, high key cardinality, exact results") {
+    // 100k distinct keys through a 500-row partial buffer forces hundreds
+    // of flushes per partition; the final phase must still produce the
+    // exact per-key top-k. Two-phase plan shape is asserted too.
+    spark.conf.set("graft.topk.partialMaxBufferedRows", "500")
+    try {
+      val rnd = new Random(33)
+      val rows = (0 until 200000).map { i =>
+        ((i % 100000).toLong, i.toLong, rnd.nextInt(1000).toDouble)
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 16)).toDF("k", "id", "v")
+      val out = TopK.perKey(df, Seq("k"), "v", "id", 1)
+      val planStr = out.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(planStr).size == 2, s"expected two-phase plan:\n$planStr")
+      val got = out.as[(Long, Long, Double)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy { case (_, id, v) => (-v, id) }.take(1)
+      }.toSet
+      assert(got === want)
+    } finally spark.conf.unset("graft.topk.partialMaxBufferedRows")
+  }
+
   test("TopK.perKey with k larger than group size keeps all rows") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.9)).toDF("k", "id", "v")
     assert(TopK.perKey(df, Seq("k"), "v", "id", 10).count() == 3)
