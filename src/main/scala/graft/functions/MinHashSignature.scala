@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * costs a shuffle plus a 48-column codegen'd HashAggregate whose
   * generated class takes ~1s to compile. This is a narrow map —
   * no shuffle, no wide aggregate, one tight k x n loop per row. */
-case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
   require(k > 0)
+  // analysis-time type check: the SQL-registered graft_minhash_sig on a
+  // non-array<bigint> input fails as AnalysisException, not a runtime cast
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 

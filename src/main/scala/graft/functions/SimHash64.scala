@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash of a token array as ONE native expression: each token
   * is xxhash64'd (seed 42 — identical to `functions.xxhash64`) and votes
@@ -17,8 +17,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * generated HashAggregate class (~tens of seconds cold at sf0.1 —
   * measured as the dedup_simhash bench outlier). This is a narrow map:
   * no shuffle, no wide aggregate, one tight 64 x n loop per row.
-  */
-case class SimHash64(child: Expression) extends UnaryExpression {
+  *
+  * Null semantics: null-in-null-out (standard UnaryExpression null
+  * propagation) — a null token ARRAY yields a null hash, distinct from
+  * the empty array's all-zero-votes hash of 0L. Null ELEMENTS vote with
+  * the seed, matching `xxhash64(null)`. Input is type-checked at
+  * analysis (array<string>), so the SQL-registered `graft_simhash64`
+  * raises AnalysisException on a wrong type instead of a runtime cast
+  * error. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 

@@ -142,7 +142,12 @@ object Dedup {
     // persisted: the banding self-join consumes `banded` on BOTH sides —
     // unpersisted, each side re-evaluates the k-permutation signature
     // (k x n hashes per doc, the most expensive narrow stage here).
-    // ContextCleaner unpersists once the result is no longer referenced.
+    // Lifecycle: ContextCleaner unpersists once the result DataFrame is
+    // GC'd. A long-lived service looping over MANY dedup calls holds
+    // cached band tables only until its result references die; callers
+    // needing deterministic release should collect/write the pairs and
+    // then drop the reference (blocks are MEMORY_AND_DISK — worst case
+    // they spill, never fail).
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
@@ -177,7 +182,7 @@ object Dedup {
     *     round, rounds = graph diameter) beyond that; for web-scale
     *     general graphs swap in large-star/small-star, same contract. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 10, maxDriverEdges: Long = 10_000_000L): DataFrame = {
+                          maxIter: Int = 30, maxDriverEdges: Long = 10_000_000L): DataFrame = {
     // ids flow through driver union-find as longs — cast up front so any
     // integral id type works (a string id would be a caller bug; fail here)
     val persistedPairs = pairs
@@ -215,42 +220,86 @@ object Dedup {
     }
   }
 
-  /** Distributed path of [[connectedComponents]]. */
+  /** Distributed path of [[connectedComponents]]: alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm). Each round is
+    * two groupBy+join shuffles; the edge set converges to rooted stars
+    * (every node pointing at its component's min id) in O(log^2 n)
+    * rounds REGARDLESS of graph diameter — where plain min-label
+    * propagation needs diameter rounds and never converges on a long
+    * path graph within any fixed budget. Each round is materialized
+    * (persist + count doubles as the convergence check), so lineage
+    * stays shallow. */
   private def propagateComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                                   maxIter: Int): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
+    // star ops treat the graph as undirected: symmetrize per round
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // one star round over symmetric neighbor pairs:
+    //   m(u) = min(N(u) ∪ {u});  large: {(v, m) : v > u};  small: {(v, m) : v <= u}
+    //   plus (u, m) itself — keeps u attached to its current min
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = sym(e)
+      val withM = nbrs.join(
+        nbrs.groupBy("src").agg(least(min(col("dst")), col("src")).as("m")), Seq("src"))
+      val moved =
+        if (large) withM.filter(col("dst") > col("src"))
+        else withM.filter(col("dst") <= col("src"))
+      moved.select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // (count, xxhash64-sum) fingerprint: equal across a round => edge set
+    // stable => rooted stars reached (order-independent convergence check
+    // in one aggregate job over the persisted round result)
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows ANSI
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    // Every round ends in an EAGER localCheckpoint: without lineage
+    // truncation the logical plan multiplies ~8x per round (star∘star
+    // reads its input four times) and plan analysis alone goes
+    // exponential — measured OOM at round ~6 on a 300-edge graph.
+    // Superseded rounds' checkpoint RDDs are dropped by the
+    // ContextCleaner once the `edges` var moves on. On a cluster,
+    // localCheckpoint trades executor-loss recovery for speed — the
+    // right trade inside a bounded 2x-log-rounds loop.
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var fp = fingerprint(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node: min(own rep, min rep among neighbors)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "_nrep"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("_nrep")).as("_minN"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("_minN"), col("rep"))).as("rep"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("rep", "_old"), Seq("id"))
-        .filter(col("rep") =!= col("_old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // persist the half-round: the small-star consumes its input twice
+      // (neighbor pairs + per-node min join) — unpersisted, the
+      // large-star subtree would run 4x per round
+      val mid = star(edges, large = true).persist()
+      val next = star(mid, large = false).localCheckpoint(true)
+      mid.unpersist()
+      edges = next
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
       i += 1
     }
     if (!converged)
-      System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter rounds — " +
-        "labels may split components; raise maxIter for graphs of larger diameter")
-    // the returned `labels` stays persisted while referenced; Spark's
-    // ContextCleaner unpersists it once the DataFrame is GC'd
-    labels
+      System.err.println(s"[graft] connectedComponents: star rounds not provably stable after " +
+        s"$maxIter iterations — labels may be incomplete; raise maxIter (O(log^2 n) suffices)")
+    // converged edge set is a star forest: src -> component min
+    val labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("_rep"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_rep"), col("id")).as("rep"))
   }
 
   /** End-to-end near-dup removal: MinHash-LSH pairs -> connected
     * components -> keep each cluster's min-id representative. Returns the
     * surviving rows of `df` (original columns). */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.5, maxIter: Int = 10): DataFrame = {
+                         threshold: Double = 0.5, maxIter: Int = 30): DataFrame = {
     val pairs = minHashNearDupPairs(df, idCol, textCol, threshold)
     val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
     df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
@@ -259,7 +308,12 @@ object Dedup {
   /** 64-bit SimHash over the token multiset: bit i of the result is the
     * sign of the population vote across token hashes (`2*popcount_i > n`).
     * One native codegen'd expression (graft.functions.SimHash64) — a
-    * narrow per-row map, no shuffle, no HOF lambda. */
+    * narrow per-row map, no shuffle, no HOF lambda.
+    *
+    * Null-in-null-out: a null token ARRAY yields NULL (standard
+    * expression null propagation), distinct from an empty array's 0L.
+    * Callers persisting signatures should treat the column as nullable;
+    * [[simHashNearDupPairs]] is unaffected (null-text docs can't band). */
   def simHash(toks: Column): Column = graft.functions.SimHash64(toks)
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.StubLlmClient
 import graft.operators.{AsOfJoin, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
   * analysis) and event-time operators (windows, sessions, as-of join),
@@ -235,6 +235,40 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Sharded order-preserving CSV sink, exercised end-to-end: enrich ->
+    * [[graft.sources.OrderedCsv.writeSharded]] (range-partitioned part
+    * files whose filename order IS row order) -> read the part files back
+    * in filename order -> keep only rows whose read-back position AND
+    * content match the original. Order breakage or CSV round-trip loss
+    * drops rows, failing the oracle's row-count/hash gate. */
+  def csvShardedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cfg = Enrich.Config(systemPrompt = "Summarize", rowConcurrency = 8)
+    val stub = () => new StubLlmClient(prompt => s"len:${prompt.length}")
+    // persisted: writeSharded's range sampling, the write itself, and the
+    // verification join are three consumers of the enriched plan
+    val enriched = Enrich.enrich(docs, columnIndex = 1, cfg, stub)
+      .select(col("doc_id"), col("Response"), col("_row_idx"))
+      .persist()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sharded").toString
+    val shardDir = OrderedCsv.writeSharded(enriched, outDir, "docs", numShards = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(shardDir), s.sparkContext.hadoopConfiguration)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$shardDir/part-*"))
+      .map(_.getPath.toString).sorted
+    // one small single-partition read per shard, unioned in filename
+    // order: union concatenates children's partitions in order, so the
+    // reattached index is the global read-back position
+    val back = parts.map(p => s.read.option("header", "true").csv(p)).reduce(_ unionByName _)
+    val rb = Enrich.withRowIndex(back, "_read_idx")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("Response").as("_rb_resp"), col("_read_idx"))
+    rb.join(enriched, Seq("doc_id"))
+      .filter(col("_read_idx") === col("_row_idx") && col("_rb_resp") === col("Response"))
+      .select(col("doc_id"), col("Response"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- multimodal columns ----------------------------------------------
 
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
@@ -256,6 +290,7 @@ object Ext {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enrich_stub" -> enrichStub,
+    "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "txt_stats" -> txtStats,
@@ -291,6 +326,11 @@ object Ext {
   val oracles: Map[String, String] = Map(
     // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
     "enrich_stub" ->
+      """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same expected rows as enrich_stub: the roundtrip query keeps only
+    // position-and-content-faithful rows, so ANY loss fails row count
+    "csv_sharded_roundtrip" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
         |FROM documents ORDER BY doc_id""".stripMargin,
     // NOTE: compares byte stats vs DuckDB character functions — exact only

@@ -156,10 +156,33 @@ class DedupSpec extends SparkSpec {
     val gotDriver = Dedup.connectedComponents(nodes, "id", pairs)
       .as[(Long, Long)].collect().toMap
     assert(gotDriver === want)
-    // force the distributed min-label-propagation path
+    // force the distributed large-star/small-star path
     val gotDistributed = Dedup.connectedComponents(nodes, "id", pairs, maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(gotDistributed === want)
+  }
+
+  test("distributed CC converges on a path graph whose diameter dwarfs maxIter") {
+    // path 1-2-...-300 (diameter 299): min-label propagation moves the
+    // label one hop per round and could never finish in 15 rounds;
+    // large-star/small-star halves star heights every round (O(log^2 n))
+    val n = 300L
+    val nodes = (1L to n).map(Tuple1(_)).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 15, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    got.foreach { case (id, rep) => assert(rep == 1L, s"node $id labeled $rep, want 1") }
+
+    // shuffled ids (root not an endpoint) + two extra components
+    val perm = new Random(5).shuffle((1000L to 1300L).toVector)
+    val pathB = (0 until 300).map(i => (perm(i), perm(i + 1)))
+    val nodesB = (perm ++ Seq(1L, 2L, 3L)).map(Tuple1(_)).toDF("id")
+    val pairsB = (pathB ++ Seq((2L, 3L))).toDF("id_a", "id_b")
+    val gotB = Dedup.connectedComponents(nodesB, "id", pairsB, maxIter = 15, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    (1000L to 1300L).foreach(id => assert(gotB(id) == 1000L, s"node $id -> ${gotB(id)}"))
+    assert(gotB(1L) == 1L && gotB(2L) == 2L && gotB(3L) == 2L)
   }
 
   test("dropNearDuplicates keeps one representative per near-dup cluster") {

@@ -19,4 +19,21 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 4)
   }
+
+  test("sketch expressions type-check at analysis, null array propagates null") {
+    GraftFunctions.registerAll(spark)
+    // wrong input types fail analysis, not at runtime mid-job
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash64(1)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sig(array('a', 'b'), 4)").collect()
+    }
+    // null-in-null-out vs empty-array 0L (documented simHash semantics)
+    val r = spark.sql(
+      "SELECT graft_simhash64(CAST(NULL AS ARRAY<STRING>)) AS a, " +
+        "graft_simhash64(CAST(array() AS ARRAY<STRING>)) AS b")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+  }
 }
