@@ -117,7 +117,9 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             // the same plan — without it each would re-run the LLM calls
             val (errorCount, _) = Enrich.errorReport(enriched)
             stagePrefix = "Error uploading to S3" // test.py:254
-            val fileUrl = OrderedCsv.write(enriched, outDir, fileName)
+            // s3a:// outputs surface as the reference's public-style
+            // https URL (test.py:249); local/hdfs paths pass through
+            val fileUrl = OrderedCsv.publicUrl(OrderedCsv.write(enriched, outDir, fileName))
             enriched.unpersist()
             val respJson =
               s"""{"message":${jstr("Processing completed")},"file_url":${jstr(fileUrl)},""" +

@@ -39,6 +39,21 @@ object OrderedCsv {
     dest.toString
   }
 
+  /** Reference URL-shape parity (test.py:248-252): the reference returns
+    * `https://{bucket}.s3.amazonaws.com/{key}` for its uploaded object.
+    * Hadoop S3 paths (`s3a://bucket/key`, `s3://bucket/key`) are mapped to
+    * that public-style virtual-hosted URL; any other filesystem's path
+    * (file://, hdfs://) is returned untouched. Purely syntactic — no
+    * network, so it behaves identically under the local-FS tests and a
+    * real S3A deployment. */
+  def publicUrl(path: String): String = {
+    val m = "^s3a?://([^/]+)/(.+)$".r
+    path match {
+      case m(bucket, key) => s"https://$bucket.s3.amazonaws.com/$key"
+      case _ => path
+    }
+  }
+
   /** Lake-scale variant: `numShards` part files whose LEXICOGRAPHIC name
     * order equals row order — `repartitionByRange` on the order column
     * gives contiguous ascending ranges per output task, and Spark's

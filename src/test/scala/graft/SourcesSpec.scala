@@ -25,6 +25,15 @@ class SourcesSpec extends SparkSpec {
     assert(lines.tail == (0 until 37).map(i => s"v$i,${i * 2}").toVector)
   }
 
+  test("publicUrl maps s3 paths to the reference's virtual-hosted URL shape") {
+    // test.py:249: https://{bucket}.s3.amazonaws.com/{key}
+    assert(OrderedCsv.publicUrl("s3a://my-bucket/out/f_final.csv")
+      == "https://my-bucket.s3.amazonaws.com/out/f_final.csv")
+    assert(OrderedCsv.publicUrl("s3://b/k_final.csv") == "https://b.s3.amazonaws.com/k_final.csv")
+    assert(OrderedCsv.publicUrl("file:/tmp/out/f_final.csv") == "file:/tmp/out/f_final.csv")
+    assert(OrderedCsv.publicUrl("hdfs://nn/out/f.csv") == "hdfs://nn/out/f.csv")
+  }
+
   test("UrlStaging fetches http URLs to a local file and passes other schemes through") {
     import com.sun.net.httpserver.HttpServer
     import java.net.InetSocketAddress
