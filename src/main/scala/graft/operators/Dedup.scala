@@ -76,6 +76,12 @@ object Dedup {
       .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col(idCol))).cast("int"))
   }
 
+  /** Unblocked shingle postings for cross-operator reuse
+    * ([[Decontaminate]]): one (id, _h, _sz) row per distinct trigram
+    * shingle hash per document. */
+  private[operators] def shinglePostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shinglePosts(df, idCol, textCol, Nil)
+
   /** Exact n-gram Jaccard pairs (j >= threshold) within blocks, via an
     * inverted-index (posting-list) join instead of a block-nested-loop
     * join: explode each doc's distinct shingle hashes, equi-join postings

@@ -61,6 +61,44 @@ object TextAnalysis {
     round(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * diversityTerm + lit(1e-9), 4)
   }
 
+  /** Fraction of lines that duplicate an earlier line (Gopher-style
+    * repetition rule, Rae et al. 2021 — public): 1 - distinct/total over
+    * newline-split lines. 0.0 for single-line or empty docs. Narrow
+    * per-row expression, no shuffle. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    round(when(n <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / n.cast("double"))
+      + lit(1e-9), 4)
+  }
+
+  /** Fraction of all word bigrams accounted for by the single most
+    * frequent bigram (Gopher top-2-gram rule): high values flag
+    * machine-repeated boilerplate. Docs with <2 tokens score 0.0.
+    *
+    * Per-row algorithm: sort the bigram array, then one `aggregate` fold
+    * computes the longest equal-run (HOF lambda — CodegenFallback, but in
+    * per-row-once, non-generator position, the documented-safe placement;
+    * see SURVEY §8.3). */
+  def topBigramFraction(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val sorted = array_sort(bigrams)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(when(n < 2, lit(0.0))
+      .otherwise(best.cast("double") / (n - 1).cast("double")) + lit(1e-9), 4)
+  }
+
   /** Language-marker hit counts: distinct marker words present. */
   private val markers = Map(
     "en" -> Seq("the", "a", "is", "and", "of", "to"),

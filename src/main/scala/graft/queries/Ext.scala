@@ -57,6 +57,26 @@ object Ext {
       .orderBy(col("lang"), col("chunk"))
   }
 
+  /** Gopher-style repetition metrics (duplicate-line fraction, top-bigram
+    * fraction) — narrow per-row maps. */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
+        TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: every-20th doc plays the benchmark set;
+    * the rest are "training" docs scored by trigram containment. */
+  def txtDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Decontaminate.ngramContamination(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "doc_id", "text", "text", threshold = 0.02)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -300,6 +320,8 @@ object Ext {
     "txt_pack" -> txtPack,
     "dedup_exact" -> dedupExact,
     "dedup_keepfirst" -> dedupKeepFirst,
+    "txt_repetition" -> txtRepetition,
+    "txt_decontam" -> txtDecontam,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
@@ -328,6 +350,32 @@ object Ext {
     "enrich_stub" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
+        |       FROM t WHERE len(toks) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |best AS (SELECT doc_id, max(c) AS best FROM cnt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
+        |                   / len(string_split(t.text, chr(10))) END + 1e-9, 4) AS dup_line_frac,
+        |  round(CASE WHEN len(t.toks) < 2 THEN 0.0
+        |        ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
+        |FROM t LEFT JOIN best ON t.doc_id = best.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "txt_decontam" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+         |posts AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (SELECT doc_id, count(*) AS n_shared, any_value(n) AS n_shingles
+         |      FROM posts JOIN bench USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_shared, n_shingles,
+         |       round(n_shared * 1.0 / n_shingles + 1e-9, 4) AS contamination
+         |FROM m
+         |WHERE round(n_shared * 1.0 / n_shingles + 1e-9, 4) >= 0.02
+         |ORDER BY doc_id""".stripMargin,
     // same expected rows as enrich_stub: the roundtrip query keeps only
     // position-and-content-faithful rows, so ANY loss fails row count
     "csv_sharded_roundtrip" ->

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Decontaminate
+import scala.util.Random
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags training docs by benchmark trigram containment, exact fractions") {
+    val rnd = new Random(41)
+    val vocab = Vector.tabulate(5000)(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+    val benchText = doc(12) // 10 distinct trigrams
+    val bench = Seq((100L, benchText)).toDF("qid", "question")
+    val clean = (0L until 20L).map(i => (i, doc(12)))
+    // half-contaminated: 6 benchmark tokens (4 benchmark trigrams) + 8 fresh
+    val partial = (20L, benchText.split(" ").take(6).mkString(" ") + " " + doc(8))
+    val copied = (21L, benchText) // full copy: containment 1.0
+    val train = (clean :+ partial :+ copied).toDF("doc_id", "text")
+
+    val got = Decontaminate.ngramContamination(train, bench,
+        "doc_id", "qid", "text", "question", threshold = 0.05)
+      .select("doc_id", "n_shared", "n_shingles", "contamination")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(got.keySet == Set(20L, 21L), s"only planted docs may flag: ${got.keySet}")
+    assert(got(21L)._4 == 1.0 && got(21L)._2 == got(21L)._3)
+    // partial doc: 14 tokens -> 12 trigrams, 4 from the benchmark prefix
+    assert(got(20L)._2 == 4L && got(20L)._3 == 12L)
+    assert(math.abs(got(20L)._4 - 0.3333) < 1e-9)
+  }
+
+  test("bench probe side is broadcast (no corpus shuffle for the candidate join)") {
+    val train = (0L until 50L).map(i => (i, s"a b c d$i e f")).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c")).toDF("qid", "question")
+    val plan = Decontaminate.ngramContamination(train, bench,
+      "doc_id", "qid", "text", "question", 0.01).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+  }
+}

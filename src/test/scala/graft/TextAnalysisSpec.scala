@@ -37,4 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.qualityScore(col("text")).as("q")).as[Double].collect()
     scores.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
+
+  test("duplicateLineFraction: repeated lines counted, single-line is 0") {
+    def f(t: String) = one(t, TextAnalysis.duplicateLineFraction(col("text"))).getDouble(0)
+    assert(f("only one line") == 0.0)
+    assert(f("a\nb\nc") == 0.0)
+    assert(f("spam\nspam\nspam\nspam") == 0.75) // 4 lines, 1 distinct
+    assert(f("a\nb\na\nb") == 0.5)
+    assert(f("") == 0.0)
+  }
+
+  test("topBigramFraction: Gopher top-2-gram rule, exact on planted repetition") {
+    def f(t: String) = one(t, TextAnalysis.topBigramFraction(col("text"))).getDouble(0)
+    assert(f("") == 0.0)
+    assert(f("single") == 0.0) // <2 tokens
+    assert(f("click here click here click here") == 0.6) // 5 bigrams, "click here" x3
+    assert(f("a b c d e") == 0.25) // 4 distinct bigrams, max run 1
+    assert(f("x y x y x y x y") == math.floor(4.0 / 7.0 * 10000 + 0.5) / 10000) // "x y" 4 of 7
+  }
 }
