@@ -45,36 +45,33 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
-  /** Distinct shingle-hash postings per document: one row per
-    * (id, blocks..., _h) where _h = xxhash64 of a word-trigram shingle
-    * string, plus _sz = the doc's distinct-shingle count. The shingle
-    * string never leaves its task — downstream joins/aggs shuffle 8-byte
-    * longs (collision odds for one corpus pair ~k^2/2^64).
+  /** Per-document DISTINCT trigram-shingle hash ARRAY (sorted), via the
+    * native [[graft.functions.TrigramShingleHashes]] expression — a
+    * narrow codegen'd map, NO shuffle. Docs with <3 tokens contribute one
+    * whole-text shingle, mirroring [[shingles3]]; hash values are
+    * byte-identical to `xxhash64(concat_ws(" ", ...))`.
     *
-    * Built exclusively from codegen'd expressions: posexplode + window
-    * lead(1)/lead(2) to form trigrams. Deliberately NO higher-order
-    * functions — HOF lambdas are CodegenFallback, and a generator over a
-    * CodegenFallback child re-evaluates the whole child expression per
-    * OUTPUT row (measured ~20x slower here). Docs with <3 tokens
-    * contribute one whole-text shingle, mirroring [[shingles3]]. */
+    * (Rounds 1-2 built postings with posexplode + window lead(1)/lead(2)
+    * — HOF-free, but it shuffled and sorted every POSTING just to pair
+    * each token with its successors, then paid a distinct exchange and a
+    * window count. The per-row expression removes all three.) */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String]): DataFrame =
+    df.select(col(idCol) +: blockCols.map(col) :+
+      graft.functions.TrigramShingleHashes(TextAnalysis.tokens(col(textCol))).as("_sh"): _*)
+
+  /** Distinct shingle-hash postings per document: one row per
+    * (id, blocks..., _h), plus _sz = the doc's distinct-shingle count.
+    * The shingle string never leaves its task — downstream joins/aggs
+    * shuffle 8-byte longs (collision odds for one corpus pair ~k^2/2^64).
+    * Fully narrow: explode over the codegen'd shingle-set array (a
+    * generator over a CODEGEN child — never over a CodegenFallback HOF,
+    * which would re-evaluate per output row; measured ~20x). */
   private def shinglePosts(df: DataFrame, idCol: String, textCol: String,
-                           blockCols: Seq[String]): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val base = df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*)
-    val small = base.filter(size(toks) < 3)
-      .select(col(idCol) +: blockCols.map(col) :+ xxhash64(concat_ws(" ", toks)).as("_h"): _*)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val big = base.filter(size(toks) >= 3)
-      .select(col(idCol) +: blockCols.map(col) :+ posexplode(toks): _*)
-      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_t0")
-      .withColumn("_t1", lead(col("_t0"), 1).over(w))
-      .withColumn("_t2", lead(col("_t0"), 2).over(w))
-      .filter(col("_t2").isNotNull)
+                           blockCols: Seq[String]): DataFrame =
+    shingleSets(df, idCol, textCol, blockCols)
       .select(col(idCol) +: blockCols.map(col) :+
-        xxhash64(concat_ws(" ", col("_t0"), col("_t1"), col("_t2"))).as("_h"): _*)
-    big.union(small).distinct()
-      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col(idCol))).cast("int"))
-  }
+        size(col("_sh")).as("_sz") :+ explode(col("_sh")).as("_h"): _*)
 
   /** Unblocked shingle postings for cross-operator reuse
     * ([[Decontaminate]]): one (id, _h, _sz) row per distinct trigram
@@ -135,14 +132,14 @@ object Dedup {
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val posts = shinglePosts(df, idCol, textCol, Nil).select(col(idCol), col("_h"))
-    // ONE aggregation builds the shingle set per doc; the k-permutation
-    // signature is a single native expression over it (see
-    // graft.functions.MinHashSignature) — no second wide aggregate.
+    // Shingle sets come straight from the narrow native expression — no
+    // posting explode, no groupBy shuffle of the whole corpus; the
+    // k-permutation signature is a second native expression over it (see
+    // graft.functions.MinHashSignature) — no wide aggregate either.
     // persisted: consumed by the signature stage AND both verification
-    // joins — without it the tokenize/explode/window/aggregate subtree
-    // runs three times. ContextCleaner unpersists once unreferenced.
-    val sh = posts.groupBy(col(idCol)).agg(collect_list(col("_h")).as("_sh")).persist()
+    // joins — without it the shingle computation runs three times.
+    // ContextCleaner unpersists once unreferenced.
+    val sh = shingleSets(df, idCol, textCol, Nil).persist()
     val sig = sh.withColumn("_sig",
       graft.functions.MinHashSignature(col("_sh"), k))
     // persisted: the banding self-join consumes `banded` on BOTH sides —
