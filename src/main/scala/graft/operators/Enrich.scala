@@ -78,9 +78,6 @@ object Enrich {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** End-of-partition marker for the sliding-window submission queue. */
-  private object BatchDone
-
   // One IO pool per executor JVM, shared across tasks; sized generously —
   // per-task concurrency is bounded by the sliding submission window, so
   // the pool just needs to be >= tasks-per-executor * rowConcurrency.
@@ -125,28 +122,30 @@ object Enrich {
       val deadlineNs = System.nanoTime() + conf.batchTimeoutMs * 1000000L
       def remainingNs: Long = deadlineNs - System.nanoTime()
 
-      // Completion-driven sliding window: every finished call submits the
-      // next row, so `rowConcurrency` calls stay CONTINUOUSLY in flight —
-      // the reference's thread-pool + as_completed shape (test.py:116-129).
-      // (The previous grouped()+await formulation stalled each group of 20
-      // on its slowest call — head-of-line blocking under heavy-tailed LLM
-      // latencies.) Futures enter `queue` in submission = input order, so
-      // draining the queue head-first restores exact row order; completed-
-      // but-unemitted results buffer at most one partition (the reference
-      // buffers a full batch's results the same way, test.py:114).
-      val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef]()
-      val lock = new Object
-      var exhausted = false
-      def submitNext(): Unit = lock.synchronized {
-        if (!exhausted) {
-          if (rows.hasNext) {
-            // copy everything the async call needs NOW — the source
-            // iterator is only ever touched under the lock
-            val row = rows.next()
-            val cell = row.get(colIdx)
-            val rowIdx = row.getLong(row.length - 1) // _row_idx is last
-            val seq = row.toSeq
-            val f = Future {
+      // Sliding submission window: up to `rowConcurrency` calls in flight
+      // at once — the reference's thread-pool + as_completed shape
+      // (test.py:116-129). (The round-1 grouped()+await formulation
+      // stalled each group of 20 on its slowest call — head-of-line
+      // blocking under heavy-tailed LLM latencies.) The source iterator
+      // is consumed ONLY on the Spark task thread (source iterators
+      // assume the task thread's TaskContext — shuffle readers and
+      // columnar scans NPE off-thread on a real cluster); while awaiting
+      // the head future the task thread wakes every 25 ms to backfill
+      // slots freed by ANY completed call, so the window stays full
+      // within one poll tick. Futures enter `pending` in submission =
+      // input order — draining head-first restores exact row order.
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pending = scala.collection.mutable.Queue.empty[Future[Row]]
+      def topUp(): Unit = {
+        while (inFlight.get() < math.max(1, conf.rowConcurrency) && rows.hasNext) {
+          // copy everything the async call needs NOW, on the task thread
+          val row = rows.next()
+          val cell = row.get(colIdx)
+          val rowIdx = row.getLong(row.length - 1) // _row_idx is last
+          val seq = row.toSeq
+          inFlight.incrementAndGet()
+          pending.enqueue(Future {
+            try {
               // pandas str(nan) == "nan" (test.py:86) — reproduce deliberately
               val input = if (cell == null) "nan" else cell.toString
               val prompt = s"${conf.systemPrompt}\n\nInput: $input"
@@ -161,35 +160,29 @@ object Enrich {
                 } catch { case e if scala.util.control.NonFatal(e) => ErrorSentinel }
               progress.foreach(_.add(1))
               Row.fromSeq(seq :+ response)
-            }
-            queue.put(f)
-            f.onComplete(_ => submitNext())
-          } else {
-            exhausted = true
-            queue.put(BatchDone)
-          }
+            } finally inFlight.decrementAndGet()
+          })
         }
       }
-      var i = 0
-      while (i < math.max(1, conf.rowConcurrency)) { submitNext(); i += 1 }
+      topUp()
 
       new Iterator[Row] {
         private def timeout() = throw new java.util.concurrent.TimeoutException(
           s"enrich batch exceeded ${conf.batchTimeoutMs} ms " +
             "(reference per-batch as_completed timeout, test.py:122)")
-        private def take(): AnyRef = {
-          val x = queue.poll(math.max(remainingNs, 0L), java.util.concurrent.TimeUnit.NANOSECONDS)
-          if (x == null) timeout()
-          x
-        }
-        private var cur: AnyRef = take()
-        override def hasNext: Boolean = cur.asInstanceOf[AnyRef] ne BatchDone
+        override def hasNext: Boolean = pending.nonEmpty || rows.hasNext
         override def next(): Row = {
-          val f = cur.asInstanceOf[Future[Row]]
-          val r = try Await.result(f, Duration.fromNanos(math.max(remainingNs, 1L)))
-          catch { case _: java.util.concurrent.TimeoutException => timeout() }
-          cur = take()
-          r
+          topUp()
+          val f = pending.dequeue()
+          var out: Option[Row] = None
+          while (out.isEmpty) {
+            if (remainingNs <= 0L) timeout()
+            val wait = math.min(remainingNs, 25L * 1000000L)
+            try out = Some(Await.result(f, Duration.fromNanos(math.max(wait, 1L))))
+            catch { case _: java.util.concurrent.TimeoutException => topUp() }
+          }
+          topUp()
+          out.get
         }
       }
     }(Encoders.row(outSchema))
