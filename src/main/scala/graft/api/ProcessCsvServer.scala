@@ -82,9 +82,14 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
       } yield (csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, versionId)
 
       parsed match {
+        case None if missing.isDefined =>
+          // test.py:161 — KeyError shape, naming the absent key
+          respond(ex, 400, s"""{"error":${jstr(s"Missing parameter: '${missing.get}'")}}""")
         case None =>
-          val msg = missing.map(k => s"Missing parameter: '$k'").getOrElse("Missing parameter: malformed value")
-          respond(ex, 400, s"""{"error":${jstr(msg)}}""") // test.py:161
+          // all keys present but one failed to coerce: the reference's
+          // int()/float() would raise ValueError past the KeyError
+          // handler -> Flask 500; mirror that status with a JSON body
+          respond(ex, 500, """{"error":"invalid parameter value"}""")
         case Some((csvUrl, columnIndex, maxRows, systemPrompt, model, temperature, tokens, fileName, requestId, versionId)) =>
           var logger: Thread = null
           // staged 500 messages, matching the reference's per-stage error
@@ -113,9 +118,11 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             stagePrefix = "Error during batch processing" // test.py:213
             val enriched = Enrich.enrich(df, columnIndex, cfg, clientFactory, Some(progress))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            // persist: errorReport and the CSV write are two actions over
-            // the same plan — without it each would re-run the LLM calls
-            val (errorCount, _) = Enrich.errorReport(enriched)
+            // persist: the error count and the CSV write are two actions
+            // over the same plan — without it each would re-run the LLM
+            // calls. Count only: the response needs no index list, so the
+            // collect job of the full errorReport would be wasted work.
+            val errorCount = Enrich.errorCount(enriched)
             stagePrefix = "Error uploading to S3" // test.py:254
             // s3a:// outputs surface as the reference's public-style
             // https URL (test.py:249); local/hdfs paths pass through

@@ -50,10 +50,16 @@ object AsOfJoin {
     // without it, `last(_r)` is run-order-dependent (partitioning-
     // sensitive), a latent result-hash flake. Left rows all carry a null
     // payload, so their relative order never matters (ignoreNulls skips
-    // them). Requires an orderable payload type (no maps) — true of any
-    // payload a sort-merge join could emit deterministically either.
+    // them). A payload containing an unorderable type (map) falls back
+    // to the (ts, side)-only window — it still executes; only duplicate
+    // (key, ts) right rows are then run-order-dependent, which no
+    // ordering could fix for an uncomparable payload anyway.
+    val orderKeys =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
+        Seq(col("_ts"), col("_side"), col("_r").asc_nulls_first)
+      else Seq(col("_ts"), col("_side"))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), col("_r").asc_nulls_first)
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

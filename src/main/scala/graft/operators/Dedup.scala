@@ -139,7 +139,13 @@ object Dedup {
     // persisted: consumed by the signature stage AND both verification
     // joins — without it the shingle computation runs three times.
     // ContextCleaner unpersists once unreferenced.
-    val sh = shingleSets(df, idCol, textCol, Nil).persist()
+    // isNotNull: null-text docs have a NULL shingle set -> NULL signature
+    // -> every element_at is NULL -> xxhash64 (which skips null children)
+    // would give ALL of them IDENTICAL band keys, and the banding
+    // self-join would fan out n_null^2 candidate pairs before the
+    // verifier drops them. Excluding them up front matches the posting
+    // path, where explode(NULL) drops the row.
+    val sh = shingleSets(df, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
     val sig = sh.withColumn("_sig",
       graft.functions.MinHashSignature(col("_sh"), k))
     // persisted: the banding self-join consumes `banded` on BOTH sides —

@@ -206,6 +206,11 @@ object Enrich {
     * The count is always exact; the index list is capped at the first
     * `maxIndexes` (ascending), which covers the reference's logging use
     * unboundedly better than an OOM. */
+  /** Just the sentinel-row count — one aggregate job; use instead of
+    * [[errorReport]] when the index list isn't needed. */
+  def errorCount(enriched: DataFrame): Long =
+    enriched.filter(col("Response") === ErrorSentinel).count()
+
   def errorReport(enriched: DataFrame, maxIndexes: Int = 10000): (Long, Seq[Long]) = {
     val errs = enriched.filter(col("Response") === ErrorSentinel)
     val total = errs.count()

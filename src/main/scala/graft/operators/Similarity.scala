@@ -92,14 +92,18 @@ object Similarity {
   def annLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                  qVec: String, cVec: String, k: Int, bits: Int = 12, probes: Int = 4,
                  dim: Int = 0): DataFrame = {
-    val cDim = corpus.select(size(col(cVec)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("annLshTopK: empty corpus"))
-    queries.select(size(col(qVec)).as("d")).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == cDim,
-        s"annLshTopK: query vectors are ${r.getInt(0)}-dim but corpus vectors are $cDim-dim")
-    }
-    require(dim <= 0 || dim == cDim,
+    // one non-null sample per side; a ragged-dim corpus is NOT fully
+    // validated (that would cost a full pass) — the sample catches the
+    // systematic mistake (wrong `dim` for a homogeneous corpus)
+    def sampleDim(df: DataFrame, vec: String): Option[Int] =
+      df.filter(col(vec).isNotNull).select(size(col(vec)).as("d")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+    val cDimOpt = sampleDim(corpus, cVec)
+    val qDimOpt = sampleDim(queries, qVec)
+    for (cd <- cDimOpt; qd <- qDimOpt)
+      require(qd == cd, s"annLshTopK: query vectors are $qd-dim but corpus vectors are $cd-dim")
+    val cDim = cDimOpt.orElse(qDimOpt).getOrElse(1) // both empty -> empty result, any planes do
+    require(dim <= 0 || cDimOpt.isEmpty && qDimOpt.isEmpty || dim == cDim,
       s"annLshTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
     val planes = hyperplanes(bits, cDim)
     val c = corpus

@@ -56,8 +56,10 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
     // re-ranks; this is the same shape as partial-aggregation fallback).
     // The FINAL phase's state is the result itself (<= k rows per key,
     // all keys of the hash-clustered partition) and is never flushed.
+    // max(1, ...): a zero/negative setting would make the consume loop
+    // admit no rows while drain() emits nothing — an infinite spin
     val flushThreshold =
-      if (partial) conf.getConfString("graft.topk.partialMaxBufferedRows", "1000000").toInt
+      if (partial) math.max(1, conf.getConfString("graft.topk.partialMaxBufferedRows", "1000000").toInt)
       else Int.MaxValue
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)

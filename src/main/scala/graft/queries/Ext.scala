@@ -270,7 +270,10 @@ object Ext {
     val enriched = Enrich.enrich(docs, columnIndex = 1, cfg, stub)
       .select(col("doc_id"), col("Response"), col("_row_idx"))
       .persist()
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sharded").toString
+    // fixed, overwritten output location: a fresh createTempDirectory per
+    // invocation would accumulate shard directories across Bench's
+    // repeated runs of this query
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sharded_rt").toString
     val shardDir = OrderedCsv.writeSharded(enriched, outDir, "docs", numShards = 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(shardDir), s.sparkContext.hadoopConfiguration)

@@ -99,6 +99,14 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("present-but-malformed param is a 500 (reference ValueError path), not a lying 400") {
+    withServer(None) { port =>
+      val resp = post(port, requestJson(writeCsv(), overrides = Map("column_index" -> "\"abc\"")))
+      assert(resp.statusCode() == 500, s"body: ${resp.body()}")
+      assert((JsonMethods.parse(resp.body()) \ "error").extract[String] == "invalid parameter value")
+    }
+  }
+
   test("500 stages: unreadable CSV vs batch-processing failure") {
     withServer(None) { port =>
       val bad = post(port, requestJson("/nonexistent/graft/in.csv"))

@@ -43,6 +43,16 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("map-typed payload still executes (tiebreak falls back to ts/side)") {
+    import org.apache.spark.sql.functions.{map, lit}
+    val left = Seq((1L, "u1", ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((9L, "u1", ts(50))).toDF("click_id", "user_id", "ts")
+      .withColumn("attrs", map(lit("k"), lit("v")))
+    val out = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id", "attrs"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, Some(9L))))
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
     val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")

@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= 10) // every (base, dup) pair found
   }
 
+  test("minHashNearDupPairs: null-text docs are excluded, not banded together") {
+    // null text -> NULL shingle set -> NULL signature; unguarded, all
+    // null-text docs would share identical band keys and self-join n^2
+    val docs = Seq[(Long, Option[String])](
+      (1L, Some("alpha beta gamma delta epsilon zeta")),
+      (2L, Some("alpha beta gamma delta epsilon zeta")),
+      (3L, None), (4L, None), (5L, None))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minHashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"null-text docs must not pair: $got")
+  }
+
   test("connectedComponents labels chains and isolated nodes correctly") {
     val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
     // components: {1,2,3,4} (chain), {5,6}, {7} isolated

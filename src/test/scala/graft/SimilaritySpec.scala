@@ -109,6 +109,13 @@ class SimilaritySpec extends SparkSpec {
         k = 3, bits = 4, probes = 3, dim = 64).collect()
     }
     assert(e.getMessage.contains("128-dimensional"))
+
+    // empty corpus is a valid input -> empty result, not a crash
+    val none = df.filter($"vec_id" < 0)
+    assert(Similarity.annLshTopK(queries, none, "vec_id", "vec_id", "embedding", "embedding",
+      k = 3, bits = 4, probes = 3).count() == 0)
+    assert(Similarity.annLshTopK(none, none, "vec_id", "vec_id", "embedding", "embedding",
+      k = 3, bits = 4, probes = 3).count() == 0)
   }
 
   test("cosineNearDupPairs finds planted near-duplicates within blocks") {
