@@ -303,11 +303,15 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
-  /** Frame-sampling fan-out shape over binary payloads (rows-only check:
-    * binary output column). */
+  /** Frame-sampling fan-out shape over binary payloads. The frame bytes
+    * decode back to a string column (fixture text is ASCII), making the
+    * whole fan-out DuckDB-oracle-checkable — offset arithmetic, substr
+    * windows, and row multiplicity all hash-compared. */
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.frameSample(media, "doc_id", nFrames = 4)
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+        col("frame_bytes").cast("string").as("frame_str"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -387,6 +391,13 @@ object Ext {
     // NOTE: compares byte stats vs DuckDB character functions — exact only
     // while the fixture text is ASCII (it is; synthetic English-ish vocab
     // for every lang). A non-ASCII corpus needs a blob-based oracle.
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |x AS (SELECT doc_id, text, nb, unnest(generate_series(0, 3)) AS frame_idx FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(floor(frame_idx * nb / 4.0) AS BIGINT) AS frame_offset,
+        |  substring(text, CAST(floor(frame_idx * nb / 4.0) AS INTEGER) + 1, 16) AS frame_str
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
