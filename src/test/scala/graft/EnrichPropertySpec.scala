@@ -18,6 +18,31 @@ class EnrichPropertySpec extends SparkSpec {
     batch <- Gen.choose(1, 25)
   } yield (n, maxRows, parts, batch)
 
+  test("sentinel placement and order survive random failure/latency mixes") {
+    // the sliding window completes calls OUT of submission order (random
+    // sleeps force it); emission must still be exact input order, with
+    // sentinels exactly on the planted failure rows
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val failRows = (0 until n).filter(_ => rnd.nextInt(4) == 0).toSet
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(i => (s"r$i", i)), 3))
+        .toDF("v", "num")
+      val cfg = Enrich.Config(systemPrompt = "P", batchSize = 17, rowConcurrency = 6,
+        retries = 2, retryBaseDelayMs = 1L)
+      val client = () => new StubLlmClient(
+        p => { Thread.sleep(p.length % 7); "ok" },
+        failOn = p => failRows.exists(i => p.endsWith(s" r$i")))
+      val out = Enrich.enrich(df, 0, cfg, client).collect()
+      assert(out.map(_.getAs[String]("v")).toSeq == (0 until n).map(i => s"r$i"), s"seed=$seed order")
+      out.zipWithIndex.foreach { case (r, i) =>
+        val want = if (failRows(i)) Enrich.ErrorSentinel else "ok"
+        assert(r.getAs[String]("Response") == want, s"seed=$seed row $i")
+      }
+    }
+  }
+
   test("order, size, and tail invariants hold for arbitrary shapes") {
     val cases = (1 to 12).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong))) :+ ((0, 0, 1, 1)) :+ ((60, 0, 6, 1))
