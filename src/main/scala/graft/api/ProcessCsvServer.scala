@@ -34,6 +34,9 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
+    // reference uploads with ACL='private' (test.py:248); the S3A
+    // equivalent is the canned-ACL default, a no-op for local FS
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.acl.default", "Private")
     server.createContext("/process_csv", new Handler)
     server.setExecutor(null)
     server.start()
