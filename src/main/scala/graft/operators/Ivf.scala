@@ -45,7 +45,12 @@ object Ivf {
     * rounds of assign + mean. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): Model = {
-    val base = corpus.select(col(idCol).as("_id"), unit(col(vecCol)).as("_v"))
+    // persisted: init + every Lloyd round scans the normalized corpus —
+    // unpersisted, training reads (and re-normalizes) the source
+    // iters+1 times. Freed eagerly once the model is collected.
+    val base = corpus.select(col(idCol).as("_id"), unit(col(vecCol)).as("_v")).persist()
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition heap,
+    // no global sort) — a linear seeded sample even at corpus scale
     var centroids = base.orderBy(xxhash64(col("_id"))).limit(k)
       .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
@@ -62,6 +67,7 @@ object Ivf {
         }.getOrElse(old)
       }
     }
+    base.unpersist()
     Model(centroids)
   }
 
