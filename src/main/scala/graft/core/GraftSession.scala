@@ -37,6 +37,7 @@ object GraftSession {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(s)
+    graft.plans.TopK.install(s) // native top-k strategy + window rewrite
     s
   }
 }

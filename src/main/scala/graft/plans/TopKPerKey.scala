@@ -79,7 +79,10 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
         val v0 = ordEval.eval(row)
         val nonNull = v0 != null
         val v: Double = if (nonNull) v0.asInstanceOf[Double] else 0.0
-        val t = tieEval.eval(row).asInstanceOf[Long]
+        // null tie = Long.MinValue: ASC NULLS FIRST, matching row_number's
+        // default null ordering (unboxing null would silently give 0)
+        val t0 = tieEval.eval(row)
+        val t = if (t0 == null) Long.MinValue else t0.asInstanceOf[Long]
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
@@ -129,14 +132,23 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
-  /** Column API: top-k rows per key by (orderCol DESC, tieCol ASC).
-    * Registers the planner strategy on first use (public
-    * `spark.experimental.extraStrategies` hook). */
+  /** Installs the planner strategy and the window-top-k rewrite rule on
+    * a session (idempotent; public `spark.experimental` hooks).
+    * [[graft.core.GraftSession]] calls this; sessions built outside
+    * graft can set `spark.sql.extensions=graft.core.GraftExtensions`
+    * instead. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
+  /** Column API: top-k rows per key by (orderCol DESC, tieCol ASC). */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
              tieCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    install(spark)
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output
       .find(_.name == name)

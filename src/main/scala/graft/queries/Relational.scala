@@ -291,9 +291,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The window top-k idiom WITHOUT the rank column in the output — the
+    * exact shape [[graft.plans.TopKRewrite]] rewrites to the native
+    * TopKPerKey operator under GraftSession. Oracle-gated, so the
+    * rewritten plan's semantics are hash-checked against SQL every
+    * round (q07 keeps `rn` and stays on the window path by design). */
+  def q25TopkRewrite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
+    "q25_topk_rewrite" -> q25TopkRewrite,
     "q01_agg_pricing" -> q01AggPricing,
     "q02_filter_project" -> q02FilterProject,
     "q03_region_revenue" -> q03RegionRevenue,
@@ -329,7 +346,12 @@ object Relational {
       """SELECT l_returnflag,
         |round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
         |round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_topk_rewrite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)
 
   /** DuckDB oracle twins. Casts align DuckDB's wider return types
     * (BIGINT year/length/row_number, DOUBLE ceil/floor) with Spark's. */

@@ -55,6 +55,41 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.partialMaxBufferedRows")
   }
 
+  test("optimizer rule: the row_number window idiom rewrites to the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    graft.plans.TopK.install(spark)
+    val rnd = new Random(55)
+    val rows = (0 until 2000).map(i => (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(50).toDouble))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4)).toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+
+    val rewritten = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy { case (_, id, v) => (-v, id) }.take(3)
+    }.toSet
+    assert(rewritten.as[(Long, Long, Double)].collect().toSet === want)
+
+    // rk kept in the output -> must NOT rewrite (rank column observable)
+    val kept = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+
+    // single sort key -> ties nondeterministic -> must NOT rewrite
+    val single = df.withColumn("rk",
+        row_number().over(Window.partitionBy("k").orderBy(col("v").desc)))
+      .filter(col("rk") <= 3).drop("rk")
+    assert(single.queryExecution.executedPlan.toString.contains("Window"))
+
+    // ascending order -> not the TopK shape -> must NOT rewrite
+    val asc = df.withColumn("rk",
+        row_number().over(Window.partitionBy("k").orderBy(col("v").asc, col("id"))))
+      .filter(col("rk") <= 3).drop("rk")
+    assert(asc.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("TopK.perKey with k larger than group size keeps all rows") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.9)).toDF("k", "id", "v")
     assert(TopK.perKey(df, Seq("k"), "v", "id", 10).count() == 3)
