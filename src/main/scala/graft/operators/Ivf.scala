@@ -49,6 +49,7 @@ object Ivf {
     // unpersisted, training reads (and re-normalizes) the source
     // iters+1 times. Freed eagerly once the model is collected.
     val base = corpus.select(col(idCol).as("_id"), unit(col(vecCol)).as("_v")).persist()
+    try {
     // orderBy+limit plans as TakeOrderedAndProject (per-partition heap,
     // no global sort) — a linear seeded sample even at corpus scale
     var centroids = base.orderBy(xxhash64(col("_id"))).limit(k)
@@ -67,8 +68,8 @@ object Ivf {
         }.getOrElse(old)
       }
     }
-    base.unpersist()
     Model(centroids)
+    } finally base.unpersist() // a mid-train failure must not pin the cache
   }
 
   /** Approximate top-k cosine neighbors: score only vectors in each

@@ -67,10 +67,19 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       val tieEval = BindReferences.bindReference(Cast(tieExpr, LongType), childOutput)
       // "better" = (non-null, higher order value, lower tie): an explicit
       // non-null flag keeps null order values BELOW genuine -Infinity
-      // data, matching row_number over DESC (NULLS LAST) exactly
+      // data, matching row_number over DESC (NULLS LAST) exactly.
+      // Explicit comparator — the earlier Ordering.by(..., -t) negation
+      // overflowed on Long.MinValue (the null-tie encoding), silently
+      // inverting NULLS FIRST.
       type Entry = (Boolean, Double, Long, InternalRow)
-      val betterOrd = Ordering.by[Entry, (Boolean, Double, Long)] {
-        case (nn, v, t, _) => (nn, v, -t)
+      val betterOrd: Ordering[Entry] = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val c1 = java.lang.Boolean.compare(a._1, b._1)
+          if (c1 != 0) return c1
+          val c2 = java.lang.Double.compare(a._2, b._2)
+          if (c2 != 0) return c2
+          java.lang.Long.compare(b._3, a._3) // LOWER tie is better
+        }
       }
       // min-heap under betterOrd: the root is the current worst survivor
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
@@ -132,23 +141,30 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
-  /** Installs the planner strategy and the window-top-k rewrite rule on
-    * a session (idempotent; public `spark.experimental` hooks).
+  /** Installs the planner strategy AND the window-top-k rewrite rule on
+    * a session (idempotent; public `spark.experimental` hooks) — an
+    * explicit opt-in, because the rewrite changes the plans of every
+    * matching window query on the session.
     * [[graft.core.GraftSession]] calls this; sessions built outside
     * graft can set `spark.sql.extensions=graft.core.GraftExtensions`
     * instead. */
   def install(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    installStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ TopKRewrite
   }
 
-  /** Column API: top-k rows per key by (orderCol DESC, tieCol ASC). */
+  private def installStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Column API: top-k rows per key by (orderCol DESC, tieCol ASC).
+    * Registers only the planner strategy — calling this does NOT opt the
+    * session into the global window rewrite. */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
              tieCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    install(spark)
+    installStrategy(spark)
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output
       .find(_.name == name)

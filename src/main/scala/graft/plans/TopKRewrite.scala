@@ -57,9 +57,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def rankBound(cond: Expression, rk: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rk) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rk) => Some(k - 1)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rk) && k != Int.MinValue => Some(k - 1) // MinValue-1 would wrap positive
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rk) => Some(k)
-    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rk) => Some(k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rk) && k != Int.MinValue => Some(k - 1)
     case _ => None
   }
 
@@ -74,6 +76,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
         k <- rankBound(cond, rk)
         if k > 0
         if keys.length == partitionSpec.length && keys.nonEmpty
+        // no float/double keys: via spark.sql.extensions the rule runs
+        // BEFORE NormalizeFloatingNumbers, and hash-partitioning raw
+        // floats would split 0.0 / -0.0 into two groups
+        if keys.forall(a => a.dataType != FloatType && a.dataType != DoubleType)
         if defaultRowFrame(spec.frameSpecification)
         if orderSpec.length == 2
         value <- orderSpec.head match {

@@ -55,6 +55,17 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.partialMaxBufferedRows")
   }
 
+  test("null ties rank FIRST (row_number ASC NULLS FIRST parity, no MinValue overflow)") {
+    // all rows share the order value; ties are null,1,2,3 -> row_number
+    // over (v DESC, tie ASC NULLS FIRST) keeps {null,1,2}
+    val df = Seq(
+      (1L, 10L, 10.0, Option.empty[Long]), (1L, 11L, 10.0, Some(1L)),
+      (1L, 12L, 10.0, Some(2L)), (1L, 13L, 10.0, Some(3L)))
+      .toDF("k", "id", "v", "tie")
+    val got = TopK.perKey(df, Seq("k"), "v", "tie", 3).select("id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L, 12L), s"null tie must rank first, got $got")
+  }
+
   test("optimizer rule: the row_number window idiom rewrites to the native operator") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
