@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   * transformation, so mixing N sources is N scans and zero shuffles. */
 object Mixture {
 
+  /** Temperature-based sampling rates from raw source sizes — the
+    * standard `p_i ∝ size_i^alpha` recipe for rebalancing skewed corpora
+    * (alpha=1 proportional / natural distribution, alpha=0 uniform,
+    * alpha≈0.3 the common multilingual upsampling setting; public
+    * practice from multilingual-pretraining literature, e.g. XLM-R).
+    * Returns per-source RATES for [[mix]] scaled so the total expected
+    * mixed row count equals `targetRows`: rate_i = targetRows * p_i /
+    * size_i — small sources get rates > 1 (oversampled epochs), large
+    * ones < 1. */
+  def temperatureRates(sizes: Seq[(String, Long)], alpha: Double,
+                       targetRows: Long): Seq[(String, Double)] = {
+    require(sizes.nonEmpty && sizes.forall(_._2 > 0), "sizes must be positive")
+    require(alpha >= 0, "alpha must be >= 0")
+    val weights = sizes.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val z = weights.sum
+    sizes.zip(weights).map { case ((name, n), w) =>
+      name -> (targetRows.toDouble * (w / z) / n.toDouble)
+    }
+  }
+
   /** @param sources (name, df, rate) — rate in [0, inf): expected copies
     *                of each source row in the mix.
     * @return union of sampled sources with a `mix_source` column. */

@@ -67,6 +67,23 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite corpus quality gate — the canonical pretraining filter
+    * pipeline in ONE narrow pass: heuristic quality score, Gopher
+    * top-bigram repetition bound, and langid-vs-label agreement. Every
+    * predicate stays in WholeStageCodegen; at 100 TB this is a pure scan
+    * with all three filters fused. */
+  def txtQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+      .filter(col("quality") >= 0.5 && col("top_bigram_frac") <= 0.2 &&
+        col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("quality"), col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: every-20th doc plays the benchmark set;
     * the rest are "training" docs scored by trigram containment. */
   def txtDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -328,6 +345,7 @@ object Ext {
     "dedup_exact" -> dedupExact,
     "dedup_keepfirst" -> dedupKeepFirst,
     "txt_repetition" -> txtRepetition,
+    "txt_quality_gate" -> txtQualityGate,
     "txt_decontam" -> txtDecontam,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -372,6 +390,31 @@ object Ext {
         |        ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
         |FROM t LEFT JOIN best ON t.doc_id = best.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // composes the proven quality / repetition / langid oracle fragments
+    "txt_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
+         |q AS (SELECT doc_id, lang, toks,
+         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
+         |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
+         |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
+         |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
+         |  FROM t),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+         |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
+         |       FROM t WHERE len(toks) >= 2),
+         |best AS (SELECT doc_id, max(c) AS best FROM
+         |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+         |r AS (SELECT q.doc_id, q.lang, q.quality, q.en, q.de, q.fr,
+         |        round(CASE WHEN len(t.toks) < 2 THEN 0.0
+         |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
+         |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id)
+         |SELECT doc_id, quality, top_bigram_frac
+         |FROM r
+         |WHERE quality >= 0.5 AND top_bigram_frac <= 0.2
+         |  AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang
+         |ORDER BY doc_id""".stripMargin,
     "txt_decontam" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
          |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),

@@ -15,6 +15,26 @@ class MixtureSpec extends SparkSpec {
     assert(mixed.columns.contains("mix_source"))
   }
 
+  test("temperatureRates: alpha=1 is natural, alpha=0 uniform, alpha=0.3 upsamples small sources") {
+    val sizes = Seq("big" -> 900000L, "small" -> 100000L)
+    // alpha=1: rates equal across sources (mix keeps natural proportions)
+    val natural = Mixture.temperatureRates(sizes, alpha = 1.0, targetRows = 1000000L).toMap
+    assert(math.abs(natural("big") - 1.0) < 1e-9 && math.abs(natural("small") - 1.0) < 1e-9)
+    // alpha=0: expected counts equal per source -> 500k each
+    val uniform = Mixture.temperatureRates(sizes, alpha = 0.0, targetRows = 1000000L).toMap
+    assert(math.abs(uniform("big") * 900000 - 500000.0) < 1e-6)
+    assert(math.abs(uniform("small") * 100000 - 500000.0) < 1e-6)
+    // alpha=0.3: small source's SHARE rises above natural (0.1), below uniform (0.5)
+    val t = Mixture.temperatureRates(sizes, alpha = 0.3, targetRows = 1000000L).toMap
+    val smallShare = t("small") * 100000 / 1000000.0
+    assert(smallShare > 0.1 && smallShare < 0.5, s"share=$smallShare")
+    // total expected rows == target for any alpha
+    Seq(natural, uniform, t).foreach { r =>
+      val total = r("big") * 900000 + r("small") * 100000
+      assert(math.abs(total - 1000000.0) < 1e-3, s"total=$total")
+    }
+  }
+
   test("rate 0 contributes nothing; integer rate repeats exactly") {
     val a = (0 until 100).map(i => (i.toLong, "x")).toDF("id", "payload")
     val mixed = Mixture.mix(Seq(("none", a, 0.0), ("twice", a, 2.0)))
