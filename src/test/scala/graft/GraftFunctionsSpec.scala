@@ -20,6 +20,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sig.length == 4)
   }
 
+  test("trigram hashes: linear on a pathological 200k-token doc, parity with string shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200k tokens from a 50-word vocab: heavy duplication, worst-case
+    // sort+unique load; must complete fast and match the reference count
+    val rnd = new scala.util.Random(3)
+    val toks = Seq.fill(200000)(s"w${rnd.nextInt(50)}")
+    val t0 = System.nanoTime()
+    val got = Seq(toks.mkString(" ")).toDF("text")
+      .select(size(graft.functions.TrigramShingleHashes(split(col("text"), "\\s+"))).as("n"))
+      .as[Int].head()
+    val ms = (System.nanoTime() - t0) / 1000000L
+    val want = toks.sliding(3).map(_.mkString(" ")).toSet.size
+    assert(got == want, s"distinct trigram count: got $got want $want")
+    assert(ms < 20000, s"took ${ms}ms on one 200k-token row — not linear")
+  }
+
   test("sketch expressions type-check at analysis, null array propagates null") {
     GraftFunctions.registerAll(spark)
     // wrong input types fail analysis, not at runtime mid-job
