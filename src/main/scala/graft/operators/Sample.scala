@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus curation. */
+object Sample {
+
+  /** At most `k` rows per key, selected in md5-hash order of the id —
+    * the standard "cap documents per domain" curation step. Hash order
+    * makes the selection (a) uniform-ish regardless of id assignment
+    * order, (b) stable across runs, partitionings, and cluster layouts,
+    * and (c) reproducible in any engine with md5 (so the result is
+    * DuckDB-oracle-checkable, unlike seeded RNG sampling). `salt` varies
+    * the draw without touching the data. One window shuffle on the keys
+    * — the same cost envelope as [[Dedup.keepFirst]]. */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], idCol: String, k: Int,
+                salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val draw = md5(concat(lit(salt), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(draw, col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+}

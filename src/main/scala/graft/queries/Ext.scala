@@ -94,6 +94,16 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(lang, source) document cap in deterministic md5 order — the
+    * corpus-curation "max N docs per domain" step, oracle-checkable
+    * because both engines agree on md5. */
+  def smpCapPerKey(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Sample.capPerKey(d, Seq("lang", "source"), "doc_id", k = 10)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -347,6 +357,7 @@ object Ext {
     "txt_repetition" -> txtRepetition,
     "txt_quality_gate" -> txtQualityGate,
     "txt_decontam" -> txtDecontam,
+    "smp_cap_per_key" -> smpCapPerKey,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
@@ -390,6 +401,11 @@ object Ext {
         |        ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
         |FROM t LEFT JOIN best ON t.doc_id = best.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "smp_cap_per_key" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
     // composes the proven quality / repetition / langid oracle fragments
     "txt_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
