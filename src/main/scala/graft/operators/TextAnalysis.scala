@@ -76,28 +76,13 @@ object TextAnalysis {
   /** Fraction of all word bigrams accounted for by the single most
     * frequent bigram (Gopher top-2-gram rule): high values flag
     * machine-repeated boilerplate. Docs with <2 tokens score 0.0.
-    *
-    * Per-row algorithm: sort the bigram array, then one `aggregate` fold
-    * computes the longest equal-run (HOF lambda — CodegenFallback, but in
-    * per-row-once, non-generator position, the documented-safe placement;
-    * see SURVEY §8.3). */
-  def topBigramFraction(text: Column): Column = {
-    val t = tokens(text)
-    val n = size(t)
-    val bigrams = transform(sequence(lit(1), n - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-    val sorted = array_sort(bigrams)
-    val best = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    round(when(n < 2, lit(0.0))
-      .otherwise(best.cast("double") / (n - 1).cast("double")) + lit(1e-9), 4)
-  }
+    * One native codegen'd expression
+    * ([[graft.functions.TopBigramFraction]]) — the HOF fold formulation
+    * it replaces blew past the JIT huge-method limit when fused into
+    * wider projections (txt_quality_gate ran interpreted, ~20x slower).
+    */
+  def topBigramFraction(text: Column): Column =
+    round(graft.functions.TopBigramFraction(tokens(text)) + lit(1e-9), 4)
 
   /** Language-marker hit counts: distinct marker words present. */
   private val markers = Map(
