@@ -28,7 +28,9 @@ object Dedup {
     * `orderCol` per key survives. Window shuffle on the key columns. */
   def keepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    // collision-safe rank name: withColumn silently overwrites existing
+    val rn = Iterator.from(0).map(i => s"_rn$i").find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   /** Distinct word-n-gram shingles of a token array (n fixed at 3; a doc

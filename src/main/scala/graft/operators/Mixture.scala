@@ -23,8 +23,11 @@ object Mixture {
                        targetRows: Long): Seq[(String, Double)] = {
     require(sizes.nonEmpty && sizes.forall(_._2 > 0), "sizes must be positive")
     require(alpha >= 0, "alpha must be >= 0")
+    require(targetRows > 0, "targetRows must be positive")
     val weights = sizes.map { case (_, n) => math.pow(n.toDouble, alpha) }
     val z = weights.sum
+    require(java.lang.Double.isFinite(z) && z > 0,
+      s"size^alpha overflowed (alpha=$alpha) — rates would be NaN")
     sizes.zip(weights).map { case ((name, n), w) =>
       name -> (targetRows.toDouble * (w / z) / n.toDouble)
     }

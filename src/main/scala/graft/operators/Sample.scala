@@ -20,6 +20,9 @@ object Sample {
     require(k > 0, "k must be positive")
     val draw = md5(concat(lit(salt), lit("|"), col(idCol).cast("string")))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(draw, col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    // rank column name chosen to not collide with any input column —
+    // withColumn would silently overwrite (and drop) a caller's column
+    val rn = Iterator.from(0).map(i => s"_rn$i").find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
   }
 }

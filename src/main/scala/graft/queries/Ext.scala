@@ -74,16 +74,16 @@ object Ext {
     * with all three filters fused. */
   def txtQualityGate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    // persist = a materialization boundary: without it,
-    // PushPredicateThroughProject SUBSTITUTES the three metric
-    // expressions into the filter, so each HOF-heavy metric evaluates
-    // twice per row (measured 7.1s -> sub-second at sf0.1). The cached
-    // slice is (doc_id, lang, 3 scalars) — tiny; ContextCleaner frees it
+    // no cache boundary: with the bigram rule native, the fused
+    // projection stays under the JIT method limits, and the filter
+    // substitution (each metric evaluated twice — once in the pushed
+    // predicate, once in the projection) is affordable; a persist here
+    // would pin an unreleasable cache AND make Bench's repeat runs
+    // measure a cached scan instead of the pipeline
     val metrics = d.select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
         TextAnalysis.langId(col("text")).as("pred_lang"))
-      .persist()
     metrics
       .filter(col("quality") >= 0.5 && col("top_bigram_frac") <= 0.2 &&
         col("pred_lang") === col("lang"))
