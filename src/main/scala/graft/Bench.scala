@@ -5,8 +5,9 @@ object Bench {
     // Runs per query: the headline is the per-query MEDIAN, so one
     // external CPU spike can't poison the round's number (round 2's
     // driver bench recorded 380s on a contended machine for an engine a
-    // controlled re-run measured at 56s).
-    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // controlled re-run measured at 56s). An explicit RUNS=1 is honored
+    // (median of one value is itself) for quick smoke runs.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Benchmark the engine's own bootstrap (AQE, 64 MB broadcast
     // threshold, shuffle partitions = cores), not a detuned default —
     // round 1 measured dedup_components 5x slower under a minimal config.
@@ -19,20 +20,48 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\r\\n\\t]", " ").take(300) + "\""
+    // Per run: Right(seconds) on success, Left(error) on failure. A
+    // failing query must surface in the JSON instead of benching as a
+    // fast ~0s run that silently IMPROVES the headline — the bench and
+    // correctness gates must never disagree silently.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val outcomes: Seq[Either[String, Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
       }
-      name -> times
+      name -> outcomes
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + median(v) }
+    val medians = results.map { case (name, outcomes) =>
+      val ok = outcomes.collect { case Right(t) => t }
+      // all-failed -> null median (never a number a consumer could read
+      // as "fast"); partial failure keeps the successful-run median but
+      // still carries err
+      name -> (if (ok.isEmpty) None else Some(median(ok)))
+    }
+    val errs = results.map { case (name, outcomes) =>
+      name -> outcomes.collectFirst { case Left(e) => e }
+    }
+    val nFailed = errs.count(_._2.isDefined)
+    val qs = medians.map { case (k, v) => jstr(k) + ":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+    val errJson = errs.map { case (k, v) => jstr(k) + ":" + v.map(jstr).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.values.map(median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) =>
+      jstr(k) + ":" + v.map {
+        case Right(t) => t.toString
+        case Left(_)  => "null"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = medians.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":$nFailed,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ object Sample {
                 salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
     val draw = md5(concat(lit(salt), lit("|"), col(idCol).cast("string")))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(draw, col(idCol))
+    // nulls LAST explicitly: a null id makes the draw null, and Spark's
+    // ASC default is NULLS FIRST while SQL engines like DuckDB default to
+    // NULLS LAST — pin the divergent case so selection is engine-agnostic
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(draw.asc_nulls_last, col(idCol).asc_nulls_last)
     // rank column name chosen to not collide with any input column —
     // withColumn would silently overwrite (and drop) a caller's column
     val rn = Iterator.from(0).map(i => s"_rn$i").find(n => !df.columns.contains(n)).get

@@ -315,13 +315,20 @@ object Ext {
       .map(_.getPath.toString).sorted
     // one small single-partition read per shard, unioned in filename
     // order: union concatenates children's partitions in order, so the
-    // reattached index is the global read-back position
+    // reattached index is the global read-back position. This N-ary union
+    // is a VERIFICATION gate, sized for numShards=8 — at thousands of
+    // shards the driver-built plan itself would dominate; a production
+    // read-back would be one multi-path scan + filename-derived ordering.
     val back = parts.map(p => s.read.option("header", "true").csv(p)).reduce(_ unionByName _)
     val rb = Enrich.withRowIndex(back, "_read_idx")
       .select(col("doc_id").cast("long").as("doc_id"),
         col("Response").as("_rb_resp"), col("_read_idx"))
     rb.join(enriched, Seq("doc_id"))
-      .filter(col("_read_idx") === col("_row_idx") && col("_rb_resp") === col("Response"))
+      // empty-string Responses read back from CSV as null: fold them back
+      // to "" (enrich never emits null), then null-safe compare, so an
+      // empty enrichment can't spuriously drop the row
+      .filter(col("_read_idx") === col("_row_idx") &&
+        coalesce(col("_rb_resp"), lit("")) <=> col("Response"))
       .select(col("doc_id"), col("Response"))
       .orderBy(col("doc_id"))
   }
@@ -411,7 +418,7 @@ object Ext {
     "smp_cap_per_key" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source
-        |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)) NULLS LAST, doc_id NULLS LAST) <= 10
         |ORDER BY doc_id""".stripMargin,
     // composes the proven quality / repetition / langid oracle fragments
     "txt_quality_gate" ->
