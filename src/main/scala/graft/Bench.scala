@@ -20,9 +20,19 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\r\\n\\t]", " ").take(300) + "\""
+    // Truncate BEFORE escaping (truncating after can cut between a
+    // backslash and its escaped char, leaving invalid JSON), then escape
+    // every control char < 0x20 as \u00XX.
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.take(300).foreach {
+        case '\\'           => sb.append("\\\\")
+        case '"'            => sb.append("\\\"")
+        case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+        case c              => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     // Per run: Right(seconds) on success, Left(error) on failure. A
     // failing query must surface in the JSON instead of benching as a
     // fast ~0s run that silently IMPROVES the headline — the bench and
@@ -60,8 +70,13 @@ object Bench {
         case Left(_)  => "null"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = medians.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":$nFailed,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    // A headline that sums only SUCCESSFUL medians would read a hard
+    // failure as a speedup when compared across rounds — with any
+    // failure the headline is null (unusable without acknowledging
+    // `failed`), and the partial sum moves to its own field.
+    val totalOk = medians.values.flatten.sum
+    val value = if (nFailed > 0) "null" else totalOk.toString
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

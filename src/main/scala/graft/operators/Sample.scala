@@ -18,10 +18,16 @@ object Sample {
   def capPerKey(df: DataFrame, keyCols: Seq[String], idCol: String, k: Int,
                 salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
-    val draw = md5(concat(lit(salt), lit("|"), col(idCol).cast("string")))
-    // nulls LAST explicitly: a null id makes the draw null, and Spark's
-    // ASC default is NULLS FIRST while SQL engines like DuckDB default to
-    // NULLS LAST — pin the divergent case so selection is engine-agnostic
+    // Non-null id is a hard precondition: null ids tie completely (null
+    // draw AND null tiebreaker), so which of >k null-id rows survive
+    // would be partitioning-dependent. Fail loudly per-row instead of
+    // silently returning engine-dependent output.
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.capPerKey requires non-null '$idCol'")))
+      .otherwise(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))))
+    // nulls LAST explicitly: Spark's ASC default is NULLS FIRST while SQL
+    // engines like DuckDB default to NULLS LAST — pin it so the oracle
+    // comparison can never hinge on the engines' divergent default
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(draw.asc_nulls_last, col(idCol).asc_nulls_last)
     // rank column name chosen to not collide with any input column —
