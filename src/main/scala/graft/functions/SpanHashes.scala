@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** POSITIONAL k-token span hashes of a token array: element i is
@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SpanHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(k >= 2, "span width k must be >= 2")
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // inputTypes left inferred: AbstractDataType is private[sql], invisible here
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_span_hashes"
 
