@@ -19,5 +19,12 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "graft_minhash_sig(array<bigint>, k) requires a literal integer k")
     })
+    GraftColumnBridge.registerFunction(spark, "graft_trigram_hashes", es => TrigramShingleHashes(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_top_bigram_frac", es => TopBigramFraction(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_span_hashes", {
+      case Seq(arr, Literal(k: Int, _)) => SpanHashes(arr, k)
+      case _ => throw new IllegalArgumentException(
+        "graft_span_hashes(array<string>, k) requires a literal integer k")
+    })
   }
 }

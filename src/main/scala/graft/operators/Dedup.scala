@@ -316,6 +316,56 @@ object Dedup {
     df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
   }
 
+  /** Duplicate-substring spans (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — public recipe): every maximal
+    * token range covered by k-token spans occurring in at least
+    * `minDocFreq` DISTINCT documents, as (id, token_start, token_end),
+    * 1-based inclusive. A caller removes the ranges (or drops the docs)
+    * downstream; returning ranges rather than rewritten text keeps the
+    * operator composable and oracle-checkable.
+    *
+    * Plan shape (the 100 TB-safe formulation — no all-pairs anywhere):
+    *   1. narrow map: positional span hashes per doc
+    *      ([[graft.functions.SpanHashes]], codegen'd, O(tokens*k));
+    *      posexplode to (id, pos, hash) — a generator over a CODEGEN
+    *      child (the ~20x CodegenFallback trap does not apply)
+    *   2. doc frequency per hash: one hash-shuffle groupBy on the 8-byte
+    *      span hash (the span STRING never leaves its task)
+    *   3. map duplicated hashes back: equi-join postings with the
+    *      duplicated-hash set on the same 8-byte key
+    *   4. merge overlapping/adjacent hit positions per doc into maximal
+    *      ranges: window over (id, pos) — interval-merge via the
+    *      gap>k group-boundary flag + running sum
+    * Duplicated-hash fan-out is bounded by true duplication (work is
+    * proportional to the number of duplicated span occurrences), and
+    * every shuffle key is a long or the doc id. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would mark every span duplicated")
+    // 1-based positions: span at pos p covers tokens [p, p+k-1]
+    val spans = df
+      .select(col(idCol),
+        posexplode(graft.functions.SpanHashes(TextAnalysis.tokens(col(textCol)), k)))
+      .select(col(idCol), (col("pos") + 1).as("_pos"), col("col").as("_h"))
+    val dup = spans.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_h"))
+    val hits = spans.join(dup, Seq("_h")).select(col(idCol), col("_pos"))
+    // two spans at positions p_prev < p overlap or touch iff
+    // p <= p_prev + k; a larger gap starts a new maximal range
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    hits
+      .withColumn("_new",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_pos")).cast("long").as("token_start"),
+        (max(col("_pos")) + k - 1).cast("long").as("token_end"))
+      .select(col(idCol), col("token_start"), col("token_end"))
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the result is the
     * sign of the population vote across token hashes (`2*popcount_i > n`).
     * One native codegen'd expression (graft.functions.SimHash64) — a

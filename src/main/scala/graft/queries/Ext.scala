@@ -145,6 +145,12 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring-span dedup (Lee et al. 2022): maximal token ranges covered
+    * by 8-token spans shared across >= 2 documents. */
+  def txtSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"), col("token_start"))
+
   // ---- similarity search ----------------------------------------------
 
   def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -376,6 +382,7 @@ object Ext {
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
+    "txt_span_dedup" -> txtSpanDedup,
     "sim_knn_brute" -> simKnnBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
@@ -544,6 +551,28 @@ object Ext {
          |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // span equality over 8-token STRINGS stands in for the engine's
+    // xxhash64 span hashes (equal spans <=> equal hashes; a 64-bit
+    // collision at oracle scale is ~k^2/2^64). Parallel unnests zip in
+    // DuckDB, giving (pos, span) without a lateral generate_series.
+    "txt_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(toks) - 7)) AS pos,
+        |        unnest(list_transform(generate_series(1, len(toks) - 7),
+        |               i -> array_to_string(toks[i:i+7], ' '))) AS sp
+        |      FROM t WHERE len(toks) >= 8),
+        |dup AS (SELECT sp FROM s GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM s JOIN dup USING (sp)),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS new_g
+        |      FROM hit),
+        |m AS (SELECT doc_id, pos,
+        |        sum(new_g) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g)
+        |SELECT doc_id, min(pos) AS token_start, max(pos) + 7 AS token_end
+        |FROM m GROUP BY doc_id, grp ORDER BY doc_id, token_start""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE
          |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),

@@ -214,6 +214,69 @@ class DedupSpec extends SparkSpec {
     assert(kept === (0 until 6).map(_ * 3L).toSet)
   }
 
+  // --- substring-span dedup (Lee et al. 2022) ---
+
+  /** Brute-force reference: positions (1-based) of k-spans occurring in
+    * >= 2 distinct docs, merged into maximal ranges per doc. */
+  private def refDuplicateSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long)] = {
+    val spans = docs.flatMap { case (id, t) =>
+      val toks = refTokens(t)
+      (0 to toks.length - k).map(i => (id, i + 1L, toks.slice(i, i + k).mkString(" ")))
+    }
+    val docFreq = spans.groupBy(_._3).map { case (sp, occ) => sp -> occ.map(_._1).distinct.size }
+    spans.filter(s => docFreq(s._3) >= 2)
+      .groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+        val ps = hs.map(_._2).distinct.sorted
+        val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = ps.head; var last = ps.head
+        for (p <- ps.tail) {
+          if (p - last <= k) last = p
+          else { ranges += ((start, last + k - 1)); start = p; last = p }
+        }
+        ranges += ((start, last + k - 1))
+        ranges.map { case (s, e) => (id, s, e) }
+      }.toSet
+  }
+
+  test("duplicateSpans maps a planted cross-doc span back to exact token ranges") {
+    val shared = (1 to 10).map(i => s"S$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared u4 u5"),       // shared run at tokens 4..13
+      (2L, s"v1 $shared v2 v3"),             // shared run at tokens 2..11
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))// no duplication
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // overlapping 4-spans inside the shared run merge into ONE maximal
+    // range per doc; boundary-straddling spans are unique and must not
+    // widen it
+    assert(got === Set((1L, 4L, 13L), (2L, 2L, 11L)))
+    assert(got === refDuplicateSpans(docs, 4))
+  }
+
+  test("duplicateSpans: within-doc repeats alone don't count; short docs produce nothing") {
+    val docs = Seq(
+      (1L, "a b c d X Y a b c d"), // repeated span but df = 1 doc
+      (2L, "p q r"),               // shorter than k
+      (3L, ""))
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .collect()
+    assert(got.isEmpty, s"got ${got.mkString(",")}")
+  }
+
+  test("duplicateSpans matches brute force on a randomized small-vocab corpus") {
+    for (seed <- Seq(4, 5)) {
+      val rnd = new Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0L until 40L).map { i =>
+        val len = rnd.nextInt(13)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === refDuplicateSpans(docs, 3), s"seed=$seed")
+    }
+  }
+
   test("simHashNearDupPairs: duplicates at hamming 0, distinct docs rejected") {
     val rnd = new Random(11)
     val vocab = Vector.tabulate(500)(i => s"tok$i")

@@ -37,6 +37,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(ms < 20000, s"took ${ms}ms on one 200k-token row — not linear")
   }
 
+  test("span hashes: positional, xxhash64/concat_ws-compatible, empty under k") {
+    GraftFunctions.registerAll(spark)
+    // byte-identical to the SQL formulation over the same k-token windows
+    val r = spark.sql(
+      "SELECT graft_span_hashes(array('a','b','c'), 2) AS got, " +
+        "array(xxhash64(concat_ws(' ','a','b')), xxhash64(concat_ws(' ','b','c'))) AS want, " +
+        "graft_span_hashes(array('a'), 2) AS short")
+      .collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](2).isEmpty)
+  }
+
   test("sketch expressions type-check at analysis, null array propagates null") {
     GraftFunctions.registerAll(spark)
     // wrong input types fail analysis, not at runtime mid-job
