@@ -140,7 +140,8 @@ object Dedup {
     // graft.functions.MinHashSignature) — no wide aggregate either.
     // persisted: consumed by the signature stage AND both verification
     // joins — without it the shingle computation runs three times.
-    // ContextCleaner unpersists once unreferenced.
+    // Released explicitly below: Dataset caches live in the CacheManager
+    // until unpersist (they are NOT ContextCleaner-managed).
     // isNotNull: null-text docs have a NULL shingle set -> NULL signature
     // -> every element_at is NULL -> xxhash64 (which skips null children)
     // would give ALL of them IDENTICAL band keys, and the banding
@@ -153,12 +154,7 @@ object Dedup {
     // persisted: the banding self-join consumes `banded` on BOTH sides —
     // unpersisted, each side re-evaluates the k-permutation signature
     // (k x n hashes per doc, the most expensive narrow stage here).
-    // Lifecycle: ContextCleaner unpersists once the result DataFrame is
-    // GC'd. A long-lived service looping over MANY dedup calls holds
-    // cached band tables only until its result references die; callers
-    // needing deterministic release should collect/write the pairs and
-    // then drop the reference (blocks are MEMORY_AND_DISK — worst case
-    // they spill, never fail).
+    // Released explicitly below, like `sh`.
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
@@ -170,12 +166,27 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
-    cand
+    val verified = cand
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), Seq("id_b"))
       .withColumn("j", round(jaccard(col("_sha"), col("_shb")), 4))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), col("j"))
+    // Materialize the (small, derived) pair set ONCE, then release both
+    // caches deterministically: the eager localCheckpoint truncates
+    // lineage to its stored blocks, so the returned DataFrame never
+    // recomputes the shingle/band stages, and checkpoint RDD blocks —
+    // unlike Dataset caches — ARE freed by the ContextCleaner once the
+    // result is unreferenced. A long-lived service looping dedup calls
+    // therefore holds no CacheManager entries after each call returns
+    // (the round-4/5/6 leak: persist-without-unpersist accumulated
+    // MEMORY_AND_DISK blocks without bound). On a cluster,
+    // localCheckpoint trades executor-loss recovery for speed — fine for
+    // an edge list consumed promptly by connectedComponents.
+    val out = verified.localCheckpoint(true)
+    sh.unpersist()
+    banded.unpersist()
+    out
   }
 
   /** Connected components over an undirected pair list (id_a, id_b):

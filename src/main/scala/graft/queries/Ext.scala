@@ -305,11 +305,17 @@ object Ext {
     val docs = Tables.documents(s, dir)
     val cfg = Enrich.Config(systemPrompt = "Summarize", rowConcurrency = 8)
     val stub = () => new StubLlmClient(prompt => s"len:${prompt.length}")
-    // persisted: writeSharded's range sampling, the write itself, and the
-    // verification join are three consumers of the enriched plan
+    // eager localCheckpoint, not persist: writeSharded's range sampling,
+    // the write itself, and the verification join are three consumers of
+    // the (paid, stub-LLM) enriched plan. Checkpoint blocks serve all
+    // three and are freed by the ContextCleaner once the result is
+    // unreferenced — a persist here would sit in the CacheManager
+    // forever (Dataset caches are NOT ContextCleaner-managed) with no
+    // safe unpersist point, since the returned DataFrame still reads
+    // `enriched` through the join.
     val enriched = Enrich.enrich(docs, columnIndex = 1, cfg, stub)
       .select(col("doc_id"), col("Response"), col("_row_idx"))
-      .persist()
+      .localCheckpoint(true)
     // fixed, overwritten output location: a fresh createTempDirectory per
     // invocation would accumulate shard directories across Bench's
     // repeated runs of this query

@@ -18,4 +18,11 @@ object GraftColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** True when no Dataset cache is registered — operators that persist
+    * intermediates must leave the CacheManager exactly as they found it
+    * (Dataset caches are NOT ContextCleaner-managed; a leaked entry
+    * lives until explicit unpersist). Test/diagnostic hook. */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

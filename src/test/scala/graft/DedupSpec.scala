@@ -214,6 +214,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === (0 until 6).map(_ * 3L).toSet)
   }
 
+  test("minHashNearDupPairs releases its caches and still serves its result") {
+    spark.catalog.clearCache() // isolate from other suites on the shared session
+    val rnd = new Random(31)
+    val vocab = Vector.tabulate(200)(i => s"c$i")
+    val bases = (0 until 5).map(i => (i * 2L, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val dups = bases.map { case (id, t) => (id + 1, t) }
+    val df = (bases ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+    // deterministic release: no CacheManager entry may survive the call
+    // (Dataset caches are not ContextCleaner-managed — a leak here grows
+    // without bound in a service looping dedup calls)
+    assert(org.apache.spark.sql.GraftColumnBridge.cacheManagerIsEmpty(spark),
+      "minHashNearDupPairs left a Dataset cache registered")
+    // the returned pairs are materialized — correct after the release
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === bases.map { case (id, _) => (id, id + 1) }.toSet)
+  }
+
   // --- substring-span dedup (Lee et al. 2022) ---
 
   /** Brute-force reference: positions (1-based) of k-spans occurring in

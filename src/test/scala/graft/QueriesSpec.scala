@@ -14,6 +14,14 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("csv roundtrip query leaves no Dataset cache behind") {
+    spark.catalog.clearCache()
+    val out = graft.queries.Ext.csvShardedRoundtrip(spark, sf)
+    assert(org.apache.spark.sql.GraftColumnBridge.cacheManagerIsEmpty(spark),
+      "csvShardedRoundtrip left a Dataset cache registered")
+    assert(out.count() > 0)
+  }
+
   test("approximate distinct-count aggregates land within rsd of exact") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
