@@ -174,11 +174,36 @@ object ProcessCsvServer {
     * Unset = no webhook. */
   val WebhookTemplateEnv = "GRAFT_WEBHOOK_URL_TEMPLATE"
 
-  /** Production wiring from the reference's env names (test.py:17-30). */
-  def fromEnv(spark: SparkSession, port: Int, outDir: String): ProcessCsvServer = {
-    val baseUrl = sys.env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1")
-    val apiKey = sys.env.getOrElse("OPENAI_API_KEY", "")
-    new ProcessCsvServer(spark, port, outDir, () => new HttpLlmClient(baseUrl, apiKey),
-      webhookUrlTemplate = sys.env.get(WebhookTemplateEnv))
+  /** The reference's AWS env names (test.py:23,27-30), mapped onto the
+    * S3A connector's Hadoop configuration. Returns the default bucket
+    * (`AWS_S3_BUCKET`), if set. Unset names leave the existing Hadoop
+    * config untouched, so IAM-role / instance-profile deployments (the
+    * reference's commented-out default, test.py:26) keep working —
+    * S3A's provider chain falls through to them. */
+  def applyAwsEnv(spark: SparkSession, env: Map[String, String] = sys.env): Option[String] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    env.get("AWS_ACCESS_KEY").foreach(hc.set("fs.s3a.access.key", _))
+    env.get("AWS_SECRET_KEY").foreach(hc.set("fs.s3a.secret.key", _))
+    env.get("AWS_REGION").foreach(hc.set("fs.s3a.endpoint.region", _))
+    env.get("AWS_S3_BUCKET")
+  }
+
+  /** Output location: the env bucket's root when set — the reference
+    * writes `{file_name}_final.csv` directly under its bucket
+    * (test.py:247-250) — else the caller's directory. */
+  def resolveOutDir(outDir: String, bucket: Option[String]): String =
+    bucket.map(b => s"s3a://$b").getOrElse(outDir)
+
+  /** Production wiring from the reference's env names (test.py:17-30):
+    * OpenAI client config, AWS credentials/region into S3A, default
+    * bucket as the write destination, webhook template. */
+  def fromEnv(spark: SparkSession, port: Int, outDir: String,
+              env: Map[String, String] = sys.env): ProcessCsvServer = {
+    val bucket = applyAwsEnv(spark, env)
+    val baseUrl = env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1")
+    val apiKey = env.getOrElse("OPENAI_API_KEY", "")
+    new ProcessCsvServer(spark, port, resolveOutDir(outDir, bucket),
+      () => new HttpLlmClient(baseUrl, apiKey),
+      webhookUrlTemplate = env.get(WebhookTemplateEnv))
   }
 }

@@ -91,6 +91,30 @@ class ApiSpec extends SparkSpec {
     } finally hook.stop(0)
   }
 
+  test("AWS env vars wire into S3A config and pick the default bucket") {
+    import graft.api.ProcessCsvServer
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      val bucket = ProcessCsvServer.applyAwsEnv(spark, Map(
+        "AWS_ACCESS_KEY" -> "AKTEST", "AWS_SECRET_KEY" -> "sekrit",
+        "AWS_REGION" -> "eu-west-1", "AWS_S3_BUCKET" -> "graft-out"))
+      assert(hc.get("fs.s3a.access.key") == "AKTEST")
+      assert(hc.get("fs.s3a.secret.key") == "sekrit")
+      assert(hc.get("fs.s3a.endpoint.region") == "eu-west-1")
+      assert(bucket.contains("graft-out"))
+      // bucket overrides the local default, mirroring the reference's
+      // bucket-root upload; no bucket -> caller's directory
+      assert(ProcessCsvServer.resolveOutDir("/tmp/out", bucket) == "s3a://graft-out")
+      assert(ProcessCsvServer.resolveOutDir("/tmp/out", None) == "/tmp/out")
+      // unset names must not clobber existing config (IAM-role path)
+      ProcessCsvServer.applyAwsEnv(spark, Map.empty)
+      assert(hc.get("fs.s3a.access.key") == "AKTEST")
+    } finally {
+      Seq("fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint.region")
+        .foreach(hc.unset)
+    }
+  }
+
   test("400 names the first missing parameter, KeyError-style") {
     withServer(None) { port =>
       val resp = post(port, requestJson(writeCsv(), drop = Set("model")))
