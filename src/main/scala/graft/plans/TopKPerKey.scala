@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
@@ -26,7 +28,10 @@ import scala.collection.mutable
   *
   * Semantics: keep rows ranked <= k per key by (orderCol DESC, tieCol
   * ASC) — the tie column makes results deterministic and
-  * oracle-comparable. orderCol is evaluated as double, tieCol as long.
+  * oracle-comparable. orderCol is evaluated in its NATIVE type and
+  * compared with Spark's interpreted ordering for that type (an earlier
+  * version cast to double, which merged long/decimal ranks beyond 2^53
+  * and so had to reject those types); tieCol is evaluated as long.
   */
 case class TopKPerKey(keys: Seq[Attribute], order: Expression, tie: Expression,
                       k: Int, child: LogicalPlan) extends UnaryNode {
@@ -63,21 +68,28 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       else Int.MaxValue
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordEval = BindReferences.bindReference(Cast(orderExpr, DoubleType), childOutput)
+      val ordEval = BindReferences.bindReference(orderExpr, childOutput)
       val tieEval = BindReferences.bindReference(Cast(tieExpr, LongType), childOutput)
+      // Native-type ordering (same interpreted ordering the Sort operator
+      // uses, so NaN/decimal/timestamp semantics match the window
+      // formulation exactly). The heap stores the evaluated value boxed —
+      // no costlier than before (tuple members were already boxed).
+      val valueOrd = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
       // "better" = (non-null, higher order value, lower tie): an explicit
-      // non-null flag keeps null order values BELOW genuine -Infinity
+      // non-null flag keeps null order values BELOW genuine minimal
       // data, matching row_number over DESC (NULLS LAST) exactly.
       // Explicit comparator — the earlier Ordering.by(..., -t) negation
       // overflowed on Long.MinValue (the null-tie encoding), silently
       // inverting NULLS FIRST.
-      type Entry = (Boolean, Double, Long, InternalRow)
+      type Entry = (Boolean, Any, Long, InternalRow)
       val betterOrd: Ordering[Entry] = new Ordering[Entry] {
         override def compare(a: Entry, b: Entry): Int = {
           val c1 = java.lang.Boolean.compare(a._1, b._1)
           if (c1 != 0) return c1
-          val c2 = java.lang.Double.compare(a._2, b._2)
-          if (c2 != 0) return c2
+          if (a._1) { // both non-null
+            val c2 = valueOrd.compare(a._2, b._2)
+            if (c2 != 0) return c2
+          }
           java.lang.Long.compare(b._3, a._3) // LOWER tie is better
         }
       }
@@ -87,7 +99,13 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       def processRow(row: InternalRow): Unit = {
         val v0 = ordEval.eval(row)
         val nonNull = v0 != null
-        val v: Double = if (nonNull) v0.asInstanceOf[Double] else 0.0
+        // UTF8String from an UnsafeRow points into the row buffer the
+        // iterator reuses — clone before the value outlives processRow
+        // (Decimal/primitives are materialized fresh by eval)
+        val v: Any = v0 match {
+          case s: UTF8String => s.clone()
+          case other => other
+        }
         // null tie = Long.MinValue: ASC NULLS FIRST, matching row_number's
         // default null ordering (unboxing null would silently give 0)
         val t0 = tieEval.eval(row)
@@ -169,7 +187,10 @@ object TopK {
     def attr(name: String): Attribute = analyzed.output
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
-    val node = TopKPerKey(keyCols.map(attr), attr(orderCol), attr(tieCol), k, analyzed)
+    val ov = attr(orderCol)
+    require(TopKRewrite.nativeOrderable(ov.dataType),
+      s"order column $orderCol: ${ov.dataType} is not natively orderable by TopKPerKey")
+    val node = TopKPerKey(keyCols.map(attr), ov, attr(tieCol), k, analyzed)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
   }
 }

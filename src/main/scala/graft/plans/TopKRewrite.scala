@@ -30,19 +30,27 @@ import org.apache.spark.sql.types._
   *     two-sort-key shape [[TopKPerKey]] implements. Single-key windows
   *     are NOT rewritten (row_number ties there are nondeterministic and
   *     callers accepted that; we don't change which rows survive);
-  *   - the value type is exactly representable in double (no silent
-  *     precision change: long/decimal stay on the window path) and the
-  *     tie is integral with ASC NULLS FIRST (the heap compares it as
-  *     long, null ranking first like row_number's default);
+  *   - the value is an atomic orderable type, compared natively by the
+  *     exec (long/decimal included — the exec's interpreted ordering
+  *     replaced its old double packing, which merged ranks beyond 2^53);
+  *     non-atomic orderables (arrays/structs) stay on the window path —
+  *     their eval results alias reused row buffers. The tie is integral
+  *     with ASC NULLS FIRST (the heap compares it as long, null ranking
+  *     first like row_number's default);
   *   - the rank filter is `rk <= IntLiteral` / `rk < IntLiteral`;
   *   - the rank attribute is dropped by the Project directly above the
   *     filter — nothing downstream can observe the missing column.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  private def doubleSafe(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | FloatType | DoubleType => true
-    case _ => false // LongType/DecimalType beyond 2^53 would merge ranks
+  /** Order-value types [[TopKPerKeyExec]] compares natively. Atomic
+    * only: array/struct eval results alias reused row buffers, so the
+    * heap could not retain them safely. */
+  private[plans] def nativeOrderable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case DateType | TimestampType | TimestampNTZType | StringType | BooleanType => true
+    case _ => false
   }
 
   private def integral(t: DataType): Boolean = t match {
@@ -93,7 +101,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
           case SortOrder(t, Ascending, NullsFirst, _) => Some(t)
           case _ => None
         }
-        if doubleSafe(value.dataType) && integral(tie.dataType)
+        if nativeOrderable(value.dataType) && integral(tie.dataType)
         // the project must drop rk and only pass through child columns
         if projectList.forall {
           case a: Attribute => !a.semanticEquals(rk) && child.outputSet.contains(a)

@@ -307,10 +307,27 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Decimal-revenue top-k through the same window idiom: decimal order
+    * keys reach the native operator since TopKPerKeyExec compares
+    * natively (the old double packing merged decimal ranks beyond 2^53
+    * and TopKRewrite had to reject the type). */
+  def q26TopkDecimal(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(12,2)"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_dec").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("price_dec"))
+      .orderBy(col("o_orderpriority"), col("price_dec").desc, col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
     "q25_topk_rewrite" -> q25TopkRewrite,
+    "q26_topk_decimal" -> q26TopkDecimal,
     "q01_agg_pricing" -> q01AggPricing,
     "q02_filter_project" -> q02FilterProject,
     "q03_region_revenue" -> q03RegionRevenue,
@@ -351,7 +368,13 @@ object Relational {
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
         |                           ORDER BY o_totalprice DESC, o_orderkey) <= 5
-        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q26_topk_decimal" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) <= 5
+        |ORDER BY o_orderpriority, price_dec DESC, o_orderkey""".stripMargin)
 
   /** DuckDB oracle twins. Casts align DuckDB's wider return types
     * (BIGINT year/length/row_number, DOUBLE ceil/floor) with Spark's. */

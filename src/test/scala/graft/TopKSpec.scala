@@ -101,6 +101,44 @@ class TopKSpec extends SparkSpec {
     assert(asc.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  import org.apache.spark.sql.functions.col
+
+  test("long order keys beyond 2^53 rank exactly (no double collapse)") {
+    // adjacent huge longs are indistinguishable as doubles — the old
+    // double packing would collapse them and let the tie column pick
+    // the WRONG survivors (ids 0,1 instead of the true max values)
+    val base = Long.MaxValue
+    val rows = (0 until 6).map(i => (1L, i.toLong, base - i))
+    val df = rows.toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2).select("id").as[Long].collect().toSet
+    assert(got === Set(0L, 1L)) // v = MaxValue, MaxValue-1
+    val gotTail = TopK.perKey(df.filter(col("id") >= 2), Seq("k"), "v", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(gotTail === Set(2L, 3L))
+  }
+
+  test("optimizer rule fires on DECIMAL order keys and matches the exact ranking") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    graft.plans.TopK.install(spark)
+    val rnd = new Random(77)
+    // values differing only in the last cent, far beyond double's 2^53
+    // integer range once scaled: decimal(20,2) with 18 integer digits
+    val rows = (0 until 400).map { i =>
+      (i % 8, i.toLong, BigDecimal("123456789012345678.00") + BigDecimal(rnd.nextInt(100)) / 100)
+    }
+    val df = rows.toDF("k", "id", "v").withColumn("v", col("v").cast("decimal(20,2)"))
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).drop("rk")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"decimal rewrite did not fire:\n$plan")
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy { case (_, id, v) => (-v, id) }.take(3)
+    }.map { case (k, id, v) => (k, id, v.setScale(2)) }.toSet
+    val got = q.collect().map(r => (r.getInt(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+    assert(got === want)
+  }
+
   test("TopK.perKey with k larger than group size keeps all rows") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 9.9)).toDF("k", "id", "v")
     assert(TopK.perKey(df, Seq("k"), "v", "id", 10).count() == 3)
