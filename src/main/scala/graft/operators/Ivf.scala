@@ -101,4 +101,121 @@ object Ivf {
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
+
+  // ---- IVF-PQ: residual product quantization --------------------------
+
+  /** IVF-PQ model: coarse quantizer + m sub-quantizers of ks codewords
+    * each over cell residuals, flattened `codebook[((j*ks)+c)*dsub+t]`.
+    * A corpus vector is stored as (cell:int, codes: m bytes) — at 100 TB
+    * the index holds m bytes per vector instead of d doubles. */
+  final case class PqModel(coarse: Model, m: Int, ks: Int, codebook: Array[Double]) {
+    def dim: Int = coarse.centroids.head.length
+    private[operators] def centroidsFlat: Array[Double] = coarse.centroids.flatten
+  }
+
+  /** Driver-local Lloyd k-means (deterministic stride init, empty
+    * clusters keep their previous center). PQ codebooks are trained on a
+    * bounded residual sample — standard practice (FAISS does the same):
+    * at any corpus scale the driver sees <= `sample rows` x d doubles. */
+  private def kmeansLocal(pts: Array[Array[Double]], ks: Int, iters: Int): Array[Array[Double]] = {
+    val n = pts.length
+    var centers = Array.tabulate(ks)(c => pts(((c.toLong * n) / ks).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(ks)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](ks)
+      pts.foreach { p =>
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var dist = 0.0; var t = 0
+          while (t < p.length) { val df = p(t) - centers(c)(t); dist += df * df; t += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        var t = 0
+        while (t < p.length) { sums(best)(t) += p(t); t += 1 }
+        counts(best) += 1
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  /** Train coarse quantizer + per-subspace residual codebooks. The
+    * codebook sample is drawn in xxhash64-of-id order (deterministic,
+    * linear TakeOrdered — no global sort), capped at `sampleSize`. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              iters: Int = 3, m: Int = 8, ks: Int = 256,
+              sampleSize: Int = 20000, pqIters: Int = 8): PqModel = {
+    val coarse = train(corpus, idCol, vecCol, k, iters)
+    val d = coarse.centroids.head.length
+    require(d % m == 0, s"embedding dim $d must divide by m=$m")
+    require(ks <= 256, "ks must fit one byte")
+    val dsub = d / m
+    val cents = centroidLits(coarse.centroids)
+    val base = corpus.select(col(idCol).as("_id"), unit(col(vecCol)).as("_v"))
+    val sample = withCell(base, col("_v"), cents, "_cell")
+      .orderBy(xxhash64(col("_id"))).limit(sampleSize)
+      .select(col("_v"), col("_cell")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val residuals = sample.map { case (v, cell) =>
+      Array.tabulate(d)(t => v(t) - coarse.centroids(cell)(t))
+    }
+    val codebook = new Array[Double](m * ks * dsub)
+    for (j <- 0 until m) {
+      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      val cw = kmeansLocal(sub, ks, pqIters)
+      for (c <- 0 until ks; t <- 0 until dsub) codebook(((j * ks) + c) * dsub + t) = cw(c)(t)
+    }
+    PqModel(coarse, m, ks, codebook)
+  }
+
+  /** Encode a corpus against a PQ model: (id, _cell, _codes) with codes
+    * as m bytes. Fully narrow (two codegen'd expressions) — the 100 TB
+    * index build is a pure scan; persist/write the result once and serve
+    * many query batches from it. */
+  def encodePq(corpus: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
+    val cents = centroidLits(model.coarse.centroids)
+    withCell(corpus.select(col(idCol), unit(col(vecCol)).as("_v")), col("_v"), cents, "_cell")
+      .withColumn("_codes", cc(graft.functions.PqEncode(
+        ee(col("_v")), ee(col("_cell")), model.centroidsFlat, model.codebook, model.m, model.ks)))
+      .select(col(idCol), col("_cell"), col("_codes"))
+  }
+
+  /** IVF-PQ approximate top-k by asymmetric distance: probe nProbe cells,
+    * score candidates as `q . centroid[cell] + LUT-sum(codes)` — m table
+    * lookups per candidate, never touching the original vectors. Same
+    * output shape as [[searchTopK]] with `score` in place of exact cos. */
+  def searchTopKPq(queries: DataFrame, corpus: DataFrame, model: PqModel,
+                   qId: String, cId: String, qVec: String, cVec: String,
+                   topK: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
+    val cents = centroidLits(model.coarse.centroids)
+    val enc = encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id")
+    val qScores = array(cents.map(ct => VectorOps.dotProduct(col("_qv"), ct)): _*)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_cdot").desc, col("_cell"))
+    val q = queries.select(col(qId).as("query_id"), unit(col(qVec)).as("_qv"))
+      .withColumn("_cs", qScores)
+      .select(col("query_id"), col("_qv"),
+        posexplode(col("_cs")).as(Seq("_cell", "_cdot")))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nProbe)
+      // LUT is cell-independent (inner-product ADC): nProbe copies per
+      // query ride the join, each m*ks doubles — small next to the
+      // candidate fan-in they replace
+      .withColumn("_lut", cc(graft.functions.PqAdcLut(ee(col("_qv")), model.codebook, model.m, model.ks)))
+      .select(col("query_id"), col("_cell"), col("_cdot"), col("_lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    enc.join(q, Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        round(col("_cdot") + cc(graft.functions.PqLookupSum(ee(col("_codes")), ee(col("_lut")))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("score"))
+  }
 }

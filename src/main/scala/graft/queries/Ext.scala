@@ -184,6 +184,19 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ ANN: coarse quantizer + per-subspace residual codebooks;
+    * candidates score by asymmetric distance over m-byte codes
+    * (rows-only check — approximate by design; recall vs brute force is
+    * spec-tested in IvfSpec). */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = graft.operators.Ivf.trainPq(e, "vec_id", "embedding",
+      k = 16, iters = 2, m = 8, ks = 32, pqIters = 5)
+    graft.operators.Ivf.searchTopKPq(e.filter(col("vec_id") < 20), e, model,
+        "vec_id", "vec_id", "embedding", "embedding", topK = 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Custom typed Aggregator (map-side combined): mean embedding per
     * label. Output is exploded to one row per (label, dim) — scalar
     * columns hash-compare cleanly against the oracle. */
@@ -393,6 +406,7 @@ object Ext {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
     "sim_ivf" -> simIvf,
+    "sim_ivfpq" -> simIvfPq,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,

@@ -39,4 +39,48 @@ class IvfSpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
     }
   }
+
+  test("IVF-PQ: m-byte codes, recall >= 0.85 vs brute force on clustered data") {
+    val rnd = new Random(43)
+    // 80 tight 5-member blobs: each query's true top-5 IS one whole blob
+    // (cos ~0.99 within, low across), so set-recall measures what PQ
+    // preserves — coarse geometry — not within-blob fine ordering, which
+    // product quantization deliberately gives up
+    val centers = Array.fill(80)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i / 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    // queries sit near 8 blob centers, ids outside the corpus
+    val queries = (0 until 8).map { b =>
+      (1000L + b, centers(b * 10).map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val model = Ivf.trainPq(df, "vec_id", "embedding", k = 16, iters = 3,
+      m = 4, ks = 32, pqIters = 6)
+    assert(model.codebook.length == 4 * 32 * 4) // m * ks * dsub
+
+    // the index stores m BYTES per vector — the PQ memory contract
+    val enc = Ivf.encodePq(df, "vec_id", "embedding", model)
+    val codes = enc.select("_codes").as[Array[Byte]].collect()
+    assert(codes.length == 400 && codes.forall(_.length == 4))
+
+    val pq = Ivf.searchTopKPq(queries, df, model, "vec_id", "vec_id",
+        "embedding", "embedding", topK = 5, nProbe = 4)
+      .as[(Long, Int, Long, Double)].collect()
+    val brute = Similarity.knnBruteForce(queries, df, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = bruteSets.map { case (q, want) =>
+      pqSets.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.85, s"mean PQ recall@5 = $meanRecall")
+    pq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+    }
+  }
 }
