@@ -68,10 +68,11 @@ object Ext {
   }
 
   /** Composite corpus quality gate — the canonical pretraining filter
-    * pipeline in ONE narrow pass: heuristic quality score, Gopher
-    * top-bigram repetition bound, and langid-vs-label agreement. Every
-    * predicate stays in WholeStageCodegen; at 100 TB this is a pure scan
-    * with all three filters fused. */
+    * pipeline in ONE narrow pass: heuristic quality score, BOTH Gopher
+    * repetition bounds (duplicate-line and top-bigram fractions), and
+    * langid-vs-label agreement. Every predicate stays in
+    * WholeStageCodegen; at 100 TB this is a pure scan with all four
+    * filters fused. */
   def txtQualityGate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // no cache boundary: with the bigram rule native, the fused
@@ -79,15 +80,18 @@ object Ext {
     // substitution (each metric evaluated twice — once in the pushed
     // predicate, once in the projection) is affordable; a persist here
     // would pin an unreleasable cache AND make Bench's repeat runs
-    // measure a cached scan instead of the pipeline
+    // measure a cached scan instead of the pipeline. The dup-line rule
+    // is split/array_distinct/size builtins (codegen'd, no HOF lambda),
+    // so fusing it keeps the single-scan shape.
     val metrics = d.select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
         TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
         TextAnalysis.langId(col("text")).as("pred_lang"))
     metrics
-      .filter(col("quality") >= 0.5 && col("top_bigram_frac") <= 0.2 &&
-        col("pred_lang") === col("lang"))
-      .select(col("doc_id"), col("quality"), col("top_bigram_frac"))
+      .filter(col("quality") >= 0.5 && col("dup_line_frac") <= 0.3 &&
+        col("top_bigram_frac") <= 0.2 && col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("quality"), col("dup_line_frac"), col("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -464,12 +468,15 @@ object Ext {
          |best AS (SELECT doc_id, max(c) AS best FROM
          |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
          |r AS (SELECT q.doc_id, q.lang, q.quality, q.en, q.de, q.fr,
+         |        round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
+         |              ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
+         |                         / len(string_split(t.text, chr(10))) END + 1e-9, 4) AS dup_line_frac,
          |        round(CASE WHEN len(t.toks) < 2 THEN 0.0
          |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
          |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id)
-         |SELECT doc_id, quality, top_bigram_frac
+         |SELECT doc_id, quality, dup_line_frac, top_bigram_frac
          |FROM r
-         |WHERE quality >= 0.5 AND top_bigram_frac <= 0.2
+         |WHERE quality >= 0.5 AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2
          |  AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang
          |ORDER BY doc_id""".stripMargin,
     "txt_decontam" ->

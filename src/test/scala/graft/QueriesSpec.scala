@@ -14,6 +14,21 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("quality gate drops line-spam docs (dup-line rule bites on multi-line input)") {
+    // the shipped fixture is all single-line docs, where the dup-line
+    // rule is vacuous — plant a corpus where it is the ONLY deciding rule
+    import spark.implicits._
+    val good = ("the a and of is it in to or an " * 5).trim // passes every rule
+    val spam = Array.fill(10)(good).mkString("\n")           // same text, 10 identical lines
+    val dir = java.nio.file.Files.createTempDirectory("graft_qg").toString
+    Seq((1L, good, "en", "web", good.length.toLong), (2L, spam, "en", "web", spam.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Ext.txtQualityGate(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L), s"dup-line rule should drop doc 2, kept: $out")
+  }
+
   test("csv roundtrip query leaves no Dataset cache behind") {
     spark.catalog.clearCache()
     val out = graft.queries.Ext.csvShardedRoundtrip(spark, sf)
