@@ -90,19 +90,31 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"))
 
-  private def markerHits(text: Column, lang: String): Column =
-    size(array_intersect(array_distinct(tokens(text)), array(markers(lang).map(lit): _*)))
-
-  /** N-gram/stopword-marker language ID over {en, de, fr}; ties resolve
-    * en > de > fr (fixed order, so the result is deterministic). */
-  def langId(text: Column): Column = {
-    val en = markerHits(text, "en")
-    val de = markerHits(text, "de")
-    val fr = markerHits(text, "fr")
+  /** Distinct-token form of [[langId]]: intersects a PRE-COMPUTED
+    * `array_distinct(tokens(text))` column per language. Callers should
+    * materialize that column in a lower projection (CollapseProject keeps
+    * a non-cheap expression referenced more than once in its own
+    * projection), so the text is tokenized + deduplicated ONCE per row
+    * instead of once per language — ~3x less scan work on the langid
+    * path. */
+  def langIdFromDistinctTokens(distinctToks: Column): Column = {
+    def hits(lang: String): Column =
+      size(array_intersect(distinctToks, array(markers(lang).map(lit): _*)))
+    val en = hits("en")
+    val de = hits("de")
+    val fr = hits("fr")
     when(en >= de && en >= fr, lit("en"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
   }
+
+  /** N-gram/stopword-marker language ID over {en, de, fr}; ties resolve
+    * en > de > fr (fixed order, so the result is deterministic).
+    * Single-projection convenience form — inside a wide scan, prefer
+    * materializing the distinct tokens and calling
+    * [[langIdFromDistinctTokens]]. */
+  def langId(text: Column): Column =
+    langIdFromDistinctTokens(array_distinct(tokens(text)))
 
   /** Canonical text form for fingerprinting: lowercase, punctuation
     * stripped, whitespace collapsed. */

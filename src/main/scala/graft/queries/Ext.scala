@@ -30,7 +30,14 @@ object Ext {
 
   def txtLangId(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+    // lower projection materializes the distinct tokens once; the three
+    // per-language intersections above reference the column, not the
+    // tokenizer (CollapseProject keeps the boundary: non-cheap expr
+    // referenced 3x)
+    d.select(col("doc_id"), col("lang"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("_toks"))
+      .select(col("doc_id"),
+        TextAnalysis.langIdFromDistinctTokens(col("_toks")).as("pred_lang"), col("lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -83,11 +90,13 @@ object Ext {
     // measure a cached scan instead of the pipeline. The dup-line rule
     // is split/array_distinct/size builtins (codegen'd, no HOF lambda),
     // so fusing it keeps the single-scan shape.
-    val metrics = d.select(col("doc_id"), col("lang"),
+    val withToks = d.select(col("doc_id"), col("lang"), col("text"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("_toks"))
+    val metrics = withToks.select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
         TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
-        TextAnalysis.langId(col("text")).as("pred_lang"))
+        TextAnalysis.langIdFromDistinctTokens(col("_toks")).as("pred_lang"))
     metrics
       .filter(col("quality") >= 0.5 && col("dup_line_frac") <= 0.3 &&
         col("top_bigram_frac") <= 0.2 && col("pred_lang") === col("lang"))
