@@ -14,7 +14,7 @@ object EnrichProbes {
   val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   val keys: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def reset(): Unit = { inFlight.set(0); maxSeen.set(0); calls.set(0); keys.clear() }
+  def reset(): Unit = { inFlight.set(0); maxSeen.set(0); calls.set(0); keys.clear(); keyCounts.clear() }
 
   class ProbeClient extends graft.llm.LlmClient with Serializable {
     override def complete(req: graft.llm.LlmRequest): String = {
@@ -29,6 +29,17 @@ object EnrichProbes {
 
   class KeyCapture extends graft.llm.LlmClient with Serializable {
     override def complete(req: graft.llm.LlmRequest): String = { keys.add(req.idempotencyKey); "ok" }
+  }
+
+  val keyCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Counts every attempt per idempotency key; hangs on a chosen row. */
+  class DeadlineClient(hangMarker: String) extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      keyCounts.merge(req.idempotencyKey, 1, (a, b) => a + b)
+      if (req.prompt.contains(hangMarker)) Thread.sleep(60000)
+      "ok"
+    }
   }
 }
 
@@ -168,6 +179,35 @@ class EnrichSpec extends SparkSpec {
     Enrich.enrich(corpus(12), 0, cfg, () => new EnrichProbes.KeyCapture).collect()
     import scala.jdk.CollectionConverters._
     assert(EnrichProbes.keys.asScala.toSet == (0 until 12).map(i => s"req9-$i").toSet)
+  }
+
+  test("deadline failure: every paid call attempted exactly once, under keyed identity") {
+    // Spark local mode runs with task maxFailures = 1 — a deadline-failed
+    // batch aborts the job rather than re-running the paid calls. This
+    // test pins BOTH halves of the double-spend contract: (a) within the
+    // single job attempt no (requestId, row) key is called twice, and
+    // (b) every attempted call carried its stable key, so on a cluster
+    // (where task retries DO re-run a batch) an idempotent proxy can
+    // drop the duplicates the retry would otherwise double-spend.
+    EnrichProbes.reset()
+    val cfg = Enrich.Config(systemPrompt = "P", requestId = "dl1", batchSize = 5,
+      rowConcurrency = 2, retries = 1, batchTimeoutMs = 600)
+    val t0 = System.nanoTime()
+    val ex = intercept[Exception] {
+      Enrich.enrich(corpus(20), 0, cfg, () => new EnrichProbes.DeadlineClient("row7")).collect()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected the batch deadline, got: $ex")
+    assert(secs < 20, f"deadline failure took $secs%.1f s — not bounded")
+    import scala.jdk.CollectionConverters._
+    val counts = EnrichProbes.keyCounts.asScala
+    assert(counts.nonEmpty, "probe observed no calls")
+    val doubled = counts.filter(_._2 > 1)
+    assert(doubled.isEmpty, s"paid calls attempted more than once in one job attempt: $doubled")
+    assert(counts.keys.forall(_.startsWith("dl1-")), "a call went out without its idempotency key")
   }
 
   test("StubLlmClient is a pure function of the prompt") {
