@@ -183,10 +183,13 @@ object Dedup {
     // MEMORY_AND_DISK blocks without bound). On a cluster,
     // localCheckpoint trades executor-loss recovery for speed — fine for
     // an edge list consumed promptly by connectedComponents.
-    val out = verified.localCheckpoint(true)
-    sh.unpersist()
-    banded.unpersist()
-    out
+    try verified.localCheckpoint(true)
+    finally {
+      // also on a failed checkpoint job: an abandoned call must not pin
+      // the caches (Ivf.train guards its training cache the same way)
+      sh.unpersist()
+      banded.unpersist()
+    }
   }
 
   /** Connected components over an undirected pair list (id_a, id_b):
@@ -353,7 +356,12 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would mark every span duplicated")
-    // 1-based positions: span at pos p covers tokens [p, p+k-1]
+    // 1-based positions: span at pos p covers tokens [p, p+k-1].
+    // `spans` feeds both the doc-frequency aggregate and the join probe —
+    // deliberately RECOMPUTED per consumer, not persisted: the posting
+    // set is ~n_tokens rows (corpus-sized; caching it at 100 TB costs
+    // more than the narrow re-scan), while the duplicated-hash set it
+    // reduces to is small and broadcasts back for the second pass.
     val spans = df
       .select(col(idCol),
         posexplode(graft.functions.SpanHashes(TextAnalysis.tokens(col(textCol)), k)))

@@ -72,6 +72,22 @@ object Ivf {
     } finally base.unpersist() // a mid-train failure must not pin the cache
   }
 
+  /** Per-query probe set: the `nProbe` cells with the highest
+    * centroid dot products, as (query_id, _qv, _cell, _cdot) rows.
+    * Shared by [[searchTopK]] and [[searchTopKPq]]. */
+  private def probedCells(queries: DataFrame, qId: String, qVec: String,
+                          cents: Seq[Column], nProbe: Int): DataFrame = {
+    val qScores = array(cents.map(ct => VectorOps.dotProduct(col("_qv"), ct)): _*)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_cdot").desc, col("_cell"))
+    queries.select(col(qId).as("query_id"), unit(col(qVec)).as("_qv"))
+      .withColumn("_cs", qScores)
+      .select(col("query_id"), col("_qv"),
+        posexplode(col("_cs")).as(Seq("_cell", "_cdot")))
+      .withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"), col("_cdot"))
+  }
+
   /** Approximate top-k cosine neighbors: score only vectors in each
     * query's `nProbe` best cells. Output matches Similarity.knnBruteForce
     * (query_id, rk, neighbor_id, cos). */
@@ -82,14 +98,7 @@ object Ivf {
     val c = withCell(
       corpus.select(col(cId).as("neighbor_id"), unit(col(cVec)).as("_cv")),
       col("_cv"), cents, "_cell")
-    val qScores = array(cents.map(ct => VectorOps.dotProduct(col("_qv"), ct)): _*)
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_cdot").desc, col("_cell"))
-    val q = queries.select(col(qId).as("query_id"), unit(col(qVec)).as("_qv"))
-      .withColumn("_cs", qScores)
-      .select(col("query_id"), col("_qv"),
-        posexplode(col("_cs")).as(Seq("_cell", "_cdot")))
-      .withColumn("_pr", row_number().over(probeW))
-      .filter(col("_pr") <= nProbe)
+    val q = probedCells(queries, qId, qVec, cents, nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     // no broadcast hint: a small probe set broadcasts via AQE anyway; a
@@ -196,17 +205,10 @@ object Ivf {
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
     val cents = centroidLits(model.coarse.centroids)
     val enc = encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id")
-    val qScores = array(cents.map(ct => VectorOps.dotProduct(col("_qv"), ct)): _*)
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("_cdot").desc, col("_cell"))
-    val q = queries.select(col(qId).as("query_id"), unit(col(qVec)).as("_qv"))
-      .withColumn("_cs", qScores)
-      .select(col("query_id"), col("_qv"),
-        posexplode(col("_cs")).as(Seq("_cell", "_cdot")))
-      .withColumn("_pr", row_number().over(probeW))
-      .filter(col("_pr") <= nProbe)
-      // LUT is cell-independent (inner-product ADC): nProbe copies per
-      // query ride the join, each m*ks doubles — small next to the
-      // candidate fan-in they replace
+    // LUT is cell-independent (inner-product ADC): nProbe copies per
+    // query ride the join, each m*ks doubles — small next to the
+    // candidate fan-in they replace
+    val q = probedCells(queries, qId, qVec, cents, nProbe)
       .withColumn("_lut", cc(graft.functions.PqAdcLut(ee(col("_qv")), model.codebook, model.m, model.ks)))
       .select(col("query_id"), col("_cell"), col("_cdot"), col("_lut"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))

@@ -96,16 +96,18 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
       // min-heap under betterOrd: the root is the current worst survivor
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       var bufferedRows = 0
+      // UTF8String from an UnsafeRow points into the row buffer the
+      // iterator reuses — clone when (and only when) the value outlives
+      // processRow by entering a heap; the common rejected row compares
+      // against the buffer-backed value and allocates nothing
+      // (Decimal/primitives are materialized fresh by eval).
+      def keep(v: Any): Any = v match {
+        case s: UTF8String => s.clone()
+        case other => other
+      }
       def processRow(row: InternalRow): Unit = {
         val v0 = ordEval.eval(row)
         val nonNull = v0 != null
-        // UTF8String from an UnsafeRow points into the row buffer the
-        // iterator reuses — clone before the value outlives processRow
-        // (Decimal/primitives are materialized fresh by eval)
-        val v: Any = v0 match {
-          case s: UTF8String => s.clone()
-          case other => other
-        }
         // null tie = Long.MinValue: ASC NULLS FIRST, matching row_number's
         // default null ordering (unboxing null would silently give 0)
         val t0 = tieEval.eval(row)
@@ -114,16 +116,16 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Expression, tie: Expressi
         heaps.get(key) match {
           case None =>
             val h = mutable.PriorityQueue.empty(betterOrd.reverse)
-            h.enqueue((nonNull, v, t, row.copy()))
+            h.enqueue((nonNull, keep(v0), t, row.copy()))
             heaps.put(key.copy(), h)
             bufferedRows += 1
           case Some(h) =>
             if (h.size < kLocal) {
-              h.enqueue((nonNull, v, t, row.copy()))
+              h.enqueue((nonNull, keep(v0), t, row.copy()))
               bufferedRows += 1
-            } else if (betterOrd.compare((nonNull, v, t, null), h.head) > 0) {
+            } else if (betterOrd.compare((nonNull, v0, t, null), h.head) > 0) {
               h.dequeue()
-              h.enqueue((nonNull, v, t, row.copy()))
+              h.enqueue((nonNull, keep(v0), t, row.copy()))
             }
         }
       }
