@@ -353,16 +353,17 @@ object Dedup {
     * Duplicated-hash fan-out is bounded by true duplication (work is
     * proportional to the number of duplicated span occurrences), and
     * every shuffle key is a long or the doc id. */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+  /** Positional k-span postings (id, _pos 1-based, _h) filtered to
+    * hashes occurring in >= minDocFreq DISTINCT documents.
+    * The posting set feeds both the doc-frequency aggregate and the join
+    * probe — deliberately RECOMPUTED per consumer, not persisted: it is
+    * ~n_tokens rows (corpus-sized; caching it at 100 TB costs more than
+    * the narrow re-scan), while the duplicated-hash set it reduces to is
+    * small and broadcasts back for the second pass. */
+  private def duplicatedSpanPostings(df: DataFrame, idCol: String, textCol: String,
+                                     k: Int, minDocFreq: Int): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would mark every span duplicated")
-    // 1-based positions: span at pos p covers tokens [p, p+k-1].
-    // `spans` feeds both the doc-frequency aggregate and the join probe —
-    // deliberately RECOMPUTED per consumer, not persisted: the posting
-    // set is ~n_tokens rows (corpus-sized; caching it at 100 TB costs
-    // more than the narrow re-scan), while the duplicated-hash set it
-    // reduces to is small and broadcasts back for the second pass.
-    val spans = df
+    def spans = df
       .select(col(idCol),
         posexplode(graft.functions.SpanHashes(TextAnalysis.tokens(col(textCol)), k)))
       .select(col(idCol), (col("pos") + 1).as("_pos"), col("col").as("_h"))
@@ -370,9 +371,13 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") >= minDocFreq)
       .select(col("_h"))
-    val hits = spans.join(dup, Seq("_h")).select(col(idCol), col("_pos"))
-    // two spans at positions p_prev < p overlap or touch iff
-    // p <= p_prev + k; a larger gap starts a new maximal range
+    spans.join(dup, Seq("_h"))
+  }
+
+  /** Merge hit positions (id, _pos) into maximal 1-based-inclusive
+    * (id, token_start, token_end) ranges: two spans at p_prev < p overlap
+    * or touch iff p <= p_prev + k; a larger gap starts a new range. */
+  private def mergeSpanRanges(hits: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     hits
       .withColumn("_new",
@@ -383,6 +388,50 @@ object Dedup {
       .agg(min(col("_pos")).cast("long").as("token_start"),
         (max(col("_pos")) + k - 1).cast("long").as("token_end"))
       .select(col(idCol), col("token_start"), col("token_end"))
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocFreq: Int = 2): DataFrame =
+    mergeSpanRanges(
+      duplicatedSpanPostings(df, idCol, textCol, k, minDocFreq).select(col(idCol), col("_pos")),
+      idCol, k)
+
+  /** Remove token ranges from documents: `ranges` is (id, token_start,
+    * token_end) 1-based inclusive (the [[duplicateSpans]] shape). Docs
+    * absent from `ranges` keep their text VERBATIM; stripped docs are
+    * rebuilt by re-joining surviving tokens with single spaces (span
+    * dedup is token-level — original whitespace inside stripped docs is
+    * normalized, documented behavior). The rebuild is two nested HOF
+    * lambdas — CodegenFallback, but per-row-once in a non-generator
+    * projection (the documented safe position), and range lists per doc
+    * are short. */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String, ranges: DataFrame,
+                 outCol: String = "text_dedup"): DataFrame = {
+    val rs = ranges.groupBy(col(idCol))
+      .agg(collect_list(struct(col("token_start").as("s"), col("token_end").as("e"))).as("_rs"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("_rs"), r => (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")))
+    df.join(rs, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("_rs").isNull, col(textCol)).otherwise(concat_ws(" ", kept)))
+      .drop("_rs")
+  }
+
+  /** End-to-end substring-span dedup (Lee et al. 2022 apply path): the
+    * FIRST occurrence of each duplicated k-span — lowest (id, position)
+    * — is kept; every other occurrence is stripped from its document.
+    * Returns `df` plus `outCol` with the deduplicated text. The
+    * occurrence ranking is one more hash-shuffle window over the
+    * duplicated postings (small: only true duplicates rank). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+                 minDocFreq: Int = 2, outCol: String = "text_dedup"): DataFrame = {
+    val hits = duplicatedSpanPostings(df, idCol, textCol, k, minDocFreq)
+    val rankW = Window.partitionBy(col("_h")).orderBy(col(idCol), col("_pos"))
+    val strip = hits.withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") > 1)
+      .select(col(idCol), col("_pos"))
+    stripSpans(df, idCol, textCol, mergeSpanRanges(strip, idCol, k), outCol)
   }
 
   /** 64-bit SimHash over the token multiset: bit i of the result is the

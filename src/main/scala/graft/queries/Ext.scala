@@ -164,6 +164,13 @@ object Ext {
     Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
       .orderBy(col("doc_id"), col("token_start"))
 
+  /** Span-dedup APPLY path: keep the first occurrence of each duplicated
+    * 8-token span, strip the rest, return the rewritten text. */
+  def txtSpanStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("text_dedup"))
+      .orderBy(col("doc_id"))
+
   // ---- similarity search ----------------------------------------------
 
   def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -415,6 +422,7 @@ object Ext {
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
     "txt_span_dedup" -> txtSpanDedup,
+    "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
@@ -609,6 +617,41 @@ object Ext {
         |      FROM g)
         |SELECT doc_id, min(pos) AS token_start, max(pos) + 7 AS token_end
         |FROM m GROUP BY doc_id, grp ORDER BY doc_id, token_start""".stripMargin,
+    // keep-first policy: rank every duplicated-span occurrence by
+    // (doc_id, pos); rank-1 survives, the rest merge to ranges and strip.
+    // Rebuild = nested DuckDB lambdas filtering 1-based token positions
+    // against the doc's range list (zip via the {'i','tk'} struct list).
+    "txt_span_strip" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(toks) - 7)) AS pos,
+        |        unnest(list_transform(generate_series(1, len(toks) - 7),
+        |               i -> array_to_string(toks[i:i+7], ' '))) AS sp
+        |      FROM t WHERE len(toks) >= 8),
+        |dup AS (SELECT sp FROM s GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT s.doc_id, s.pos, s.sp FROM s JOIN dup USING (sp)),
+        |strip AS (SELECT doc_id, pos FROM (
+        |            SELECT doc_id, pos,
+        |                   row_number() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rn
+        |            FROM hit)
+        |          WHERE rn > 1),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |             THEN 0 ELSE 1 END AS new_g
+        |      FROM strip),
+        |m AS (SELECT doc_id, pos,
+        |        sum(new_g) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g),
+        |rng AS (SELECT doc_id, min(pos) AS rs, max(pos) + 7 AS re FROM m GROUP BY doc_id, grp),
+        |rl AS (SELECT doc_id, list({'s': rs, 'e': re}) AS rl FROM rng GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN rl.rl IS NULL THEN t.text
+        |  -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+        |  ELSE coalesce(array_to_string(list_transform(list_filter(
+        |         list_transform(range(1, len(t.toks)+1), i -> {'i': i, 'tk': t.toks[i]}),
+        |         x -> len(list_filter(rl.rl, r -> x.i >= r.s AND x.i <= r.e)) = 0),
+        |       x -> x.tk), ' '), '') END AS text_dedup
+        |FROM t LEFT JOIN rl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE
          |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),

@@ -295,6 +295,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force keep-first span dedup: rank duplicated-span occurrences
+    * by (doc, pos), strip every non-first occurrence's [p, p+k-1] cover. */
+  private def refDedupSpans(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+    val spans = docs.flatMap { case (id, t) =>
+      val toks = refTokens(t)
+      (0 to toks.length - k).map(i => (id, i + 1L, toks.slice(i, i + k).mkString(" ")))
+    }
+    val docFreq = spans.groupBy(_._3).map { case (sp, occ) => sp -> occ.map(_._1).distinct.size }
+    val dupOcc = spans.filter(s => docFreq(s._3) >= 2)
+    val keep = dupOcc.groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
+    val stripPos = dupOcc.filterNot(keep).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.map { case (id, t) =>
+      id -> (stripPos.get(id) match {
+        case None => t
+        case Some(ps) =>
+          val covered = (i: Long) => ps.exists(p => i >= p && i <= p + k - 1)
+          refTokens(t).zipWithIndex.collect { case (tok, i) if !covered(i + 1L) => tok }
+            .mkString(" ")
+      })
+    }.toMap
+  }
+
+  test("stripSpans removes exactly the given ranges; docs without ranges stay verbatim") {
+    val docs = Seq((1L, "a  b c d e"), (2L, "x y z")).toDF("doc_id", "text")
+    val ranges = Seq((1L, 2L, 3L)).toDF("doc_id", "token_start", "token_end")
+    val got = Dedup.stripSpans(docs, "doc_id", "text", ranges)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a d e")      // tokens 2-3 stripped, rebuilt single-spaced
+    assert(got(2L) == "x y z")      // untouched doc keeps ORIGINAL text verbatim
+  }
+
+  test("dedupSpans keeps the first occurrence, strips the rest") {
+    val shared = (1 to 10).map(i => s"S$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3"),   // first occurrence — kept verbatim
+      (2L, s"v1 $shared v2"),      // stripped
+      (3L, "w1 w2 w3 w4 w5"))
+    val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(got(1L) == s"u1 u2 $shared u3", "canonical doc must keep its text verbatim")
+    assert(got(2L) == "v1 v2", s"duplicate span should strip: ${got(2L)}")
+    assert(got(3L) == "w1 w2 w3 w4 w5")
+    assert(got === refDedupSpans(docs, 4))
+  }
+
+  test("dedupSpans matches brute force on a randomized small-vocab corpus") {
+    for (seed <- Seq(6, 7)) {
+      val rnd = new Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0L until 40L).map { i =>
+        val len = rnd.nextInt(13)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+        .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+      assert(got === refDedupSpans(docs, 3), s"seed=$seed")
+    }
+  }
+
   test("simHashNearDupPairs: duplicates at hamming 0, distinct docs rejected") {
     val rnd = new Random(11)
     val vocab = Vector.tabulate(500)(i => s"tok$i")
