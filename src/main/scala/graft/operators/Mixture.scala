@@ -33,6 +33,31 @@ object Mixture {
     }
   }
 
+  /** [[mix]] with the fractional draw decided by an md5 threshold over
+    * an id column instead of seeded RNG: a row survives iff the first 8
+    * hex digits of `md5(name|id)` fall below `floor(frac * 2^32)` (fixed
+    * -width lowercase hex compares lexicographically == numerically).
+    * md5 agrees across engines, so — unlike RNG sampling — the mix is
+    * reproducible on ANY engine and layout, and oracle-checkable (same
+    * property [[Sample.capPerKey]] uses). Still N narrow scans, zero
+    * shuffles. */
+  def mixDeterministic(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame = {
+    require(sources.nonEmpty)
+    val parts = sources.map { case (name, df, rate) =>
+      require(rate >= 0, s"negative rate for $name")
+      val whole = math.floor(rate).toInt
+      val frac = rate - whole
+      val thresholdHex = f"${(frac * 4294967296.0).toLong}%08x"
+      val draw = substring(md5(concat_ws("|", lit(name), col(idCol).cast("string")).cast("binary")), 1, 8)
+      val fracDf = if (frac > 0) Seq(df.filter(draw < lit(thresholdHex))) else Nil
+      Seq.fill(whole)(df) ++ fracDf match {
+        case Seq() => df.limit(0).withColumn("mix_source", lit(name))
+        case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** @param sources (name, df, rate) — rate in [0, inf): expected copies
     *                of each source row in the mix.
     * @return union of sampled sources with a `mix_source` column. */

@@ -124,6 +124,22 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-rebalanced corpus mixing (XLM-R-style p_i ∝ size_i^0.3),
+    * deterministic md5-threshold sampling — the full rates+mix path,
+    * oracle-checked end to end. Per-source sizes are a 3-row collect
+    * (bounded by the number of sources, not the data). */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sizes = d.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val rates = graft.operators.Mixture.temperatureRates(sizes, alpha = 0.3, targetRows = total / 2)
+    val sources = rates.map { case (lang, rate) => (lang, d.filter(col("lang") === lang), rate) }
+    graft.operators.Mixture.mixDeterministic(sources, "doc_id")
+      .select(col("mix_source"), col("doc_id"))
+      .orderBy(col("mix_source"), col("doc_id"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -417,6 +433,7 @@ object Ext {
     "txt_quality_gate" -> txtQualityGate,
     "txt_decontam" -> txtDecontam,
     "smp_cap_per_key" -> smpCapPerKey,
+    "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
@@ -463,6 +480,29 @@ object Ext {
         |        ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
         |FROM t LEFT JOIN best ON t.doc_id = best.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // whole copies expand via a projected unnest(range(floor(rate)));
+    // the fractional draw compares an 8-hex md5 prefix against
+    // printf('%08x', floor(frac * 2^32)) — identical arithmetic to the
+    // Scala side (toLong truncates, floor() mirrors it; both hexes are
+    // fixed-width lowercase, so string order == numeric order)
+    "mix_temperature" ->
+      """WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM sz),
+        |w AS (SELECT lang, n, pow(n, 0.3) AS wt FROM sz),
+        |rate AS (SELECT lang,
+        |           CAST((SELECT total // 2 FROM tot) AS DOUBLE) * (wt / (SELECT sum(wt) FROM w)) / n AS rate
+        |         FROM w),
+        |whole AS (SELECT d.lang AS mix_source, d.doc_id,
+        |            unnest(range(CAST(floor(r.rate) AS BIGINT))) AS _c
+        |          FROM documents d JOIN rate r ON d.lang = r.lang),
+        |frac AS (SELECT d.lang AS mix_source, d.doc_id
+        |         FROM documents d JOIN rate r ON d.lang = r.lang
+        |         WHERE substring(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |             < printf('%08x', CAST(floor((r.rate - floor(r.rate)) * 4294967296) AS BIGINT)))
+        |SELECT mix_source, doc_id FROM (
+        |  SELECT mix_source, doc_id FROM whole
+        |  UNION ALL SELECT mix_source, doc_id FROM frac)
+        |ORDER BY mix_source, doc_id""".stripMargin,
     "smp_cap_per_key" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source

@@ -35,6 +35,26 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("mixDeterministic: reproducible, rate-faithful, oversampling duplicates wholes") {
+    val df = (0 until 1000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val out = Mixture.mixDeterministic(Seq(("a", df, 2.5)), "id")
+    val rows = out.select("id").as[Long].collect()
+    // 2 whole copies + ~0.5 fractional draw: binomial(1000, .5) ± 5σ
+    assert(rows.length >= 2000 && rows.length < 3000)
+    assert(math.abs(rows.length - 2500) < 80, s"got ${rows.length}, expected ~2500")
+    val perId = rows.groupBy(identity).view.mapValues(_.length)
+    assert(perId.values.forall(c => c == 2 || c == 3), "each id appears 2 or 3 times")
+    // no RNG anywhere: a second evaluation is row-identical
+    val again = Mixture.mixDeterministic(Seq(("a", df, 2.5)), "id")
+      .select("id").as[Long].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // different source names draw different fractional subsets
+    val other = Mixture.mixDeterministic(Seq(("b", df, 0.5)), "id")
+      .select("id").as[Long].collect().toSet
+    val aFrac = perId.filter(_._2 == 3).keySet
+    assert(other != aFrac, "per-source salt must vary the draw")
+  }
+
   test("rate 0 contributes nothing; integer rate repeats exactly") {
     val a = (0 until 100).map(i => (i.toLong, "x")).toDF("id", "payload")
     val mixed = Mixture.mix(Seq(("none", a, 0.0), ("twice", a, 2.0)))
