@@ -323,7 +323,19 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("price_dec").desc, col("o_orderkey"))
   }
 
+  /** Salted skew join, oracle-proved equivalent to the plain join: the
+    * salt spreads each hot orderkey over 8 reducers but must not change
+    * the result SET (salt is join-key-extending, then dropped). */
+  def q27SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("o_orderkey"), saltFactor = 8)
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_skew_join" -> q27SkewJoin,
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
     "q25_topk_rewrite" -> q25TopkRewrite,
@@ -374,7 +386,11 @@ object Relational {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
         |                           ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) <= 5
-        |ORDER BY o_orderpriority, price_dec DESC, o_orderkey""".stripMargin)
+        |ORDER BY o_orderpriority, price_dec DESC, o_orderkey""".stripMargin,
+    "q27_skew_join" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin)
 
   /** DuckDB oracle twins. Casts align DuckDB's wider return types
     * (BIGINT year/length/row_number, DOUBLE ceil/floor) with Spark's. */
