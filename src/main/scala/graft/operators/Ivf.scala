@@ -198,13 +198,25 @@ object Ivf {
   /** IVF-PQ approximate top-k by asymmetric distance: probe nProbe cells,
     * score candidates as `q . centroid[cell] + LUT-sum(codes)` — m table
     * lookups per candidate, never touching the original vectors. Same
-    * output shape as [[searchTopK]] with `score` in place of exact cos. */
+    * output shape as [[searchTopK]] with `score` in place of exact cos.
+    * Convenience form that encodes `corpus` inline; a serving path
+    * should [[encodePq]] (and persist/write) ONCE and call
+    * [[searchEncodedTopKPq]] per query batch — the index build is the
+    * expensive scan, the search only reads (cell, m bytes) rows. */
   def searchTopKPq(queries: DataFrame, corpus: DataFrame, model: PqModel,
                    qId: String, cId: String, qVec: String, cVec: String,
-                   topK: Int, nProbe: Int): DataFrame = {
+                   topK: Int, nProbe: Int): DataFrame =
+    searchEncodedTopKPq(queries,
+      encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id"),
+      model, qId, qVec, topK, nProbe)
+
+  /** Search a pre-encoded index: `encoded` is the [[encodePq]] output
+    * with the id column named `neighbor_id` — (neighbor_id, _cell,
+    * _codes). */
+  def searchEncodedTopKPq(queries: DataFrame, encoded: DataFrame, model: PqModel,
+                          qId: String, qVec: String, topK: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
     val cents = centroidLits(model.coarse.centroids)
-    val enc = encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id")
     // LUT is cell-independent (inner-product ADC): nProbe copies per
     // query ride the join, each m*ks doubles — small next to the
     // candidate fan-in they replace
@@ -212,7 +224,7 @@ object Ivf {
       .withColumn("_lut", cc(graft.functions.PqAdcLut(ee(col("_qv")), model.codebook, model.m, model.ks)))
       .select(col("query_id"), col("_cell"), col("_cdot"), col("_lut"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    enc.join(q, Seq("_cell"))
+    encoded.join(q, Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score",
         round(col("_cdot") + cc(graft.functions.PqLookupSum(ee(col("_codes")), ee(col("_lut")))), 6))

@@ -82,5 +82,13 @@ class IvfSpec extends SparkSpec {
     pq.groupBy(_._1).foreach { case (q, rs) =>
       assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
     }
+
+    // the serving path — encode once, search the stored (cell, codes)
+    // index — must return exactly what the inline form returns
+    val viaEncoded = Ivf.searchEncodedTopKPq(queries,
+        enc.withColumnRenamed("vec_id", "neighbor_id"), model,
+        "vec_id", "embedding", topK = 5, nProbe = 4)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(viaEncoded.toSet === pq.toSet)
   }
 }
