@@ -116,6 +116,24 @@ object TextAnalysis {
   def langId(text: Column): Column =
     langIdFromDistinctTokens(array_distinct(tokens(text)))
 
+  /** The composite quality gate over any frame with (textCol, langCol):
+    * quality score, both Gopher repetition bounds, langid agreement —
+    * one fused narrow projection + filter, all codegen builtins. Keeps
+    * the input columns and appends the metric columns. STREAMING-SAFE:
+    * stateless and narrow (no sort, no state), so it drops into a
+    * readStream→writeStream pipeline per micro-batch unchanged —
+    * [[graft.streaming.EventStreams.qualityGateStream]] is exactly this. */
+  def qualityGate(d: org.apache.spark.sql.DataFrame, textCol: String = "text",
+                  langCol: String = "lang"): org.apache.spark.sql.DataFrame =
+    d.withColumn("_toks", array_distinct(tokens(col(textCol))))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("dup_line_frac", duplicateLineFraction(col(textCol)))
+      .withColumn("top_bigram_frac", topBigramFraction(col(textCol)))
+      .withColumn("pred_lang", langIdFromDistinctTokens(col("_toks")))
+      .filter(col("quality") >= 0.5 && col("dup_line_frac") <= 0.3 &&
+        col("top_bigram_frac") <= 0.2 && col("pred_lang") === col(langCol))
+      .drop("_toks", "pred_lang")
+
   /** Canonical text form for fingerprinting: lowercase, punctuation
     * stripped, whitespace collapsed. */
   def normalize(text: Column): Column =

@@ -87,19 +87,11 @@ object Ext {
     // substitution (each metric evaluated twice — once in the pushed
     // predicate, once in the projection) is affordable; a persist here
     // would pin an unreleasable cache AND make Bench's repeat runs
-    // measure a cached scan instead of the pipeline. The dup-line rule
-    // is split/array_distinct/size builtins (codegen'd, no HOF lambda),
-    // so fusing it keeps the single-scan shape.
-    val withToks = d.select(col("doc_id"), col("lang"), col("text"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("_toks"))
-    val metrics = withToks.select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
-        TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
-        TextAnalysis.langIdFromDistinctTokens(col("_toks")).as("pred_lang"))
-    metrics
-      .filter(col("quality") >= 0.5 && col("dup_line_frac") <= 0.3 &&
-        col("top_bigram_frac") <= 0.2 && col("pred_lang") === col("lang"))
+    // measure a cached scan instead of the pipeline. The gate itself
+    // lives in TextAnalysis.qualityGate (shared with the streaming
+    // wrapper) — a fused codegen scan, langid over a once-materialized
+    // distinct-token column.
+    TextAnalysis.qualityGate(d)
       .select(col("doc_id"), col("quality"), col("dup_line_frac"), col("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }

@@ -75,6 +75,16 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus quality gate: the batch gate's fused narrow
+    * projection + filter applied to each micro-batch. Stateless — no
+    * watermark, no state store; works in append mode on any document
+    * stream (e.g. `readStream.parquet` over a landing directory). The
+    * batch and streaming paths share ONE implementation
+    * ([[graft.operators.TextAnalysis.qualityGate]]), so the oracle-gated
+    * batch query also validates this operator's semantics. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityGate(docs)
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

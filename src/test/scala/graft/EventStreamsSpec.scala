@@ -102,6 +102,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate filters docs per micro-batch (stateless narrow ops)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "text", "lang")
+    val q = EventStreams.qualityGateStream(docs)
+      .writeStream.format("memory").queryName("qg_stream").outputMode("append").start()
+    try {
+      val good = ("the a and of is it in to or an " * 5).trim
+      val spam = Array.fill(10)(good).mkString("\n") // dup-line rule kills it
+      input.addData((1L, good, "en"), (2L, spam, "en"), (3L, good, "fr"))
+      q.processAllAvailable()
+      input.addData((4L, good, "en"))
+      q.processAllAvailable()
+      val got = spark.table("qg_stream").select("doc_id").as[Long].collect().toSet
+      // doc 2: line spam; doc 3: langid says en, labeled fr
+      assert(got === Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
