@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot products of a vector with each of k centroids, as one expression.
+  *
+  * Replaces the `array(dot(v, lit(c0)), dot(v, lit(c1)), ...)` literal
+  * construction in the IVF paths. Beyond being one tight loop, the real
+  * win is COMPILATION: centroid literals bake each round's values into
+  * the generated source, so every Lloyd iteration (new centroids → new
+  * source) forced a fresh Janino compile (~1-2 s/round of fixed cost,
+  * pitfall: iterative DataFrame algorithms pay per-round codegen). The
+  * centroid matrix rides in as a referenced object
+  * (`ctx.addReferenceObj`), leaving the generated source IDENTICAL
+  * across rounds — the codegen cache hits and re-planning is cheap.
+  *
+  * Flat layout `centroids[c*dsub + t]` where dsub = centroids.length / k;
+  * vectors shorter than dsub contribute only their length (defensive
+  * min, mirroring [[DotProduct]]).
+  */
+case class CentroidDots(child: Expression, centroids: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k > 0 && centroids.length % k == 0,
+    s"centroid matrix length ${centroids.length} must be a multiple of k=$k")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_dots"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidDots.compute(v.asInstanceOf[ArrayData], centroids, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidDots.compute($v, $cents, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CentroidDots {
+  def compute(vec: ArrayData, centroids: Array[Double], k: Int): ArrayData = {
+    val d = centroids.length / k
+    val n = math.min(vec.numElements(), d)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * d
+      var s = 0.0
+      var t = 0
+      while (t < n) { s += vec.getDouble(t) * centroids(base + t); t += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}

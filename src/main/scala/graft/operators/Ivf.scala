@@ -15,9 +15,10 @@ import graft.functions.{CentroidAggregator, VectorOps}
   * cell id — corpus shuffles once by cell, probes fan out queries
   * nProbe-fold. No cross product anywhere. Recall is tunable with
   * k/nProbe exactly like FAISS IVF. Assignment/scoring run on the
-  * codegen'd DotProduct expression; centroids ride along as array
-  * literals (k x dim doubles — fine for coarse quantizers; a 100k-cell
-  * quantizer would broadcast a DataFrame instead). */
+  * codegen'd [[graft.functions.CentroidDots]] expression; the centroid
+  * matrix ships as a task-serialized referenced object (k x dim doubles
+  * — fine for coarse quantizers; a 100k-cell quantizer would broadcast
+  * a DataFrame instead). */
 object Ivf {
 
   final case class Model(centroids: Array[Array[Double]])
@@ -26,8 +27,14 @@ object Ivf {
   private def unit(vecCol: Column): Column =
     VectorOps.l2Normalize(vecCol.cast("array<double>"))
 
-  private def centroidLits(m: Array[Array[Double]]): Seq[Column] =
-    m.map(c => typedlit(c.toSeq))
+  /** All-centroid dot scores as ONE referenced-object expression
+    * ([[graft.functions.CentroidDots]]): unlike the earlier per-centroid
+    * literal array, the generated source is identical across Lloyd
+    * rounds, so iterative training hits the codegen cache instead of
+    * recompiling every round. */
+  private def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.CentroidDots(
+      org.apache.spark.sql.GraftColumnBridge.expression(v), cents.flatten, cents.length))
 
   /** Adds `out` = index of the max-dot centroid (first wins on ties).
     * Deliberately NOT a when-chain argmax: folding `when(d > best, ...)`
@@ -35,8 +42,8 @@ object Ivf {
     * expression growth (measured 90+ MiB task binaries at k=16). The
     * scores array is materialized once; array_max/array_position walk it
     * linearly. */
-  private def withCell(df: DataFrame, v: Column, cents: Seq[Column], out: String): DataFrame =
-    df.withColumn("_cs", array(cents.map(c => VectorOps.dotProduct(v, c)): _*))
+  private def withCell(df: DataFrame, v: Column, cents: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn("_cs", centroidScores(v, cents))
       .withColumn(out, (expr("array_position(_cs, array_max(_cs))") - 1).cast("int"))
       .drop("_cs")
 
@@ -55,8 +62,7 @@ object Ivf {
     var centroids = base.orderBy(xxhash64(col("_id"))).limit(k)
       .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val cents = centroidLits(centroids)
-      val assigned = withCell(base, col("_v"), cents, "_cell")
+      val assigned = withCell(base, col("_v"), centroids, "_cell")
       val next = assigned.groupBy(col("_cell"))
         .agg(CentroidAggregator.centroid(col("_v").cast("array<float>")).as("_c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
@@ -76,8 +82,8 @@ object Ivf {
     * centroid dot products, as (query_id, _qv, _cell, _cdot) rows.
     * Shared by [[searchTopK]] and [[searchTopKPq]]. */
   private def probedCells(queries: DataFrame, qId: String, qVec: String,
-                          cents: Seq[Column], nProbe: Int): DataFrame = {
-    val qScores = array(cents.map(ct => VectorOps.dotProduct(col("_qv"), ct)): _*)
+                          cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val qScores = centroidScores(col("_qv"), cents)
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("_cdot").desc, col("_cell"))
     queries.select(col(qId).as("query_id"), unit(col(qVec)).as("_qv"))
       .withColumn("_cs", qScores)
@@ -94,11 +100,10 @@ object Ivf {
   def searchTopK(queries: DataFrame, corpus: DataFrame, model: Model,
                  qId: String, cId: String, qVec: String, cVec: String,
                  topK: Int, nProbe: Int): DataFrame = {
-    val cents = centroidLits(model.centroids)
     val c = withCell(
       corpus.select(col(cId).as("neighbor_id"), unit(col(cVec)).as("_cv")),
-      col("_cv"), cents, "_cell")
-    val q = probedCells(queries, qId, qVec, cents, nProbe)
+      col("_cv"), model.centroids, "_cell")
+    val q = probedCells(queries, qId, qVec, model.centroids, nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     // no broadcast hint: a small probe set broadcasts via AQE anyway; a
@@ -163,9 +168,8 @@ object Ivf {
     require(d % m == 0, s"embedding dim $d must divide by m=$m")
     require(ks <= 256, "ks must fit one byte")
     val dsub = d / m
-    val cents = centroidLits(coarse.centroids)
     val base = corpus.select(col(idCol).as("_id"), unit(col(vecCol)).as("_v"))
-    val sample = withCell(base, col("_v"), cents, "_cell")
+    val sample = withCell(base, col("_v"), coarse.centroids, "_cell")
       .orderBy(xxhash64(col("_id"))).limit(sampleSize)
       .select(col("_v"), col("_cell")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
@@ -188,8 +192,8 @@ object Ivf {
     * many query batches from it. */
   def encodePq(corpus: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
-    val cents = centroidLits(model.coarse.centroids)
-    withCell(corpus.select(col(idCol), unit(col(vecCol)).as("_v")), col("_v"), cents, "_cell")
+    withCell(corpus.select(col(idCol), unit(col(vecCol)).as("_v")), col("_v"),
+      model.coarse.centroids, "_cell")
       .withColumn("_codes", cc(graft.functions.PqEncode(
         ee(col("_v")), ee(col("_cell")), model.centroidsFlat, model.codebook, model.m, model.ks)))
       .select(col(idCol), col("_cell"), col("_codes"))
@@ -216,11 +220,10 @@ object Ivf {
   def searchEncodedTopKPq(queries: DataFrame, encoded: DataFrame, model: PqModel,
                           qId: String, qVec: String, topK: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
-    val cents = centroidLits(model.coarse.centroids)
     // LUT is cell-independent (inner-product ADC): nProbe copies per
     // query ride the join, each m*ks doubles — small next to the
     // candidate fan-in they replace
-    val q = probedCells(queries, qId, qVec, cents, nProbe)
+    val q = probedCells(queries, qId, qVec, model.coarse.centroids, nProbe)
       .withColumn("_lut", cc(graft.functions.PqAdcLut(ee(col("_qv")), model.codebook, model.m, model.ks)))
       .select(col("query_id"), col("_cell"), col("_cdot"), col("_lut"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
