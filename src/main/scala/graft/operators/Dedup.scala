@@ -330,29 +330,6 @@ object Dedup {
     df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
   }
 
-  /** Duplicate-substring spans (Lee et al. 2022, "Deduplicating Training
-    * Data Makes Language Models Better" — public recipe): every maximal
-    * token range covered by k-token spans occurring in at least
-    * `minDocFreq` DISTINCT documents, as (id, token_start, token_end),
-    * 1-based inclusive. A caller removes the ranges (or drops the docs)
-    * downstream; returning ranges rather than rewritten text keeps the
-    * operator composable and oracle-checkable.
-    *
-    * Plan shape (the 100 TB-safe formulation — no all-pairs anywhere):
-    *   1. narrow map: positional span hashes per doc
-    *      ([[graft.functions.SpanHashes]], codegen'd, O(tokens*k));
-    *      posexplode to (id, pos, hash) — a generator over a CODEGEN
-    *      child (the ~20x CodegenFallback trap does not apply)
-    *   2. doc frequency per hash: one hash-shuffle groupBy on the 8-byte
-    *      span hash (the span STRING never leaves its task)
-    *   3. map duplicated hashes back: equi-join postings with the
-    *      duplicated-hash set on the same 8-byte key
-    *   4. merge overlapping/adjacent hit positions per doc into maximal
-    *      ranges: window over (id, pos) — interval-merge via the
-    *      gap>k group-boundary flag + running sum
-    * Duplicated-hash fan-out is bounded by true duplication (work is
-    * proportional to the number of duplicated span occurrences), and
-    * every shuffle key is a long or the doc id. */
   /** Positional k-span postings (id, _pos 1-based, _h) filtered to
     * hashes occurring in >= minDocFreq DISTINCT documents.
     * The posting set feeds both the doc-frequency aggregate and the join
@@ -390,6 +367,29 @@ object Dedup {
       .select(col(idCol), col("token_start"), col("token_end"))
   }
 
+  /** Duplicate-substring spans (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — public recipe): every maximal
+    * token range covered by k-token spans occurring in at least
+    * `minDocFreq` DISTINCT documents, as (id, token_start, token_end),
+    * 1-based inclusive. A caller removes the ranges (or drops the docs)
+    * downstream; returning ranges rather than rewritten text keeps the
+    * operator composable and oracle-checkable.
+    *
+    * Plan shape (the 100 TB-safe formulation — no all-pairs anywhere):
+    *   1. narrow map: positional span hashes per doc
+    *      ([[graft.functions.SpanHashes]], codegen'd, O(tokens*k));
+    *      posexplode to (id, pos, hash) — a generator over a CODEGEN
+    *      child (the ~20x CodegenFallback trap does not apply)
+    *   2. doc frequency per hash: one hash-shuffle groupBy on the 8-byte
+    *      span hash (the span STRING never leaves its task)
+    *   3. map duplicated hashes back: equi-join postings with the
+    *      duplicated-hash set on the same 8-byte key
+    *   4. merge overlapping/adjacent hit positions per doc into maximal
+    *      ranges: window over (id, pos) — interval-merge via the
+    *      gap>k group-boundary flag + running sum
+    * Duplicated-hash fan-out is bounded by true duplication (work is
+    * proportional to the number of duplicated span occurrences), and
+    * every shuffle key is a long or the doc id. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minDocFreq: Int = 2): DataFrame =
     mergeSpanRanges(
@@ -421,16 +421,50 @@ object Dedup {
   /** End-to-end substring-span dedup (Lee et al. 2022 apply path): the
     * FIRST occurrence of each duplicated k-span — lowest (id, position)
     * — is kept; every other occurrence is stripped from its document.
-    * Returns `df` plus `outCol` with the deduplicated text. The
-    * occurrence ranking is one more hash-shuffle window over the
-    * duplicated postings (small: only true duplicates rank). */
+    * Returns `df` plus `outCol` with the deduplicated text.
+    *
+    * Keep-first is a real guarantee: a strip candidate whose token cover
+    * [p, p+k-1] would overlap a SAME-DOC kept (rank-1) occurrence is
+    * exempted, so canonical copies survive verbatim even under
+    * self-overlapping repeats ("a b a b a" with k=3: position 3 repeats
+    * the kept position-1 span — stripping it would delete token 3 OF the
+    * kept copy; the exemption leaves the doc intact and strips only
+    * occurrences clear of canonical ranges). The trade is residual
+    * within-doc redundancy next to a kept copy — under-stripping, never
+    * destroying the last copy of duplicated content.
+    *
+    * Shapes: occurrence ranking is one hash-shuffle window over the
+    * duplicated postings; the exemption is a (doc, position-bucket)
+    * equi-join between strip candidates and kept positions — overlap
+    * needs |p_strip - p_keep| <= k-1, so keeps replicate into the 3
+    * adjacent width-k buckets and the exact predicate filters inside the
+    * bucket (the RangeJoin trick; no per-doc cross product even for
+    * boilerplate-heavy docs). All inputs are duplicated postings only —
+    * bounded by true duplication. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
                  minDocFreq: Int = 2, outCol: String = "text_dedup"): DataFrame = {
     val hits = duplicatedSpanPostings(df, idCol, textCol, k, minDocFreq)
     val rankW = Window.partitionBy(col("_h")).orderBy(col(idCol), col("_pos"))
-    val strip = hits.withColumn("_rn", row_number().over(rankW))
-      .filter(col("_rn") > 1)
-      .select(col(idCol), col("_pos"))
+    val ranked = hits.withColumn("_rn", row_number().over(rankW))
+    // distinct column names on each side: both frames descend from
+    // `ranked`, and a self-join over same-name refs is ambiguous
+    val kept = ranked.filter(col("_rn") === 1)
+      .select(col(idCol).as("_kid"), col("_pos").as("_kpos"))
+      .withColumn("_kbkt", explode(array(
+        floor((col("_kpos") - 1) / k) - 1,
+        floor((col("_kpos") - 1) / k),
+        floor((col("_kpos") - 1) / k) + 1)))
+    val cand = ranked.filter(col("_rn") > 1)
+      .select(col(idCol).as("_sid"), col("_pos"))
+      .withColumn("_sbkt", floor((col("_pos") - 1) / k))
+    // anti-join on (doc, bucket) equality PLUS the exact overlap
+    // predicate: bucket equality alone would also exempt adjacent-bucket
+    // candidates at distance k..2k-1, which do NOT overlap a kept range
+    val strip = cand.join(kept,
+        col("_sid") === col("_kid") && col("_sbkt") === col("_kbkt") &&
+          abs(col("_pos") - col("_kpos")) <= k - 1,
+        "left_anti")
+      .select(col("_sid").as(idCol), col("_pos"))
     stripSpans(df, idCol, textCol, mergeSpanRanges(strip, idCol, k), outCol)
   }
 

@@ -32,9 +32,15 @@ object Ivf {
     * literal array, the generated source is identical across Lloyd
     * rounds, so iterative training hits the codegen cache instead of
     * recompiling every round. */
-  private def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
+  private def centroidScores(v: Column, cents: Array[Array[Double]]): Column = {
+    // the flat layout decodes as k rows of length total/k — a ragged
+    // caller-built Model would silently misalign every centroid after
+    // the first short row; fail loudly at plan time instead
+    require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+      s"centroid rows must share one dimension, got ${cents.map(_.length).distinct.toSeq}")
     org.apache.spark.sql.GraftColumnBridge.column(graft.functions.CentroidDots(
       org.apache.spark.sql.GraftColumnBridge.expression(v), cents.flatten, cents.length))
+  }
 
   /** Adds `out` = index of the max-dot centroid (first wins on ties).
     * Deliberately NOT a when-chain argmax: folding `when(d > best, ...)`

@@ -33,6 +33,26 @@ object Mixture {
     }
   }
 
+  /** Shared mixing skeleton: whole-copy repeats + a fractional sample
+    * per source, provenance-tagged union. `fracSample(name, idx, df,
+    * frac)` decides HOW the fractional part is drawn. */
+  private def mixWith(sources: Seq[(String, DataFrame, Double)])
+                     (fracSample: (String, Int, DataFrame, Double) => DataFrame): DataFrame = {
+    require(sources.nonEmpty)
+    val parts = sources.zipWithIndex.map { case ((name, df, rate), idx) =>
+      require(rate >= 0, s"negative rate for $name")
+      val whole = math.floor(rate).toInt
+      val frac = rate - whole
+      val repeats = Seq.fill(whole)(df) ++
+        (if (frac > 0) Seq(fracSample(name, idx, df, frac)) else Nil)
+      repeats match {
+        case Nil => df.limit(0).withColumn("mix_source", lit(name))
+        case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** [[mix]] with the fractional draw decided by an md5 threshold over
     * an id column instead of seeded RNG: a row survives iff the first 8
     * hex digits of `md5(name|id)` fall below `floor(frac * 2^32)` (fixed
@@ -41,41 +61,20 @@ object Mixture {
     * reproducible on ANY engine and layout, and oracle-checkable (same
     * property [[Sample.capPerKey]] uses). Still N narrow scans, zero
     * shuffles. */
-  def mixDeterministic(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame = {
-    require(sources.nonEmpty)
-    val parts = sources.map { case (name, df, rate) =>
-      require(rate >= 0, s"negative rate for $name")
-      val whole = math.floor(rate).toInt
-      val frac = rate - whole
+  def mixDeterministic(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame =
+    mixWith(sources) { (name, _, df, frac) =>
       val thresholdHex = f"${(frac * 4294967296.0).toLong}%08x"
       val draw = substring(md5(concat_ws("|", lit(name), col(idCol).cast("string")).cast("binary")), 1, 8)
-      val fracDf = if (frac > 0) Seq(df.filter(draw < lit(thresholdHex))) else Nil
-      Seq.fill(whole)(df) ++ fracDf match {
-        case Seq() => df.limit(0).withColumn("mix_source", lit(name))
-        case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))
-      }
+      df.filter(draw < lit(thresholdHex))
     }
-    parts.reduce(_ unionByName _)
-  }
 
   /** @param sources (name, df, rate) — rate in [0, inf): expected copies
     *                of each source row in the mix.
     * @return union of sampled sources with a `mix_source` column. */
-  def mix(sources: Seq[(String, DataFrame, Double)], seed: Long = 42L): DataFrame = {
-    require(sources.nonEmpty)
-    val parts = sources.zipWithIndex.map { case ((name, df, rate), idx) =>
-      require(rate >= 0, s"negative rate for $name")
-      val whole = math.floor(rate).toInt
-      val frac = rate - whole
-      val repeats = Seq.fill(whole)(df) ++
-        // per-source seed: the same df mixed twice must yield independent
-        // samples, not two copies of the same subset
-        (if (frac > 0) Seq(df.sample(withReplacement = false, frac, seed + idx)) else Nil)
-      repeats match {
-        case Nil => df.limit(0).withColumn("mix_source", lit(name))
-        case rs => rs.reduce(_ unionByName _).withColumn("mix_source", lit(name))
-      }
+  def mix(sources: Seq[(String, DataFrame, Double)], seed: Long = 42L): DataFrame =
+    mixWith(sources) { (_, idx, df, frac) =>
+      // per-source seed: the same df mixed twice must yield independent
+      // samples, not two copies of the same subset
+      df.sample(withReplacement = false, frac, seed + idx)
     }
-    parts.reduce(_ unionByName _)
-  }
 }

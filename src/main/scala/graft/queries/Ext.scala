@@ -662,11 +662,17 @@ object Ext {
         |      FROM t WHERE len(toks) >= 8),
         |dup AS (SELECT sp FROM s GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
         |hit AS (SELECT s.doc_id, s.pos, s.sp FROM s JOIN dup USING (sp)),
-        |strip AS (SELECT doc_id, pos FROM (
-        |            SELECT doc_id, pos,
-        |                   row_number() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rn
-        |            FROM hit)
-        |          WHERE rn > 1),
+        |ranked AS (SELECT doc_id, pos,
+        |             row_number() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rn
+        |           FROM hit),
+        |keep1 AS (SELECT doc_id, pos FROM ranked WHERE rn = 1),
+        |-- keep-first protection: a strip whose [p, p+7] cover overlaps a
+        |-- same-doc kept occurrence is exempted (canonical copies survive)
+        |strip AS (SELECT r.doc_id, r.pos FROM ranked r
+        |          WHERE r.rn > 1
+        |            AND NOT EXISTS (SELECT 1 FROM keep1 kx
+        |                            WHERE kx.doc_id = r.doc_id
+        |                              AND abs(r.pos - kx.pos) <= 7)),
         |g AS (SELECT doc_id, pos,
         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
         |             THEN 0 ELSE 1 END AS new_g

@@ -296,7 +296,9 @@ class DedupSpec extends SparkSpec {
   }
 
   /** Brute-force keep-first span dedup: rank duplicated-span occurrences
-    * by (doc, pos), strip every non-first occurrence's [p, p+k-1] cover. */
+    * by (doc, pos), strip every non-first occurrence's [p, p+k-1] cover —
+    * EXCEPT candidates overlapping a same-doc kept occurrence (the
+    * keep-first protection: canonical copies survive verbatim). */
   private def refDedupSpans(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
     val spans = docs.flatMap { case (id, t) =>
       val toks = refTokens(t)
@@ -305,7 +307,12 @@ class DedupSpec extends SparkSpec {
     val docFreq = spans.groupBy(_._3).map { case (sp, occ) => sp -> occ.map(_._1).distinct.size }
     val dupOcc = spans.filter(s => docFreq(s._3) >= 2)
     val keep = dupOcc.groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
-    val stripPos = dupOcc.filterNot(keep).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val keptByDoc = keep.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stripPos = dupOcc.filterNot(keep)
+      .filter { case (id, p, _) =>
+        !keptByDoc.getOrElse(id, Set.empty[Long]).exists(kp => math.abs(p - kp) <= k - 1)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     docs.map { case (id, t) =>
       id -> (stripPos.get(id) match {
         case None => t
@@ -338,6 +345,19 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == "v1 v2", s"duplicate span should strip: ${got(2L)}")
     assert(got(3L) == "w1 w2 w3 w4 w5")
     assert(got === refDedupSpans(docs, 4))
+  }
+
+  test("dedupSpans self-overlap: the kept copy survives verbatim, not destroyed by its own repeats") {
+    // "a b a" occurs at doc1 pos1 (kept), doc1 pos3 and doc2 pos1. The
+    // pos3 strip would delete token 3 OF the kept pos1 copy — it must be
+    // exempted; doc2's clear occurrence strips fully. Without the
+    // protection NO copy of "a b a" would survive anywhere.
+    val docs = Seq((1L, "a b a b a"), (2L, "a b a"))
+    val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b a b a", s"kept copy mutilated: '${got(1L)}'")
+    assert(got(2L) == "", s"clear duplicate should strip fully: '${got(2L)}'")
+    assert(got === refDedupSpans(docs, 3))
   }
 
   test("dedupSpans matches brute force on a randomized small-vocab corpus") {
