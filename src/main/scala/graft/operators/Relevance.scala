@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance scoring (Okapi BM25 — Robertson et al., public
+  * formula; idf variant `ln((N - df + 0.5)/(df + 0.5) + 1)` as used by
+  * Lucene, so scores are non-negative) over a document corpus. The
+  * curation use case: given a seed-term list, score every document's
+  * relevance to a target domain and keep/weight the top slice — the
+  * classifier-free "quality by keyword proximity" step of a
+  * training-data pipeline.
+  *
+  * Plan shape (the 100 TB-safe formulation):
+  *   1. narrow map: tokenize, explode to postings, and filter to the
+  *      query terms BEFORE any shuffle — the `isin` predicate sits
+  *      directly over the generator, so only matching postings (a tiny
+  *      fraction of the corpus) ever reach an exchange
+  *   2. per-(doc, term) tf: one hash-shuffle groupBy on (id, term),
+  *      carrying the doc length along (map-side partial aggregation
+  *      applies — the term never re-joins the corpus)
+  *   3. document frequency per term: a second aggregate over the tf
+  *      rows, at most |query| rows out — broadcast back
+  *   4. corpus stats (N, avgdl): one scalar aggregate over a narrow
+  *      length projection of the corpus — broadcast as a 1-row frame
+  *   5. score + per-doc sum: arithmetic over step-2 rows only
+  * The only full-corpus work is the two scans (postings + stats), both
+  * narrow; every shuffle after the filter carries query-matched rows
+  * only. No all-pairs, no driver-side loops.
+  */
+object Relevance {
+
+  /** BM25 score per document for a bag-of-terms query; documents with no
+    * query term are absent (score 0). Output: (idCol, bm25 double,
+    * rounded to 4 decimals for engine-reproducible comparison). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // postings filtered to query terms pre-shuffle: `isin` over a literal
+    // set is a codegen'd hash probe directly above the explode
+    val posts = docs
+      .select(col(idCol), size(toks).as("_dl"), explode(toks).as("_tok"))
+      .filter(col("_tok").isin(queryTerms: _*))
+    // tf is consumed TWICE (score rows + document frequency); without a
+    // materialization Catalyst plans two full corpus scans + explodes —
+    // the second is a redundant 100 TB pass. The eager localCheckpoint
+    // runs the postings scan once and stores only the query-matched
+    // (doc, term) rows — a tiny derived set — with NO CacheManager entry
+    // (checkpoint blocks are ContextCleaner-freed once unreferenced; the
+    // minHashNearDupPairs pattern).
+    val tf = posts.groupBy(col(idCol), col("_tok"))
+      .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf"))
+      .localCheckpoint(true)
+    // document frequency: tf already has one row per (doc, term)
+    val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val stats = docs.select(size(TextAnalysis.tokens(col(textCol))).as("_l"))
+      .agg(count(lit(1)).as("_n"), avg(col("_l")).as("_avgdl"))
+    tf.join(broadcast(dfreq), "_tok")
+      .join(broadcast(stats)) // 1-row corpus stats: broadcast nested loop, no shuffle
+      .withColumn("_idf", log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
+      .withColumn("_s", col("_idf") * col("_tf") * (k1 + 1) /
+        (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      // +1e-9 nudges values off .00005 rounding boundaries (the engine-wide
+      // double-comparison convention, see txt_stats/txt_decontam)
+      .agg(round(sum(col("_s")) + 1e-9, 4).as("bm25"))
+  }
+
+  /** Global top-k most relevant documents: plans as a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows
+    * per partition) — never a global sort. Ties break on the id for a
+    * deterministic, engine-reproducible cut. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+}

@@ -134,6 +134,46 @@ object TextAnalysis {
         col("top_bigram_frac") <= 0.2 && col("pred_lang") === col(langCol))
       .drop("_toks", "pred_lang")
 
+  // ---- PII scrubbing ----------------------------------------------------
+
+  /** Redaction patterns — deliberately restricted to the regex subset
+    * where Java regex (Spark) and RE2 (the DuckDB oracle) agree:
+    * character classes, bounded repetition, ASCII `\b`, no lookaround,
+    * no backreferences. Order matters downstream: emails first (their
+    * local/domain parts may contain digit runs), then IPv4 (so the
+    * phone pattern never sees dotted quads), then phones. */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // 3-3-4 digit groups with space/dash separators and an optional +CC
+  // prefix; the \b sits AFTER the optional group ('+' is a non-word char,
+  // so a leading \b could never match past "+1 ") and before the first
+  // digit group, which also keeps dates (2026-01-02) and long digit runs
+  // unmatched
+  private[operators] val PhoneRe = "(\\+\\d{1,3}[ -])?\\b\\d{3}[ -]\\d{3}[ -]?\\d{4}\\b"
+
+  /** PII-scrubbed text: emails → [EMAIL], IPv4 → [IP], phone numbers →
+    * [PHONE]. A narrow codegen'd projection — the 100 TB shape is a pure
+    * scan; at cluster scale this fuses with whatever filter follows.
+    * Pattern-based scrubbing is the standard first pass of a
+    * training-data pipeline (C4/Dolma-style); it is heuristic by nature
+    * — a recall-oriented NER pass would sit behind the same column
+    * contract. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Match counts per PII class on the ORIGINAL text (audit channel:
+    * corpus-level PII incidence without keeping the raw values). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(regexp_replace(text, EmailRe, "[EMAIL]"), lit(Ipv4Re)),
+     regexp_count(
+       regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"),
+       lit(PhoneRe)))
+
   /** Canonical text form for fingerprinting: lowercase, punctuation
     * stripped, whitespace collapsed. */
   def normalize(text: Column): Column =

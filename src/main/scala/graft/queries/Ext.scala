@@ -96,6 +96,31 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 keyword relevance over the corpus for a fixed seed-term query
+    * — the "score documents against a target domain" curation step.
+    * Postings are filtered to the query terms before any shuffle; see
+    * [[graft.operators.Relevance]] for the full plan-shape note. */
+  def txtBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Relevance.bm25Scores(d, "doc_id", "text",
+        Seq("shuffle", "join", "scan"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing + per-class audit counts — one narrow codegen'd scan.
+    * The synthetic corpus contains no PII, so the oracle verifies the
+    * no-false-positive side (text survives verbatim, all counts zero);
+    * the planted-PII positive side is spec-covered (TextAnalysisSpec). */
+  def txtPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val (em, ip, ph) = TextAnalysis.piiCounts(col("text"))
+    d.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text_redacted"),
+        em.cast("long").as("n_emails"), ip.cast("long").as("n_ips"),
+        ph.cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: every-20th doc plays the benchmark set;
     * the rest are "training" docs scored by trigram containment. */
   def txtDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -424,6 +449,8 @@ object Ext {
     "txt_repetition" -> txtRepetition,
     "txt_quality_gate" -> txtQualityGate,
     "txt_decontam" -> txtDecontam,
+    "txt_bm25" -> txtBm25,
+    "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -539,6 +566,37 @@ object Ext {
          |FROM m
          |WHERE round(n_shared * 1.0 / n_shingles + 1e-9, 4) >= 0.02
          |ORDER BY doc_id""".stripMargin,
+    // Okapi BM25 with the Lucene idf variant; k1=1.2 b=0.75; tf over
+    // whitespace tokens, dl = token count, N/avgdl over the whole corpus
+    "txt_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+         |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+         |q AS (SELECT unnest(['shuffle','join','scan']) AS tok),
+         |tf AS (SELECT doc_id, tok, any_value(dl) AS dl, count(*) AS tf
+         |       FROM p JOIN q USING (tok) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id,
+         |  round(sum(ln((n - df + 0.5)/(df + 0.5) + 1)
+         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) + 1e-9, 4) AS bm25
+         |FROM tf JOIN df USING (tok) CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same email -> IPv4 -> phone order as the engine; patterns live in
+    // the Java-regex/RE2 agreement subset (TextAnalysis.{Email,Ipv4,Phone}Re)
+    "txt_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '(\+\d{1,3}[ -])?\b\d{3}[ -]\d{3}[ -]?\d{4}\b', '[PHONE]', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '(\+\d{1,3}[ -])?\b\d{3}[ -]\d{3}[ -]?\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same expected rows as enrich_stub: the roundtrip query keeps only
     // position-and-content-faithful rows, so ANY loss fails row count
     "csv_sharded_roundtrip" ->

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relevance
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b a c"),
+    (2L, "a d"),
+    (3L, "b b e a"),
+    (4L, "x y z")
+  ).toDF("doc_id", "text")
+
+  test("bm25Scores matches hand-computed Okapi values (k1=1.2, b=0.75)") {
+    // N=4, avgdl=3.25, df(a)=3, df(b)=2; idf = ln((N-df+0.5)/(df+0.5)+1)
+    val got = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val expected = Map(1L -> 1.0939, 2L -> 0.4233, 3L -> 1.2209)
+    got.foreach { case (id, s) => assert(math.abs(s - expected(id)) < 1e-4, s"doc $id") }
+  }
+
+  test("docs without any query term are absent, not zero-scored") {
+    val got = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a", "b"))
+    assert(got.filter(col("doc_id") === 4L).count() == 0)
+  }
+
+  test("bm25TopK returns the k best by score with id tiebreak, via a heap plan") {
+    val top = Relevance.bm25TopK(corpus, "doc_id", "text", Seq("a", "b"), k = 2)
+    assert(top.select("doc_id").as[Long].collect().toSeq == Seq(3L, 1L))
+    // global top-k must plan as per-partition heaps + driver merge,
+    // never a full sort: the 100 TB cut
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("rarer term outranks common term at equal tf and dl") {
+    val d = Seq((1L, "rare pad1 pad2"), (2L, "comm pad3 pad4"), (3L, "comm pad5 pad6"))
+      .toDF("doc_id", "text")
+    val s = Relevance.bm25Scores(d, "doc_id", "text", Seq("rare", "comm"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L))
+    assert(s(2L) == s(3L))
+  }
+}

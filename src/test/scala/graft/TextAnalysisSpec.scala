@@ -55,4 +55,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f("a b c d e") == 0.25) // 4 distinct bigrams, max run 1
     assert(f("x y x y x y x y") == math.floor(4.0 / 7.0 * 10000 + 0.5) / 10000) // "x y" 4 of 7
   }
+
+  test("redactPii: planted email/IP/phone replaced; expected outputs cross-checked vs RE2") {
+    def f(t: String) = one(t, TextAnalysis.redactPii(col("text"))).getString(0)
+    // expected strings were produced by the SAME patterns under DuckDB's
+    // RE2 — asserting them here pins the Java-regex/RE2 agreement the
+    // oracle twin relies on
+    assert(f("contact me at john.doe+x@example.co.uk or 192.168.1.4 now")
+      == "contact me at [EMAIL] or [IP] now")
+    assert(f("call 415-555-2671 or +1 415 555 2671 end")
+      == "call [PHONE] or [PHONE] end")
+    assert(f("v 1.2.3 2026-01-02 ok") == "v 1.2.3 2026-01-02 ok") // versions/dates untouched
+    assert(f("big 123456789012 run") == "big 123456789012 run") // digit runs untouched
+    assert(f("no pii at all") == "no pii at all")
+  }
+
+  test("piiCounts: per-class counts on original text, no double counting") {
+    val (em, ip, ph) = TextAnalysis.piiCounts(col("text"))
+    val r = Seq("a@b.com c@d.org 10.0.0.1 415-555-2671 x").toDF("text")
+      .select(em.as("e"), ip.as("i"), ph.as("p")).collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+    // dotted digits inside an email must not count as an IP
+    val r2 = Seq("user.1.2.3.4@host.com only").toDF("text")
+      .select(em.as("e"), ip.as("i"), ph.as("p")).collect()(0)
+    assert((r2.getInt(0), r2.getInt(1), r2.getInt(2)) == ((1, 0, 0)))
+  }
 }
