@@ -41,4 +41,50 @@ object Decontaminate {
         round(col("n_shared") / col("_sz") + lit(1e-9), 4).as("contamination"))
       .filter(col("contamination") >= threshold)
   }
+
+  /** [[ngramContamination]] with the exact benchmark-hash set replaced by
+    * a Bloom filter — the memory knob for very large benchmark suites.
+    * An exact DISTINCT set of 1B 8-byte hashes broadcasts ~8 GB+ (with
+    * hash-set overhead well beyond executor broadcast comfort); a Bloom
+    * sketch at fpp=0.1% is ~1.7 GB and at 1% ~1.2 GB, independent of the
+    * value width. The probe becomes a codegen'd per-row call
+    * ([[graft.functions.BloomContainsLong]]) directly over the training
+    * postings — NO join at all on the corpus side, one narrow pass.
+    *
+    * Semantics: `contamination_ub` is an UPPER bound — a false positive
+    * only inflates a doc's shared count by ~fpp x n_shingles, so the flag
+    * set is a superset of the exact operator's (safe direction for
+    * hygiene: nothing contaminated slips through; borderline-clean docs
+    * may over-flag). `false` probes are exact. The sketch is built
+    * DISTRIBUTED (per-partition filters, driver merge via
+    * `df.stat.bloomFilter`) from the benchmark's distinct shingle hashes;
+    * only the merged bits ever reach the driver. */
+  def bloomNgramContamination(train: DataFrame, bench: DataFrame,
+                              trainId: String, benchId: String,
+                              trainText: String, benchText: String,
+                              threshold: Double, fpp: Double = 0.001): DataFrame = {
+    val benchHashes = Dedup.shinglePostings(bench, benchId, benchText)
+      .select(col("_h")).distinct()
+      // consumed twice (size + build): materialize the small distinct set
+      // once; checkpoint blocks are ContextCleaner-freed, no CacheManager
+      // entry (the engine-wide pattern)
+      .localCheckpoint(true)
+    // floor the sizing: Spark's BloomFilterImpl double-hashes (two 32-bit
+    // base hashes, Kirsch-Mitzenmacher), and on tiny bit arrays the
+    // observed fp rate floors at ~0.4-0.6% no matter the configured fpp
+    // (measured: n=10 @ fpp=1e-9 -> 0.38% observed; n=100k -> ~1e-6).
+    // Sizing for >=100k items costs <=540 KB and restores near-theoretical
+    // behavior; at the operator's real scale (benchmark suites of 1e6+
+    // n-grams) the floor is inert.
+    val nBench = math.max(benchHashes.count(), 100_000L)
+    val bloom = benchHashes.stat.bloomFilter("_h", nBench, fpp)
+    val posts = Dedup.shinglePostings(train, trainId, trainText)
+    posts.filter(graft.functions.BloomContainsLong(col("_h"), bloom))
+      .groupBy(col(trainId), col("_sz"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(col(trainId), col("n_flagged"),
+        col("_sz").cast("long").as("n_shingles"),
+        round(col("n_flagged") / col("_sz") + lit(1e-9), 4).as("contamination_ub"))
+      .filter(col("contamination_ub") >= threshold)
+  }
 }

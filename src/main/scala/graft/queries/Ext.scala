@@ -96,6 +96,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — same benchmark split as txt_decontam
+    * but the benchmark set probes as a sketch, not an exact broadcast
+    * set. Rows-only gate (a Bloom filter isn't SQL-expressible);
+    * DecontaminateSpec pins the semantics: superset of the exact
+    * operator's flags, equal at tiny fpp. */
+  def txtDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Decontaminate.bloomNgramContamination(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "doc_id", "text", "text", threshold = 0.02, fpp = 1e-6)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 keyword relevance over the corpus for a fixed seed-term query
     * — the "score documents against a target domain" curation step.
     * Postings are filtered to the query terms before any shuffle; see
@@ -449,6 +462,7 @@ object Ext {
     "txt_repetition" -> txtRepetition,
     "txt_quality_gate" -> txtQualityGate,
     "txt_decontam" -> txtDecontam,
+    "txt_decontam_bloom" -> txtDecontamBloom,
     "txt_bm25" -> txtBm25,
     "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,

@@ -38,4 +38,51 @@ class DecontaminateSpec extends SparkSpec {
       "doc_id", "qid", "text", "question", 0.01).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
   }
+
+  test("bloom variant: equals the exact operator at tiny fpp, joinless plan") {
+    val rnd = new Random(43)
+    val vocab = Vector.tabulate(5000)(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val benchText = doc(12)
+    val bench = Seq((100L, benchText)).toDF("qid", "question")
+    val train = ((0L until 30L).map(i => (i, doc(12)))
+      :+ (30L, benchText)
+      :+ (31L, benchText.split(" ").take(6).mkString(" ") + " " + doc(8)))
+      .toDF("doc_id", "text")
+
+    val exact = Decontaminate.ngramContamination(train, bench,
+        "doc_id", "qid", "text", "question", threshold = 0.05)
+      .select("doc_id", "n_shared", "n_shingles")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val fuzzy = Decontaminate.bloomNgramContamination(train, bench,
+        "doc_id", "qid", "text", "question", threshold = 0.05, fpp = 1e-9)
+      .select("doc_id", "n_flagged", "n_shingles")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fuzzy == exact, s"fpp=1e-9 should reproduce the exact flags\nexact=$exact\nbloom=$fuzzy")
+
+    // no join anywhere: the probe is a codegen'd filter over the postings
+    val plan = Decontaminate.bloomNgramContamination(train, bench,
+      "doc_id", "qid", "text", "question", 0.05).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom probe must be joinless:\n$plan")
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
+  test("bloom variant over-flags only upward: per-doc count >= exact count at loose fpp") {
+    val rnd = new Random(47)
+    val vocab = Vector.tabulate(200)(i => s"v$i") // small vocab: some FP pressure
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = Seq((1L, doc(30))).toDF("qid", "question")
+    val train = (0L until 40L).map(i => (i, doc(25))).toDF("doc_id", "text")
+    val exact = Decontaminate.ngramContamination(train, bench,
+        "doc_id", "qid", "text", "question", threshold = 0.0)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    val fuzzy = Decontaminate.bloomNgramContamination(train, bench,
+        "doc_id", "qid", "text", "question", threshold = 0.0, fpp = 0.2)
+      .select("doc_id", "n_flagged").as[(Long, Long)].collect().toMap
+    // superset + upper bound: every exactly-contaminated doc appears with
+    // at least its exact count
+    exact.foreach { case (id, n) =>
+      assert(fuzzy.getOrElse(id, 0L) >= n, s"doc $id: bloom ${fuzzy.get(id)} < exact $n")
+    }
+  }
 }
