@@ -204,6 +204,17 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end near-dup REMOVAL: MinHash pairs -> components -> keep
+    * each cluster's min-id representative, returning surviving rows.
+    * The one-call apply path a pipeline actually uses
+    * ([[graft.operators.Dedup.dropNearDuplicates]]); gated against the
+    * same recursive-CTE closure as dedup_components, reduced to its
+    * min-id survivors. */
+  def dedupDrop(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Substring-span dedup (Lee et al. 2022): maximal token ranges covered
     * by 8-token spans shared across >= 2 documents. */
   def txtSpanDedup(s: SparkSession, dir: String): DataFrame =
@@ -471,6 +482,7 @@ object Ext {
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
+    "dedup_drop" -> dedupDrop,
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
@@ -774,6 +786,24 @@ object Ext {
          |  UNION
          |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    // the components closure reduced to its min-id survivors: valid as an
+    // exact twin for the same reason as dedup_minhash (LSH recall ~1 at
+    // this corpus's J spectrum, candidates exactly verified)
+    "dedup_drop" ->
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN lab USING (doc_id)
+         |WHERE lab.rep = d.doc_id ORDER BY d.doc_id""".stripMargin,
     "sim_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

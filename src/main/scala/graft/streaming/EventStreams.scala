@@ -59,6 +59,35 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same key whose timestamp lies in
+    * `[left.ts - lookback, left.ts]` — the streaming twin of
+    * [[graft.operators.RangeJoin]]'s point-in-interval shape (e.g.
+    * "attribute each purchase to the clicks that preceded it by up to
+    * N minutes").
+    *
+    * Both sides MUST carry a watermark plus the time-range condition:
+    * that pair is what lets Spark expire join state — each side buffers
+    * only rows inside `watermark + lookback`, so state is bounded by
+    * rate x window, not by stream length (the unbounded-state trap of a
+    * naive stream-stream equi-join). Inner join: rows emit as matches
+    * arrive; no emission barrier needed.
+    *
+    * Column contract: both sides carry the join key as `keyCol`; all
+    * OTHER column names (including `leftTs`/`rightTs`) must be distinct
+    * across the two sides. The right key is equi-joined and dropped. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs, "event-time columns must be named distinctly")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(keyCol, "_rkey").withWatermark(rightTs, watermark)
+    l.join(r, col(keyCol) === col("_rkey") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop("_rkey")
+  }
+
   /** Streaming LLM enrichment: each micro-batch runs through the batch
     * enrich operator (same ordering, retry, sentinel, idempotency, and
     * in-flight-cap semantics), and the caller's sink receives the

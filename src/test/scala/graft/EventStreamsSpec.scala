@@ -136,4 +136,31 @@ class EventStreamsSpec extends SparkSpec {
       assert(n == 3) // event_ids 1, 2, 3 — exactly once each (same (id, ts) dup dropped)
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs each left event with in-window right events only") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      purchases.toDF.toDF("p_ts", "user_id", "amount"),
+      clicks.toDF.toDF("c_ts", "user_id", "page"),
+      keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      lookback = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 7L, "home"), (ts(55), 7L, "pricing"), (ts(58), 8L, "docs"))
+      purchases.addData((ts(60), 7L, 9.99))
+      q.processAllAvailable()
+      // only user 7's click at t=55 is within [50, 60]; t=0 is stale,
+      // user 8 is a different key
+      val got = spark.table("ivj").select("page").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("pricing"), s"got $got")
+
+      // a later right-side event inside a later purchase's window still joins
+      clicks.addData((ts(118), 7L, "faq"))
+      purchases.addData((ts(120), 7L, 19.99))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 2)
+    } finally q.stop()
+  }
 }
