@@ -344,6 +344,21 @@ object Ext {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of with tolerance: each purchase attaches the NEXT click
+    * by the same user within 2 hours (merge_asof direction="forward",
+    * tolerance) — gated against DuckDB's `ASOF ... ON l.ts <= r.ts` with
+    * a CASE nulling matches beyond the bound. */
+  def evAsOfFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), direction = "forward", tolerance = Some("2 hours"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bin-bucketed range join: clicks landing inside each purchase's
     * 2-hour follow-up window (equi-join on (user, time-bin), exact
     * BETWEEN filter inside the bin — no nested-loop join). */
@@ -496,6 +511,7 @@ object Ext {
     "ev_session" -> evSession,
     "ev_json" -> evJson,
     "ev_asof" -> evAsOf,
+    "ev_asof_fwd" -> evAsOfFwd,
     "ev_range_join" -> evRangeJoin,
     "topk_native" -> topkNative)
 
@@ -868,5 +884,16 @@ object Ext {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // forward nearest via ASOF ON <=; the CASE applies the tolerance the
+    // same way the engine does — a too-far match nulls, it is NOT
+    // replaced by the next-nearest row
+    "ev_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |       CASE WHEN c.ts <= p.ts + INTERVAL 2 HOUR THEN c.event_id END AS asof_event_id,
+        |       CASE WHEN c.ts <= p.ts + INTERVAL 2 HOUR THEN c.value END AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin)
 }

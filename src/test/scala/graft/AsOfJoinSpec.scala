@@ -53,6 +53,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(9L))))
   }
 
+  test("forward direction attaches earliest right row at or after left ts") {
+    val left = Seq(
+      (1L, "u1", ts(100)), (2L, "u1", ts(205)), (3L, "u2", ts(70)), (4L, "u3", ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts(90), 1.0), (102L, "u1", ts(100), 2.0), (103L, "u1", ts(200), 3.0),
+      (104L, "u2", ts(60), 4.0))
+      .toDF("click_id", "user_id", "ts", "value")
+    val m = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "value"), direction = "forward")
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(m(1L).contains(102L)) // tie: right.ts == left.ts matches forward too
+    assert(m(2L).isEmpty)        // nothing at or after 205
+    assert(m(3L).isEmpty)        // right row precedes left ts
+    assert(m(4L).isEmpty)
+  }
+
+  test("tolerance nulls matches farther than the bound, both directions") {
+    val left = Seq((1L, "u1", ts(1000)), (2L, "u1", ts(5000))).toDF("event_id", "user_id", "ts")
+    val right = Seq((11L, "u1", ts(940), 1.0), (12L, "u1", ts(5600), 2.0))
+      .toDF("click_id", "user_id", "ts", "value")
+    val back = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), direction = "backward", tolerance = Some("1 minute"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(back(1L).contains(11L)) // 60s back: inside the 1-minute bound
+    assert(back(2L).isEmpty)       // nearest preceding is 4060s back: nulled
+    val fwd = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), direction = "forward", tolerance = Some("10 minutes"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L).isEmpty)        // nearest following is 4600s ahead: nulled
+    assert(fwd(2L).contains(12L))  // 600s ahead: exactly on the bound
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
     val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")
