@@ -58,7 +58,12 @@ object AsOfJoin {
         col(leftTs).as("_ts"), lit(leftSide).as("_side"),
         struct(leftCols.map(col): _*).as("_l"),
         lit(null).cast(payloadType).as("_r")): _*)
-    val r = right.select(
+    // a null-ts REFERENCE row can never satisfy ts <= / >= anything
+    // (SQL comparison with NULL is never true) — drop it before the
+    // union, or the null would sort to the frame edge and win matches no
+    // real row precedes (backward: NULL sorts first, inside every
+    // unbounded-preceding frame)
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"), lit(rightSide).as("_side"),
         lit(null).cast(l.schema("_l").dataType).as("_l"),
@@ -75,10 +80,17 @@ object AsOfJoin {
     // it still executes; only duplicate (key, ts) right rows are then
     // run-order-dependent, which no ordering could fix for an
     // uncomparable payload anyway.
+    // null-ts PROBE rows must match nothing but still survive (left-join
+    // contract; DuckDB ASOF yields NULL for them): order nulls to the
+    // frame-empty end — first for backward (nothing precedes), last for
+    // forward (nothing follows). Right null-ts rows are already filtered,
+    // so the only null-ts neighbors are other left rows, whose payload is
+    // null and skipped by ignoreNulls either way.
+    val tsKey = if (backward) col("_ts").asc_nulls_first else col("_ts").asc_nulls_last
     val orderKeys =
       if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
-        Seq(col("_ts"), col("_side"), col("_r").asc_nulls_first)
-      else Seq(col("_ts"), col("_side"))
+        Seq(tsKey, col("_side"), col("_r").asc_nulls_first)
+      else Seq(tsKey, col("_side"))
     val base = Window.partitionBy(keys.map(col): _*).orderBy(orderKeys: _*)
     val w =
       if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -31,17 +31,23 @@ import org.apache.spark.sql.functions._
 object Relevance {
 
   /** BM25 score per document for a bag-of-terms query; documents with no
-    * query term are absent (score 0). Output: (idCol, bm25 double,
+    * query term are absent (score 0). A term repeated in `queryTerms`
+    * contributes with its query-side multiplicity (the standard Okapi
+    * qtf factor for tokenized queries). Output: (idCol, bm25 double,
     * rounded to 4 decimals for engine-reproducible comparison). */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // query-side term frequency: resolved on the driver (the query is a
+    // literal), applied as a tiny map lookup after the per-term score
+    val qtf: Map[String, Int] = queryTerms.groupBy(identity).view.mapValues(_.size).toMap
+    val distinctTerms = qtf.keys.toSeq
     val toks = TextAnalysis.tokens(col(textCol))
     // postings filtered to query terms pre-shuffle: `isin` over a literal
     // set is a codegen'd hash probe directly above the explode
     val posts = docs
       .select(col(idCol), size(toks).as("_dl"), explode(toks).as("_tok"))
-      .filter(col("_tok").isin(queryTerms: _*))
+      .filter(col("_tok").isin(distinctTerms: _*))
     // tf is consumed TWICE (score rows + document frequency); without a
     // materialization Catalyst plans two full corpus scans + explodes —
     // the second is a redundant 100 TB pass. The eager localCheckpoint
@@ -60,7 +66,8 @@ object Relevance {
       .join(broadcast(stats)) // 1-row corpus stats: broadcast nested loop, no shuffle
       .withColumn("_idf", log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
       .withColumn("_s", col("_idf") * col("_tf") * (k1 + 1) /
-        (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+        (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl")))
+        * element_at(typedLit(qtf), col("_tok")))
       .groupBy(col(idCol))
       // +1e-9 nudges values off .00005 rounding boundaries (the engine-wide
       // double-comparison convention, see txt_stats/txt_decontam)

@@ -86,6 +86,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd(2L).contains(12L))  // 600s ahead: exactly on the bound
   }
 
+  test("null timestamps: reference rows never match, probe rows survive unmatched") {
+    val left = Seq((1L, "u1", Some(ts(100))), (2L, "u1", None))
+      .toDF("event_id", "user_id", "ts")
+    val rightNullOnly = Seq((11L, "u1", None: Option[Timestamp], 1.0))
+      .toDF("click_id", "user_id", "ts", "value")
+    for (dir <- Seq("backward", "forward")) {
+      val m = AsOfJoin.leftAsOf(left, rightNullOnly, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), direction = dir)
+        .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+      assert(m == Map(1L -> None, 2L -> None),
+        s"$dir: null-ts reference row must never match: $m")
+    }
+    // a real reference row still matches the non-null probe, never the null one
+    val rightReal = Seq((12L, "u1", Some(ts(100)), 2.0)).toDF("click_id", "user_id", "ts", "value")
+    for (dir <- Seq("backward", "forward")) {
+      val m = AsOfJoin.leftAsOf(left, rightReal, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), direction = dir)
+        .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+      assert(m == Map(1L -> Some(12L), 2L -> None), s"$dir: $m")
+    }
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
     val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")

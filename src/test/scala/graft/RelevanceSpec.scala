@@ -36,6 +36,17 @@ class RelevanceSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("repeated query terms contribute with their multiplicity (Okapi qtf)") {
+    val once = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val twice = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(once.map(_._1).toSeq == twice.map(_._1).toSeq)
+    once.zip(twice).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s2 - 2 * s1) < 1e-3, s"qtf=2 should double the term's score: $s1 vs $s2")
+    }
+  }
+
   test("rarer term outranks common term at equal tf and dl") {
     val d = Seq((1L, "rare pad1 pad2"), (2L, "comm pad3 pad4"), (3L, "comm pad5 pad6"))
       .toDF("doc_id", "text")
