@@ -134,6 +134,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Flagship end-to-end curation pipeline — the canonical pretraining
+    * prep chain as ONE composed query, every stage an already-gated
+    * operator: quality gate -> PII scrub -> exact keep-first dedup ->
+    * per-language sequence packing. Output is doc-level (doc_id, lang,
+    * n_tok, chunk), so the oracle hash checks the whole composition, not
+    * just aggregate counts. Plan: the gate+scrub stages fuse into the
+    * scan; dedup is one window shuffle on the text; packing windows
+    * parallelize per language. */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val gated = TextAnalysis.qualityGate(d)
+      .select(d.columns.map(col): _*) // drop the gate's metric columns
+    val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val deduped = Dedup.keepFirst(scrubbed, Seq("text"), "doc_id")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Pack.byTokenBudget(deduped, "doc_id", "n_tok", budget = 512L,
+        partitionCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: every-20th doc plays the benchmark set;
     * the rest are "training" docs scored by trigram containment. */
   def txtDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -487,6 +508,7 @@ object Ext {
     "dedup_keepfirst" -> dedupKeepFirst,
     "txt_repetition" -> txtRepetition,
     "txt_quality_gate" -> txtQualityGate,
+    "pipeline_curate" -> pipelineCurate,
     "txt_decontam" -> txtDecontam,
     "txt_decontam_bloom" -> txtDecontamBloom,
     "txt_bm25" -> txtBm25,
@@ -516,6 +538,39 @@ object Ext {
     "topk_native" -> topkNative)
 
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
+  // quality-gate CTE chain + predicate, shared between the gate query and
+  // the composed pipeline (CTE `r` carries doc_id, lang, all metrics)
+  private val duckGateCtes =
+    s"""t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
+       |q AS (SELECT doc_id, lang, toks,
+       |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+       |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+       |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
+       |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
+       |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
+       |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
+       |  FROM t),
+       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+       |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
+       |       FROM t WHERE len(toks) >= 2),
+       |best AS (SELECT doc_id, max(c) AS best FROM
+       |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+       |r AS (SELECT q.doc_id, q.lang, q.quality, q.en, q.de, q.fr,
+       |        round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
+       |              ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
+       |                         / len(string_split(t.text, chr(10))) END + 1e-9, 4) AS dup_line_frac,
+       |        round(CASE WHEN len(t.toks) < 2 THEN 0.0
+       |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
+       |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id)""".stripMargin
+  private val duckGatePred =
+    """quality >= 0.5 AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2
+      |  AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang""".stripMargin
+  // the engine's PII chain (email -> IPv4 -> phone) over an arbitrary expr
+  private def duckRedact(c: String) =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+       |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+       |    '(\\+\\d{1,3}[ -])?\\b\\d{3}[ -]\\d{3}[ -]?\\d{4}\\b', '[PHONE]', 'g')""".stripMargin
   private val duckShingles =
     s"""list_distinct(CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
        |ELSE list_transform(generate_series(1, len($duckToks)-2),
@@ -571,32 +626,30 @@ object Ext {
         |ORDER BY doc_id""".stripMargin,
     // composes the proven quality / repetition / langid oracle fragments
     "txt_quality_gate" ->
-      s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
-         |q AS (SELECT doc_id, lang, toks,
-         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
-         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
-         |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
-         |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
-         |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
-         |  FROM t),
-         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
-         |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
-         |       FROM t WHERE len(toks) >= 2),
-         |best AS (SELECT doc_id, max(c) AS best FROM
-         |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
-         |r AS (SELECT q.doc_id, q.lang, q.quality, q.en, q.de, q.fr,
-         |        round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
-         |              ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
-         |                         / len(string_split(t.text, chr(10))) END + 1e-9, 4) AS dup_line_frac,
-         |        round(CASE WHEN len(t.toks) < 2 THEN 0.0
-         |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) AS top_bigram_frac
-         |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id)
+      s"""WITH $duckGateCtes
          |SELECT doc_id, quality, dup_line_frac, top_bigram_frac
          |FROM r
-         |WHERE quality >= 0.5 AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2
-         |  AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang
+         |WHERE $duckGatePred
          |ORDER BY doc_id""".stripMargin,
+    // the full composition: gate survivors -> PII-scrubbed text -> exact
+    // keep-first dedup on the scrubbed text -> per-language cum-sum
+    // packing. Doc-level output so the hash pins every stage.
+    "pipeline_curate" ->
+      s"""WITH $duckGateCtes,
+         |surv AS (SELECT doc_id FROM r WHERE $duckGatePred),
+         |red AS (SELECT d.doc_id, d.lang, ${duckRedact("d.text")} AS rt
+         |        FROM documents d JOIN surv USING (doc_id)),
+         |ded AS (SELECT doc_id, lang, rt FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY rt ORDER BY doc_id) AS rn FROM red)
+         |        WHERE rn = 1),
+         |tok AS (SELECT doc_id, lang,
+         |          CAST(CASE WHEN length(trim(rt)) = 0 THEN 0
+         |               ELSE len(string_split_regex(trim(rt), '\\s+')) END AS BIGINT) AS n_tok
+         |        FROM ded),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 512) AS BIGINT) AS chunk
+         |      FROM tok)
+         |SELECT doc_id, lang, n_tok, chunk FROM c ORDER BY doc_id""".stripMargin,
     "txt_decontam" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
          |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),

@@ -108,6 +108,40 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence vs brute-force reference, both directions with tolerance") {
+    val rnd = new scala.util.Random(7)
+    val keys = Vector("u1", "u2", "u3")
+    val left = (1L to 60L).map(i => (i, keys(rnd.nextInt(3)), ts(rnd.nextInt(500))))
+    val right = (100L to 180L).map(i => (i, keys(rnd.nextInt(3)), ts(rnd.nextInt(500)), rnd.nextDouble()))
+    val lDf = left.toDF("event_id", "user_id", "ts")
+    val rDf = right.toDF("click_id", "user_id", "ts", "value")
+    val tolSec = 60L
+    for (dir <- Seq("backward", "forward")) {
+      // brute force: nearest by |dt| respecting direction, ties broken by
+      // greatest (backward) / smallest (forward) (click_id, value) struct
+      // — the operator's documented tie contract
+      val expected = left.map { case (id, u, lts) =>
+        val cands = right.filter { case (_, ru, rts, _) =>
+          ru == u && (if (dir == "backward") rts.getTime <= lts.getTime else rts.getTime >= lts.getTime)
+        }
+        val best =
+          if (cands.isEmpty) None
+          else {
+            val bestTs =
+              if (dir == "backward") cands.map(_._3.getTime).max else cands.map(_._3.getTime).min
+            val atBest = cands.filter(_._3.getTime == bestTs).map(c => (c._1, c._4))
+            val pick = if (dir == "backward") atBest.max else atBest.min
+            if (math.abs(bestTs - lts.getTime) <= tolSec * 1000) Some(pick._1) else None
+          }
+        id -> best
+      }.toMap
+      val got = AsOfJoin.leftAsOf(lDf, rDf, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "value"), direction = dir, tolerance = Some(s"$tolSec seconds"))
+        .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == expected, s"$dir mismatch: ${got.toSeq.diff(expected.toSeq).take(5)}")
+    }
+  }
+
   test("left rows and columns are preserved") {
     val left = Seq((1L, "u1", ts(5), "payload")).toDF("id", "user_id", "ts", "extra")
     val right = Seq((9L, "u1", ts(1))).toDF("rid", "user_id", "ts")
