@@ -33,4 +33,43 @@ object Pack {
       .withColumn("chunk", floor((col("_cum") - col(tokenCol)) / budget))
       .drop("_cum")
   }
+
+  /** Context-length chunking: split each document's token stream into
+    * fixed-size windows of `window` tokens advancing by `stride`
+    * (overlapping when stride < window — the standard sliding-context
+    * recipe for LLM training/eval sets). Chunk starts are i*stride for
+    * i = 0 .. ceil(max(0, n-window)/stride); the final chunk may be
+    * shorter than `window`; a non-empty document shorter than `window`
+    * yields exactly one chunk; an empty/blank document yields none.
+    *
+    * Output: (idCol, chunk_idx int, chunk_tokens int, chunk_text).
+    *
+    * Plan shape: tokenize -> per-row chunk count -> `explode(sequence)`
+    * -> `slice` + `array_join`. Every expression is codegen'd and the
+    * whole operator is NARROW — zero shuffles, no window functions, so
+    * at 100 TB it is a single pass that parallelizes per input split
+    * and composes with downstream repartitioning (unlike a
+    * posexplode+window formulation, which would shuffle every token). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride must be in [1, window]")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // blank text guard: split(trim("")) yields [""], not [] — treat as 0
+    // chunks so empty documents emit nothing instead of one "" chunk
+    val nChunks = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(lit(1) + ceil(greatest(size(toks) - window, lit(0)) / lit(stride.toDouble)))
+      .cast("int")
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      // sequence(0, nc-1) needs nc >= 1: Spark infers step -1 for
+      // start > stop, so an unguarded nc=0 would yield [0,-1], not []
+      .filter(col("_nc") > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_chunk")).as("chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,5 +34,40 @@ object Sample {
     // withColumn would silently overwrite (and drop) a caller's column
     val rn = Iterator.from(0).map(i => s"_rn$i").find(n => !df.columns.contains(n)).get
     df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
+  }
+
+  /** Deterministic train/val/test (or arbitrary N-way) split by id hash.
+    * Each row gets the label of the bucket its md5 draw falls into:
+    * bucket boundaries are the cumulative fractions mapped onto the
+    * first 8 hex chars of `md5(salt|id)` — a lowercase-hex string whose
+    * lexicographic order equals the numeric order of the top 32 hash
+    * bits, so a plain string `<` against precomputed literal thresholds
+    * implements the split. The last label takes the remainder, making
+    * the buckets exhaustive regardless of floating-point rounding.
+    *
+    * Properties the formulation buys: (a) assignment is a pure per-row
+    * function of the id — NARROW, zero shuffle, trivially parallel at
+    * 100 TB; (b) stable across runs, partitionings, and engines (md5 is
+    * universal, so a DuckDB oracle reproduces it exactly, unlike seeded
+    * RNG splits); (c) adding data later never reassigns existing rows —
+    * the property training pipelines need so the test set stays clean
+    * across corpus refreshes; (d) `salt` re-deals the split without
+    * touching the data. */
+  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[(String, Double)],
+                salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(fractions.size >= 2, "need at least two split buckets")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    require(!df.columns.contains(splitCol), s"column '$splitCol' already exists")
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.hashSplit requires non-null '$idCol'")))
+      .otherwise(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8))
+    // cumulative thresholds for all but the last bucket, as 8-digit hex
+    val cum = fractions.init.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.map(f => f"${math.floor(f * 4294967296.0).toLong}%08x")
+    val label = fractions.init.zip(thresholds).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), thr), rest) => when(draw < thr, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, label)
   }
 }

@@ -165,6 +165,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-length chunking of every document into 32-token windows
+    * advancing by 16 (50% overlap) — the sliding-context split that
+    * turns a curated corpus into training/eval samples. Narrow
+    * single-pass plan; see [[graft.operators.Pack.chunkTokens]]. */
+  def txtChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Pack.chunkTokens(d, "doc_id", "text", window = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic 80/10/10 train/val/test split by document-id hash —
+    * engine-reproducible (md5), stable under corpus growth; see
+    * [[graft.operators.Sample.hashSplit]]. */
+  def smpSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Sample
+      .hashSplit(d, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(lang, source) document cap in deterministic md5 order — the
     * corpus-curation "max N docs per domain" step, oracle-checkable
     * because both engines agree on md5. */
@@ -514,6 +535,8 @@ object Ext {
     "txt_bm25" -> txtBm25,
     "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,
+    "smp_split" -> smpSplit,
+    "txt_chunk" -> txtChunk,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -624,6 +647,26 @@ object Ext {
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)) NULLS LAST, doc_id NULLS LAST) <= 10
         |ORDER BY doc_id""".stripMargin,
+    // thresholds = floor(cum_fraction * 2^32) as 8-digit lowercase hex:
+    // 0.8 -> cccccccc, 0.9 -> e6666666 (same literals Sample.hashSplit
+    // computes for fractions 0.8/0.1/0.1)
+    "smp_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_chunk" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS INT) END AS nchunks
+         |  FROM t),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, i*16+1, i*16+32)) AS INT) AS chunk_tokens,
+         |  array_to_string(list_slice(toks, i*16+1, i*16+32), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // composes the proven quality / repetition / langid oracle fragments
     "txt_quality_gate" ->
       s"""WITH $duckGateCtes

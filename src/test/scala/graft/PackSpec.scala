@@ -22,6 +22,35 @@ class PackSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("chunkTokens: boundary shapes — short doc, exact fit, overlap, blank") {
+    val df = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),   // n=5  < window -> 1 short chunk
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),   // n=8  = window -> exactly 1 chunk
+      (3L, (1 to 14).map(i => s"t$i").mkString(" ")),  // n=14 -> starts 0,4,8 -> 3 chunks
+      (4L, "   "),                                      // blank -> 0 chunks
+      (5L, "")                                          // empty -> 0 chunks
+    ).toDF("id", "text")
+    val got = Pack.chunkTokens(df, "id", "text", window = 8, stride = 4)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (1L, 0, 5), (2L, 0, 8), (3L, 0, 8), (3L, 1, 8), (3L, 2, 6)))
+    // overlapping windows carry the overlap: chunk 1 of doc 3 starts at t5
+    assert(got.find(r => r._1 == 3L && r._2 == 1).get._4 ===
+      (5 to 12).map(i => s"t$i").mkString(" "))
+    // last chunk is the tail only
+    assert(got.find(r => r._1 == 3L && r._2 == 2).get._4 ===
+      (9 to 14).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunkTokens covers every token exactly once when stride == window") {
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val got = Pack.chunkTokens(Seq((1L, text)).toDF("id", "text"), "id", "text", 8, 8)
+      .orderBy("chunk_idx").as[(Long, Int, Int, String)].collect()
+    assert(got.map(_._3).sum === 23, "non-overlapping chunks must partition the tokens")
+    assert(got.map(_._4).mkString(" ") === text)
+  }
+
   test("stratified sampling keeps approximate per-stratum fractions") {
     val df = (0 until 4000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "stratum")

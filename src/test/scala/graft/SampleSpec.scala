@@ -31,6 +31,34 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: exhaustive labels, stable under corpus growth, ~fractions") {
+    val big = (0L until 5000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val frac = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sample.hashSplit(big, "id", frac)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"), "every row gets a bucket")
+    assert(counts.values.sum === 5000L)
+    assert(math.abs(counts("train") - 4000.0) / 4000.0 < 0.05)
+    assert(math.abs(counts("val") - 500.0) / 500.0 < 0.2)
+    // growth stability: the first 500 ids keep their assignment when the
+    // corpus grows 10x — the clean-test-set property
+    val small = Sample.hashSplit(big.filter($"id" < 500), "id", frac)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val fromBig = Sample.hashSplit(big, "id", frac).filter($"id" < 500)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(small === fromBig, "growing the corpus must not reassign rows")
+  }
+
+  test("hashSplit validates fractions and rejects colliding split column") {
+    val df = Seq((1L, "x")).toDF("id", "split")
+    intercept[IllegalArgumentException] {
+      Sample.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)) // sums to 0.9
+    }
+    intercept[IllegalArgumentException] {
+      Sample.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.5)) // 'split' exists
+    }
+  }
+
   test("salt changes the draw") {
     val df = rows.toDF("id", "k")
     val a = Sample.capPerKey(df, Seq("k"), "id", 7).as[(Long, String)].collect().toSet
