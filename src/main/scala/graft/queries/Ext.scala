@@ -368,6 +368,23 @@ object Ext {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Sketch-based distinct counting per event type: exact (shuffles every
+    * distinct key — the thing that dies first at 100 TB), HyperLogLog++
+    * (`approx_count_distinct`), and a DataSketches HLL whose binary
+    * sketches MERGE — per-partition/per-day sketches union into totals
+    * without re-touching raw data, the property incremental pipelines
+    * rely on. Rows-only entry (sketch estimates are engine-specific, so
+    * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  def aggSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_approx"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("n_hll"))
+      .orderBy(col("event_type"))
+  }
+
   def evJson(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -551,6 +568,7 @@ object Ext {
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "dedup_embed_cosine" -> dedupEmbedCosine,
+    "agg_sketch_distinct" -> aggSketchDistinct,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
