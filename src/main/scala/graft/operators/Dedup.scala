@@ -123,6 +123,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
+  /** (id, _band, _h) LSH band-bucket keys from a shingle-set frame
+    * (id, _sh): the k = bands*rowsPerBand MinHash signature is one
+    * narrow native expression ([[graft.functions.MinHashSignature]]);
+    * each band's rows hash to a single 8-byte bucket key. This IS the
+    * near-dup index shape — in a standing pipeline, compute it once per
+    * corpus and store it; [[minHashNearDupAgainst]] joins new batches
+    * against it without re-touching corpus text. */
+  private def bandTable(sh: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = sh.withColumn("_sig",
+      graft.functions.MinHashSignature(col("_sh"), bands * rowsPerBand))
+    sig.select(col(idCol), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
+      }: _*)).as("_bh"))
+      .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
+  }
+
   /** MinHash+LSH near-dup pairs, verified: LSH proposes candidates via
     * band-bucket equi-join; exact shingle-Jaccard (over 64-bit shingle
     * hashes) filters false positives. k = bands*rowsPerBand hash
@@ -149,18 +167,11 @@ object Dedup {
     // verifier drops them. Excluding them up front matches the posting
     // path, where explode(NULL) drops the row.
     val sh = shingleSets(df, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
-    val sig = sh.withColumn("_sig",
-      graft.functions.MinHashSignature(col("_sh"), k))
     // persisted: the banding self-join consumes `banded` on BOTH sides —
     // unpersisted, each side re-evaluates the k-permutation signature
     // (k x n hashes per doc, the most expensive narrow stage here).
     // Released explicitly below, like `sh`.
-    val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(j => element_at(col("_sig"), b * rowsPerBand + j + 1)) :+ lit(b): _*).as("h"))
-      }: _*)).as("_bh"))
-      .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
-      .persist()
+    val banded = bandTable(sh, idCol, bands, rowsPerBand).persist()
     val cand = banded.withColumnRenamed(idCol, "id_a")
       .join(banded.withColumnRenamed(idCol, "id_b"), Seq("_band", "_h"))
       .filter(col("id_a") < col("id_b"))
@@ -190,6 +201,54 @@ object Dedup {
       sh.unpersist()
       banded.unpersist()
     }
+  }
+
+  /** INCREMENTAL near-dup detection: which `batch` documents are
+    * near-duplicates (shingle Jaccard >= threshold) of some `corpus`
+    * document — "dedup today's crawl against the index", the standing
+    * form of corpus curation. Returns (batch_id, corpus_id, j); one row
+    * per matched cross pair. Batch-internal and corpus-internal
+    * duplicates are out of scope by design (run [[minHashNearDupPairs]]
+    * within a set for those).
+    *
+    * Same LSH machinery as [[minHashNearDupPairs]], but the candidate
+    * join is batch-bands x corpus-bands instead of a self-join, so the
+    * work is proportional to the BATCH (plus one narrow corpus pass for
+    * its band keys) — never corpus x corpus. At 100 TB the corpus band
+    * table is the precomputed index you'd persist between runs
+    * ([[bandTable]] note); recomputing it here keeps the operator
+    * self-contained while the join shape stays identical. */
+  def minHashNearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, threshold: Double,
+                            bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+    // both shingle frames feed a band table AND a verification join
+    val shC = shingleSets(corpus, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
+    val shB = shingleSets(batch, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
+    val cand = bandTable(shB, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "batch_id")
+      .join(bandTable(shC, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "corpus_id"),
+        Seq("_band", "_h"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct() // a pair may collide in several bands
+    val verified = cand
+      .join(shB.select(col(idCol).as("batch_id"), col("_sh").as("_shb")), Seq("batch_id"))
+      .join(shC.select(col(idCol).as("corpus_id"), col("_sh").as("_shc")), Seq("corpus_id"))
+      .withColumn("j", round(jaccard(col("_shb"), col("_shc")), 4))
+      .filter(col("j") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("j"))
+    try verified.localCheckpoint(true)
+    finally {
+      shC.unpersist()
+      shB.unpersist()
+    }
+  }
+
+  /** Apply path of [[minHashNearDupAgainst]]: `batch` minus every row
+    * near-duplicating the corpus (left-anti on the matched batch ids). */
+  def dropNearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val hits = minHashNearDupAgainst(corpus, batch, idCol, textCol, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected pair list (id_a, id_b):

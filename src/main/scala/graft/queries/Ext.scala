@@ -257,6 +257,16 @@ object Ext {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Incremental near-dup: docs 400+ play the "new crawl", docs <400 the
+    * standing corpus; emit every cross near-dup pair. */
+  def dedupMinHashInc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.minHashNearDupAgainst(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** Substring-span dedup (Lee et al. 2022): maximal token ranges covered
     * by 8-token spans shared across >= 2 documents. */
   def txtSpanDedup(s: SparkSession, dir: String): DataFrame =
@@ -560,6 +570,7 @@ object Ext {
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
     "dedup_drop" -> dedupDrop,
+    "dedup_minhash_inc" -> dedupMinHashInc,
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
@@ -841,6 +852,14 @@ object Ext {
          |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // exact cross-set Jaccard (corpus = doc_id < 400, batch = >= 400) —
+    // the LSH+verify operator must find exactly the true pairs
+    "dedup_minhash_inc" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |p AS (SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400)
+         |SELECT batch_id, corpus_id, j FROM p WHERE j >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
     // span equality over 8-token STRINGS stands in for the engine's
     // xxhash64 span hashes (equal spans <=> equal hashes; a 64-bit
     // collision at oracle scale is ~k^2/2^64). Parallel unnests zip in

@@ -214,6 +214,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === (0 until 6).map(_ * 3L).toSet)
   }
 
+  test("minHashNearDupAgainst finds only CROSS pairs; dropNearDupAgainst filters the batch") {
+    val rnd = new Random(31)
+    val vocab = Vector.tabulate(300)(i => s"v$i")
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val shared = doc() // present in corpus AND near-copied in the batch
+    val batchDup = doc() // duplicated WITHIN the batch only — must not match
+    val corpus = Seq((0L, shared), (1L, doc()), (2L, doc())).toDF("doc_id", "text")
+    val mut = { val t = shared.split(" "); t(t.length - 1) = "X"; t.mkString(" ") }
+    val batch = Seq((100L, mut), (101L, doc()), (102L, batchDup), (103L, batchDup))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minHashNearDupAgainst(corpus, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((100L, 0L)), "only the cross near-dup pair; batch-internal dups excluded")
+    val kept = Dedup.dropNearDupAgainst(corpus, batch, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(101L, 102L, 103L), "batch minus corpus near-dups, internal dups retained")
+  }
+
   test("minHashNearDupPairs releases its caches and still serves its result") {
     spark.catalog.clearCache() // isolate from other suites on the shared session
     val rnd = new Random(31)
