@@ -36,6 +36,24 @@ object Sample {
     df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
   }
 
+  /** Deterministic score-weighted acceptance sampling: keep each row
+    * with probability `scoreCol` (a double; <=0 never keeps, >=1 always
+    * keeps — no clamping needed since the draw is uniform on
+    * [0, 1 - 2^-32]). The draw is the top 32 bits of md5(salt|id) as a
+    * fraction, so acceptance is a pure per-row function — narrow,
+    * engine-reproducible, stable across runs and corpus growth, same
+    * rationale as [[hashSplit]]. The curation use: quality-weighted
+    * data selection, where each document's keep probability IS its
+    * quality score (soft filtering, vs the hard quality-gate cut). */
+  def acceptByScore(df: DataFrame, idCol: String, scoreCol: String,
+                    salt: String = ""): DataFrame = {
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.acceptByScore requires non-null '$idCol'")))
+      .otherwise(conv(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0)
+    df.filter(draw < col(scoreCol))
+  }
+
   /** Deterministic train/val/test (or arbitrary N-way) split by id hash.
     * Each row gets the label of the bucket its md5 draw falls into:
     * bucket boundaries are the cumulative fractions mapped onto the

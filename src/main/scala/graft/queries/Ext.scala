@@ -175,6 +175,18 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Quality-weighted soft sampling: each document is kept with
+    * probability equal to its quality score (md5-draw acceptance) — the
+    * soft alternative to the hard gate cut; see
+    * [[graft.operators.Sample.acceptByScore]]. */
+  def smpQualityWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    graft.operators.Sample.acceptByScore(d, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 train/val/test split by document-id hash —
     * engine-reproducible (md5), stable under corpus growth; see
     * [[graft.operators.Sample.hashSplit]]. */
@@ -563,6 +575,7 @@ object Ext {
     "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_split" -> smpSplit,
+    "smp_quality_weighted" -> smpQualityWeighted,
     "txt_chunk" -> txtChunk,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -676,6 +689,19 @@ object Ext {
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)) NULLS LAST, doc_id NULLS LAST) <= 10
         |ORDER BY doc_id""".stripMargin,
+    // same quality expression as txt_stats; the acceptance draw is the
+    // top 32 md5 bits as an exact fraction (both engines produce the
+    // identical integer, so the comparison is reproducible)
+    "smp_quality_weighted" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
+         |  FROM t)
+         |SELECT doc_id, quality FROM q
+         |WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality
+         |ORDER BY doc_id""".stripMargin,
     // thresholds = floor(cum_fraction * 2^32) as 8-digit lowercase hex:
     // 0.8 -> cccccccc, 0.9 -> e6666666 (same literals Sample.hashSplit
     // computes for fractions 0.8/0.1/0.1)

@@ -49,6 +49,24 @@ class SampleSpec extends SparkSpec {
     assert(small === fromBig, "growing the corpus must not reassign rows")
   }
 
+  test("acceptByScore: rate tracks the score; 0 and 1 are absorbing") {
+    val df = (0L until 8000L).map { i =>
+      val score = (i % 4) match {
+        case 0 => 0.0; case 1 => 0.25; case 2 => 0.75; case 3 => 1.0
+      }
+      (i, score)
+    }.toDF("id", "score")
+    val kept = Sample.acceptByScore(df, "id", "score")
+      .groupBy("score").count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0), "score 0 keeps nothing")
+    assert(kept(1.0) === 2000L, "score 1 keeps everything")
+    assert(math.abs(kept(0.25) - 500.0) / 500.0 < 0.15, s"got ${kept(0.25)}")
+    assert(math.abs(kept(0.75) - 1500.0) / 1500.0 < 0.15, s"got ${kept(0.75)}")
+    // deterministic: same inputs -> same selection
+    val again = Sample.acceptByScore(df, "id", "score").count()
+    assert(again === kept.values.sum)
+  }
+
   test("hashSplit validates fractions and rejects colliding split column") {
     val df = Seq((1L, "x")).toDF("id", "split")
     intercept[IllegalArgumentException] {
