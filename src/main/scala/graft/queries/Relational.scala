@@ -326,6 +326,24 @@ object Relational {
   /** Salted skew join, oracle-proved equivalent to the plain join: the
     * salt spreads each hot orderkey over 8 reducers but must not change
     * the result SET (salt is join-key-extending, then dropped). */
+  /** Full-outer join with unmatched rows on BOTH sides: per-part shipped
+    * quantity in 1995 vs 1996 (26 parts ship only in '96, 21 only in
+    * '95 at sf0.01). Shape note: both inputs are post-aggregation
+    * (one row per part), so the join is a shuffle join on the already-
+    * reduced sets — aggregate-then-join, never join-then-aggregate. */
+  def q28OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def yearQty(y: Int, out: String) = li
+      .filter(year(col("l_shipdate")) === y)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as(out))
+    yearQty(1995, "qty95").join(yearQty(1996, "qty96"), Seq("l_partkey"), "full_outer")
+      .select(col("l_partkey"),
+        coalesce(col("qty95"), lit(0.0)).as("qty95"),
+        coalesce(col("qty96"), lit(0.0)).as("qty96"))
+      .orderBy(col("l_partkey"))
+  }
+
   def q27SkewJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -336,6 +354,7 @@ object Relational {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_skew_join" -> q27SkewJoin,
+    "q28_outer_join" -> q28OuterJoin,
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
     "q25_topk_rewrite" -> q25TopkRewrite,
@@ -390,7 +409,17 @@ object Relational {
     "q27_skew_join" ->
       """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "q28_outer_join" ->
+      """WITH a AS (SELECT l_partkey, round(sum(l_quantity), 2) AS qty95 FROM lineitem
+        |           WHERE year(l_shipdate) = 1995 GROUP BY 1),
+        |b AS (SELECT l_partkey, round(sum(l_quantity), 2) AS qty96 FROM lineitem
+        |      WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        |SELECT coalesce(a.l_partkey, b.l_partkey) AS l_partkey,
+        |  CAST(coalesce(qty95, 0.0) AS DOUBLE) AS qty95,
+        |  CAST(coalesce(qty96, 0.0) AS DOUBLE) AS qty96
+        |FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey
+        |ORDER BY l_partkey""".stripMargin)
 
   /** DuckDB oracle twins. Casts align DuckDB's wider return types
     * (BIGINT year/length/row_number, DOUBLE ceil/floor) with Spark's. */
