@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: how rows are assigned to files/partitions
+  * determines what a 100 TB scan can SKIP. Sorting by one column gives
+  * min/max file stats that prune predicates on that column only;
+  * Z-ordering interleaves two dimensions so file bounding boxes stay
+  * tight on BOTH — the clustering behind "OPTIMIZE ZORDER BY" in
+  * modern table formats (public technique; Morton codes).
+  */
+object Layout {
+
+  /** Cluster `df` into `numPartitions` range partitions of the Morton
+    * code of (xCol, yCol), each sorted by the code — written out, every
+    * file carries a tight bounding box in both dimensions, so min/max
+    * stats prune range predicates on EITHER column (a linear sort
+    * serves only its leading column; see LayoutSpec for the measured
+    * contrast). Values are first normalized to `buckets` uniform bins
+    * over the observed [min, max] (one scalar aggregate — a bounded
+    * driver fetch of 4 values, broadcast back as literals): Morton
+    * interleaving needs non-negative, comparable-range bit patterns,
+    * not raw signed/skewed values. Uniform bins are the simple default;
+    * heavily skewed dimensions want rank (quantile) normalization —
+    * same code shape, boundaries from `percentile_approx` instead of
+    * min/max. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+               numPartitions: Int, buckets: Int = 1 << 16): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    require(buckets >= 2 && buckets <= (1 << 30), "buckets must be in [2, 2^30]")
+    val r = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def bin(c: String, lo: Double, hi: Double): Column =
+      if (lo >= hi) lit(0) // constant (or all-null) dimension
+      else (width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(buckets - 1)) - 1).cast("int")
+    val z = graft.functions.MortonCode(
+      bin(xCol, r.getDouble(0), r.getDouble(1)),
+      bin(yCol, r.getDouble(2), r.getDouble(3)))
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
+}
