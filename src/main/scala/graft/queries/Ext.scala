@@ -175,6 +175,25 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Per-source corpus profile — the curation dashboard numbers: volume,
+    * token mass, quality distribution (mean + p50/p90), language spread.
+    * One narrow metric scan + one groupBy on the source key. */
+  def rptCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 2).as("mean_tokens"),
+        round(avg(col("quality")), 4).as("mean_quality"),
+        round(percentile(col("quality"), lit(0.5)), 4).as("p50_quality"),
+        round(percentile(col("quality"), lit(0.9)), 4).as("p90_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-weighted soft sampling: each document is kept with
     * probability equal to its quality score (md5-draw acceptance) — the
     * soft alternative to the hard gate cut; see
@@ -576,6 +595,7 @@ object Ext {
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
+    "rpt_corpus_stats" -> rptCorpusStats,
     "txt_chunk" -> txtChunk,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -689,6 +709,21 @@ object Ext {
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)) NULLS LAST, doc_id NULLS LAST) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "rpt_corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT source, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tok,
+         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  round(avg(n_tok), 2) AS mean_tokens,
+         |  round(avg(quality), 4) AS mean_quality,
+         |  round(quantile_cont(quality, 0.5), 4) AS p50_quality,
+         |  round(quantile_cont(quality, 0.9), 4) AS p90_quality,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // same quality expression as txt_stats; the acceptance draw is the
     // top 32 md5 bits as an exact fraction (both engines produce the
     // identical integer, so the comparison is reproducible)
