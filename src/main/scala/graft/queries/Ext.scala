@@ -177,7 +177,14 @@ object Ext {
 
   /** Per-source corpus profile — the curation dashboard numbers: volume,
     * token mass, quality distribution (mean + p50/p90), language spread.
-    * One narrow metric scan + one groupBy on the source key. */
+    * One narrow metric scan + one groupBy on the source key.
+    *
+    * SCALE NOTE: `percentile` is the EXACT aggregate (buffers each
+    * group's values) — right here because it lets DuckDB's
+    * `quantile_cont` hash-match the oracle, and per-source groups are
+    * modest. Profiling billions of docs per source, swap in
+    * `approx_percentile(quality, 0.5, err)` (KLL-style sketch, bounded
+    * state, mergeable) — same query shape, estimate instead of exact. */
   def rptCorpusStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
