@@ -40,4 +40,31 @@ object Layout {
       bin(yCol, r.getDouble(2), r.getDouble(3)))
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
+
+  /** [[zorderBy]] with RANK (quantile) normalization: each dimension maps
+    * to its `buckets`-quantile index before Morton interleaving, so a
+    * skewed dimension (where uniform min/max bins collapse the dense
+    * region into one bucket, forfeiting pruning inside it) still spreads
+    * over the full bucket range. Boundaries come from one
+    * `percentile_approx` aggregate per call (a bounded driver fetch of
+    * 2*(buckets-1) doubles, shipped back as a referenced object — see
+    * [[graft.functions.BucketIndex]]); `buckets` stays moderate (default
+    * 4096) because quantile resolution, not bit width, is the knob. */
+  def zorderByRank(df: DataFrame, xCol: String, yCol: String,
+                   numPartitions: Int, buckets: Int = 4096): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets must be in [2, 2^20]")
+    val fracs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val r = df.agg(
+      percentile_approx(col(xCol).cast("double"), fracs, lit(10000)),
+      percentile_approx(col(yCol).cast("double"), fracs, lit(10000))).head()
+    def bounds(i: Int): Array[Double] = {
+      val s = r.getSeq[Double](i)
+      if (s == null || s.isEmpty) Array(0.0) else s.toArray
+    }
+    val z = graft.functions.MortonCode(
+      graft.functions.BucketIndex(col(xCol).cast("double"), bounds(0)),
+      graft.functions.BucketIndex(col(yCol).cast("double"), bounds(1)))
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
 }

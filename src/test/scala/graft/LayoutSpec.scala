@@ -73,6 +73,45 @@ class LayoutSpec extends SparkSpec {
     assert(linOnX <= zOnX, "sanity: pure x sort is at least as good on x")
   }
 
+  test("BucketIndex: binary-search rank against sorted boundaries") {
+    val bs = Array(10.0, 20.0, 30.0)
+    assert(graft.functions.BucketIndex.bucket(5.0, bs) === 0)
+    assert(graft.functions.BucketIndex.bucket(10.0, bs) === 1, "boundary value counts as <=")
+    assert(graft.functions.BucketIndex.bucket(25.0, bs) === 2)
+    assert(graft.functions.BucketIndex.bucket(99.0, bs) === 3)
+    assert(graft.functions.BucketIndex.bucket(Double.NaN, bs) === 3, "NaN lands in the top bucket")
+  }
+
+  test("zorderByRank keeps pruning inside a skewed dimension's dense region") {
+    val rnd = new Random(11)
+    // x heavily skewed: 90% in [0,10), 10% spread to 10000; y uniform
+    val pts = Seq.fill(20000) {
+      val x = if (rnd.nextInt(10) < 9) rnd.nextInt(10) else rnd.nextInt(10000)
+      (x, rnd.nextInt(1000))
+    }.toDF("x", "y")
+    val nPart = 16
+
+    def xBoxes(df: org.apache.spark.sql.DataFrame): Array[(Int, Int)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg(min($"x").as("x0"), max($"x").as("x1"))
+        .select("x0", "x1").as[(Int, Int)].collect()
+
+    val uni = xBoxes(Layout.zorderBy(pts, "x", "y", nPart))
+    val rank = xBoxes(Layout.zorderByRank(pts, "x", "y", nPart, buckets = 256))
+
+    // query x in [2,3] — inside the dense region
+    def scanned(bs: Array[(Int, Int)]): Int = bs.count { case (x0, x1) => x1 >= 2 && x0 <= 3 }
+    // uniform min/max bins put ~90% of rows in x-bucket 0: every dense
+    // partition's box covers [0,10) and matches
+    assert(scanned(uni) > nPart / 2, s"sanity: uniform layout scans ${scanned(uni)}")
+    // quantile buckets subdivide the dense region into distinct x ranks
+    assert(scanned(rank) < scanned(uni), s"rank ${scanned(rank)} !< uniform ${scanned(uni)}")
+    // only 10 distinct x values exist in the dense region, so rank
+    // resolution caps out; ~2/10 of dense rank space still interleaves
+    // across y — well under scanning everything, not a surgical cut
+    assert(scanned(rank) <= (nPart * 2) / 3, s"rank layout should prune the dense region: ${scanned(rank)}")
+  }
+
   test("zorderBy handles constant and null-bearing dimensions") {
     val df = Seq((1, 5), (2, 5), (3, 5)).toDF("x", "y") // y constant
     assert(Layout.zorderBy(df, "x", "y", 2).count() === 3)
