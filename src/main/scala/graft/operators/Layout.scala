@@ -29,15 +29,24 @@ object Layout {
                numPartitions: Int, buckets: Int = 1 << 16): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
     require(buckets >= 2 && buckets <= (1 << 30), "buckets must be in [2, 2^30]")
+    // NaN is excluded from the bounds: max() orders NaN above every
+    // double, so one NaN row would otherwise poison hi and null out
+    // width_bucket for ALL rows (total loss of clustering). NaN rows
+    // themselves get a null code and cluster together at the range edge.
+    def finite(c: String): Column = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
     val r = df.agg(
-      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
-      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
-    def bin(c: String, lo: Double, hi: Double): Column =
-      if (lo >= hi) lit(0) // constant (or all-null) dimension
-      else (width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(buckets - 1)) - 1).cast("int")
-    val z = graft.functions.MortonCode(
-      bin(xCol, r.getDouble(0), r.getDouble(1)),
-      bin(yCol, r.getDouble(2), r.getDouble(3)))
+      min(finite(xCol)), max(finite(xCol)),
+      min(finite(yCol)), max(finite(yCol))).head()
+    // isNullAt: empty input or an all-null dimension aggregates to null —
+    // degrade to a constant dimension instead of throwing
+    def bin(c: String, i: Int): Column = {
+      if (r.isNullAt(i) || r.isNullAt(i + 1) || r.getDouble(i) >= r.getDouble(i + 1)) lit(0)
+      else (width_bucket(col(c).cast("double"), lit(r.getDouble(i)), lit(r.getDouble(i + 1)), lit(buckets - 1)) - 1).cast("int")
+    }
+    val z = graft.functions.MortonCode(bin(xCol, 0), bin(yCol, 2))
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
 

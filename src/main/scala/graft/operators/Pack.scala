@@ -55,9 +55,12 @@ object Pack {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window, "stride must be in [1, window]")
     val toks = TextAnalysis.tokens(col(textCol))
-    // blank text guard: split(trim("")) yields [""], not [] — treat as 0
-    // chunks so empty documents emit nothing instead of one "" chunk
-    val nChunks = when(length(trim(col(textCol))) === 0, lit(0))
+    // null/blank text guard: split(trim("")) yields [""], not [] — treat
+    // as 0 chunks so empty documents emit nothing instead of one ""
+    // chunk. The null check must be EXPLICIT: length(trim(null)) === 0
+    // is null, which would fall through to the otherwise branch where
+    // greatest(null, 0) = 0 conjures one phantom null chunk.
+    val nChunks = when(col(textCol).isNull || length(trim(col(textCol))) === 0, lit(0))
       .otherwise(lit(1) + ceil(greatest(size(toks) - window, lit(0)) / lit(stride.toDouble)))
       .cast("int")
     df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))

@@ -80,9 +80,14 @@ object Sample {
     val draw = when(col(idCol).isNull,
         raise_error(lit(s"Sample.hashSplit requires non-null '$idCol'")))
       .otherwise(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8))
-    // cumulative thresholds for all but the last bucket, as 8-digit hex
+    // cumulative thresholds for all but the last bucket, as 8-digit hex.
+    // Clamped to 0xffffffff: a cumulative fraction hitting exactly 1.0
+    // (e.g. fractions like 1.0 + 1e-10 passing the sum tolerance) would
+    // format as the 9-char "100000000", which compares LOWER than most
+    // 8-char draws lexicographically — a silent mis-split.
     val cum = fractions.init.scanLeft(0.0)(_ + _._2).tail
-    val thresholds = cum.map(f => f"${math.floor(f * 4294967296.0).toLong}%08x")
+    val thresholds = cum.map(f =>
+      f"${math.min(math.floor(f * 4294967296.0).toLong, 0xffffffffL)}%08x")
     val label = fractions.init.zip(thresholds).foldRight(lit(fractions.last._1): Column) {
       case (((name, _), thr), rest) => when(draw < thr, name).otherwise(rest)
     }

@@ -630,14 +630,19 @@ object Ext {
     "topk_native" -> topkNative)
 
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
+  // TextAnalysis.qualityScore's DuckDB twin — expects `text` and `toks`
+  // in scope; ONE definition so the heuristic can never drift between
+  // the gate, stats, sampling, and report oracles
+  private val duckQuality =
+    """round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+      |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+      |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4)""".stripMargin
   // quality-gate CTE chain + predicate, shared between the gate query and
   // the composed pipeline (CTE `r` carries doc_id, lang, all metrics)
   private val duckGateCtes =
     s"""t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
        |q AS (SELECT doc_id, lang, toks,
-       |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
-       |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-       |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
+       |  $duckQuality AS quality,
        |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
        |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
        |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
@@ -720,9 +725,7 @@ object Ext {
       s"""WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
          |m AS (SELECT source, lang,
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tok,
-         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
-         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
+         |  $duckQuality AS quality
          |  FROM t)
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |  round(avg(n_tok), 2) AS mean_tokens,
@@ -737,9 +740,7 @@ object Ext {
     "smp_quality_weighted" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |q AS (SELECT doc_id,
-         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
-         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
+         |  $duckQuality AS quality
          |  FROM t)
          |SELECT doc_id, quality FROM q
          |WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality
@@ -860,9 +861,7 @@ object Ext {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_regex_tokens,
          |  round(len(list_distinct(toks)) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_ratio,
          |  round(list_sum(list_transform(toks, x -> length(x))) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
-         |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
-         |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
-         |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality
+         |  $duckQuality AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
     "txt_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckToks) AS toks FROM documents),
@@ -920,8 +919,13 @@ object Ext {
          |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    // exact cross-set Jaccard (corpus = doc_id < 400, batch = >= 400) —
-    // the LSH+verify operator must find exactly the true pairs
+    // exact cross-set Jaccard (corpus = doc_id < 400, batch = >= 400).
+    // Like dedup_minhash, this twin asserts PERFECT LSH recall — honest
+    // only because the fixture's true pairs sit at j >= 0.9, where
+    // 12x4 banding detects with prob ~1-1e-10; a pair near the 0.5
+    // threshold would be found with only ~54% probability (deterministic
+    // hashing makes the outcome stable, but a fixture refresh landing a
+    // borderline pair would surface here as a miss, not a flake)
     "dedup_minhash_inc" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
          |p AS (SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,

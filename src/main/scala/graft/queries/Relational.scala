@@ -323,9 +323,6 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("price_dec").desc, col("o_orderkey"))
   }
 
-  /** Salted skew join, oracle-proved equivalent to the plain join: the
-    * salt spreads each hot orderkey over 8 reducers but must not change
-    * the result SET (salt is join-key-extending, then dropped). */
   /** Full-outer join with unmatched rows on BOTH sides: per-part shipped
     * quantity in 1995 vs 1996 (26 parts ship only in '96, 21 only in
     * '95 at sf0.01). Shape note: both inputs are post-aggregation
@@ -344,6 +341,9 @@ object Relational {
       .orderBy(col("l_partkey"))
   }
 
+  /** Salted skew join, oracle-proved equivalent to the plain join: the
+    * salt spreads each hot orderkey over 8 reducers but must not change
+    * the result SET (salt is join-key-extending, then dropped). */
   def q27SkewJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))

@@ -119,4 +119,20 @@ class LayoutSpec extends SparkSpec {
       .toDF("x", "y")
     assert(Layout.zorderBy(withNull, "x", "y", 2).count() === 3)
   }
+
+  test("zorderBy degrades gracefully on empty input, all-null dims, and NaN rows") {
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    assert(Layout.zorderBy(empty, "x", "y", 4).count() === 0, "empty input must not throw")
+    val allNull = Seq((Option.empty[Int], Some(1)), (None, Some(2))).toDF("x", "y")
+    assert(Layout.zorderBy(allNull, "x", "y", 2).count() === 2, "all-null dimension must not throw")
+    // one NaN row must not poison the bounds: the other rows still get
+    // distinct codes (clustering survives), the NaN row still comes back
+    val withNaN = (Seq((Double.NaN, 1.0)) ++ (1 to 100).map(i => (i.toDouble, i.toDouble)))
+      .toDF("x", "y")
+    val out = Layout.zorderBy(withNaN, "x", "y", 4)
+    assert(out.count() === 101)
+    val sizes = out.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().as[(Int, Long)].collect().map(_._2)
+    assert(sizes.max < 101, "rows must spread over partitions, not collapse into one")
+  }
 }

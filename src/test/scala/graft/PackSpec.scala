@@ -30,6 +30,7 @@ class PackSpec extends SparkSpec {
       (4L, "   "),                                      // blank -> 0 chunks
       (5L, "")                                          // empty -> 0 chunks
     ).toDF("id", "text")
+      .unionByName(Seq((6L, Option.empty[String])).toDF("id", "text")) // null -> 0 chunks
     val got = Pack.chunkTokens(df, "id", "text", window = 8, stride = 4)
       .orderBy("id", "chunk_idx")
       .as[(Long, Int, Int, String)].collect()
