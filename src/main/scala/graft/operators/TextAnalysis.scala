@@ -179,6 +179,17 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode-canonical text: NFC compose, lowercase, collapse
+    * whitespace. The dedup-robustness prerequisite [[normalize]] skips:
+    * composed U+00E9 and decomposed e+U+0301 render identically but
+    * hash differently until NFC unifies them, so every downstream
+    * fingerprint/shingle/span hash silently splits such duplicates.
+    * Narrow codegen'd pass ([[graft.functions.NfcNormalize]] with an
+    * ASCII fast path), the first stage a multilingual 100 TB corpus
+    * runs before any hashing operator. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NfcNormalize(text)), "\\s+", " "))
+
   /** Content fingerprint: md5 of the normalized text. Stable across
     * whitespace/case/punctuation perturbations — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))

@@ -175,6 +175,19 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
+    * collapse whitespace, then md5 — the normalization pass that makes
+    * composed/decomposed duplicates hash identically. The fixture corpus
+    * is ASCII, so the oracle pins pipeline parity (NFC = identity here);
+    * TextAnalysisSpec plants real composed/decomposed Unicode. */
+  def txtNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        TextAnalysis.canonicalText(col("text")).as("canon"),
+        md5(TextAnalysis.canonicalText(col("text")).cast("binary")).as("canon_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus profile — the curation dashboard numbers: volume,
     * token mass, quality distribution (mean + p50/p90), language spread.
     * One narrow metric scan + one groupBy on the source key.
@@ -603,6 +616,7 @@ object Ext {
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
     "rpt_corpus_stats" -> rptCorpusStats,
+    "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -721,6 +735,11 @@ object Ext {
         |QUALIFY row_number() OVER (PARTITION BY lang, source
         |  ORDER BY md5('|' || CAST(doc_id AS VARCHAR)) NULLS LAST, doc_id NULLS LAST) <= 10
         |ORDER BY doc_id""".stripMargin,
+    "txt_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, canon, md5(canon) AS canon_fp FROM n ORDER BY doc_id""".stripMargin,
     "rpt_corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
          |m AS (SELECT source, lang,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -79,5 +79,26 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = Seq("user.1.2.3.4@host.com only").toDF("text")
       .select(em.as("e"), ip.as("i"), ph.as("p")).collect()(0)
     assert((r2.getInt(0), r2.getInt(1), r2.getInt(2)) == ((1, 0, 0)))
+  }
+
+  test("canonicalText: NFC unifies composed and decomposed forms; ASCII untouched") {
+    val composed = "Caf\u00e9  CR\u00c8ME"       // precomposed e-acute / E-grave
+    val decomposed = "Cafe\u0301  CRE\u0300ME"   // e + combining acute / grave
+    val got = Seq((1L, composed), (2L, decomposed), (3L, "plain  ascii "))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.canonicalText($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === got(2L), "composed and decomposed must canonicalize identically")
+    assert(got(1L) === "café crème")
+    assert(got(3L) === "plain ascii")
+    // and therefore fingerprints agree — the dedup-robustness point
+    val fps = Seq((1L, composed), (2L, decomposed)).toDF("id", "text")
+      .select(md5(TextAnalysis.canonicalText($"text").cast("binary")).as("fp"))
+      .as[String].collect()
+    assert(fps.distinct.length === 1)
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.canonicalText($"text")).collect()(0)
+    assert(n.isNullAt(0))
   }
 }
