@@ -52,6 +52,34 @@ class PackSpec extends SparkSpec {
     assert(got.map(_._4).mkString(" ") === text)
   }
 
+  test("chunkTokens matches a brute-force reference across random shapes") {
+    val rnd = new scala.util.Random(17)
+    def refChunks(toks: Array[String], w: Int, s: Int): Seq[(Int, Seq[String])] =
+      if (toks.isEmpty) Nil
+      else {
+        val n = toks.length
+        val nc = 1 + math.ceil(math.max(0, n - w) / s.toDouble).toInt
+        (0 until nc).map(i => (i, toks.slice(i * s, math.min(i * s + w, n)).toSeq))
+      }
+    for (trial <- 1 to 5) {
+      val w = 1 + rnd.nextInt(12)
+      val s = 1 + rnd.nextInt(w)
+      val docs = (0 until 40).map { id =>
+        val n = rnd.nextInt(40)
+        (id.toLong, Array.tabulate(n)(j => s"t${id}_$j"))
+      }
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("id", "text")
+      val got = Pack.chunkTokens(df, "id", "text", w, s)
+        .select("id", "chunk_idx", "chunk_text")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toSeq).toMap
+      docs.foreach { case (id, toks) =>
+        val expect = refChunks(toks, w, s).map { case (i, c) => (i, c.mkString(" ")) }
+        assert(got.getOrElse(id, Nil) === expect, s"trial $trial doc $id w=$w s=$s")
+      }
+    }
+  }
+
   test("stratified sampling keeps approximate per-stratum fractions") {
     val df = (0 until 4000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "stratum")
