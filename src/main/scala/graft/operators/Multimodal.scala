@@ -64,6 +64,42 @@ object Multimodal {
       }
   }
 
+  /** One row of real image metadata, sniffed from container headers. */
+  final case class ImageMetaRow(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** REAL header-based metadata extraction over a binary column —
+    * [[ImageHeaders.sniff]] per row, no codec libraries, a few bytes
+    * inspected per blob: the narrow-scan shape dimension profiling of a
+    * 100 TB image column wants. Unrecognized/corrupt payloads yield
+    * ("unknown", -1, -1) rows, not task failures. */
+  def imageMeta(spark: SparkSession, media: DataFrame, idCol: String,
+                binCol: String): Dataset[ImageMetaRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = ImageHeaders.sniff(bytes)
+        ImageMetaRow(id, m.format, m.width, m.height)
+      }
+  }
+
+  /** Encode a real single-color image via the JDK's ImageIO (PNG, GIF,
+    * BMP, JPEG — no external codecs). Fixture/round-trip helper: the
+    * pixels are arbitrary, the container headers are genuine. */
+  def encodeImage(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
   /** Deterministic frame sampling for video-like payloads: n evenly
     * spaced byte-offset "frames" per row (stub for real frame decode;
     * the explode/fan-out shape is what matters at scale — rows explode

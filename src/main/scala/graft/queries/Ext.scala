@@ -574,6 +574,29 @@ object Ext {
 
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
+  /** Round-trip proof that image metadata extraction is REAL: encode a
+    * genuine PNG per document at formula-derived dimensions (JDK
+    * ImageIO — authentic container headers), sniff the dimensions back
+    * from the BYTES ([[graft.operators.ImageHeaders]]), and let the
+    * DuckDB twin predict them from the formula alone. A parser or
+    * encoder bug breaks the hash match; no image library ships in the
+    * oracle. */
+  def mmImageMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPng = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 30L).toInt + 1
+        val h = (id % 20L).toInt + 1
+        (id, Multimodal.encodeImage(w, h, rgb = (id % 0xffffff).toInt, format = "png"))
+      }
+      .toDF("doc_id", "content")
+    Multimodal.imageMeta(s, withPng, "doc_id", "content")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.extractFeatures(s, media, "doc_id", () => new Multimodal.FakeDecoder)
@@ -597,6 +620,7 @@ object Ext {
     "enrich_stub" -> enrichStub,
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
+    "mm_image_meta" -> mmImageMeta,
     "mm_frames" -> mmFrames,
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
@@ -867,6 +891,13 @@ object Ext {
         |  CAST(floor(frame_idx * nb / 4.0) AS BIGINT) AS frame_offset,
         |  substring(text, CAST(floor(frame_idx * nb / 4.0) AS INTEGER) + 1, 16) AS frame_str
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    // the twin predicts dimensions from the formula alone — the Spark
+    // side must round-trip them through genuine PNG bytes to match
+    "mm_image_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST((n_chars % 30) + 1 AS INTEGER) AS width,
+        |  CAST((doc_id % 20) + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

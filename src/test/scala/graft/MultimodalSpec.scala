@@ -25,4 +25,41 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 4)
     assert(frames.map(_._3).toSeq == Seq(0L, 4L, 8L, 12L))
   }
+
+  test("ImageHeaders.sniff reads real PNG/GIF/BMP/JPEG dimensions from bytes") {
+    import graft.operators.ImageHeaders
+    for (fmt <- Seq("png", "gif", "bmp", "jpeg"); (w, h) <- Seq((1, 1), (37, 5), (300, 200))) {
+      val bytes = Multimodal.encodeImage(w, h, rgb = 0x3366cc, format = fmt)
+      val m = ImageHeaders.sniff(bytes)
+      assert(m === ImageHeaders.ImageMeta(fmt, w, h), s"$fmt ${w}x$h -> $m")
+    }
+  }
+
+  test("ImageHeaders.sniff: corrupt, truncated, empty, and null blobs degrade to unknown") {
+    import graft.operators.ImageHeaders
+    val unknown = ImageHeaders.ImageMeta("unknown", -1, -1)
+    assert(ImageHeaders.sniff(null) === unknown)
+    assert(ImageHeaders.sniff(Array.emptyByteArray) === unknown)
+    assert(ImageHeaders.sniff("just some text bytes".getBytes) === unknown)
+    val png = Multimodal.encodeImage(20, 10, 0, "png")
+    assert(ImageHeaders.sniff(png.take(12)) === unknown, "truncated before IHDR data")
+    val jpg = Multimodal.encodeImage(20, 10, 0, "jpeg")
+    assert(ImageHeaders.sniff(jpg.take(4)) === unknown, "truncated before any SOF")
+    // JPEG that desyncs mid-walk (marker byte overwritten) must not loop or throw
+    val broken = jpg.clone(); broken(2) = 0x00
+    assert(ImageHeaders.sniff(broken) === unknown)
+  }
+
+  test("imageMeta dataset operator sniffs per row; corrupt rows survive as unknown") {
+    val rows = Seq(
+      (1L, Multimodal.encodeImage(8, 3, 0xff0000, "png")),
+      (2L, Multimodal.encodeImage(5, 7, 0x00ff00, "gif")),
+      (3L, "garbage".getBytes))
+    val df = rows.toDF("doc_id", "content")
+    val got = Multimodal.imageMeta(spark, df, "doc_id", "content")
+      .collect().map(r => r.doc_id -> ((r.format, r.width, r.height))).toMap
+    assert(got(1L) === (("png", 8, 3)))
+    assert(got(2L) === (("gif", 5, 7)))
+    assert(got(3L) === (("unknown", -1, -1)))
+  }
 }
