@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface over the `events` schema
@@ -162,5 +162,52 @@ object EventStreams {
             closed.reverseIterator
           }
       }
+  }
+
+  // ---- arbitrary state v2: transformWithState -------------------------
+
+  final case class KeyedDoc(key: String, id: Long)
+
+  /** Streaming per-key admission cap via `transformWithState` (Spark 4's
+    * arbitrary-state API): admit the first `k` rows per key ACROSS
+    * micro-batches, drop the rest — the streaming twin of
+    * [[graft.operators.Sample.capPerKey]]'s "max N docs per domain"
+    * curation rule, for ingestion pipelines that must bound per-source
+    * volume before anything lands. One `ValueState[Long]` counter per
+    * key (O(keys) state, optionally TTL'd so idle sources are evicted
+    * and a source's budget refreshes after `ttl` of silence).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` — transformWithState
+    * does not run on the default HDFS-backed store). */
+  class CapPerKeyProcessor(k: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedDoc, KeyedDoc] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long](
+        "admitted", org.apache.spark.sql.Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+                                 timers: TimerValues): Iterator[KeyedDoc] = {
+      var c = if (admitted.exists()) admitted.get() else 0L
+      val out = Seq.newBuilder[KeyedDoc]
+      rows.foreach { r =>
+        if (c < k) { out += r; c += 1 }
+      }
+      admitted.update(c)
+      out.result().iterator
+    }
+  }
+
+  def streamingCapPerKey(docs: DataFrame, keyCol: String, idCol: String, k: Long,
+                         ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    require(k > 0, "k must be positive")
+    docs.select(col(keyCol).cast("string").as("key"), col(idCol).cast("long").as("id"))
+      .as[KeyedDoc]
+      .groupByKey(_.key)
+      .transformWithState(new CapPerKeyProcessor(k, ttl),
+        TimeMode.None(), OutputMode.Append())
   }
 }

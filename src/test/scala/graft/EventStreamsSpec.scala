@@ -55,6 +55,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState cap admits first k per key across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.streamingCapPerKey(input.toDF.toDF("source", "doc_id"),
+        "source", "doc_id", k = 2)
+      .writeStream.format("memory").queryName("cap").outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      // the cap must persist ACROSS batches: a is full, b has one slot left
+      input.addData(("a", 4L), ("b", 11L), ("b", 12L))
+      q.processAllAvailable()
+      val got = spark.table("cap").as[(String, Long)].collect().toSet
+      assert(got === Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(provKey, v); case None => spark.conf.unset(provKey) }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
