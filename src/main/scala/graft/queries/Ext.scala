@@ -574,6 +574,19 @@ object Ext {
 
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
+  /** JSONL round-trip integrity gate: documents written as sharded
+    * JSON-Lines, read back schema-explicit, hash-compared against the
+    * source by the oracle — pins serialization fidelity (nulls, unicode,
+    * numeric types) through the interchange format training corpora
+    * actually ship in. */
+  def srcJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_jsonl_rt").toString
+    graft.sources.Jsonl.write(docs, outDir, numShards = 8)
+    graft.sources.Jsonl.read(s, outDir, docs.schema)
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-trip proof that image metadata extraction is REAL: encode a
     * genuine PNG per document at formula-derived dimensions (JDK
     * ImageIO — authentic container headers), sniff the dimensions back
@@ -621,6 +634,7 @@ object Ext {
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
+    "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "mm_frames" -> mmFrames,
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
@@ -891,6 +905,8 @@ object Ext {
         |  CAST(floor(frame_idx * nb / 4.0) AS BIGINT) AS frame_offset,
         |  substring(text, CAST(floor(frame_idx * nb / 4.0) AS INTEGER) + 1, 16) AS frame_str
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    "src_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // the twin predicts dimensions from the formula alone — the Spark
     // side must round-trip them through genuine PNG bytes to match
     "mm_image_meta" ->

@@ -93,6 +93,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Jsonl: sharded write + schema-explicit read round-trips nulls, unicode, corrupt lines") {
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq(
+      (1L, Some("plain"), 10),
+      (2L, Some("uni é中文 \"quoted\" \\ tab\t"), 20),
+      (3L, Option.empty[String], 30)
+    ).toDF("id", "text", "n")
+    Jsonl.write(df, dir, numShards = 3)
+    val back = Jsonl.read(spark, dir, df.schema)
+      .as[(Long, Option[String], Int)].collect().toSet
+    assert(back === Set(
+      (1L, Some("plain"), 10),
+      (2L, Some("uni é中文 \"quoted\" \\ tab\t"), 20),
+      (3L, None, 30)))
+    // a corrupt line yields an all-null row under PERMISSIVE, not a crash
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "{not valid json".getBytes)
+    val withBad = Jsonl.read(spark, dir, df.schema)
+    assert(withBad.count() === 4)
+    assert(withBad.filter($"id".isNull).count() === 1)
+  }
+
   test("withRowIndex is contiguous and matches input order across partitions") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Tuple1(s"r$i")), 7))
