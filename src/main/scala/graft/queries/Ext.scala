@@ -574,6 +574,17 @@ object Ext {
 
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
+  /** Compression-ratio quality signal: zlib-deflate ratio per document
+    * (low = templated/repetitive, the long-range-repetition detector).
+    * Rows-only — zlib output is implementation-specific, so no SQL twin;
+    * GraftFunctionsSpec pins the discrimination property. */
+  def txtCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.DeflateRatio(col("text")).as("deflate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JSONL round-trip integrity gate: documents written as sharded
     * JSON-Lines, read back schema-explicit, hash-compared against the
     * source by the oracle — pins serialization fidelity (nulls, unicode,
@@ -635,6 +646,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "txt_compress_ratio" -> txtCompressRatio,
     "mm_frames" -> mmFrames,
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,

@@ -3,6 +3,7 @@ package graft
 import graft.functions.GraftFunctions
 
 class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("native expressions are callable from SQL after registration") {
     GraftFunctions.registerAll(spark)
@@ -64,5 +65,27 @@ class GraftFunctionsSpec extends SparkSpec {
         "graft_simhash64(CAST(array() AS ARRAY<STRING>)) AS b")
       .collect()(0)
     assert(r.isNullAt(0) && r.getLong(1) == 0L)
+  }
+
+  test("deflate ratio separates repetitive from varied text; edge semantics pinned") {
+    import graft.functions.DeflateRatio
+    val spam = "buy now " * 200
+    val varied = {
+      val rnd = new scala.util.Random(5)
+      Seq.fill(400)(rnd.alphanumeric.take(4).mkString).mkString(" ")
+    }
+    val rows = Seq((1L, spam), (2L, varied), (3L, "")).toDF("id", "text")
+      .select($"id", DeflateRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) < 0.1, s"repetitive text must compress hard: ${rows(1L)}")
+    assert(rows(2L) > 0.5, s"varied text must not: ${rows(2L)}")
+    assert(rows(3L) === 1.0, "empty input is defined as 1.0")
+    assert(rows(1L) < rows(2L) / 5, "clear separation between the classes")
+    // SQL registration + null propagation
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql("SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') AS r, " +
+      "graft_deflate_ratio(CAST(NULL AS STRING)) AS n").collect()(0)
+    assert(viaSql.getDouble(0) < 1.0)
+    assert(viaSql.isNullAt(1))
   }
 }
