@@ -179,6 +179,46 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode script classes as code-point RANGES written with \x{hhhh}
+    * — the one syntax Java regex (Spark) and RE2 (the DuckDB oracle)
+    * both accept verbatim, so the twin runs the SAME patterns and no
+    * Unicode-property-name drift between engines can split results.
+    * Ranges cover the dominant blocks, not every historic extension —
+    * a routing signal, not a linguistics library. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** Per-script character counts — one codegen'd regexp_count per class,
+    * all inside a single narrow projection. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (name, re) =>
+      name -> regexp_count(text, lit(re)).cast("int")
+    }
+
+  /** Dominant script label: the class with the most characters, ties
+    * resolved by [[ScriptRanges]] order; 'none' when no class matches
+    * (digits/punctuation-only text). Chained greatest-so-far over 5
+    * fixed classes — bounded, no exponential when-tree. */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val total = counts.map(_._2).reduce(_ + _)
+    // argmax via explicit comparisons: label_i wins if its count beats
+    // every EARLIER class and is >= every LATER class
+    val labeled = counts.zipWithIndex.map { case ((name, c), i) =>
+      val beatsEarlier = counts.take(i).map { case (_, e) => c > e }
+      val geLater = counts.drop(i + 1).map { case (_, l) => c >= l }
+      (name, (beatsEarlier ++ geLater).foldLeft(lit(true))(_ && _))
+    }
+    val chain = labeled.reverse.foldLeft(lit("none")) {
+      case (els, (name, cond)) => when(cond, name).otherwise(els)
+    }
+    when(total === 0, lit("none")).otherwise(chain)
+  }
+
   /** Unicode-canonical text: NFC compose, lowercase, collapse
     * whitespace. The dedup-robustness prerequisite [[normalize]] skips:
     * composed U+00E9 and decomposed e+U+0301 render identically but

@@ -574,6 +574,18 @@ object Ext {
 
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
+  /** Unicode script profile per document: per-class character counts
+    * (code-point ranges shared verbatim with the RE2 oracle) and the
+    * dominant script label — the multilingual routing signal upstream
+    * of language ID. */
+  def txtScript(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) }
+    d.select(col("doc_id") +: counts :+
+        TextAnalysis.dominantScript(col("text")).as("script"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Compression-ratio quality signal: zlib-deflate ratio per document
     * (low = templated/repetitive, the long-range-repetition detector).
     * Rows-only — zlib output is implementation-specific, so no SQL twin;
@@ -647,6 +659,7 @@ object Ext {
     "mm_image_meta" -> mmImageMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
+    "txt_script" -> txtScript,
     "mm_frames" -> mmFrames,
     "txt_stats" -> txtStats,
     "txt_langid" -> txtLangId,
@@ -919,6 +932,25 @@ object Ext {
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "src_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    // SAME \x{hhhh} range patterns as TextAnalysis.ScriptRanges —
+    // shared verbatim between Java regex and RE2
+    "txt_script" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS INTEGER) AS latin,
+        |  CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS INTEGER) AS cjk,
+        |  CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS INTEGER) AS cyrillic,
+        |  CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS INTEGER) AS arabic,
+        |  CAST(len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS INTEGER) AS devanagari
+        |  FROM documents)
+        |SELECT doc_id, latin, cjk, cyrillic, arabic, devanagari,
+        |  CASE WHEN latin + cjk + cyrillic + arabic + devanagari = 0 THEN 'none'
+        |       WHEN latin >= cjk AND latin >= cyrillic AND latin >= arabic AND latin >= devanagari THEN 'latin'
+        |       WHEN cjk > latin AND cjk >= cyrillic AND cjk >= arabic AND cjk >= devanagari THEN 'cjk'
+        |       WHEN cyrillic > latin AND cyrillic > cjk AND cyrillic >= arabic AND cyrillic >= devanagari THEN 'cyrillic'
+        |       WHEN arabic > latin AND arabic > cjk AND arabic > cyrillic AND arabic >= devanagari THEN 'arabic'
+        |       ELSE 'devanagari' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // the twin predicts dimensions from the formula alone — the Spark
     // side must round-trip them through genuine PNG bytes to match
     "mm_image_meta" ->

@@ -81,6 +81,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r2.getInt(0), r2.getInt(1), r2.getInt(2)) == ((1, 0, 0)))
   }
 
+  test("scriptCounts/dominantScript classify planted multilingual text; ties and none pinned") {
+    def dom(t: String) = one(t, TextAnalysis.dominantScript(col("text"))).getString(0)
+    assert(dom("hello world") === "latin")
+    assert(dom("你好世界 ok") === "cjk")        // 4 CJK chars beat 2 latin
+    assert(dom("привет hi") === "cyrillic")
+    assert(dom("مرحبا") === "arabic")
+    assert(dom("नमस्ते") === "devanagari")
+    assert(dom("12345 !!! ...") === "none")
+    assert(dom("") === "none")
+    // tie goes to the earlier ScriptRanges class: 2 latin vs 2 cjk -> latin
+    assert(dom("ab 你好") === "latin")
+    val counts = Seq("a你пمन").toDF("text")
+      .select(TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert((0 until 5).map(counts.getInt) === Seq(1, 1, 1, 1, 1))
+  }
+
   test("canonicalText: NFC unifies composed and decomposed forms; ASCII untouched") {
     val composed = "Caf\u00e9  CR\u00c8ME"       // precomposed e-acute / E-grave
     val decomposed = "Cafe\u0301  CRE\u0300ME"   // e + combining acute / grave
