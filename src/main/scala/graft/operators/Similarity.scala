@@ -61,6 +61,30 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
+  /** Top-k neighbors over int8-QUANTIZED vectors: L2-normalize, quantize
+    * ([[graft.functions.QuantizeInt8]], 4x smaller than float32), score
+    * with integer dot products ([[graft.functions.Int8Dot]]) — on unit
+    * vectors the int8 dot approximates cosine to ~1e-2, which preserves
+    * neighbor RANKINGS (QuantSpec pins recall vs exact). The serving
+    * shape at scale: the corpus is stored/shuffled as codes — a quarter
+    * of the bytes through every scan, cache, and exchange — and floats
+    * are never rebuilt. Same broadcast-queries plan as
+    * [[knnBruteForce]]. */
+  def knnInt8(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+              qVec: String, cVec: String, k: Int): DataFrame = {
+    import graft.functions.{Int8Dot, QuantizeInt8, VectorOps}
+    def codes(vec: Column) = QuantizeInt8(VectorOps.l2Normalize(asDouble(vec)))
+    val q = queries.select(col(qId).as("query_id"), codes(col(qVec)).as("_qc"))
+    val c = corpus.select(col(cId).as("neighbor_id"), codes(col(cVec)).as("_cc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos8", round(Int8Dot(col("_qc"), col("_cc")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos8").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos8"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes x `dim` components
     * derived from a fixed-seed PRNG, embedded as a literal. At 64 dims x
     * 16 bits this is a 1k-element literal — negligible plan size. */

@@ -340,6 +340,16 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** int8-quantized kNN — rows-only (quantization rounding is
+    * engine-specific); QuantSpec pins recall >= 0.9 vs exact and
+    * SimilaritySpec the operator contract. */
+  def simKnnInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.knnInt8(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // 8 bits + 9 probes: ~N/256*9 candidates per query. Recall against
@@ -691,6 +701,7 @@ object Ext {
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
+    "sim_knn_int8" -> simKnnInt8,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
     "sim_ivf" -> simIvf,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{Int8Dot, QuantizeInt8}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** int8 symmetric quantization: code layout, reconstruction error
+  * bounds, dot-product fidelity, and neighbor recall vs exact search. */
+class QuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("code layout and edge cases: length, zero vector, null, empty") {
+    val rows = Seq(
+      (1L, Some(Seq(0.5, -1.0, 0.25))),
+      (2L, Some(Seq(0.0, 0.0))),
+      (3L, Some(Seq.empty[Double])),
+      (4L, Option.empty[Seq[Double]])
+    ).toDF("id", "v")
+    val got = rows.select($"id", QuantizeInt8($"v".cast("array<double>")).as("c"))
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(got(1L).get.length === 4 + 3, "4-byte scale header + 1 byte/dim")
+    assert(got(1L).get.drop(4).toSeq === Seq[Byte](64, -127, 32), "max-abs -> ±127 scaling")
+    assert(got(2L).get.drop(4).toSeq === Seq[Byte](0, 0), "zero vector -> zero codes")
+    assert(got(3L).get.length === 4, "empty vector -> header only")
+    assert(got(4L).isEmpty, "null propagates")
+  }
+
+  test("int8 dot tracks the exact dot within quantization error on random vectors") {
+    val rnd = new Random(13)
+    val dim = 64
+    val pairs = Seq.fill(50)((Seq.fill(dim)(rnd.nextGaussian()), Seq.fill(dim)(rnd.nextGaussian())))
+    val df = pairs.toDF("a", "b")
+      .select(
+        Similarity.dot($"a".cast("array<double>"), $"b".cast("array<double>")).as("exact"),
+        Int8Dot(QuantizeInt8($"a".cast("array<double>")), QuantizeInt8($"b".cast("array<double>"))).as("approx"))
+      .as[(Double, Double)].collect()
+    df.foreach { case (exact, approx) =>
+      // per-element error <= scale/2 ~ maxAbs/254; dim-64 gaussians keep
+      // the accumulated relative error well under 5% of the norm product
+      assert(math.abs(exact - approx) < 0.05 * dim / 8, s"exact=$exact approx=$approx")
+    }
+  }
+
+  test("quantized kNN recall@5 >= 0.9 vs exact cosine on a synthetic corpus") {
+    val rnd = new Random(29)
+    val dim = 32
+    val corpus = (0L until 400L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 25)
+    val exact = Similarity.knnBruteForce(queries, corpus, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val quant = Similarity.knnInt8(queries, corpus, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val g = quant.getOrElse(q, Array.empty).map(_._2).toSet
+      e.intersect(g).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 $mean")
+  }
+}
