@@ -607,6 +607,24 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Partitioned-sink round-trip: documents labeled by hash split,
+    * written hive-partitioned by (lang, split), read back with a
+    * partition filter. The oracle recomputes the same split labels and
+    * filter directly — content equality proves the layout round-trips;
+    * SourcesSpec proves the reads PRUNE (PartitionFilters, not a
+    * post-scan filter). */
+  def srcPartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val labeled = graft.operators.Sample.hashSplit(
+      Tables.documents(s, dir), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_part_rt").toString
+    graft.sources.PartitionedParquet.write(labeled, outDir, Seq("lang", "split"), "doc_id")
+    graft.sources.PartitionedParquet.read(s, outDir)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JSONL round-trip integrity gate: documents written as sharded
     * JSON-Lines, read back schema-explicit, hash-compared against the
     * source by the oracle — pins serialization fidelity (nulls, unicode,
@@ -668,6 +686,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
     "txt_script" -> txtScript,
     "mm_frames" -> mmFrames,
@@ -943,6 +962,11 @@ object Ext {
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "src_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    // same md5-threshold split formula as smp_split, filtered to train
+    "src_partitioned_roundtrip" ->
+      """SELECT doc_id, lang, 'train' AS split FROM documents
+        |WHERE substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |ORDER BY doc_id""".stripMargin,
     // SAME \x{hhhh} range patterns as TextAnalysis.ScriptRanges —
     // shared verbatim between Java regex and RE2
     "txt_script" ->

@@ -116,6 +116,33 @@ class SourcesSpec extends SparkSpec {
     assert(withBad.filter($"id".isNull).count() === 1)
   }
 
+  test("PartitionedParquet: filters on partition columns PRUNE directories, not rows") {
+    import graft.sources.PartitionedParquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (0L until 300L).map(i => (i, s"t$i", if (i % 3 == 0) "en" else "de",
+        if (i % 10 < 8) "train" else "test"))
+      .toDF("id", "text", "lang", "split")
+    PartitionedParquet.write(df, dir, Seq("lang", "split"), "id", maxRecordsPerFile = 50)
+    // layout: hive-style directories per (lang, split)
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(langDirs.toSeq === Seq("lang=de", "lang=en"))
+    // maxRecordsPerFile bounds file size: lang=de/split=train has 160
+    // rows -> at least 4 files
+    val deTrain = new java.io.File(s"$dir/lang=de/split=train").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(deTrain >= 4, s"expected >=4 bounded files, got $deTrain")
+    val back = PartitionedParquet.read(spark, dir).filter($"lang" === "en" && $"split" === "train")
+    assert(back.count() === 80)
+    // the filter must reach the scan as PartitionFilters (directory
+    // pruning), leaving no lang/split Filter above the scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(500))
+    assert(plan.contains("lang") && plan.contains("split"))
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("isnotnull(lang") || scanLine.contains("(lang"),
+      s"partition filter missing from scan: $scanLine")
+  }
+
   test("withRowIndex is contiguous and matches input order across partitions") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Tuple1(s"r$i")), 7))
