@@ -14,6 +14,29 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("plan-shape guards: the load-bearing physical choices survive refactors") {
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+    // q02: predicate + projection reach the parquet scan
+    val q02 = planOf("q02_filter_project")
+    assert(q02.contains("PushedFilters: [IsNotNull(l_quantity)"), q02.take(800))
+    // q03: dimension joins broadcast — no shuffle of nation/region
+    val q03 = planOf("q03_region_revenue")
+    assert(q03.contains("BroadcastHashJoin"), q03.take(800))
+    // q09: global top-k plans as a heap, never a full sort
+    val q09 = planOf("q09_topk")
+    assert(q09.contains("TakeOrderedAndProject"), q09.take(800))
+    // txt_chunk: fully narrow until the presentation sort — exactly one
+    // Exchange (the final orderBy), no window/aggregate shuffles
+    val chunk = planOf("txt_chunk")
+    assert("Exchange".r.findAllIn(chunk).size === 1, chunk.take(800))
+    assert(!chunk.contains("Window"), "chunking must not use window functions")
+    // smp_split: pure per-row labeling, single Exchange for the orderBy
+    val split = planOf("smp_split")
+    assert("Exchange".r.findAllIn(split).size === 1, split.take(800))
+  }
+
   test("quality gate drops line-spam docs (dup-line rule bites on multi-line input)") {
     // the shipped fixture is all single-line docs, where the dup-line
     // rule is vacuous — plant a corpus where it is the ONLY deciding rule
