@@ -142,6 +142,27 @@ object Ext {
     * just aggregate counts. Plan: the gate+scrub stages fuse into the
     * scan; dedup is one window shuffle on the text; packing windows
     * parallelize per language. */
+  /** Training-data PREPARATION pipeline — the round's curation stages
+    * composed end to end, every stage with an exact SQL twin so the
+    * oracle hashes the whole composition: Unicode-canonicalize ->
+    * keep latin-dominant docs -> quality-weighted acceptance sampling ->
+    * deterministic train split -> 32/16 sliding-context chunking.
+    * Output is the training-ready chunk set. All narrow except the
+    * presentation sort: the entire pipeline is ONE pass over the corpus
+    * at any scale. */
+  def pipelinePrepare(s: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.documents(s, dir)
+      .withColumn("text", TextAnalysis.canonicalText(col("text")))
+    val latin = canon.filter(TextAnalysis.dominantScript(col("text")) === "latin")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val sampled = graft.operators.Sample.acceptByScore(latin, "doc_id", "quality")
+    val train = graft.operators.Sample
+      .hashSplit(sampled, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
+      .filter(col("split") === "train")
+    graft.operators.Pack.chunkTokens(train, "doc_id", "text", window = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val gated = TextAnalysis.qualityGate(d)
@@ -700,6 +721,7 @@ object Ext {
     "txt_repetition" -> txtRepetition,
     "txt_quality_gate" -> txtQualityGate,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_prepare" -> pipelinePrepare,
     "txt_decontam" -> txtDecontam,
     "txt_decontam_bloom" -> txtDecontamBloom,
     "txt_bm25" -> txtBm25,
@@ -986,6 +1008,37 @@ object Ext {
         |       ELSE 'devanagari' END AS script
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // the composition twin: canonicalize -> latin-dominant -> quality
+    // acceptance -> train split -> 32/16 chunking, each stage the same
+    // formulation its single-stage oracle uses
+    "pipeline_prepare" ->
+      s"""WITH canon AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text,
+         |  len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS latin,
+         |  len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS cjk,
+         |  len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS cyrillic,
+         |  len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS arabic,
+         |  len(regexp_extract_all(text, '[\\x{0900}-\\x{097F}]')) AS devanagari
+         |  FROM canon),
+         |lat AS (SELECT doc_id, text, $duckToks AS toks FROM sc
+         |  WHERE latin + cjk + cyrillic + arabic + devanagari > 0
+         |    AND latin >= cjk AND latin >= cyrillic AND latin >= arabic AND latin >= devanagari),
+         |q AS (SELECT doc_id, text, toks, $duckQuality AS quality FROM lat),
+         |acc AS (SELECT doc_id, text, toks FROM q
+         |  WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality),
+         |tr AS (SELECT doc_id, toks, text FROM acc
+         |  WHERE substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'),
+         |n AS (SELECT doc_id, toks,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS INT) END AS nchunks
+         |  FROM tr),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, i*16+1, i*16+32)) AS INTEGER) AS chunk_tokens,
+         |  array_to_string(list_slice(toks, i*16+1, i*16+32), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // the twin predicts dimensions from the formula alone — the Spark
     // side must round-trip them through genuine PNG bytes to match
     "mm_image_meta" ->
