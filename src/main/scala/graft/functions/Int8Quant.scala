@@ -64,17 +64,27 @@ object QuantizeInt8 {
       QuantizeInt8(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }
 
-/** Dot product of two [[QuantizeInt8]] codes (see layout above). */
+/** Dot product of two [[QuantizeInt8]] codes (see layout above).
+  * Returns NULL — not a fabricated score — for malformed codes
+  * (shorter than the 4-byte header) or mismatched dimensions: a ragged
+  * corpus must surface as missing scores that a ranking window sorts
+  * last, never as silently truncated prefix products. */
 case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Int8Dot.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.Int8Dot.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("i8dot")
+      s"""
+         |java.lang.Double $tmp = graft.functions.Int8Dot.compute($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -84,9 +94,10 @@ object Int8Dot {
   private def scaleOf(b: Array[Byte]): Float = java.lang.Float.intBitsToFloat(
     ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff))
 
-  def compute(a: Array[Byte], b: Array[Byte]): Double = {
-    if (a.length < 4 || b.length < 4) return 0.0
-    val n = math.min(a.length, b.length) - 4
+  // boxed Double so malformed/mismatched inputs can yield SQL NULL
+  def compute(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    if (a.length < 4 || b.length < 4 || a.length != b.length) return null
+    val n = a.length - 4
     var acc = 0L
     var i = 0
     while (i < n) { acc += a(4 + i) * b(4 + i); i += 1 }

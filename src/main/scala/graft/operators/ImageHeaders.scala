@@ -27,18 +27,32 @@ object ImageHeaders {
 
   def sniff(bytes: Array[Byte]): ImageMeta = {
     if (bytes == null || bytes.length < 10) return Unknown
-    // PNG: 8-byte signature, IHDR chunk data starts at offset 16
+    // PNG: 8-byte signature; the spec requires the FIRST chunk to be
+    // IHDR — verify its tag at 12-15 before trusting the dims at 16/20,
+    // else a resigned/corrupt blob reads chunk payload as dimensions
     if (bytes.length >= 24 &&
         u8(bytes, 0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
         u8(bytes, 4) == 0x0d && u8(bytes, 5) == 0x0a && u8(bytes, 6) == 0x1a && u8(bytes, 7) == 0x0a)
-      return ImageMeta("png", be32(bytes, 16), be32(bytes, 20))
+      return if (bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+        ImageMeta("png", be32(bytes, 16), be32(bytes, 20))
+      else Unknown
     // GIF87a / GIF89a: logical screen descriptor at offset 6
     if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
         (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
       return ImageMeta("gif", le16(bytes, 6), le16(bytes, 8))
-    // BMP: "BM" + BITMAPINFOHEADER; height may be negative (top-down rows)
-    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
-      return ImageMeta("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)))
+    // BMP: "BM" + a DIB header whose size field (offset 14) selects the
+    // layout: 12 = BITMAPCOREHEADER (16-bit dims), 40+ family = 32-bit
+    // dims (height may be negative = top-down rows); anything else is
+    // not a layout we know — unknown, never garbage
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dibSize = le32(bytes, 14)
+      return dibSize match {
+        case 12 => ImageMeta("bmp", le16(bytes, 18), le16(bytes, 20))
+        case 40 | 52 | 56 | 64 | 108 | 124 =>
+          ImageMeta("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)))
+        case _ => Unknown
+      }
+    }
     // JPEG: FFD8, walk marker segments to the first SOF (C0..CF minus
     // the non-frame markers C4=DHT, C8=JPG extension, CC=DAC)
     if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) {

@@ -142,6 +142,19 @@ object Ext {
     * just aggregate counts. Plan: the gate+scrub stages fuse into the
     * scan; dedup is one window shuffle on the text; packing windows
     * parallelize per language. */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val gated = TextAnalysis.qualityGate(d)
+      .select(d.columns.map(col): _*) // drop the gate's metric columns
+    val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val deduped = Dedup.keepFirst(scrubbed, Seq("text"), "doc_id")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Pack.byTokenBudget(deduped, "doc_id", "n_tok", budget = 512L,
+        partitionCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data PREPARATION pipeline — the round's curation stages
     * composed end to end, every stage with an exact SQL twin so the
     * oracle hashes the whole composition: Unicode-canonicalize ->
@@ -161,19 +174,6 @@ object Ext {
       .filter(col("split") === "train")
     graft.operators.Pack.chunkTokens(train, "doc_id", "text", window = 32, stride = 16)
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
-
-  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val gated = TextAnalysis.qualityGate(d)
-      .select(d.columns.map(col): _*) // drop the gate's metric columns
-    val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
-    val deduped = Dedup.keepFirst(scrubbed, Seq("text"), "doc_id")
-      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
-    graft.operators.Pack.byTokenBudget(deduped, "doc_id", "n_tok", budget = 512L,
-        partitionCols = Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("chunk"))
-      .orderBy(col("doc_id"))
   }
 
   /** Benchmark decontamination: every-20th doc plays the benchmark set;
@@ -575,7 +575,8 @@ object Ext {
     // fixed, overwritten output location: a fresh createTempDirectory per
     // invocation would accumulate shard directories across Bench's
     // repeated runs of this query
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_sharded_rt").toString
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sharded_rt_${new java.io.File(dir).getName}").toString
     val shardDir = OrderedCsv.writeSharded(enriched, outDir, "docs", numShards = 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(shardDir), s.sparkContext.hadoopConfiguration)
@@ -601,10 +602,6 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
-  // ---- multimodal columns ----------------------------------------------
-
-  /** Binary-column plumbing + batched (fake-)decode: attach payload +
-    * metadata struct, extract fixed-width features per row. */
   /** Unicode script profile per document: per-class character counts
     * (code-point ranges shared verbatim with the RE2 oracle) and the
     * dominant script label — the multilingual routing signal upstream
@@ -616,6 +613,8 @@ object Ext {
         TextAnalysis.dominantScript(col("text")).as("script"): _*)
       .orderBy(col("doc_id"))
   }
+
+  // ---- multimodal columns ----------------------------------------------
 
   /** Compression-ratio quality signal: zlib-deflate ratio per document
     * (low = templated/repetitive, the long-range-repetition detector).
@@ -638,7 +637,10 @@ object Ext {
     val labeled = graft.operators.Sample.hashSplit(
       Tables.documents(s, dir), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_part_rt").toString
+    // keyed by the input's basename: a lazy read-back of one scale
+    // factor must never observe a later write for another
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_part_rt_${new java.io.File(dir).getName}").toString
     graft.sources.PartitionedParquet.write(labeled, outDir, Seq("lang", "split"), "doc_id")
     graft.sources.PartitionedParquet.read(s, outDir)
       .filter(col("split") === "train")
@@ -653,7 +655,8 @@ object Ext {
     * actually ship in. */
   def srcJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_jsonl_rt").toString
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_jsonl_rt_${new java.io.File(dir).getName}").toString
     graft.sources.Jsonl.write(docs, outDir, numShards = 8)
     graft.sources.Jsonl.read(s, outDir, docs.schema)
       .orderBy(col("doc_id"))
@@ -682,6 +685,8 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary-column plumbing + batched (fake-)decode: attach payload +
+    * metadata struct, extract fixed-width features per row. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.extractFeatures(s, media, "doc_id", () => new Multimodal.FakeDecoder)
@@ -992,7 +997,7 @@ object Ext {
     // SAME \x{hhhh} range patterns as TextAnalysis.ScriptRanges —
     // shared verbatim between Java regex and RE2
     "txt_script" ->
-      """WITH c AS (SELECT doc_id,
+      """WITH c AS (SELECT doc_id, text,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS INTEGER) AS latin,
         |  CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS INTEGER) AS cjk,
         |  CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS INTEGER) AS cyrillic,
@@ -1000,7 +1005,7 @@ object Ext {
         |  CAST(len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS INTEGER) AS devanagari
         |  FROM documents)
         |SELECT doc_id, latin, cjk, cyrillic, arabic, devanagari,
-        |  CASE WHEN latin + cjk + cyrillic + arabic + devanagari = 0 THEN 'none'
+        |  CASE WHEN text IS NULL OR latin + cjk + cyrillic + arabic + devanagari = 0 THEN 'none'
         |       WHEN latin >= cjk AND latin >= cyrillic AND latin >= arabic AND latin >= devanagari THEN 'latin'
         |       WHEN cjk > latin AND cjk >= cyrillic AND cjk >= arabic AND cjk >= devanagari THEN 'cjk'
         |       WHEN cyrillic > latin AND cyrillic > cjk AND cyrillic >= arabic AND cyrillic >= devanagari THEN 'cyrillic'

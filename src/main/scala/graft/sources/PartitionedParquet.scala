@@ -21,7 +21,13 @@ object PartitionedParquet {
   def write(df: DataFrame, dir: String, partitionCols: Seq[String],
             idCol: String, maxRecordsPerFile: Long = 1000000L): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    df.sortWithinPartitions(idCol)
+    // sort by (partitionCols, id): dynamic partitionBy requires an
+    // ordering on the partition columns and would inject its OWN sort
+    // (stability not guaranteed) over a bare id sort — pre-sorting with
+    // the partition columns leading satisfies the writer's requirement
+    // directly, so ids genuinely stay ordered within every file and the
+    // row-group min/max stats hold
+    df.sortWithinPartitions((partitionCols :+ idCol).map(org.apache.spark.sql.functions.col): _*)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -190,12 +190,15 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
                                  timers: TimerValues): Iterator[KeyedDoc] = {
-      var c = if (admitted.exists()) admitted.get() else 0L
+      val before = if (admitted.exists()) admitted.get() else 0L
+      var c = before
       val out = Seq.newBuilder[KeyedDoc]
-      rows.foreach { r =>
-        if (c < k) { out += r; c += 1 }
-      }
-      admitted.update(c)
+      // stop consuming once full — a saturated key must not pay per-row
+      // work for the rest of the batch
+      while (c < k && rows.hasNext) { out += rows.next(); c += 1 }
+      // write state only on change: a full key would otherwise issue a
+      // RocksDB write (and TTL refresh) per batch forever
+      if (c != before) admitted.update(c)
       out.result().iterator
     }
   }

@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkSpec {
     // JPEG that desyncs mid-walk (marker byte overwritten) must not loop or throw
     val broken = jpg.clone(); broken(2) = 0x00
     assert(ImageHeaders.sniff(broken) === unknown)
+    // a PNG signature whose first chunk is NOT IHDR must not read chunk
+    // payload bytes as dimensions
+    val resigned = png.clone()
+    resigned(12) = 'I'; resigned(13) = 'D'; resigned(14) = 'A'; resigned(15) = 'T'
+    assert(ImageHeaders.sniff(resigned) === unknown)
+    // BMP with an unrecognized DIB header size must be unknown, and the
+    // 12-byte OS/2 core header layout (16-bit dims) must parse
+    val bmp = Multimodal.encodeImage(20, 10, 0, "bmp")
+    val weird = bmp.clone(); weird(14) = 33
+    assert(ImageHeaders.sniff(weird) === unknown)
+    val core = bmp.take(26).clone()
+    core(14) = 12; core(15) = 0; core(16) = 0; core(17) = 0
+    core(18) = 20; core(19) = 0 // width le16
+    core(20) = 10; core(21) = 0 // height le16
+    assert(ImageHeaders.sniff(core) === ImageHeaders.ImageMeta("bmp", 20, 10))
   }
 
   test("imageMeta dataset operator sniffs per row; corrupt rows survive as unknown") {

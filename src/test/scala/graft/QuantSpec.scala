@@ -26,6 +26,17 @@ class QuantSpec extends SparkSpec {
     assert(got(4L).isEmpty, "null propagates")
   }
 
+  test("int8 dot is NULL for ragged or malformed codes, never a truncated score") {
+    val a = Seq((1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+      .select(Int8Dot(QuantizeInt8($"a".cast("array<double>")),
+        QuantizeInt8($"b".cast("array<double>"))).as("d"))
+      .collect()(0)
+    assert(a.isNullAt(0), "dimension mismatch must surface as NULL")
+    val bad = Seq((Array[Byte](1, 2), Array[Byte](0, 0, 0, 0, 5))).toDF("x", "y")
+      .select(Int8Dot($"x", $"y").as("d")).collect()(0)
+    assert(bad.isNullAt(0), "malformed header must surface as NULL")
+  }
+
   test("int8 dot tracks the exact dot within quantization error on random vectors") {
     val rnd = new Random(13)
     val dim = 64
