@@ -22,6 +22,8 @@ object GraftFunctions {
     GraftColumnBridge.registerFunction(spark, "graft_morton", es => MortonCode(es(0), es(1)))
     GraftColumnBridge.registerFunction(spark, "graft_nfc", es => NfcNormalize(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_deflate_ratio", es => DeflateRatio(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_quantize_int8", es => QuantizeInt8(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_int8_dot", es => Int8Dot(es(0), es(1)))
     GraftColumnBridge.registerFunction(spark, "graft_trigram_hashes", es => TrigramShingleHashes(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_top_bigram_frac", es => TopBigramFraction(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_span_hashes", {

@@ -88,4 +88,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getDouble(0) < 1.0)
     assert(viaSql.isNullAt(1))
   }
+
+  test("int8 quantization round-trips through SQL registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_int8_dot(graft_quantize_int8(array(1.0d, 0.0d)), " +
+        "graft_quantize_int8(array(1.0d, 0.0d))) AS d").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 0.01)
+  }
 }
