@@ -477,6 +477,29 @@ object Ext {
       .orderBy(col("event_type"))
   }
 
+  /** Time-series resampling: per-user hourly grid spanning each user's
+    * event range, backward-filled with the latest value via the as-of
+    * join — the fixed-grid densification step (downsample/ffill) every
+    * time-series feature pipeline runs. Grid generation is
+    * `explode(sequence(t0, t1, 1 hour))` off a per-user min/max
+    * aggregate; the fill is one [[graft.operators.AsOfJoin]] — union +
+    * single shuffle, no per-point probes. */
+  def evResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") <= 20)
+      .select(col("user_id"), col("ts"), col("value"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("grid_ts"))
+    graft.operators.AsOfJoin.leftAsOf(grid, ev, Seq("user_id"),
+        "grid_ts", "ts", Seq("value"))
+      .select(col("user_id"),
+        date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+        round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
   def evJson(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -759,6 +782,7 @@ object Ext {
     "ev_session" -> evSession,
     "ev_json" -> evJson,
     "ev_asof" -> evAsOf,
+    "ev_resample" -> evResample,
     "ev_asof_fwd" -> evAsOfFwd,
     "ev_range_join" -> evRangeJoin,
     "topk_native" -> topkNative)
@@ -1286,6 +1310,15 @@ object Ext {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    // hourly grid per user + ASOF backward fill — the same join
+    // semantics ev_asof proves, composed under a generated time grid
+    "ev_resample" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id <= 20),
+        |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts FROM s)
+        |SELECT g.user_id, strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts, round(e.value, 2) AS asof_value
+        |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
     "ev_asof" ->
       """SELECT p.event_id, p.user_id, p.value,
         |       c.event_id AS asof_event_id, c.value AS asof_value
