@@ -54,6 +54,27 @@ object Sample {
     df.filter(draw < col(scoreCol))
   }
 
+  /** Deterministic training-order shuffle: assign each row a shard
+    * (top-32 md5 bits mod nShards) and a within-shard order key (the
+    * full draw) — reading shards in order, each sorted by the draw,
+    * yields a reproducible pseudo-random global order without any
+    * global sort: the write is `repartition(n, shard)` + sort-within by
+    * the draw, all parallel. `salt` = epoch: a new salt re-deals the
+    * order for the next training pass. Engine-reproducible like the
+    * other md5 operators, so the assignment is oracle-checkable. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("shuffle_key"),
+      "input already has a shard/shuffle_key column")
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.shuffleShards requires non-null '$idCol'")))
+      .otherwise(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))))
+    df.withColumn("shuffle_key", draw)
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+  }
+
   /** Deterministic train/val/test (or arbitrary N-way) split by id hash.
     * Each row gets the label of the bucket its md5 draw falls into:
     * bucket boundaries are the cumulative fractions mapped onto the

@@ -235,6 +235,16 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** Deterministic shuffle-shard assignment for training order: shard +
+    * within-shard key per document; see
+    * [[graft.operators.Sample.shuffleShards]]. */
+  def smpShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Sample.shuffleShards(
+        Tables.documents(s, dir), "doc_id", nShards = 8, salt = "ep0")
+      .select(col("doc_id"), col("shard"), col("shuffle_key"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-weighted soft sampling: each document is kept with
     * probability equal to its quality score (md5-draw acceptance) — the
     * soft alternative to the hard gate cut; see
@@ -757,6 +767,7 @@ object Ext {
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
+    "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
@@ -897,6 +908,11 @@ object Ext {
          |  round(quantile_cont(quality, 0.9), 4) AS p90_quality,
          |  count(DISTINCT lang) AS n_langs
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "smp_shuffle_shard" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5('ep0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS INTEGER) AS shard,
+        |  md5('ep0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same quality expression as txt_stats; the acceptance draw is the
     // top 32 md5 bits as an exact fraction (both engines produce the
     // identical integer, so the comparison is reproducible)

@@ -77,6 +77,22 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: near-uniform shards, deterministic, salt re-deals the order") {
+    val df = (0L until 4000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val sizes = Sample.shuffleShards(df, "id", nShards = 8)
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet === (0 until 8).toSet, "every shard populated")
+    sizes.values.foreach(n => assert(math.abs(n - 500.0) / 500.0 < 0.25, s"skewed shard: $n"))
+    val a = Sample.shuffleShards(df, "id", 8).select("id", "shard", "shuffle_key")
+      .as[(Long, Int, String)].collect().toSet
+    val b = Sample.shuffleShards(df, "id", 8).select("id", "shard", "shuffle_key")
+      .as[(Long, Int, String)].collect().toSet
+    assert(a === b, "assignment is deterministic")
+    val c = Sample.shuffleShards(df, "id", 8, salt = "epoch1")
+      .select("id", "shard", "shuffle_key").as[(Long, Int, String)].collect().toSet
+    assert(a != c, "a new salt re-deals the order")
+  }
+
   test("salt changes the draw") {
     val df = rows.toDF("id", "k")
     val a = Sample.capPerKey(df, Seq("k"), "id", 7).as[(Long, String)].collect().toSet
