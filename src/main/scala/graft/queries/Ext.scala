@@ -339,6 +339,17 @@ object Ext {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Incremental near-dup APPLY path: the new batch minus every doc
+    * near-duplicating the standing corpus. */
+  def dedupDropInc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.dropNearDupAgainst(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental near-dup: docs 400+ play the "new crawl", docs <400 the
     * standing corpus; emit every cross near-dup pair. */
   def dedupMinHashInc(s: SparkSession, dir: String): DataFrame = {
@@ -778,6 +789,7 @@ object Ext {
     "dedup_components" -> dedupComponents,
     "dedup_drop" -> dedupDrop,
     "dedup_minhash_inc" -> dedupMinHashInc,
+    "dedup_drop_inc" -> dedupDropInc,
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
@@ -1162,6 +1174,14 @@ object Ext {
          |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_drop_inc" ->
+      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+         |hit AS (SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
+         |  WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     // exact cross-set Jaccard (corpus = doc_id < 400, batch = >= 400).
     // Like dedup_minhash, this twin asserts PERFECT LSH recall — honest
     // only because the fixture's true pairs sit at j >= 0.9, where
