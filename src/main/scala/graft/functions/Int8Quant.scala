@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Symmetric int8 embedding quantization — the 4x storage/bandwidth
   * compression for embedding columns (public technique: max-abs scaled
@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * [[Int8Dot]] scores two codes without materializing floats: integer
   * multiply-accumulate (JIT vectorizes the i8*i8 loop), one float
   * rescale at the end. Null-in-null-out throughout. */
-case class QuantizeInt8(child: Expression) extends UnaryExpression {
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // array<float> (the natural embedding type) implicitly casts to
+  // array<double> at analysis — without the declaration, the SQL
+  // registration read float elements as doubles (garbage or CCE)
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_quantize_int8"
 
@@ -69,7 +74,9 @@ object QuantizeInt8 {
   * (shorter than the 4-byte header) or mismatched dimensions: a ragged
   * corpus must surface as missing scores that a ranking window sorts
   * last, never as silently truncated prefix products. */
-case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_dot"

@@ -53,8 +53,14 @@ object PqEncode {
     * O(d * ks) per row. Code c stored as its unsigned byte. */
   def compute(vec: ArrayData, cell: Int, centroids: Array[Double], codebook: Array[Double],
               m: Int, ks: Int): Array[Byte] = {
-    val d = vec.numElements()
-    val dsub = d / m
+    // dimensions come from the TRAINED MODEL (codebook length), never the
+    // incoming row: a ragged vector must not re-derive dsub and silently
+    // read other subspaces' components. Row reads clamp to the row's
+    // actual length with missing components as 0 — the defensive-min
+    // convention CentroidDots documents.
+    val dsub = codebook.length / (m * ks)
+    val d = m * dsub
+    val n = math.min(vec.numElements(), d)
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -66,7 +72,9 @@ object PqEncode {
         var dist = 0.0
         var t = 0
         while (t < dsub) {
-          val r = vec.getDouble(j * dsub + t) - centroids(cell * d + j * dsub + t)
+          val vi = j * dsub + t
+          val v = if (vi < n) vec.getDouble(vi) else 0.0
+          val r = v - centroids(cell * d + vi)
           val diff = r - codebook(base + t)
           dist += diff * diff
           t += 1
@@ -106,8 +114,9 @@ case class PqAdcLut(child: Expression, codebook: Array[Double], m: Int, ks: Int)
 
 object PqAdcLut {
   def compute(q: ArrayData, codebook: Array[Double], m: Int, ks: Int): ArrayData = {
-    val d = q.numElements()
-    val dsub = d / m
+    // model-derived dsub + clamped row reads — see PqEncode.compute
+    val dsub = codebook.length / (m * ks)
+    val n = math.min(q.numElements(), m * dsub)
     val out = new Array[Double](m * ks)
     var j = 0
     while (j < m) {
@@ -116,7 +125,11 @@ object PqAdcLut {
         val base = ((j * ks) + c) * dsub
         var s = 0.0
         var t = 0
-        while (t < dsub) { s += q.getDouble(j * dsub + t) * codebook(base + t); t += 1 }
+        while (t < dsub) {
+          val qi = j * dsub + t
+          if (qi < n) s += q.getDouble(qi) * codebook(base + t)
+          t += 1
+        }
         out(j * ks + c) = s
         c += 1
       }

@@ -33,14 +33,24 @@ object Decontaminate {
     val posts = Dedup.shinglePostings(train, trainId, trainText)
     val benchHashes = Dedup.shinglePostings(bench, benchId, benchText)
       .select(col("_h")).distinct()
-    posts.join(broadcast(benchHashes), Seq("_h"))
-      .groupBy(col(trainId), col("_sz"))
-      .agg(count(lit(1)).as("n_shared"))
-      .select(col(trainId), col("n_shared"),
-        col("_sz").cast("long").as("n_shingles"),
-        round(col("n_shared") / col("_sz") + lit(1e-9), 4).as("contamination"))
-      .filter(col("contamination") >= threshold)
+    contaminationTail(posts.join(broadcast(benchHashes), Seq("_h")),
+      trainId, "n_shared", "contamination", threshold)
   }
+
+  /** Shared tail of both decontamination variants: per-doc flagged-count
+    * aggregate -> ratio (with the oracle-parity 1e-9 nudge and 4-digit
+    * rounding) -> threshold filter. ONE definition so the exact and
+    * Bloom paths can never drift apart (DecontaminateSpec asserts their
+    * equality at tiny fpp). */
+  private def contaminationTail(flagged: DataFrame, trainId: String,
+                                countName: String, ratioName: String,
+                                threshold: Double): DataFrame =
+    flagged.groupBy(col(trainId), col("_sz"))
+      .agg(count(lit(1)).as(countName))
+      .select(col(trainId), col(countName),
+        col("_sz").cast("long").as("n_shingles"),
+        round(col(countName) / col("_sz") + lit(1e-9), 4).as(ratioName))
+      .filter(col(ratioName) >= threshold)
 
   /** [[ngramContamination]] with the exact benchmark-hash set replaced by
     * a Bloom filter — the memory knob for very large benchmark suites.
@@ -79,12 +89,7 @@ object Decontaminate {
     val nBench = math.max(benchHashes.count(), 100_000L)
     val bloom = benchHashes.stat.bloomFilter("_h", nBench, fpp)
     val posts = Dedup.shinglePostings(train, trainId, trainText)
-    posts.filter(graft.functions.BloomContainsLong(col("_h"), bloom))
-      .groupBy(col(trainId), col("_sz"))
-      .agg(count(lit(1)).as("n_flagged"))
-      .select(col(trainId), col("n_flagged"),
-        col("_sz").cast("long").as("n_shingles"),
-        round(col("n_flagged") / col("_sz") + lit(1e-9), 4).as("contamination_ub"))
-      .filter(col("contamination_ub") >= threshold)
+    contaminationTail(posts.filter(graft.functions.BloomContainsLong(col("_h"), bloom)),
+      trainId, "n_flagged", "contamination_ub", threshold)
   }
 }

@@ -64,7 +64,13 @@ object Mixture {
   def mixDeterministic(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame =
     mixWith(sources) { (name, _, df, frac) =>
       val thresholdHex = f"${(frac * 4294967296.0).toLong}%08x"
-      val draw = substring(md5(concat_ws("|", lit(name), col(idCol).cast("string")).cast("binary")), 1, 8)
+      // fail loudly on a null id: concat_ws silently SKIPS nulls, which
+      // would collapse every null-id row onto one shared draw — an
+      // all-or-nothing sampling block invisible in aggregate rates
+      // (same contract as Sample.acceptByScore/hashSplit/shuffleShards)
+      val draw = when(col(idCol).isNull,
+          raise_error(lit(s"Mixture.mixDeterministic requires non-null '$idCol'")))
+        .otherwise(substring(md5(concat_ws("|", lit(name), col(idCol).cast("string")).cast("binary")), 1, 8))
       df.filter(draw < lit(thresholdHex))
     }
 

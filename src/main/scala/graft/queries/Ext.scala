@@ -203,9 +203,11 @@ object Ext {
     * TextAnalysisSpec plants real composed/decomposed Unicode. */
   def txtNormalize(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    d.select(col("doc_id"),
-        TextAnalysis.canonicalText(col("text")).as("canon"),
-        md5(TextAnalysis.canonicalText(col("text")).cast("binary")).as("canon_fp"))
+    // materialize the canonical form in a lower projection so NFC + the
+    // two regexp passes run ONCE per row, not once per consumer (the
+    // txtLangId tokenize-once pattern)
+    d.select(col("doc_id"), TextAnalysis.canonicalText(col("text")).as("canon"))
+      .select(col("doc_id"), col("canon"), md5(col("canon").cast("binary")).as("canon_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -79,7 +79,13 @@ object EventStreams {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String = "2 hours"): DataFrame = {
-    require(leftTs != rightTs, "event-time columns must be named distinctly")
+    // enforce the FULL documented contract, not just the ts columns: a
+    // shared payload name (both sides derived from the same events
+    // schema is the typical case) would join fine and emit ambiguous
+    // duplicate columns that only explode downstream
+    val overlap = (left.columns.toSet - keyCol).intersect(right.columns.toSet - keyCol)
+    require(overlap.isEmpty,
+      s"non-key columns must be named distinctly across sides; shared: ${overlap.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(keyCol, "_rkey").withWatermark(rightTs, watermark)
     l.join(r, col(keyCol) === col("_rkey") &&
@@ -196,9 +202,12 @@ object EventStreams {
       // stop consuming once full — a saturated key must not pay per-row
       // work for the rest of the batch
       while (c < k && rows.hasNext) { out += rows.next(); c += 1 }
-      // write state only on change: a full key would otherwise issue a
-      // RocksDB write (and TTL refresh) per batch forever
-      if (c != before) admitted.update(c)
+      // With a TTL, every batch that saw arrivals must refresh the state
+      // (TTL restarts on update): the documented contract is "budget
+      // refreshes after ttl of SILENCE", so a continuously hot key must
+      // never lapse. Without a TTL the write is skipped when the count
+      // is unchanged — a saturated key then costs zero state writes.
+      if (c != before || ttl != TTLConfig.NONE) admitted.update(c)
       out.result().iterator
     }
   }
