@@ -67,6 +67,16 @@ class SampleSpec extends SparkSpec {
     assert(again === kept.values.sum)
   }
 
+  test("hashSplit clamps a cumulative fraction of exactly 1.0 to the 8-hex ceiling") {
+    // sums to 1.0 + 1e-10: passes the tolerance, and the first bucket's
+    // cumulative fraction is exactly 1.0 — unclamped it would format as
+    // the 9-char '100000000' and lexicographically lose to most draws
+    val df = (0L until 2000L).map(i => (i, i)).toDF("id", "v")
+    val counts = Sample.hashSplit(df, "id", Seq("a" -> 1.0, "b" -> 1e-10))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("a", 0L) === 2000L, s"bucket a must take everything: $counts")
+  }
+
   test("hashSplit validates fractions and rejects colliding split column") {
     val df = Seq((1L, "x")).toDF("id", "split")
     intercept[IllegalArgumentException] {
