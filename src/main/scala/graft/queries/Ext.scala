@@ -145,7 +145,7 @@ object Ext {
   def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val gated = TextAnalysis.qualityGate(d)
-      .select(d.columns.map(col): _*) // drop the gate's metric columns
+      .select(d.columns.toIndexedSeq.map(col): _*) // drop the gate's metric columns
     val scrubbed = gated.withColumn("text", TextAnalysis.redactPii(col("text")))
     val deduped = Dedup.keepFirst(scrubbed, Seq("text"), "doc_id")
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))

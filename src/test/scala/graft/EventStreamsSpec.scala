@@ -13,7 +13,7 @@ class EventStreamsSpec extends SparkSpec {
   test("tumbling windows emit on watermark advance; late data is dropped") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
-    val events = input.toDF.toDF("ts", "event_type", "value")
+    val events = input.toDF().toDF("ts", "event_type", "value")
     val q = EventStreams.tumblingCounts(events, watermark = "10 minutes")
       .writeStream.format("memory").queryName("tumb").outputMode("append").start()
     try {
@@ -38,7 +38,7 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming session_window groups events within the gap") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
-    val events = input.toDF.toDF("ts", "user_id", "value")
+    val events = input.toDF().toDF("ts", "user_id", "value")
     val q = EventStreams.sessionCounts(events, gap = "30 minutes", watermark = "10 minutes")
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
@@ -62,7 +62,7 @@ class EventStreamsSpec extends SparkSpec {
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[(String, Long)]
-    val q = EventStreams.streamingCapPerKey(input.toDF.toDF("source", "doc_id"),
+    val q = EventStreams.streamingCapPerKey(input.toDF().toDF("source", "doc_id"),
         "source", "doc_id", k = 2)
       .writeStream.format("memory").queryName("cap").outputMode("append").start()
     try {
@@ -111,7 +111,7 @@ class EventStreamsSpec extends SparkSpec {
     val collected = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
     val cfg = graft.operators.Enrich.Config(systemPrompt = "S", batchSize = 2)
     val q = EventStreams.enrichStream(
-      input.toDF.toDF("text", "num"), 0, cfg,
+      input.toDF().toDF("text", "num"), 0, cfg,
       () => new graft.llm.StubLlmClient(p => p.takeRight(2))) { (batch, _) =>
       batch.select("text", "Response").collect().foreach(r =>
         collected.add((r.getString(0), r.getString(1))))
@@ -129,7 +129,7 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming quality gate filters docs per micro-batch (stateless narrow ops)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
-    val docs = input.toDF.toDF("doc_id", "text", "lang")
+    val docs = input.toDF().toDF("doc_id", "text", "lang")
     val q = EventStreams.qualityGateStream(docs)
       .writeStream.format("memory").queryName("qg_stream").outputMode("append").start()
     try {
@@ -148,7 +148,7 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
-    val events = input.toDF.toDF("ts", "event_id", "payload")
+    val events = input.toDF().toDF("ts", "event_id", "payload")
     val q = EventStreams.streamingDedup(events, Seq("event_id"), watermark = "1 hour")
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
     try {
@@ -166,8 +166,8 @@ class EventStreamsSpec extends SparkSpec {
     val purchases = MemoryStream[(Timestamp, Long, Double)]
     val clicks = MemoryStream[(Timestamp, Long, String)]
     val joined = EventStreams.intervalJoin(
-      purchases.toDF.toDF("p_ts", "user_id", "amount"),
-      clicks.toDF.toDF("c_ts", "user_id", "page"),
+      purchases.toDF().toDF("p_ts", "user_id", "amount"),
+      clicks.toDF().toDF("c_ts", "user_id", "page"),
       keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
       lookback = "10 minutes", watermark = "30 minutes")
     val q = joined.writeStream.format("memory").queryName("ivj").outputMode("append").start()
