@@ -53,6 +53,21 @@ class QuantSpec extends SparkSpec {
     }
   }
 
+  test("knnInt8 over a ragged corpus: mismatched-dim rows rank last, never mid-list") {
+    val rnd = new Random(41)
+    val corpus = ((0L until 50L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      :+ (99L, Seq.fill(8)(10.0f))) // ragged row with a huge norm
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = Similarity.knnInt8(queries, corpus, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // the ragged row's Int8Dot is NULL; desc ordering puts NULLS LAST,
+    // so it can never crack the top-5 no matter its magnitude
+    assert(!got.map(_._2).contains(99L), "ragged row must not appear in top-k")
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("quantized kNN recall@5 >= 0.9 vs exact cosine on a synthetic corpus") {
     val rnd = new Random(29)
     val dim = 32
