@@ -37,6 +37,36 @@ object Decontaminate {
       trainId, "n_shared", "contamination", threshold)
   }
 
+  /** SEMANTIC decontamination: flag training items whose EMBEDDING is
+    * too close to any benchmark embedding — catches paraphrased or
+    * reformatted benchmark leakage that n-gram overlap misses (public
+    * practice: embedding-similarity decontamination in the Phi model
+    * reports). Returns (train id, max_cos) for items with max cosine to
+    * the benchmark >= threshold.
+    *
+    * Plan: the benchmark side is small by nature — broadcast it; the
+    * cross join is then one pass over the training vectors with a
+    * codegen'd dot per (train, bench) pair, norms precomputed per ROW
+    * (never per pair), and a partial-aggregating max per train id. No
+    * corpus shuffle until the tiny flagged aggregate. */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            trainId: String, benchId: String,
+                            trainVec: String, benchVec: String,
+                            threshold: Double): DataFrame = {
+    import graft.operators.Similarity.{asDouble, dot, l2Norm}
+    val t = train.select(col(trainId).as("_tid"), asDouble(col(trainVec)).as("_tv"))
+      .withColumn("_tn", l2Norm(col("_tv")))
+    val b = bench.select(asDouble(col(benchVec)).as("_bv"))
+      .withColumn("_bn", l2Norm(col("_bv")))
+    val cos = dot(col("_tv"), col("_bv")) /
+      (greatest(col("_tn"), lit(1e-12)) * greatest(col("_bn"), lit(1e-12)))
+    t.crossJoin(broadcast(b))
+      .groupBy(col("_tid"))
+      .agg(round(max(cos), 6).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+      .select(col("_tid").as(trainId), col("max_cos"))
+  }
+
   /** Shared tail of both decontamination variants: per-doc flagged-count
     * aggregate -> ratio (with the oracle-parity 1e-9 nudge and 4-digit
     * rounding) -> threshold filter. ONE definition so the exact and

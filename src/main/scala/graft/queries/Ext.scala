@@ -341,6 +341,18 @@ object Ext {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Semantic decontamination: training embeddings (vec_id >= 100)
+    * whose cosine to ANY benchmark embedding (vec_id < 100) reaches
+    * 0.4; see [[graft.operators.Decontaminate.semanticContamination]]. */
+  def txtDecontamSem(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.operators.Decontaminate.semanticContamination(
+        e.filter(col("vec_id") >= 100), e.filter(col("vec_id") < 100),
+        "vec_id", "vec_id", "embedding", "embedding", threshold = 0.4)
+      .withColumnRenamed("vec_id", "train_id")
+      .orderBy(col("train_id"))
+  }
+
   /** Incremental near-dup APPLY path: the new batch minus every doc
     * near-duplicating the standing corpus. */
   def dedupDropInc(s: SparkSession, dir: String): DataFrame = {
@@ -775,6 +787,7 @@ object Ext {
     "pipeline_prepare" -> pipelinePrepare,
     "txt_decontam" -> txtDecontam,
     "txt_decontam_bloom" -> txtDecontamBloom,
+    "txt_decontam_sem" -> txtDecontamSem,
     "txt_bm25" -> txtBm25,
     "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,
@@ -1170,6 +1183,16 @@ object Ext {
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
     // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
     // output equals the exact all-pairs answer — which IS SQL-expressible.
+    "txt_decontam_sem" ->
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
+        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 100),
+        |p AS (SELECT t.vec_id AS train_id,
+        |  list_dot_product(t.v, b.v) /
+        |  greatest(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12) AS cos
+        |  FROM t, b)
+        |SELECT train_id, round(max(cos), 6) AS max_cos FROM p
+        |GROUP BY train_id HAVING round(max(cos), 6) >= 0.4
+        |ORDER BY train_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

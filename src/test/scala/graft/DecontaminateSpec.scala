@@ -85,4 +85,19 @@ class DecontaminateSpec extends SparkSpec {
       assert(fuzzy.getOrElse(id, 0L) >= n, s"doc $id: bloom ${fuzzy.get(id)} < exact $n")
     }
   }
+
+  test("semanticContamination flags a paraphrase-style near-benchmark vector only") {
+    val bench = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "emb")
+    val train = Seq(
+      (100L, Seq(0.98f, 0.2f, 0.0f)),  // near bench 0 -> flag
+      (101L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal -> clean
+      (102L, Seq(-1.0f, 0.0f, 0.0f))   // opposite direction -> clean
+    ).toDF("doc_id", "emb")
+    val got = Decontaminate.semanticContamination(
+        train, bench, "doc_id", "qid", "emb", "emb", threshold = 0.9)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(100L))
+    assert(got(100L) > 0.97 && got(100L) <= 1.0)
+  }
 }
