@@ -117,4 +117,36 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
         rightCols.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }
+
+  /** pandas `merge_asof(direction='nearest')`: attach whichever of the
+    * backward and forward matches is closer in time; EQUAL distances
+    * prefer the backward match (pinned, engine-reproducible). Pure
+    * composition of two [[leftAsOf]] passes — each direction's
+    * tie-break and tolerance semantics are exactly the proven ones, and
+    * the pick compares exact integer microseconds (`unix_micros`), so
+    * no floating-point epoch rounding can flip a choice. `tolerance`
+    * nulls a side independently before the pick (a too-far backward
+    * match never shadows an in-range forward one). Requires
+    * timestamp-typed ts columns; `rightCols` must not include
+    * `rightTs` (the match timestamps are plumbing, not payload). */
+  def leftAsOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, rightCols: Seq[String],
+                      tolerance: Option[String] = None): DataFrame = {
+    require(!rightCols.contains(rightTs), s"rightCols must not include '$rightTs'")
+    val withTs = rightCols :+ rightTs
+    require(!left.columns.exists(_.startsWith("_bwd_")), "left must not carry _bwd_* columns")
+    val bwd = withTs.foldLeft(
+      leftAsOf(left, right, keys, leftTs, rightTs, withTs, "backward", tolerance)) {
+      (d, c) => d.withColumnRenamed(s"asof_$c", s"_bwd_$c")
+    }
+    val both = leftAsOf(bwd, right, keys, leftTs, rightTs, withTs, "forward", tolerance)
+    val dtB = unix_micros(col(leftTs)) - unix_micros(col(s"_bwd_$rightTs"))
+    val dtF = unix_micros(col(s"asof_$rightTs")) - unix_micros(col(leftTs))
+    val useBwd = col(s"_bwd_$rightTs").isNotNull &&
+      (col(s"asof_$rightTs").isNull || dtB <= dtF)
+    val picked = rightCols.foldLeft(both) { (d, c) =>
+      d.withColumn(s"asof_$c", when(useBwd, col(s"_bwd_$c")).otherwise(col(s"asof_$c")))
+    }
+    picked.drop(withTs.map(c => s"_bwd_$c") :+ s"asof_$rightTs": _*)
+  }
 }

@@ -543,6 +543,21 @@ object Ext {
       .orderBy(col("k"))
   }
 
+  /** Nearest-direction as-of: each purchase takes its time-closest click
+    * in either direction (ties backward) — pandas merge_asof
+    * direction='nearest' parity; see
+    * [[graft.operators.AsOfJoin.leftAsOfNearest]]. */
+  def evAsOfNear(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.leftAsOfNearest(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   def evAsOf(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -822,6 +837,7 @@ object Ext {
     "ev_asof" -> evAsOf,
     "ev_resample" -> evResample,
     "ev_asof_fwd" -> evAsOfFwd,
+    "ev_asof_near" -> evAsOfNear,
     "ev_range_join" -> evRangeJoin,
     "topk_native" -> topkNative)
 
@@ -1390,6 +1406,20 @@ object Ext {
     // forward nearest via ASOF ON <=; the CASE applies the tolerance the
     // same way the engine does — a too-far match nulls, it is NOT
     // replaced by the next-nearest row
+    // the two proven directional ASOFs composed with the exact-integer
+    // microsecond pick (ties backward) leftAsOfNearest implements
+    "ev_asof_near" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, p.user_id, p.value, p.ts, c.event_id AS b_id, c.value AS b_val, c.ts AS b_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.event_id AS f_id, c.value AS f_val, c.ts AS f_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id, b.value,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)) THEN b_id ELSE f_id END AS asof_event_id,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)) THEN b_val ELSE f_val END AS asof_value
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "ev_asof_fwd" ->
       """SELECT p.event_id, p.user_id, p.value,
         |       CASE WHEN c.ts <= p.ts + INTERVAL 2 HOUR THEN c.event_id END AS asof_event_id,

@@ -149,4 +149,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "user_id", "ts", "extra", "asof_rid"))
     assert(out.count() == 1)
   }
+
+  test("leftAsOfNearest picks the closer side; ties go backward; tolerance per side") {
+    val left = Seq(
+      (1L, "u1", ts(99)),   // bwd dt 9 vs fwd dt 11 -> backward (90)
+      (2L, "u1", ts(101)),  // bwd dt 11 vs fwd dt 9 -> forward (110)
+      (3L, "u1", ts(100)),  // exact tie dt 10 -> backward (90)
+      (4L, "u1", ts(500)),  // only backward exists
+      (5L, "u1", ts(1)),    // only forward exists
+      (6L, "u2", ts(100))   // no right rows for the key
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (90L, "u1", ts(90), 0.9), (110L, "u1", ts(110), 1.1)
+    ).toDF("click_id", "user_id", "ts", "value")
+    val m = AsOfJoin.leftAsOfNearest(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "value"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(m === Map(1L -> Some(90L), 2L -> Some(110L), 3L -> Some(90L),
+      4L -> Some(110L), 5L -> Some(90L), 6L -> None))
+    // tolerance nulls each side independently: at ts=99 with 5s tolerance
+    // both matches are too far; at ts=108 only the forward one survives
+    val tol = AsOfJoin.leftAsOfNearest(
+        Seq((1L, "u1", ts(99)), (2L, "u1", ts(108))).toDF("event_id", "user_id", "ts"),
+        right, Seq("user_id"), "ts", "ts", Seq("click_id"), tolerance = Some("5 seconds"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(tol === Map(1L -> None, 2L -> Some(110L)))
+  }
 }
