@@ -35,6 +35,14 @@ class QueriesSpec extends SparkSpec {
     // smp_split: pure per-row labeling, single Exchange for the orderBy
     val split = planOf("smp_split")
     assert("Exchange".r.findAllIn(split).size === 1, split.take(800))
+    // pipeline_prepare: the 5-stage composition (canonicalize -> script
+    // filter -> quality acceptance -> train split -> chunk) must fuse
+    // into ONE narrow pass — a single Exchange (presentation sort), no
+    // joins, windows, or aggregates anywhere
+    val prep = planOf("pipeline_prepare")
+    assert("Exchange".r.findAllIn(prep).size === 1, prep.take(800))
+    Seq("Join", "Window", "HashAggregate").foreach(op =>
+      assert(!prep.contains(op), s"pipeline_prepare must not contain $op"))
   }
 
   test("quality gate drops line-spam docs (dup-line rule bites on multi-line input)") {
