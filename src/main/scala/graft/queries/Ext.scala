@@ -211,6 +211,20 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary report: top-100 tokens by frequency with a total
+    * (count desc, token) order so the cut at rank 100 is deterministic —
+    * the counting step of vocabulary/tokenizer induction. Explode ->
+    * partial-aggregating count -> TakeOrderedAndProject heap. */
+  def rptVocab(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+  }
+
   /** Per-source corpus profile — the curation dashboard numbers: volume,
     * token mass, quality distribution (mean + p50/p90), language spread.
     * One narrow metric scan + one groupBy on the source key.
@@ -810,6 +824,7 @@ object Ext {
     "smp_quality_weighted" -> smpQualityWeighted,
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
+    "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
     "mix_temperature" -> mixTemperature,
@@ -938,6 +953,11 @@ object Ext {
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
         |  FROM documents)
         |SELECT doc_id, canon, md5(canon) AS canon_fp FROM n ORDER BY doc_id""".stripMargin,
+    "rpt_vocab" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |WHERE length(token) > 0
+         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "rpt_corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
          |m AS (SELECT source, lang,
