@@ -18,7 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * One `Deflater` per thread (thread-local, `reset()` per row) — the
   * object allocates native zlib state, so per-row construction would
   * dominate; BEST_SPEED level because the signal needs relative ratio,
-  * not optimal compression. Null-in-null-out. */
+  * not optimal compression. Null-in-null-out.
+  *
+  * KNOWN HOLD: the thread-local Deflater is never `end()`'d, so each
+  * executor thread that ever evaluates this expression retains one
+  * native zlib state (~256 KB) for the thread's lifetime. Bounded by
+  * the task-thread pool size on Spark executors (fixed pools, threads
+  * live for the executor's life anyway); only a concern for embedders
+  * running this expression on large CHURNING thread pools, who should
+  * evaluate it from a bounded pool instead. */
 case class DeflateRatio(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)

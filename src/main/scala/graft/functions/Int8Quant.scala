@@ -25,25 +25,38 @@ case class QuantizeInt8(child: Expression)
   // registration read float elements as doubles (garbage or CCE)
   override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = BinaryType
+  // nullable beyond child nullability: a null ELEMENT nulls the whole
+  // code (see compute) — UnsafeArrayData.getDouble would otherwise read
+  // it as 0.0 and quantize a phantom zero, breaking null-in-null-out
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_quantize_int8"
 
   override protected def nullSafeEval(v: Any): Any =
     QuantizeInt8.compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.QuantizeInt8.compute($v);")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("i8q")
+      s"""
+         |byte[] $tmp = graft.functions.QuantizeInt8.compute($v);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object QuantizeInt8 {
+  // returns null (-> SQL NULL) when any ELEMENT is null: a partially-null
+  // vector has no meaningful max-abs scale, and silently reading nulls as
+  // 0.0 would fabricate real zero components in the code
   def compute(vec: ArrayData): Array[Byte] = {
     val n = vec.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i)) return null
       val a = math.abs(vec.getDouble(i))
       if (a > maxAbs) maxAbs = a
       i += 1

@@ -58,8 +58,11 @@ object Decontaminate {
       .withColumn("_tn", l2Norm(col("_tv")))
     val b = bench.select(asDouble(col(benchVec)).as("_bv"))
       .withColumn("_bn", l2Norm(col("_bv")))
+    // clamp the PRODUCT of norms (not each factor): exactly the formula
+    // the DuckDB twin uses, so degenerate near-zero-norm embeddings can
+    // never produce engine-vs-oracle cosine drift
     val cos = dot(col("_tv"), col("_bv")) /
-      (greatest(col("_tn"), lit(1e-12)) * greatest(col("_bn"), lit(1e-12)))
+      greatest(col("_tn") * col("_bn"), lit(1e-12))
     t.crossJoin(broadcast(b))
       .groupBy(col("_tid"))
       .agg(round(max(cos), 6).as("max_cos"))

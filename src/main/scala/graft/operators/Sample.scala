@@ -51,7 +51,13 @@ object Sample {
         raise_error(lit(s"Sample.acceptByScore requires non-null '$idCol'")))
       .otherwise(conv(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
         .cast("double") / 4294967296.0)
-    df.filter(draw < col(scoreCol))
+    // same fail-loud stance as the id guard: draw < NULL (or NaN compare)
+    // would silently DROP the row — a null-quality document vanishing is
+    // invisible in aggregate acceptance rates, so surface it instead
+    val score = when(col(scoreCol).isNull || isnan(col(scoreCol)),
+        raise_error(lit(s"Sample.acceptByScore requires non-null, non-NaN '$scoreCol'")))
+      .otherwise(col(scoreCol))
+    df.filter(draw < score)
   }
 
   /** Deterministic training-order shuffle: assign each row a shard

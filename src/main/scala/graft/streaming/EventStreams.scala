@@ -75,7 +75,15 @@ object EventStreams {
     *
     * Column contract: both sides carry the join key as `keyCol`; all
     * OTHER column names (including `leftTs`/`rightTs`) must be distinct
-    * across the two sides. The right key is equi-joined and dropped. */
+    * across the two sides. The right key is equi-joined and dropped.
+    *
+    * BEHAVIOR CHANGE (round 7): this contract used to be enforced only
+    * for the ts columns; it now covers EVERY non-key column, so a call
+    * that previously joined two frames sharing an (unused) payload
+    * column name now fails at plan time with the shared names listed.
+    * Intentional — the old behavior emitted ambiguous duplicate columns
+    * that only exploded downstream; callers should rename shared payload
+    * columns (`withColumnRenamed`) before joining. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String = "2 hours"): DataFrame = {

@@ -26,6 +26,15 @@ class QuantSpec extends SparkSpec {
     assert(got(4L).isEmpty, "null propagates")
   }
 
+  test("a null ELEMENT nulls the whole code (never quantized as 0.0)") {
+    val df = Seq((1L, Seq(Some(0.5), None, Some(1.0))), (2L, Seq(Some(0.5), Some(1.0))))
+      .toDF("id", "v")
+    val got = df.select($"id", QuantizeInt8($"v".cast("array<double>")).as("c"))
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(got(1L).isEmpty, "null element must null the code, not read as 0.0")
+    assert(got(2L).nonEmpty, "null-free rows unaffected")
+  }
+
   test("int8 dot is NULL for ragged or malformed codes, never a truncated score") {
     val a = Seq((1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
       .select(Int8Dot(QuantizeInt8($"a".cast("array<double>")),

@@ -67,6 +67,15 @@ class SampleSpec extends SparkSpec {
     assert(again === kept.values.sum)
   }
 
+  test("acceptByScore fails loudly on null or NaN scores (never a silent drop)") {
+    val withNull = Seq((1L, Some(0.5)), (2L, Option.empty[Double])).toDF("id", "score")
+    val e1 = intercept[Exception] { Sample.acceptByScore(withNull, "id", "score").count() }
+    assert(e1.getMessage != null)
+    val withNan = Seq((1L, 0.5), (2L, Double.NaN)).toDF("id", "score")
+    val e2 = intercept[Exception] { Sample.acceptByScore(withNan, "id", "score").count() }
+    assert(e2.getMessage != null)
+  }
+
   test("hashSplit clamps a cumulative fraction of exactly 1.0 to the 8-hex ceiling") {
     // sums to 1.0 + 1e-10: passes the tolerance, and the first bucket's
     // cumulative fraction is exactly 1.0 — unclamped it would format as
