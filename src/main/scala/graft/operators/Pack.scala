@@ -23,6 +23,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Pack {
 
+  /** `tokenCol` IS the tokenizer seam: the budget is counted in whatever
+    * units the caller materialized there — whitespace counts
+    * ([[TextAnalysis.tokenCount]], the oracle default), BPE-ish regex
+    * counts (`tokenCount(c, TextAnalysis.regexTokens)`), or a column of
+    * real LLM tokenizer counts precomputed upstream. Budgeting in
+    * whitespace tokens UNDERCOUNTS real LLM tokens ~1.3-1.5x on English
+    * (far more on CJK) — at scale, feed a subword-calibrated count. */
   def byTokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
                     budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
     val w = (if (partitionCols.isEmpty) Window.partitionBy()
@@ -49,18 +56,28 @@ object Pack {
     * whole operator is NARROW — zero shuffles, no window functions, so
     * at 100 TB it is a single pass that parallelizes per input split
     * and composes with downstream repartitioning (unlike a
-    * posexplode+window formulation, which would shuffle every token). */
+    * posexplode+window formulation, which would shuffle every token).
+    *
+    * `tokenizer` swaps the token basis (window/stride are counted in its
+    * units and `chunk_text` re-joins its tokens with single spaces);
+    * the whitespace default is the oracle-pinned behavior,
+    * [[TextAnalysis.regexTokens]] the shipped subword-ish option. */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-                  window: Int, stride: Int): DataFrame = {
+                  window: Int, stride: Int,
+                  tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window, "stride must be in [1, window]")
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = tokenizer(col(textCol))
     // null/blank text guard: split(trim("")) yields [""], not [] — treat
     // as 0 chunks so empty documents emit nothing instead of one ""
     // chunk. The null check must be EXPLICIT: length(trim(null)) === 0
     // is null, which would fall through to the otherwise branch where
-    // greatest(null, 0) = 0 conjures one phantom null chunk.
-    val nChunks = when(col(textCol).isNull || length(trim(col(textCol))) === 0, lit(0))
+    // greatest(null, 0) = 0 conjures one phantom null chunk. The
+    // size(toks)=0 disjunct covers custom tokenizers that return [] on
+    // NON-blank text (e.g. letters-only over "!!!") — no-op for the
+    // whitespace default, which never returns [] on non-blank input.
+    val nChunks = when(col(textCol).isNull || length(trim(col(textCol))) === 0 ||
+        size(toks) === 0, lit(0))
       .otherwise(lit(1) + ceil(greatest(size(toks) - window, lit(0)) / lit(stride.toDouble)))
       .cast("int")
     df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))

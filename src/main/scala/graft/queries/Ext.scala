@@ -196,6 +196,19 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** The tokenizer seam exercised end-to-end: same 32/16 sliding-window
+    * chunking as txt_chunk but under the BPE-ish REGEX tokenizer
+    * ([[TextAnalysis.regexTokens]] — letter runs / digit runs / single
+    * symbols), so window budgets count subword-ish units instead of
+    * whitespace words. Oracle-gated: the pattern lives in the
+    * Java-regex/RE2 agreement subset, so DuckDB tokenizes identically. */
+  def txtChunkBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Pack.chunkTokens(d, "doc_id", "text", window = 32, stride = 16,
+        tokenizer = TextAnalysis.regexTokens)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
     * collapse whitespace, then md5 — the normalization pass that makes
     * composed/decomposed duplicates hash identically. The fixture corpus
@@ -827,6 +840,7 @@ object Ext {
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
+    "txt_chunk_bpe" -> txtChunkBpe,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1007,6 +1021,22 @@ object Ext {
          |  CAST(len(list_slice(toks, i*16+1, i*16+32)) AS INT) AS chunk_tokens,
          |  array_to_string(list_slice(toks, i*16+1, i*16+32), ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // txt_chunk under the regex tokenizer: the SAME '[A-Za-z]+|[0-9]+|
+    // [^A-Za-z0-9\s]' pattern runs in both engines (ASCII classes — the
+    // Java-regex/RE2 agreement subset); empty text regex-tokenizes to []
+    // so the blank guard and the size-0 guard coincide
+    "txt_chunk_bpe" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |  CASE WHEN length(trim(text)) = 0 OR len(toks) = 0 THEN 0
+        |       ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS INT) END AS nchunks
+        |  FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, i*16+1, i*16+32)) AS INT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, i*16+1, i*16+32), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // composes the proven quality / repetition / langid oracle fragments
     "txt_quality_gate" ->
       s"""WITH $duckGateCtes

@@ -80,6 +80,32 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens tokenizer seam: regex tokens split punctuation, default unchanged") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "don't stop-me now! x2"), (2L, "!!!")).toDF("id", "text")
+    // whitespace default: 4 tokens for doc 1
+    val ws = Pack.chunkTokens(df, "id", "text", window = 8, stride = 8)
+      .orderBy("id", "chunk_idx").as[(Long, Int, Int, String)].collect()
+    assert(ws.filter(_._1 == 1L).map(_._3).sum === 4)
+    // regex tokenizer: don / ' / t | stop / - / me | now / ! | x2 -> 10
+    // subword-ish units (digits stay glued to letters? no: x2 -> x, 2)
+    val rx = Pack.chunkTokens(df, "id", "text", window = 8, stride = 8,
+        tokenizer = TextAnalysis.regexTokens)
+      .orderBy("id", "chunk_idx").as[(Long, Int, Int, String)].collect()
+    assert(rx.filter(_._1 == 1L).map(_._3).sum === 10,
+      s"got ${rx.filter(_._1 == 1L).map(_._4).mkString("|")}")
+    assert(rx.find(_._1 == 1L).get._4.startsWith("don ' t"), "punctuation splits off")
+    // symbols-only text still chunks under regexTokens (3 symbol tokens)
+    assert(rx.filter(_._1 == 2L).map(_._3).sum === 3)
+    // a letters-only custom tokenizer returns [] on symbol-only text:
+    // the size-0 guard emits zero chunks instead of one phantom chunk
+    val lettersOnly = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.expr(s"regexp_extract_all(text, '[A-Za-z]+', 0)")
+    val lo = Pack.chunkTokens(df, "id", "text", 8, 8, tokenizer = lettersOnly)
+      .as[(Long, Int, Int, String)].collect()
+    assert(!lo.exists(_._1 == 2L), "empty tokenization must emit no chunks")
+  }
+
   test("stratified sampling keeps approximate per-stratum fractions") {
     val df = (0 until 4000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
       .toDF("id", "stratum")
