@@ -540,22 +540,14 @@ object Ext {
   }
 
   /** Time-series resampling: per-user hourly grid spanning each user's
-    * event range, backward-filled with the latest value via the as-of
-    * join — the fixed-grid densification step (downsample/ffill) every
-    * time-series feature pipeline runs. Grid generation is
-    * `explode(sequence(t0, t1, 1 hour))` off a per-user min/max
-    * aggregate; the fill is one [[graft.operators.AsOfJoin]] — union +
-    * single shuffle, no per-point probes. */
+    * event range, backward-filled with the latest value —
+    * [[graft.operators.Resample.ffillGrid]] with the clamp off (the
+    * oracle-pinned default; ResampleSpec covers the long-idle-key cap
+    * policies). Union + single shuffle, no per-point probes. */
   def evResample(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).filter(col("user_id") <= 20)
       .select(col("user_id"), col("ts"), col("value"))
-    val spans = ev.groupBy(col("user_id"))
-      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
-        date_trunc("hour", max(col("ts"))).as("t1"))
-    val grid = spans.select(col("user_id"),
-      explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("grid_ts"))
-    graft.operators.AsOfJoin.leftAsOf(grid, ev, Seq("user_id"),
-        "grid_ts", "ts", Seq("value"))
+    graft.operators.Resample.ffillGrid(ev, Seq("user_id"), "ts", Seq("value"))
       .select(col("user_id"),
         date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
         round(col("asof_value"), 2).as("asof_value"))
