@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.StubLlmClient
 import graft.operators.{AsOfJoin, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
@@ -242,27 +242,44 @@ object Ext {
     * token mass, quality distribution (mean + p50/p90), language spread.
     * One narrow metric scan + one groupBy on the source key.
     *
-    * SCALE NOTE: `percentile` is the EXACT aggregate (buffers each
-    * group's values) — right here because it lets DuckDB's
-    * `quantile_cont` hash-match the oracle, and per-source groups are
-    * modest. Profiling billions of docs per source, swap in
-    * `approx_percentile(quality, 0.5, err)` (KLL-style sketch, bounded
-    * state, mergeable) — same query shape, estimate instead of exact. */
-  def rptCorpusStats(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    * THE SCALE SWITCH is `approx`: exact `percentile` buffers each
+    * group's quality values in the aggregation state — fine for modest
+    * per-source groups and required for the DuckDB `quantile_cont` hash
+    * match, but profiling billions of docs per source it is the one
+    * unbounded-state aggregate in the report. `approx = true` swaps in
+    * `percentile_approx` (bounded, MERGEABLE sketch state — map-side
+    * combinable, the 100 TB path) at `accuracy` (higher = tighter,
+    * more state; 10000 keeps observed error well under 1e-3 quality
+    * units). Identical output schema either way, so consumers swap
+    * freely; the approx variant ships as the rows-only
+    * `rpt_corpus_stats_approx` entry with its error bound spec-pinned
+    * against the exact path (QueriesSpec). */
+  def corpusStats(d: DataFrame, approx: Boolean, accuracy: Int = 10000): DataFrame = {
+    def pct(p: Double): Column =
+      if (approx) percentile_approx(col("quality"), lit(p), lit(accuracy))
+      else percentile(col("quality"), lit(p))
+    d.withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-    d.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         round(avg(col("n_tok")), 2).as("mean_tokens"),
         round(avg(col("quality")), 4).as("mean_quality"),
-        round(percentile(col("quality"), lit(0.5)), 4).as("p50_quality"),
-        round(percentile(col("quality"), lit(0.9)), 4).as("p90_quality"),
+        round(pct(0.5), 4).as("p50_quality"),
+        round(pct(0.9), 4).as("p90_quality"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
   }
+
+  def rptCorpusStats(s: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(s, dir), approx = false)
+
+  /** The bounded-state variant ([[corpusStats]] with approx=true) —
+    * rows-only: sketch outputs are engine-specific, so no SQL twin; the
+    * error bound vs the exact path is spec-asserted instead. */
+  def rptCorpusStatsApprox(s: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(s, dir), approx = true)
 
   /** Deterministic shuffle-shard assignment for training order: shard +
     * within-shard key per document; see
@@ -829,6 +846,7 @@ object Ext {
     "smp_quality_weighted" -> smpQualityWeighted,
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
+    "rpt_corpus_stats_approx" -> rptCorpusStatsApprox,
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,

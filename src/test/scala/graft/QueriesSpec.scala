@@ -80,6 +80,28 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.1, s"hll=$est exact=$exact")
   }
 
+  test("corpusStats approx=true matches the exact report within small quantile error") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def byi(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "n_docs", "total_tokens", "mean_tokens", "mean_quality",
+          "p50_quality", "p90_quality", "n_langs")
+        .collect().map(r => r.getString(0) -> r).toMap
+    val exact = byi(graft.queries.Ext.corpusStats(docs, approx = false))
+    val approx = byi(graft.queries.Ext.corpusStats(docs, approx = true))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // non-percentile columns are identical aggregates — must be equal
+      Seq(1, 2, 3, 4, 7).foreach(i => assert(e.get(i) === a.get(i), s"$src col $i"))
+      // percentile_approx returns an actual data value; exact interpolates
+      // — at accuracy 10000 over these group sizes the gap stays tiny
+      Seq(5, 6).foreach { i =>
+        assert(math.abs(e.getDouble(i) - a.getDouble(i)) <= 0.02,
+          s"$src col $i: exact=${e.getDouble(i)} approx=${a.getDouble(i)}")
+      }
+    }
+  }
+
   test("approximate percentile tracks exact percentile") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val Array(approx, exact) = li.select(
