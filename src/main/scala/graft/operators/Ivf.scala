@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{CentroidAggregator, VectorOps}
@@ -219,6 +219,51 @@ object Ivf {
     searchEncodedTopKPq(queries,
       encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id"),
       model, qId, qVec, topK, nProbe)
+
+  // ---- model persistence ----------------------------------------------
+
+  /** Write a trained coarse quantizer as parquet under `path` (layout:
+    * `path/centroids` = (idx, v)). Doubles round-trip parquet exactly,
+    * so a loaded model reproduces searches BIT-IDENTICALLY (IvfSpec).
+    * This is the serving-restart story: without it a restart retrains —
+    * paying the Lloyd rounds again AND, because init order feeds from
+    * data order, potentially producing a model that assigns borderline
+    * vectors to different cells than the persisted encoded index, which
+    * silently degrades recall. Persist the model WITH the index
+    * ([[encodePq]] output) and load both. */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("idx", "v")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    // k rows of dim doubles — a driver-bounded read by construction
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("idx"), col("v")).orderBy(col("idx"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    Model(cents)
+  }
+
+  /** [[saveModel]] plus the PQ side: `path/pq` holds one (m, ks,
+    * codebook) row. Same exactness guarantee — ADC lookup tables from a
+    * loaded model are bit-identical to the trainer's. */
+  def savePqModel(spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    saveModel(spark, model.coarse, path)
+    Seq((model.m, model.ks, model.codebook.toSeq)).toDF("m", "ks", "codebook")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val coarse = loadModel(spark, path)
+    val r = spark.read.parquet(s"$path/pq")
+      .select(col("m"), col("ks"), col("codebook")).collect()
+    require(r.length == 1, s"expected one pq-params row under $path/pq, got ${r.length}")
+    PqModel(coarse, r(0).getInt(0), r(0).getInt(1), r(0).getSeq[Double](2).toArray)
+  }
 
   /** Search a pre-encoded index: `encoded` is the [[encodePq]] output
     * with the id column named `neighbor_id` — (neighbor_id, _cell,

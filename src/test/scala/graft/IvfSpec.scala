@@ -90,5 +90,38 @@ class IvfSpec extends SparkSpec {
         "vec_id", "embedding", topK = 5, nProbe = 4)
       .as[(Long, Int, Long, Double)].collect()
     assert(viaEncoded.toSet === pq.toSet)
+
+    // ---- persistence round-trip: a serving restart must not retrain —
+    // the loaded model reproduces the exact parameters and, against the
+    // SAME persisted encoded index, the exact same search results
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_model").toString
+    Ivf.savePqModel(spark, model, dir)
+    val loaded = Ivf.loadPqModel(spark, dir)
+    assert(loaded.m === model.m && loaded.ks === model.ks)
+    assert(loaded.codebook.toSeq === model.codebook.toSeq, "codebook must round-trip exactly")
+    assert(loaded.coarse.centroids.map(_.toSeq).toSeq ===
+      model.coarse.centroids.map(_.toSeq).toSeq, "centroids must round-trip exactly")
+    val viaLoaded = Ivf.searchEncodedTopKPq(queries,
+        enc.withColumnRenamed("vec_id", "neighbor_id"), loaded,
+        "vec_id", "embedding", topK = 5, nProbe = 4)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(viaLoaded.toSet === pq.toSet, "loaded model must search bit-identically")
+  }
+
+  test("plain IVF model save/load round-trips and searches identically") {
+    val rnd = new Random(47)
+    val corpus = (0 until 200).map(i => (i.toLong,
+      Array.fill(8)((rnd.nextGaussian() * 2).toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val model = Ivf.train(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_model").toString
+    Ivf.saveModel(spark, model, dir)
+    val loaded = Ivf.loadModel(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    val a = Ivf.searchTopK(queries, corpus, model, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 3, nProbe = 2).collect().map(_.toSeq).toSet
+    val b = Ivf.searchTopK(queries, corpus, loaded, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 3, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(a === b)
   }
 }
