@@ -106,12 +106,12 @@ object Decontaminate {
                               trainId: String, benchId: String,
                               trainText: String, benchText: String,
                               threshold: Double, fpp: Double = 0.001): DataFrame = {
-    val benchHashes = Dedup.shinglePostings(bench, benchId, benchText)
-      .select(col("_h")).distinct()
-      // consumed twice (size + build): materialize the small distinct set
-      // once; checkpoint blocks are ContextCleaner-freed, no CacheManager
-      // entry (the engine-wide pattern)
-      .localCheckpoint(true)
+    // consumed twice (size + build): materialize the small distinct set
+    // once; no CacheManager entry, durability per the session's
+    // graft.core.Checkpoint policy (the engine-wide pattern)
+    val benchHashes = graft.core.Checkpoint.materialize(
+      Dedup.shinglePostings(bench, benchId, benchText)
+        .select(col("_h")).distinct())
     // floor the sizing: Spark's BloomFilterImpl double-hashes (two 32-bit
     // base hashes, Kirsch-Mitzenmacher), and on tiny bit arrays the
     // observed fp rate floors at ~0.4-0.6% no matter the configured fpp

@@ -191,10 +191,10 @@ object Dedup {
     // result is unreferenced. A long-lived service looping dedup calls
     // therefore holds no CacheManager entries after each call returns
     // (the round-4/5/6 leak: persist-without-unpersist accumulated
-    // MEMORY_AND_DISK blocks without bound). On a cluster,
-    // localCheckpoint trades executor-loss recovery for speed — fine for
-    // an edge list consumed promptly by connectedComponents.
-    try verified.localCheckpoint(true)
+    // MEMORY_AND_DISK blocks without bound). Durability is the session's
+    // graft.core.Checkpoint policy: local (default — fine for an edge
+    // list consumed promptly) vs reliable (preemptible clusters).
+    try graft.core.Checkpoint.materialize(verified)
     finally {
       // also on a failed checkpoint job: an abandoned call must not pin
       // the caches (Ivf.train guards its training cache the same way)
@@ -235,7 +235,7 @@ object Dedup {
       .withColumn("j", round(jaccard(col("_shb"), col("_shc")), 4))
       .filter(col("j") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("j"))
-    try verified.localCheckpoint(true)
+    try graft.core.Checkpoint.materialize(verified)
     finally {
       shC.unpersist()
       shB.unpersist()
@@ -343,16 +343,16 @@ object Dedup {
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
-    // Every round ends in an EAGER localCheckpoint: without lineage
+    // Every round ends in an EAGER checkpoint: without lineage
     // truncation the logical plan multiplies ~8x per round (star∘star
     // reads its input four times) and plan analysis alone goes
     // exponential — measured OOM at round ~6 on a 300-edge graph.
-    // Superseded rounds' checkpoint RDDs are dropped by the
-    // ContextCleaner once the `edges` var moves on. On a cluster,
-    // localCheckpoint trades executor-loss recovery for speed — the
-    // right trade inside a bounded 2x-log-rounds loop.
-    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // Superseded rounds' local-checkpoint RDDs are dropped by the
+    // ContextCleaner once the `edges` var moves on. Durability follows
+    // the session's graft.core.Checkpoint policy (local default).
+    var edges = graft.core.Checkpoint.materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
     var fp = fingerprint(edges)
     var converged = false
     var i = 0
@@ -361,7 +361,7 @@ object Dedup {
       // (neighbor pairs + per-node min join) — unpersisted, the
       // large-star subtree would run 4x per round
       val mid = star(edges, large = true).persist()
-      val next = star(mid, large = false).localCheckpoint(true)
+      val next = graft.core.Checkpoint.materialize(star(mid, large = false))
       mid.unpersist()
       edges = next
       val nfp = fingerprint(next)

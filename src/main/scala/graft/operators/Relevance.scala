@@ -50,14 +50,15 @@ object Relevance {
       .filter(col("_tok").isin(distinctTerms: _*))
     // tf is consumed TWICE (score rows + document frequency); without a
     // materialization Catalyst plans two full corpus scans + explodes —
-    // the second is a redundant 100 TB pass. The eager localCheckpoint
-    // runs the postings scan once and stores only the query-matched
+    // the second is a redundant 100 TB pass. The eager checkpoint
+    // (durability per the session's graft.core.Checkpoint policy) runs
+    // the postings scan once and stores only the query-matched
     // (doc, term) rows — a tiny derived set — with NO CacheManager entry
-    // (checkpoint blocks are ContextCleaner-freed once unreferenced; the
-    // minHashNearDupPairs pattern).
-    val tf = posts.groupBy(col(idCol), col("_tok"))
-      .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf"))
-      .localCheckpoint(true)
+    // (local-checkpoint blocks are ContextCleaner-freed once
+    // unreferenced; the minHashNearDupPairs pattern).
+    val tf = graft.core.Checkpoint.materialize(
+      posts.groupBy(col(idCol), col("_tok"))
+        .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf")))
     // document frequency: tf already has one row per (doc, term)
     val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     val stats = docs.select(size(TextAnalysis.tokens(col(textCol))).as("_l"))

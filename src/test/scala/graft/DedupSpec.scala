@@ -274,6 +274,37 @@ class DedupSpec extends SparkSpec {
       }.toSet
   }
 
+  test("checkpoint policy: reliable and local produce identical pairs and scores") {
+    val docs = randomCorpus(83, 120).map { case (id, _, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val localPairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val localBm25 = graft.operators.Relevance
+      .bm25Scores(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .as[(Long, Double)].collect().toSet
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.core.Checkpoint.PolicyKey, "reliable")
+    try {
+      val relPairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val relBm25 = graft.operators.Relevance
+        .bm25Scores(docs, "doc_id", "text", Seq("alpha", "beta"))
+        .as[(Long, Double)].collect().toSet
+      assert(relPairs === localPairs, "policy must not change dedup semantics")
+      assert(relBm25 === localBm25, "policy must not change bm25 semantics")
+      // reliable checkpoints actually hit the configured directory
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable policy must write to the checkpoint dir")
+    } finally spark.conf.set(graft.core.Checkpoint.PolicyKey, "local")
+    // misconfiguration fails loudly: unknown policy value
+    spark.conf.set(graft.core.Checkpoint.PolicyKey, "bogus")
+    try intercept[IllegalArgumentException] {
+      Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    } finally spark.conf.set(graft.core.Checkpoint.PolicyKey, "local")
+  }
+
   test("duplicateSpans maps a planted cross-doc span back to exact token ranges") {
     val shared = (1 to 10).map(i => s"S$i").mkString(" ")
     val docs = Seq(
