@@ -71,12 +71,35 @@ object Enrich {
 
   /** Stable contiguous row index, attached before any shuffle. Costs one
     * extra job (zipWithIndex counts partition sizes) — the documented
-    * price of the reference's order-preservation invariant. */
+    * price of the reference's order-preservation invariant — PLUS an
+    * RDD round-trip that materializes every column and severs the scan
+    * from whole-stage codegen. [[withRowIndexSharded]] is the opt-in
+    * that avoids both when contiguity isn't needed. */
   def withRowIndex(df: DataFrame, idxCol: String = "_row_idx"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(idxCol, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** SHARDED row index (SURVEY §8.3's 100 TB alternative): index =
+    * (shard ordinal << 33) | within-shard position, i.e.
+    * `monotonically_increasing_id` — order within each shard/partition
+    * is exact and the global sort order is IDENTICAL to
+    * [[withRowIndex]]'s (both are partition-major), so every
+    * order-restoration consumer works unchanged. What changes:
+    *   - NO extra job and NO RDD round-trip — a narrow codegen'd
+    *     projection directly over the (columnar) scan, so pushdown and
+    *     pruning below it survive;
+    *   - indexes are NOT contiguous, so POSITIONAL semantics (the
+    *     `maxRows` head slice, [[errorReport]]'s 1-based row numbers)
+    *     are meaningless under it — [[enrich]] therefore rejects the
+    *     combination with a bounded `maxRows`, and error accounting
+    *     under this index should use [[errorCount]].
+    * Like zipWithIndex, attach it BEFORE any shuffle: the assignment is
+    * partition-layout-dependent (stable for a fixed file layout, which
+    * is what "shard" means here). */
+  def withRowIndexSharded(df: DataFrame, idxCol: String = "_row_idx"): DataFrame =
+    df.withColumn(idxCol, monotonically_increasing_id())
 
   // One IO pool per executor JVM, shared across tasks; sized generously —
   // per-task concurrency is bounded by the sliding submission window, so
@@ -99,11 +122,22 @@ object Enrich {
     * reference's API, test.py:151) through `client`, appending a
     * `Response` string column. `clientFactory` is evaluated once per
     * partition, on the executor. Returns ALL input columns + `_row_idx` +
-    * `Response`, in input order. */
+    * `Response`, in input order.
+    *
+    * `shardedIndex = true` swaps the contiguous zipWithIndex for
+    * [[withRowIndexSharded]] — same order semantics, no extra indexing
+    * job, no RDD round-trip (the 100 TB full-corpus path). Requires an
+    * unbounded `cfg.maxRows`: the head slice is positional and sharded
+    * indexes carry no positions. */
   def enrich(df: DataFrame, columnIndex: Int, cfg: Config,
              clientFactory: () => LlmClient,
-             progress: Option[LongAccumulator] = None): DataFrame = {
-    val indexed = withRowIndex(df)
+             progress: Option[LongAccumulator] = None,
+             shardedIndex: Boolean = false): DataFrame = {
+    require(!shardedIndex || cfg.maxRows == Long.MaxValue,
+      "shardedIndex requires unbounded maxRows: the head slice at maxRows is " +
+        "positional, and sharded (non-contiguous) indexes carry no positions — " +
+        "use the default contiguous index for bounded runs")
+    val indexed = if (shardedIndex) withRowIndexSharded(df) else withRowIndex(df)
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
       .withColumn("Response", lit(""))
@@ -207,7 +241,8 @@ object Enrich {
     * `maxIndexes` (ascending), which covers the reference's logging use
     * unboundedly better than an OOM. */
   /** Just the sentinel-row count — one aggregate job; use instead of
-    * [[errorReport]] when the index list isn't needed. */
+    * [[errorReport]] when the index list isn't needed (and always under
+    * `shardedIndex`, whose `_row_idx` values are not row positions). */
   def errorCount(enriched: DataFrame): Long =
     enriched.filter(col("Response") === ErrorSentinel).count()
 

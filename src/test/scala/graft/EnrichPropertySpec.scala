@@ -43,6 +43,39 @@ class EnrichPropertySpec extends SparkSpec {
     }
   }
 
+  test("sharded index opt-in: order and size invariants hold for arbitrary shapes") {
+    // same invariants as the contiguous-index test, with shardedIndex
+    // enabled — restricted to unbounded maxRows (the mode's contract)
+    val cases = (1 to 12).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(100L + i))) :+ ((0, 0, 1, 1)) :+ ((60, 0, 6, 1))
+    cases.foreach { case (n, _, parts, batch) =>
+      val label = s"sharded n=$n parts=$parts batch=$batch"
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(i => (s"r$i", i)), parts))
+        .toDF("v", "num")
+      val cfg = Enrich.Config(systemPrompt = "P", batchSize = batch, rowConcurrency = 4)
+      val out = Enrich.enrich(df, 0, cfg, () => new StubLlmClient(identity),
+        shardedIndex = true).collect()
+      assert(out.length == n, label)
+      assert(out.map(_.getAs[String]("v")).toSeq == (0 until n).map(i => s"r$i"), label)
+      out.foreach(r => assert(r.getAs[String]("Response") == s"P\n\nInput: ${r.getAs[String]("v")}", label))
+    }
+  }
+
+  test("sharded index: no RDD round-trip in the plan; bounded maxRows rejected") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sharded = Enrich.withRowIndexSharded(docs).queryExecution.executedPlan.toString
+    assert(!sharded.contains("ExistingRDD"),
+      "sharded index must stay a columnar scan + projection")
+    val contiguous = Enrich.withRowIndex(docs).queryExecution.executedPlan.toString
+    assert(contiguous.contains("ExistingRDD"),
+      "(sanity) the default index pays the RDD round-trip this mode avoids")
+    intercept[IllegalArgumentException] {
+      Enrich.enrich(docs, 1, Enrich.Config(systemPrompt = "P", maxRows = 10L),
+        () => new StubLlmClient(identity), shardedIndex = true)
+    }
+  }
+
   test("order, size, and tail invariants hold for arbitrary shapes") {
     val cases = (1 to 12).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong))) :+ ((0, 0, 1, 1)) :+ ((60, 0, 6, 1))
