@@ -83,6 +83,48 @@ object Multimodal {
       }
   }
 
+  /** One row of real audio metadata, sniffed from container headers. */
+  final case class AudioMetaRow(doc_id: Long, format: String, sample_rate: Int,
+                                channels: Int, bits_per_sample: Int, n_frames: Long)
+
+  /** REAL header-based audio metadata over a binary column —
+    * [[AudioHeaders.sniff]] per row (WAV/FLAC/MP3, no codec libraries,
+    * a few bytes inspected per blob). Same narrow-scan shape and
+    * corrupt-is-data contract as [[imageMeta]]. */
+  def audioMeta(spark: SparkSession, media: DataFrame, idCol: String,
+                binCol: String): Dataset[AudioMetaRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = AudioHeaders.sniff(bytes)
+        AudioMetaRow(id, m.format, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
+      }
+  }
+
+  /** Encode a genuine PCM16 WAV (RIFF/fmt/data) of silent frames — pure
+    * header arithmetic, no codec involved, so it runs anywhere. Fixture
+    * twin of [[encodeImage]]: the samples are arbitrary, the container
+    * headers are authentic. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0, "invalid wav params")
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    out.array() // remaining dataSize bytes stay zero = silence
+  }
+
   /** Encode a real single-color image via the JDK's ImageIO (PNG, GIF,
     * BMP, JPEG — no external codecs). Fixture/round-trip helper: the
     * pixels are arbitrary, the container headers are genuine. */

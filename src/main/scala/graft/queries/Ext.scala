@@ -794,6 +794,28 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio twin of [[mmImageMeta]]: encode a genuine PCM16 WAV per
+    * document at formula-derived (sample rate, channels, frames), sniff
+    * the parameters back from the BYTES
+    * ([[graft.operators.AudioHeaders]]), and let the DuckDB twin predict
+    * them from the formula alone — an encoder or parser bug breaks the
+    * hash match, and no audio library ships in the oracle. */
+  def mmAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    val withWav = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, Multimodal.encodeWavPcm16(
+          rates((id % 4L).toInt), (id % 2L).toInt + 1, (nChars % 50L).toInt + 1))
+      }
+      .toDF("doc_id", "content")
+    Multimodal.audioMeta(s, withWav, "doc_id", "content")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -820,6 +842,7 @@ object Ext {
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
+    "mm_audio_meta" -> mmAudioMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -1193,6 +1216,16 @@ object Ext {
       """SELECT doc_id, 'png' AS format,
         |  CAST((n_chars % 30) + 1 AS INTEGER) AS width,
         |  CAST((doc_id % 20) + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the twin predicts the WAV parameters from the formula alone — the
+    // Spark side must round-trip them through genuine RIFF bytes to match
+    "mm_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST((doc_id % 2) + 1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST((n_chars % 50) + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,

@@ -65,6 +65,89 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageHeaders.sniff(core) === ImageHeaders.ImageMeta("bmp", 20, 10))
   }
 
+  test("AudioHeaders.sniff round-trips genuine WAV headers across parameter shapes") {
+    import graft.operators.AudioHeaders
+    for {
+      rate <- Seq(8000, 22050, 44100)
+      ch <- Seq(1, 2)
+      frames <- Seq(0, 1, 480)
+    } {
+      val bytes = Multimodal.encodeWavPcm16(rate, ch, frames)
+      val m = AudioHeaders.sniff(bytes)
+      assert(m === AudioHeaders.AudioMeta("wav", rate, ch, 16, frames.toLong),
+        s"wav $rate/$ch/$frames -> $m")
+    }
+  }
+
+  test("AudioHeaders.sniff parses hand-built FLAC STREAMINFO and MP3 frame headers") {
+    import graft.operators.AudioHeaders
+    // FLAC: fLaC + STREAMINFO block (type 0, len 34); 44100 Hz, 2ch,
+    // 16-bit, 1000 total samples packed per the spec layout
+    val flac = new Array[Byte](4 + 4 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(flac, 0)
+    flac(4) = 0x00; flac(5) = 0x00; flac(6) = 0x00; flac(7) = 34
+    // rate 44100 = 0x0AC44 (20 bits): bytes 18,19 and high nibble of 20
+    flac(18) = 0x0a; flac(19) = 0xc4.toByte
+    // byte 20: rate low nibble (4) | (channels-1=1)<<1 | (bits-1=15)>>4
+    flac(20) = ((0x4 << 4) | (1 << 1) | (15 >> 4)).toByte
+    // byte 21: (bits-1 low nibble)<<4 | total-samples bits 35..32
+    flac(21) = ((15 & 0xf) << 4).toByte
+    // total samples 1000 = 0x3E8 in bytes 22..25 (big-endian 32 low bits)
+    flac(22) = 0x00; flac(23) = 0x00; flac(24) = 0x03; flac(25) = 0xe8.toByte
+    assert(AudioHeaders.sniff(flac) === AudioHeaders.AudioMeta("flac", 44100, 2, 16, 1000L))
+    // FLAC with total-samples 0 (spec: unknown) -> -1
+    val flacUnk = flac.clone(); flacUnk(24) = 0; flacUnk(25) = 0
+    assert(AudioHeaders.sniff(flacUnk).nFrames === -1L)
+    // MP3: MPEG1 Layer III, 44100 Hz (rate idx 0), joint stereo; frame
+    // headers carry no length/depth -> -1
+    val mp3 = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x40)
+    assert(AudioHeaders.sniff(mp3 ++ new Array[Byte](16)) ===
+      AudioHeaders.AudioMeta("mp3", 44100, 2, -1, -1L))
+    // same frame behind an ID3v2 tag (synchsafe size 20, no footer)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++ mp3 ++ new Array[Byte](16)
+    assert(AudioHeaders.sniff(id3).format === "mp3")
+    // mono mode bits (11) -> channels 1; MPEG2 rate table
+    val mp3Mono = Array[Byte](0xff.toByte, 0xf3.toByte, 0x90.toByte, 0xc0.toByte)
+    val m2 = AudioHeaders.sniff(mp3Mono ++ new Array[Byte](16))
+    assert(m2.channels === 1 && m2.sampleRate === 22050)
+  }
+
+  test("AudioHeaders.sniff: corrupt, truncated, empty, and null degrade to unknown") {
+    import graft.operators.AudioHeaders
+    val unknown = AudioHeaders.AudioMeta("unknown", -1, -1, -1, -1L)
+    assert(AudioHeaders.sniff(null) === unknown)
+    assert(AudioHeaders.sniff(Array.emptyByteArray) === unknown)
+    assert(AudioHeaders.sniff("just some text bytes again".getBytes) === unknown)
+    val wav = Multimodal.encodeWavPcm16(44100, 2, 100)
+    assert(AudioHeaders.sniff(wav.take(16)) === unknown, "truncated before fmt chunk")
+    // fmt chunk SIZE running past the buffer: the walk must terminate
+    // (never throw/loop); fmt fields still parse, the now-unreachable
+    // data chunk degrades to frame count -1
+    val bad = wav.clone(); bad(16) = 0xff.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0x7f
+    assert(AudioHeaders.sniff(bad) === AudioHeaders.AudioMeta("wav", 44100, 2, 16, -1L))
+    // fmt TAG corrupted: no format info anywhere -> unknown
+    val noFmt = wav.clone(); noFmt(12) = 'x'
+    assert(AudioHeaders.sniff(noFmt) === unknown)
+    // ID3 tag whose synchsafe size exceeds the buffer
+    val id3Trunc = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(AudioHeaders.sniff(id3Trunc) === unknown)
+    // reserved MPEG version / bad sync must not parse
+    assert(AudioHeaders.sniff(Array[Byte](0xff.toByte, 0xeb.toByte, 0x90.toByte, 0x40, 0, 0, 0, 0, 0, 0, 0, 0)) === unknown)
+  }
+
+  test("audioMeta dataset operator sniffs per row; corrupt rows survive as unknown") {
+    val rows = Seq(
+      (1L, Multimodal.encodeWavPcm16(16000, 1, 50)),
+      (2L, "garbage audio".getBytes))
+    val df = rows.toDF("doc_id", "content")
+    val got = Multimodal.audioMeta(spark, df, "doc_id", "content")
+      .collect().map(r => r.doc_id -> ((r.format, r.sample_rate, r.channels, r.n_frames))).toMap
+    assert(got(1L) === (("wav", 16000, 1, 50L)))
+    assert(got(2L) === (("unknown", -1, -1, -1L)))
+  }
+
   test("imageMeta dataset operator sniffs per row; corrupt rows survive as unknown") {
     val rows = Seq(
       (1L, Multimodal.encodeImage(8, 3, 0xff0000, "png")),
