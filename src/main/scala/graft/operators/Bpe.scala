@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeEncodeWords, BpeVocab}
+
+/** Trainable byte-pair-encoding subword tokenizer (Sennrich et al.
+  * 2016) — the REAL answer to "budget in LLM tokens, not whitespace
+  * words": train merges on the corpus itself, then plug
+  * [[Bpe.tokenizer]] into any token-parameterized operator
+  * ([[Pack.chunkTokens]], [[TextAnalysis]] quality/stats) through the
+  * engine-wide tokenizer seam.
+  *
+  * Training is the standard two-phase shape every production BPE
+  * trainer uses (word counting is distributed, the merge loop is not):
+  *
+  *  1. DISTRIBUTED word-frequency table: one `groupBy(word).count()`
+  *     with map-side combine — the only shuffle, on words, linear at
+  *     any corpus size. The top `maxWords` by (count desc, word asc)
+  *     plan as a `TakeOrderedAndProject` heap — the driver holds at
+  *     most `maxWords` (word, count) pairs, NEVER corpus text.
+  *  2. DRIVER merge loop over that bounded dictionary: count adjacent
+  *     symbol pairs weighted by word frequency, merge the most frequent
+  *     (ties break to the lexicographically smallest pair — training is
+  *     deterministic for a given corpus), repeat `numMerges` times or
+  *     until no pair reaches `minPairCount`. Cost is
+  *     O(numMerges x total symbols), bounded by `maxWords`, independent
+  *     of corpus size — the 100 TB story is that ONLY step 1 sees the
+  *     data.
+  *
+  * Encoding ([[BpeEncodeWords]]) is a narrow codegen'd map with the
+  * merge table riding as a reference object — no shuffle, no UDF.
+  * Convention: no end-of-word marker; merges never cross word
+  * boundaries (the within-word variant — concatenating a word's
+  * subword tokens reproduces the word exactly).
+  */
+object Bpe {
+
+  /** Ordered merge list; ALL encode behavior derives from it. */
+  final case class Model(merges: Array[(String, String)]) {
+    @transient lazy val vocab: BpeVocab = new BpeVocab(merges)
+  }
+
+  /** Train merges on `textCol` under `tokenizer` (default: the
+    * subword-friendly [[TextAnalysis.regexTokens]] — punctuation splits
+    * from words before BPE sees it, like real LLM pre-tokenizers). */
+  def train(df: DataFrame, textCol: Column, numMerges: Int,
+            maxWords: Int = 50000, minPairCount: Long = 2,
+            tokenizer: Column => Column = TextAnalysis.regexTokens): Model = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(maxWords > 0, "maxWords must be > 0")
+    val wc = df.select(explode(tokenizer(textCol)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    Model(trainOnDict(wc, numMerges, minPairCount))
+  }
+
+  /** The driver merge loop, exposed for spec-level verification against
+    * hand-worked dictionaries. */
+  private[graft] def trainOnDict(wordCounts: Array[(String, Long)], numMerges: Int,
+                                 minPairCount: Long): Array[(String, String)] = {
+    // each word as its code-point symbol sequence
+    val words: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      wordCounts.map { case (w, _) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val n = Character.charCount(cp)
+          buf += w.substring(i, i + n)
+          i += n
+        }
+        buf
+      }
+    val counts = wordCounts.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi)
+        val c = counts(wi)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // most frequent pair; ties -> lexicographically smallest (a, b)
+        var best: (String, String) = null
+        var bestCount = Long.MinValue
+        pairCounts.foreach { case (k, c) =>
+          if (c > bestCount || (c == bestCount &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            best = k; bestCount = c
+          }
+        }
+        if (bestCount < minPairCount) done = true
+        else {
+          merges += best
+          val (a, b) = best
+          val ab = a + b
+          wi = 0
+          while (wi < words.length) {
+            val syms = words(wi)
+            if (syms.length >= 2) {
+              val next = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                  next += ab; i += 2
+                } else { next += syms(i); i += 1 }
+              }
+              words(wi) = next
+            }
+            wi += 1
+          }
+          iter += 1
+        }
+      }
+    }
+    merges.toArray
+  }
+
+  /** Subword tokens of a word-array column. */
+  def encodeTokens(words: Column, model: Model): Column =
+    BpeEncodeWords(words, model.vocab)
+
+  /** A `tokenizer: Column => Column` for the engine-wide seam:
+    * pre-tokenize with `base`, then subword-split — drop-in for the
+    * `tokenizer` parameter of [[Pack.chunkTokens]],
+    * [[TextAnalysis.tokenCount]], quality scores, etc. */
+  def tokenizer(model: Model,
+                base: Column => Column = TextAnalysis.regexTokens): Column => Column =
+    text => encodeTokens(base(text), model)
+
+  /** Per-row BPE token count — the budget knob for
+    * [[Pack.byTokenBudget]]'s `tokenCol` seam. */
+  def tokenCount(text: Column, model: Model,
+                 base: Column => Column = TextAnalysis.regexTokens): Column =
+    size(encodeTokens(base(text), model))
+
+  /** Persist merges as parquet (rank, left, right) next to the corpora
+    * they tokenize — a loaded model encodes bit-identically, so token
+    * budgets stay comparable across pipeline runs (same pattern as
+    * [[Ivf.saveModel]]). */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.toSeq
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    // numMerges rows of two short strings — driver-bounded by construction
+    val rows = spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right")).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    Model(rows)
+  }
+}

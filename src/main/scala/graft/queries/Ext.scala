@@ -209,6 +209,27 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** TRAINED subword tokenization end-to-end: learn BPE merges on the
+    * corpus itself (distributed word count -> driver merge loop, see
+    * [[graft.operators.Bpe]]), then re-encode every document and report
+    * word vs subword token counts. Rows-only: merges depend on learned
+    * state no SQL engine can reproduce; BpeSpec pins the merge loop
+    * against the hand-worked Sennrich dictionary and the codegen path
+    * against the interpreter. Training is deterministic (count-desc,
+    * word-asc tie-break), so the output is stable for a given SF. */
+  def txtBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // the fixture vocabulary is ~31 words; 40 merges fully merges the
+    // frequent words and leaves rare ones subword-split — both regimes
+    // visible in the output (a real corpus uses numMerges in the tens of
+    // thousands; cost scales with maxWords, not corpus size)
+    val model = graft.operators.Bpe.train(d, col("text"), numMerges = 40, maxWords = 10000)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
+        graft.operators.Bpe.tokenCount(col("text"), model).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
     * collapse whitespace, then md5 — the normalization pass that makes
     * composed/decomposed duplicates hash identically. The fixture corpus
@@ -874,6 +895,7 @@ object Ext {
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
     "txt_chunk_bpe" -> txtChunkBpe,
+    "txt_bpe_encode" -> txtBpeEncode,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
