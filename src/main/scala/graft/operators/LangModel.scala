@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BigramKeys, LmVocab}
+
+/** N-gram language-model perplexity scoring — the CCNet-recipe quality
+  * filter (Wenzek et al. 2020: score a crawl against an LM trained on a
+  * clean reference corpus; low perplexity = reference-like text, high =
+  * junk/other-language). The reference engine has no LM stage, but any
+  * production curation pipeline runs one; this is the bigram flavor
+  * whose math a SQL oracle can reproduce exactly.
+  *
+  * Shape (all counts, no floats until scoring — engine-exact parity):
+  *
+  *  1. Vocabulary: top-`maxVocab` tokens of the REFERENCE corpus by
+  *     (count desc, token asc) — a `TakeOrderedAndProject` heap, driver
+  *     holds `maxVocab` strings, never text. OOV -> `&lt;unk&gt;` bounds
+  *     every LM table regardless of corpus size.
+  *  2. Bigram counts: [[graft.functions.BigramKeys]] emits each row's
+  *     vocab-mapped `"prev cur"` keys in ONE narrow codegen pass (BOS
+  *     `&lt;s&gt;` starts each doc), then a single `groupBy(key).count`
+  *     shuffle. Context counts aggregate from the bigram table itself
+  *     (`c(w1·) = Σ_w2 c(w1,w2)` — consistent by construction).
+  *  3. Scoring: explode the target's mapped bigram keys, left-join the
+  *     two count tables, per-token add-α log-likelihood
+  *     `ln((c(w1,w2)+α) / (c(w1·)+α·V))`, average per doc. Perplexity
+  *     `exp(-avg)`. V = vocabSize + 1 (the unk bucket; BOS is never a
+  *     predicted token so it does not enter V).
+  *
+  * Scale: the token stream is touched narrowly once, shuffled once on
+  * bigram key (the LM join), once on doc id (the final agg). Both LM
+  * tables are bounded by the closed vocabulary — `maxVocab` in the tens
+  * of thousands keeps contexts broadcastable and bigrams far below
+  * corpus size, so the LM join's build side is the SMALL side at any
+  * corpus scale. */
+object LangModel {
+
+  /** Trained bigram LM: bounded count tables + the closed vocabulary. */
+  final case class BigramLm(vocab: LmVocab, bigrams: DataFrame,
+                            contexts: DataFrame, alpha: Double) {
+    /** Smoothing denominator vocabulary size: |vocab| + unk. */
+    def vSize: Int = vocab.size + 1
+  }
+
+  private def bigramKeys(textCol: Column, vocab: LmVocab,
+                         tokenizer: Column => Column): Column =
+    BigramKeys(tokenizer(textCol), vocab)
+
+  /** Learn the vocabulary + bigram/context counts from `reference`
+    * (the clean corpus — CCNet uses Wikipedia; the demo query uses the
+    * fixture's English slice). */
+  def train(reference: DataFrame, textCol: Column, maxVocab: Int,
+            alpha: Double = 0.5,
+            tokenizer: Column => Column = TextAnalysis.tokens): BigramLm = {
+    require(maxVocab > 0, "maxVocab must be > 0")
+    require(alpha > 0, "alpha must be > 0 (unsmoothed zeros break ln)")
+    val top = reference
+      .select(explode(tokenizer(textCol)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(_.getString(0))
+    val vocab = new LmVocab(top)
+    val bigrams = reference
+      .select(explode(bigramKeys(textCol, vocab, tokenizer)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val contexts = bigrams
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cw"))
+    BigramLm(vocab, bigrams, contexts, alpha)
+  }
+
+  /** Per-document cross-entropy (nats) and perplexity of `target` under
+    * `lm`. Docs with zero tokens emit nothing (no bigrams to score).
+    * Output: (idCol, n_tokens, cross_entropy, perplexity), both doubles
+    * rounded to 4 — FP summation order differs across engines. */
+  def perplexity(target: DataFrame, idCol: String, textCol: String, lm: BigramLm,
+                 tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val v = lit(lm.alpha * lm.vSize)
+    val logp = log(
+      (coalesce(col("cb"), lit(0L)) + lm.alpha) /
+      (coalesce(col("cw"), lit(0L)) + v))
+    target
+      .select(col(idCol), explode(bigramKeys(col(textCol), lm.vocab, tokenizer)).as("bg"))
+      .join(lm.bigrams, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(lm.contexts, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), avg(logp).as("h"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("h"), 4).as("cross_entropy"),
+        round(exp(-col("h")), 4).as("perplexity"))
+  }
+
+  /** Train-on-reference, score-target in one call (the CCNet filter
+    * stage: keep target rows under a perplexity ceiling upstream). */
+  def perplexityAgainst(reference: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String, maxVocab: Int,
+                        alpha: Double = 0.5,
+                        tokenizer: Column => Column = TextAnalysis.tokens): DataFrame =
+    perplexity(target, idCol, textCol,
+      train(reference, col(textCol), maxVocab, alpha, tokenizer), tokenizer)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.StubLlmClient
-import graft.operators.{AsOfJoin, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Enrich, LangModel, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -227,6 +227,20 @@ object Ext {
     d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
         graft.operators.Bpe.tokenCount(col("text"), model).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style LM-perplexity quality scoring (Wenzek et al. 2020):
+    * bigram LM trained on the fixture's English slice (the "clean
+    * reference corpus" role), every document scored against it —
+    * English docs land low, other languages/junk land high, and the
+    * curation filter keeps rows under a ceiling. Exact-count math, so
+    * the DuckDB twin reproduces it bit-for-bit (see
+    * [[graft.operators.LangModel]]). */
+  def txtPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    LangModel.perplexityAgainst(
+        d.where(col("lang") === "en"), d, "doc_id", "text", maxVocab = 200)
       .orderBy(col("doc_id"))
   }
 
@@ -896,6 +910,7 @@ object Ext {
     "txt_chunk" -> txtChunk,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
+    "txt_perplexity" -> txtPerplexity,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1274,6 +1289,38 @@ object Ext {
          |  CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
          |  lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    // reproduces LangModel's math exactly: closed top-200 vocab from the
+    // en slice (count desc, token asc), <s>-prefixed vocab-mapped bigram
+    // keys, add-0.5 smoothing with V = |vocab|+1 — all integer counts
+    // until the final ln/avg, rounded to 4 on both sides
+    "txt_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |vocab AS (SELECT w FROM (
+         |    SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')
+         |  GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 200),
+         |pos AS (SELECT doc_id, lang, toks,
+         |    unnest(generate_series(1, len(toks))) AS i FROM tok),
+         |bg AS (SELECT p.doc_id, p.lang,
+         |    (CASE WHEN p.i = 1 THEN '<s>'
+         |          WHEN vp.w IS NULL THEN '<unk>' ELSE p.toks[p.i-1] END)
+         |    || ' ' ||
+         |    (CASE WHEN vc.w IS NULL THEN '<unk>' ELSE p.toks[p.i] END) AS bg
+         |  FROM pos p
+         |  LEFT JOIN vocab vp ON p.i > 1 AND p.toks[p.i-1] = vp.w
+         |  LEFT JOIN vocab vc ON p.toks[p.i] = vc.w),
+         |cb AS (SELECT bg, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY bg),
+         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw FROM cb GROUP BY 1),
+         |sc AS (SELECT b.doc_id,
+         |    ln((coalesce(c.cb, 0) + 0.5) /
+         |       (coalesce(w.cw, 0) + 0.5 * ((SELECT count(*) FROM vocab) + 1))) AS lp
+         |  FROM bg b
+         |  LEFT JOIN cb c ON b.bg = c.bg
+         |  LEFT JOIN cw w ON split_part(b.bg, ' ', 1) = w.w1)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  round(-avg(lp), 4) AS cross_entropy,
+         |  round(exp(-avg(lp)), 4) AS perplexity
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{BigramKeys, LmVocab}
+import graft.operators.LangModel
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM perplexity (CCNet-style quality filter): bigram-key
+  * emission, hand-worked probability math, junk-vs-reference
+  * separation, and engine edge cases. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BigramKeys emits BOS-prefixed vocab-mapped keys; blanks emit nothing") {
+    val v = new LmVocab(Array("a", "b"))
+    val out = Seq(Seq("a", "b", "z", "a"), Seq.empty[String], Seq(""))
+      .toDF("w").select(BigramKeys($"w", v).as("k")).as[Seq[String]].collect()
+    assert(out(0) === Seq("<s> a", "a b", "b <unk>", "<unk> a"),
+      "OOV maps to <unk> on BOTH sides of subsequent keys")
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty, "empty-string token (split of blank) is skipped")
+  }
+
+  test("interpreted and codegen paths agree") {
+    val v = new LmVocab(Array("x"))
+    val df = Seq(Seq("x", "y", "x"), Seq("q")).toDF("w")
+    val gen = df.select(BigramKeys($"w", v).as("k")).as[Seq[String]].collect().toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(BigramKeys($"w", v).as("k")).as[Seq[String]].collect().toSeq
+      assert(gen === interp)
+    } finally prev match {
+      case Some(x) => spark.conf.set("spark.sql.codegen.factoryMode", x)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("perplexity reproduces the hand-worked bigram math") {
+    // reference: one doc "a b a b". vocab (maxVocab=10) = {a, b}; V = 3.
+    // bigrams: <s> a:1, a b:2, b a:1  -> contexts <s>:1, a:2, b:1
+    val ref = Seq((1L, "a b a b")).toDF("id", "text")
+    val lm = LangModel.train(ref, col("text"), maxVocab = 10, alpha = 0.5)
+    assert(lm.vSize === 3)
+    // target "a b": lp1 = ln((1+.5)/(1+1.5)) = ln(0.6)
+    //               lp2 = ln((2+.5)/(2+1.5)) = ln(2.5/3.5)
+    val h = -(math.log(1.5 / 2.5) + math.log(2.5 / 3.5)) / 2
+    val row = LangModel.perplexity(Seq((7L, "a b")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(row.getInt(1) === 2)
+    assert(row.getDouble(2) === BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(3) === BigDecimal(math.exp(h)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("unseen bigrams fall back to the smoothed floor (left-join nulls)") {
+    val ref = Seq((1L, "a b a b")).toDF("id", "text")
+    val lm = LangModel.train(ref, col("text"), maxVocab = 10, alpha = 0.5)
+    // "z z": both tokens OOV. "<s> <unk>" is unseen (cb=0) but its
+    // CONTEXT was trained (cw(<s>)=1) -> lp1 = ln(0.5/2.5); "<unk> <unk>"
+    // has neither (cb=0, cw=0) -> lp2 = ln(0.5/1.5)
+    val h = -(math.log(0.5 / 2.5) + math.log(0.5 / 1.5)) / 2
+    val row = LangModel.perplexity(Seq((9L, "z z")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(row.getDouble(2) === BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("reference-like text scores far below shuffled junk (the filter signal)") {
+    val sent = "the cat sat on the mat and the dog sat on the rug"
+    val ref = (1L to 20L).map(i => (i, sent)).toDF("id", "text")
+    val lm = LangModel.train(ref, col("text"), maxVocab = 100, alpha = 0.5)
+    val target = Seq(
+      (100L, "the cat sat on the rug"),           // reference-like
+      (101L, "rug the on mat sat dog cat the")    // same words, junk order
+    ).toDF("id", "text")
+    val ppl = LangModel.perplexity(target, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(100L) * 3 < ppl(101L),
+      s"junk should score >=3x reference-like, got $ppl")
+  }
+
+  test("zero-token docs emit nothing; output is deterministic") {
+    val ref = Seq((1L, "a b")).toDF("id", "text")
+    val lm = LangModel.train(ref, col("text"), maxVocab = 10)
+    val t = Seq((1L, "a"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val out = LangModel.perplexity(t, "id", "text", lm).orderBy("id")
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1L),
+      "blank docs have no bigrams to score")
+    val again = LangModel.perplexity(t, "id", "text", lm).orderBy("id")
+    assert(out.collect().toSeq === again.collect().toSeq)
+  }
+}
