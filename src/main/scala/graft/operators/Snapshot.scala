@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diff — the audit step of every incremental refresh:
+  * given yesterday's corpus and today's, report per-document whether it
+  * was added, removed, changed, or unchanged, by content fingerprint.
+  * Downstream consumers re-embed/re-index ONLY `added`+`changed` rows
+  * (work ∝ churn, not corpus — the same incremental shape as
+  * [[Dedup.minHashNearDupAgainst]]), and `removed` drives tombstones.
+  *
+  * One full-outer shuffle join on the id; fingerprints are narrow
+  * per-row hashes computed before the join, so 100 TB snapshots diff
+  * at the cost of one co-partitioned join of (id, 16-byte digest)
+  * pairs — never text movement. */
+object Snapshot {
+
+  /** Per-id diff of two snapshots. `fingerprint` is evaluated against
+    * each snapshot's own columns (default: md5 of a `text` column).
+    * Output: (idCol, old_fp, new_fp, status). */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+           fingerprint: Column = md5(col("text").cast("binary"))): DataFrame = {
+    val o = oldDf.select(col(idCol), fingerprint.as("old_fp"))
+    val n = newDf.select(col(idCol), fingerprint.as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
+  /** Churn totals — the refresh-size estimate that decides whether to
+    * run incremental or full downstream passes. */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  fingerprint: Column = md5(col("text").cast("binary"))): DataFrame =
+    diff(oldDf, newDf, idCol, fingerprint)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** The rows downstream must reprocess: `added` + `changed`, with the
+    * new snapshot's full columns (work ∝ churn). */
+  def changedRows(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  fingerprint: Column = md5(col("text").cast("binary"))): DataFrame = {
+    val d = diff(oldDf, newDf, idCol, fingerprint)
+      .where(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    newDf.join(d, Seq(idCol), "left_semi")
+  }
+}

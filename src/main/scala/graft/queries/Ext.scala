@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.StubLlmClient
-import graft.operators.{AsOfJoin, Dedup, Enrich, LangModel, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
 import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -242,6 +242,21 @@ object Ext {
     LangModel.perplexityAgainst(
         d.where(col("lang") === "en"), d, "doc_id", "text", maxVocab = 200)
       .orderBy(col("doc_id"))
+  }
+
+  /** Snapshot diff over a simulated yesterday-corpus: every 13th doc is
+    * new today (added), every 7th surviving doc was edited (changed —
+    * yesterday's text reversed), a retired slice exists only in
+    * yesterday (removed), everything else is untouched. The oracle twin
+    * rebuilds the same yesterday-corpus and full-outer joins on id. */
+  def rptSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, reverse(col("text"))).otherwise(col("text")).as("text"))
+      .unionAll(d.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("retired").as("text")))
+    Snapshot.diff(oldSnap, d, "doc_id").orderBy(col("doc_id"))
   }
 
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
@@ -911,6 +926,7 @@ object Ext {
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_perplexity" -> txtPerplexity,
+    "rpt_snapshot_diff" -> rptSnapshotDiff,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1321,6 +1337,23 @@ object Ext {
          |  round(-avg(lp), 4) AS cross_entropy,
          |  round(exp(-avg(lp)), 4) AS perplexity
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "rpt_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'retired' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+        |n AS (SELECT doc_id, md5(text) AS new_fp FROM documents)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN n.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp <> n.new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
