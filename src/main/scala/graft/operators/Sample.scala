@@ -60,6 +60,32 @@ object Sample {
     df.filter(draw < score)
   }
 
+  /** Per-stratum downsampling to explicit rates — the corpus
+    * REBALANCER (cap the over-represented web crawl at 10%, keep all
+    * of the rare curated slice), complementing [[Mixture]]'s
+    * temperature weighting with hand-set rates. Same md5-fraction draw
+    * as [[acceptByScore]], so the keep decision is a pure per-row
+    * function: narrow, engine-reproducible, stable under corpus growth
+    * (a stratum's survivors never change when other strata grow).
+    * Strata absent from `rates` use `defaultRate` (1.0 = keep). */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 1.0,
+                 salt: String = ""): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.stratified requires non-null '$idCol'")))
+      .otherwise(conv(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0)
+    // deterministic rate lookup: sorted fold keeps the plan stable for a
+    // given rates map regardless of Map iteration order
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
+    }
+    df.filter(draw < rate)
+  }
+
   /** Deterministic training-order shuffle: assign each row a shard
     * (top-32 md5 bits mod nShards) and a within-shard order key (the
     * full draw) — reading shards in order, each sorted by the draw,

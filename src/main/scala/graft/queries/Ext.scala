@@ -353,6 +353,17 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus rebalancing: keep half the (dominant) English slice, a
+    * quarter of everything unconfigured, all of Chinese — per-stratum
+    * md5-draw downsampling with explicit rates. */
+  def smpStratified(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Sample.stratified(d, "doc_id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25, salt = "st1")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 train/val/test split by document-id hash —
     * engine-reproducible (md5), stable under corpus growth; see
     * [[graft.operators.Sample.hashSplit]]. */
@@ -917,6 +928,7 @@ object Ext {
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
+    "smp_stratified" -> smpStratified,
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
     "rpt_corpus_stats_approx" -> rptCorpusStatsApprox,
@@ -1087,6 +1099,11 @@ object Ext {
          |SELECT doc_id, quality FROM q
          |WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality
          |ORDER BY doc_id""".stripMargin,
+    "smp_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5('st1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END
+        |ORDER BY doc_id""".stripMargin,
     // thresholds = floor(cum_fraction * 2^32) as 8-digit lowercase hex:
     // 0.8 -> cccccccc, 0.9 -> e6666666 (same literals Sample.hashSplit
     // computes for fractions 0.8/0.1/0.1)

@@ -119,4 +119,41 @@ class SampleSpec extends SparkSpec {
     assert(a != b, "different salts should select different rows")
     assert(a.size == b.size)
   }
+
+  test("stratified: per-stratum rates tracked, absorbing 0/1, default applied") {
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code"))
+      .toDF("id", "src")
+    val kept = Sample.stratified(df, "id", "src",
+        rates = Map("web" -> 0.2, "books" -> 1.0, "code" -> 0.0), defaultRate = 0.5)
+      .as[(Long, String)].collect().toSeq
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("code", 0) === 0, "rate 0 keeps nothing")
+    assert(bySrc("books") === 1000, "rate 1 keeps everything")
+    assert(math.abs(bySrc("web") - 200) < 60, s"web ~20%, got ${bySrc.get("web")}")
+    // a stratum not in the map uses defaultRate
+    val other = Sample.stratified(
+        df.withColumn("src", org.apache.spark.sql.functions.lit("unlisted")), "id", "src",
+        rates = Map("web" -> 0.2), defaultRate = 0.5).count()
+    assert(math.abs(other - 1500L) < 150, s"default 0.5, got $other")
+  }
+
+  test("stratified: stable under corpus growth and across strata") {
+    val small = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val grown = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val rates = Map("a" -> 0.3, "b" -> 0.7)
+    val keptSmall = Sample.stratified(small, "id", "src", rates)
+      .as[(Long, String)].collect().toSet
+    val keptGrown = Sample.stratified(grown, "id", "src", rates)
+      .as[(Long, String)].collect().toSet
+    assert(keptSmall.subsetOf(keptGrown),
+      "growing the corpus never reverses an existing keep decision")
+    // validation
+    intercept[IllegalArgumentException] {
+      Sample.stratified(small, "id", "src", Map("a" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.stratified(small, "id", "src", Map.empty[String, Double])
+    }
+  }
 }
