@@ -832,6 +832,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** ORC sharded write + footer-schema read-back; content equality vs
+    * the parquet original proves the transcode path (Hive/Trino
+    * interchange) is lossless. */
+  def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_orc_rt_${new java.io.File(dir).getName}").toString
+    graft.sources.Orc.write(docs, outDir, numShards = 8)
+    graft.sources.Orc.read(s, outDir)
+      .select(docs.columns.map(col).toSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-trip proof that image metadata extraction is REAL: encode a
     * genuine PNG per document at formula-derived dimensions (JDK
     * ImageIO — authentic container headers), sniff the dimensions back
@@ -905,6 +918,7 @@ object Ext {
     "mm_image_meta" -> mmImageMeta,
     "mm_audio_meta" -> mmAudioMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
     "txt_script" -> txtScript,
@@ -1224,6 +1238,8 @@ object Ext {
         |  substring(text, CAST(floor(frame_idx * nb / 4.0) AS INTEGER) + 1, 16) AS frame_str
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "src_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    "src_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train
     "src_partitioned_roundtrip" ->

@@ -93,6 +93,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Orc: sharded zstd write round-trips nulls/unicode; filters reach the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("unicodé 中文 "), None),
+      (3L, None, Some(-0.0))
+    ).toDF("id", "text", "score")
+    graft.sources.Orc.write(df, dir, numShards = 2)
+    val back = graft.sources.Orc.read(spark, dir)
+    assert(back.schema("text").dataType === org.apache.spark.sql.types.StringType,
+      "schema comes from the ORC footer")
+    val got = back.select("id", "text", "score")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set((1L, Some("plain"), Some(1.5)),
+      (2L, Some("unicodé 中文 "), None), (3L, None, Some(-0.0))))
+    // predicate pushdown: ORC stripe stats serve filters like parquet
+    val plan = back.where($"id" > 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"),
+      plan.take(600))
+  }
+
   test("Jsonl: sharded write + schema-explicit read round-trips nulls, unicode, corrupt lines") {
     import graft.sources.Jsonl
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
