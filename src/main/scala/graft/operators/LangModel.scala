@@ -102,4 +102,27 @@ object LangModel {
                         tokenizer: Column => Column = TextAnalysis.tokens): DataFrame =
     perplexity(target, idCol, textCol,
       train(reference, col(textCol), maxVocab, alpha, tokenizer), tokenizer)
+
+  /** CCNet's head/middle/tail split: per-group (usually per-language)
+    * perplexity terciles — `head` = most reference-like third, `tail` =
+    * junk-most. Thresholds are exact percentiles rounded to 4 (rounded
+    * BEFORE the comparison so both engines cut on identical doubles;
+    * ties land in the lower bucket). The threshold table is one row per
+    * group — broadcast back, so bucketing costs one small agg + one
+    * broadcast join over the scored rows. At 100 TB swap the exact
+    * percentile for `percentile_approx` upstream of this call if group
+    * cardinalities explode (same switch as `Ext.corpusStats`). */
+  def perplexityBuckets(scored: DataFrame, groupCols: Seq[String],
+                        pplCol: String = "perplexity",
+                        q1: Double = 1.0 / 3, q2: Double = 2.0 / 3): DataFrame = {
+    require(q1 > 0 && q2 > q1 && q2 < 1, "need 0 < q1 < q2 < 1")
+    val th = scored.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(pplCol), lit(q1)), 4).as("ppl_t1"),
+        round(percentile(col(pplCol), lit(q2)), 4).as("ppl_t2"))
+    scored.join(broadcast(th), groupCols)
+      .withColumn("bucket",
+        when(col(pplCol) <= col("ppl_t1"), lit("head"))
+          .when(col(pplCol) <= col("ppl_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+  }
 }

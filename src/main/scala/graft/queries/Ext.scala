@@ -244,6 +244,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet's head/middle/tail: per-language perplexity terciles over
+    * the [[txtPerplexity]] scores — the bucket label IS the curation
+    * decision (train on head, maybe middle; drop tail). */
+  def txtPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = LangModel.perplexityAgainst(
+        d.where(col("lang") === "en"), d, "doc_id", "text", maxVocab = 200)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    LangModel.perplexityBuckets(scored, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("perplexity"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Snapshot diff over a simulated yesterday-corpus: every 13th doc is
     * new today (added), every 7th surviving doc was edited (changed —
     * yesterday's text reversed), a retired slice exists only in
@@ -952,6 +965,7 @@ object Ext {
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_perplexity" -> txtPerplexity,
+    "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -983,6 +997,34 @@ object Ext {
     "topk_native" -> topkNative)
 
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
+
+  /** The bigram-LM pipeline of [[LangModel]] as DuckDB CTEs, shared by
+    * the perplexity and CCNet-bucket oracles: vocab (top-200 of the en
+    * slice), BOS-prefixed vocab-mapped bigram keys, counts, and the
+    * per-token add-0.5 log-likelihood (`sc`: doc_id, lang, lp). */
+  private val duckPplCtes =
+    s"""tok AS (SELECT doc_id, lang, $duckToks AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |vocab AS (SELECT w FROM (
+       |    SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')
+       |  GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 200),
+       |pos AS (SELECT doc_id, lang, toks,
+       |    unnest(generate_series(1, len(toks))) AS i FROM tok),
+       |bg AS (SELECT p.doc_id, p.lang,
+       |    (CASE WHEN p.i = 1 THEN '<s>'
+       |          WHEN vp.w IS NULL THEN '<unk>' ELSE p.toks[p.i-1] END) || ' ' ||
+       |    (CASE WHEN vc.w IS NULL THEN '<unk>' ELSE p.toks[p.i] END) AS bg
+       |  FROM pos p
+       |  LEFT JOIN vocab vp ON p.i > 1 AND p.toks[p.i-1] = vp.w
+       |  LEFT JOIN vocab vc ON p.toks[p.i] = vc.w),
+       |cb AS (SELECT bg, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY bg),
+       |cw AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw FROM cb GROUP BY 1),
+       |sc AS (SELECT b.doc_id, b.lang,
+       |    ln((coalesce(c.cb, 0) + 0.5) /
+       |       (coalesce(w.cw, 0) + 0.5 * ((SELECT count(*) FROM vocab) + 1))) AS lp
+       |  FROM bg b
+       |  LEFT JOIN cb c ON b.bg = c.bg
+       |  LEFT JOIN cw w ON split_part(b.bg, ' ', 1) = w.w1)""".stripMargin
   // TextAnalysis.qualityScore's DuckDB twin — expects `text` and `toks`
   // in scope; ONE definition so the heuristic can never drift between
   // the gate, stats, sampling, and report oracles
@@ -1343,33 +1385,27 @@ object Ext {
     // keys, add-0.5 smoothing with V = |vocab|+1 — all integer counts
     // until the final ln/avg, rounded to 4 on both sides
     "txt_perplexity" ->
-      s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |vocab AS (SELECT w FROM (
-         |    SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')
-         |  GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 200),
-         |pos AS (SELECT doc_id, lang, toks,
-         |    unnest(generate_series(1, len(toks))) AS i FROM tok),
-         |bg AS (SELECT p.doc_id, p.lang,
-         |    (CASE WHEN p.i = 1 THEN '<s>'
-         |          WHEN vp.w IS NULL THEN '<unk>' ELSE p.toks[p.i-1] END)
-         |    || ' ' ||
-         |    (CASE WHEN vc.w IS NULL THEN '<unk>' ELSE p.toks[p.i] END) AS bg
-         |  FROM pos p
-         |  LEFT JOIN vocab vp ON p.i > 1 AND p.toks[p.i-1] = vp.w
-         |  LEFT JOIN vocab vc ON p.toks[p.i] = vc.w),
-         |cb AS (SELECT bg, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY bg),
-         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw FROM cb GROUP BY 1),
-         |sc AS (SELECT b.doc_id,
-         |    ln((coalesce(c.cb, 0) + 0.5) /
-         |       (coalesce(w.cw, 0) + 0.5 * ((SELECT count(*) FROM vocab) + 1))) AS lp
-         |  FROM bg b
-         |  LEFT JOIN cb c ON b.bg = c.bg
-         |  LEFT JOIN cw w ON split_part(b.bg, ' ', 1) = w.w1)
+      s"""WITH $duckPplCtes
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
          |  round(-avg(lp), 4) AS cross_entropy,
          |  round(exp(-avg(lp)), 4) AS perplexity
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet buckets: thresholds = per-language terciles of the ROUNDED
+    // perplexities, themselves rounded to 4 before the cut (both engines
+    // compare identical doubles); ties fall to the lower bucket
+    "txt_ppl_bucket" ->
+      s"""WITH $duckPplCtes,
+         |p AS (SELECT doc_id, lang, round(exp(-avg(lp)), 4) AS perplexity
+         |  FROM sc GROUP BY doc_id, lang),
+         |th AS (SELECT lang,
+         |    round(quantile_cont(perplexity, 0.3333333333333333), 4) AS t1,
+         |    round(quantile_cont(perplexity, 0.6666666666666666), 4) AS t2
+         |  FROM p GROUP BY lang)
+         |SELECT p.doc_id, p.lang, p.perplexity,
+         |  CASE WHEN p.perplexity <= th.t1 THEN 'head'
+         |       WHEN p.perplexity <= th.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM p JOIN th ON p.lang = th.lang ORDER BY p.doc_id""".stripMargin,
     "rpt_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,

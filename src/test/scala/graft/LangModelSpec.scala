@@ -77,6 +77,22 @@ class LangModelSpec extends SparkSpec {
       s"junk should score >=3x reference-like, got $ppl")
   }
 
+  test("perplexityBuckets: per-group terciles, ties to the lower bucket") {
+    val scored = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
+      (1 to 6).map(i => (100L + i, "de", 10.0 * i))).toDF("id", "lang", "perplexity")
+    val b = LangModel.perplexityBuckets(scored, Seq("lang"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    // en: 9 values 1..9 -> t1 at idx (9-1)/3 ~ 3.67, t2 ~ 6.33
+    assert((1L to 3L).forall(b(_) == "head"))
+    assert((4L to 6L).forall(b(_) == "middle"))
+    assert((7L to 9L).forall(b(_) == "tail"))
+    // de thresholds are independent of en's scale
+    assert(b(101L) === "head" && b(106L) === "tail")
+    intercept[IllegalArgumentException] {
+      LangModel.perplexityBuckets(scored, Seq("lang"), q1 = 0.8, q2 = 0.2)
+    }
+  }
+
   test("zero-token docs emit nothing; output is deterministic") {
     val ref = Seq((1L, "a b")).toDF("id", "text")
     val lm = LangModel.train(ref, col("text"), maxVocab = 10)
