@@ -858,6 +858,25 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Small-file compaction round-trip: shatter the corpus into 64 tiny
+    * part files (a streaming sink's week), compact to a handful sized
+    * from actual bytes, read back — content identical, file count
+    * collapsed (the count assertions live in `CompactionSpec`; the
+    * oracle proves losslessness). */
+  def srcCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_compact_rt_${new java.io.File(dir).getName}")
+    val shattered = new java.io.File(base, "shattered").toString
+    val compacted = new java.io.File(base, "compacted").toString
+    docs.repartition(64).write.mode("overwrite").parquet(shattered)
+    graft.sources.Compaction.compactParquet(s, shattered, compacted,
+      targetBytes = 4L * 1024 * 1024)
+    graft.sources.Compaction.read(s, compacted)
+      .select(docs.columns.map(col).toSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-trip proof that image metadata extraction is REAL: encode a
     * genuine PNG per document at formula-derived dimensions (JDK
     * ImageIO — authentic container headers), sniff the dimensions back
@@ -932,6 +951,7 @@ object Ext {
     "mm_audio_meta" -> mmAudioMeta,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
+    "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
     "txt_script" -> txtScript,
@@ -1282,6 +1302,8 @@ object Ext {
     "src_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train
     "src_partitioned_roundtrip" ->
