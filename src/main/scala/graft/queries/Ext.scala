@@ -257,6 +257,24 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Pre-ship validation gate: five single-pass expectations over the
+    * corpus (blank text, id uniqueness, language whitelist, length
+    * range, null sources) — results as a table, `passed` conjunction is
+    * the gate bit. */
+  def rptExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val d = Tables.documents(s, dir)
+    evaluate(d, Seq(
+      Check("blank_text_fraction", blankFraction(col("text")), "<=", 0.01),
+      Check("dup_doc_id_fraction", duplicateFraction(col("doc_id")), "==", 0.0),
+      Check("lang_out_of_set_fraction",
+        outOfSetFraction(col("lang"), Seq("en", "de", "fr", "es", "zh")), "<=", 0.0),
+      Check("n_chars_out_of_range_fraction",
+        outOfRangeFraction(col("n_chars").cast("double"), 1, 100000), "<=", 0.05),
+      Check("null_source_fraction", nullFraction(col("source")), "<=", 0.0)
+    )).orderBy(col("check_name"))
+  }
+
   /** Snapshot diff over a simulated yesterday-corpus: every 13th doc is
     * new today (added), every 7th surviving doc was edited (changed —
     * yesterday's text reversed), a retired slice exists only in
@@ -987,6 +1005,7 @@ object Ext {
     "txt_perplexity" -> txtPerplexity,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
+    "rpt_expectations" -> rptExpectations,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1428,6 +1447,25 @@ object Ext {
          |       WHEN p.perplexity <= th.t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM p JOIN th ON p.lang = th.lang ORDER BY p.doc_id""".stripMargin,
+    "rpt_expectations" ->
+      """WITH a AS (SELECT
+        |  round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END), 6) AS blank_text,
+        |  round(1.0 - count(DISTINCT doc_id) * 1.0 / count(*), 6) AS dup_id,
+        |  round(avg(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0.0 ELSE 1.0 END), 6) AS oos_lang,
+        |  round(avg(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 100000 THEN 1.0 ELSE 0.0 END), 6) AS oor_chars,
+        |  round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_src
+        |FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'blank_text_fraction' AS check_name, blank_text AS observed, '<=' AS op, 0.01 AS threshold, blank_text <= 0.01 AS passed FROM a
+        |  UNION ALL
+        |  SELECT 'dup_doc_id_fraction', dup_id, '==', 0.0, dup_id = 0.0 FROM a
+        |  UNION ALL
+        |  SELECT 'lang_out_of_set_fraction', oos_lang, '<=', 0.0, oos_lang <= 0.0 FROM a
+        |  UNION ALL
+        |  SELECT 'n_chars_out_of_range_fraction', oor_chars, '<=', 0.05, oor_chars <= 0.05 FROM a
+        |  UNION ALL
+        |  SELECT 'null_source_fraction', null_src, '<=', 0.0, null_src <= 0.0 FROM a)
+        |ORDER BY check_name""".stripMargin,
     "rpt_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,
