@@ -47,4 +47,34 @@ object Snapshot {
       .select(col(idCol))
     newDf.join(d, Seq(idCol), "left_semi")
   }
+
+  /** Distribution drift between snapshots over a categorical column —
+    * the Population Stability Index per category (the standard
+    * monitoring stat: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 the
+    * mix shifted enough to re-tune samplers/mixtures). Shares are
+    * floored at `epsilon` so a category appearing or vanishing yields a
+    * large-but-finite term instead of ±inf. Two tiny aggregates (one
+    * per snapshot, category-cardinality rows each) and a full-outer
+    * join of the category tables — the corpus is scanned once per side
+    * regardless of category count. */
+  def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String,
+                    epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    def shares(df: DataFrame, n: String, s: String): DataFrame =
+      df.groupBy(col(catCol))
+        .agg(count(lit(1)).as(n))
+        .withColumn(s, col(n).cast("double") /
+          sum(col(n)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val o = shares(oldDf, "old_n", "old_share")
+    val nw = shares(newDf, "new_n", "new_share")
+    o.join(nw, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        round(greatest(coalesce(col("old_share"), lit(0.0)), lit(epsilon)), 6).as("old_share"),
+        round(greatest(coalesce(col("new_share"), lit(0.0)), lit(epsilon)), 6).as("new_share"))
+      .withColumn("psi_term",
+        round((col("new_share") - col("old_share")) *
+          log(col("new_share") / col("old_share")), 6))
+  }
 }

@@ -257,6 +257,15 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-mix drift between a simulated yesterday (doc_id % 10 != 0
+    * — a biased retention that shifts shares) and today: per-language
+    * PSI terms, the re-tune-your-sampler alarm. */
+  def rptCategoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Snapshot.categoryDrift(d.where(col("doc_id") % 10 =!= 0), d, "lang")
+      .orderBy(col("lang"))
+  }
+
   /** Pre-ship validation gate: five single-pass expectations over the
     * corpus (blank text, id uniqueness, language whitelist, length
     * range, null sources) — results as a table, `passed` conjunction is
@@ -1006,6 +1015,7 @@ object Ext {
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
+    "rpt_category_drift" -> rptCategoryDrift,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1466,6 +1476,20 @@ object Ext {
         |  UNION ALL
         |  SELECT 'null_source_fraction', null_src, '<=', 0.0, null_src <= 0.0 FROM a)
         |ORDER BY check_name""".stripMargin,
+    // shares round to 6 BEFORE the psi computation on both sides, so the
+    // ln ratio sees identical doubles
+    "rpt_category_drift" ->
+      """WITH o AS (SELECT lang, count(*) AS old_n FROM documents
+        |  WHERE doc_id % 10 <> 0 GROUP BY lang),
+        |n AS (SELECT lang, count(*) AS new_n FROM documents GROUP BY lang),
+        |j AS (SELECT coalesce(o.lang, n.lang) AS lang,
+        |    coalesce(o.old_n, 0) AS old_n, coalesce(n.new_n, 0) AS new_n,
+        |    round(greatest(coalesce(o.old_n, 0) * 1.0 / (SELECT sum(old_n) FROM o), 1e-6), 6) AS old_share,
+        |    round(greatest(coalesce(n.new_n, 0) * 1.0 / (SELECT sum(new_n) FROM n), 1e-6), 6) AS new_share
+        |  FROM o FULL OUTER JOIN n ON o.lang = n.lang)
+        |SELECT lang, old_n, new_n, old_share, new_share,
+        |  round((new_share - old_share) * ln(new_share / old_share), 6) AS psi_term
+        |FROM j ORDER BY lang""".stripMargin,
     "rpt_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,

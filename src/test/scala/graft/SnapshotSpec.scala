@@ -46,6 +46,23 @@ class SnapshotSpec extends SparkSpec {
     assert(d(2L) === "unchanged", "first-letter fingerprint ignores the edit")
   }
 
+  test("categoryDrift: zero for identical mixes, epsilon-floored for vanishing ones") {
+    val oldDf = (1L to 100L).map(i => (i, if (i <= 80) "en" else "de")).toDF("id", "lang")
+    val same = Snapshot.categoryDrift(oldDf, oldDf, "lang")
+    assert(same.select("psi_term").as[Double].collect().forall(_ == 0.0),
+      "identical distributions have zero PSI")
+    // de vanishes in the new snapshot: its new_share floors at epsilon,
+    // yielding a large positive term instead of infinity
+    val newDf = (1L to 100L).map(i => (i, "en")).toDF("id", "lang")
+    val drift = Snapshot.categoryDrift(oldDf, newDf, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(drift("de") > 1.0 && !drift("de").isInfinite,
+      s"vanished category: large finite term, got ${drift("de")}")
+    val counts = Snapshot.categoryDrift(oldDf, newDf, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts === Set(("en", 80L, 100L), ("de", 20L, 0L)))
+  }
+
   test("empty snapshots degenerate cleanly") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     val allAdded = Snapshot.diff(empty, newSnap, "id")
