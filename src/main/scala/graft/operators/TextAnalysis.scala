@@ -195,6 +195,35 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Markup strip — the crawl-extraction step (HTML/XML -> text) kept
+    * deliberately regex-simple so the oracle twin runs the SAME
+    * patterns: drop script/style SUBTREES (content too, `(?is)` dotall
+    * so tags spanning lines die), then every remaining tag, then HTML
+    * comments, decode the six entities that dominate real markup, and
+    * collapse whitespace. All Java-regex/RE2 shared syntax. A browser-
+    * grade extractor (boilerplate removal, main-content detection) is a
+    * model call upstream; this is the scan-speed structural pass every
+    * crawl pipeline runs first — narrow codegen, no shuffle. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Keep only the FIRST occurrence of each line — the within-document
+    * twin of cross-corpus span dedup: boilerplate navigation/footer
+    * lines repeated inside one page collapse to one copy, in original
+    * order. Window-free: a per-row [[graft.functions.DedupLines]]
+    * codegen expression, narrow at any scale. */
+  def dedupLines(text: Column): Column =
+    graft.functions.DedupLines(text)
+
   /** Unicode script classes as code-point RANGES written with \x{hhhh}
     * — the one syntax Java regex (Spark) and RE2 (the DuckDB oracle)
     * both accept verbatim, so the twin runs the SAME patterns and no

@@ -299,6 +299,32 @@ object Ext {
     Snapshot.diff(oldSnap, d, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Crawl extraction: wrap each document in realistic markup (style
+    * subtree, comment, tags, entities, a script subtree) and strip it
+    * back to text — the twin runs the SAME regexes, so a pattern-drift
+    * bug breaks the hash. */
+  def txtStripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wrapped = concat(
+      lit("<html><head><style>body { color: red }</style></head>\n<body><!-- nav\nbar --><p class=\"main\">"),
+      col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>&quot;quoted&quot; &amp; entity&nbsp;tail</body></html>"))
+    d.select(col("doc_id"), TextAnalysis.stripMarkup(wrapped).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document boilerplate collapse: build a page whose footer
+    * lines repeat (the universal crawl artifact), keep first
+    * occurrences only, original order. */
+  def txtDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val doc = concat_ws("\n",
+      col("text"), lit("FOOTER | terms | privacy"),
+      col("text"), lit("FOOTER | terms | privacy"), lit("(c) example site"))
+    d.select(col("doc_id"), TextAnalysis.dedupLines(doc).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
     * collapse whitespace, then md5 — the normalization pass that makes
     * composed/decomposed duplicates hash identically. The fixture corpus
@@ -1012,6 +1038,8 @@ object Ext {
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_perplexity" -> txtPerplexity,
+    "txt_strip_markup" -> txtStripMarkup,
+    "txt_dedup_lines" -> txtDedupLines,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
@@ -1457,6 +1485,38 @@ object Ext {
          |       WHEN p.perplexity <= th.t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM p JOIN th ON p.lang = th.lang ORDER BY p.doc_id""".stripMargin,
+    // the SAME regex sequence as TextAnalysis.stripMarkup, with DuckDB's
+    // 'g' flag standing in for Spark's replace-all default
+    "txt_strip_markup" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><style>body { color: red }</style></head>' || chr(10) ||
+        |  '<body><!-- nav' || chr(10) || 'bar --><p class="main">' || text ||
+        |  '</p><script type="text/javascript">var x = 1 < 2;</script>&quot;quoted&quot; &amp; entity&nbsp;tail</body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS h FROM w),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM s3)
+        |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    // generic first-occurrence-per-line algorithm (group on the
+    // CR-trimmed line, min ordinal, re-join in first-seen order)
+    "txt_dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'FOOTER | terms | privacy' || chr(10) || text ||
+        |  chr(10) || 'FOOTER | terms | privacy' || chr(10) || '(c) example site' AS doc
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(doc, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(doc, chr(10))))) AS i
+        |  FROM d),
+        |g AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, min(i) AS fi
+        |  FROM l GROUP BY doc_id, 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS clean
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rpt_expectations" ->
       """WITH a AS (SELECT
         |  round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END), 6) AS blank_text,

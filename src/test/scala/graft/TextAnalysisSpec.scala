@@ -118,4 +118,43 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.canonicalText($"text")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("stripMarkup: subtrees die with content, tags/comments/entities resolve") {
+    def strip(s: String): String =
+      Seq(s).toDF("text").select(TextAnalysis.stripMarkup($"text")).as[String].collect().head
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    assert(strip("<SCRIPT>var hidden = 'secret';</SCRIPT>visible") === "visible",
+      "script CONTENT is removed, case-insensitively")
+    assert(strip("<style media=\"all\">p {\n  color: red\n}</style>kept") === "kept",
+      "multiline style subtree with attributes dies")
+    assert(strip("a<!-- note\nspanning lines -->b") === "a b")
+    assert(strip("x &amp;&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;") === "x & <tag> \"q\" 's'")
+    assert(strip("  lots   of\n\n whitespace ") === "lots of whitespace")
+  }
+
+  test("dedupLines: first occurrence survives in order; CRLF equals LF; blanks dedup too") {
+    def dl(s: String): String =
+      Seq(s).toDF("text").select(TextAnalysis.dedupLines($"text")).as[String].collect().head
+    assert(dl("nav\nbody one\nnav\nbody two\nnav") === "nav\nbody one\nbody two")
+    assert(dl("line\r\nline\nother") === "line\nother",
+      "a CRLF copy of an LF line is the same line")
+    assert(dl("a\n\nb\n\nc") === "a\n\nb\nc", "the empty line is a line — kept once")
+    assert(dl("") === "")
+    assert(dl("single") === "single")
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.dedupLines($"text")).collect()(0)
+    assert(n.isNullAt(0), "null propagates")
+    // codegen and interpreted agree
+    val df = Seq("x\ny\nx", "q").toDF("text")
+    val gen = df.select(TextAnalysis.dedupLines($"text")).as[String].collect().toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(TextAnalysis.dedupLines($"text")).as[String].collect().toSeq
+      assert(gen === interp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
