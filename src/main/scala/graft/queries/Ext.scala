@@ -155,6 +155,30 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** WEB-crawl curation pipeline — today's extraction ops composed end
+    * to end over a synthesized page (markup + repeated boilerplate
+    * lines around each fixture document): collapse duplicate lines ->
+    * strip markup -> token-count floor -> canonical fingerprint. The
+    * oracle rebuilds the page and replays every stage in SQL, hashing
+    * the whole chain. All narrow — one pass at any scale. */
+  def pipelineWebCurate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val page = concat_ws("\n",
+      lit("<html><body>"),
+      lit("NAVBAR | home | about"),
+      col("text"),
+      lit("NAVBAR | home | about"),
+      lit("<script>track();</script>"),
+      lit("</body></html>"))
+    d.select(col("doc_id"), TextAnalysis.stripMarkup(
+        TextAnalysis.dedupLines(page)).as("clean"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean")))
+      .where(col("n_tokens") >= lit(20))
+      .withColumn("fp", TextAnalysis.fingerprint(col("clean")))
+      .select(col("doc_id"), col("n_tokens"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-data PREPARATION pipeline — the round's curation stages
     * composed end to end, every stage with an exact SQL twin so the
     * oracle hashes the whole composition: Unicode-canonicalize ->
@@ -1040,6 +1064,7 @@ object Ext {
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
+    "pipeline_web_curate" -> pipelineWebCurate,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
@@ -1517,6 +1542,36 @@ object Ext {
         |  FROM l GROUP BY doc_id, 2)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS clean
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every stage of the web pipeline replayed: page build, line dedup,
+    // markup strip, whitespace token floor, canonical md5
+    "pipeline_web_curate" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  '<html><body>' || chr(10) || 'NAVBAR | home | about' || chr(10) || text || chr(10) ||
+        |  'NAVBAR | home | about' || chr(10) || '<script>track();</script>' || chr(10) || '</body></html>' AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS i
+        |  FROM d0),
+        |g AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, min(i) AS fi
+        |  FROM l GROUP BY doc_id, 2),
+        |dd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS h
+        |  FROM g GROUP BY doc_id),
+        |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS h FROM dd),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM s3),
+        |cl AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM s4),
+        |t AS (SELECT doc_id, clean,
+        |  CASE WHEN length(trim(clean)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(clean), '\s+')) END AS n_tokens
+        |  FROM cl)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  md5(trim(regexp_replace(regexp_replace(lower(clean), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM t WHERE n_tokens >= 20 ORDER BY doc_id""".stripMargin,
     "rpt_expectations" ->
       """WITH a AS (SELECT
         |  round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END), 6) AS blank_text,
