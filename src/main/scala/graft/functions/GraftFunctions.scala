@@ -31,5 +31,6 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "graft_span_hashes(array<string>, k) requires a literal integer k")
     })
+    GraftColumnBridge.registerFunction(spark, "graft_dedup_lines", es => DedupLines(es(0)))
   }
 }

@@ -16,6 +16,8 @@ class GraftFunctionsSpec extends SparkSpec {
     // value cross-checked against DuckDB list_reduce((acc,x)->(acc*31+x)%2147483647)
     val rh = spark.sql("SELECT graft_rolling_hash('hi') AS h").collect()(0).getLong(0)
     assert(rh == 3329L)
+    val dl = spark.sql("SELECT graft_dedup_lines('a\nb\na') AS d").collect()(0).getString(0)
+    assert(dl == "a\nb")
     val sig = spark.sql("SELECT graft_minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 4) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 4)
