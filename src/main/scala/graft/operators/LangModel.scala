@@ -63,12 +63,16 @@ object LangModel {
       .limit(maxVocab)
       .collect().map(_.getString(0))
     val vocab = new LmVocab(top)
-    val bigrams = reference
+    // eager checkpoint: the bigram table is consumed by the context
+    // aggregate AND every scoring join — without it each consumer
+    // re-explodes the reference corpus. Both tables are vocab-bounded
+    // small sets, the exact shape core.Checkpoint exists for.
+    val bigrams = graft.core.Checkpoint.materialize(reference
       .select(explode(bigramKeys(textCol, vocab, tokenizer)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("cb"))
-    val contexts = bigrams
+      .groupBy("bg").agg(count(lit(1)).as("cb")))
+    val contexts = graft.core.Checkpoint.materialize(bigrams
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("cb")).as("cw"))
+      .agg(sum(col("cb")).as("cw")))
     BigramLm(vocab, bigrams, contexts, alpha)
   }
 
@@ -111,7 +115,10 @@ object LangModel {
     * group — broadcast back, so bucketing costs one small agg + one
     * broadcast join over the scored rows. At 100 TB swap the exact
     * percentile for `percentile_approx` upstream of this call if group
-    * cardinalities explode (same switch as `Ext.corpusStats`). */
+    * cardinalities explode (same switch as `Ext.corpusStats`), and
+    * persist/checkpoint `scored` first — it feeds both the threshold
+    * aggregate and the label join, and it is corpus-sized (one row per
+    * doc), so the CALLER owns that materialization decision. */
   def perplexityBuckets(scored: DataFrame, groupCols: Seq[String],
                         pplCol: String = "perplexity",
                         q1: Double = 1.0 / 3, q2: Double = 2.0 / 3): DataFrame = {
