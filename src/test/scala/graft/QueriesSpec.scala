@@ -43,6 +43,12 @@ class QueriesSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(prep).size === 1, prep.take(800))
     Seq("Join", "Window", "HashAggregate").foreach(op =>
       assert(!prep.contains(op), s"pipeline_prepare must not contain $op"))
+    // pipeline_web_curate: line dedup -> markup strip -> token floor ->
+    // fingerprint is likewise one narrow pass + the presentation sort
+    val web = planOf("pipeline_web_curate")
+    assert("Exchange".r.findAllIn(web).size === 1, web.take(800))
+    Seq("Join", "Window", "HashAggregate").foreach(op =>
+      assert(!web.contains(op), s"pipeline_web_curate must not contain $op"))
   }
 
   test("quality gate drops line-spam docs (dup-line rule bites on multi-line input)") {
