@@ -48,6 +48,37 @@ object Snapshot {
     newDf.join(d, Seq(idCol), "left_semi")
   }
 
+  /** Continuous-column drift: bin BOTH snapshots by the OLD snapshot's
+    * quantile edges (the reference binning — standard PSI practice, so
+    * a shifted new distribution shows up as mass moving between fixed
+    * bins), then delegate to [[categoryDrift]]'s share/PSI math via the
+    * bin label. Edges are exact percentiles rounded to 6 (both engines
+    * cut on identical doubles); values above the last INTERIOR edge —
+    * including anything beyond the old max — land in the top bin, so new
+    * out-of-range mass is visible, never dropped. One percentile
+    * aggregate over the old snapshot (nBins-1 scalars broadcast as
+    * literals) + the two categorical scans. */
+  def numericDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+                   nBins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val edges = oldDf
+      .agg(percentile(col(valueCol), typedLit(qs)).as("e"))
+      .head().getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def binned(df: DataFrame): DataFrame = {
+      // fold from the top so bin(i) = first interior edge the value is
+      // <= ; ties at an edge go to the lower bin on both engines. Nulls
+      // get their own visible bin (-1), never a silent top-bin landing.
+      val label = edges.zipWithIndex.foldRight(lit(nBins - 1): Column) {
+        case ((e, i), rest) => when(col(valueCol) <= e, i).otherwise(rest)
+      }
+      df.withColumn("bin",
+        when(col(valueCol).isNull, lit(-1)).otherwise(label).cast("int"))
+    }
+    categoryDrift(binned(oldDf), binned(newDf), "bin", epsilon)
+  }
+
   /** Distribution drift between snapshots over a categorical column —
     * the Population Stability Index per category (the standard
     * monitoring stat: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 the

@@ -290,6 +290,15 @@ object Ext {
       .orderBy(col("lang"))
   }
 
+  /** Length-distribution drift between the biased yesterday-retention
+    * and today, PSI over 5 quantile bins anchored to YESTERDAY's edges
+    * — the continuous complement of [[rptCategoryDrift]]. */
+  def rptNumericDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Snapshot.numericDrift(d.where(col("doc_id") % 10 =!= 0), d, "n_chars", nBins = 5)
+      .orderBy(col("bin"))
+  }
+
   /** Pre-ship validation gate: five single-pass expectations over the
     * corpus (blank text, id uniqueness, language whitelist, length
     * range, null sources) — results as a table, `passed` conjunction is
@@ -1069,6 +1078,7 @@ object Ext {
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
     "rpt_category_drift" -> rptCategoryDrift,
+    "rpt_numeric_drift" -> rptNumericDrift,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinHash,
@@ -1605,6 +1615,33 @@ object Ext {
         |SELECT lang, old_n, new_n, old_share, new_share,
         |  round((new_share - old_share) * ln(new_share / old_share), 6) AS psi_term
         |FROM j ORDER BY lang""".stripMargin,
+    // bin edges = OLD-snapshot quantiles rounded to 6 on both sides;
+    // bins are the category labels feeding the same PSI math
+    "rpt_numeric_drift" ->
+      """WITH o AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |e AS (SELECT quantile_cont(n_chars, [0.2, 0.4, 0.6, 0.8]) AS q FROM o),
+        |bo AS (SELECT CASE WHEN n_chars IS NULL THEN -1
+        |    WHEN n_chars <= round(q[1], 6) THEN 0
+        |    WHEN n_chars <= round(q[2], 6) THEN 1
+        |    WHEN n_chars <= round(q[3], 6) THEN 2
+        |    WHEN n_chars <= round(q[4], 6) THEN 3
+        |    ELSE 4 END AS bin FROM o, e),
+        |bn AS (SELECT CASE WHEN n_chars IS NULL THEN -1
+        |    WHEN n_chars <= round(q[1], 6) THEN 0
+        |    WHEN n_chars <= round(q[2], 6) THEN 1
+        |    WHEN n_chars <= round(q[3], 6) THEN 2
+        |    WHEN n_chars <= round(q[4], 6) THEN 3
+        |    ELSE 4 END AS bin FROM documents, e),
+        |oc AS (SELECT bin, count(*) AS old_n FROM bo GROUP BY bin),
+        |nc AS (SELECT bin, count(*) AS new_n FROM bn GROUP BY bin),
+        |j AS (SELECT coalesce(oc.bin, nc.bin) AS bin,
+        |    coalesce(oc.old_n, 0) AS old_n, coalesce(nc.new_n, 0) AS new_n,
+        |    round(greatest(coalesce(oc.old_n, 0) * 1.0 / (SELECT sum(old_n) FROM oc), 1e-6), 6) AS old_share,
+        |    round(greatest(coalesce(nc.new_n, 0) * 1.0 / (SELECT sum(new_n) FROM nc), 1e-6), 6) AS new_share
+        |  FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin)
+        |SELECT CAST(bin AS INTEGER) AS bin, old_n, new_n, old_share, new_share,
+        |  round((new_share - old_share) * ln(new_share / old_share), 6) AS psi_term
+        |FROM j ORDER BY bin""".stripMargin,
     "rpt_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,

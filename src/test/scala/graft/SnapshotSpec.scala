@@ -63,6 +63,27 @@ class SnapshotSpec extends SparkSpec {
     assert(counts === Set(("en", 80L, 100L), ("de", 20L, 0L)))
   }
 
+  test("numericDrift: old-anchored bins, shifted mass shows, nulls get their own bin") {
+    val oldDf = (1L to 1000L).map(i => (i, Some(i.toDouble % 100))).toDF("id", "v")
+    val same = Snapshot.numericDrift(oldDf, oldDf, "v", nBins = 4)
+    assert(same.select("psi_term").as[Double].collect().forall(_ == 0.0))
+    // shift the new distribution up by 50: mass moves to the top bin
+    val shifted = (1L to 1000L).map(i => (i, Some(i.toDouble % 100 + 50))).toDF("id", "v")
+    val drift = Snapshot.numericDrift(oldDf, shifted, "v", nBins = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(drift(3) > 0.1, s"top bin gains mass: $drift")
+    assert(drift.values.sum > 0.25, s"total PSI flags the shift: $drift")
+    // nulls are visible as bin -1, not silently top-binned
+    val withNulls = (1L to 100L).map(i =>
+      (i, if (i % 4 == 0) None else Some(i.toDouble))).toDF("id", "v")
+    val nb = Snapshot.numericDrift(oldDf, withNulls, "v", nBins = 4)
+      .select("bin").as[Int].collect().toSet
+    assert(nb.contains(-1))
+    intercept[IllegalArgumentException] {
+      Snapshot.numericDrift(oldDf, oldDf, "v", nBins = 1)
+    }
+  }
+
   test("empty snapshots degenerate cleanly") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     val allAdded = Snapshot.diff(empty, newSnap, "id")
