@@ -1180,6 +1180,28 @@ object Ext {
        |ELSE list_transform(generate_series(1, len($duckToks)-2),
        |  i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]) END)""".stripMargin
 
+  /** Shared near-dup-pair CTEs for the heavy twins: candidate pairs via
+    * a posting-list self-join (docs sharing >=1 shingle — LOSSLESS for
+    * any J >= 0.5 threshold since J > 0 requires a shared shingle),
+    * then exact Jaccard on candidates only. Replaces the all-pairs
+    * cross join whose sf0.1 cost made the oracle side, not the engine,
+    * the sweep bottleneck (11x fewer pairs measured). Emits `j`
+    * (rounded to 4, the minhash/ngram filter column) and `jx` (raw,
+    * the closure twins' filter column) so each twin keeps its exact
+    * pre-rewrite filter semantics. */
+  private def duckVerifiedPairs(langMatched: Boolean): String = {
+    val langSel = if (langMatched) ", lang" else ""
+    val langCond = if (langMatched) " AND a.lang = b.lang" else ""
+    s"""sh AS (SELECT doc_id$langSel, $duckShingles AS s FROM documents),
+       |post AS (SELECT doc_id$langSel, unnest(s) AS h FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM post a JOIN post b ON a.h = b.h$langCond AND a.doc_id < b.doc_id),
+       |p AS (SELECT c.id_a, c.id_b,
+       |  round(len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1), 4) AS j,
+       |  len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1) AS jx
+       |  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
     "enrich_stub" ->
@@ -1691,10 +1713,7 @@ object Ext {
         |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      s"""WITH ${duckVerifiedPairs(langMatched = true)}
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
     // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
@@ -1710,16 +1729,16 @@ object Ext {
         |GROUP BY train_id HAVING round(max(cos), 6) >= 0.4
         |ORDER BY train_id""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH ${duckVerifiedPairs(langMatched = false)}
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "dedup_drop_inc" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         |hit AS (SELECT DISTINCT b.doc_id
-         |  FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
-         |  WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5)
+         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400),
+         |hit AS (SELECT DISTINCT c.batch_id AS doc_id
+         |  FROM cand c JOIN sh sa ON c.corpus_id = sa.doc_id JOIN sh sb ON c.batch_id = sb.doc_id
+         |  WHERE len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1) >= 0.5)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hit)
          |ORDER BY doc_id""".stripMargin,
@@ -1732,9 +1751,12 @@ object Ext {
     // borderline pair would surface here as a miss, not a flake)
     "dedup_minhash_inc" ->
       s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         |p AS (SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
-         |  round(len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1), 4) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400)
+         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400),
+         |p AS (SELECT c.batch_id, c.corpus_id,
+         |  round(len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1), 4) AS j
+         |  FROM cand c JOIN sh sa ON c.corpus_id = sa.doc_id JOIN sh sb ON c.batch_id = sb.doc_id)
          |SELECT batch_id, corpus_id, j FROM p WHERE j >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
     // span equality over 8-token STRINGS stands in for the engine's
     // xxhash64 span hashes (equal spans <=> equal hashes; a 64-bit
@@ -1801,11 +1823,9 @@ object Ext {
         |FROM t LEFT JOIN rl USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5),
-         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |${duckVerifiedPairs(langMatched = false)},
+         |e AS (SELECT id_a AS s, id_b AS d FROM p WHERE jx >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM p WHERE jx >= 0.5),
          |reach(s, d) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -1816,11 +1836,9 @@ object Ext {
     // this corpus's J spectrum, candidates exactly verified)
     "dedup_drop" ->
       s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE len(list_intersect(a.s, b.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5),
-         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |${duckVerifiedPairs(langMatched = false)},
+         |e AS (SELECT id_a AS s, id_b AS d FROM p WHERE jx >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM p WHERE jx >= 0.5),
          |reach(s, d) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
