@@ -123,6 +123,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
+  /** Edit-distance-verified near-dup pairs: candidate pairs share >=1
+    * word-trigram shingle (the same inverted-index posting join as
+    * [[ngramJaccardPairs]] — never all-pairs), then each candidate is
+    * verified with EXACT Levenshtein distance on the trimmed text,
+    * kept when `d <= floor(maxDistFrac * max(len_a, len_b))`.
+    *
+    * Complements the Jaccard/MinHash family with ORDER-SENSITIVE
+    * verification: shingle-set Jaccard is blind to local reorderings
+    * and repeated-shingle rearrangements, while edit distance prices
+    * every insertion/deletion/substitution — the refinement stage a
+    * precision-critical dedup pipeline runs on its candidate pairs
+    * (and the character-level twin of [[duplicateSpans]]'s exact
+    * substring matching).
+    *
+    * Recall: complete whenever a qualifying pair still shares one
+    * unedited shingle — d character edits touch at most d words, i.e.
+    * at most 3d of the word-trigram shingles, so any pair whose
+    * smaller side carries more than 3*floor(maxDistFrac*maxLen)
+    * distinct shingles cannot be missed. Precision is exact: every
+    * emitted pair passed the real Levenshtein bound.
+    *
+    * Cost shape at scale: the posting join shuffles 8-byte hashes; the
+    * candidate set (distinct pairs) is then length-prefiltered —
+    * `abs(len_a - len_b) <= bound` is implied by the bound, and kills
+    * the bulk of shingle-coincidence candidates BEFORE the O(len^2)
+    * Levenshtein — so the quadratic work runs once per surviving pair
+    * only. Text moves only for candidate pairs, never corpus-wide. */
+  def editDistPairs(df: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], maxDistFrac: Double,
+                    maxDocFreq: Int = 0): DataFrame = {
+    require(maxDistFrac > 0 && maxDistFrac < 1,
+      "maxDistFrac must be in (0, 1): a fraction of the longer text's length")
+    val allPosts = shinglePosts(df, idCol, textCol, blockCols)
+    val posts = if (maxDocFreq <= 0) allPosts else {
+      val dfw = Window.partitionBy(blockCols.map(col) :+ col("_h"): _*)
+      allPosts.withColumn("_df", count(lit(1)).over(dfw))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    }
+    val a = posts.select(col(idCol).as("id_a") +: blockCols.map(col) :+ col("_h"): _*)
+    val b = posts.select(col(idCol).as("id_b") +: blockCols.map(col) :+ col("_h"): _*)
+    val cand = a.join(b, blockCols :+ "_h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val txt = df.select(col(idCol), trim(col(textCol)).as("_t"))
+    val bound = floor(lit(maxDistFrac) * greatest(length(col("_ta")), length(col("_tb"))))
+    cand
+      .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")), "id_b")
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= bound)
+      .withColumn("d", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("d") <= bound)
+      .select(col("id_a"), col("id_b"), col("d"))
+  }
+
   /** (id, _band, _h) LSH band-bucket keys from a shingle-set frame
     * (id, _sh): the k = bands*rowsPerBand MinHash signature is one
     * narrow native expression ([[graft.functions.MinHashSignature]]);

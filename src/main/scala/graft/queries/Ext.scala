@@ -516,6 +516,15 @@ object Ext {
         blockCols = Seq("lang"), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Edit-distance-verified near-dup pairs within language blocks:
+    * shared-shingle candidates refined by exact Levenshtein at a 20%
+    * relative bound — the order-sensitive refinement of the Jaccard
+    * family ([[graft.operators.Dedup.editDistPairs]]). */
+  def dedupEditDist(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), maxDistFrac = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
   def dedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -1081,6 +1090,7 @@ object Ext {
     "rpt_numeric_drift" -> rptNumericDrift,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_editdist" -> dedupEditDist,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
@@ -1715,6 +1725,21 @@ object Ext {
     "dedup_ngram_jaccard" ->
       s"""WITH ${duckVerifiedPairs(langMatched = true)}
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // same shared-shingle candidate join as the Jaccard twin, verified
+    // with exact Levenshtein at the 20% relative bound; the length
+    // prefilter is implied by the bound (lev >= abs(len diff)), so it
+    // only removes rows the final filter would drop anyway
+    "dedup_editdist" ->
+      s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s FROM documents),
+         |post AS (SELECT doc_id, lang, unnest(s) AS h FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id),
+         |pre AS (SELECT c.id_a, c.id_b, trim(da.text) AS ta, trim(db.text) AS tb,
+         |  greatest(length(trim(da.text)), length(trim(db.text))) AS l
+         |  FROM cand c JOIN documents da ON c.id_a = da.doc_id JOIN documents db ON c.id_b = db.doc_id
+         |  WHERE abs(length(trim(da.text)) - length(trim(db.text))) <= floor(0.2 * greatest(length(trim(da.text)), length(trim(db.text))))),
+         |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre)
+         |SELECT id_a, id_b, d FROM p WHERE d <= floor(0.2 * l) ORDER BY id_a, id_b""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
     // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
     // output equals the exact all-pairs answer — which IS SQL-expressible.

@@ -127,6 +127,63 @@ class DedupSpec extends SparkSpec {
       s"capped run (${tCapped}ms) should be well under uncapped (${tUncapped}ms) on a stop-shingle corpus")
   }
 
+  test("editDistPairs matches brute-force blocked Levenshtein on a randomized corpus") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // near-identical planted pairs + random noise docs; frac 0.2
+    val rnd = new Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val base = (0L until 30L).map { i =>
+      (i, "en", Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val twins = base.take(8).map { case (i, l, t) =>
+      (i + 100L, l, t.replaceFirst("a", "o")) // 1-char substitution
+    }
+    val docs = base ++ twins
+    val expected = (for {
+      (ia, la, ta) <- docs; (ib, lb, tb) <- docs
+      if ia < ib && la == lb
+      a = ta.trim; b = tb.trim
+      // blocked semantics: candidates must share a word-trigram shingle
+      if refShingles(a).intersect(refShingles(b)).nonEmpty
+      d = lev(a, b)
+      if d <= math.floor(0.2 * math.max(a.length, b.length))
+    } yield (ia, ib, d)).toSet
+    val out = Dedup.editDistPairs(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", Seq("lang"), maxDistFrac = 0.2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === expected)
+    assert(out.nonEmpty, "fixture must produce at least one qualifying pair")
+    // every planted twin pair survives (distance 1 vs bound >= 1 at len >= 5)
+    assert(base.take(8).forall { case (i, _, t) => out.exists(p => p._1 == i && p._2 == i + 100L) || t.trim.length < 5 })
+  }
+
+  test("editDistPairs is order-sensitive where Jaccard is blind") {
+    // docs 1 and 3 are cyclic rotations: IDENTICAL shingle sets under
+    // the periodic repetition (J = 1.0 — ngramJaccardPairs pairs them),
+    // but turning one into the other costs many real edits, so the
+    // edit-distance refinement correctly refuses the pair. Doc 2 is one
+    // substitution from doc 1 and passes. That asymmetry IS the point
+    // of the operator: set similarity proposes, edit distance disposes.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (2L, "en", "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta gamm"),
+      (3L, "en", "beta gamma alpha beta gamma alpha beta gamma alpha beta gamma alpha")
+    ).toDF("doc_id", "lang", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac.contains((1L, 3L)), "rotation shares the full shingle set")
+    val ed = Dedup.editDistPairs(docs, "doc_id", "text", Seq("lang"), maxDistFrac = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ed.contains((1L, 2L)), "one substitution passes the 10% bound")
+    assert(!ed.contains((1L, 3L)), "rotation needs real edits and must be refused")
+  }
+
   test("minHashNearDupPairs finds high-similarity pairs, rejects low ones") {
     val rnd = new Random(7)
     val vocab = Vector.tabulate(200)(i => s"w$i")
