@@ -118,6 +118,33 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming near-dup gate: every micro-batch of documents is
+    * deduplicated against a standing corpus via the incremental batch
+    * operator ([[graft.operators.Dedup.dropNearDupAgainst]]) — the
+    * continuous form of "dedup today's crawl against the index". Work
+    * per batch is proportional to the BATCH (LSH band join against the
+    * corpus band index), never corpus x corpus, so the stream keeps up
+    * at any corpus size.
+    *
+    * Composition contract, same as [[enrichStream]]: foreachBatch runs
+    * the proven batch operator, so the oracle-gated batch twin
+    * (`dedup_drop_inc`) is what validates these semantics. The CALLER
+    * owns corpus-index evolution — appending survivors to the corpus
+    * (and its persisted band index) inside `writeBatch` if the gate
+    * should also catch later re-crawls of just-admitted documents;
+    * batch-INTERNAL duplicates are likewise the caller's
+    * `minHashNearDupPairs` call when micro-batches are large enough to
+    * self-duplicate. */
+  def dropNearDupStream(stream: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, threshold: Double)
+                       (writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(graft.operators.Dedup.dropNearDupAgainst(
+          corpus, batch, idCol, textCol, threshold), batchId)
+      }
+      .start()
+
   /** Streaming corpus quality gate: the batch gate's fused narrow
     * projection + filter applied to each micro-batch. Stateless — no
     * watermark, no state store; works in append mode on any document

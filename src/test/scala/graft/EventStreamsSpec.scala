@@ -126,6 +126,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropNearDupStream gates each micro-batch against the standing corpus") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val otherText = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, corpusText), (2L, otherText)).toDF("doc_id", "text")
+    val survived = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = EventStreams.dropNearDupStream(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", threshold = 0.5) {
+      (batch, _) => batch.select("doc_id").as[Long].collect().foreach(survived.add)
+    }
+    try {
+      // batch 1: 100 duplicates corpus doc 1 (one word changed), 101 is novel
+      input.addData((100L, corpusText.replace("kappa", "lambda")), (101L, "red green blue cyan magenta yellow black white pink gray"))
+      q.processAllAvailable()
+      // batch 2: 102 duplicates corpus doc 2 exactly, 103 is novel
+      input.addData((102L, otherText), (103L, "spark scala stream batch corpus index shingle band join verify"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(survived.asScala.toSet === Set(101L, 103L),
+        "near-dups of the corpus must be dropped in every micro-batch; novel docs pass")
+    } finally q.stop()
+  }
+
   test("streaming quality gate filters docs per micro-batch (stateless narrow ops)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
