@@ -147,9 +147,17 @@ object Dedup {
     * Cost shape at scale: the posting join shuffles 8-byte hashes; the
     * candidate set (distinct pairs) is then length-prefiltered —
     * `abs(len_a - len_b) <= bound` is implied by the bound, and kills
-    * the bulk of shingle-coincidence candidates BEFORE the O(len^2)
-    * Levenshtein — so the quadratic work runs once per surviving pair
-    * only. Text moves only for candidate pairs, never corpus-wide. */
+    * the bulk of shingle-coincidence candidates BEFORE the Levenshtein
+    * — so the quadratic work runs once per surviving pair only. The
+    * verify itself is the BANDED O((2k+1)*len) algorithm (Spark's
+    * 3-arg `levenshtein`, k = the per-pair bound), not full O(len^2)
+    * DP, and the candidate set is explicitly repartitioned to the
+    * session shuffle parallelism first: AQE sizes the post-distinct
+    * stage by shuffle BYTES (pairs of longs — a few MB), but each row
+    * here costs a quadratic-ish string verify, so byte-based coalesce
+    * would funnel minutes of DP onto two tasks (measured 94 s -> 3 s
+    * at sf0.1). Text moves only for candidate pairs, never
+    * corpus-wide. */
   def editDistPairs(df: DataFrame, idCol: String, textCol: String,
                     blockCols: Seq[String], maxDistFrac: Double,
                     maxDocFreq: Int = 0): DataFrame = {
@@ -163,18 +171,28 @@ object Dedup {
     }
     val a = posts.select(col(idCol).as("id_a") +: blockCols.map(col) :+ col("_h"): _*)
     val b = posts.select(col(idCol).as("id_b") +: blockCols.map(col) :+ col("_h"): _*)
+    // Explicit-N ROUND-ROBIN repartition: AQE never coalesces a
+    // user-numbered shuffle, and round-robin (unlike re-hashing the
+    // distinct's own keys, which is statically elided as redundant)
+    // guarantees a real exchange, so the expensive verify stage below
+    // keeps full parallelism however few bytes the pair set is.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cand = a.join(b, blockCols :+ "_h")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .repartition(parts)
     val txt = df.select(col(idCol), trim(col(textCol)).as("_t"))
     val bound = floor(lit(maxDistFrac) * greatest(length(col("_ta")), length(col("_tb"))))
     cand
       .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")), "id_a")
       .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")), "id_b")
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= bound)
-      .withColumn("d", levenshtein(col("_ta"), col("_tb")))
-      .filter(col("d") <= bound)
+      // banded Levenshtein: exact d when d <= bound, -1 sentinel when the
+      // band is exceeded — O((2*bound+1)*len) instead of full len^2 DP
+      .withColumn("d", call_function("levenshtein",
+        col("_ta"), col("_tb"), bound.cast("int")))
+      .filter(col("d") >= 0)
       .select(col("id_a"), col("id_b"), col("d"))
   }
 
