@@ -600,6 +600,52 @@ object Dedup {
     stripSpans(df, idCol, textCol, mergeSpanRanges(strip, idCol, k), outCol)
   }
 
+  /** Cross-document boilerplate LINE removal — the crawl-hygiene pass
+    * (RefinedWeb 2023, CCNet 2020 run it corpus-wide): a line whose
+    * trimmed form occurs in at least `minDocFreq` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, footers) and is stripped
+    * from every document; every other line survives in original order.
+    * Whitespace-only lines are structural — never counted toward
+    * document frequency and never stripped. Complements the per-row
+    * [[TextAnalysis.dedupLines]] (within-doc collapse): this one needs
+    * corpus-wide evidence, so it is a DataFrame op, not a Column.
+    * Returns one row per input document: (idCol, outCol); a document
+    * reduced to nothing keeps an empty string.
+    *
+    * Shapes at 100 TB: one distinct over (doc, line key) + one count
+    * shuffle keyed on the line, then an anti-join of the exploded lines
+    * against the boilerplate set — that set is tiny by construction
+    * (only lines repeated across >= minDocFreq docs), so AQE broadcasts
+    * it from its runtime size. With `hashKeys` the group/join key is
+    * `xxhash64(trimmed line)` — 8 bytes shuffle instead of line text,
+    * at a ~n^2/2^65 collision risk (a unique line colliding with a
+    * boilerplate hash is wrongly stripped); the exact default moves
+    * each distinct line's text once. Reassembly avoids HOF lambdas:
+    * sort the (pos, line) struct array and extract the field
+    * (GetArrayStructFields — codegen'd, per-row-once). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            minDocFreq: Int, hashKeys: Boolean = false,
+                            outCol: String = "clean"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+      .withColumn("_gk", if (hashKeys) xxhash64(col("_key")) else col("_key"))
+    // blank keys are excluded here, so they can never enter the
+    // boilerplate set — the anti-join below then keeps them for free
+    val boiler = lines.filter(col("_key") =!= "")
+      .select(col(idCol), col("_gk")).distinct()
+      .groupBy("_gk").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_gk"))
+    val kept = lines.join(boiler, Seq("_gk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_line")))).as("_ls"))
+      .select(col(idCol), concat_ws("\n", col("_ls").getField("_line")).as(outCol))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the result is the
     * sign of the population vote across token hashes (`2*popcount_i > n`).
     * One native codegen'd expression (graft.functions.SimHash64) — a

@@ -358,6 +358,22 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** CROSS-document boilerplate strip: every page carries the same
+    * footer lines plus a per-language section header; lines repeated
+    * across >= 10 distinct documents vanish corpus-wide, each page's
+    * own text survives ([[graft.operators.Dedup.stripBoilerplateLines]];
+    * the within-doc twin is `txt_dedup_lines`). */
+  def txtBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val page = concat_ws("\n",
+      col("text"), lit("FOOTER | terms | privacy"),
+      concat(lit("section "), col("lang")), lit("(c) example site"))
+    Dedup.stripBoilerplateLines(
+        d.select(col("doc_id"), page.as("page")), "doc_id", "page",
+        minDocFreq = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
     * collapse whitespace, then md5 — the normalization pass that makes
     * composed/decomposed duplicates hash identically. The fixture corpus
@@ -1082,6 +1098,7 @@ object Ext {
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
+    "txt_boilerplate" -> txtBoilerplate,
     "pipeline_web_curate" -> pipelineWebCurate,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
@@ -1584,6 +1601,26 @@ object Ext {
         |  FROM l GROUP BY doc_id, 2)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS clean
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // cross-doc line frequency, strip lines in >= 10 distinct docs,
+    // blank lines structural (never counted, never stripped)
+    "txt_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'FOOTER | terms | privacy' || chr(10) ||
+        |  'section ' || lang || chr(10) || '(c) example site' AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS i
+        |  FROM d),
+        |b AS (SELECT key FROM (
+        |    SELECT trim(line) AS key, count(DISTINCT doc_id) AS df
+        |    FROM l WHERE trim(line) <> '' GROUP BY 1) WHERE df >= 10),
+        |kept AS (SELECT doc_id, i, line FROM l
+        |  WHERE trim(line) NOT IN (SELECT key FROM b))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(kept.line, chr(10) ORDER BY kept.i), '') AS clean
+        |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // every stage of the web pipeline replayed: page build, line dedup,
     // markup strip, whitespace token floor, canonical md5
     "pipeline_web_curate" ->

@@ -59,6 +59,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(1L, 10L))
   }
 
+  test("stripBoilerplateLines drops cross-doc repeated lines, keeps unique/blank lines in order") {
+    val docs = Seq(
+      (1L, "alpha one\nSHARED FOOTER\n\nunique to one"),
+      (2L, "beta two\n  SHARED FOOTER  \nmore beta"), // trim-key matches boilerplate
+      (3L, "gamma\nSHARED FOOTER"),
+      (4L, "SHARED FOOTER"), // reduced to nothing
+      (5L, "delta text\nrare pair line"),
+      (6L, "rare pair line\nomega")) // df=2 < minDocFreq=3 -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "alpha one\n\nunique to one", // blank line survives
+      2L -> "beta two\nmore beta",
+      3L -> "gamma",
+      4L -> "",
+      5L -> "delta text\nrare pair line",
+      6L -> "rare pair line\nomega"))
+    // hashed-key mode is pair-identical on a collision-free corpus
+    val hashed = Dedup.stripBoilerplateLines(docs, "doc_id", "text",
+      minDocFreq = 3, hashKeys = true).as[(Long, String)].collect().toMap
+    assert(hashed === out)
+  }
+
+  test("stripBoilerplateLines never counts whitespace-only lines as boilerplate") {
+    val docs = Seq(
+      (1L, "a\n\n \nb"), (2L, "c\n\n \nd"), (3L, "e\n\n \nf"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    // the blank and the single-space line occur in all three docs but survive
+    assert(out === Map(1L -> "a\n\n \nb", 2L -> "c\n\n \nd", 3L -> "e\n\n \nf"))
+  }
+
   test("ngramJaccardPairs matches brute force on a randomized corpus") {
     for (seed <- Seq(1, 2, 3)) {
       val docs = randomCorpus(seed, 40)
