@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.StubLlmClient
-import graft.operators.{AsOfJoin, Dedup, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOfJoin, Classifier, Dedup, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
 import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -687,6 +687,48 @@ object Ext {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Closed-form weights for the oracle-gated scoring query: one
+    * decimal digit each, so the Scala array and the SQL literal list
+    * parse to bit-identical doubles in both engines. */
+  private[queries] val classifyWeights: Array[Double] =
+    Array.tabulate(64)(j => (((j * 37) % 21) - 10) / 10.0)
+  private[queries] val classifyBias = 0.1
+  private def classifyWeightsSql: String =
+    classifyWeights.map(w => f"$w%.1f").mkString("[", ", ", "]")
+
+  /** Model-based quality scoring, the 100 TB half of the classifier:
+    * `sigmoid(w . x + b)` as one codegen'd narrow pass over the
+    * embedding column ([[graft.operators.Classifier.scoreDense]]).
+    * Fixed closed-form weights make the DuckDB twin compute the
+    * identical formula; the gate flag compares the ROUNDED score so
+    * both engines branch on the same value. */
+  def simClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val score = round(
+      Classifier.scoreDense(classifyWeights, classifyBias, col("embedding")), 6)
+    e.select(col("vec_id"), score.as("score"), (score >= 0.5).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Classifier TRAINING end-to-end (rows-only: the trained weights
+    * depend on float summation order, so values aren't cross-engine
+    * stable; ClassifierSpec asserts accuracy/loss bounds instead).
+    * Trains against a planted linear concept over the embedding
+    * coordinates (y = v0 + v1 > 0 — recoverable by construction; the
+    * fixture's cluster labels heavily overlap, so they make a poor
+    * supervised target) and reports per-class calibration: the y=1
+    * class should flag near 1, the y=0 class near 0. */
+  def simClassifyTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("_y",
+      (col("embedding").getItem(0) + col("embedding").getItem(1) > 0).cast("int"))
+    val model = Classifier.trainLogReg(e, "embedding", "_y", iters = 60, lr = 4.0)
+    e.select(col("_y").as("y"), model.score(col("embedding")).as("_s"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"), round(avg(col("_s")), 3).as("mean_score"),
+        round(avg((col("_s") >= 0.5).cast("double")), 3).as("flag_rate"))
+      .orderBy(col("y"))
+  }
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.35)
@@ -1120,6 +1162,8 @@ object Ext {
     "sim_knn_int8" -> simKnnInt8,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
+    "sim_classify" -> simClassify,
+    "sim_classify_train" -> simClassifyTrain,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -1924,6 +1968,14 @@ object Ext {
         |SELECT label, count(*) AS n, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS m
         |FROM d CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // identical formula both engines: literal one-decimal weights parse
+    // to bit-identical doubles; the flag branches on the ROUNDED score
+    "sim_classify" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |m AS (SELECT vec_id,
+         |    round(1/(1+exp(-(list_dot_product(v, $classifyWeightsSql) + 0.1))), 6) AS score
+         |  FROM e)
+         |SELECT vec_id, score, score >= 0.5 AS flagged FROM m ORDER BY vec_id""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
