@@ -46,6 +46,109 @@ object Classifier {
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
 
+  /** Trained hashed bag-of-words logistic-regression model (the
+    * fastText-shaped TEXT quality/language classifier). `weights` is
+    * dense over `buckets` hash buckets (unseen buckets stay 0). */
+  final case class HashedModel(weights: Array[Double], bias: Double,
+                               lossHistory: Array[Double]) {
+    def buckets: Int = weights.length
+    /** Margin over a token-array column — ONE narrow codegen pass
+      * ([[graft.functions.HashedBagMargin]]); the corpus-scoring path. */
+    def margin(tokens: Column): Column =
+      graft.functions.HashedBagMargin.margin(tokens, weights, normalize = true) + lit(bias)
+    def score(tokens: Column): Column =
+      lit(1.0) / (lit(1.0) + exp(-margin(tokens)))
+  }
+
+  /** Hashed bag-of-words logistic regression on raw TEXT — the
+    * fastText-style classifier gate (language ID, curated-positive
+    * quality scoring) trained entirely as DataFrame operations.
+    *
+    * Features: token t -> bucket `pmod(xxhash64(t), buckets)`, value
+    * c_b / total tokens (term frequency). Feature rows (doc, bucket, f)
+    * are built ONCE and checkpointed; each GD iteration is then
+    *   margin:   feat join (tiny nonzero-weight table — AQE runtime-
+    *             broadcasts) -> groupBy doc,
+    *   residual: join labels, one scalar aggregate for bias/loss,
+    *   gradient: residual join feat -> groupBy bucket -> collect
+    *             (<= buckets rows — bounded by the parameter, the Ivf
+    *             centroid-collect pattern).
+    * The driver holds only the weight array between iterations. Train
+    * on a labeled SAMPLE (the published classifiers use 10^5-10^6
+    * docs); corpus-wide scoring is `model.score(tokens)` — a narrow
+    * codegen pass with exact bucket parity (ClassifierSpec asserts
+    * expression == DataFrame bucketing on randomized tokens).
+    *
+    * Same fail-loud contract as [[trainLogReg]]: null labels/token
+    * arrays or non-binary labels throw up front. */
+  def trainHashedText(df: DataFrame, textCol: String, labelCol: String,
+                      buckets: Int = 1 << 15, iters: Int = 20,
+                      lr: Double = 1.0, l2: Double = 0.0,
+                      tokenizer: Column => Column = TextAnalysis.tokens): HashedModel = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, 2^22], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = graft.core.Checkpoint.materialize(
+      df.select(monotonically_increasing_id().as("_d"),
+        col(labelCol).cast("double").as("_y"),
+        tokenizer(col(textCol)).as("_toks")))
+    val bad = base.filter(col("_y").isNull || !col("_y").isin(0.0, 1.0) ||
+      col("_toks").isNull).limit(1).count()
+    require(bad == 0,
+      "training rows must have non-null token arrays and 0/1 labels")
+    val n = base.count()
+    require(n > 0, "empty training set")
+    val tok = base
+      .select(col("_d"), explode(col("_toks")).as("_t"))
+      .filter(col("_t").isNotNull)
+      .select(col("_d"), pmod(xxhash64(col("_t")), lit(buckets.toLong)).cast("int").as("_b"))
+    val tot = tok.groupBy("_d").agg(count(lit(1)).as("_n"))
+    val feat = graft.core.Checkpoint.materialize(
+      tok.groupBy("_d", "_b").agg(count(lit(1)).as("_c"))
+        .join(tot, "_d")
+        .select(col("_d"), col("_b"), (col("_c").cast("double") / col("_n")).as("_f")))
+    val docs = base.select(col("_d"), col("_y"))
+    val eps = 1e-12
+    var w = new Array[Double](buckets)
+    var b = 0.0
+    val loss = Array.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val nz = w.iterator.zipWithIndex.filter(_._1 != 0.0)
+        .map { case (v, j) => (j, v) }.toSeq
+      val margins =
+        if (nz.isEmpty) docs.select(col("_d"), col("_y"), lit(0.0).as("_m"))
+        else {
+          val wDf = nz.toDF("_b", "_w")
+          val m = feat.join(wDf, Seq("_b"))
+            .groupBy("_d").agg(sum(col("_f") * col("_w")).as("_m"))
+          docs.join(m, Seq("_d"), "left")
+            .select(col("_d"), col("_y"), coalesce(col("_m"), lit(0.0)).as("_m"))
+        }
+      val scored = margins.select(col("_d"), col("_y"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("_m") + lit(b))))).as("_p"))
+        .withColumn("_r", col("_p") - col("_y"))
+      val head = scored.agg(avg(col("_r")),
+        avg(-(col("_y") * log(greatest(col("_p"), lit(eps))) +
+          (lit(1.0) - col("_y")) * log(greatest(lit(1.0) - col("_p"), lit(eps)))))).collect()(0)
+      loss += head.getDouble(1)
+      val grad = scored.select(col("_d"), col("_r")).join(feat, Seq("_d"))
+        .groupBy("_b").agg((sum(col("_r") * col("_f")) / n.toDouble).as("_g"))
+        .as[(Int, Double)].collect()
+      val next = w.clone()
+      var j = 0
+      while (j < next.length) {
+        if (next(j) != 0.0 && l2 != 0.0) next(j) -= lr * l2 * next(j)
+        j += 1
+      }
+      grad.foreach { case (bk, g) => next(bk) -= lr * g }
+      w = next
+      b -= lr * head.getDouble(0)
+    }
+    HashedModel(w, b, loss.result())
+  }
+
   /** Full-batch gradient-descent logistic regression on `vecCol`
     * (array of float/double, constant dimension) against binary
     * `labelCol` (0/1, any numeric/boolean castable to double).

@@ -721,7 +721,7 @@ object Ext {
   def simClassifyTrain(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("_y",
       (col("embedding").getItem(0) + col("embedding").getItem(1) > 0).cast("int"))
-    val model = Classifier.trainLogReg(e, "embedding", "_y", iters = 60, lr = 4.0)
+    val model = Classifier.trainLogReg(e, "embedding", "_y", iters = 30, lr = 8.0)
     e.select(col("_y").as("y"), model.score(col("embedding")).as("_s"))
       .groupBy(col("y"))
       .agg(count(lit(1)).as("n"), round(avg(col("_s")), 3).as("mean_score"),

@@ -52,6 +52,57 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(got - 1.0 / (1.0 + math.exp(-margin))) < 1e-12)
   }
 
+  test("HashedBagMargin buckets match the DataFrame training side exactly") {
+    val buckets = 64
+    // identity weights: margin of a single-token bag (unnormalized)
+    // IS the bucket id — any hash/floorMod drift from pmod(xxhash64)
+    // shows as a mismatch
+    val w = Array.tabulate(buckets)(_.toDouble)
+    val rnd = new Random(3)
+    val toks = (0 until 200).map(i =>
+      (i.toLong, rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString))
+    val df = toks.toDF("id", "t")
+    val got = df.select(col("id"),
+      graft.functions.HashedBagMargin.margin(array(col("t")), w, normalize = false).as("m"),
+      pmod(xxhash64(col("t")), lit(buckets.toLong)).cast("double").as("b"))
+    assert(got.filter(col("m") =!= col("b")).count() === 0)
+  }
+
+  test("trainHashedText separates planted vocabularies and scores narrowly") {
+    val pos = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val neg = Vector("uno", "dos", "tres", "cuatro", "cinco", "seis")
+    val rnd = new Random(13)
+    val docs = (0 until 240).map { i =>
+      val v = if (i % 2 == 0) pos else neg
+      val text = Seq.fill(4 + rnd.nextInt(8))(v(rnd.nextInt(v.size))).mkString(" ")
+      (i.toLong, text, i % 2)
+    }
+    val df = docs.toDF("id", "text", "y")
+    val model = Classifier.trainHashedText(df, "text", "y",
+      buckets = 1 << 10, iters = 30, lr = 4.0)
+    assert(model.lossHistory.last < 0.2 &&
+      model.lossHistory.last < model.lossHistory.head)
+    val scored = df.select(col("y"),
+      model.score(graft.operators.TextAnalysis.tokens(col("text"))).as("s"))
+    val acc = scored.select(avg(((col("s") >= 0.5).cast("int") === col("y")).cast("double")))
+      .as[Double].collect()(0)
+    assert(acc >= 0.95, s"train accuracy $acc below 0.95")
+    // the narrow expression margin == the join-based margin it trained on
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val joinMargin = df
+      .select(col("id"), explode(toks).as("_t"), size(toks).as("_n"))
+      .select(col("id"), pmod(xxhash64(col("_t")), lit(model.buckets.toLong)).cast("int").as("_b"), col("_n"))
+      .groupBy(col("id"), col("_n")).agg(collect_list(col("_b")).as("_bs"))
+      .as[(Long, Int, Seq[Int])].collect()
+      .map { case (id, n, bs) => id -> (bs.map(model.weights).sum / n + model.bias) }
+      .toMap
+    val exprMargin = df.select(col("id"), model.margin(toks).as("m"))
+      .as[(Long, Double)].collect().toMap
+    exprMargin.foreach { case (id, m) =>
+      assert(math.abs(m - joinMargin(id)) < 1e-9, s"doc $id margin drift")
+    }
+  }
+
   test("trainLogReg fails loud on ragged dimensions, nulls, non-binary labels") {
     val ragged = Seq((Array(1.0f, 2.0f), 1), (Array(1.0f), 0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
