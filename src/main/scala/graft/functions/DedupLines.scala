@@ -11,8 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * bars, footers, cookie banners inside one page). Lines split on '\n'
   * only (real-world docs are already newline-normalized upstream);
   * comparison is exact bytes AFTER trimming trailing '\r' (CRLF and LF
-  * copies of the same line are the same line). Order of survivors is
-  * the original order; the output joins with '\n'.
+  * copies of the same line are the same line). Blank lines (empty or
+  * spaces-only after the '\r' trim) are structural — paragraph
+  * separators, never deduplicated — matching
+  * [[graft.operators.Dedup.stripBoilerplateLines]]'s stance (which
+  * likewise exempts `trim(line) = ''`). Order of survivors is the
+  * original order; the output joins with '\n'.
   *
   * One narrow codegen'd pass with a per-row HashSet sized to the line
   * count — no explode, no window, no shuffle. */
@@ -44,7 +48,12 @@ object DedupLines {
     var i = 0
     while (i < lines.length) {
       val line = if (lines(i).endsWith("\r")) lines(i).dropRight(1) else lines(i)
-      if (seen.add(line)) {
+      // spaces-only = structural blank (same key rule as
+      // stripBoilerplateLines's Spark trim, which strips ' ' only)
+      var blank = true
+      var j = 0
+      while (blank && j < line.length) { blank = line.charAt(j) == ' '; j += 1 }
+      if (blank || seen.add(line)) {
         if (!first) out.append('\n')
         out.append(line)
         first = false

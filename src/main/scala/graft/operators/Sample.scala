@@ -67,7 +67,10 @@ object Sample {
     * as [[acceptByScore]], so the keep decision is a pure per-row
     * function: narrow, engine-reproducible, stable under corpus growth
     * (a stratum's survivors never change when other strata grow).
-    * Strata absent from `rates` use `defaultRate` (1.0 = keep). */
+    * Strata absent from `rates` use `defaultRate` (1.0 = keep); a NULL
+    * stratum fails loud like a NULL id — `when(col === k)` is
+    * null-false, so it would otherwise silently fall to `defaultRate`,
+    * diverging from the family's fail-loud stance. */
   def stratified(df: DataFrame, idCol: String, strataCol: String,
                  rates: Map[String, Double], defaultRate: Double = 1.0,
                  salt: String = ""): DataFrame = {
@@ -80,9 +83,12 @@ object Sample {
         .cast("double") / 4294967296.0)
     // deterministic rate lookup: sorted fold keeps the plan stable for a
     // given rates map regardless of Map iteration order
-    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+    val lookup = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
       case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
     }
+    val rate = when(col(strataCol).isNull,
+        raise_error(lit(s"Sample.stratified requires non-null '$strataCol'")))
+      .otherwise(lookup)
     df.filter(draw < rate)
   }
 

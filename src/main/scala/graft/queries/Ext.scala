@@ -14,6 +14,16 @@ import graft.sources.{OrderedCsv, Tables}
   */
 object Ext {
 
+  /** Round-trip scratch dir: keyed by (applicationId, tag, fixture
+    * basename). The applicationId makes concurrent sessions running the
+    * same query write disjoint trees (no overwrite-while-read race)
+    * while staying FIXED within a session, so Bench's repeated runs
+    * overwrite one dir instead of accumulating shard directories. */
+  private def rtDir(s: SparkSession, tag: String, dir: String): String =
+    new java.io.File(new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rt_${s.sparkContext.applicationId}"),
+      s"${tag}_${new java.io.File(dir).getName}").toString
+
   // ---- text analysis ------------------------------------------------
 
   def txtStats(s: SparkSession, dir: String): DataFrame = {
@@ -908,11 +918,10 @@ object Ext {
     val enriched = Enrich.enrich(docs, columnIndex = 1, cfg, stub)
       .select(col("doc_id"), col("Response"), col("_row_idx"))
       .localCheckpoint(true)
-    // fixed, overwritten output location: a fresh createTempDirectory per
-    // invocation would accumulate shard directories across Bench's
-    // repeated runs of this query
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sharded_rt_${new java.io.File(dir).getName}").toString
+    // fixed-within-session, overwritten output location (see rtDir): a
+    // fresh createTempDirectory per invocation would accumulate shard
+    // directories across Bench's repeated runs of this query
+    val outDir = rtDir(s, "sharded", dir)
     val shardDir = OrderedCsv.writeSharded(enriched, outDir, "docs", numShards = 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(shardDir), s.sparkContext.hadoopConfiguration)
@@ -975,8 +984,7 @@ object Ext {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
     // keyed by the input's basename: a lazy read-back of one scale
     // factor must never observe a later write for another
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_part_rt_${new java.io.File(dir).getName}").toString
+    val outDir = rtDir(s, "part", dir)
     graft.sources.PartitionedParquet.write(labeled, outDir, Seq("lang", "split"), "doc_id")
     graft.sources.PartitionedParquet.read(s, outDir)
       .filter(col("split") === "train")
@@ -991,8 +999,7 @@ object Ext {
     * actually ship in. */
   def srcJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_jsonl_rt_${new java.io.File(dir).getName}").toString
+    val outDir = rtDir(s, "jsonl", dir)
     graft.sources.Jsonl.write(docs, outDir, numShards = 8)
     graft.sources.Jsonl.read(s, outDir, docs.schema)
       .orderBy(col("doc_id"))
@@ -1003,8 +1010,7 @@ object Ext {
     * interchange) is lossless. */
   def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_orc_rt_${new java.io.File(dir).getName}").toString
+    val outDir = rtDir(s, "orc", dir)
     graft.sources.Orc.write(docs, outDir, numShards = 8)
     graft.sources.Orc.read(s, outDir)
       .select(docs.columns.map(col).toSeq: _*)
@@ -1018,8 +1024,7 @@ object Ext {
     * oracle proves losslessness). */
   def srcCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_compact_rt_${new java.io.File(dir).getName}")
+    val base = new java.io.File(rtDir(s, "compact", dir))
     val shattered = new java.io.File(base, "shattered").toString
     val compacted = new java.io.File(base, "compacted").toString
     docs.repartition(64).write.mode("overwrite").parquet(shattered)
@@ -1641,8 +1646,11 @@ object Ext {
         |    unnest(string_split(doc, chr(10))) AS line,
         |    unnest(generate_series(1, len(string_split(doc, chr(10))))) AS i
         |  FROM d),
-        |g AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, min(i) AS fi
-        |  FROM l GROUP BY doc_id, 2)
+        |n AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, i FROM l),
+        |-- blank (spaces-only) lines are structural: every occurrence survives
+        |g AS (SELECT doc_id, line, i AS fi FROM n WHERE trim(line) = ''
+        |  UNION ALL
+        |  SELECT doc_id, line, min(i) AS fi FROM n WHERE trim(line) <> '' GROUP BY doc_id, line)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS clean
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // cross-doc line frequency, strip lines in >= 10 distinct docs,
@@ -1676,8 +1684,10 @@ object Ext {
         |    unnest(string_split(page, chr(10))) AS line,
         |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS i
         |  FROM d0),
-        |g AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, min(i) AS fi
-        |  FROM l GROUP BY doc_id, 2),
+        |n0 AS (SELECT doc_id, regexp_replace(line, '\r$', '') AS line, i FROM l),
+        |g AS (SELECT doc_id, line, i AS fi FROM n0 WHERE trim(line) = ''
+        |  UNION ALL
+        |  SELECT doc_id, line, min(i) AS fi FROM n0 WHERE trim(line) <> '' GROUP BY doc_id, line),
         |dd AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS h
         |  FROM g GROUP BY doc_id),
         |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS h FROM dd),

@@ -132,13 +132,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("  lots   of\n\n whitespace ") === "lots of whitespace")
   }
 
-  test("dedupLines: first occurrence survives in order; CRLF equals LF; blanks dedup too") {
+  test("dedupLines: first occurrence survives in order; CRLF equals LF; blanks structural") {
     def dl(s: String): String =
       Seq(s).toDF("text").select(TextAnalysis.dedupLines($"text")).as[String].collect().head
     assert(dl("nav\nbody one\nnav\nbody two\nnav") === "nav\nbody one\nbody two")
     assert(dl("line\r\nline\nother") === "line\nother",
       "a CRLF copy of an LF line is the same line")
-    assert(dl("a\n\nb\n\nc") === "a\n\nb\nc", "the empty line is a line — kept once")
+    assert(dl("a\n\nb\n\nc") === "a\n\nb\n\nc",
+      "blank lines are paragraph separators — every occurrence survives")
+    assert(dl("a\n  \nb\n  \nc") === "a\n  \nb\n  \nc",
+      "spaces-only lines are blank too")
+    assert(dl("a\n\t\nb\n\t\nc") === "a\n\t\nb\nc", // tab is content, not blank
+      "non-space whitespace lines still dedup (same key rule as stripBoilerplateLines)")
     assert(dl("") === "")
     assert(dl("single") === "single")
     val n = Seq(Option.empty[String]).toDF("text")
