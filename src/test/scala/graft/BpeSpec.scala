@@ -39,6 +39,20 @@ class BpeSpec extends SparkSpec {
     assert(m.vocab.encode("") === Array.empty[String])
   }
 
+  test("NUL and ':' inside symbols cannot alias pair keys") {
+    // Two dictionaries whose pairs would collide under a NUL-joined key:
+    // ("a\u0000b","c") vs ("a","\u0000bc") both join to "a\u0000b\u0000c"
+    // when the separator is NUL. Length-prefixed keys keep them apart.
+    import graft.functions.BpeVocab
+    assert(BpeVocab.pairKey("a\u0000b", "c") !== BpeVocab.pairKey("a", "\u0000bc"))
+    assert(BpeVocab.pairKey("1:", "x") !== BpeVocab.pairKey("1", ":x"))
+    // end-to-end: a vocab whose merges involve NUL-bearing symbols still
+    // ranks/encodes correctly (NUL is an ordinary code point)
+    val m = Bpe.Model(Array(("a", "\u0000"), ("a\u0000", "b")))
+    assert(m.vocab.encode("a\u0000b").toSeq === Seq("a\u0000b"))
+    assert(m.vocab.encode("a\u0000b").mkString === "a\u0000b", "round-trip holds")
+  }
+
   test("training on a DataFrame is deterministic and respects maxWords") {
     val docs = Seq(
       (1L, "the lower newest widest low low low"),
