@@ -660,20 +660,33 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 x 16-bit sub-bands (a pair
-    * within hamming distance <= 3 must agree exactly on at least one of 4
-    * bands — pigeonhole), then verify the true hamming distance. Same
-    * equi-join shape as MinHash-LSH: scales. */
-  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    // Signature stage is a NARROW map (native SimHash64 expression): no
-    // shuffle at all before banding. The previous formulation (explode +
-    // 64 sum-aggregate columns) paid a full shuffle on the id plus a huge
-    // generated HashAggregate class — the round-1 bench outlier.
-    val withH = df.select(col(idCol), simHash(TextAnalysis.tokens(col(textCol))).as("_h"))
-    val banded = withH.select(col(idCol), col("_h"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+  /** Pigeonhole-banded Hamming pair join over any 64-bit fingerprint
+    * column (SimHash, dHash, ...): split the hash into `maxHamming + 1`
+    * contiguous sub-bands — a pair within Hamming distance `maxHamming`
+    * differs in at most `maxHamming` bands, so it must agree EXACTLY on
+    * at least one — equi-join on (band, key), verify the true distance.
+    * Lossless (never misses a pair within the bound) and the same
+    * shuffle shape as MinHash-LSH: candidates ∝ band-key collisions,
+    * never n². Rows whose hash is NULL (e.g. undecodable images under
+    * [[graft.functions.DHash64]]) can't band and drop out.
+    *
+    * `maxHamming` <= 31 (each band needs >= 2 bits to discriminate;
+    * in practice near-dup bounds are single digits — wider bands =
+    * fewer, more selective join keys). */
+  def hammingBandedPairs(withH: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nBands = maxHamming + 1
+    // contiguous bands covering all 64 bits: the first (64 % nBands)
+    // bands take one extra bit
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val banded = withH.select(col(idCol), col(hashCol).as("_h"),
+      explode(array((0 until nBands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col(hashCol), offsets(b)).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("_bh"))
       .select(col(idCol), col("_h"), col("_bh.band").as("_band"), col("_bh.key").as("_key"))
     val a = banded.select(col(idCol).as("id_a"), col("_h").as("_ha"), col("_band"), col("_key"))
@@ -685,5 +698,18 @@ object Dedup {
       .withColumn("hamming", hamming64(col("_ha"), col("_hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs: block on `maxHamming + 1` sub-bands
+    * (pigeonhole — see [[hammingBandedPairs]]), then verify the true
+    * Hamming distance. Same equi-join shape as MinHash-LSH: scales. */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    // Signature stage is a NARROW map (native SimHash64 expression): no
+    // shuffle at all before banding. The previous formulation (explode +
+    // 64 sum-aggregate columns) paid a full shuffle on the id plus a huge
+    // generated HashAggregate class — the round-1 bench outlier.
+    val withH = df.select(col(idCol), simHash(TextAnalysis.tokens(col(textCol))).as("_h"))
+    hammingBandedPairs(withH, idCol, "_h", maxHamming)
   }
 }

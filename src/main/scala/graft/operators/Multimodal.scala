@@ -142,6 +142,48 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Perceptual (difference-)hash column over an encoded-image binary
+    * column: 64-bit content fingerprint via [[graft.functions.DHash64]]
+    * (JDK ImageIO decode, 9x8 integer area-average, neighbor-gradient
+    * bits). NULL for undecodable payloads — corrupt-is-data. One narrow
+    * map, no shuffle. */
+  def imageDHash(media: DataFrame, idCol: String, binCol: String): DataFrame =
+    media.select(col(idCol), graft.functions.DHash64(col(binCol)).as("dhash"))
+
+  /** Content-level image near-dup pairs: dHash each blob (narrow map),
+    * then pigeonhole-banded Hamming join
+    * ([[graft.operators.Dedup.hammingBandedPairs]] — candidates ∝
+    * band-key collisions, never n²). Catches resized and re-encoded
+    * (PNG<->JPEG, recompressed) copies that byte-level fingerprints
+    * miss; undecodable blobs hash NULL and drop out of the join.
+    * Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(media: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBandedPairs(imageDHash(media, idCol, binCol), idCol, "dhash", maxHamming)
+
+  /** Encode a real image whose pixels come from a smooth function of
+    * NORMALIZED coordinates (u, v in [0,1)) — resolution-independent, so
+    * re-rendering at a different size is a genuine "resized copy" of the
+    * same picture (the fixture twin a perceptual-hash spec needs; flat
+    * single-color fixtures from [[encodeImage]] all dHash to 0). */
+  def encodeImagePattern(width: Int, height: Int, format: String)
+                        (f: (Double, Double) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, f(x.toDouble / width, y.toDouble / height))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
   /** Deterministic frame sampling for video-like payloads: n evenly
     * spaced byte-offset "frames" per row (stub for real frame decode;
     * the explode/fan-out shape is what matters at scale — rows explode

@@ -1058,6 +1058,71 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-level image dedup over perceptual hashes: render one
+    * blocky 8x9 pattern per GROUP of documents at three different
+    * (size, format) variants — an original PNG, a downscaled PNG, and a
+    * downscaled re-encoded JPEG — plus one undecodable text blob, then
+    * find near-dup pairs with [[graft.operators.Multimodal.imageNearDupPairs]]
+    * (dHash + pigeonhole Hamming banding). Byte-level fingerprints see
+    * the three variants as unrelated blobs; the perceptual hash groups
+    * them. Rows-only gate (no image codec in the oracle); the planted
+    * structure is asserted exactly in MultimodalSpec. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"))
+      .filter(col("doc_id") % 100 < 4)
+      .as[Long]
+      .map { id =>
+        val k = (id % 100L).toInt   // variant within the group
+        val g = id / 100L           // pattern group
+        val bytes =
+          if (k == 3) s"not an image $id".getBytes("UTF-8") // corrupt-is-data
+          else {
+            val (w, h, fmt) = k match {
+              case 0 => (90, 80, "png")  // original
+              case 1 => (45, 40, "png")  // resized copy
+              case _ => (63, 56, "jpg")  // resized + lossy re-encode
+            }
+            Multimodal.encodeImagePattern(w, h, fmt)(patternRgb(g))
+          }
+        (id, bytes)
+      }
+      .toDF("doc_id", "content")
+    Multimodal.imageNearDupPairs(imgs, "doc_id", "content", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-group blocky pattern on the dHash 9x8 grid: each row's 9 cell
+    * lumas form a +-24-step random walk whose step SIGNS come from
+    * splitmix64(group * 8 + row), so every horizontally-adjacent cell
+    * pair differs by exactly 24 luma units — a guaranteed margin, never
+    * a tie (ties flip ~50/50 under JPEG noise and would wreck the
+    * Hamming bound). Distinct groups give independent sign patterns
+    * (expected pairwise Hamming ~32); the same group at any raster size
+    * gives the same hash because cells live on normalized (u,v). */
+  private def patternRgb(group: Long)(u: Double, v: Double): Int = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val r = math.min((v * 8).toInt, 7)
+    val c = math.min((u * 9).toInt, 8)
+    val rowBits = mix(group * 8 + r)
+    // walk offsets: bit set => this cell is brighter than its right
+    // neighbor (the dHash bit), i.e. the walk steps DOWN
+    val offs = new Array[Int](9)
+    var o = 0; var minO = 0; var i = 1
+    while (i < 9) {
+      o += (if (((rowBits >>> (i - 1)) & 1L) == 1L) -1 else 1)
+      offs(i) = o; if (o < minO) minO = o; i += 1
+    }
+    val luma = 16 + 24 * (offs(c) - minO) // in [16, 208]
+    luma * 0x010101
+  }
+
   /** Audio twin of [[mmImageMeta]]: encode a genuine PCM16 WAV per
     * document at formula-derived (sample rate, channels, frames), sniff
     * the parameters back from the BYTES
@@ -1107,6 +1172,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_phash_dedup" -> mmPhashDedup,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_compact_roundtrip" -> srcCompactRoundtrip,

@@ -160,4 +160,86 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === (("gif", 5, 7)))
     assert(got(3L) === (("unknown", -1, -1)))
   }
+
+  // blocky test pattern on normalized coordinates: per row, 9 cell lumas
+  // form a +-24-step random walk with group-keyed step signs — every
+  // horizontal neighbor pair has a guaranteed 24-unit margin (no ties to
+  // flip under JPEG noise), and re-rendering at another size is a true
+  // resized copy
+  private def pattern(group: Long)(u: Double, v: Double): Int = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val r = math.min((v * 8).toInt, 7)
+    val c = math.min((u * 9).toInt, 8)
+    val rowBits = mix(group * 8 + r)
+    val offs = new Array[Int](9)
+    var o = 0; var minO = 0; var i = 1
+    while (i < 9) {
+      o += (if (((rowBits >>> (i - 1)) & 1L) == 1L) -1 else 1)
+      offs(i) = o; if (o < minO) minO = o; i += 1
+    }
+    (16 + 24 * (offs(c) - minO)) * 0x010101
+  }
+
+  test("DHash64: resized and re-encoded copies hash within 3 bits; distinct patterns far apart") {
+    import graft.functions.DHash64
+    val orig = DHash64.compute(Multimodal.encodeImagePattern(90, 80, "png")(pattern(7L)))
+    val small = DHash64.compute(Multimodal.encodeImagePattern(45, 40, "png")(pattern(7L)))
+    val jpeg = DHash64.compute(Multimodal.encodeImagePattern(63, 56, "jpg")(pattern(7L)))
+    val other = DHash64.compute(Multimodal.encodeImagePattern(90, 80, "png")(pattern(8L)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(orig != null && small != null && jpeg != null && other != null)
+    assert(ham(orig, small) <= 3, s"resize moved the hash ${ham(orig, small)} bits")
+    assert(ham(orig, jpeg) <= 3, s"lossy re-encode moved the hash ${ham(orig, jpeg)} bits")
+    assert(ham(orig, other) > 10, "distinct patterns must not collide")
+    assert(DHash64.compute("not an image".getBytes) === null, "corrupt-is-data")
+    assert(DHash64.compute(Array.emptyByteArray) === null)
+    // a flat image carries no gradients: all-zero hash, equal for all colors
+    assert(DHash64.compute(Multimodal.encodeImage(16, 16, 0xff0000, "png")) === 0L)
+  }
+
+  test("imageNearDupPairs finds planted resize/recompress groups; corrupt blobs drop out") {
+    // two groups x three variants + one undecodable blob per group
+    val rows = (0 until 2).flatMap { g =>
+      val base = g * 10L
+      Seq(
+        (base + 0, Multimodal.encodeImagePattern(90, 80, "png")(pattern(g))),
+        (base + 1, Multimodal.encodeImagePattern(45, 40, "png")(pattern(g))),
+        (base + 2, Multimodal.encodeImagePattern(63, 56, "jpg")(pattern(g))),
+        (base + 3, s"corrupt $g".getBytes))
+    }
+    val pairs = Multimodal.imageNearDupPairs(
+        rows.toDF("doc_id", "content"), "doc_id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)),
+      s"expected exactly the planted within-group pairs, got $pairs")
+  }
+
+  test("DHash64 expression: codegen and interpreted agree; null propagates") {
+    import graft.functions.DHash64
+    val df = Seq(
+      (1L, Multimodal.encodeImagePattern(36, 32, "png")(pattern(3L))),
+      (2L, "junk".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "content")
+    def run(): Seq[(Long, Option[Long])] =
+      df.select($"id", DHash64($"content").as("h")).as[(Long, Option[Long])]
+        .collect().toSeq.sortBy(_._1)
+    val withCodegen = run()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === withCodegen)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(withCodegen.find(_._1 == 1L).get._2.isDefined)
+    assert(withCodegen.find(_._1 == 2L).get._2.isEmpty, "undecodable bytes hash to NULL")
+    assert(withCodegen.find(_._1 == 3L).get._2.isEmpty, "null payload propagates")
+  }
 }
