@@ -34,6 +34,35 @@ final class StubLlmClient(f: String => String, failOn: String => Boolean = _ => 
   }
 }
 
+/** HTTP 429 with the server's requested delay, when it sent one.
+  * `retryAfterMs < 0` means "throttled, no Retry-After header" — the
+  * retry loop then falls back to the reference's blind exponential
+  * schedule (test.py:66-78), preserving exact parity for servers that
+  * don't advertise. */
+final class RateLimitedException(val retryAfterMs: Long)
+    extends RuntimeException(
+      s"LLM call failed: HTTP 429" +
+        (if (retryAfterMs >= 0) s" (Retry-After ${retryAfterMs}ms)" else ""))
+
+object RateLimitedException {
+  /** Parse a Retry-After header value: RFC 9110 allows delta-seconds or
+    * an HTTP-date. Unparseable/absent → -1 (blind-backoff fallback). */
+  def parseRetryAfterMs(header: Option[String], nowEpochMs: Long): Long =
+    header.map(_.trim).filter(_.nonEmpty) match {
+      case None => -1L
+      case Some(v) =>
+        try math.max(0L, v.toLong * 1000L)
+        catch {
+          case _: NumberFormatException =>
+            try {
+              val at = java.time.ZonedDateTime
+                .parse(v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+              math.max(0L, at.toInstant.toEpochMilli - nowEpochMs)
+            } catch { case _: Exception => -1L }
+        }
+    }
+}
+
 /** Real HTTP client: bearer auth, 200s per-call timeout (test.py:71),
   * JSON in/out. Built on java.net.http (JDK) — no extra dependency. */
 final class HttpLlmClient(baseUrl: String, apiKey: String, timeoutSec: Long = 200L)
@@ -57,6 +86,11 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, timeoutSec: Long = 20
     if (req.idempotencyKey.nonEmpty) builder.header("Idempotency-Key", req.idempotencyKey)
     val httpReq = builder.build()
     val resp = http.send(httpReq, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 429) {
+      val ra = resp.headers().firstValue("Retry-After")
+      throw new RateLimitedException(RateLimitedException.parseRetryAfterMs(
+        if (ra.isPresent) Some(ra.get) else None, System.currentTimeMillis()))
+    }
     if (resp.statusCode() != 200)
       throw new RuntimeException(s"LLM call failed: HTTP ${resp.statusCode()}")
     extractContent(resp.body())
@@ -76,10 +110,24 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, timeoutSec: Long = 20
 }
 
 /** Exponential-backoff retry: 7 attempts, 1s doubling to 64s — the exact
-  * policy at test.py:66-78. Sleep is capped for tests via `sleeper`. */
+  * policy at test.py:66-78. Sleep is capped for tests via `sleeper`.
+  *
+  * Rate-limit aware: when the failure is a [[RateLimitedException]]
+  * carrying a server-stated Retry-After, sleep THAT long (clamped to
+  * `maxRetryAfterMs` — a hostile or miscalibrated server must not pin a
+  * task thread for an hour) instead of the blind exponential step, and
+  * do NOT advance the exponential schedule — the server told us when
+  * capacity returns; the doubling ladder stays reserved for failures we
+  * know nothing about. A 429 WITHOUT the header takes the blind
+  * schedule, byte-for-byte the reference behavior. Every honored
+  * throttle is reported through `onThrottle(sleptMs)` so callers can
+  * surface backpressure metrics (Enrich wires an accumulator). Attempts
+  * are consumed either way — a throttle storm still terminates. */
 object Retry {
   def withBackoff[T](attempts: Int = 7, baseDelayMs: Long = 1000L,
-                     sleeper: Long => Unit = Thread.sleep)(f: => T): T = {
+                     sleeper: Long => Unit = Thread.sleep,
+                     onThrottle: Long => Unit = _ => (),
+                     maxRetryAfterMs: Long = 120000L)(f: => T): T = {
     var delay = baseDelayMs
     var last: Throwable = null
     var i = 0
@@ -92,7 +140,14 @@ object Retry {
         case e if scala.util.control.NonFatal(e) =>
           last = e
           i += 1
-          if (i < attempts) { sleeper(delay); delay *= 2 }
+          if (i < attempts) e match {
+            case rl: RateLimitedException if rl.retryAfterMs >= 0 =>
+              val ms = math.min(rl.retryAfterMs, maxRetryAfterMs)
+              onThrottle(ms)
+              sleeper(ms)
+            case _ =>
+              sleeper(delay); delay *= 2
+          }
       }
     }
     throw last

@@ -214,6 +214,57 @@ object Dedup {
       .select(col(idCol), col("_bh.band").as("_band"), col("_bh.h").as("_h"))
   }
 
+  /** P(LSH proposes a pair | true Jaccard = j) for a (bands x rowsPerBand)
+    * banding: a band matches iff all its rows agree (prob j^r under the
+    * MinHash permutation model); the pair surfaces iff ANY band matches —
+    * the standard S-curve 1 - (1 - j^r)^b (Leskovec/Rajaraman/Ullman,
+    * Mining of Massive Datasets ch. 3). */
+  def lshDetectionProbability(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Derive (bands, rowsPerBand) from the S-curve for a target Jaccard
+    * threshold and error budgets, instead of hard-coding 12x4: find the
+    * cheapest signature (minimal bands*rowsPerBand = hashes per doc, the
+    * narrow-stage cost; ties to fewer BANDS = fewer band-join rows, the
+    * shuffle cost) such that
+    *   - a true pair at `threshold + margin` is detected with
+    *     probability >= 1 - fnBudget, and
+    *   - a non-pair at `threshold - margin` surfaces as a candidate with
+    *     probability <= fpBudget (candidate = wasted verify work, not a
+    *     wrong answer — the exact-Jaccard verify step removes it).
+    * The +-margin formulation is honest about what LSH can do: AT the
+    * threshold detection is ~54% for any sane parameters; budgets only
+    * bind outside the transition band. */
+  def lshParamsFor(threshold: Double, fpBudget: Double = 0.05, fnBudget: Double = 0.05,
+                   margin: Double = 0.1, maxHashes: Int = 1024): (Int, Int) = {
+    require(threshold - margin > 0 && threshold + margin <= 1.0,
+      s"threshold +- margin must stay inside (0, 1]: $threshold +- $margin")
+    require(fpBudget > 0 && fpBudget < 1 && fnBudget > 0 && fnBudget < 1,
+      "budgets are probabilities in (0, 1)")
+    val jHi = threshold + margin
+    val jLo = threshold - margin
+    var best: Option[(Int, Int)] = None // (bands, rowsPerBand)
+    def cost(p: (Int, Int)): (Int, Int) = (p._1 * p._2, p._1) // (hashes, bands)
+    var r = 1
+    while (r <= 32) {
+      // smallest b meeting the FN budget: (1 - jHi^r)^b <= fn
+      val miss = 1.0 - math.pow(jHi, r)
+      val b =
+        if (miss <= 0.0) 1
+        else math.ceil(math.log(fnBudget) / math.log(miss)).toInt.max(1)
+      if (b.toLong * r <= maxHashes &&
+          lshDetectionProbability(jLo, b, r) <= fpBudget &&
+          lshDetectionProbability(jHi, b, r) >= 1.0 - fnBudget &&
+          best.forall(p => Ordering[(Int, Int)].lt(cost((b, r)), cost(p))))
+        best = Some((b, r))
+      r += 1
+    }
+    best.getOrElse(throw new IllegalArgumentException(
+      s"no (bands, rows) within $maxHashes hashes separates " +
+        s"J=$jLo (fp<=$fpBudget) from J=$jHi (fn<=$fnBudget) — widen the " +
+        "margin, relax a budget, or raise maxHashes"))
+  }
+
   /** MinHash+LSH near-dup pairs, verified: LSH proposes candidates via
     * band-bucket equi-join; exact shingle-Jaccard (over 64-bit shingle
     * hashes) filters false positives. k = bands*rowsPerBand hash
@@ -221,7 +272,15 @@ object Dedup {
     * hash; the signature is computed as k codegen'd `min` aggregates over
     * exploded postings — one hash-shuffle on the id, no per-row lambda
     * evaluation. The candidate equi-join shuffles (band, bandHash) longs
-    * only — this is the 100 TB-safe formulation (no O(n^2)). */
+    * only — this is the 100 TB-safe formulation (no O(n^2)).
+    *
+    * The 12x4 default is a high-similarity operating point: detection
+    * 0.96 at J=0.7, ~1 at J>=0.9, but only 0.81 at J=0.6 — fine when
+    * true duplicates are near-exact (crawl dedup), lossy for a corpus
+    * with genuine borderline pairs. For explicit error budgets derive
+    * (bands, rowsPerBand) with [[lshParamsFor]] — and expect tight
+    * budgets near the threshold to be expensive: the S-curve is shallow,
+    * e.g. separating J=0.4 from J=0.6 at 5%/5% costs ~5000 hashes/doc. */
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand

@@ -132,7 +132,8 @@ object Enrich {
   def enrich(df: DataFrame, columnIndex: Int, cfg: Config,
              clientFactory: () => LlmClient,
              progress: Option[LongAccumulator] = None,
-             shardedIndex: Boolean = false): DataFrame = {
+             shardedIndex: Boolean = false,
+             throttles: Option[LongAccumulator] = None): DataFrame = {
     require(!shardedIndex || cfg.maxRows == Long.MaxValue,
       "shardedIndex requires unbounded maxRows: the head slice at maxRows is " +
         "positional, and sharded (non-contiguous) indexes carry no positions — " +
@@ -186,13 +187,20 @@ object Enrich {
               val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
               val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
               val response =
-                try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs) {
+                try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
+                  // per-partition backpressure metric: count of honored
+                  // server throttles (429 + Retry-After) — a driver-side
+                  // signal to widen batches or shrink rowConcurrency.
+                  // LongAccumulator.add is NOT thread-safe and these run
+                  // on concurrent io-pool threads — synchronize, or
+                  // concurrent updates lose counts.
+                  onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {
                   g.foreach(_.acquire())
                   try client.complete(
                     LlmRequest(prompt, conf.model, conf.maxTokens, conf.temperature, idemKey)).trim
                   finally g.foreach(_.release())
                 } catch { case e if scala.util.control.NonFatal(e) => ErrorSentinel }
-              progress.foreach(_.add(1))
+              progress.foreach(a => a.synchronized(a.add(1)))
               Row.fromSeq(seq :+ response)
             } finally inFlight.decrementAndGet()
           })

@@ -529,4 +529,49 @@ class DedupSpec extends SparkSpec {
     // no cross-document pair (different base text) should appear
     got.foreach { case (a, b, _) => assert(b - a == 1 && a % 2 == 0, s"unexpected pair ($a,$b)") }
   }
+
+  test("lshParamsFor: derived params honor both budgets at threshold +- margin") {
+    // feasible operating points: a loose FP budget is the realistic
+    // shape (false candidates are wasted verify work, not wrong answers;
+    // the S-curve near the threshold is shallow, so tight two-sided
+    // budgets cost thousands of hashes)
+    for ((t, fp, fn) <- Seq((0.5, 0.3, 0.05), (0.7, 0.3, 0.05), (0.9, 0.1, 0.1),
+                            (0.9, 0.05, 0.05), (0.8, 0.2, 0.02))) {
+      val (b, r) = Dedup.lshParamsFor(t, fpBudget = fp, fnBudget = fn, margin = 0.1)
+      val pHi = Dedup.lshDetectionProbability(t + 0.1, b, r)
+      val pLo = Dedup.lshDetectionProbability(t - 0.1, b, r)
+      assert(pHi >= 1.0 - fn, s"t=$t fp=$fp fn=$fn -> ${b}x$r: P(hi)=$pHi misses the FN budget")
+      assert(pLo <= fp, s"t=$t fp=$fp fn=$fn -> ${b}x$r: P(lo)=$pLo blows the FP budget")
+      assert(b * r <= 1024)
+    }
+  }
+
+  test("lshParamsFor: cheapest signature wins — no smaller hash count satisfies the budgets") {
+    val (b, r) = Dedup.lshParamsFor(0.5, fpBudget = 0.3, fnBudget = 0.05, margin = 0.1)
+    val k = b * r
+    // exhaustive check below the chosen cost: nothing cheaper works
+    for (r2 <- 1 to 32; b2 <- 1 to (k - 1) / r2) {
+      val ok = Dedup.lshDetectionProbability(0.6, b2, r2) >= 0.95 &&
+        Dedup.lshDetectionProbability(0.4, b2, r2) <= 0.3
+      assert(!ok || b2 * r2 >= k, s"${b2}x$r2 (${b2 * r2} hashes) beats chosen ${b}x$r ($k)")
+    }
+  }
+
+  test("lshParamsFor: the hard-coded 12x4 default matches its documented operating point") {
+    assert(Dedup.lshDetectionProbability(0.7, 12, 4) >= 0.96)
+    assert(Dedup.lshDetectionProbability(0.9, 12, 4) >= 0.99999)
+    assert(Dedup.lshDetectionProbability(0.2, 12, 4) <= 0.02)
+    // honest about the soft spot: J=0.6 detection is ~0.81, NOT ~1
+    val p06 = Dedup.lshDetectionProbability(0.6, 12, 4)
+    assert(p06 > 0.80 && p06 < 0.82)
+  }
+
+  test("lshParamsFor: impossible separations fail loud, not silently degrade") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshParamsFor(0.5, fpBudget = 1e-9, fnBudget = 1e-9, margin = 0.01, maxHashes = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshParamsFor(0.05, margin = 0.1) // threshold - margin <= 0
+    }
+  }
 }

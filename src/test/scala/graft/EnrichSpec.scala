@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{LlmRequest, Retry, StubLlmClient}
+import graft.llm.{LlmRequest, RateLimitedException, Retry, StubLlmClient}
 import graft.operators.Enrich
 import org.apache.spark.sql.functions.col
 import scala.collection.mutable.ArrayBuffer
@@ -14,7 +14,7 @@ object EnrichProbes {
   val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   val keys: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def reset(): Unit = { inFlight.set(0); maxSeen.set(0); calls.set(0); keys.clear(); keyCounts.clear() }
+  def reset(): Unit = { inFlight.set(0); maxSeen.set(0); calls.set(0); keys.clear(); keyCounts.clear(); throttledPrompts.clear() }
 
   class ProbeClient extends graft.llm.LlmClient with Serializable {
     override def complete(req: graft.llm.LlmRequest): String = {
@@ -41,6 +41,18 @@ object EnrichProbes {
       "ok"
     }
   }
+
+  /** 429s the FIRST attempt of every prompt (keyed on prompt), succeeds
+    * on retry — one honored throttle per row. */
+  class ThrottleOnceClient(retryAfterMs: Long) extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      if (throttledPrompts.add(req.prompt))
+        throw new graft.llm.RateLimitedException(retryAfterMs)
+      "ok:" + req.prompt.length
+    }
+  }
+  val throttledPrompts: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 class EnrichSpec extends SparkSpec {
@@ -160,6 +172,83 @@ class EnrichSpec extends SparkSpec {
     }
     assert(calls == 7)
     assert(delays.toSeq == Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L))
+  }
+
+  test("Retry: 429 + Retry-After sleeps the server's delay and leaves the ladder untouched") {
+    val delays = ArrayBuffer[Long]()
+    val throttled = ArrayBuffer[Long]()
+    var calls = 0
+    val r = Retry.withBackoff(attempts = 7, baseDelayMs = 1000L,
+      sleeper = delays += _, onThrottle = throttled += _) {
+      calls += 1
+      calls match {
+        case 1 => throw new RuntimeException("boom")             // blind: 1000
+        case 2 => throw new RateLimitedException(5000L)          // honored: 5000
+        case 3 => throw new RateLimitedException(3000L)          // honored: 3000
+        case 4 => throw new RuntimeException("boom")             // ladder RESUMES: 2000
+        case _ => "done"
+      }
+    }
+    assert(r == "done" && calls == 5)
+    assert(delays.toSeq == Seq(1000L, 5000L, 3000L, 2000L),
+      "server-stated delays interleave without advancing the exponential schedule")
+    assert(throttled.toSeq == Seq(5000L, 3000L), "only honored throttles are reported")
+  }
+
+  test("Retry: 429 without Retry-After takes the blind exponential schedule (parity)") {
+    val delays = ArrayBuffer[Long]()
+    val throttled = ArrayBuffer[Long]()
+    var calls = 0
+    val r = Retry.withBackoff(attempts = 7, baseDelayMs = 1000L,
+      sleeper = delays += _, onThrottle = throttled += _) {
+      calls += 1
+      if (calls < 3) throw new RateLimitedException(-1L)
+      "done"
+    }
+    assert(r == "done")
+    assert(delays.toSeq == Seq(1000L, 2000L), "headerless 429 = reference blind backoff")
+    assert(throttled.isEmpty, "no Retry-After, nothing to report as a throttle")
+  }
+
+  test("Retry: hostile Retry-After is clamped; attempts still bound a throttle storm") {
+    val delays = ArrayBuffer[Long]()
+    var calls = 0
+    intercept[RateLimitedException] {
+      Retry.withBackoff(attempts = 3, baseDelayMs = 1000L, sleeper = delays += _,
+        maxRetryAfterMs = 10000L) {
+        calls += 1; throw new RateLimitedException(3600000L) // server asks for 1h
+      }
+    }
+    assert(calls == 3)
+    assert(delays.toSeq == Seq(10000L, 10000L), "clamped to maxRetryAfterMs")
+  }
+
+  test("Retry-After parsing: delta-seconds, HTTP-date, garbage, absent") {
+    import graft.llm.RateLimitedException.parseRetryAfterMs
+    val now = 1700000000000L
+    assert(parseRetryAfterMs(Some("30"), now) == 30000L)
+    assert(parseRetryAfterMs(Some("0"), now) == 0L)
+    val date = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now + 42000L).atZone(java.time.ZoneOffset.UTC))
+    assert(parseRetryAfterMs(Some(date), now) == 42000L)
+    val past = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now - 5000L).atZone(java.time.ZoneOffset.UTC))
+    assert(parseRetryAfterMs(Some(past), now) == 0L, "dates in the past clamp to 0")
+    assert(parseRetryAfterMs(Some("soon"), now) == -1L)
+    assert(parseRetryAfterMs(Some(""), now) == -1L)
+    assert(parseRetryAfterMs(None, now) == -1L)
+  }
+
+  test("enrich surfaces per-partition throttle counts through the accumulator") {
+    EnrichProbes.reset()
+    val acc = spark.sparkContext.longAccumulator("throttles")
+    val cfg = Enrich.Config(systemPrompt = "P", batchSize = 10, retryBaseDelayMs = 1L)
+    val out = Enrich.enrich(corpus(8), 0, cfg,
+        () => new EnrichProbes.ThrottleOnceClient(retryAfterMs = 5L),
+        throttles = Some(acc))
+      .select("Response").as[String].collect()
+    assert(out.length == 8 && out.forall(_.nonEmpty), "every row recovers after its 429")
+    assert(acc.value == 8L, s"each row throttled exactly once, got ${acc.value}")
   }
 
   test("global in-flight gate bounds concurrent LLM calls JVM-wide") {
