@@ -1325,23 +1325,28 @@ object Ext {
   /** Shared near-dup-pair CTEs for the heavy twins: candidate pairs via
     * a posting-list self-join (docs sharing >=1 shingle — LOSSLESS for
     * any J >= 0.5 threshold since J > 0 requires a shared shingle),
-    * then exact Jaccard on candidates only. Replaces the all-pairs
-    * cross join whose sf0.1 cost made the oracle side, not the engine,
-    * the sweep bottleneck (11x fewer pairs measured). Emits `j`
-    * (rounded to 4, the minhash/ngram filter column) and `jx` (raw,
-    * the closure twins' filter column) so each twin keeps its exact
-    * pre-rewrite filter semantics. */
+    * with the intersection size computed BY THE JOIN AGGREGATION itself:
+    * the shingle lists are distinct, so |A∩B| = count of matching
+    * posting rows per pair and |A∪B| = |A| + |B| - |A∩B| — no per-pair
+    * list_intersect / list_distinct materialization at all. (The round-8
+    * formulation kept a DISTINCT candidate join + per-pair list ops;
+    * at sf0.1 that made four twins blow a 90 s budget — this version is
+    * the same integer math, fully vectorized.) Emits `j` (rounded to 4,
+    * the minhash/ngram filter column) and `jx` (raw, the closure twins'
+    * filter column) so each twin keeps its exact filter semantics. */
   private def duckVerifiedPairs(langMatched: Boolean): String = {
     val langSel = if (langMatched) ", lang" else ""
     val langCond = if (langMatched) " AND a.lang = b.lang" else ""
-    s"""sh AS (SELECT doc_id$langSel, $duckShingles AS s FROM documents),
+    s"""sh AS MATERIALIZED (SELECT doc_id$langSel, $duckShingles AS s FROM documents),
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
        |post AS (SELECT doc_id$langSel, unnest(s) AS h FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM post a JOIN post b ON a.h = b.h$langCond AND a.doc_id < b.doc_id),
-       |p AS (SELECT c.id_a, c.id_b,
-       |  round(len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1), 4) AS j,
-       |  len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1) AS jx
-       |  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+       |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM post a JOIN post b ON a.h = b.h$langCond AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT ix.id_a, ix.id_b,
+       |  round(ix.i * CAST(1.0 AS DOUBLE) / greatest(na.n + nb.n - ix.i, 1), 4) AS j,
+       |  ix.i * CAST(1.0 AS DOUBLE) / greatest(na.n + nb.n - ix.i, 1) AS jx
+       |  FROM ix JOIN sz na ON ix.id_a = na.doc_id JOIN sz nb ON ix.id_b = nb.doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1499,7 +1504,7 @@ object Ext {
          |      FROM tok)
          |SELECT doc_id, lang, n_tok, chunk FROM c ORDER BY doc_id""".stripMargin,
     "txt_decontam" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
          |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
          |posts AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh WHERE doc_id % 20 <> 0),
          |m AS (SELECT doc_id, count(*) AS n_shared, any_value(n) AS n_shingles
@@ -1883,19 +1888,38 @@ object Ext {
       s"""WITH ${duckVerifiedPairs(langMatched = true)}
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // same shared-shingle candidate join as the Jaccard twin, verified
-    // with exact Levenshtein at the 20% relative bound; the length
-    // prefilter is implied by the bound (lev >= abs(len diff)), so it
-    // only removes rows the final filter would drop anyway
+    // with exact Levenshtein at the 20% relative bound. Both prefilters
+    // are implied by that bound, so they only remove rows the final
+    // filter would drop anyway: (1) lev >= abs(len diff); (2) one char
+    // edit changes at most 3 DISTINCT char-trigrams per side, so
+    // lev >= (greatest(|A|,|B|) - |A∩B|)/3 over char-trigram sets —
+    // random same-length pairs have near-disjoint trigram sets and
+    // prune here, instead of each paying an O(len^2) levenshtein
+    // (105k candidate pairs -> 98 s at sf0.1 without it)
     "dedup_editdist" ->
-      s"""WITH sh AS (SELECT doc_id, lang, $duckShingles AS s FROM documents),
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, lang, $duckShingles AS s FROM documents),
          |post AS (SELECT doc_id, lang, unnest(s) AS h FROM sh),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id),
-         |pre AS (SELECT c.id_a, c.id_b, trim(da.text) AS ta, trim(db.text) AS tb,
-         |  greatest(length(trim(da.text)), length(trim(db.text))) AS l
-         |  FROM cand c JOIN documents da ON c.id_a = da.doc_id JOIN documents db ON c.id_b = db.doc_id
-         |  WHERE abs(length(trim(da.text)) - length(trim(db.text))) <= floor(0.2 * greatest(length(trim(da.text)), length(trim(db.text))))),
-         |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre)
+         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t, length(trim(text)) AS len,
+         |  CASE WHEN length(trim(text)) < 3 THEN CAST([] AS UBIGINT[])
+         |  ELSE list_distinct(list_transform(generate_series(1, length(trim(text)) - 2),
+         |    i -> hash(substring(trim(text), i, 3)))) END AS g3
+         |  FROM documents),
+         |pre AS MATERIALIZED (SELECT c.id_a, c.id_b, da.t AS ta, db.t AS tb,
+         |  greatest(da.len, db.len) AS l, len(da.g3) AS n3a, len(db.g3) AS n3b
+         |  FROM cand c JOIN doc da ON c.id_a = da.doc_id JOIN doc db ON c.id_b = db.doc_id
+         |  WHERE abs(da.len - db.len) <= floor(0.2 * greatest(da.len, db.len))),
+         |g3post AS MATERIALIZED (SELECT doc_id, unnest(g3) AS th FROM doc),
+         |ti AS (SELECT pr.id_a, pr.id_b, count(*) AS i3
+         |  FROM pre pr
+         |  JOIN g3post pa ON pa.doc_id = pr.id_a
+         |  JOIN g3post pb ON pb.doc_id = pr.id_b AND pb.th = pa.th
+         |  GROUP BY 1, 2),
+         |pre2 AS (SELECT pr.id_a, pr.id_b, pr.ta, pr.tb, pr.l
+         |  FROM pre pr LEFT JOIN ti ON pr.id_a = ti.id_a AND pr.id_b = ti.id_b
+         |  WHERE greatest(pr.n3a, pr.n3b) - coalesce(ti.i3, 0) <= 3 * floor(0.2 * pr.l)),
+         |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre2)
          |SELECT id_a, id_b, d FROM p WHERE d <= floor(0.2 * l) ORDER BY id_a, id_b""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
     // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
@@ -1914,13 +1938,15 @@ object Ext {
       s"""WITH ${duckVerifiedPairs(langMatched = false)}
          |SELECT id_a, id_b, j FROM p WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "dedup_drop_inc" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
          |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
-         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400),
-         |hit AS (SELECT DISTINCT c.batch_id AS doc_id
-         |  FROM cand c JOIN sh sa ON c.corpus_id = sa.doc_id JOIN sh sb ON c.batch_id = sb.doc_id
-         |  WHERE len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1) >= 0.5)
+         |ix AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS i
+         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY 1, 2),
+         |hit AS (SELECT DISTINCT ix.batch_id AS doc_id
+         |  FROM ix JOIN sz na ON ix.corpus_id = na.doc_id JOIN sz nb ON ix.batch_id = nb.doc_id
+         |  WHERE ix.i * CAST(1.0 AS DOUBLE) / greatest(na.n + nb.n - ix.i, 1) >= 0.5)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hit)
          |ORDER BY doc_id""".stripMargin,
@@ -1932,13 +1958,15 @@ object Ext {
     // hashing makes the outcome stable, but a fixture refresh landing a
     // borderline pair would surface here as a miss, not a flake)
     "dedup_minhash_inc" ->
-      s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
          |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
-         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400),
-         |p AS (SELECT c.batch_id, c.corpus_id,
-         |  round(len(list_intersect(sa.s, sb.s)) * CAST(1.0 AS DOUBLE) / greatest(len(list_distinct(sa.s || sb.s)), 1), 4) AS j
-         |  FROM cand c JOIN sh sa ON c.corpus_id = sa.doc_id JOIN sh sb ON c.batch_id = sb.doc_id)
+         |ix AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS i
+         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY 1, 2),
+         |p AS (SELECT ix.batch_id, ix.corpus_id,
+         |  round(ix.i * CAST(1.0 AS DOUBLE) / greatest(na.n + nb.n - ix.i, 1), 4) AS j
+         |  FROM ix JOIN sz na ON ix.corpus_id = na.doc_id JOIN sz nb ON ix.batch_id = nb.doc_id)
          |SELECT batch_id, corpus_id, j FROM p WHERE j >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
     // span equality over 8-token STRINGS stands in for the engine's
     // xxhash64 span hashes (equal spans <=> equal hashes; a 64-bit

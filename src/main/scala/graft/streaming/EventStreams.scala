@@ -145,6 +145,41 @@ object EventStreams {
       }
       .start()
 
+  /** The landing-directory contract, as one callable: stream files from
+    * `landingDir` through `transform` into an exactly-once parquet sink.
+    *
+    * Durability semantics (what a production landing pipeline needs and
+    * what EventStreamsSpec's restart cases pin):
+    *   - Source progress (which files are consumed) and operator state
+    *     (watermarks, dedup keys, session state) live in
+    *     `checkpointDir` — a restart with the same (checkpointDir,
+    *     outDir, transform) RESUMES: already-committed files are never
+    *     reprocessed, stateful operators continue from their snapshot.
+    *   - The parquet sink commits per micro-batch into `_spark_metadata`;
+    *     readers going through `spark.read.parquet(outDir)` see ONLY
+    *     committed batches — a crash mid-batch leaks no partial rows,
+    *     and the retried batch lands exactly once.
+    *   - `Trigger.AvailableNow` processes everything currently landed
+    *     then stops on its own: the restartable catch-up shape (cron it)
+    *     — pass `continuous = true` for a long-running tail instead.
+    *
+    * The transform must be append-mode-compatible (stateless narrow ops,
+    * watermark + append aggregations, dropDuplicatesWithinWatermark...).
+    * Changing the transform against an existing checkpoint is on the
+    * caller: Spark rejects incompatible plan changes at restart. */
+  def runLandingToParquet(spark: SparkSession, landingDir: String, schemaFrom: DataFrame,
+                          transform: DataFrame => DataFrame,
+                          outDir: String, checkpointDir: String,
+                          continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = transform(fileSource(spark, landingDir, schemaFrom)).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+    (if (continuous) writer
+     else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+  }
+
   /** Streaming corpus quality gate: the batch gate's fused narrow
     * projection + filter applied to each micro-batch. Stateless — no
     * watermark, no state store; works in append mode on any document

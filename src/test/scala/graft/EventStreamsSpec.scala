@@ -211,4 +211,87 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("ivj").count() == 2)
     } finally q.stop()
   }
+
+  // ---- landing-directory contract: restart recovery ----------------------
+
+  private def landingDirs(): (String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-landing-").toString
+    (s"$base/landing", s"$base/out", s"$base/chk")
+  }
+
+  private def land(dir: String, rows: Seq[(Long, String, Timestamp)]): Unit =
+    rows.toDF("id", "k", "ts").coalesce(1).write.mode("append").parquet(dir)
+
+  private def schemaDf = Seq.empty[(Long, String, Timestamp)].toDF("id", "k", "ts")
+
+  private def readOut(outDir: String): Seq[Long] =
+    spark.read.parquet(outDir).select("id").as[Long].collect().toSeq.sorted
+
+  test("landing restart: committed files are never reprocessed, new files are picked up") {
+    val (landing, out, chk) = landingDirs()
+    land(landing, (0L until 10L).map(i => (i, s"k$i", ts(i))))
+    val q1 = EventStreams.runLandingToParquet(spark, landing, schemaDf, identity, out, chk)
+    q1.awaitTermination() // AvailableNow: self-stops when caught up
+    assert(readOut(out) == (0L until 10L), "first run emits the landed rows once")
+
+    land(landing, (10L until 20L).map(i => (i, s"k$i", ts(i))))
+    val q2 = EventStreams.runLandingToParquet(spark, landing, schemaDf, identity, out, chk)
+    q2.awaitTermination()
+    assert(readOut(out) == (0L until 20L),
+      "restart from the checkpoint processes ONLY the new files — old rows exactly once")
+  }
+
+  test("landing restart: stateful dedup state survives — a cross-restart duplicate stays suppressed") {
+    val (landing, out, chk) = landingDirs()
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.streamingDedup(df, Seq("k"))
+    land(landing, Seq((1L, "a", ts(600)), (2L, "b", ts(600))))
+    val q1 = EventStreams.runLandingToParquet(spark, landing, schemaDf, dedup, out, chk)
+    q1.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L))
+
+    // "b" lands AGAIN after the restart, within the watermark window
+    land(landing, Seq((3L, "b", ts(630)), (4L, "c", ts(630))))
+    val q2 = EventStreams.runLandingToParquet(spark, landing, schemaDf, dedup, out, chk)
+    q2.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L, 4L),
+      "recovered state store still knows key b — the duplicate is dropped, c passes")
+  }
+
+  test("landing crash mid-batch: no partial rows visible; retry lands the batch exactly once") {
+    val (landing, out, chk) = landingDirs()
+    val crash = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 13L && EventStreamsProbes.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash")
+      id
+    }
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("id", crash(org.apache.spark.sql.functions.col("id")))
+
+    land(landing, Seq((1L, "a", ts(0)), (2L, "b", ts(1))))
+    EventStreamsProbes.armed.set(false)
+    val q1 = EventStreams.runLandingToParquet(spark, landing, schemaDf, transform, out, chk)
+    q1.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L))
+
+    // batch 2 carries the poison row; the query dies mid-batch
+    land(landing, Seq((12L, "c", ts(2)), (13L, "d", ts(3)), (14L, "e", ts(4))))
+    EventStreamsProbes.armed.set(true)
+    val q2 = EventStreams.runLandingToParquet(spark, landing, schemaDf, transform, out, chk)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { q2.awaitTermination() }
+    assert(readOut(out) == Seq(1L, 2L),
+      "a crashed batch must leak NOTHING into the committed view of the sink")
+
+    // restart: the same batch retries (the kill switch is spent) and commits once
+    val q3 = EventStreams.runLandingToParquet(spark, landing, schemaDf, transform, out, chk)
+    q3.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L, 12L, 13L, 14L),
+      "the retried batch lands exactly once — no dupes of rows from its failed attempt")
+  }
+}
+
+/** JVM-wide kill switch for the crash-injection case (UDFs close over
+  * nothing; local mode shares the JVM, so a static flag reaches tasks). */
+object EventStreamsProbes {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
