@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level curation (the RefinedWeb/CCNet playbook: Penedo et
+  * al. 2023 §3.1): crawl curation starts at the URL, not the text —
+  * extract the host, drop blocklisted domains (with their subdomains),
+  * and cap how many documents any one domain may contribute so a single
+  * crawl-heavy site can't dominate the mixture.
+  *
+  * Everything here is Column-algebra over built-in functions (regex,
+  * arrays, windows) — no UDFs, fully codegen'd, and the host grammar is
+  * ONE regex string shared verbatim with the DuckDB oracle twin.
+  *
+  * Scale design:
+  *  - host/domain extraction is narrow (per-row regex);
+  *  - blocklist filtering is a hash ANTI-JOIN on the host's suffix
+  *    chain (`news.a.com -> [news.a.com, a.com, com]`), exploded at
+  *    most `hostname labels` (~4-5) rows per doc — subdomain matching
+  *    WITHOUT a like/endswith predicate, so Spark plans a broadcast (or
+  *    shuffled, for million-entry lists) hash join, never a nested loop;
+  *  - per-domain caps are a rank-per-key window, which the engine's
+  *    TopKPerKey rewrite plans as a bounded heap per domain rather than
+  *    a full sort when a cap literal is present.
+  */
+object WebCurate {
+
+  /** Host grammar, shared VERBATIM with the DuckDB twins: scheme, then
+    * optional userinfo@, capture up to the first of [:/?#]. Applied
+    * under lower() with a leading `www.` strip. */
+  val HostRegex: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+  /** Hostname of a URL: lowercased, port/userinfo dropped, leading
+    * `www.` stripped. Unparseable URLs yield the empty string (regex
+    * no-match) — filter or fail on that downstream as policy dictates. */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRegex, 1)), "^www\\.", "")
+
+  /** Naive registrable domain: the last two labels (`a.b.c -> b.c`).
+    * Production code layers a public-suffix list on top — pass the
+    * multi-label suffixes you care about (e.g. "co.uk") in
+    * `twoLevelSuffixes` and hosts under them keep three labels. The
+    * default (empty) is exactly SQL-expressible for the oracle. */
+  def registeredDomainOf(host: Column,
+                         twoLevelSuffixes: Set[String] = Set.empty): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = array_join(slice(labels, greatest(n - 1, lit(1)), lit(2)), ".")
+    val lastThree = array_join(slice(labels, greatest(n - 2, lit(1)), lit(3)), ".")
+    if (twoLevelSuffixes.isEmpty) lastTwo
+    else when(lastTwo.isin(twoLevelSuffixes.toSeq: _*) && n >= lit(3), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** The host's dot-suffix chain: `news.a.com -> [news.a.com, a.com,
+    * com]` — the join key set that makes subdomain blocklisting a hash
+    * join instead of an endswith scan. */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** True when the URL's host is a blocklisted domain or any subdomain
+    * of one — a NARROW predicate (suffix chain vs literal array), zero
+    * joins, for the common case of an in-memory blocklist. */
+  def isBlockedDomain(url: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(hostSuffixes(hostOf(url)),
+      array(blocklist.map(d => lit(d.toLowerCase)): _*))
+
+  /** Drop rows whose host matches `blocklist` (domains + subdomains).
+    * Literal-predicate path: one narrow scan, no shuffle. Right for
+    * blocklists that fit comfortably in the plan (up to ~thousands). */
+  def filterByDomain(df: DataFrame, urlCol: String,
+                     blocklist: Seq[String]): DataFrame =
+    df.where(!isBlockedDomain(col(urlCol), blocklist))
+
+  /** Million-entry-blocklist path: `blockDf(blocked_domain)` is a
+    * TABLE. The suffix chain explodes on a NARROW (id, suffix)
+    * projection only — the semi-join finds blocked ids, the anti-join
+    * removes them from the full rows. Both are equality hash joins
+    * (broadcast when small, shuffled when not); document text never
+    * rides a shuffle. */
+  def filterByDomainJoin(df: DataFrame, idCol: String, urlCol: String,
+                         blockDf: DataFrame): DataFrame = {
+    val blockedIds = df
+      .select(col(idCol), explode(hostSuffixes(hostOf(col(urlCol)))).as("_sfx"))
+      .join(blockDf, col("_sfx") === lower(blockDf.col(blockDf.columns.head)), "left_semi")
+      .select(idCol).distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
+  /** Keep at most `maxPerDomain` docs per registrable domain, lowest
+    * `orderCol` first (deterministic) — the "no single site dominates"
+    * cap. Plans as rank-per-key; the TopKPerKey rewrite bounds it. */
+  def capPerDomain(df: DataFrame, urlCol: String, orderCol: String,
+                   maxPerDomain: Int,
+                   twoLevelSuffixes: Set[String] = Set.empty): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be > 0")
+    val domain = registeredDomainOf(hostOf(col(urlCol)), twoLevelSuffixes)
+    df.withColumn("_domain", domain)
+      .withColumn("_rk",
+        row_number().over(Window.partitionBy(col("_domain"))
+          .orderBy(col(orderCol).asc)))
+      .where(col("_rk") <= maxPerDomain)
+      .drop("_domain", "_rk")
+  }
+}

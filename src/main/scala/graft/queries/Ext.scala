@@ -171,8 +171,45 @@ object Ext {
     * strip markup -> token-count floor -> canonical fingerprint. The
     * oracle rebuilds the page and replays every stage in SQL, hashing
     * the whole chain. All narrow — one pass at any scale. */
+  /** Deterministic synthetic URL per document (the fixtures carry no
+    * URL column): eight authorities cycling on doc_id, deliberately
+    * covering the parser's corner cases — userinfo@, an explicit port,
+    * a www. prefix, and two blocklisted domains. Shared between
+    * [[txtDomainFilter]] and [[pipelineWebCurate]], mirrored by an
+    * identical CASE expression in their oracle twins. */
+  private def syntheticUrl: Column = {
+    val auth = element_at(array(
+      lit("news.example.com"), lit("www.example.com"),
+      lit("user:pw@blog.sample.org"), lit("spam.badsite.biz"),
+      lit("ads.tracker.net"), lit("docs.sample.org"),
+      lit("example.com"), lit("media.example.com:8080")),
+      (col("doc_id") % 8 + 1).cast("int"))
+    concat(lit("https://"), auth, lit("/p/"), col("doc_id"))
+  }
+
+  private val demoBlocklist = Seq("badsite.biz", "tracker.net")
+
+  /** URL/domain curation (RefinedWeb §3.1): host extraction (userinfo/
+    * port/www handled), subdomain-aware blocklist drop, and a
+    * per-registrable-domain contribution cap — all narrow except the
+    * rank-per-key cap, which the TopKPerKey rewrite bounds. The host
+    * grammar is ONE regex shared verbatim with the DuckDB twin. */
+  def txtDomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("url", syntheticUrl)
+    val kept = graft.operators.WebCurate.filterByDomain(d, "url", demoBlocklist)
+    val capped = graft.operators.WebCurate.capPerDomain(kept, "url", "doc_id", 50)
+    val host = graft.operators.WebCurate.hostOf(col("url"))
+    capped.select(col("doc_id"), host.as("host"),
+        graft.operators.WebCurate.registeredDomainOf(host).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
   def pipelineWebCurate(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d0 = Tables.documents(s, dir).withColumn("url", syntheticUrl)
+    // curation starts at the URL: blocklisted domains (and their
+    // subdomains) never reach the text stages
+    val d = graft.operators.WebCurate.filterByDomain(d0, "url", demoBlocklist)
     val page = concat_ws("\n",
       lit("<html><body>"),
       lit("NAVBAR | home | about"),
@@ -261,6 +298,34 @@ object Ext {
     d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
         graft.operators.Bpe.tokenCount(col("text"), model).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The OTHER trained subword model, end-to-end: learn a unigram-LM
+    * vocab on the corpus (distributed word count -> driver EM + prune,
+    * see [[graft.operators.Unigram]]), Viterbi-encode every document,
+    * and report word vs BPE vs unigram token counts side by side — the
+    * two trained tokenizers over the same text, through the same seam.
+    * Rows-only: EM-learned probabilities aren't SQL-reproducible;
+    * UnigramSpec pins the trainer on hand-worked dictionaries and the
+    * codegen path against the interpreter. Training is deterministic
+    * (all orderings tie-break lexicographically), so the output is
+    * stable for a given SF. */
+  def txtUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // the fixture vocabulary is ~31 words over ~25 distinct letters:
+    // vocabSize 40 keeps every coverage single plus the ~15 highest-
+    // expected-count pieces — frequent words stay whole, rare words
+    // subword-split, both regimes visible (a real corpus uses vocabSize
+    // in the tens of thousands; cost scales with maxWords, not corpus)
+    val uni = graft.operators.Unigram.train(d, col("text"), vocabSize = 40,
+      maxWords = 10000)
+    val bpe = graft.operators.Bpe.train(d, col("text"), numMerges = 40,
+      maxWords = 10000)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
+        graft.operators.Bpe.tokenCount(col("text"), bpe).as("bpe_tokens"),
+        graft.operators.Unigram.tokenCount(col("text"), uni).as("unigram_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -1208,11 +1273,13 @@ object Ext {
     "txt_chunk" -> txtChunk,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
+    "txt_unigram_encode" -> txtUnigramEncode,
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
     "txt_boilerplate" -> txtBoilerplate,
     "pipeline_web_curate" -> pipelineWebCurate,
+    "txt_domain_filter" -> txtDomainFilter,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
@@ -1746,11 +1813,42 @@ object Ext {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // every stage of the web pipeline replayed: page build, line dedup,
     // markup strip, whitespace token floor, canonical md5
+    "txt_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'www.example.com'
+        |    WHEN 2 THEN 'user:pw@blog.sample.org' WHEN 3 THEN 'spam.badsite.biz'
+        |    WHEN 4 THEN 'ads.tracker.net' WHEN 5 THEN 'docs.sample.org'
+        |    WHEN 6 THEN 'example.com' ELSE 'media.example.com:8080' END
+        |  || '/p/' || doc_id AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '^www\.', '') AS host
+        |  FROM u),
+        |f AS (SELECT doc_id, host FROM h
+        |  WHERE NOT (host = 'badsite.biz' OR host LIKE '%.badsite.biz'
+        |          OR host = 'tracker.net' OR host LIKE '%.tracker.net')),
+        |d AS (SELECT doc_id, host, regexp_extract(host, '[^.]+\.[^.]+$') AS domain FROM f)
+        |SELECT doc_id, host, domain FROM d
+        |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 50
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_web_curate" ->
-      """WITH d0 AS (SELECT doc_id,
+      """WITH u AS (SELECT doc_id, text,
+        |  'https://' || CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'www.example.com'
+        |    WHEN 2 THEN 'user:pw@blog.sample.org' WHEN 3 THEN 'spam.badsite.biz'
+        |    WHEN 4 THEN 'ads.tracker.net' WHEN 5 THEN 'docs.sample.org'
+        |    WHEN 6 THEN 'example.com' ELSE 'media.example.com:8080' END
+        |  || '/p/' || doc_id AS url FROM documents),
+        |hh AS (SELECT doc_id, text,
+        |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '^www\.', '') AS host
+        |  FROM u),
+        |keep AS (SELECT doc_id, text FROM hh
+        |  WHERE NOT (host = 'badsite.biz' OR host LIKE '%.badsite.biz'
+        |          OR host = 'tracker.net' OR host LIKE '%.tracker.net')),
+        |d0 AS (SELECT doc_id,
         |  '<html><body>' || chr(10) || 'NAVBAR | home | about' || chr(10) || text || chr(10) ||
         |  'NAVBAR | home | about' || chr(10) || '<script>track();</script>' || chr(10) || '</body></html>' AS page
-        |  FROM documents),
+        |  FROM keep),
         |l AS (SELECT doc_id,
         |    unnest(string_split(page, chr(10))) AS line,
         |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS i

@@ -27,15 +27,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright. Read it as a raw nanos long (legacy conf) and floor-divide
-    * to micros — integer division, NOT a double cast (ns-since-epoch
-    * ~1.7e18 exceeds double's 2^53 exact-integer range). Floor matches
-    * how DuckDB truncates ns -> us, keeping the oracle comparable. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark 4 rejects outright) and plain TIMESTAMP(MICROS), depending on
+    * fixture vintage. Handle both: the legacy conf surfaces NANOS as a
+    * raw long, which we floor-divide to micros — integer division, NOT a
+    * double cast (ns-since-epoch ~1.7e18 exceeds double's 2^53
+    * exact-integer range; floor matches DuckDB's ns -> us truncation).
+    * A MICROS column reads as a timestamp and passes through untouched
+    * (the conf only affects NANOS), so the dispatch is on the OBSERVED
+    * read schema, not a guess. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TIMESTAMP (session tz is pinned UTC in
+        // GraftSession) so every downstream consumer — unix_micros in
+        // AsOfJoin, window(), watermarks — sees the SAME type the NANOS
+        // path always produced; wall-clock values are unchanged
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.WebCurate
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation: host grammar corner cases, suffix-chain
+  * semantics (no endswith false positives), registrable-domain suffix
+  * seam, literal-vs-join blocklist equivalence, and cap determinism. */
+class WebCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def host1(url: String): String =
+    Seq(url).toDF("u").select(WebCurate.hostOf($"u")).as[String].head()
+
+  test("hostOf handles userinfo, ports, www, case, and junk") {
+    assert(host1("https://news.example.com/p/1") === "news.example.com")
+    assert(host1("https://WWW.Example.COM/p/1") === "example.com")
+    assert(host1("http://user:pw@blog.sample.org/x?q=1") === "blog.sample.org")
+    assert(host1("https://media.example.com:8080/v#f") === "media.example.com")
+    assert(host1("ftp+ssh://a.b.c/d") === "a.b.c")
+    assert(host1("not a url") === "", "unparseable -> empty string")
+    assert(host1("relative/path") === "")
+  }
+
+  test("hostSuffixes is the full dot-chain; blocking has no endswith false positives") {
+    val sfx = Seq("news.a.com").toDF("h")
+      .select(WebCurate.hostSuffixes($"h")).as[Seq[String]].head()
+    assert(sfx === Seq("news.a.com", "a.com", "com"))
+    val blocked = Seq(
+      "https://badsite.biz/x",          // exact
+      "https://spam.badsite.biz/x",     // subdomain
+      "https://a.b.badsite.biz/x",      // deep subdomain
+      "https://notbadsite.biz/x",       // suffix of the STRING, not the domain
+      "https://badsite.biz.evil.com/x"  // blocked name as a LABEL, different domain
+    ).toDF("u").select(WebCurate.isBlockedDomain($"u", Seq("badsite.biz")))
+      .as[Boolean].collect().toSeq
+    assert(blocked === Seq(true, true, true, false, false))
+  }
+
+  test("registeredDomainOf: last two labels, with the public-suffix seam") {
+    val d = Seq("news.example.com", "example.com", "a.b.co.uk", "b.co.uk")
+      .toDF("h")
+    assert(d.select(WebCurate.registeredDomainOf($"h")).as[String].collect().toSeq
+      === Seq("example.com", "example.com", "co.uk", "co.uk"))
+    // with co.uk declared a public suffix, hosts under it keep 3 labels
+    assert(d.select(WebCurate.registeredDomainOf($"h", Set("co.uk"))).as[String]
+      .collect().toSeq === Seq("example.com", "example.com", "b.co.uk", "b.co.uk"))
+  }
+
+  test("literal filter and join filter agree; text never needed for the verdict") {
+    val docs = (0L until 64L).map { i =>
+      (i, s"https://${Seq("ok.example.com", "spam.badsite.biz", "docs.sample.org",
+        "tracker.net")(i.toInt % 4)}/p/$i", s"text $i")
+    }.toDF("id", "url", "text")
+    val lit = WebCurate.filterByDomain(docs, "url", Seq("badsite.biz", "tracker.net"))
+      .select("id").as[Long].collect().sorted
+    val blockDf = Seq("badsite.biz", "tracker.net").toDF("blocked_domain")
+    val join = WebCurate.filterByDomainJoin(docs, "id", "url", blockDf)
+      .select("id").as[Long].collect().sorted
+    assert(lit.toSeq === join.toSeq)
+    assert(lit.length === 32, "half the residues are blocked")
+    assert(lit.forall(i => i % 4 === 0 || i % 4 === 2))
+  }
+
+  test("capPerDomain keeps the lowest orderCol per registrable domain") {
+    val docs = (0L until 30L).map { i =>
+      (i, s"https://${if (i % 3 == 0) "a" else "b"}.example${i % 2}.com/p/$i")
+    }.toDF("id", "url")
+    val capped = WebCurate.capPerDomain(docs, "url", "id", 3)
+    val byDomain = capped
+      .withColumn("d", WebCurate.registeredDomainOf(WebCurate.hostOf($"url")))
+      .groupBy("d").agg(collect_list("id").as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(byDomain.keySet === Set("example0.com", "example1.com"))
+    byDomain.values.foreach { ids =>
+      assert(ids.length === 3)
+    }
+    // deterministic: the three smallest ids of each domain survive
+    assert(byDomain("example0.com").sorted === Seq(0L, 2L, 4L))
+    assert(byDomain("example1.com").sorted === Seq(1L, 3L, 5L))
+  }
+}
