@@ -99,7 +99,13 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
           // payloads (test.py:172 read, test.py:213 batch, test.py:254 upload)
           var stagePrefix = "Error reading CSV file"
           try {
-            val staged = graft.sources.UrlStaging.stage(csvUrl)
+            val fetched = graft.sources.UrlStaging.stage(csvUrl)
+            // .xlsx inputs (decided on the URL path, not the staged temp
+            // name) convert driver-side to CSV, then read identically —
+            // positional column addressing carries over unchanged
+            val staged =
+              if (graft.sources.Xlsx.isXlsx(csvUrl)) graft.sources.Xlsx.stageToCsv(fetched)
+              else fetched
             val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
             df.schema // force analysis so read errors surface under the read stage
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,

@@ -146,6 +146,36 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("e2e: .xlsx input stages to CSV and enriches like any CSV") {
+    // a minimal real xlsx (SpreadsheetML zip) with name,score + 2 rows
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sst = """<?xml version="1.0"?><sst><si><t>name</t></si><si><t>score</t></si>
+      |<si><t>alpha</t></si><si><t>beta</t></si></sst>""".stripMargin
+    val f = Files.createTempFile("graft_api_in", ".xlsx")
+    val z = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    try Seq("xl/worksheets/sheet1.xml" -> sheet, "xl/sharedStrings.xml" -> sst)
+      .foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(c.getBytes(UTF_8)); z.closeEntry()
+      }
+    finally z.close()
+    withServer(None) { port =>
+      val resp = post(port, requestJson(f.toString))
+      assert(resp.statusCode() == 200, s"body: ${resp.body()}")
+      val j = JsonMethods.parse(resp.body())
+      assert((j \ "message").extract[String] == "Processing completed")
+      assert((j \ "error_count").extract[Long] == 0L)
+      val outFile = (j \ "file_url").extract[String]
+      val content = Files.readString(java.nio.file.Path.of(outFile))
+      assert(content.contains("alpha") && content.contains("beta"),
+        s"enriched output should carry the xlsx rows: $content")
+    }
+  }
+
   test("webhook failure is non-fatal: request still returns 200") {
     // template points at a port nothing listens on
     withServer(Some("http://localhost:1/version-{version_id}/dead")) { port =>
