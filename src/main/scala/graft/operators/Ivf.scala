@@ -84,6 +84,41 @@ object Ivf {
     } finally base.unpersist() // a mid-train failure must not pin the cache
   }
 
+  // ---- incremental maintenance -------------------------------------
+
+  /** Assign a NEW batch to an existing (possibly [[loadModel]]-ed)
+    * coarse quantizer without retraining: ONE narrow codegen pass, work
+    * ∝ batch size, the standing index untouched. The (id, cell) output
+    * unions into the serving assignment table; a search over old ∪ new
+    * sees additions immediately because [[searchTopK]] cells corpus
+    * rows with the same expression. */
+  def assignNew(batch: DataFrame, idCol: String, vecCol: String,
+                model: Model): DataFrame =
+    withCell(batch.select(col(idCol), unit(col(vecCol)).as("_v")),
+        col("_v"), model.centroids, "cell")
+      .select(col(idCol), col("cell"))
+
+  /** The retrain alarm: PSI of per-cell occupancy shares between the
+    * index-time corpus and the corpus after incremental adds — the
+    * [[Snapshot.categoryDrift]] math verbatim, cells as categories.
+    * Incremental assignment stays accurate only while new data still
+    * looks like what the quantizer was trained on; occupancy drift is
+    * the cheapest observable proxy for when that stops being true (two
+    * narrow assign passes + a k-row join — no search-quality evaluation
+    * needed). */
+  def centroidDrift(oldCorpus: DataFrame, newCorpus: DataFrame,
+                    idCol: String, vecCol: String, model: Model): DataFrame =
+    Snapshot.categoryDrift(
+      assignNew(oldCorpus, idCol, vecCol, model),
+      assignNew(newCorpus, idCol, vecCol, model), "cell")
+
+  /** Industry PSI reading: < 0.1 stable, 0.1-0.25 watch, > 0.25 shifted.
+    * Default trips at 0.2 — retrain before quality visibly sags. */
+  def shouldRetrain(drift: DataFrame, threshold: Double = 0.2): Boolean = {
+    val row = drift.agg(sum(col("psi_term"))).collect()(0)
+    !row.isNullAt(0) && row.getDouble(0) > threshold
+  }
+
   /** Per-query probe set: the `nProbe` cells with the highest
     * centroid dot products, as (query_id, _qv, _cell, _cdot) rows.
     * Shared by [[searchTopK]] and [[searchTopKPq]]. */

@@ -734,6 +734,20 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF index LIFECYCLE: train on the standing corpus, assign an
+    * arriving batch (every vec_id % 5 == 0) incrementally — one narrow
+    * pass, no retrain — and report the per-cell occupancy drift (PSI)
+    * that decides when a retrain IS due. Rows-only: cell ids are
+    * k-means-learned state; IvfSpec pins stale-vs-rebuilt serving
+    * recall and the alarm's quiet/fire behavior. */
+  def simIvfIncr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val model = graft.operators.Ivf.train(base, "vec_id", "embedding", k = 16, iters = 2)
+    graft.operators.Ivf.centroidDrift(base, e, "vec_id", "embedding", model)
+      .orderBy(col("cell"))
+  }
+
   /** IVF-PQ ANN: coarse quantizer + per-subspace residual codebooks;
     * candidates score by asymmetric distance over m-byte codes
     * (rows-only check — approximate by design; recall vs brute force is
@@ -1303,6 +1317,7 @@ object Ext {
     "sim_classify" -> simClassify,
     "sim_classify_train" -> simClassifyTrain,
     "sim_ivf" -> simIvf,
+    "sim_ivf_incr" -> simIvfIncr,
     "sim_ivfpq" -> simIvfPq,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "agg_sketch_distinct" -> aggSketchDistinct,

@@ -124,4 +124,65 @@ class IvfSpec extends SparkSpec {
       "embedding", "embedding", topK = 3, nProbe = 2).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  private def meanRecall(got: Array[(Long, Int, Long, Double)],
+                         want: Array[(Long, Int, Long, Double)]): Double = {
+    val g = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val w = want.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val rs = w.map { case (q, s) => g.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+    rs.sum / rs.size
+  }
+
+  test("incremental add: serving the stale model matches a full rebuild within tolerance") {
+    val rnd = new Random(53)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    def blob(i: Int) = centers(i % 8).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+    val base = (0 until 320).map(i => (i.toLong, blob(i))).toDF("vec_id", "embedding")
+    val batch = (320 until 400).map(i => (i.toLong, blob(i))).toDF("vec_id", "embedding")
+    val merged = base.union(batch)
+    val queries = base.filter($"vec_id" < 8)
+
+    val stale = Ivf.train(base, "vec_id", "embedding", k = 8, iters = 3)
+    // the incremental path: batch vectors cell under the STALE model
+    val assigned = Ivf.assignNew(batch, "vec_id", "embedding", stale)
+    assert(assigned.count() === 80)
+    assert(assigned.columns.toSeq === Seq("vec_id", "cell"))
+
+    val fresh = Ivf.train(merged, "vec_id", "embedding", k = 8, iters = 3)
+    val brute = Similarity.knnBruteForce(queries, merged, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5).as[(Long, Int, Long, Double)].collect()
+    val viaStale = Ivf.searchTopK(queries, merged, stale, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 5, nProbe = 2).as[(Long, Int, Long, Double)].collect()
+    val viaFresh = Ivf.searchTopK(queries, merged, fresh, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 5, nProbe = 2).as[(Long, Int, Long, Double)].collect()
+
+    val rStale = meanRecall(viaStale, brute)
+    val rFresh = meanRecall(viaFresh, brute)
+    assert(rStale >= rFresh - 0.05,
+      s"stale-model recall $rStale must be within 0.05 of rebuilt $rFresh")
+    assert(rStale >= 0.9, s"same-distribution incremental serving stays accurate: $rStale")
+  }
+
+  test("centroid-occupancy PSI: quiet on same-distribution adds, fires on a shift") {
+    val rnd = new Random(59)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    def blob(i: Int) = centers(i % 8).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+    val base = (0 until 320).map(i => (i.toLong, blob(i))).toDF("vec_id", "embedding")
+    val model = Ivf.train(base, "vec_id", "embedding", k = 8, iters = 3)
+
+    // additions drawn from the same blobs: occupancy shares barely move
+    val same = (1000 until 1160).map(i => (i.toLong, blob(i))).toDF("vec_id", "embedding")
+    val quiet = Ivf.centroidDrift(base, base.union(same), "vec_id", "embedding", model)
+    assert(!Ivf.shouldRetrain(quiet), "same-distribution adds must not trip the alarm")
+
+    // additions all from ONE blob: shares pile into one cell
+    val shifted = (2000 until 2320).map(i =>
+      (i.toLong, centers(0).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val loud = Ivf.centroidDrift(base, base.union(shifted), "vec_id", "embedding", model)
+    assert(Ivf.shouldRetrain(loud), "concentrated adds must trip the retrain alarm")
+    // the drift frame is k rows of the categoryDrift schema
+    assert(loud.columns.toSeq ===
+      Seq("cell", "old_n", "new_n", "old_share", "new_share", "psi_term"))
+  }
 }
