@@ -41,8 +41,9 @@ object Classifier {
     * floats widen exactly). Codegen: one DotProduct loop + scalar
     * exp — stays inside WholeStageCodegen. */
   def scoreDense(weights: Array[Double], bias: Double, vec: Column): Column = {
-    val w = array(weights.map(lit).toSeq: _*)
-    val margin = VectorOps.dotProduct(w, vec.cast("array<double>")) + lit(bias)
+    // referenced-object margin: re-scoring with retrained weights never
+    // re-compiles (see AffineMargin)
+    val margin = graft.functions.AffineMargin.margin(vec.cast("array<double>"), weights, bias)
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
 
@@ -160,51 +161,74 @@ object Classifier {
     * a quality gate trained on silently-skipped rows is miscalibrated
     * with no symptom.
     *
-    * Scale shape: `iters` jobs, each one narrow scan + one partial
-    * aggregate of dim+2 doubles per partition — no shuffle of row
-    * data, gradient traffic is (partitions x dim) doubles per pass. */
+    * Scale shape: ONE single-stage job per iteration — a
+    * `treeAggregate` (MLlib's own gradient pattern) folds each
+    * partition to dim+2 doubles and tree-combines; no exchange, no
+    * per-iteration Catalyst re-analysis, gradient traffic is
+    * (partitions x dim) doubles per pass. (The first cut aggregated
+    * through a dim+2-column SQL agg: correct, but every step paid plan
+    * analysis + a two-stage job, ~0.3 s of fixed latency per iteration
+    * that dwarfed the scan on small data.) */
   def trainLogReg(df: DataFrame, vecCol: String, labelCol: String,
                   iters: Int = 100, lr: Double = 1.0,
                   l2: Double = 0.0): LogRegModel = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val data = df.select(col(vecCol).cast("array<double>").as("_x"),
       col(labelCol).cast("double").as("_y"))
-      .persist()
+    val dim = data.select(size(col("_x")).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("empty training set")
+    }
+    val bad = data.filter(col("_x").isNull || col("_y").isNull ||
+      size(col("_x")) =!= dim || !col("_y").isin(0.0, 1.0)).limit(1).count()
+    require(bad == 0,
+      "training rows must have non-null constant-dimension vectors and 0/1 labels")
+    // primitive-array rows persist once; every iteration re-reads THIS,
+    // never the source scan
+    val rdd = data.queryExecution.toRdd
+      .map { r => (r.getArray(0).toDoubleArray(), r.getDouble(1)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = data.select(size(col("_x")).as("d")).limit(1).collect() match {
-        case Array(r) => r.getInt(0)
-        case _ => throw new IllegalArgumentException("empty training set")
-      }
-      val bad = data.filter(col("_x").isNull || col("_y").isNull ||
-        size(col("_x")) =!= dim || !col("_y").isin(0.0, 1.0)).limit(1).count()
-      require(bad == 0,
-        "training rows must have non-null constant-dimension vectors and 0/1 labels")
       val eps = 1e-12
       var w = new Array[Double](dim)
       var b = 0.0
       val loss = Array.newBuilder[Double]
       for (_ <- 0 until iters) {
-        val margin = VectorOps.dotProduct(array(w.map(lit).toSeq: _*), col("_x")) + lit(b)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
-        val scored = data.select(col("_x"), col("_y"), p.as("_p"),
-          (p - col("_y")).as("_r"))
-        val aggs =
-          (0 until dim).map(j => avg(col("_r") * col("_x").getItem(j))) ++ Seq(
-            avg(col("_r")),
-            avg(-(col("_y") * log(greatest(col("_p"), lit(eps))) +
-              (lit(1.0) - col("_y")) * log(greatest(lit(1.0) - col("_p"), lit(eps))))))
-        val row = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
-        loss += row.getDouble(dim + 1)
+        val wLoc = w; val bLoc = b; val d = dim // stable closure captures
+        // acc = [grad_0..grad_{d-1}, grad_b, loss_sum, n]
+        val acc = rdd.treeAggregate(new Array[Double](d + 3))(
+          seqOp = (a, xy) => {
+            val (x, y) = xy
+            var m = bLoc
+            var j = 0
+            while (j < d) { m += wLoc(j) * x(j); j += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m))
+            val r = p - y
+            j = 0
+            while (j < d) { a(j) += r * x(j); j += 1 }
+            a(d) += r
+            a(d + 1) -= y * math.log(math.max(p, eps)) +
+              (1.0 - y) * math.log(math.max(1.0 - p, eps))
+            a(d + 2) += 1.0
+            a
+          },
+          combOp = (a, c) => {
+            var j = 0
+            while (j < a.length) { a(j) += c(j); j += 1 }
+            a
+          })
+        val n = acc(d + 2)
+        loss += acc(d + 1) / n
         val next = new Array[Double](dim)
         var j = 0
         while (j < dim) {
-          next(j) = w(j) - lr * (row.getDouble(j) + l2 * w(j))
+          next(j) = w(j) - lr * (acc(j) / n + l2 * w(j))
           j += 1
         }
         w = next
-        b -= lr * row.getDouble(dim)
+        b -= lr * acc(d) / n
       }
       LogRegModel(w, b, loss.result())
-    } finally data.unpersist()
+    } finally rdd.unpersist(blocking = false)
   }
 }
