@@ -1096,6 +1096,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Avro interchange round-trip: corpus -> sharded Avro container
+    * files (splittable Hadoop-RDD path; the distribution has no
+    * spark-avro connector) -> distributed read-back. Identity proves
+    * losslessness; the oracle is the original table. */
+  def srcAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val outDir = rtDir(s, "avro", dir)
+    graft.sources.Avro.write(docs, outDir, numShards = 8)
+    graft.sources.Avro.read(s, outDir)
+      .select(docs.columns.map(col).toSeq: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-file compaction round-trip: shatter the corpus into 64 tiny
     * part files (a streaming sink's week), compact to a handful sized
     * from actual bytes, read back — content identical, file count
@@ -1254,6 +1267,7 @@ object Ext {
     "mm_phash_dedup" -> mmPhashDedup,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
+    "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -1645,6 +1659,8 @@ object Ext {
     "src_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    "src_avro_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
