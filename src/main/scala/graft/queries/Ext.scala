@@ -976,6 +976,24 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-column enrichment in ONE pass ([EXT]: the reference runs one
+    * column per request — N columns there cost N scans): two prompts
+    * over two input columns, each landing in its own output column,
+    * through the same sliding-window/idempotency/order machinery. The
+    * stub's deterministic prompt-length responses give the DuckDB twin
+    * an exact formula per column. */
+  def enrichMulti(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cfg = Enrich.Config(systemPrompt = "ignored", rowConcurrency = 8)
+    val stub = () => new StubLlmClient(prompt => s"len:${prompt.length}")
+    Enrich.enrichMany(docs,
+        Seq(Enrich.EnrichColumn(1, "Summarize", "Summary"),
+            Enrich.EnrichColumn(2, "Classify the language", "LangGuess")),
+        cfg, stub)
+      .select(col("doc_id"), col("Summary"), col("LangGuess"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sharded order-preserving CSV sink, exercised end-to-end: enrich ->
     * [[graft.sources.OrderedCsv.writeSharded]] (range-partitioned part
     * files whose filename order IS row order) -> read the part files back
@@ -1260,6 +1278,7 @@ object Ext {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enrich_stub" -> enrichStub,
+    "enrich_multi" -> enrichMulti,
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
@@ -1449,6 +1468,11 @@ object Ext {
     // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
     "enrich_stub" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "enrich_multi" ->
+      """SELECT doc_id,
+        |  'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Summary,
+        |  'len:' || CAST(length('Classify the language' || chr(10) || chr(10) || 'Input: ' || lang) AS VARCHAR) AS LangGuess
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),

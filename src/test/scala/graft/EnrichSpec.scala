@@ -303,4 +303,75 @@ class EnrichSpec extends SparkSpec {
     val c = new StubLlmClient(p => s"<<$p>>")
     assert(c.complete(LlmRequest("x", "m", 1, 0.0)) == "<<x>>")
   }
+
+  test("enrichMany: N prompts in one pass, per-column responses, order kept") {
+    val specs = Seq(
+      Enrich.EnrichColumn(0, "CLASSIFY", "Category"),
+      Enrich.EnrichColumn(1, "EXPLAIN", "Why"))
+    val cfg = Enrich.Config(systemPrompt = "ignored", batchSize = 7, rowConcurrency = 4)
+    // the response encodes which PROMPT and which CELL it saw
+    val out = Enrich.enrichMany(corpus(23), specs, cfg,
+        () => new StubLlmClient(p => p.linesIterator.next() + ":" + p.takeRight(4)))
+      .select("val", "num", "_row_idx", "Category", "Why").collect()
+    assert(out.length == 23)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == s"row$i", s"order broken at $i")
+      assert(r.getLong(2) == i)
+      assert(r.getString(3).startsWith("CLASSIFY:"), "col 0's prompt")
+      assert(r.getString(4).startsWith("EXPLAIN:"), "col 1's prompt")
+      assert(r.getString(4).endsWith(i.toString), "col 1 saw the num cell")
+    }
+  }
+
+  test("enrichMany: failure isolation is per call, not per row") {
+    val specs = Seq(
+      Enrich.EnrichColumn(0, "A", "ra"),
+      Enrich.EnrichColumn(0, "B", "rb"))
+    val cfg = Enrich.Config(systemPrompt = "", retries = 2, retryBaseDelayMs = 1L)
+    // only prompt B on row3 fails
+    val client = () => new StubLlmClient(_ => "fine",
+      failOn = p => p.startsWith("B") && p.contains("row3"))
+    val out = Enrich.enrichMany(corpus(6), specs, cfg, client)
+      .select("ra", "rb").collect()
+    assert(out.forall(_.getString(0) == "fine"), "column A untouched")
+    assert(out(3).getString(1) == Enrich.ErrorSentinel)
+    assert(out.zipWithIndex.filter(_._2 != 3).forall(_._1.getString(1) == "fine"))
+  }
+
+  test("enrichMany: maxRows tail blanks every output column; idem keys per column") {
+    EnrichProbes.reset()
+    val specs = Seq(
+      Enrich.EnrichColumn(0, "A", "ra"),
+      Enrich.EnrichColumn(1, "B", "rb"))
+    val cfg = Enrich.Config(systemPrompt = "", maxRows = 4, batchSize = 3,
+      requestId = "mc1")
+    val out = Enrich.enrichMany(corpus(7), specs, cfg,
+      () => new EnrichProbes.KeyCapture).collect()
+    assert(out.length == 7)
+    out.take(4).foreach(r => assert(r.getAs[String]("ra") == "ok" && r.getAs[String]("rb") == "ok"))
+    out.drop(4).foreach(r => assert(r.getAs[String]("ra") == "" && r.getAs[String]("rb") == ""))
+    val keys = EnrichProbes.keys
+    assert(keys.size == 8, s"4 rows x 2 columns distinct keys, got $keys")
+    assert(keys.contains("mc1-0-ra") && keys.contains("mc1-3-rb"))
+  }
+
+  test("enrichMany: rejects ambiguous or colliding specs") {
+    val cfg = Enrich.Config(systemPrompt = "")
+    intercept[IllegalArgumentException] {
+      Enrich.enrichMany(corpus(3), Seq.empty, cfg, () => new StubLlmClient(_ => "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Enrich.enrichMany(corpus(3),
+        Seq(Enrich.EnrichColumn(0, "p", "R"), Enrich.EnrichColumn(1, "q", "R")),
+        cfg, () => new StubLlmClient(_ => "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Enrich.enrichMany(corpus(3), Seq(Enrich.EnrichColumn(0, "p", "val")),
+        cfg, () => new StubLlmClient(_ => "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Enrich.enrichMany(corpus(3), Seq(Enrich.EnrichColumn(9, "p", "R")),
+        cfg, () => new StubLlmClient(_ => "x"))
+    }
+  }
 }
