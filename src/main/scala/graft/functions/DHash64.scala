@@ -55,6 +55,10 @@ case class DHash64(child: Expression) extends UnaryExpression with ExpectsInputT
 
 object DHash64 {
 
+  // no file-backed ImageIO stream cache on the decode path (a temp-file
+  // create/delete per blob, serialized on the temp dir) — see Multimodal
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Null on any decode failure; otherwise the 64-bit dHash. Static so
     * generated code calls it directly (stays inside WholeStageCodegen;
     * the decode dominates anyway — the point is no shuffle, not JIT). */

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache: every encode/decode
+  // creates+deletes a temp file through a synchronized temp-dir — 5000
+  // images = 5000 file round-trips across all task threads. Memory
+  // caching removes that entirely (blobs here are small by contract).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media metadata carried alongside the opaque payload. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
 
