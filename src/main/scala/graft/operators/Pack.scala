@@ -92,4 +92,48 @@ object Pack {
         size(col("_chunk")).as("chunk_tokens"),
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
+
+  /** Sentence grammar shared VERBATIM with the DuckDB twin — RE2-safe
+    * (no lookaround): a sentence is either a run ending in [.!?]+ (its
+    * trailing whitespace absorbed) or the terminator-less tail. */
+  val SentenceRegex: String = "[^.!?]*[.!?]+\\s*|[^.!?]+$"
+
+  /** RAG-style sentence-boundary chunking: sentences are ATOMS (a chunk
+    * never cuts mid-sentence — the property retrieval embeddings care
+    * about, which token-window [[chunkTokens]] can't give), packed into
+    * `budget`-token chunks by cumulative-sum binning in document order.
+    * The budget is a TARGET, not a cap: atoms are never split, so a
+    * chunk may overrun by its final (straddling) sentence, and a
+    * sentence that alone exceeds the budget fills however many bins its
+    * length spans (consecutive chunk ids are preserved by dense-ranking
+    * the bins). That slack is the price of atomicity + SQL-exact parity.
+    *
+    * Shape: one narrow sentence-extraction pass (regexp_extract_all),
+    * a per-document window (cumsum + dense bin rank — parallel across
+    * docs), and the struct-array sort reassembly groupBy. */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+                     budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sents = df
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(SentenceRegex), lit(0)))
+          .as(Seq("_pos", "_sent")))
+      .select(col(idCol), col("_pos"), trim(col("_sent")).as("_sent"))
+      .filter(length(col("_sent")) > 0)
+      .withColumn("_n", size(split(col("_sent"), "\\s+")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val binned = sents
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_bin", floor((col("_cum") - col("_n")) / budget))
+      // dense-rank bins so a budget-spanning sentence can't leave holes
+      // in chunk_idx (floor binning skips bins it jumps over)
+      .withColumn("chunk_idx",
+        (dense_rank().over(Window.partitionBy(col(idCol)).orderBy(col("_bin"))) - 1)
+          .cast("int"))
+    binned.groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).cast("int").as("n_sentences"),
+        sum(col("_n")).as("chunk_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("_pos"), col("_sent")))),
+          s => s.getField("_sent")), " ").as("chunk_text"))
+  }
 }

@@ -329,6 +329,18 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence-boundary chunking (the RAG shape: a chunk never cuts
+    * mid-sentence): the fixture text carries no punctuation, so a
+    * deterministic sentence structure is planted first (every "the"
+    * ends a sentence — same regex both engines), then sentences pack
+    * into 24-token-budget chunks by cumulative binning. */
+  def txtChunkSent(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("text", regexp_replace(col("text"), "\\bthe\\b", "the."))
+    graft.operators.Pack.chunkSentences(d, "doc_id", "text", budget = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** CCNet-style LM-perplexity quality scoring (Wenzek et al. 2020):
     * bigram LM trained on the fixture's English slice (the "clean
     * reference corpus" role), every document scored against it —
@@ -1318,6 +1330,7 @@ object Ext {
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
+    "txt_chunk_sent" -> txtChunkSent,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_unigram_encode" -> txtUnigramEncode,
@@ -1581,6 +1594,24 @@ object Ext {
          |  CAST(len(list_slice(toks, i*16+1, i*16+32)) AS INT) AS chunk_tokens,
          |  array_to_string(list_slice(toks, i*16+1, i*16+32), ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // sentence chunking: same sentence regex + planted-period transform
+    // in both engines; cumulative binning + dense-ranked chunk ids
+    "txt_chunk_sent" ->
+      """WITH s0 AS (SELECT doc_id, regexp_replace(text, '\bthe\b', 'the.', 'g') AS t FROM documents),
+        |e0 AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, '[^.!?]*[.!?]+\s*|[^.!?]+$')) AS sent,
+        |  unnest(generate_series(1, len(regexp_extract_all(t, '[^.!?]*[.!?]+\s*|[^.!?]+$')))) AS pos
+        |  FROM s0),
+        |e AS (SELECT doc_id, pos, trim(sent) AS sent FROM e0 WHERE length(trim(sent)) > 0),
+        |n AS (SELECT doc_id, pos, sent, len(string_split_regex(sent, '\s+')) AS nt FROM e),
+        |c AS (SELECT doc_id, pos, sent, nt, sum(nt) OVER (PARTITION BY doc_id ORDER BY pos) AS cum FROM n),
+        |b AS (SELECT doc_id, pos, sent, nt, CAST(floor((cum - nt) / 24.0) AS BIGINT) AS bin FROM c),
+        |d AS (SELECT doc_id, pos, sent, nt,
+        |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY bin) - 1 AS INTEGER) AS chunk_idx FROM b)
+        |SELECT doc_id, chunk_idx, CAST(count(*) AS INTEGER) AS n_sentences,
+        |  CAST(sum(nt) AS BIGINT) AS chunk_tokens,
+        |  string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+        |FROM d GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx""".stripMargin,
     // txt_chunk under the regex tokenizer: the SAME '[A-Za-z]+|[0-9]+|
     // [^A-Za-z0-9\s]' pattern runs in both engines (ASCII classes — the
     // Java-regex/RE2 agreement subset); empty text regex-tokenizes to []

@@ -114,4 +114,50 @@ class PackSpec extends SparkSpec {
     assert(math.abs(sampled("rare") - 500.0) / 500.0 < 0.2)
     assert(math.abs(sampled("common") - 300.0) / 300.0 < 0.2)
   }
+
+  test("chunkSentences: atoms intact, order kept, budget-target semantics") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // 4 sentences of 3/3/3/3 tokens, budget 6 -> chunks [s1 s2][s3 s4]
+      (1L, "one two three. four five six. seven eight nine! ten eleven twelve?"),
+      // straddler: 4 + 4 tokens, budget 6 -> s2 straddles INTO chunk 0
+      (2L, "a b c d. e f g h."),
+      // a 9-token sentence alone with budget 4 fills its own chunk
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9."),
+      (4L, ""),
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Pack.chunkSentences(docs, "doc_id", "text", budget = 6)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Long, String)].collect()
+
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._5).toSeq === Seq(
+      "one two three. four five six.", "seven eight nine! ten eleven twelve?"))
+    assert(d1.map(_._3).toSeq === Seq(2, 2), "two sentences per chunk")
+    assert(d1.map(_._4).toSeq === Seq(6L, 6L))
+
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._5).toSeq === Seq("a b c d. e f g h."),
+      "straddling sentence closes into the earlier bin (documented slack)")
+    assert(d2.head._4 === 8L, "chunk may overrun by its straddler")
+
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length === 1 && d3.head._3 === 1, "giant sentence stays one atom")
+    assert(out.count(r => r._1 == 4L || r._1 == 5L) === 0, "blank docs emit nothing")
+
+    // reassembly: concatenating chunks reproduces the sentence stream
+    val joined = d1.map(_._5).mkString(" ")
+    assert(joined === "one two three. four five six. seven eight nine! ten eleven twelve?")
+  }
+
+  test("chunkSentences: dense chunk ids when one sentence spans many bins") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c d e f g h i j. x y.")).toDF("doc_id", "text")
+    // 10-token sentence with budget 3: bins jump 0 -> 3; ids must be 0,1
+    val out = Pack.chunkSentences(docs, "doc_id", "text", budget = 3)
+      .orderBy("chunk_idx").as[(Long, Int, Int, Long, String)].collect()
+    assert(out.map(_._2).toSeq === Seq(0, 1), "no holes in chunk_idx")
+    assert(out(0)._5.startsWith("a b c") && out(1)._5 === "x y.")
+  }
 }
