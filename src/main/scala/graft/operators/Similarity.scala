@@ -61,6 +61,33 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining (the contrastive-training data op: DPR /
+    * SimCSE-style): for each query, the top-k most-similar corpus rows
+    * whose `labelCol` DIFFERS — maximally confusable wrong answers,
+    * which train far better than random negatives. Same broadcast-
+    * queries + per-query heap plan as [[knnBruteForce]]; the label
+    * inequality is one more pushed filter, so mining costs exactly a
+    * kNN. Swap the corpus side for the IVF path at billion-vector
+    * scale — the operator contract (query_id, rk, neighbor_id, cos,
+    * neighbor_label) is the same. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                    qVec: String, cVec: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"),
+        col(labelCol).as("_qlbl"))
+      .withColumn("_qn", l2Norm(col("_qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("_cn", l2Norm(col("_cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(col("neighbor_label") =!= col("_qlbl")) // negatives only
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("neighbor_label"), col("cos"))
+  }
+
   /** Top-k neighbors over int8-QUANTIZED vectors: L2-normalize, quantize
     * ([[graft.functions.QuantizeInt8]], 4x smaller than float32), score
     * with integer dot products ([[graft.functions.Int8Dot]]) — on unit

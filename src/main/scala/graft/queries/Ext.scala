@@ -830,6 +830,16 @@ object Ext {
       .orderBy(col("y"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the 5
+    * most-similar OTHER-label vectors — the confusable wrong answers.
+    * Costs exactly a kNN (one more pushed filter). */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 20), e,
+        "vec_id", "vec_id", "embedding", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.35)
@@ -1357,6 +1367,7 @@ object Ext {
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
+    "sim_hard_negatives" -> simHardNegatives,
     "sim_knn_int8" -> simKnnInt8,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_centroid" -> simCentroid,
@@ -2250,6 +2261,17 @@ object Ext {
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
         |      FROM s)
         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |        round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+        |      WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+        |      FROM s)
+        |SELECT query_id, rk, neighbor_id, neighbor_label, cos FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "sim_centroid" ->
       """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

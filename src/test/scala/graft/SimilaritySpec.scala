@@ -132,4 +132,27 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("hardNegatives: only other-label rows, ranked by similarity") {
+    // label 0 cluster near +x, label 1 near +y, one label-1 DECOY close
+    // to +x: the decoy must be every label-0 query's rank-1 negative
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.1f, 0.99f, 0.0f), 1),
+      (4L, Array(0.95f, 0.3f, 0.0f), 1) // decoy: label 1 but x-ish
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows.filter($"vec_id" < 2), rows,
+        "vec_id", "vec_id", "embedding", "embedding", "label", k = 2)
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(out.forall(_._4 == 1), "negatives only — never the query's own label")
+    val top = out.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    assert(top === Map(0L -> 4L, 1L -> 4L), "the confusable decoy ranks first")
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1, 2))
+      val cs = rs.sortBy(_._2).map(_._5)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos non-increasing in rank")
+    }
+  }
 }
