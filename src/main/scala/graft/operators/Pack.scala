@@ -110,9 +110,14 @@ object Pack {
     *
     * Shape: one narrow sentence-extraction pass (regexp_extract_all),
     * a per-document window (cumsum + dense bin rank — parallel across
-    * docs), and the struct-array sort reassembly groupBy. */
+    * docs), and the struct-array sort reassembly groupBy.
+    *
+    * `tokenizer` is the engine-wide seam: budget in whitespace units by
+    * default (the oracle-pinned behavior), or learned subword units via
+    * [[Bpe.tokenizer]]/[[Unigram.tokenizer]]. */
   def chunkSentences(df: DataFrame, idCol: String, textCol: String,
-                     budget: Int): DataFrame = {
+                     budget: Int,
+                     tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(budget > 0, "budget must be positive")
     val sents = df
       .select(col(idCol),
@@ -120,7 +125,7 @@ object Pack {
           .as(Seq("_pos", "_sent")))
       .select(col(idCol), col("_pos"), trim(col("_sent")).as("_sent"))
       .filter(length(col("_sent")) > 0)
-      .withColumn("_n", size(split(col("_sent"), "\\s+")))
+      .withColumn("_n", size(tokenizer(col("_sent"))))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     val binned = sents
       .withColumn("_cum", sum(col("_n")).over(w))

@@ -190,6 +190,19 @@ object EventStreams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityGate(docs)
 
+  /** Streaming URL/domain admission gate: blocklisted domains (and their
+    * subdomains) never enter the corpus — the earliest, cheapest cut in
+    * a live-crawl feed. Stateless narrow predicate
+    * ([[graft.operators.WebCurate.isBlockedDomain]]'s suffix-chain
+    * match), append mode, no watermark/state; batch and streaming share
+    * ONE implementation, so the oracle-gated txt_domain_filter also
+    * validates these semantics. (Per-domain CAPS are inherently
+    * stateful-global — run [[graft.operators.WebCurate.capPerDomain]]
+    * as a batch compaction over the landed corpus instead.) */
+  def domainFilterStream(docs: DataFrame, urlCol: String,
+                         blocklist: Seq[String]): DataFrame =
+    graft.operators.WebCurate.filterByDomain(docs, urlCol, blocklist)
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

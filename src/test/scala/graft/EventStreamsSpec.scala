@@ -169,6 +169,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain gate drops blocklisted hosts per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "url")
+    val q = EventStreams.domainFilterStream(docs, "url", Seq("badsite.biz"))
+      .writeStream.format("memory").queryName("dom_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "https://news.example.com/a"),
+        (2L, "https://spam.badsite.biz/b"),   // subdomain of blocked
+        (3L, "https://notbadsite.biz/c"))     // string suffix, NOT subdomain
+      q.processAllAvailable()
+      input.addData((4L, "https://badsite.biz/d")) // exact, later batch
+      q.processAllAvailable()
+      val got = spark.table("dom_stream").select("doc_id").as[Long].collect().toSet
+      assert(got === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
