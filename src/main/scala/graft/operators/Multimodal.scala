@@ -131,6 +131,77 @@ object Multimodal {
     out.array() // remaining dataSize bytes stay zero = silence
   }
 
+  /** Encode a genuine minimal ISO-BMFF (MP4) container: `ftyp` + `moov`
+    * holding `mvhd` (timescale/duration) and TWO `trak/tkhd` boxes — an
+    * audio-shaped track (0x0 dimensions) FIRST, then the video track —
+    * so every round-trip also exercises the sniffer's skip-non-video
+    * logic. Pure header arithmetic, no codec (no media data, like
+    * [[encodeWavPcm16]]'s silent frames): the box tree is authentic,
+    * the payload absent. */
+  def encodeMp4(width: Int, height: Int, timescale: Int, duration: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && duration >= 0, "invalid mp4 params")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val identity: Array[Int] = Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("iso2".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime mtime
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x10000).putShort(0x100.toShort).putShort(0) // rate, volume, reserved
+        .putLong(0) // reserved
+      identity.foreach(b.putInt)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(3) // next_track_ID
+      b.array()
+    })
+    def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = box("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+        .putInt(0).putInt(0) // ctime mtime
+        .putInt(trackId).putInt(0) // track_ID, reserved
+        .putInt(duration.toInt)
+        .putLong(0) // reserved
+        .putShort(0).putShort(0) // layer, alternate_group
+        .putShort(if (w == 0) 0x100.toShort else 0).putShort(0) // volume, reserved
+      identity.foreach(b.putInt)
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      b.array()
+    })
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd(1, 0, 0)) ++ box("trak", tkhd(2, width, height)))
+    ftyp ++ moov
+  }
+
+  /** One row of real video metadata, sniffed from container structures. */
+  final case class VideoMetaRow(doc_id: Long, format: String, width: Int,
+                                height: Int, duration_ms: Long)
+
+  /** REAL structure-based video metadata over a binary column —
+    * [[VideoHeaders.sniff]] per row (MP4/MOV box walk, AVI RIFF walk,
+    * Matroska detection; no codec libraries, a few bytes inspected per
+    * blob). Same narrow-scan shape and corrupt-is-data contract as
+    * [[imageMeta]]/[[audioMeta]]. */
+  def videoMeta(spark: SparkSession, media: DataFrame, idCol: String,
+                binCol: String): Dataset[VideoMetaRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = VideoHeaders.sniff(bytes)
+        VideoMetaRow(id, m.format, m.width, m.height, m.durationMs)
+      }
+  }
+
   /** Encode a real single-color image via the JDK's ImageIO (PNG, GIF,
     * BMP, JPEG — no external codecs). Fixture/round-trip helper: the
     * pixels are arbitrary, the container headers are genuine. */

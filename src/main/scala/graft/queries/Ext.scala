@@ -1277,6 +1277,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL ISO-BMFF metadata end-to-end: one authentic two-track MP4 box
+    * tree per document (dimensions/duration derived from row fields),
+    * sniffed back by the codec-free box walk — the oracle predicts
+    * every field by formula, so a parser drift in either direction
+    * fails the hash gate. */
+  def mmVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withMp4 = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, Multimodal.encodeMp4(
+          (nChars % 640L).toInt + 16, (id % 360L).toInt + 16,
+          timescale = 1000, duration = (nChars % 5000L) + 40L))
+      }
+      .toDF("doc_id", "content")
+    Multimodal.videoMeta(s, withMp4, "doc_id", "content")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Binary-column plumbing + batched (fake-)decode: attach payload +
     * metadata struct, extract fixed-width features per row. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -1305,6 +1326,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_video_meta" -> mmVideoMeta,
     "mm_phash_dedup" -> mmPhashDedup,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
@@ -1801,6 +1823,12 @@ object Ext {
         |  CAST((doc_id % 2) + 1 AS INTEGER) AS channels,
         |  CAST(16 AS INTEGER) AS bits_per_sample,
         |  CAST((n_chars % 50) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST((n_chars % 640) + 16 AS INTEGER) AS width,
+        |  CAST((doc_id % 360) + 16 AS INTEGER) AS height,
+        |  CAST((n_chars % 5000) + 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,

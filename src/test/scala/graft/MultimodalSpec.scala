@@ -242,4 +242,70 @@ class MultimodalSpec extends SparkSpec {
     assert(withCodegen.find(_._1 == 2L).get._2.isEmpty, "undecodable bytes hash to NULL")
     assert(withCodegen.find(_._1 == 3L).get._2.isEmpty, "null payload propagates")
   }
+
+  test("VideoHeaders.sniff round-trips genuine MP4 box trees; video track found past audio") {
+    import graft.operators.{Multimodal, VideoHeaders}
+    for ((w, h, ts, dur) <- Seq((640, 360, 1000, 5000L), (16, 16, 90000, 90000L),
+                                (1920, 1080, 600, 1L))) {
+      val m = VideoHeaders.sniff(Multimodal.encodeMp4(w, h, ts, dur))
+      assert(m.format === "mp4")
+      assert((m.width, m.height) === (w, h),
+        "dimensions come from the SECOND trak — the 0x0 audio trak is skipped")
+      assert(m.durationMs === dur * 1000L / ts)
+    }
+  }
+
+  test("VideoHeaders.sniff parses hand-built AVI and detects Matroska") {
+    import graft.operators.VideoHeaders
+    // minimal RIFF/AVI : LIST hdrl { avih } — 56-byte avih payload
+    val avih = java.nio.ByteBuffer.allocate(8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(33367) // usPerFrame (~29.97fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(300) // totalFrames
+      .putInt(0).putInt(2).putInt(0)
+      .putInt(320).putInt(240) // width height
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = "hdrl".getBytes("US-ASCII") ++ avih.array()
+    val riff = java.nio.ByteBuffer.allocate(12 + 8 + hdrl.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + hdrl.length)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(hdrl.length).put(hdrl)
+    val avi = VideoHeaders.sniff(riff.array())
+    assert(avi.format === "avi")
+    assert((avi.width, avi.height) === (320, 240))
+    assert(avi.durationMs === 33367L * 300L / 1000L)
+
+    val mkv = VideoHeaders.sniff(Array(0x1a, 0x45, 0xdf, 0xa3, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    assert(mkv.format === "mkv" && mkv.width === -1)
+  }
+
+  test("VideoHeaders.sniff: corrupt, truncated, empty, and null degrade to unknown") {
+    import graft.operators.{Multimodal, VideoHeaders}
+    assert(VideoHeaders.sniff(null).format === "unknown")
+    assert(VideoHeaders.sniff(Array.empty[Byte]).format === "unknown")
+    assert(VideoHeaders.sniff("plain text not a container".getBytes).format === "unknown")
+    val good = Multimodal.encodeMp4(320, 240, 1000, 2000L)
+    for (cut <- Seq(5, 12, 30, good.length / 2))
+      VideoHeaders.sniff(good.take(cut)) // must not throw; fields best-effort
+    // box size lying past the buffer: walk stops cleanly
+    val lying = good.clone()
+    lying(0) = 0x7f.toByte
+    VideoHeaders.sniff(lying)
+  }
+
+  test("videoMeta dataset operator sniffs per row; corrupt rows survive as unknown") {
+    import graft.operators.Multimodal
+    val rows = Seq(
+      (1L, Multimodal.encodeMp4(100, 50, 1000, 750L)),
+      (2L, "junk".getBytes)
+    ).toDF("doc_id", "content")
+    val out = Multimodal.videoMeta(spark, rows, "doc_id", "content")
+      .collect().sortBy(_.doc_id)
+    assert(out(0).format === "mp4" && out(0).width === 100 &&
+      out(0).height === 50 && out(0).duration_ms === 750L)
+    assert(out(1).format === "unknown" && out(1).width === -1)
+  }
 }
