@@ -894,6 +894,36 @@ object Ext {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable quantile sketches (DataSketches KLL, the quantile
+    * sibling of [[aggSketchDistinct]]'s HLL path): per-type exact
+    * median/p95 vs KLL estimates, AND the incremental 100 TB shape —
+    * per-slice sketches (here: per user_id % 4 shard) merged via the
+    * `kll_merge_agg_double` aggregate WITHOUT rescanning raw data, the
+    * way a daily-partition rollup maintains corpus quantiles. Rows-only
+    * (sketch estimates are engine-specific); SketchSpec bounds the
+    * rank error and pins merge == single-pass. */
+  def aggSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95_exact"),
+        kll_sketch_agg_double(col("value")).as("_sk"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        round(kll_sketch_get_quantile_double(col("_sk"), lit(0.5)), 2).as("p50_kll"),
+        round(kll_sketch_get_quantile_double(col("_sk"), lit(0.95)), 2).as("p95_kll"))
+    // slice -> merge: quantiles of the union from per-shard sketches
+    val merged = ev.withColumn("_shard", col("user_id") % 4)
+      .groupBy(col("event_type"), col("_shard"))
+      .agg(kll_sketch_agg_double(col("value")).as("_sk"))
+      .groupBy(col("event_type"))
+      .agg(kll_merge_agg_double(col("_sk")).as("_msk"))
+      .select(col("event_type"),
+        round(kll_sketch_get_quantile_double(col("_msk"), lit(0.5)), 2).as("p50_merged"))
+    direct.join(merged, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** Time-series resampling: per-user hourly grid spanning each user's
     * event range, backward-filled with the latest value —
     * [[graft.operators.Resample.ffillGrid]] with the clamp off (the
@@ -1400,6 +1430,7 @@ object Ext {
     "sim_ivfpq" -> simIvfPq,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "agg_sketch_distinct" -> aggSketchDistinct,
+    "agg_sketch_quantiles" -> aggSketchQuantiles,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,

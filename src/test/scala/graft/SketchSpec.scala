@@ -47,4 +47,24 @@ class SketchSpec extends SparkSpec {
     // all groups draw from the same 1500 users -> global distinct = 1500
     assert(math.abs(merged - 1500.0) / 1500.0 < 0.05)
   }
+
+  test("KLL quantile sketches: bounded rank error; merged slices == one pass") {
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val df = (0 until n).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+    // one-pass sketch vs exact percentile on a known uniform ramp
+    val one = df.agg(
+      kll_sketch_get_quantile_double(kll_sketch_agg_double(col("v")), lit(0.5)).as("p50"),
+      kll_sketch_get_quantile_double(kll_sketch_agg_double(col("v")), lit(0.95)).as("p95"))
+      .as[(Double, Double)].head()
+    // default k gives ~1.65% rank error at 99% confidence; allow 2% rank
+    assert(math.abs(one._1 - n * 0.5) <= n * 0.02, s"p50=${one._1}")
+    assert(math.abs(one._2 - n * 0.95) <= n * 0.02, s"p95=${one._2}")
+    // per-slice sketches merged == quantiles of the union, within the
+    // same error budget — the no-rescan incremental path
+    val merged = df.groupBy("g").agg(kll_sketch_agg_double(col("v")).as("sk"))
+      .agg(kll_sketch_get_quantile_double(kll_merge_agg_double(col("sk")), lit(0.5)).as("p50"))
+      .as[Double].head()
+    assert(math.abs(merged - n * 0.5) <= n * 0.02, s"merged p50=$merged")
+  }
 }
