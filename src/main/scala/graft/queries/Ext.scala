@@ -924,6 +924,38 @@ object Ext {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch-based corpus OVERLAP (DataSketches Theta — set algebra HLL
+    * cannot do): audience intersection/difference between event-type
+    * cohorts from two TINY sketches, no join, no rescan. The 100 TB
+    * question this answers daily: "how much does today's crawl overlap
+    * yesterday's corpus?" — estimated from persisted per-partition
+    * sketches in milliseconds. Exact counts ride along for the fixture
+    * scale; rows-only (sketch estimates are engine-specific), SketchSpec
+    * bounds the error and pins the set-algebra identities. */
+  def aggSketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // partially-overlapping cohorts (every fixture user does every event
+    // type, so plain type cohorts would overlap fully): viewers with
+    // even ids vs purchasers with ids % 3 == 0 — true overlap = ids % 6
+    def cohortA = ev.filter(col("event_type") === "view" && col("user_id") % 2 === 0)
+    def cohortB = ev.filter(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+    val a = cohortA.agg(theta_sketch_agg(col("user_id")).as("sk_a"),
+      count_distinct(col("user_id")).as("n_a"))
+    val b = cohortB.agg(theta_sketch_agg(col("user_id")).as("sk_b"),
+      count_distinct(col("user_id")).as("n_b"))
+    val exact = cohortA.select(col("user_id")).intersect(
+      cohortB.select(col("user_id"))).count()
+    a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        lit(exact).as("overlap_exact"),
+        round(theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))), 0)
+          .cast("long").as("overlap_theta"),
+        round(theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"))), 0)
+          .cast("long").as("union_theta"),
+        round(theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b"))), 0)
+          .cast("long").as("only_a_theta"))
+  }
+
   /** Time-series resampling: per-user hourly grid spanning each user's
     * event range, backward-filled with the latest value —
     * [[graft.operators.Resample.ffillGrid]] with the clamp off (the
@@ -1431,6 +1463,7 @@ object Ext {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "agg_sketch_distinct" -> aggSketchDistinct,
     "agg_sketch_quantiles" -> aggSketchQuantiles,
+    "agg_sketch_overlap" -> aggSketchOverlap,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,

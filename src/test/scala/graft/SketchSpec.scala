@@ -67,4 +67,23 @@ class SketchSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(merged - n * 0.5) <= n * 0.02, s"merged p50=$merged")
   }
+
+  test("Theta sketches: overlap/union/difference within 5% of exact set algebra") {
+    import org.apache.spark.sql.functions._
+    // A = [0, 3000), B = [2000, 6000): |A∩B|=1000 |A∪B|=6000 |A\B|=2000
+    val a = (0 until 3000).map(_.toLong).toDF("id")
+      .agg(theta_sketch_agg(col("id")).as("sk")).select(col("sk").as("sk_a"))
+    val b = (2000 until 6000).map(_.toLong).toDF("id")
+      .agg(theta_sketch_agg(col("id")).as("sk")).select(col("sk").as("sk_b"))
+    val (inter, union, diff) = a.crossJoin(b).select(
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"))),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b"))))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(inter - 1000) / 1000.0 < 0.05, s"intersection=$inter")
+    assert(math.abs(union - 6000) / 6000.0 < 0.05, s"union=$union")
+    assert(math.abs(diff - 2000) / 2000.0 < 0.05, s"difference=$diff")
+    // identity: |A| ≈ |A∩B| + |A\B|
+    assert(math.abs((inter + diff) - 3000) / 3000.0 < 0.05)
+  }
 }
