@@ -60,6 +60,28 @@ object Sample {
     df.filter(draw < score)
   }
 
+  /** Per-group quantile normalization of a score column: each row's
+    * score becomes its percent-rank WITHIN its group — the curation
+    * calibration step that makes one threshold mean the same thing
+    * across languages/sources (a perplexity of 180 is great for Finnish
+    * and junk for English; its within-language quantile is comparable).
+    * Composes directly with [[acceptByScore]] (calibrated score = keep
+    * probability) or a global cut. One window per group — parallel
+    * across groups, the same scale shape as every rank operator here.
+    * Ties share a rank (percent_rank semantics); null scores fail loud
+    * like the rest of the family (a null ranking silently as 0.0 would
+    * vanish into the acceptance math). */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                        outCol: String = "score_q"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val checked = when(col(scoreCol).isNull || isnan(col(scoreCol)),
+        raise_error(lit(s"Sample.quantileNormalize requires non-null, non-NaN '$scoreCol'")))
+      .otherwise(col(scoreCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(checked.asc)
+    df.withColumn(outCol, round(percent_rank().over(w), 6))
+  }
+
   /** Per-stratum downsampling to explicit rates — the corpus
     * REBALANCER (cap the over-represented web crawl at 10%, keep all
     * of the rare curated slice), complementing [[Mixture]]'s

@@ -368,6 +368,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Score calibration across languages: quality scores quantile-
+    * normalized WITHIN each language, so one global threshold means the
+    * same thing for every slice (the CCNet per-language-tercile idea,
+    * generalized to a continuous rank). */
+  def smpQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    graft.operators.Sample.quantileNormalize(d, Seq("lang"), "quality")
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"),
+        col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-mix drift between a simulated yesterday (doc_id % 10 != 0
     * — a biased retention that shifts shares) and today: per-language
     * PSI terms, the re-tune-your-sampler alarm. */
@@ -1417,6 +1430,7 @@ object Ext {
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
+    "smp_quantile_norm" -> smpQuantileNorm,
     "smp_stratified" -> smpStratified,
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
@@ -1666,6 +1680,12 @@ object Ext {
          |SELECT doc_id, quality FROM q
          |WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality
          |ORDER BY doc_id""".stripMargin,
+    "smp_quantile_norm" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
+         |q AS (SELECT doc_id, lang, $duckQuality AS quality FROM t)
+         |SELECT doc_id, lang, round(quality, 6) AS quality,
+         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6) AS score_q
+         |FROM q ORDER BY doc_id""".stripMargin,
     "smp_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('st1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0

@@ -156,4 +156,30 @@ class SampleSpec extends SparkSpec {
       Sample.stratified(small, "id", "src", Map.empty[String, Double])
     }
   }
+
+  test("quantileNormalize: per-group percent rank calibrates scales; ties share ranks") {
+    import org.apache.spark.sql.functions.col
+    // group a: scores 10,20,30,40 (wide scale); group b: 0.1,0.2,0.2,0.3
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 5L, 0.1), ("b", 6L, 0.2), ("b", 7L, 0.2), ("b", 8L, 0.3)
+    ).toDF("g", "id", "score")
+    val out = Sample.quantileNormalize(df, Seq("g"), "score")
+      .select("id", "score_q").as[(Long, Double)].collect().toMap
+    // scales differ 100x but calibrated ranks are identical shape
+    assert(out(1L) === 0.0 && out(4L) === 1.0)
+    assert(out(2L) === out(6L) && out(2L) === 0.333333, "same quantile across groups (rounded 6)")
+    assert(out(6L) === out(7L), "ties share a rank (percent_rank semantics)")
+    assert(out(8L) === 1.0)
+    // composes with acceptByScore: calibrated keep-probability per group
+    val kept = Sample.acceptByScore(
+      Sample.quantileNormalize(df, Seq("g"), "score"), "id", "score_q")
+    assert(kept.count() <= 8)
+    // null scores fail loud, same stance as the rest of the family
+    val bad = Seq(("a", 1L, Option.empty[Double])).toDF("g", "id", "score")
+    val e = intercept[Exception] {
+      Sample.quantileNormalize(bad, Seq("g"), "score").collect()
+    }
+    assert(e.getMessage.contains("quantileNormalize requires non-null"))
+  }
 }
