@@ -71,6 +71,20 @@ object Soak {
           graft.operators.Ivf.searchTopKPq(embs.filter(col("vec_id") < 20), embs,
             model, "vec_id", "vec_id", "embedding", "embedding",
             topK = 5, nProbe = 4).count()
+        }),
+        // txt family: training cost should track the bounded dictionary,
+        // not corpus size (phase 1 is the only corpus pass)
+        "unigram_train_encode" -> (() => {
+          val m = graft.operators.Unigram.train(docs, col("text"), vocabSize = 40,
+            maxWords = 10000)
+          docs.select(graft.operators.Unigram.tokenCount(col("text"), m).as("n"))
+            .agg(sum(col("n"))).collect()(0).getLong(0)
+        }),
+        "bpe_train_encode" -> (() => {
+          val m = graft.operators.Bpe.train(docs, col("text"), numMerges = 40,
+            maxWords = 10000)
+          docs.select(graft.operators.Bpe.tokenCount(col("text"), m).as("n"))
+            .agg(sum(col("n"))).collect()(0).getLong(0)
         }))
     }
 

@@ -146,6 +146,24 @@ class XlsxSpec extends SparkSpec {
     assert(!Xlsx.isXlsx("https://h/xlsx"))
   }
 
+  test("corrupt inputs fail fast with a clean exception (server maps to the read-stage 500)") {
+    // not a zip at all
+    val junk = Files.createTempFile("graft_xlsx_junk", ".xlsx")
+    Files.write(junk, "this is not a zip archive".getBytes(UTF_8))
+    intercept[Exception] { Xlsx.stageToCsv(junk.toString) }
+    // a zip with no worksheet part
+    val empty = Files.createTempFile("graft_xlsx_empty", ".xlsx")
+    zipWith(empty, "placeholder.txt" -> "nothing here")
+    val e = intercept[IllegalArgumentException] { Xlsx.stageToCsv(empty.toString) }
+    assert(e.getMessage.contains("worksheet"))
+    // truncated zip bytes (half of a real workbook)
+    val good = writeXlsx(Seq(Seq(Some("a")), Seq(Some("x"))))
+    val bytes = Files.readAllBytes(java.nio.file.Path.of(good))
+    val cut = Files.createTempFile("graft_xlsx_cut", ".xlsx")
+    Files.write(cut, bytes.take(bytes.length / 2))
+    intercept[Exception] { Xlsx.stageToCsv(cut.toString) }
+  }
+
   test("worksheet fallback when sheet1.xml is absent") {
     val sheet = """<?xml version="1.0"?><worksheet><sheetData>
       |<row r="1"><c r="A1"><v>7</v></c></row></sheetData></worksheet>""".stripMargin
