@@ -108,4 +108,40 @@ object Snapshot {
         round((col("new_share") - col("old_share")) *
           log(col("new_share") / col("old_share")), 6))
   }
+
+  // ---- persisted corpus-membership sketch ----------------------------
+
+  /** Persist a Theta membership sketch of `idCol` — the standing-corpus
+    * artifact for [[batchVsCorpusSketch]]. A few KB of parquet stands in
+    * for the whole corpus in every later overlap question; refresh by
+    * unioning the next batch's sketch (`theta_union`), never by
+    * rescanning history. Same persistence seam as `Ivf.saveModel` /
+    * `Bpe.saveModel`. */
+  def saveCorpusSketch(df: DataFrame, idCol: String, path: String): Unit =
+    df.agg(theta_sketch_agg(col(idCol)).as("sketch"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** "How much of this batch is NEW?" against a [[saveCorpusSketch]]
+    * artifact — one narrow aggregate over the batch plus a few-KB
+    * sketch read; the standing corpus is never touched. Returns one row:
+    * batch distinct (exact), estimated overlap with the corpus,
+    * estimated new-to-corpus count, and the new fraction the ingest
+    * decision actually keys on. Estimates are Theta-sketch accurate
+    * (~2% at default lgK); SketchSpec bounds them. */
+  def batchVsCorpusSketch(batch: DataFrame, idCol: String,
+                          sketchPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val corpus = spark.read.parquet(sketchPath).select(col("sketch").as("corpus_sk"))
+    val b = batch.agg(theta_sketch_agg(col(idCol)).as("batch_sk"),
+      count_distinct(col(idCol)).as("batch_distinct"))
+    b.crossJoin(corpus).select(
+        col("batch_distinct"),
+        round(theta_sketch_estimate(theta_intersection(col("batch_sk"), col("corpus_sk"))), 0)
+          .cast("long").as("overlap_est"),
+        round(theta_sketch_estimate(theta_difference(col("batch_sk"), col("corpus_sk"))), 0)
+          .cast("long").as("new_est"))
+      .withColumn("new_fraction",
+        round(col("new_est").cast("double") /
+          greatest(col("batch_distinct"), lit(1L)), 4))
+  }
 }

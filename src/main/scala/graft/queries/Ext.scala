@@ -381,6 +381,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** The daily ingest question end-to-end: persist a Theta membership
+    * sketch of the standing corpus (ids % 10 != 0), then ask how much
+    * of an arriving batch (ids % 5 == 0 — half of it genuinely new) is
+    * novel — WITHOUT touching the corpus again. Rows-only: Theta
+    * estimates are engine-specific; SnapshotSpec bounds them and pins
+    * the artifact staying KB-sized. */
+  def rptCorpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val path = rtDir(s, "corpus_sketch", dir)
+    Snapshot.saveCorpusSketch(d.filter(col("doc_id") % 10 =!= 0), "doc_id", path)
+    Snapshot.batchVsCorpusSketch(d.filter(col("doc_id") % 5 === 0), "doc_id", path)
+  }
+
   /** Language-mix drift between a simulated yesterday (doc_id % 10 != 0
     * — a biased retention that shifts shares) and today: per-language
     * PSI terms, the re-tune-your-sampler alarm. */
@@ -1452,6 +1465,7 @@ object Ext {
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
     "rpt_category_drift" -> rptCategoryDrift,
+    "rpt_corpus_novelty" -> rptCorpusNovelty,
     "rpt_numeric_drift" -> rptNumericDrift,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

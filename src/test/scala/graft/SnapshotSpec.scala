@@ -93,4 +93,24 @@ class SnapshotSpec extends SparkSpec {
       .select("status").distinct().as[String].collect().toSeq
     assert(allRemoved === Seq("removed"))
   }
+
+  test("persisted corpus sketch answers batch-novelty without touching the corpus") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 5000L).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    Snapshot.saveCorpusSketch(corpus, "doc_id", dir)
+    // batch: 1000 known ids + 500 new ones -> new fraction 1/3
+    val batch = ((1000L until 2000L) ++ (9000L until 9500L)).toDF("doc_id")
+    val r = Snapshot.batchVsCorpusSketch(batch, "doc_id", dir).collect()(0)
+    assert(r.getAs[Long]("batch_distinct") === 1500L)
+    val overlap = r.getAs[Long]("overlap_est")
+    val fresh = r.getAs[Long]("new_est")
+    assert(math.abs(overlap - 1000L) <= 50, s"overlap=$overlap")
+    assert(math.abs(fresh - 500L) <= 25, s"new=$fresh")
+    assert(math.abs(r.getAs[Double]("new_fraction") - 1.0 / 3) < 0.02)
+    // the artifact is tiny — a few KB stands in for the corpus
+    val bytes = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    assert(bytes < 64 * 1024, s"sketch artifact should be KBs, was $bytes")
+  }
 }
