@@ -152,6 +152,24 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * an arbitrary set list plus `grouping()` markers, which distinguish
+    * "aggregated-away" from "genuinely NULL" — the distinction report
+    * consumers actually need when group columns are nullable. */
+  def q29GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** Set operations: INTERSECT + EXCEPT over nation keys. */
   def q13SetOps(s: SparkSession, dir: String): DataFrame = {
     val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
@@ -370,6 +388,7 @@ object Relational {
     "q09_topk" -> q09TopK,
     "q10_distinct_counts" -> q10DistinctCounts,
     "q11_rollup" -> q11Rollup,
+    "q29_grouping_sets" -> q29GroupingSets,
     "q12_cube" -> q12Cube,
     "q13_setops" -> q13SetOps,
     "q14_strings" -> q14Strings,
@@ -482,6 +501,14 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n, round(sum(l_extendedprice),2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q13_setops" ->
       """SELECT 'both' AS tag, nationkey FROM (
         |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
