@@ -203,6 +203,40 @@ object EventStreams {
                          blocklist: Seq[String]): DataFrame =
     graft.operators.WebCurate.filterByDomain(docs, urlCol, blocklist)
 
+  /** Streaming maintenance of the persisted corpus-membership sketch
+    * ([[graft.operators.Snapshot.saveCorpusSketch]]'s artifact): each
+    * micro-batch's Theta sketch unions into the standing one — the
+    * artifact stays KB-sized and current while the corpus lands, so
+    * "how much of this batch is new" ([[graft.operators.Snapshot
+    * .batchVsCorpusSketch]]) is answerable mid-stream at any moment.
+    * Work per batch ∝ batch (one narrow aggregate + a few-KB
+    * read/write); the landed corpus itself is never re-read. */
+  def corpusSketchStream(docs: DataFrame, idCol: String,
+                         sketchPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.agg(theta_sketch_agg(col(idCol)).as("sketch"))
+        val exists = try {
+          spark.read.parquet(sketchPath).count() > 0
+        } catch { case _: Exception => false }
+        val merged =
+          if (exists) {
+            val old = spark.read.parquet(sketchPath)
+              .select(col("sketch").as("old_sk"))
+            fresh.crossJoin(old)
+              .select(theta_union(col("sketch"), col("old_sk")).as("sketch"))
+          } else fresh
+        // collect-then-write (one row of a few KB): the sink path is
+        // also the source path, and overwriting a parquet dir that is
+        // concurrently being read races — materialize first
+        val row = merged.collect()(0).getAs[Array[Byte]](0)
+        import spark.implicits._
+        Seq(row).toDF("sketch")
+          .repartition(1).write.mode("overwrite").parquet(sketchPath)
+      }
+      .start()
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -188,6 +188,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusSketchStream maintains the novelty artifact across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Snapshot
+    val input = MemoryStream[Long]
+    val docs = input.toDF().toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_stream").toString + "/sk"
+    val q = EventStreams.corpusSketchStream(docs, "doc_id", dir)
+    try {
+      input.addData(0L until 2000L: _*)
+      q.processAllAvailable()
+      input.addData(1000L until 3000L: _*) // half overlaps batch 1
+      q.processAllAvailable()
+      // corpus sketch now covers [0, 3000); a probe batch of 500 known +
+      // 500 new ids must read ~50% novel against it
+      val probe = ((500L until 1000L) ++ (10000L until 10500L)).toDF("doc_id")
+      val r = Snapshot.batchVsCorpusSketch(probe, "doc_id", dir).collect()(0)
+      assert(r.getAs[Long]("batch_distinct") === 1000L)
+      assert(math.abs(r.getAs[Long]("new_est") - 500L) <= 30,
+        s"new=${r.getAs[Long]("new_est")}")
+      assert(math.abs(r.getAs[Double]("new_fraction") - 0.5) < 0.05)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
