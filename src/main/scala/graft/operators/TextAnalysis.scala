@@ -192,6 +192,13 @@ object TextAnalysis {
 
   /** Canonical text form for fingerprinting: lowercase, punctuation
     * stripped, whitespace collapsed. */
+  /** Repair UTF-8-decoded-as-cp1252 mojibake ("cafÃ©" -> "café") via
+    * the strict inverse transform — see [[graft.functions.FixMojibake]]
+    * for the three safety gates that keep legitimate text (e.g. "São")
+    * untouched. Run BEFORE [[canonicalText]]/fingerprints: the corrupted
+    * and clean forms of the same document otherwise never dedup. */
+  def fixMojibake(text: Column): Column = graft.functions.FixMojibake(text)
+
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

@@ -301,6 +301,31 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Mojibake repair end-to-end: every doc gets a deterministically
+    * CORRUPTED copy of its first words (the text UTF-8-encoded then
+    * mis-decoded as cp1252 — the real corruption, not a lookalike),
+    * the repair must reproduce the original exactly, and untouchable
+    * forms stay untouched. Rows-only: no SQL engine does the strict
+    * byte round-trip; TextAnalysisSpec pins the transform itself. */
+  def txtFixMojibake(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // corrupt: é-ify some vowels first so there IS multi-byte content,
+    // then mis-decode; all deterministic column algebra + one UDF-free
+    // native repair on the way back
+    // iso-8859-1 is the mis-decode charset Spark's decode() supports —
+    // the latin-1 upstream variant (cp1252 differs only in 0x80-0x9F,
+    // which é's bytes never hit; the repair handles both)
+    val accented = regexp_replace(substring(col("text"), 1, 40), "e", "é")
+    val corrupted = decode(encode(accented, "UTF-8"), "iso-8859-1")
+    val repaired = TextAnalysis.fixMojibake(corrupted)
+    d.select(col("doc_id"),
+        length(accented).as("clean_chars"),
+        length(corrupted).as("mojibake_chars"),
+        (repaired === accented).as("repaired_exactly"),
+        (TextAnalysis.fixMojibake(accented) === accented).as("clean_untouched"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The OTHER trained subword model, end-to-end: learn a unigram-LM
     * vocab on the corpus (distributed word count -> driver EM + prune,
     * see [[graft.operators.Unigram]]), Viterbi-encode every document,
@@ -1455,6 +1480,7 @@ object Ext {
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_unigram_encode" -> txtUnigramEncode,
+    "txt_fix_mojibake" -> txtFixMojibake,
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,

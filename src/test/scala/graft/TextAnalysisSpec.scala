@@ -162,4 +162,37 @@ class TextAnalysisSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("fixMojibake repairs real corruption and refuses lookalikes") {
+    import graft.functions.FixMojibake
+    def moji(s: String): String =
+      new String(s.getBytes("UTF-8"), java.nio.charset.Charset.forName("windows-1252"))
+    def fix1(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.fixMojibake($"t")).as[String].head()
+    def mojiLatin1(s: String): String = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    // the classic: é, curly open-quote, em-dash, € — each through the
+    // REAL encode/mis-decode round-trip (cp1252 upstream)
+    for (clean <- Seq("café au lait", "it’s “quoted — fine", "€99", "über señor"))
+      assert(fix1(moji(clean)) === clean, s"repair of ${moji(clean)}")
+    // latin-1 upstream: UTF-8 tail bytes land in the C1 control range
+    // instead of cp1252 glyphs — the other common corruption, incl. ”
+    // (whose 0x9D byte cp1252 cannot even represent)
+    for (clean <- Seq("it’s “quoted” — fine", "naïve — résumé"))
+      assert(fix1(mojiLatin1(clean)) === clean, s"latin-1 repair of $clean")
+    // a cp1252-mis-decoded ” produced U+FFFD: information destroyed,
+    // honestly unrepairable — must stay untouched, never guessed at
+    val lossy = moji("“quoted”")
+    assert(lossy.contains('�') && fix1(lossy) === lossy)
+    // double-encoded repairs in two passes
+    assert(fix1(moji(moji("café"))) === "café")
+    // legitimate text is untouched: 'Ã'+consonant is invalid UTF-8
+    for (legit <- Seq("São Paulo", "plain ascii", "café", "Ÿ alone", "年 CJK",
+                      "emoji 😀 text"))
+      assert(fix1(legit) === legit, s"must not touch '$legit'")
+    // null propagates; empty unchanged
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.fixMojibake($"t")).collect()(0)
+    assert(n.isNullAt(0))
+    assert(fix1("") === "")
+  }
 }
