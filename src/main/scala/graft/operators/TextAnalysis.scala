@@ -282,6 +282,19 @@ object TextAnalysis {
   def canonicalText(text: Column): Column =
     trim(regexp_replace(lower(graft.functions.NfcNormalize(text)), "\\s+", " "))
 
+  /** Remove format-control characters the eye can't see but every hash
+    * can: zero-widths (ZWSP/ZWNJ/ZWJ), stray BOMs, soft hyphens vanish;
+    * NBSP and the typographic space block normalize to a plain space.
+    * Copy-pasted web text is full of these, and "identical" strings
+    * that differ only invisibly split every dedup/fingerprint. Both
+    * regexes are in the Java-regex/RE2 agreement subset, shared
+    * verbatim with the DuckDB twin — plain column algebra, narrow. */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]", ""),
+      "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+
   /** Content fingerprint: md5 of the normalized text. Stable across
     * whitespace/case/punctuation perturbations — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))

@@ -301,6 +301,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Invisible-character hygiene end-to-end: plant zero-widths, a BOM,
+    * soft hyphens, and NBSPs deterministically in every doc, strip
+    * them, and show the token/fingerprint damage the invisibles caused
+    * — stripped text fingerprints equal to the original, planted text
+    * does not. Both regexes run verbatim in the DuckDB twin. */
+  def txtStripInvisible(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // plant: BOM prefix, ZWSP after first char, NBSP for every space,
+    // soft hyphen before the last char — all deterministic
+    val planted = concat(lit("\uFEFF"),
+      substring(col("text"), 1, 1), lit("\u200B"),
+      regexp_replace(substring(col("text"), 2, 1000000), " ", "\u00A0"))
+    val stripped = TextAnalysis.stripInvisible(planted)
+    d.select(col("doc_id"),
+        length(planted).as("planted_chars"),
+        length(stripped).as("stripped_chars"),
+        (md5(stripped.cast("binary")) === md5(col("text").cast("binary")))
+          .as("fingerprint_restored"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mojibake repair end-to-end: every doc gets a deterministically
     * CORRUPTED copy of its first words (the text UTF-8-encoded then
     * mis-decoded as cp1252 — the real corruption, not a lookalike),
@@ -1481,6 +1502,7 @@ object Ext {
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
+    "txt_strip_invisible" -> txtStripInvisible,
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
@@ -1720,6 +1742,21 @@ object Ext {
          |SELECT doc_id, quality FROM q
          |WHERE CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 < quality
          |ORDER BY doc_id""".stripMargin,
+    "txt_strip_invisible" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  chr(65279) || substring(text, 1, 1) || chr(8203) ||
+        |    replace(substring(text, 2, 1000000), ' ', chr(160)) AS planted
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, planted,
+        |  regexp_replace(regexp_replace(planted,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |    '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS stripped
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(length(planted) AS INTEGER) AS planted_chars,
+        |  CAST(length(stripped) AS INTEGER) AS stripped_chars,
+        |  md5(stripped) = md5(text) AS fingerprint_restored
+        |FROM s ORDER BY doc_id""".stripMargin,
     "smp_quantile_norm" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS toks FROM documents),
          |q AS (SELECT doc_id, lang, $duckQuality AS quality FROM t)

@@ -195,4 +195,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.isNullAt(0))
     assert(fix1("") === "")
   }
+
+  test("stripInvisible removes format controls, normalizes exotic spaces, leaves clean text") {
+    def strip1(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripInvisible($"t")).as[String].head()
+    assert(strip1("a​b‌c‍d﻿e­f") === "abcdef",
+      "zero-widths, BOM, soft hyphen vanish")
+    assert(strip1("a b c d　e") === "a b c d e",
+      "NBSP, em-space, narrow NBSP, ideographic space -> plain space")
+    assert(strip1("already clean text") === "already clean text")
+    // the dedup consequence: invisibly-different strings now fingerprint equal
+    val fp = Seq("same text", "same text​").toDF("t")
+      .select(md5(TextAnalysis.stripInvisible($"t").cast("binary"))).as[String].collect()
+    assert(fp(0) === fp(1))
+  }
 }
