@@ -322,6 +322,37 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** The full text-hygiene chain in ONE narrow pass: mojibake repair ->
+    * invisible-character strip -> NFC canonicalization -> fingerprint,
+    * applied to documents deterministically corrupted BOTH ways
+    * (mis-decoded and invisible-seeded). The assertion is the reason
+    * the chain exists: every corrupted variant fingerprints back to its
+    * clean original — dedup sees through crawl damage. Rows-only (the
+    * mojibake leg isn't SQL-reproducible); each leg is separately
+    * oracle- or spec-gated. */
+  def pipelineHygiene(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val accented = regexp_replace(substring(col("text"), 1, 60), "e", "é")
+    val dirty = concat(lit("\u200B"),
+      decode(encode(accented, "UTF-8"), "iso-8859-1"),
+      lit("\u00A0"))
+    // ORDER MATTERS, and either wrong order fails CLOSED, never mangles:
+    // repair-first refuses rows carrying genuine zero-widths (not
+    // cp1252-mappable — gate 1), while strip-first would destroy
+    // mis-decoded continuation bytes that render as NBSP/soft-hyphen
+    // (e.g. "à" -> "Ã"+NBSP), after which the strict re-decode refuses
+    // (gate 3). Here the planted invisibles are NOT part of the
+    // mis-decoded stream and the é-corruption contains no NBSP-like
+    // bytes, so strip-then-repair composes cleanly.
+    val cleaned = TextAnalysis.canonicalText(
+      TextAnalysis.fixMojibake(TextAnalysis.stripInvisible(dirty)))
+    val reference = TextAnalysis.canonicalText(accented)
+    d.select(col("doc_id"),
+        md5(cleaned.cast("binary")).as("clean_fp"),
+        (cleaned === reference).as("hygiene_restored"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mojibake repair end-to-end: every doc gets a deterministically
     * CORRUPTED copy of its first words (the text UTF-8-encoded then
     * mis-decoded as cp1252 — the real corruption, not a lookalike),
@@ -1503,6 +1534,7 @@ object Ext {
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
     "txt_strip_invisible" -> txtStripInvisible,
+    "pipeline_hygiene" -> pipelineHygiene,
     "txt_perplexity" -> txtPerplexity,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
