@@ -103,10 +103,15 @@ class ProcessCsvServer(spark: SparkSession, port: Int, outDir: String,
             // .xlsx inputs (decided on the URL path, not the staged temp
             // name) convert driver-side to CSV, then read identically —
             // positional column addressing carries over unchanged
+            val fromXlsx = graft.sources.Xlsx.isXlsx(csvUrl)
             val staged =
-              if (graft.sources.Xlsx.isXlsx(csvUrl)) graft.sources.Xlsx.stageToCsv(fetched)
+              if (fromXlsx) graft.sources.Xlsx.stageToCsv(fetched)
               else fetched
-            val df = spark.read.option("header", "true").option("inferSchema", "true").csv(staged)
+            // Xlsx.csvEscape quotes embedded newlines; without multiLine the
+            // CSV reader would split such a cell into extra malformed rows.
+            // Safe to enable: Xlsx.stageToCsv is the sole producer of this file.
+            val df = spark.read.option("header", "true").option("inferSchema", "true")
+              .option("multiLine", fromXlsx.toString).csv(staged)
             df.schema // force analysis so read errors surface under the read stage
             val cfg = Enrich.Config(systemPrompt = systemPrompt, model = model,
               maxTokens = tokens, temperature = temperature, maxRows = maxRows.toLong,

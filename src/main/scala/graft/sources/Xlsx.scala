@@ -59,18 +59,26 @@ object Xlsx {
   }
 
   /** The first worksheet part. openpyxl/pandas write `sheet1.xml`; when
-    * absent, the lexicographically first xml part under `xl/worksheets/`
-    * stands in (full fidelity would chase workbook.xml's relationship
-    * ids — out of scope for the staging path). */
+    * absent, the NUMERICALLY first xml part under `xl/worksheets/` stands
+    * in — lexicographic order would pick sheet10.xml over sheet2.xml
+    * (full fidelity would chase workbook.xml's relationship ids — out of
+    * scope for the staging path). */
   private def firstSheetEntry(zip: ZipFile): String = {
     if (zip.getEntry("xl/worksheets/sheet1.xml") != null) "xl/worksheets/sheet1.xml"
     else {
+      // sort key: (embedded number if any else MaxValue, full name) — so
+      // sheet2 < sheet10, and non-numeric names fall back to lexicographic
+      def key(n: String): (Long, String) = {
+        val digits = n.substring(n.lastIndexOf('/') + 1).filter(_.isDigit)
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong, n)
+      }
       val it = zip.entries()
       var best: String = null
       while (it.hasMoreElements) {
         val n = it.nextElement().getName
         if (n.startsWith("xl/worksheets/") && n.endsWith(".xml") &&
-            !n.contains("/_rels/") && (best == null || n < best)) best = n
+            !n.contains("/_rels/") &&
+            (best == null || Ordering[(Long, String)].lt(key(n), key(best)))) best = n
       }
       require(best != null, "xlsx has no xl/worksheets/*.xml part")
       best

@@ -217,9 +217,18 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.agg(theta_sketch_agg(col(idCol)).as("sketch"))
+        // Bootstrap ONLY on a genuinely-absent artifact. A transient read
+        // failure (permissions, corrupt footer, FS hiccup) must fail the
+        // micro-batch — treating it as "absent" would silently overwrite
+        // the standing corpus sketch with this batch alone and poison
+        // every later batchVsCorpusSketch novelty answer.
         val exists = try {
           spark.read.parquet(sketchPath).count() > 0
-        } catch { case _: Exception => false }
+        } catch {
+          case _: java.io.FileNotFoundException => false
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null && e.getCondition.contains("PATH_NOT_FOUND") => false
+        }
         val merged =
           if (exists) {
             val old = spark.read.parquet(sketchPath)

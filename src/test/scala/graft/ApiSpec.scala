@@ -176,6 +176,40 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("e2e: xlsx cell with embedded newline stays ONE row (multiLine staging read)") {
+    // Xlsx.csvEscape quotes embedded newlines; the server's staged read
+    // must use multiLine=true or this cell silently splits into two
+    // malformed rows. 2 data rows in -> error_count 0 and both markers out.
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sst = "<?xml version=\"1.0\"?><sst><si><t>name</t></si>" +
+      "<si><t xml:space=\"preserve\">first&#10;second</t></si><si><t>plain</t></si></sst>"
+    val f = Files.createTempFile("graft_api_nl", ".xlsx")
+    val z = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    try Seq("xl/worksheets/sheet1.xml" -> sheet, "xl/sharedStrings.xml" -> sst)
+      .foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(c.getBytes(UTF_8)); z.closeEntry()
+      }
+    finally z.close()
+    withServer(None) { port =>
+      val resp = post(port, requestJson(f.toString, overrides = Map("column_index" -> "0")))
+      assert(resp.statusCode() == 200, s"body: ${resp.body()}")
+      val j = JsonMethods.parse(resp.body())
+      assert((j \ "error_count").extract[Long] == 0L)
+      val outFile = (j \ "file_url").extract[String]
+      val content = Files.readString(java.nio.file.Path.of(outFile))
+      // the newline cell survived intact (quoted), and only 2 data rows exist:
+      // header + 2 logical rows; the embedded newline adds 1 physical line
+      assert(content.contains("first\nsecond") || content.contains("first\r\nsecond"),
+        s"newline cell should survive staging: $content")
+      assert(content.contains("plain"))
+    }
+  }
+
   test("webhook failure is non-fatal: request still returns 200") {
     // template points at a port nothing listens on
     withServer(Some("http://localhost:1/version-{version_id}/dead")) { port =>

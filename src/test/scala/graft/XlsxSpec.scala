@@ -172,4 +172,16 @@ class XlsxSpec extends SparkSpec {
     val df = spark.read.csv(Xlsx.stageToCsv(f.toString)).collect()
     assert(df(0).getString(0) === "7")
   }
+
+  test("worksheet fallback orders numerically: sheet2 beats sheet10") {
+    def sheetWith(v: Int) = s"""<?xml version="1.0"?><worksheet><sheetData>
+      |<row r="1"><c r="A1"><v>$v</v></c></row></sheetData></worksheet>""".stripMargin
+    val f = Files.createTempFile("graft_xlsx_num", ".xlsx")
+    // lexicographic order would pick sheet10 (value 10); numeric must pick sheet2
+    zipWith(f, boilerplate ++ Seq(
+      "xl/worksheets/sheet10.xml" -> sheetWith(10),
+      "xl/worksheets/sheet2.xml" -> sheetWith(2)): _*)
+    val df = spark.read.csv(Xlsx.stageToCsv(f.toString)).collect()
+    assert(df(0).getString(0) === "2")
+  }
 }
