@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import graft.llm.{EmbedClient, EmbedRequest, Retry}
+
+/** Batched LLM embeddings generation ([EXT] — SURVEY §2.9's external-API
+  * map applied to the pipeline's highest-volume real call): embed one
+  * column of every row via `POST /v1/embeddings` with `textsPerCall`
+  * texts per request, appending an `embedding: array<float>` column in
+  * exact input order. This feeds every downstream `sim_*` / embedding-
+  * dedup operator without a pre-made fixture.
+  *
+  * Spark formulation — deliberately the [[Enrich]] shape, because the
+  * hard parts are identical and already proven there:
+  *   - stable `_row_idx` (zipWithIndex, or sharded for the 100 TB path);
+  *   - `repartitionByRange` into ~batchSize-row contiguous batches;
+  *   - `mapPartitions` packs rows into chunks of `textsPerCall` and keeps
+  *     `callConcurrency` CALLS (not rows) in flight via the sliding
+  *     submission window — each call is 1 HTTP request carrying N texts;
+  *   - per-call 7x1→64 s retry with 429/Retry-After honoring
+  *     ([[Retry.withBackoff]]), the JVM-wide in-flight gate SHARED with
+  *     [[Enrich]] (completions + embeddings live inside one 200-call
+  *     budget, the reference's envelope), and the 3600 s batch deadline;
+  *   - idempotency key per (request_id, chunk-of-row-idxs) so a Spark
+  *     task retry presents the same key for the same texts;
+  *   - per-partition sort on `_row_idx` restores input order with no
+  *     global sort (whose sampling pass would re-run the paid calls).
+  *
+  * Failure isolation is per CALL: a call that exhausts retries leaves a
+  * NULL embedding on exactly its `textsPerCall` rows — the array-typed
+  * sibling of Enrich's string sentinel (there is no in-band "error
+  * vector"; null is the only honest encoding). Count with [[errorCount]].
+  */
+object Embed {
+
+  /** Envelope for the batched embeddings map. `textsPerCall` is the
+    * public API's documented batching lever (N inputs per request);
+    * `callConcurrency` bounds in-flight HTTP calls per partition, and
+    * `globalMaxInFlightPerJvm` is the same JVM-wide ceiling Enrich
+    * enforces — the two operators share one semaphore per cap value. */
+  final case class Config(
+      model: String = "text-embedding-3-small",
+      textsPerCall: Int = 64,
+      batchSize: Int = 1000,
+      callConcurrency: Int = 8,
+      retries: Int = 7,
+      retryBaseDelayMs: Long = 1000L,
+      requestId: String = "",
+      globalMaxInFlightPerJvm: Int = 200,
+      batchTimeoutMs: Long = 3600000L)
+
+  /** Embed `df.columns(columnIndex)` (positional addressing for parity
+    * with the reference's API surface) through `client`, appending
+    * `embedding: array<float>`. Returns ALL input columns + `_row_idx` +
+    * `embedding`, in input order. `shardedIndex` swaps the contiguous
+    * index for the no-extra-job sharded one (same order semantics — see
+    * [[Enrich.withRowIndexSharded]]). */
+  def embed(df: DataFrame, columnIndex: Int, cfg: Config,
+            clientFactory: () => EmbedClient,
+            progress: Option[LongAccumulator] = None,
+            shardedIndex: Boolean = false,
+            throttles: Option[LongAccumulator] = None): DataFrame = {
+    require(columnIndex >= 0 && columnIndex < df.columns.length,
+      s"columnIndex $columnIndex out of range for ${df.columns.length} columns")
+    require(cfg.textsPerCall >= 1, "textsPerCall must be >= 1")
+
+    val indexed =
+      if (shardedIndex) Enrich.withRowIndexSharded(df) else Enrich.withRowIndex(df)
+    val n = indexed.count()
+    val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
+    val batched = indexed.repartitionByRange(numBatches, col("_row_idx"))
+
+    val outSchema = StructType(batched.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true))
+    val colIdx = columnIndex
+    val conf = cfg
+
+    val embedded = batched.mapPartitions { rows =>
+      val client = clientFactory()
+      implicit val ec: ExecutionContext = Enrich.ioPool
+      val deadlineNs = System.nanoTime() + conf.batchTimeoutMs * 1000000L
+      def remainingNs: Long = deadlineNs - System.nanoTime()
+
+      // Chunks are built on the task thread (source iterators are not
+      // thread-safe and assume the task thread's TaskContext); each chunk
+      // becomes ONE in-flight call. The sliding window counts calls.
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pending = scala.collection.mutable.Queue.empty[Future[Seq[Row]]]
+
+      def submitChunk(): Unit = {
+        val texts = new scala.collection.mutable.ArrayBuffer[String](conf.textsPerCall)
+        val seqs = new scala.collection.mutable.ArrayBuffer[Seq[Any]](conf.textsPerCall)
+        var minIdx = Long.MaxValue
+        var idxHash = 1L
+        while (texts.length < conf.textsPerCall && rows.hasNext) {
+          val row = rows.next()
+          val cell = row.get(colIdx)
+          // pandas str(nan) == "nan" (test.py:86) — same coercion as Enrich
+          texts += (if (cell == null) "nan" else cell.toString)
+          seqs += row.toSeq
+          val rowIdx = row.getLong(row.length - 1) // _row_idx is last
+          minIdx = math.min(minIdx, rowIdx)
+          idxHash = idxHash * 1000003L + rowIdx // order-sensitive content hash
+        }
+        if (texts.isEmpty) return
+        // Stable for a re-executed task that re-forms the same chunk; a
+        // differently-chunked retry gets a fresh key (fail-open: at worst
+        // the provider sees a new key and charges the call — never drops).
+        val idemKey =
+          if (conf.requestId.isEmpty) ""
+          else s"${conf.requestId}-$minIdx-${java.lang.Long.toHexString(idxHash)}"
+        val in = texts.toVector
+        val rowSeqs = seqs.toVector
+        inFlight.incrementAndGet()
+        pending.enqueue(Future {
+          try {
+            val g =
+              if (conf.globalMaxInFlightPerJvm > 0) Some(Enrich.gate(conf.globalMaxInFlightPerJvm))
+              else None
+            val vectors: Seq[Array[Float]] =
+              try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
+                onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {
+                g.foreach(_.acquire())
+                try {
+                  val out = client.embed(EmbedRequest(in, conf.model, idemKey))
+                  require(out.size == in.size,
+                    s"embed client returned ${out.size} vectors for ${in.size} inputs")
+                  out
+                } finally g.foreach(_.release())
+              } catch {
+                // per-call isolation: this chunk's rows get NULL vectors
+                case e if scala.util.control.NonFatal(e) => null
+              }
+            progress.foreach(a => a.synchronized(a.add(in.size.toLong)))
+            rowSeqs.zipWithIndex.map { case (seq, i) =>
+              Row.fromSeq(seq :+ (if (vectors == null) null else vectors(i)))
+            }
+          } finally inFlight.decrementAndGet()
+        })
+      }
+
+      def topUp(): Unit =
+        while (inFlight.get() < math.max(1, conf.callConcurrency) && rows.hasNext)
+          submitChunk()
+      topUp()
+
+      new Iterator[Row] {
+        private var buf: Seq[Row] = Nil
+        private def timeout() = throw new java.util.concurrent.TimeoutException(
+          s"embed batch exceeded ${conf.batchTimeoutMs} ms " +
+            "(per-batch deadline, the Enrich/reference envelope)")
+        override def hasNext: Boolean =
+          buf.nonEmpty || pending.nonEmpty || rows.hasNext
+        override def next(): Row = {
+          if (buf.isEmpty) {
+            topUp()
+            val f = pending.dequeue()
+            var out: Option[Seq[Row]] = None
+            while (out.isEmpty) {
+              if (remainingNs <= 0L) timeout()
+              val wait = math.min(remainingNs, 25L * 1000000L)
+              try out = Some(Await.result(f, Duration.fromNanos(math.max(wait, 1L))))
+              catch { case _: java.util.concurrent.TimeoutException => topUp() }
+            }
+            buf = out.get
+            topUp()
+          }
+          val r = buf.head
+          buf = buf.tail
+          r
+        }
+      }
+    }(Encoders.row(outSchema))
+
+    // Same argument as Enrich: batches are contiguous _row_idx ranges, so
+    // a within-partition sort yields total order for partition-ordered
+    // consumers without re-executing the paid calls.
+    embedded.sortWithinPartitions(col("_row_idx"))
+  }
+
+  /** Rows whose call failed after retries (NULL embedding). */
+  def errorCount(embedded: DataFrame): Long =
+    embedded.filter(col("embedding").isNull).count()
+}

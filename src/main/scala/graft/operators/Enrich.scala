@@ -104,7 +104,8 @@ object Enrich {
   // One IO pool per executor JVM, shared across tasks; sized generously —
   // per-task concurrency is bounded by the sliding submission window, so
   // the pool just needs to be >= tasks-per-executor * rowConcurrency.
-  @transient private lazy val ioPool: ExecutionContextExecutorService =
+  // private[operators]: Embed drives its batched calls off the same pool.
+  @transient private[operators] lazy val ioPool: ExecutionContextExecutorService =
     ExecutionContext.fromExecutorService(Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-enrich-io")
       t.setDaemon(true)
@@ -112,10 +113,12 @@ object Enrich {
     }))
 
   // JVM-wide in-flight gate, one per configured cap (executors share it
-  // across all concurrently-running enrich tasks in the JVM).
+  // across all concurrently-running enrich tasks in the JVM — and across
+  // OPERATORS: Embed acquires the same semaphore, so completions and
+  // embeddings together stay inside the reference's one 200-call budget).
   @transient private lazy val gates =
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
-  private def gate(permits: Int): java.util.concurrent.Semaphore =
+  private[operators] def gate(permits: Int): java.util.concurrent.Semaphore =
     gates.computeIfAbsent(permits, p => new java.util.concurrent.Semaphore(p))
 
   /** Enrich `df.columns(columnIndex)` (positional addressing — the

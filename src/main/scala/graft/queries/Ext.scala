@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.StubLlmClient
-import graft.operators.{AsOfJoin, Classifier, Dedup, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
+import graft.llm.{StubEmbedClient, StubLlmClient}
+import graft.operators.{AsOfJoin, Classifier, Dedup, Embed, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
 import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -1181,6 +1181,32 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Batched embeddings generation end-to-end with a deterministic stub:
+    * the full distributed path (zipWithIndex -> range-batch ->
+    * mapPartitions packing `textsPerCall` texts per call under the
+    * sliding call window -> order restore) produces `array<float>`
+    * vectors whose every component the DuckDB twin recomputes from the
+    * text by formula — batching, alignment (vector i belongs to text i),
+    * and ordering are all hash-gated. Small textsPerCall/batchSize force
+    * MANY chunks across MANY partitions so misalignment can't hide. */
+  def enrichEmbed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cfg = Embed.Config(textsPerCall = 16, batchSize = 100, callConcurrency = 4)
+    val stub = () => new StubEmbedClient(t => Array(
+      t.length.toFloat,
+      t.count(_ == ' ').toFloat,
+      (t.length % 97).toFloat,
+      1.0f))
+    Embed.embed(docs, columnIndex = 1, cfg, stub)
+      .select(col("doc_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e0"),
+        element_at(col("embedding"), 2).as("e1"),
+        element_at(col("embedding"), 3).as("e2"),
+        element_at(col("embedding"), 4).as("e3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sharded order-preserving CSV sink, exercised end-to-end: enrich ->
     * [[graft.sources.OrderedCsv.writeSharded]] (range-partitioned part
     * files whose filename order IS row order) -> read the part files back
@@ -1487,6 +1513,7 @@ object Ext {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enrich_stub" -> enrichStub,
     "enrich_multi" -> enrichMulti,
+    "enrich_embed" -> enrichEmbed,
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
@@ -1691,6 +1718,17 @@ object Ext {
       """SELECT doc_id,
         |  'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Summary,
         |  'len:' || CAST(length('Classify the language' || chr(10) || chr(10) || 'Input: ' || lang) AS VARCHAR) AS LangGuess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // stub vector components are pure functions of the text — the twin
+    // recomputes all four, so batching misalignment or order loss in the
+    // embeddings map breaks the hash
+    "enrich_embed" ->
+      """SELECT doc_id,
+        |  CAST(4 AS INTEGER) AS dim,
+        |  CAST(length(text) AS FLOAT) AS e0,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS FLOAT) AS e1,
+        |  CAST(length(text) % 97 AS FLOAT) AS e2,
+        |  CAST(1.0 AS FLOAT) AS e3
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
