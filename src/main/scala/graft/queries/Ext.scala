@@ -1340,6 +1340,31 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** WARC (ISO 28500) crawl-format round-trip, split-boundary path
+    * included: documents become one-record-per-gzip-member `.warc.gz`
+    * shards ([[graft.sources.Warc.write]]), then read back with
+    * deliberately tiny splits (64 KB) so the scan MUST resync mid-file
+    * across member boundaries — the oracle recomputes every field (url,
+    * epoch, lengths, payload text) from the source table, so a missed,
+    * duplicated, or torn record at any split boundary breaks the hash. */
+  def srcWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val recs = docs.select(
+      concat(lit("https://corpus.example/doc/"), col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("conversion").as("record_type"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    graft.sources.Warc.read(s, outDir, maxSplitBytes = 1 << 16)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"))
+  }
+
   /** Small-file compaction round-trip: shatter the corpus into 64 tiny
     * part files (a streaming sink's week), compact to a handful sized
     * from actual bytes, read back — content identical, file count
@@ -1523,6 +1548,7 @@ object Ext {
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_avro_roundtrip" -> srcAvroRoundtrip,
+    "src_warc_roundtrip" -> srcWarcRoundtrip,
     "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -1981,6 +2007,16 @@ object Ext {
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_avro_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    // every WARC field recomputed from the source row: url/epoch by
+    // formula, content_length as UTF-8 byte length, payload round-trip
+    "src_warc_roundtrip" ->
+      """SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |  'conversion' AS record_type,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text
+        |FROM documents ORDER BY url""".stripMargin,
     "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train

@@ -1,0 +1,451 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** WARC/WET (web-crawl archive, ISO 28500) source — the crawl-format
+  * reader in front of the web-curation pipeline (WebCurate / markup
+  * strip / pipelineWebCurate): CommonCrawl and every crawler that
+  * follows the spec deliver `.warc.gz` / `.wet.gz` files whose records
+  * are each their own gzip MEMBER. That layout is the spec's explicit
+  * scale affordance: a reader can start at ANY byte offset, resync to
+  * the next member boundary, and inflate independently — so one 1 GB
+  * crawl file parallelizes across tasks without any index.
+  *
+  * Design (all public knowledge: ISO 28500 / gzip RFC 1952):
+  *   - the driver lists files and cuts byte-range splits of
+  *     `maxSplitBytes`; each task owns the members whose compressed
+  *     START lies in [start, end) — the same ownership convention as
+  *     Hadoop's FileInputFormat, so every record is read exactly once;
+  *   - resync scans for the gzip magic (1f 8b 08) and VALIDATES each
+  *     candidate by parsing the member header and inflating a prefix
+  *     that must read "WARC/" — compressed bytes can contain the magic
+  *     by chance, so the scan must prove a candidate before trusting it;
+  *   - members inflate via a raw `Inflater` (not GZIPInputStream, whose
+  *     readahead buffering loses the exact compressed position needed
+  *     for split accounting); `Inflater.getBytesRead` gives the exact
+  *     member length, positioning the scan at the next member with no
+  *     second pass;
+  *   - WARC named fields parse from the inflated record: Target-URI,
+  *     Date (→ TimestampType), Type, Content-Type, Content-Length →
+  *     payload bytes.
+  *
+  * The writer emits the same one-record-per-member layout (each record
+  * deflated as an independent gzip member, members concatenated), so
+  * fixtures written here exercise the identical resync path CommonCrawl
+  * files would. */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true), // warcinfo records carry none
+    StructField("ts", TimestampType, nullable = true),
+    StructField("record_type", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Largest decompressed record accepted (fail-loud guard: a corrupt
+    * length or a hostile file must not OOM an executor). */
+  val MaxRecordBytes: Int = 256 << 20
+
+  // ---- read ------------------------------------------------------------
+
+  /** Distributed, splittable scan of `.warc.gz`/`.wet.gz` under `path`
+    * (a directory, a single file, or a glob). `maxSplitBytes` bounds
+    * per-task input — at 100 TB the default cuts ~800k independent
+    * splits, each resyncing locally; no driver-side byte ever moves. */
+  def read(spark: SparkSession, path: String,
+           maxSplitBytes: Long = 128L << 20): DataFrame = {
+    require(maxSplitBytes >= (1L << 16), s"maxSplitBytes too small: $maxSplitBytes")
+    val splits = planSplits(spark, path, maxSplitBytes)
+    val confMap = serializableConf(spark)
+    val rdd = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { case (file, start, end) =>
+        val conf = new Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        readSplit(conf, file, start, end)
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** WET convenience: conversion records as (url, ts, text) — the shape
+    * [[graft.queries.Ext.pipelineWebCurate]] consumes. */
+  def readWet(spark: SparkSession, path: String,
+              maxSplitBytes: Long = 128L << 20): DataFrame =
+    read(spark, path, maxSplitBytes)
+      .filter(col("record_type") === "conversion" || col("record_type") === "response")
+      .select(col("url"), col("ts"),
+        decode(col("payload"), "UTF-8").as("text"))
+
+  // ---- write -----------------------------------------------------------
+
+  /** Write `df` (url, ts, record_type, content_type, payload) as
+    * `numShards` `.warc.gz` files, one gzip member per record —
+    * the spec's splittable layout, so written corpora re-read in
+    * parallel. Overwrite semantics like the other graft sinks. */
+  def write(df: DataFrame, dir: String, numShards: Int): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    val cols = Seq("url", "ts", "record_type", "content_type", "payload")
+    cols.foreach(c => require(df.columns.contains(c), s"write needs column $c"))
+    val spark = df.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val confMap = serializableConf(spark)
+    val dirStr = dir
+    df.select(cols.map(col): _*).repartition(numShards).rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+        val conf = new Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val outPath = new Path(dirStr, f"part-$pid%05d.warc.gz")
+        val out = outPath.getFileSystem(conf).create(outPath, true)
+        try rows.foreach { r =>
+          val url = if (r.isNullAt(0)) null else r.getString(0)
+          val ts = if (r.isNullAt(1)) null else r.getTimestamp(1)
+          val rtype = r.getString(2)
+          val ctype = if (r.isNullAt(3)) null else r.getString(3)
+          val payload = r.getAs[Array[Byte]](4)
+          out.write(gzipMember(recordBytes(url, ts, rtype, ctype, payload)))
+        } finally out.close()
+        Iterator.empty
+        }
+      }
+      .count() // force the write
+  }
+
+  /** One WARC record, ISO 28500 layout: version line, named fields,
+    * blank line, payload, two CRLFs. */
+  private[graft] def recordBytes(url: String, ts: java.sql.Timestamp,
+                                   recordType: String, contentType: String,
+                                   payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $recordType\r\n")
+    if (url != null) sb.append(s"WARC-Target-URI: $url\r\n")
+    if (ts != null)
+      sb.append(s"WARC-Date: ${java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(ts.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))}\r\n")
+    if (contentType != null) sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One complete gzip member (RFC 1952: 10-byte header FLG=0, raw
+    * deflate body, CRC32 + ISIZE trailer). */
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new CRC32(); crc.update(bytes)
+    def le32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    le32(crc.getValue); le32(bytes.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  // ---- split planning --------------------------------------------------
+
+  private def planSplits(spark: SparkSession, path: String,
+                         maxSplitBytes: Long): Seq[(String, Long, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (path.exists("*?[".contains(_))) fs.globStatus(p).toSeq
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            (s.getPath.getName.endsWith(".warc.gz") || s.getPath.getName.endsWith(".wet.gz")))
+        else Seq(st)
+      }
+    require(statuses.nonEmpty, s"no WARC files under $path")
+    statuses.sortBy(_.getPath.toString).flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      (0L until n).map(i =>
+        (st.getPath.toString, i * maxSplitBytes, math.min((i + 1) * maxSplitBytes, len)))
+    }
+  }
+
+  /** Hadoop Configuration is not serializable; ship its entries and
+    * rebuild executor-side (keeps s3a credentials etc. working). */
+  private def serializableConf(spark: SparkSession): Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  // ---- split reading ---------------------------------------------------
+
+  /** All records whose gzip member starts in [start, end). Every member
+    * start is located via the validated scan — for back-to-back members
+    * (the normal layout) the scan hits on its first candidate, so the
+    * resync machinery doubles as cheap per-member validation. */
+  private[graft] def readSplit(conf: Configuration, file: String,
+                                 start: Long, end: Long): Iterator[Row] = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val reader = new MemberReader(in, len)
+    var pos = reader.findMember(start, end)
+    new Iterator[Array[Byte]] {
+      private var nextBytes: Array[Byte] = null
+      private var done = false
+      private def advance(): Unit = {
+        while (nextBytes == null && !done) {
+          if (pos < 0 || pos >= end || pos >= len) { done = true; in.close() }
+          else reader.inflateMember(pos) match {
+            case Some((bytes, nextPos)) =>
+              nextBytes = bytes
+              pos = if (nextPos >= end) -1L else reader.findMember(nextPos, end)
+            case None =>
+              // validated candidate still failed full inflation (magic
+              // inside compressed data whose prefix also inflated to
+              // "WARC/" — vanishingly rare) — resync strictly past it
+              pos = reader.findMember(pos + 1, end)
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextBytes != null }
+      override def next(): Array[Byte] = {
+        advance()
+        val b = nextBytes; nextBytes = null; b
+      }
+    }.flatMap(parseRecords)
+  }
+
+  /** Buffered random-ish access over one open file + gzip member
+    * operations. Reads are sequential-with-overshoot: the window slides
+    * forward only, as split scanning does. */
+  private final class MemberReader(in: org.apache.hadoop.fs.FSDataInputStream,
+                                   fileLen: Long) {
+    private var bufStart = 0L
+    private var buf = new Array[Byte](0)
+    private var bufLen = 0
+
+    /** Ensure [absPos, absPos+n) is buffered (clamped to EOF); returns
+      * available bytes from absPos. */
+    private def ensure(absPos: Long, n: Int): Int = {
+      require(absPos >= bufStart, "MemberReader only slides forward")
+      if (absPos + n <= bufStart + bufLen) return n min (bufStart + bufLen - absPos).toInt
+      // slide: drop bytes before absPos, then fill
+      val keepFrom = (absPos - bufStart).toInt
+      val kept = math.max(0, bufLen - keepFrom)
+      val want = math.min(n.toLong, fileLen - absPos).toInt
+      if (want <= 0) return math.max(0, kept)
+      val cap = math.max(want, 1 << 20)
+      val nb = if (buf.length >= cap) buf else new Array[Byte](cap)
+      if (kept > 0) System.arraycopy(buf, keepFrom, nb, 0, kept)
+      buf = nb; bufStart = absPos; bufLen = kept
+      while (bufLen < want) {
+        val r = in.read(bufStart + bufLen, buf, bufLen, math.min(buf.length - bufLen, (fileLen - bufStart - bufLen).toInt))
+        if (r <= 0) return bufLen
+        bufLen += r
+      }
+      math.min(want, bufLen)
+    }
+
+    private def byteAt(absPos: Long): Int = buf((absPos - bufStart).toInt) & 0xff
+
+    /** Smallest validated member start in [from, end); -1 if none. A
+      * candidate's START must be < end, but its magic/header/probe bytes
+      * may extend past end — splits deliberately overshoot their range
+      * to finish boundary members, exactly like FileInputFormat readers. */
+    def findMember(from: Long, end: Long): Long = {
+      var p = from
+      while (p < end && p + 3 <= fileLen) {
+        val avail = ensure(p, 1 << 16)
+        if (avail < 3) return -1L
+        // scan the buffered window for the magic; candidate start < end
+        var i = (p - bufStart).toInt
+        val scanLimit = (math.min(bufStart + bufLen.toLong, end) - bufStart).toInt
+        var found = -1L
+        while (found < 0 && i < scanLimit && i + 2 < bufLen) {
+          if ((buf(i) & 0xff) == 0x1f && (buf(i + 1) & 0xff) == 0x8b && buf(i + 2) == 8)
+            found = bufStart + i
+          else i += 1
+        }
+        found match {
+          case -1L =>
+            // no magic in window; resume at window end minus overlap (a
+            // magic can straddle the window edge)
+            val windowEnd = bufStart + bufLen
+            if (windowEnd >= end + 2 || windowEnd >= fileLen) return -1L
+            p = windowEnd - 2
+          case q =>
+            if (validate(q)) return q
+            p = q + 1
+        }
+      }
+      -1L
+    }
+
+    /** Cheap proof: member header parses and the inflated prefix reads
+      * "WARC/". All ensures anchor at p so the window never slides past
+      * the member start (ensure is forward-only). */
+    private def validate(p: Long): Boolean =
+      try {
+        val h = headerLen(p)
+        val avail = ensure(p, h + (1 << 15))
+        val probe = avail - h
+        if (probe <= 0) return false
+        val inf = new Inflater(true)
+        inf.setInput(buf, (p + h - bufStart).toInt, probe)
+        val out = new Array[Byte](5)
+        var got = 0
+        var stuck = false
+        while (got < 5 && !inf.finished() && !stuck) {
+          val r = inf.inflate(out, got, 5 - got)
+          if (r == 0) stuck = true else got += r
+        }
+        inf.end()
+        got == 5 && out.sameElements("WARC/".getBytes(UTF_8))
+      } catch { case _: Exception => false }
+
+    /** RFC 1952 header length at p (magic assumed checked). Anchored
+      * ensures: the buffer keeps p in-window throughout. */
+    private def headerLen(p: Long): Int = {
+      var need = 1 << 12
+      ensure(p, need)
+      def at(off: Int): Int = {
+        if (off >= need) { need = math.max(need * 2, off + 1); ensure(p, need) }
+        byteAt(p + off)
+      }
+      val flg = at(3)
+      var h = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = at(h) | (at(h + 1) << 8)
+        h += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (at(h) != 0) h += 1; h += 1 } // FNAME
+      if ((flg & 16) != 0) { while (at(h) != 0) h += 1; h += 1 } // FCOMMENT
+      if ((flg & 2) != 0) h += 2 // FHCRC
+      h
+    }
+
+    /** Inflate the whole member at p. Some((bytes, posAfterMember)) or
+      * None if it does not inflate cleanly (false positive). */
+    def inflateMember(p: Long): Option[(Array[Byte], Long)] =
+      try {
+        val h = headerLen(p)
+        val inf = new Inflater(true)
+        val out = new ByteArrayOutputStream(64 << 10)
+        val chunk = new Array[Byte](64 << 10)
+        var feedPos = p + h
+        // first fill anchors at p (keeps header in-window); later fills
+        // slide freely — the member start is no longer needed
+        var avail = ensure(p, h + (1 << 20)) - h
+        var ok = avail > 0
+        if (ok) {
+          inf.setInput(buf, (feedPos - bufStart).toInt, avail)
+          feedPos += avail
+        }
+        while (ok && !inf.finished()) {
+          if (inf.needsInput()) {
+            avail = ensure(feedPos, 1 << 20)
+            if (avail <= 0) ok = false
+            else {
+              inf.setInput(buf, (feedPos - bufStart).toInt, avail)
+              feedPos += avail
+            }
+          }
+          if (ok) {
+            val r = inf.inflate(chunk)
+            if (r > 0) {
+              out.write(chunk, 0, r)
+              if (out.size() > MaxRecordBytes)
+                throw new IllegalStateException(
+                  s"WARC member at $p exceeds $MaxRecordBytes inflated bytes")
+            } else if (!inf.finished() && !inf.needsInput() && inf.needsDictionary()) ok = false
+          }
+        }
+        val res =
+          if (!ok) None
+          else {
+            val memberEnd = p + h + inf.getBytesRead + 8 // CRC32 + ISIZE
+            Some((out.toByteArray, memberEnd))
+          }
+        inf.end()
+        res
+      } catch { case _: java.util.zip.DataFormatException => None }
+  }
+
+  // ---- record parsing --------------------------------------------------
+
+  /** Parse the (possibly several) WARC records in one inflated member. */
+  private[graft] def parseRecords(member: Array[Byte]): Iterator[Row] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (pos < member.length) {
+      // skip inter-record CRLFs
+      while (pos < member.length && (member(pos) == '\r' || member(pos) == '\n')) pos += 1
+      if (pos >= member.length) return out.iterator
+      val headEnd = indexOfDoubleCrlf(member, pos)
+      require(headEnd > 0, s"WARC record at $pos has no header terminator")
+      val head = new String(member, pos, headEnd - pos, UTF_8)
+      val lines = head.split("\r\n")
+      require(lines.nonEmpty && lines(0).startsWith("WARC/"),
+        s"not a WARC record header: ${lines.headOption.getOrElse("")}")
+      var url: String = null
+      var ts: java.sql.Timestamp = null
+      var rtype: String = ""
+      var ctype: String = null
+      var clen: Long = -1L
+      lines.drop(1).foreach { line =>
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val k = line.substring(0, i).trim.toLowerCase
+          val v = line.substring(i + 1).trim
+          k match {
+            case "warc-target-uri" => url = v
+            case "warc-date" =>
+              ts = java.sql.Timestamp.from(java.time.Instant.parse(v))
+            case "warc-type" => rtype = v
+            case "content-type" => ctype = v
+            case "content-length" => clen = v.toLong
+            case _ => ()
+          }
+        }
+      }
+      require(clen >= 0, "WARC record missing Content-Length")
+      val payloadStart = headEnd + 4
+      require(payloadStart + clen <= member.length,
+        s"WARC Content-Length $clen overruns member (${member.length} bytes)")
+      val payload = java.util.Arrays.copyOfRange(member, payloadStart, payloadStart + clen.toInt)
+      out += Row(url, ts, rtype, ctype, clen, payload)
+      pos = payloadStart + clen.toInt
+    }
+    out.iterator
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}
