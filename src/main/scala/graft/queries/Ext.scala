@@ -1365,6 +1365,34 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
+    * become a bucketed manifest table; one changeset rewrites ~7%
+    * modified rows, adds new ids, and deletes others — only the touched
+    * buckets rewrite, untouched buckets move as manifest pointers, and
+    * the commit is one atomic manifest rename. The DuckDB twin replays
+    * the changeset relationally (upsert-wins full-outer semantics), so
+    * any lost, duplicated, or stale row after the swap breaks the hash. */
+  def rptSnapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val root = rtDir(s, "merge", dir)
+    // fresh table per run: rtDir is session-fixed, so Bench reruns reuse it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.Merge.init(docs, root, "doc_id", nBuckets = 8)
+    val upserts = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit("!v2")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(lit("new:"), col("doc_id").cast("string"))))
+    val deletes = docs.where(col("doc_id") % 11 === 3).select(col("doc_id"))
+    graft.sources.Merge.upsert(s, root, upserts, deletes)
+    graft.sources.Merge.read(s, root)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-file compaction round-trip: shatter the corpus into 64 tiny
     * part files (a streaming sink's week), compact to a handful sized
     * from actual bytes, read back — content identical, file count
@@ -1549,6 +1577,7 @@ object Ext {
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_warc_roundtrip" -> srcWarcRoundtrip,
+    "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -2007,6 +2036,22 @@ object Ext {
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_avro_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    // the changeset replayed relationally: upsert-wins (an id in both
+    // delete and upsert is replaced), deletes drop, new ids append
+    "rpt_snapshot_upsert" ->
+      """WITH up AS (
+        |  SELECT doc_id, text || '!v2' AS text, lang FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         'new:' || CAST(doc_id + 100000 AS VARCHAR) AS text, lang
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 3)
+        |SELECT doc_id, text, lang FROM (
+        |  SELECT d.doc_id, d.text, d.lang FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM up)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM del)
+        |  UNION ALL SELECT * FROM up)
+        |ORDER BY doc_id""".stripMargin,
     // every WARC field recomputed from the source row: url/epoch by
     // formula, content_length as UTF-8 byte length, payload round-trip
     "src_warc_roundtrip" ->

@@ -1,0 +1,116 @@
+package graft
+
+import graft.sources.Merge
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Merge table: upsert/delete semantics, copy-on-write scope (untouched
+  * buckets are POINTERS, not rewrites), crash safety (no manifest rename
+  * -> previous snapshot intact), point-lookup bucket read, vacuum. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(n: Int): (String, org.apache.spark.sql.DataFrame) = {
+    val root = Files.createTempDirectory("graft_merge").toString
+    val df = (0 until n).map(i => (i.toLong, s"text-$i", i % 3)).toDF("id", "text", "grp")
+    Merge.init(df, root, "id", nBuckets = 8)
+    (root, df)
+  }
+
+  test("upsert-wins changeset: replace, insert, delete land exactly") {
+    val (root, _) = table(100)
+    val ups = Seq((7L, "SEVEN", 0), (200L, "NEW", 1)).toDF("id", "text", "grp")
+    val dels = Seq(7L, 13L, 999L).toDF("id") // 7 also upserted -> replaced; 999 absent -> no-op
+    val v = Merge.upsert(spark, root, ups, dels)
+    assert(v === 1 && Merge.currentVersion(spark, root) === 1)
+    val got = Merge.read(spark, root).orderBy("id").collect()
+    assert(got.length === 100) // -1 (13 deleted) +1 (200 new)
+    val byId = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(7L) === "SEVEN")
+    assert(byId(200L) === "NEW")
+    assert(!byId.contains(13L))
+    assert(byId(42L) === "text-42")
+  }
+
+  test("copy-on-write: untouched buckets keep their v0 data dirs") {
+    val (root, _) = table(200)
+    // a single-id changeset touches exactly one bucket
+    val ups = Seq((5L, "FIVE", 0)).toDF("id", "text", "grp")
+    Merge.upsert(spark, root, ups, spark.emptyDataset[Long].toDF("id"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "manifest", "v00001.json")))
+    val v0refs = "data/v0/_pt=".r.findAllIn(manifest).size
+    val v1refs = "data/v1/_pt=".r.findAllIn(manifest).size
+    assert(v1refs === 1, s"one touched bucket, got $v1refs: $manifest")
+    assert(v0refs === 7, s"seven untouched buckets must stay v0 pointers, got $v0refs")
+    assert(Merge.read(spark, root).count() === 200)
+  }
+
+  test("crash safety: written data without a manifest commit is invisible") {
+    val (root, df) = table(50)
+    val before = Merge.read(spark, root).orderBy("id").collect()
+    // simulate a crash AFTER data write, BEFORE commit: drop orphan data
+    // dirs where a failed upsert would leave them
+    df.limit(5).withColumn("text", lit("GHOST"))
+      .write.parquet(s"$root/data/v1/_pt=3")
+    val after = Merge.read(spark, root).orderBy("id").collect()
+    assert(after.toSeq === before.toSeq, "uncommitted data dirs must never be read")
+    assert(Merge.currentVersion(spark, root) === 0)
+    // and a FAILING upsert (bad changeset evaluation) leaves the table intact
+    val boom = udf((s: String) => { throw new RuntimeException("boom"); s })
+    intercept[Exception] {
+      Merge.upsert(spark, root,
+        df.limit(3).withColumn("text", boom(col("text"))),
+        spark.emptyDataset[Long].toDF("id"))
+    }
+    assert(Merge.read(spark, root).orderBy("id").collect().toSeq === before.toSeq)
+    assert(Merge.currentVersion(spark, root) === 0)
+  }
+
+  test("empty changeset is a no-op, not a new version") {
+    val (root, _) = table(20)
+    val v = Merge.upsert(spark, root,
+      spark.emptyDataset[(Long, String, Int)].toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    assert(v === 0 && Merge.currentVersion(spark, root) === 0)
+  }
+
+  test("point lookup reads one bucket and finds the row") {
+    val (root, _) = table(64)
+    val hit = Merge.readBucketOf(spark, root, lit(17L))
+      .where(col("id") === 17L).collect()
+    assert(hit.length === 1 && hit(0).getString(1) === "text-17")
+  }
+
+  test("vacuum reclaims orphans and aged versions, never the current snapshot") {
+    val (root, _) = table(40)
+    Merge.upsert(spark, root, Seq((1L, "ONE", 0)).toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    // orphan from a simulated crashed writer
+    Seq((999L, "GHOST", 0)).toDF("id", "text", "grp")
+      .write.parquet(s"$root/data/v9/_pt=0")
+    val snapshot = Merge.read(spark, root).orderBy("id").collect()
+    Merge.vacuum(spark, root, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", "v9")),
+      "orphan data must be reclaimed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "manifest", "v00000.json")),
+      "aged manifest must drop")
+    assert(Merge.read(spark, root).orderBy("id").collect().toSeq === snapshot.toSeq,
+      "vacuum must not change the current snapshot")
+  }
+
+  test("deleting a whole bucket removes it from the manifest") {
+    val root = Files.createTempDirectory("graft_merge_empty").toString
+    // 2 buckets, few ids: delete every id of one bucket
+    val df = (0 until 10).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    Merge.init(df, root, "id", nBuckets = 2)
+    val bucketOf = df.select(col("id"),
+      pmod(xxhash64(col("id").cast("string")), lit(2L)).cast("int").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val victims = bucketOf.filter(_._2 == 0).keys.toSeq
+    assume(victims.nonEmpty && victims.size < 10)
+    Merge.upsert(spark, root, df.limit(0), victims.toDF("id"))
+    val got = Merge.read(spark, root).select("id").as[Long].collect().toSet
+    assert(got === bucketOf.filter(_._2 == 1).keys.toSet)
+  }
+}
