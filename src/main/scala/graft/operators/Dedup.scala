@@ -771,4 +771,24 @@ object Dedup {
     val withH = df.select(col(idCol), simHash(TextAnalysis.tokens(col(textCol))).as("_h"))
     hammingBandedPairs(withH, idCol, "_h", maxHamming)
   }
+
+  /** SemDeDup-style clustered semantic dedup (the published scale recipe
+    * for DENSE embeddings — Abbas et al. 2023: k-means cells, then
+    * pairwise cosine only WITHIN each cell): one narrow coarse-quantizer
+    * assignment ([[Ivf.attachCell]]) blocks the corpus, and the pairwise
+    * verifier ([[Similarity.cosineNearDupPairs]]) runs per cell as an
+    * equi-join — never all-pairs. Replaces random-hyperplane LSH for
+    * dense vectors: data-learned cells track the actual density, so
+    * candidate sets are tighter at equal recall.
+    *
+    * Published tradeoff, inherited deliberately: a near-dup pair
+    * straddling a cell boundary is missed — DedupSpec bounds recall
+    * vs brute force on clustered data. Work: one codegen assignment
+    * pass + one shuffle on cell + within-cell pairs (cell sizes are
+    * corpus/k on average; pick k so cells fit comfortably in a task). */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           model: Ivf.Model, threshold: Double): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Ivf.attachCell(df, vecCol, model, "_sem_cell"),
+      idCol, vecCol, blockCols = Seq("_sem_cell"), threshold = threshold)
 }

@@ -98,6 +98,14 @@ object Ivf {
         col("_v"), model.centroids, "cell")
       .select(col(idCol), col("cell"))
 
+  /** Attach the coarse-quantizer cell of `vecCol` as column `out` — the
+    * public blocking seam ([[Dedup.semanticNearDupPairs]] composes it
+    * with the pairwise-cosine verifier). One narrow codegen pass; the
+    * input row set is untouched. */
+  def attachCell(df: DataFrame, vecCol: String, model: Model,
+                 out: String = "cell"): DataFrame =
+    withCell(df, unit(col(vecCol)), model.centroids, out)
+
   /** The retrain alarm: PSI of per-cell occupancy shares between the
     * index-time corpus and the corpus after incremental adds — the
     * [[Snapshot.categoryDrift]] math verbatim, cells as categories.

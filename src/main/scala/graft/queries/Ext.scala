@@ -948,6 +948,18 @@ object Ext {
         blockCols = Seq("label"), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SemDeDup-style clustered semantic dedup over the embeddings
+    * fixture: learned IVF cells block, pairwise cosine verifies within
+    * cells only. Rows-only (cell membership is k-means-learned state no
+    * SQL engine reproduces); DedupSpec bounds recall >= 0.9 vs brute
+    * force and asserts the per-cell-only join shape. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- event-time operators -------------------------------------------
 
   def evTumbling(s: SparkSession, dir: String): DataFrame = {
@@ -1638,6 +1650,7 @@ object Ext {
     "dedup_drop" -> dedupDrop,
     "dedup_minhash_inc" -> dedupMinHashInc,
     "dedup_drop_inc" -> dedupDropInc,
+    "dedup_semantic" -> dedupSemantic,
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,

@@ -574,4 +574,53 @@ class DedupSpec extends SparkSpec {
       Dedup.lshParamsFor(0.05, margin = 0.1) // threshold - margin <= 0
     }
   }
+
+  // ---- SemDeDup-style clustered semantic dedup ------------------------
+
+  /** Clustered synthetic: 30 tight clusters of 4 near-identical unit
+    * vectors (the true near-dup pairs) + 80 scattered singletons. */
+  private def semFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var id = 0L
+    for (_ <- 0 until 30) {
+      val base = unit(Array.fill(16)(rnd.nextGaussian()))
+      for (_ <- 0 until 4) {
+        rows += ((id, unit(base.map(_ + rnd.nextGaussian() * 0.02)))); id += 1
+      }
+    }
+    for (_ <- 0 until 80) {
+      rows += ((id, unit(Array.fill(16)(rnd.nextGaussian())))); id += 1
+    }
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("semanticNearDupPairs: recall >= 0.9 vs brute force, precision exact") {
+    val df = semFixture()
+    val brute = graft.operators.Similarity.cosineNearDupPairs(
+        df.withColumn("_one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", blockCols = Seq("_one"), threshold = 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 30 * 5, s"fixture must contain real near-dup pairs, got ${brute.size}")
+    val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 3)
+    val got = Dedup.semanticNearDupPairs(df, "vec_id", "embedding", model, threshold = 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "every found pair must verify (precision 1.0)")
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.9, s"cell-blocked recall $recall below 0.9 (${got.size}/${brute.size})")
+  }
+
+  test("semanticNearDupPairs: the verify join is per-cell, never all-pairs") {
+    val df = semFixture()
+    val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 1)
+    val plan = Dedup.semanticNearDupPairs(df, "vec_id", "embedding", model, threshold = 0.98)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be an equi-join on the cell:\n$plan")
+    assert(plan.contains("_sem_cell"), s"join must key on the learned cell:\n$plan")
+  }
 }
