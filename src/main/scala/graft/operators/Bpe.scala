@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{BpeEncodeWords, BpeVocab}
+import graft.functions.{BpeEncodeWords, BpeVocab, ByteBpeEncodeWords, ByteBpeVocab, ByteCoder}
 
 /** Trainable byte-pair-encoding subword tokenizer (Sennrich et al.
   * 2016) — the REAL answer to "budget in LLM tokens, not whitespace
@@ -168,5 +168,71 @@ object Bpe {
       .select(col("rank"), col("left"), col("right")).orderBy(col("rank"))
       .collect().map(r => (r.getString(1), r.getString(2)))
     Model(rows)
+  }
+
+  // ---- byte-level BPE (GPT-2 style) ----------------------------------
+
+  /** Byte-level merge list: symbols live in the [[ByteCoder]] alphabet,
+    * so every byte is a base symbol — NO out-of-vocabulary input exists
+    * by construction, and arbitrary bytes (including invalid UTF-8)
+    * round-trip exactly. This is what real LLM tokenizers (the GPT-2
+    * family's released encoder) do; [[Model]] remains the code-point
+    * variant for corpora where human-readable merges matter. */
+  final case class ByteModel(merges: Array[(String, String)]) {
+    @transient lazy val vocab: ByteBpeVocab = new ByteBpeVocab(merges)
+  }
+
+  /** Train byte-level merges: the SAME distributed word count as
+    * [[train]] (the only corpus-sized step), with each dictionary word
+    * byte-mapped before the driver merge loop — merges then learn over
+    * the 256-symbol byte alphabet exactly as GPT-2's trainer does. */
+  def trainBytes(df: DataFrame, textCol: Column, numMerges: Int,
+                 maxWords: Int = 50000, minPairCount: Long = 2,
+                 tokenizer: Column => Column = TextAnalysis.regexTokens): ByteModel = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(maxWords > 0, "maxWords must be > 0")
+    val wc = df.select(explode(tokenizer(textCol)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (ByteCoder.encode(
+        r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)), r.getLong(1)))
+    // byte-mapped chars are BMP code points, so the code-point merge
+    // loop operates per mapped byte — the byte-level semantics exactly
+    ByteModel(trainOnDict(wc, numMerges, minPairCount))
+  }
+
+  /** Byte-level subword tokens of a word-array column. */
+  def encodeTokensBytes(words: Column, model: ByteModel): Column =
+    ByteBpeEncodeWords(words, model.vocab)
+
+  /** Byte-level tokenizer for the engine-wide seam — drop-in wherever
+    * [[tokenizer]] plugs. */
+  def tokenizerBytes(model: ByteModel,
+                     base: Column => Column = TextAnalysis.regexTokens): Column => Column =
+    text => encodeTokensBytes(base(text), model)
+
+  /** Per-row byte-level BPE token count. */
+  def tokenCountBytes(text: Column, model: ByteModel,
+                      base: Column => Column = TextAnalysis.regexTokens): Column =
+    size(encodeTokensBytes(base(text), model))
+
+  /** Same (rank, left, right) artifact as [[saveModel]]; the alphabet
+    * is the byte-mapped one, so a loaded model encodes bit-identically. */
+  def saveByteModel(spark: SparkSession, model: ByteModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.toSeq
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadByteModel(spark: SparkSession, path: String): ByteModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right")).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    ByteModel(rows)
   }
 }

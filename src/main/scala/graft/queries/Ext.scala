@@ -301,6 +301,23 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Byte-level (GPT-2-style) BPE over the corpus: same distributed
+    * word-count as txt_bpe_encode, merges learned over the byte
+    * alphabet — no OOV by construction. Rows-only (merge tables are
+    * learned state); ByteBpeSpec pins the lossless-round-trip and
+    * no-OOV properties incl. invalid UTF-8. The word/codepoint/byte
+    * token counts expose all three budget regimes side by side. */
+  def txtByteBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cp = graft.operators.Bpe.train(d, col("text"), numMerges = 40, maxWords = 10000)
+    val by = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40, maxWords = 10000)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
+        graft.operators.Bpe.tokenCount(col("text"), cp).as("bpe_tokens"),
+        graft.operators.Bpe.tokenCountBytes(col("text"), by).as("byte_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Invisible-character hygiene end-to-end: plant zero-widths, a BOM,
     * soft hyphens, and NBSPs deterministically in every doc, strip
     * them, and show the token/fingerprint damage the invisibles caused
@@ -1625,6 +1642,7 @@ object Ext {
     "txt_chunk_sent" -> txtChunkSent,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
+    "txt_byte_bpe_encode" -> txtByteBpeEncode,
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
     "txt_strip_invisible" -> txtStripInvisible,
