@@ -1324,7 +1324,12 @@ object Ext {
     // keyed by the input's basename: a lazy read-back of one scale
     // factor must never observe a later write for another
     val outDir = rtDir(s, "part", dir)
-    graft.sources.PartitionedParquet.write(labeled, outDir, Seq("lang", "split"), "doc_id")
+    // the skipping-hardened writer on the oracle path: directory
+    // pruning + row-group stats + a bloom filter on the id — content
+    // must stay bit-identical to the plain writer (the hash proves it);
+    // ParquetSkippingSpec asserts the artifacts and the pruning itself
+    graft.sources.PartitionedParquet.writeIndexed(labeled, outDir,
+      Seq("lang", "split"), "doc_id", bloomCols = Seq("doc_id"))
     graft.sources.PartitionedParquet.read(s, outDir)
       .filter(col("split") === "train")
       .select(col("doc_id"), col("lang"), col("split"))
