@@ -54,7 +54,9 @@ object Embed {
       retryBaseDelayMs: Long = 1000L,
       requestId: String = "",
       globalMaxInFlightPerJvm: Int = 200,
-      batchTimeoutMs: Long = 3600000L)
+      batchTimeoutMs: Long = 3600000L,
+      budgetHostPort: Option[(String, Int)] = None,
+      budgetClientId: String = "")
 
   /** Embed `df.columns(columnIndex)` (positional addressing for parity
     * with the reference's API surface) through `client`, appending
@@ -121,9 +123,8 @@ object Embed {
         inFlight.incrementAndGet()
         pending.enqueue(Future {
           try {
-            val g =
-              if (conf.globalMaxInFlightPerJvm > 0) Some(Enrich.gate(conf.globalMaxInFlightPerJvm))
-              else None
+            val g = Enrich.resolveGate(conf.budgetHostPort, conf.budgetClientId,
+              conf.globalMaxInFlightPerJvm)
             val vectors: Seq[Array[Float]] =
               try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
                 onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {

@@ -54,7 +54,15 @@ object Enrich {
     * whose calls have not all finished by the deadline fails its Spark
     * task with a TimeoutException in bounded time instead of hanging the
     * job on a silent socket, and the failure surfaces as the reference's
-    * mid-stream 500 (test.py:213) in the HTTP layer. */
+    * mid-stream 500 (test.py:213) in the HTTP layer.
+    *
+    * `budgetHostPort`: when set, the JVM semaphore is replaced by a
+    * lease from the driver-side [[graft.llm.InFlightBudget
+    * .BudgetCoordinator]] — the 200-call ceiling becomes CLUSTER-global
+    * under dynamic executor membership instead of a static per-JVM
+    * division. `budgetClientId` identifies this JVM's lease (defaults
+    * to the executor id); distinct ids share the budget, same id shares
+    * the lease. */
   final case class Config(
       systemPrompt: String,
       model: String = "gpt-4o-mini",
@@ -67,7 +75,9 @@ object Enrich {
       retryBaseDelayMs: Long = 1000L,
       requestId: String = "",
       globalMaxInFlightPerJvm: Int = 200,
-      batchTimeoutMs: Long = 3600000L)
+      batchTimeoutMs: Long = 3600000L,
+      budgetHostPort: Option[(String, Int)] = None,
+      budgetClientId: String = "")
 
   /** Stable contiguous row index, attached before any shuffle. Costs one
     * extra job (zipWithIndex counts partition sizes) — the documented
@@ -120,6 +130,34 @@ object Enrich {
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
   private[operators] def gate(permits: Int): java.util.concurrent.Semaphore =
     gates.computeIfAbsent(permits, p => new java.util.concurrent.Semaphore(p))
+
+  /** Uniform in-flight gate: the JVM-static semaphore, or a leased
+    * slice of the cluster-global budget. */
+  private[operators] sealed trait CallGate { def acquire(): Unit; def release(): Unit }
+  private[operators] final class SemGate(s: java.util.concurrent.Semaphore) extends CallGate {
+    def acquire(): Unit = s.acquire(); def release(): Unit = s.release()
+  }
+  private[operators] final class LeasedGate(c: graft.llm.InFlightBudget.BudgetClient) extends CallGate {
+    def acquire(): Unit = c.acquire(); def release(): Unit = c.release()
+  }
+
+  /** Executor-side gate resolution (call inside mapPartitions):
+    * coordinator configured -> leased budget keyed by (endpoint,
+    * client id); else positive JVM cap -> the static semaphore; else
+    * ungated. Default client id is this JVM's executor id, so every
+    * executor holds exactly one lease no matter how many tasks run. */
+  private[operators] def resolveGate(budgetHostPort: Option[(String, Int)],
+                                     budgetClientId: String,
+                                     jvmCap: Int): Option[CallGate] =
+    budgetHostPort match {
+      case Some((h, p)) =>
+        val id =
+          if (budgetClientId.nonEmpty) budgetClientId
+          else try org.apache.spark.SparkEnv.get.executorId catch { case _: Exception => "local" }
+        Some(new LeasedGate(graft.llm.InFlightBudget.clientFor(h, p, id)))
+      case None =>
+        if (jvmCap > 0) Some(new SemGate(gate(jvmCap))) else None
+    }
 
   /** Enrich `df.columns(columnIndex)` (positional addressing — the
     * reference's API, test.py:151) through `client`, appending a
@@ -188,7 +226,7 @@ object Enrich {
               val input = if (cell == null) "nan" else cell.toString
               val prompt = s"${conf.systemPrompt}\n\nInput: $input"
               val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
-              val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
+              val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm)
               val response =
                 try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
                   // per-partition backpressure metric: count of honored
@@ -307,7 +345,7 @@ object Enrich {
             val idemKey =
               if (conf.requestId.isEmpty) ""
               else s"${conf.requestId}-$rowIdx-${spec.outputCol}"
-            val g = if (conf.globalMaxInFlightPerJvm > 0) Some(gate(conf.globalMaxInFlightPerJvm)) else None
+            val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm)
             val response =
               try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
                 onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {

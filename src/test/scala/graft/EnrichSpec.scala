@@ -262,6 +262,34 @@ class EnrichSpec extends SparkSpec {
       s"saw ${EnrichProbes.maxSeen.get()} concurrent calls, cap was 3")
   }
 
+  test("leased budget bounds in-flight GLOBALLY across two executors' pools") {
+    EnrichProbes.reset()
+    // two concurrent enrich jobs, each leasing under its OWN client id —
+    // the two-executor topology in one JVM. Uncapped they'd run
+    // 2 jobs x 4 partitions x 8 rowConcurrency; the coordinator holds
+    // the global ceiling at 5 across BOTH.
+    val co = new graft.llm.InFlightBudget.BudgetCoordinator(5)
+    try {
+      // pre-register the per-id clients with fast renewal: the enrich
+      // jobs resolve the SAME instances from the JVM registry, so the
+      // test converges to fair shares in ms instead of the 5 s default
+      Seq("exec-A", "exec-B").foreach(id =>
+        graft.llm.InFlightBudget.clientFor("localhost", co.port, id, renewEveryMs = 50))
+      def job(execId: String): Thread = new Thread(() => {
+        val cfg = Enrich.Config(systemPrompt = "P", batchSize = 10, rowConcurrency = 8,
+          budgetHostPort = Some(("localhost", co.port)), budgetClientId = execId)
+        Enrich.enrich(corpus(40), 0, cfg, () => new EnrichProbes.ProbeClient).collect()
+      })
+      val jobs = Seq(job("exec-A"), job("exec-B"))
+      jobs.foreach(_.start()); jobs.foreach(_.join(120000))
+      assert(EnrichProbes.calls.get() == 80, "both jobs' calls observed")
+      assert(EnrichProbes.maxSeen.get() <= 5,
+        s"saw ${EnrichProbes.maxSeen.get()} concurrent calls, global budget was 5")
+      assert(EnrichProbes.maxSeen.get() >= 2,
+        "both lessees should be admitted (fair share, not serialization)")
+    } finally co.stop()
+  }
+
   test("idempotency key is stable per (requestId, row index)") {
     EnrichProbes.reset()
     val cfg = Enrich.Config(systemPrompt = "P", requestId = "req9", batchSize = 5)
