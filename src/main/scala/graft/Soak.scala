@@ -3,46 +3,58 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: scale soak of the heavy dedup/ANN family — generate a
-  * 10x fixture from sf0.1 by TOKEN-BIJECTION replication, then time
-  * each operator at 1x vs 10x and print per-op JSON.
+/** Dev tool: scale soak of the heavy dedup/ANN family — generate 10x
+  * and 100x fixtures from sf0.1 by TOKEN-BIJECTION replication, then
+  * time each operator across the decades and print per-op JSON with
+  * measured scaling exponents.
   *
   * The replication construction: replica r of a document suffixes every
   * whitespace token with `z<r>`. A bijective token map carries shingle
   * sets bijectively, so intra-replica Jaccard/edit structure is
   * EXACTLY the original's, while replicas share zero shingles with
-  * each other — true near-dup pairs scale exactly 10x at 10x the
+  * each other — true near-dup pairs scale exactly Nx at Nx the
   * corpus by construction. Anything super-linear that shows up in the
   * timings is therefore the ENGINE's doing, not the data's.
   *
-  * Usage: runMain graft.Soak [baseDir] [workDir]
+  * Two decades (1x -> 10x -> 100x, 5k -> 500k docs) run for the dedup
+  * family; the exponent between decades (log10 of the time ratio) is
+  * the honest scaling grade: 1.0 = linear. The txt/ANN training family
+  * keeps its single-decade evidence — their scale story is the bounded
+  * dictionary, already proven by the 10x point.
+  *
+  * Usage: runMain graft.Soak [baseDir] [workDir] [maxScale(10|100)]
   * Not part of the driver contract. */
 object Soak {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
+    val maxScale = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = graft.core.GraftSession.get("graft-soak")
-    import spark.implicits._
 
-    val big = s"$work/sf1"
-    val reps = spark.range(10).select(col("id").cast("int").as("r"))
-
-    // ---- generate (idempotent; ~30s) --------------------------------
-    if (!new java.io.File(s"$big/documents.parquet").exists()) {
-      graft.sources.Tables.documents(spark, base)
-        .crossJoin(broadcast(reps))
-        .select((col("doc_id") * 10 + col("r")).as("doc_id"),
-          regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1z"), col("r"))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$big/documents.parquet")
-      graft.sources.Tables.embeddings(spark, base)
-        .crossJoin(broadcast(reps))
-        .select((col("vec_id") * 10 + col("r")).as("vec_id"),
-          transform(col("embedding"),
-            x => x + col("r").cast("float") * lit(0.001f)).as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    /** Nx fixture by token-bijection replication (idempotent). */
+    def fixture(mult: Int): String = {
+      if (mult == 1) return base
+      val dir = s"$work/x$mult"
+      val reps = spark.range(mult).select(col("id").cast("int").as("r"))
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        graft.sources.Tables.documents(spark, base)
+          .crossJoin(broadcast(reps))
+          .select((col("doc_id") * mult + col("r")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1z"), col("r"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        graft.sources.Tables.embeddings(spark, base)
+          .crossJoin(broadcast(reps))
+          .select((col("vec_id") * mult + col("r")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + col("r").cast("float") * lit(0.001f)).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
     }
 
     def timed(f: => Long): (Double, Long) = {
@@ -51,10 +63,11 @@ object Soak {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    def ops(dir: String): Seq[(String, () => Long)] = {
+    // the dedup family runs every decade; heavier-tailed helpers only to 10x
+    def ops(dir: String, mult: Int): Seq[(String, () => Long)] = {
       def docs = graft.sources.Tables.documents(spark, dir)
       def embs = graft.sources.Tables.embeddings(spark, dir)
-      Seq(
+      val dedup = Seq(
         "dedup_minhash" -> (() =>
           graft.operators.Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5).count()),
         "dedup_components" -> (() => {
@@ -64,7 +77,8 @@ object Soak {
         }),
         "dedup_editdist" -> (() =>
           graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
-            blockCols = Seq("lang"), maxDistFrac = 0.2).count()),
+            blockCols = Seq("lang"), maxDistFrac = 0.2).count()))
+      val once = Seq(
         "sim_ivfpq" -> (() => {
           val model = graft.operators.Ivf.trainPq(embs, "vec_id", "embedding",
             k = 16, iters = 2, m = 8, ks = 32, pqIters = 5)
@@ -86,21 +100,29 @@ object Soak {
           docs.select(graft.operators.Bpe.tokenCount(col("text"), m).as("n"))
             .agg(sum(col("n"))).collect()(0).getLong(0)
         }))
+      if (mult <= 10) dedup ++ once else dedup
     }
 
+    val scales = Seq(1, 10) ++ (if (maxScale >= 100) Seq(100) else Nil)
     val results = for {
-      (scale, dir) <- Seq("1x" -> base, "10x" -> big)
-      (name, op) <- ops(dir)
+      mult <- scales
+      dir = fixture(mult)
+      (name, op) <- ops(dir, mult)
     } yield {
       val (sec, rows) = timed(op())
-      println(f"""[soak] {"op":"$name","scale":"$scale","sec":$sec%.2f,"rows":$rows}""")
-      (name, scale, sec, rows)
+      println(f"""[soak] {"op":"$name","scale":"${mult}x","sec":$sec%.2f,"rows":$rows}""")
+      (name, mult, sec, rows)
     }
-    // paired summary: time and output growth 1x -> 10x
+    // paired summary: per-decade time growth and the scaling exponent
+    // (log10 of the ratio across one decade; 1.0 = linear)
     results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
       val m = rs.map(r => r._2 -> (r._3, r._4)).toMap
-      val (s1, n1) = m("1x"); val (s10, n10) = m("10x")
-      println(f"""[soak-summary] {"op":"$name","sec_1x":$s1%.2f,"sec_10x":$s10%.2f,"time_growth":${s10 / s1}%.1f,"rows_1x":$n1,"rows_10x":$n10,"rows_growth":${n10.toDouble / math.max(n1, 1)}%.1f}""")
+      def decade(lo: Int, hi: Int): Option[String] =
+        for { (sl, nl) <- m.get(lo); (sh, nh) <- m.get(hi) } yield
+          f""""sec_${lo}x":$sl%.2f,"sec_${hi}x":$sh%.2f,"growth_${lo}_$hi":${sh / sl}%.1f,""" +
+            f""""exponent_${lo}_$hi":${math.log10(sh / sl)}%.2f,"rows_${lo}x":$nl,"rows_${hi}x":$nh"""
+      val parts = Seq(decade(1, 10), decade(10, 100)).flatten.mkString(",")
+      println(s"""[soak-summary] {"op":"$name",$parts}""")
     }
     spark.stop()
   }
