@@ -1236,6 +1236,26 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Embed → kNN composition: GENERATED embeddings (not the fixture)
+    * flow straight into the similarity surface — the pipeline a user
+    * actually runs (embed the corpus, then search it). The twin
+    * recomputes the stub vectors from text AND replays the kNN in SQL,
+    * so the hash gates the hand-off contract (array<float>, alignment,
+    * ordering) end-to-end. localCheckpoint: queries and corpus are two
+    * consumers of the paid embed map — it must run once. */
+  def pipelineEmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cfg = Embed.Config(textsPerCall = 32, batchSize = 200, callConcurrency = 4)
+    val stub = () => new StubEmbedClient(t => Array(
+      t.length.toFloat, t.count(_ == ' ').toFloat, (t.length % 97).toFloat, 1.0f))
+    val embedded = Embed.embed(docs, 1, cfg, stub)
+      .select(col("doc_id"), col("embedding"))
+      .localCheckpoint(true)
+    Similarity.knnBruteForce(embedded.filter(col("doc_id") < 10), embedded,
+        "doc_id", "doc_id", "embedding", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Sharded order-preserving CSV sink, exercised end-to-end: enrich ->
     * [[graft.sources.OrderedCsv.writeSharded]] (range-partitioned part
     * files whose filename order IS row order) -> read the part files back
@@ -1601,6 +1621,7 @@ object Ext {
     "enrich_stub" -> enrichStub,
     "enrich_multi" -> enrichMulti,
     "enrich_embed" -> enrichEmbed,
+    "pipeline_embed_knn" -> pipelineEmbedKnn,
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
@@ -1810,6 +1831,22 @@ object Ext {
         |  'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Summary,
         |  'len:' || CAST(length('Classify the language' || chr(10) || chr(10) || 'Input: ' || lang) AS VARCHAR) AS LangGuess
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full embed -> search hand-off replayed: stub vectors from the
+    // text formula, cosine kNN in SQL; ties at 6 decimals break by
+    // neighbor_id in BOTH engines (rank runs on the rounded cos)
+    "pipeline_embed_knn" ->
+      """WITH v AS (SELECT doc_id,
+        |  [CAST(length(text) AS DOUBLE),
+        |   CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE),
+        |   CAST(length(text) % 97 AS DOUBLE), 1.0] AS v FROM documents),
+        |s AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |      FROM v q JOIN v c ON c.doc_id <> q.doc_id WHERE q.doc_id < 10),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+        |      FROM s)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
     // stub vector components are pure functions of the text — the twin
     // recomputes all four, so batching misalignment or order loss in the
     // embeddings map breaks the hash
