@@ -118,6 +118,29 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming embeddings maintenance: each micro-batch of NEW documents
+    * embeds through the batched `/v1/embeddings` map
+    * ([[graft.operators.Embed.embed]]) — work ∝ batch, the standing
+    * corpus is never re-embedded — and lands via `writeBatch` (append to
+    * the embeddings corpus; optionally [[graft.operators.Ivf.assignNew]]
+    * the fresh vectors into the serving assignment table, which is the
+    * existing incremental-ANN path, and watch
+    * [[graft.operators.Ivf.centroidDrift]] for the retrain alarm).
+    * Batch and streaming share ONE implementation, so EmbedSpec and the
+    * enrich_embed oracle validate these semantics; this wrapper adds
+    * only micro-batch plumbing. The 200-call envelope applies unchanged
+    * — the gate (JVM or cluster-leased) spans streaming and batch maps
+    * alike. */
+  def embedStream(stream: DataFrame, columnIndex: Int,
+                  cfg: graft.operators.Embed.Config,
+                  clientFactory: () => graft.llm.EmbedClient)
+                 (writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(graft.operators.Embed.embed(batch, columnIndex, cfg, clientFactory), batchId)
+      }
+      .start()
+
   /** Streaming near-dup gate: every micro-batch of documents is
     * deduplicated against a standing corpus via the incremental batch
     * operator ([[graft.operators.Dedup.dropNearDupAgainst]]) — the

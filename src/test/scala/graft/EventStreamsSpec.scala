@@ -126,6 +126,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedStream embeds every micro-batch; corpus is never re-embedded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val collected = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Seq[Float])]()
+    // static probe (EmbedProbes): a client captured in the closure is a
+    // deserialized COPY — instance counters never observe executor calls
+    EmbedProbes.reset()
+    val cfg = graft.operators.Embed.Config(textsPerCall = 2, batchSize = 10)
+    val q = EventStreams.embedStream(
+      input.toDF().toDF("doc_id", "text"), 1, cfg,
+      () => new EmbedProbes.ProbeClient(dim = 1)) { (batch, _) =>
+      batch.collect().foreach(r =>
+        collected.add((r.getLong(0), r.getSeq[Float](r.length - 1))))
+    }
+    try {
+      input.addData((1L, "aa"), (2L, "bbbb"))
+      q.processAllAvailable()
+      input.addData((3L, "cccccc"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(collected.asScala.toSet ===
+        Set((1L, Seq(2.0f)), (2L, Seq(4.0f)), (3L, Seq(6.0f))))
+      assert(EmbedProbes.inputsSeen.get() === 3,
+        "each text embedded exactly once across micro-batches")
+    } finally q.stop()
+  }
+
   test("dropNearDupStream gates each micro-batch against the standing corpus") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
