@@ -58,3 +58,54 @@ object CentroidDots {
     new GenericArrayData(out)
   }
 }
+
+/** The top-`n` centroid indexes by dot product (ties → lower index), as
+  * one expression — the multi-assignment sibling of [[CentroidDots]]:
+  * SemDeDup-style blocking probes a vector into its n nearest cells so
+  * near-dup pairs straddling ONE cell boundary still collide. Same
+  * referenced-object shape: the generated source is identical across
+  * retrains, no per-model recompiles. */
+case class TopCells(child: Expression, centroids: Array[Double], k: Int, n: Int)
+    extends UnaryExpression {
+  require(k > 0 && centroids.length % k == 0,
+    s"centroid matrix length ${centroids.length} must be a multiple of k=$k")
+  require(n >= 1 && n <= k, s"top-n $n must be in [1, $k]")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TopCells.compute(v.asInstanceOf[ArrayData], centroids, k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TopCells.compute($v, $cents, $k, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopCells {
+  def compute(vec: ArrayData, centroids: Array[Double], k: Int, n: Int): ArrayData = {
+    val scores = CentroidDots.compute(vec, centroids, k)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val s = scores.getDouble(c)
+        if (!taken(c) && s > bestScore) { best = c; bestScore = s }
+        c += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

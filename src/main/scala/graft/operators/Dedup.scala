@@ -783,12 +783,30 @@ object Dedup {
     *
     * Published tradeoff, inherited deliberately: a near-dup pair
     * straddling a cell boundary is missed — DedupSpec bounds recall
-    * vs brute force on clustered data. Work: one codegen assignment
-    * pass + one shuffle on cell + within-cell pairs (cell sizes are
-    * corpus/k on average; pick k so cells fit comfortably in a task). */
+    * vs brute force on clustered data. `assignCells > 1` is the
+    * multi-probe mitigation: each vector blocks into its n nearest
+    * cells ([[Ivf.attachTopCells]]), so a pair split by ONE boundary
+    * still meets in the runner-up cell; candidate volume grows ~n-fold
+    * and duplicate hits dedupe on the pair key. Work: one codegen
+    * assignment pass + one shuffle on cell + within-cell pairs (cell
+    * sizes are corpus/k on average; pick k so cells fit comfortably in
+    * a task). */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                           model: Ivf.Model, threshold: Double): DataFrame =
-    Similarity.cosineNearDupPairs(
-      Ivf.attachCell(df, vecCol, model, "_sem_cell"),
-      idCol, vecCol, blockCols = Seq("_sem_cell"), threshold = threshold)
+                           model: Ivf.Model, threshold: Double,
+                           assignCells: Int = 1): DataFrame = {
+    require(assignCells >= 1, "assignCells must be >= 1")
+    if (assignCells == 1)
+      Similarity.cosineNearDupPairs(
+        Ivf.attachCell(df, vecCol, model, "_sem_cell"),
+        idCol, vecCol, blockCols = Seq("_sem_cell"), threshold = threshold)
+    else
+      Similarity.cosineNearDupPairs(
+        Ivf.attachTopCells(df, vecCol, model, assignCells, "_sem_cells")
+          .withColumn("_sem_cell", explode(col("_sem_cells")))
+          .drop("_sem_cells"),
+        idCol, vecCol, blockCols = Seq("_sem_cell"), threshold = threshold)
+        // a pair sharing several probed cells arrives once per shared
+        // cell with an identical cos — dedupe on the pair key
+        .dropDuplicates("id_a", "id_b")
+  }
 }

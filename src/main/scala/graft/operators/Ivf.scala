@@ -106,6 +106,19 @@ object Ivf {
                  out: String = "cell"): DataFrame =
     withCell(df, unit(col(vecCol)), model.centroids, out)
 
+  /** Multi-assignment variant: `out` = the `nCells` nearest cells as an
+    * int array (one codegen pass, referenced-object centroids). The
+    * multi-probe mitigation for blocking schemes — a vector sits in all
+    * its near cells, so boundary-straddling pairs still meet. */
+  def attachTopCells(df: DataFrame, vecCol: String, model: Model,
+                     nCells: Int, out: String = "cells"): DataFrame = {
+    val v = unit(col(vecCol))
+    df.withColumn(out, org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TopCells(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        model.centroids.flatten, model.centroids.length, nCells)))
+  }
+
   /** The retrain alarm: PSI of per-cell occupancy shares between the
     * index-time corpus and the corpus after incremental adds — the
     * [[Snapshot.categoryDrift]] math verbatim, cells as categories.

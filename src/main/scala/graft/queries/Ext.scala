@@ -973,7 +973,10 @@ object Ext {
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
-    Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model, threshold = 0.35)
+    // assignCells=2: the multi-probe path (TopCells codegen + explode +
+    // pair-key dedupe) runs on the driver surface, not just in specs
+    Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model, threshold = 0.35,
+        assignCells = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -614,6 +614,52 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"cell-blocked recall $recall below 0.9 (${got.size}/${brute.size})")
   }
 
+  test("semanticNearDupPairs: multi-probe recall >= single-probe, no duplicate pairs") {
+    val df = semFixture()
+    val brute = graft.operators.Similarity.cosineNearDupPairs(
+        df.withColumn("_one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", blockCols = Seq("_one"), threshold = 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 3)
+    def run(cells: Int): Seq[(Long, Long)] =
+      Dedup.semanticNearDupPairs(df, "vec_id", "embedding", model,
+          threshold = 0.98, assignCells = cells)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val one = run(1)
+    val two = run(2)
+    assert(two.size === two.distinct.size, "multi-probe must emit each pair once")
+    assert(two.toSet.subsetOf(brute), "precision stays exact under multi-probe")
+    assert(two.toSet.size >= one.toSet.size,
+      s"probing 2 cells must not lose pairs (1-cell ${one.size}, 2-cell ${two.size})")
+    assert(two.toSet.size.toDouble / brute.size >= 0.9)
+  }
+
+  test("TopCells expression: ordered nearest cells, ties to lower index, codegen==interp") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // centroids: unit axes e0, e1, e2 in 3-d
+    val model = graft.operators.Ivf.Model(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(0.9, 0.5, 0.1)),   // nearest e0 then e1
+      (2L, Seq(0.1, 0.1, 0.9)),   // nearest e2; e0/e1 tie -> lower index
+      (3L, Seq(0.5, 0.5, 0.0))    // e0/e1 tie at the TOP -> e0 first
+    ).toDF("id", "embedding")
+    val got = graft.operators.Ivf.attachTopCells(df, "embedding", model, nCells = 2)
+      .select(col("id"), col("cells")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) === Seq(0, 1))
+    assert(got(2L) === Seq(2, 0))
+    assert(got(3L) === Seq(0, 1))
+    val codegenOff = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = graft.operators.Ivf.attachTopCells(df, "embedding", model, nCells = 2)
+        .select(col("id"), col("cells")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(interp === got)
+    } finally codegenOff.foreach(spark.conf.set("spark.sql.codegen.wholeStage", _))
+  }
+
   test("semanticNearDupPairs: the verify join is per-cell, never all-pairs") {
     val df = semFixture()
     val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 1)
