@@ -1450,6 +1450,38 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** The incremental-refresh loop END-TO-END: snapshot diff
+    * ([[graft.operators.Snapshot.changedRows]]/diff — work ∝ one
+    * fingerprint join) computes the churn between yesterday's corpus
+    * and today's, and [[graft.sources.Merge.upsert]] APPLIES it
+    * copy-on-write — then the read-back must reproduce today's snapshot
+    * EXACTLY. The twin recomputes today's snapshot relationally, so a
+    * fingerprint miss, a lost delete, or a stale pointer anywhere in
+    * the diff→apply→commit chain breaks the hash. */
+  def pipelineIncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // today's snapshot: ~1/7 of texts modified, ~1/13 removed, ~1/17 new
+    val newSnap = docs.where(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit("!r2")))
+            .otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 17 === 0)
+        .withColumn("text", concat(lit("fresh:"), col("doc_id").cast("string")))
+        .withColumn("doc_id", col("doc_id") + 200000))
+    val root = rtDir(s, "refresh", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.Merge.init(docs, root, "doc_id", nBuckets = 8)
+    val upserts = Snapshot.changedRows(docs, newSnap, "doc_id")
+    val deletes = Snapshot.diff(docs, newSnap, "doc_id")
+      .where(col("status") === "removed").select(col("doc_id"))
+    graft.sources.Merge.upsert(s, root, upserts, deletes)
+    graft.sources.Merge.read(s, root)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-file compaction round-trip: shatter the corpus into 64 tiny
     * part files (a streaming sink's week), compact to a handful sized
     * from actual bytes, read back — content identical, file count
@@ -1636,6 +1668,7 @@ object Ext {
     "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_warc_roundtrip" -> srcWarcRoundtrip,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
+    "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -2112,6 +2145,18 @@ object Ext {
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     "src_avro_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    // the diff->apply loop's target: today's snapshot recomputed
+    // relationally — the applied table must equal it exactly
+    "pipeline_incremental_refresh" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || '!r2' ELSE text END AS text,
+        |  lang
+        |FROM documents WHERE doc_id % 13 <> 5
+        |UNION ALL
+        |SELECT doc_id + 200000 AS doc_id,
+        |  'fresh:' || CAST(doc_id AS VARCHAR) AS text, lang
+        |FROM documents WHERE doc_id % 17 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the changeset replayed relationally: upsert-wins (an id in both
     // delete and upsert is replaced), deletes drop, new ids append
     "rpt_snapshot_upsert" ->
