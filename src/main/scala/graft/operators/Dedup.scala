@@ -791,6 +791,18 @@ object Dedup {
     * assignment pass + one shuffle on cell + within-cell pairs (cell
     * sizes are corpus/k on average; pick k so cells fit comfortably in
     * a task). */
+  /** APPLY path of [[semanticNearDupPairs]] — the SemDeDup keep-one-
+    * representative step (same shape as [[dropNearDuplicates]] for the
+    * MinHash family): cluster the semantic near-dup graph and keep each
+    * component's min-id representative. */
+  def dropSemanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+                           model: Ivf.Model, threshold: Double,
+                           assignCells: Int = 1, maxIter: Int = 30): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, vecCol, model, threshold, assignCells)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
+    df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            model: Ivf.Model, threshold: Double,
                            assignCells: Int = 1): DataFrame = {

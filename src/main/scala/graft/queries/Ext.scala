@@ -980,6 +980,18 @@ object Ext {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** APPLY path of dedup_semantic: keep one representative per semantic
+    * near-dup cluster (SemDeDup's prune step). Rows-only like its
+    * detect sibling; DedupSpec pins representative semantics. */
+  def dedupDropSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.dropSemanticNearDups(e, "vec_id", "embedding", model, threshold = 0.35,
+        assignCells = 2)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- event-time operators -------------------------------------------
 
   def evTumbling(s: SparkSession, dir: String): DataFrame = {
@@ -1731,6 +1743,7 @@ object Ext {
     "dedup_minhash_inc" -> dedupMinHashInc,
     "dedup_drop_inc" -> dedupDropInc,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_drop_semantic" -> dedupDropSemantic,
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,

@@ -660,6 +660,28 @@ class DedupSpec extends SparkSpec {
     } finally codegenOff.foreach(spark.conf.set("spark.sql.codegen.wholeStage", _))
   }
 
+  test("dropSemanticNearDups keeps exactly one min-id representative per cluster") {
+    val df = semFixture()
+    val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 3)
+    val pairs = Dedup.semanticNearDupPairs(df, "vec_id", "embedding", model,
+        threshold = 0.98, assignCells = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = Dedup.dropSemanticNearDups(df, "vec_id", "embedding", model,
+        threshold = 0.98, assignCells = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // reference union-find over the found pairs
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = df.select("vec_id").collect().map(_.getLong(0))
+    val expect = allIds.filter(id => find(id) == id).toSet
+    assert(kept === expect, "survivors must be exactly the component min-ids")
+    assert(kept.size < allIds.length, "clusters must actually prune")
+  }
+
   test("semanticNearDupPairs: the verify join is per-cell, never all-pairs") {
     val df = semFixture()
     val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 1)
