@@ -37,6 +37,19 @@ final class StubEmbedClient(f: String => Array[Float],
   }
 }
 
+/** Env-wired factory — the embeddings twin of ServeMain's completions
+  * seam: the same `OPENAI_BASE_URL` / `OPENAI_API_KEY` variables the
+  * reference reads (test.py:17-22) configure the batched embeddings
+  * endpoint, so a deployment that enriches can embed with zero extra
+  * wiring. Returns a factory (clients are built per-partition on
+  * executors — sockets don't serialize). */
+object EmbedClients {
+  def fromEnv(env: Map[String, String] = sys.env): () => EmbedClient =
+    () => new HttpEmbedClient(
+      env.getOrElse("OPENAI_BASE_URL", "https://api.openai.com/v1"),
+      env.getOrElse("OPENAI_API_KEY", ""))
+}
+
 /** Real HTTP client for the public embeddings API shape:
   * `{"model": m, "input": [texts...]}` → `{"data": [{"index": i,
   * "embedding": [floats...]}, ...]}`. Bearer auth, same 200 s per-call

@@ -164,6 +164,12 @@ class EmbedSpec extends SparkSpec {
         Seq("a", "bb\n\"q\"", "ccc"), "m", "k-1"))
       assert(out.map(_.toSeq) === Seq(Seq(1.0f, 7.0f), Seq(6.0f, 7.0f), Seq(3.0f, 7.0f)),
         "vectors must realign to input order (and JSON-escaped text round-trips)")
+      // env seam: the same OPENAI_* vars the completions path reads
+      val viaEnv = graft.llm.EmbedClients.fromEnv(Map(
+        "OPENAI_BASE_URL" -> s"http://localhost:${server.getAddress.getPort}/v1",
+        "OPENAI_API_KEY" -> "k"))()
+      assert(viaEnv.embed(graft.llm.EmbedRequest(Seq("xyz"), "m"))
+        .head.toSeq === Seq(3.0f, 7.0f))
     } finally server.stop(0)
   }
 
