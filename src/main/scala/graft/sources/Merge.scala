@@ -154,12 +154,23 @@ object Merge {
 
   /** One distributed write of `df` partitioned by bucket under
     * `root/dataDir`. repartition on the bucket first so each bucket is
-    * one task's output (no small-file spray from partitionBy). */
+    * one task's output (no small-file spray from partitionBy); rows
+    * sort by id within the bucket (tight row-group min/max) and the id
+    * carries a parquet bloom filter — [[readBucketOf]] point lookups
+    * then prune at the directory, row-group-stats, AND bloom levels
+    * (ids are unique, so dictionary encoding would blow out anyway —
+    * see [[PartitionedParquet.writeIndexed]] for why bloom columns
+    * disable it). */
   private def writeBuckets(df: DataFrame, root: String, dataDir: String,
                            idCol: String, nBuckets: Int): Unit =
     df.withColumn("_pt", bucketExpr(col(idCol), nBuckets))
       .repartition(col("_pt"))
-      .write.partitionBy("_pt").mode("errorifexists")
+      .sortWithinPartitions(col("_pt"), col(idCol))
+      .write
+      .option(s"parquet.bloom.filter.enabled#$idCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$idCol", 1000000L)
+      .option(s"parquet.enable.dictionary#$idCol", "false")
+      .partitionBy("_pt").mode("errorifexists")
       .parquet(new Path(new Path(root), dataDir).toString)
 
   private def listWrittenBuckets(spark: SparkSession, root: String,

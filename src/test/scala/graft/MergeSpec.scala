@@ -82,6 +82,23 @@ class MergeSpec extends SparkSpec {
     assert(hit.length === 1 && hit(0).getString(1) === "text-17")
   }
 
+  test("bucket files carry an id bloom filter for sub-bucket point pruning") {
+    import scala.jdk.CollectionConverters._
+    val (root, _) = table(64)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/data/v0/_pt=*/part-*.parquet")).head
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        leaf.getPath, spark.sparkContext.hadoopConfiguration))
+    try {
+      val b = r.getFooter.getBlocks.get(0)
+      val idc = b.getColumns.asScala.find(_.getPath.toDotString == "id").get
+      assert(r.getBloomFilterDataReader(b).readBloomFilter(idc) != null,
+        "merge buckets must write the id bloom filter")
+    } finally r.close()
+  }
+
   test("vacuum reclaims orphans and aged versions, never the current snapshot") {
     val (root, _) = table(40)
     Merge.upsert(spark, root, Seq((1L, "ONE", 0)).toDF("id", "text", "grp"),
