@@ -102,6 +102,12 @@ object TopCells {
         if (!taken(c) && s > bestScore) { best = c; bestScore = s }
         c += 1
       }
+      // NaN guard: a NaN vector component poisons every dot and
+      // `NaN > x` is always false, leaving best = -1 — fall back to the
+      // first untaken index so the multi-probe path degrades to an
+      // arbitrary-but-valid cell (as the single-probe argmax path does)
+      // instead of crashing the job
+      if (best == -1) best = taken.indexOf(false)
       taken(best) = true
       out(i) = best
       i += 1

@@ -108,6 +108,12 @@ final class HttpEmbedClient(baseUrl: String, apiKey: String, timeoutSec: Long = 
     }
     require(tagged.size == expected,
       s"embeddings response has ${tagged.size} vectors for $expected inputs")
-    tagged.sortBy(_._1).map(_._2)
+    val sorted = tagged.sortBy(_._1)
+    // indexes must be exactly 0..n-1: a duplicated/skipped index would
+    // pass the count check yet misalign vectors onto wrong rows — the
+    // one failure mode this parser exists to prevent
+    require(sorted.map(_._1) == (0 until expected).toList,
+      s"embeddings response indexes ${sorted.map(_._1)} are not 0..${expected - 1}")
+    sorted.map(_._2)
   }
 }

@@ -49,7 +49,7 @@ object Merge {
     val spark = df.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(root, "manifest")), s"$root is already a Merge table")
-    val dataDir = s"data/v0"
+    val dataDir = s"data/v0-${attemptId()}"
     writeBuckets(df, root, dataDir, idCol, nBuckets)
     val parts = listWrittenBuckets(spark, root, dataDir)
       .map(p => p -> s"$dataDir/_pt=$p").toMap
@@ -83,7 +83,13 @@ object Merge {
     val m = currentManifest(spark, root)
     val idCol = m.idCol
     val newV = m.version + 1
-    val dataDir = s"data/v$newV"
+    // UNIQUE dir per attempt: two concurrent upserts racing for version
+    // N+1 must not write into one directory — the commit-rename loser's
+    // part files would silently pollute the winner's committed snapshot.
+    // A crashed attempt's dir likewise never wedges the next attempt
+    // (mode errorifexists targets a fresh path every time); orphans are
+    // unreferenced and vacuum reclaims them.
+    val dataDir = s"data/v$newV-${attemptId()}"
 
     // changed ids, bucketed. Driver-side bucket LIST only (<= nBuckets
     // values — bounded by the partition grid, not the data).
@@ -122,14 +128,20 @@ object Merge {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = manifestVersions(spark, root)
     val keep = versions.sorted.takeRight(keepVersions)
+    // fully-QUALIFIED comparison on both sides: a relative `root` would
+    // otherwise never match listStatus's absolute paths and vacuum
+    // would delete the CURRENT snapshot's data. Compare the PATH
+    // component (authority-independent — `file:/x` and `file:///x`
+    // stringify differently for the same location).
+    def qualified(p: Path): String = fs.makeQualified(p).toUri.getPath
     val live: Set[String] = keep.flatMap(v =>
       readManifest(spark, root, v).partitions.values.map(rel =>
-        new Path(new Path(root), rel).toUri.getPath)).toSet
+        qualified(new Path(new Path(root), rel)))).toSet
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { vDir =>
       val leaves = fs.listStatus(vDir.getPath)
       leaves.foreach { leaf =>
-        if (!live(leaf.getPath.toUri.getPath)) fs.delete(leaf.getPath, true)
+        if (!live(qualified(leaf.getPath))) fs.delete(leaf.getPath, true)
       }
       if (fs.listStatus(vDir.getPath).isEmpty) fs.delete(vDir.getPath, false)
     }
@@ -142,6 +154,9 @@ object Merge {
     manifestVersions(spark, root).max
 
   // ---- internals -------------------------------------------------------
+
+  private def attemptId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(10)
 
   private def bucketExpr(id: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(id.cast("string")), lit(nBuckets.toLong)).cast("int")

@@ -65,12 +65,14 @@ object Warc {
            maxSplitBytes: Long = 128L << 20): DataFrame = {
     require(maxSplitBytes >= (1L << 16), s"maxSplitBytes too small: $maxSplitBytes")
     val splits = planSplits(spark, path, maxSplitBytes)
-    val confMap = serializableConf(spark)
+    // broadcast: the conf map is hundreds of entries — shipping it in
+    // every task closure at ~800k splits would serialize it 800k times
+    val confBc = spark.sparkContext.broadcast(serializableConf(spark))
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
       .flatMap { case (file, start, end) =>
         val conf = new Configuration(false)
-        confMap.foreach { case (k, v) => conf.set(k, v) }
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
         readSplit(conf, file, start, end)
       }
     spark.createDataFrame(rdd, schema)
@@ -100,14 +102,14 @@ object Warc {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    val confMap = serializableConf(spark)
+    val confBc = spark.sparkContext.broadcast(serializableConf(spark))
     val dirStr = dir
     df.select(cols.map(col): _*).repartition(numShards).rdd
       .mapPartitionsWithIndex { (pid, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
         val conf = new Configuration(false)
-        confMap.foreach { case (k, v) => conf.set(k, v) }
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val outPath = new Path(dirStr, f"part-$pid%05d.warc.gz")
         val out = outPath.getFileSystem(conf).create(outPath, true)
         try rows.foreach { r =>
@@ -208,6 +210,13 @@ object Warc {
     val fs = path.getFileSystem(conf)
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
+    // a consumer may abandon the iterator early (limit/take/row-level
+    // failure) — close with the TASK, not only on full drain, or every
+    // abandoned split leaks a file handle on long-lived executors
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try in.close() catch { case _: Exception => () }
+    }
     val reader = new MemberReader(in, len)
     var pos = reader.findMember(start, end)
     new Iterator[Array[Byte]] {
@@ -221,9 +230,11 @@ object Warc {
               nextBytes = bytes
               pos = if (nextPos >= end) -1L else reader.findMember(nextPos, end)
             case None =>
-              // validated candidate still failed full inflation (magic
-              // inside compressed data whose prefix also inflated to
-              // "WARC/" — vanishingly rare) — resync strictly past it
+              // validated candidate still failed full inflation (corrupt
+              // large record, or magic inside compressed data whose
+              // prefix also inflated to "WARC/") — resync strictly past
+              // it; the window repositions backwards via pread if the
+              // failed inflation slid it ahead
               pos = reader.findMember(pos + 1, end)
           }
         }
@@ -236,9 +247,12 @@ object Warc {
     }.flatMap(parseRecords)
   }
 
-  /** Buffered random-ish access over one open file + gzip member
-    * operations. Reads are sequential-with-overshoot: the window slides
-    * forward only, as split scanning does. */
+  /** Buffered window over one open file + gzip member operations. Reads
+    * are positioned (pread), so the window can reposition ANYWHERE —
+    * including backwards, which the resync path needs after a large
+    * failed inflation slid the window past the failure point. ALL
+    * offset arithmetic is Long-safe: a multi-GiB crawl file must not
+    * overflow Int anywhere (offsets routinely exceed 2^31). */
   private final class MemberReader(in: org.apache.hadoop.fs.FSDataInputStream,
                                    fileLen: Long) {
     private var bufStart = 0L
@@ -248,19 +262,23 @@ object Warc {
     /** Ensure [absPos, absPos+n) is buffered (clamped to EOF); returns
       * available bytes from absPos. */
     private def ensure(absPos: Long, n: Int): Int = {
-      require(absPos >= bufStart, "MemberReader only slides forward")
-      if (absPos + n <= bufStart + bufLen) return n min (bufStart + bufLen - absPos).toInt
-      // slide: drop bytes before absPos, then fill
-      val keepFrom = (absPos - bufStart).toInt
-      val kept = math.max(0, bufLen - keepFrom)
+      if (absPos < bufStart) { bufLen = 0; bufStart = absPos } // reposition (pread makes it safe)
+      if (absPos + n <= bufStart + bufLen)
+        return math.min(n.toLong, bufStart + bufLen - absPos).toInt
+      // slide: drop bytes before absPos, then fill. keepFrom fits Int:
+      // it is < bufLen (an Int) whenever kept > 0.
+      val keepFromL = absPos - bufStart
+      val kept = if (keepFromL >= bufLen) 0 else (bufLen - keepFromL).toInt
       val want = math.min(n.toLong, fileLen - absPos).toInt
       if (want <= 0) return math.max(0, kept)
       val cap = math.max(want, 1 << 20)
       val nb = if (buf.length >= cap) buf else new Array[Byte](cap)
-      if (kept > 0) System.arraycopy(buf, keepFrom, nb, 0, kept)
+      if (kept > 0) System.arraycopy(buf, keepFromL.toInt, nb, 0, kept)
       buf = nb; bufStart = absPos; bufLen = kept
       while (bufLen < want) {
-        val r = in.read(bufStart + bufLen, buf, bufLen, math.min(buf.length - bufLen, (fileLen - bufStart - bufLen).toInt))
+        val remainingL = fileLen - bufStart - bufLen
+        val r = in.read(bufStart + bufLen, buf, bufLen,
+          math.min(buf.length - bufLen.toLong, remainingL).toInt)
         if (r <= 0) return bufLen
         bufLen += r
       }

@@ -682,6 +682,18 @@ class DedupSpec extends SparkSpec {
     assert(kept.size < allIds.length, "clusters must actually prune")
   }
 
+  test("TopCells degrades on NaN vectors instead of crashing the job") {
+    val model = graft.operators.Ivf.Model(Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5)))
+    val df = Seq((1L, Seq(Double.NaN, 0.3)), (2L, Seq(0.9, 0.1)))
+      .toDF("id", "embedding")
+    val got = graft.operators.Ivf.attachTopCells(df, "embedding", model, nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](r.length - 1)).toMap
+    assert(got(1L).distinct.size === 2 && got(1L).forall(c => c >= 0 && c < 3),
+      "NaN-poisoned scores must yield valid distinct cells")
+    assert(got(2L).head === 0, "clean vectors keep exact argmax")
+  }
+
   test("semanticNearDupPairs: the verify join is per-cell, never all-pairs") {
     val df = semFixture()
     val model = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 6, iters = 1)

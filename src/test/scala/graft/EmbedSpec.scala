@@ -148,9 +148,11 @@ class EmbedSpec extends SparkSpec {
       import org.json4s.jackson.JsonMethods
       val inputs = (JsonMethods.parse(body) \ "input").asInstanceOf[JArray]
         .arr.map(_.asInstanceOf[JString].s)
-      // answer in REVERSED index order — client must sort by index
+      // answer in REVERSED index order — client must sort by index;
+      // "DUPIDX" inputs simulate a buggy provider tagging everything 0
       val data = inputs.zipWithIndex.reverse.map { case (t, i) =>
-        s"""{"index":$i,"embedding":[${t.length}.0,7]}"""
+        val idx = if (inputs.exists(_.contains("DUPIDX"))) 0 else i
+        s"""{"index":$idx,"embedding":[${t.length}.0,7]}"""
       }.mkString("[", ",", "]")
       val resp = s"""{"data":$data}""".getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -170,6 +172,12 @@ class EmbedSpec extends SparkSpec {
         "OPENAI_API_KEY" -> "k"))()
       assert(viaEnv.embed(graft.llm.EmbedRequest(Seq("xyz"), "m"))
         .head.toSeq === Seq(3.0f, 7.0f))
+      // a duplicated index would pass the count check but misalign rows
+      // — the client must reject it, not silently shift vectors
+      val ex = intercept[IllegalArgumentException] {
+        client.embed(graft.llm.EmbedRequest(Seq("DUPIDX", "b"), "m"))
+      }
+      assert(ex.getMessage.contains("not 0..1"))
     } finally server.stop(0)
   }
 

@@ -39,8 +39,9 @@ class MergeSpec extends SparkSpec {
     Merge.upsert(spark, root, ups, spark.emptyDataset[Long].toDF("id"))
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "manifest", "v00001.json")))
-    val v0refs = "data/v0/_pt=".r.findAllIn(manifest).size
-    val v1refs = "data/v1/_pt=".r.findAllIn(manifest).size
+    // data dirs carry a per-attempt suffix (concurrent-writer isolation)
+    val v0refs = "data/v0-[0-9a-f]+/_pt=".r.findAllIn(manifest).size
+    val v1refs = "data/v1-[0-9a-f]+/_pt=".r.findAllIn(manifest).size
     assert(v1refs === 1, s"one touched bucket, got $v1refs: $manifest")
     assert(v0refs === 7, s"seven untouched buckets must stay v0 pointers, got $v0refs")
     assert(Merge.read(spark, root).count() === 200)
@@ -87,7 +88,7 @@ class MergeSpec extends SparkSpec {
     val (root, _) = table(64)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaf = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/data/v0/_pt=*/part-*.parquet")).head
+    val leaf = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/data/v0-*/_pt=*/part-*.parquet")).head
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         leaf.getPath, spark.sparkContext.hadoopConfiguration))
@@ -114,6 +115,35 @@ class MergeSpec extends SparkSpec {
       "aged manifest must drop")
     assert(Merge.read(spark, root).orderBy("id").collect().toSeq === snapshot.toSeq,
       "vacuum must not change the current snapshot")
+  }
+
+  test("vacuum with a RELATIVE table root never deletes live data") {
+    val rel = s"target/merge_rel_${System.nanoTime()}"
+    try {
+      val df = (0 until 30).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      Merge.init(df, rel, "id", nBuckets = 4)
+      Merge.upsert(spark, rel, Seq((1L, "ONE")).toDF("id", "text"),
+        spark.emptyDataset[Long].toDF("id"))
+      val before = Merge.read(spark, rel).orderBy("id").collect()
+      Merge.vacuum(spark, rel, keepVersions = 1)
+      assert(Merge.read(spark, rel).orderBy("id").collect().toSeq === before.toSeq,
+        "qualified-path comparison must protect the current snapshot under relative roots")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(rel)).deleteRecursively()
+    }
+  }
+
+  test("a crashed attempt's orphan data dir never wedges the next upsert") {
+    val (root, df) = table(20)
+    // simulate a crashed writer that claimed version 1 with its own dir
+    df.limit(2).withColumn("text", lit("GHOST"))
+      .write.parquet(s"$root/data/v1-deadbeef00/_pt=0")
+    val v = Merge.upsert(spark, root, Seq((3L, "THREE", 0)).toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    assert(v === 1, "fresh per-attempt dirs make the orphan irrelevant")
+    val byId = Merge.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(3L) === "THREE" && !byId.values.exists(_ == "GHOST"))
   }
 
   test("deleting a whole bucket removes it from the manifest") {

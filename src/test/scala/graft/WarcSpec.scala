@@ -106,6 +106,29 @@ class WarcSpec extends SparkSpec {
     assert(wet.map(_.getString(2)).toSeq === Seq("wet text one", "wet text two"))
   }
 
+  test("resync survives a failed inflation larger than the buffer window") {
+    // one good small member, then a HUGE member (incompressible ~3 MiB
+    // payload) truncated mid-stream: its inflation consumes > 1 MiB of
+    // compressed input (sliding the window far past the member start)
+    // and then fails at EOF — the reader must reposition and finish
+    // cleanly with just the good record, not die on a window assertion
+    val good = Warc.gzipMember(Warc.recordBytes(
+      "https://big.test/ok", ts(1L), "response", "text/plain", "fine".getBytes(UTF_8)))
+    val rnd = new scala.util.Random(7)
+    val huge = new Array[Byte](3 << 20)
+    rnd.nextBytes(huge)
+    val bigMember = Warc.gzipMember(Warc.recordBytes(
+      "https://big.test/huge", ts(2L), "response", "application/octet-stream", huge))
+    assume(bigMember.length > (1 << 21), s"member must exceed the 1 MiB fill window, got ${bigMember.length}")
+    val f = Files.createTempFile("graft_warc_big", ".warc.gz")
+    Files.write(f, good ++ bigMember.take(bigMember.length - (1 << 19))) // cut ~512 KiB short
+    val conf = new Configuration(false)
+    conf.set("fs.defaultFS", "file:///")
+    val got = Warc.readSplit(conf, f.toString, 0, Files.size(f)).toVector
+    assert(got.map(_.getString(0)) === Vector("https://big.test/ok"),
+      "only the intact record survives; the truncated giant resyncs away")
+  }
+
   test("fail-loud: a truncated member at EOF does not yield a torn record") {
     val dir = Files.createTempDirectory("graft_warc_trunc").toString
     writeFixture(dir, 20, randomPayload)
