@@ -56,7 +56,8 @@ object Embed {
       globalMaxInFlightPerJvm: Int = 200,
       batchTimeoutMs: Long = 3600000L,
       budgetHostPort: Option[(String, Int)] = None,
-      budgetClientId: String = "")
+      budgetClientId: String = "",
+      budgetRenewMs: Long = 5000L)
 
   /** Embed `df.columns(columnIndex)` (positional addressing for parity
     * with the reference's API surface) through `client`, appending
@@ -72,6 +73,11 @@ object Embed {
     require(columnIndex >= 0 && columnIndex < df.columns.length,
       s"columnIndex $columnIndex out of range for ${df.columns.length} columns")
     require(cfg.textsPerCall >= 1, "textsPerCall must be >= 1")
+    // reserved-name guard: an existing 'embedding' column would silently
+    // yield TWO same-named columns (nothing fails until a later
+    // ambiguous-reference error far from the cause)
+    Seq("embedding", "_row_idx").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — the embed operator reserves it"))
 
     val indexed =
       if (shardedIndex) Enrich.withRowIndexSharded(df) else Enrich.withRowIndex(df)
@@ -124,17 +130,21 @@ object Embed {
         pending.enqueue(Future {
           try {
             val g = Enrich.resolveGate(conf.budgetHostPort, conf.budgetClientId,
-              conf.globalMaxInFlightPerJvm)
+              conf.globalMaxInFlightPerJvm, conf.budgetRenewMs)
             val vectors: Seq[Array[Float]] =
-              try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
-                onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {
-                g.foreach(_.acquire())
-                try {
-                  val out = client.embed(EmbedRequest(in, conf.model, idemKey))
-                  require(out.size == in.size,
-                    s"embed client returned ${out.size} vectors for ${in.size} inputs")
-                  out
-                } finally g.foreach(_.release())
+              try {
+                val out = Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
+                  onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {
+                  g.foreach(_.acquire())
+                  try client.embed(EmbedRequest(in, conf.model, idemKey))
+                  finally g.foreach(_.release())
+                }
+                // contract check OUTSIDE the retry: a deterministically
+                // short/long response would otherwise re-send the same
+                // paid request 7x (with ~127 s of backoff) before nulling
+                require(out.size == in.size,
+                  s"embed client returned ${out.size} vectors for ${in.size} inputs")
+                out
               } catch {
                 // per-call isolation: this chunk's rows get NULL vectors
                 case e if scala.util.control.NonFatal(e) => null

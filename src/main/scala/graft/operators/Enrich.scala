@@ -77,7 +77,8 @@ object Enrich {
       globalMaxInFlightPerJvm: Int = 200,
       batchTimeoutMs: Long = 3600000L,
       budgetHostPort: Option[(String, Int)] = None,
-      budgetClientId: String = "")
+      budgetClientId: String = "",
+      budgetRenewMs: Long = 5000L)
 
   /** Stable contiguous row index, attached before any shuffle. Costs one
     * extra job (zipWithIndex counts partition sizes) — the documented
@@ -148,13 +149,14 @@ object Enrich {
     * executor holds exactly one lease no matter how many tasks run. */
   private[operators] def resolveGate(budgetHostPort: Option[(String, Int)],
                                      budgetClientId: String,
-                                     jvmCap: Int): Option[CallGate] =
+                                     jvmCap: Int,
+                                     renewEveryMs: Long = 5000L): Option[CallGate] =
     budgetHostPort match {
       case Some((h, p)) =>
         val id =
           if (budgetClientId.nonEmpty) budgetClientId
           else try org.apache.spark.SparkEnv.get.executorId catch { case _: Exception => "local" }
-        Some(new LeasedGate(graft.llm.InFlightBudget.clientFor(h, p, id)))
+        Some(new LeasedGate(graft.llm.InFlightBudget.clientFor(h, p, id, renewEveryMs)))
       case None =>
         if (jvmCap > 0) Some(new SemGate(gate(jvmCap))) else None
     }
@@ -179,6 +181,11 @@ object Enrich {
       "shardedIndex requires unbounded maxRows: the head slice at maxRows is " +
         "positional, and sharded (non-contiguous) indexes carry no positions — " +
         "use the default contiguous index for bounded runs")
+    // reserved-name guard: head's mapPartitions would APPEND a second
+    // 'Response' while tail's withColumn REPLACES the existing one —
+    // unionByName then fails with a hintless duplicate-column error
+    Seq("Response", "_row_idx").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — the enrich operator reserves it"))
     val indexed = if (shardedIndex) withRowIndexSharded(df) else withRowIndex(df)
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
@@ -226,7 +233,7 @@ object Enrich {
               val input = if (cell == null) "nan" else cell.toString
               val prompt = s"${conf.systemPrompt}\n\nInput: $input"
               val idemKey = if (conf.requestId.isEmpty) "" else s"${conf.requestId}-$rowIdx"
-              val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm)
+              val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm, conf.budgetRenewMs)
               val response =
                 try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
                   // per-partition backpressure metric: count of honored
@@ -309,6 +316,8 @@ object Enrich {
       s"columnIndex ${c.columnIndex} out of range for ${df.columns.length} columns"))
     require(columns.forall(c => !df.columns.contains(c.outputCol)),
       "outputCol collides with an input column")
+    require(!df.columns.contains("_row_idx"),
+      "input already has a '_row_idx' column — the enrich operator reserves it")
     require(!shardedIndex || cfg.maxRows == Long.MaxValue,
       "shardedIndex requires unbounded maxRows (see enrich)")
 
@@ -345,7 +354,7 @@ object Enrich {
             val idemKey =
               if (conf.requestId.isEmpty) ""
               else s"${conf.requestId}-$rowIdx-${spec.outputCol}"
-            val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm)
+            val g = resolveGate(conf.budgetHostPort, conf.budgetClientId, conf.globalMaxInFlightPerJvm, conf.budgetRenewMs)
             val response =
               try Retry.withBackoff(conf.retries, conf.retryBaseDelayMs,
                 onThrottle = _ => throttles.foreach(a => a.synchronized(a.add(1)))) {

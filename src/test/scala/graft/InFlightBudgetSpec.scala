@@ -18,11 +18,14 @@ class InFlightBudgetSpec extends SparkSpec {
       assert(co.lease("a", t0 + 20) === 5, "incumbent shrinks to fair share")
       assert(co.lease("b", t0 + 30) === 5, "joiner now gets its half")
       assert(co.grantedSum === 10)
-      // third member: convergence to 3/3/3 within one cycle
+      // third member: ceil-shares converge within a cycle and use the
+      // WHOLE pool (floor would strand 10 - 3*3 = 1 permit forever)
       co.lease("c", t0 + 40)
-      val after = Seq("a", "b", "c").map(id => co.lease(id, t0 + 100))
+      Seq("a", "b", "c").foreach(id => co.lease(id, t0 + 100))
       assert(co.grantedSum <= 10)
-      assert(Seq("a", "b", "c").map(id => co.lease(id, t0 + 200)).forall(_ == 3))
+      val settled = Seq("a", "b", "c").map(id => co.lease(id, t0 + 200))
+      assert(settled.sum === 10, s"no stranded permits: $settled")
+      assert(settled.forall(q => q >= 2 && q <= 4), s"near-fair shares: $settled")
     } finally co.stop()
   }
 
@@ -70,6 +73,21 @@ class InFlightBudgetSpec extends SparkSpec {
       assert(maxSeen.get() >= total / 2,
         s"the bucket must actually be used (saw ${maxSeen.get()})")
     } finally co.stop()
+  }
+
+  test("stale quota dies BEFORE the coordinator's TTL re-grants the permits") {
+    // ttl 200 ms but a 5 s client renew cadence: the fail-closed cut
+    // must clamp to the SERVER's ttl (3/4 of it), or for ~15 s both the
+    // stale quota and its re-granted permits would admit calls
+    val co = new BudgetCoordinator(4, leaseTtlMs = 200)
+    val c = new BudgetClient("localhost", co.port, "slowpoke", renewEveryMs = 5000)
+    c.acquire(); c.release() // leases 4 and learns ttl=200 from the response
+    assert(c.currentCapacity === 4)
+    co.stop()
+    Thread.sleep(200) // past 3/4 * ttl = 150 ms
+    c.renewNow() // fails; post-I/O clock is beyond the clamped cut
+    assert(c.currentCapacity === 0,
+      "capacity must fail closed within the coordinator's TTL, not the renew cadence")
   }
 
   test("coordinator death fails CLOSED after staleness, never open") {
