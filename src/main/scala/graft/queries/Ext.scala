@@ -423,6 +423,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece (likelihood-gain merges, greedy `##` encode) over the
+    * corpus — the third subword model behind the tokenizer seam. Emits
+    * per-doc piece counts plus how many words fell to [UNK] (the model's
+    * designed lossiness, surfaced as a metric). Rows-only gate (learned
+    * vocab isn't SQL-expressible); WordPieceSpec pins the semantics. */
+  def txtWordPieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // numMerges 40 over the ~31-word fixture vocabulary: frequent words
+    // merge back to whole pieces, rare ones stay subword-split — both
+    // regimes visible (cost scales with maxWords, not corpus size)
+    val wp = graft.operators.WordPiece.train(d, col("text"), numMerges = 40,
+      maxWords = 10000)
+    val pieces = graft.operators.WordPiece.encodeTokens(
+      TextAnalysis.regexTokens(col("text")), wp)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
+        size(pieces).as("wp_tokens"),
+        size(filter(pieces, t => t === lit(wp.unkToken))).as("unk_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sentence-boundary chunking (the RAG shape: a chunk never cuts
     * mid-sentence): the fixture text carries no punctuation, so a
     * deterministic sentence structure is planted first (every "the"
@@ -1103,6 +1124,34 @@ object Ext {
           .cast("long").as("only_a_theta"))
   }
 
+  /** Heavy-hitter tokens via the Misra–Gries sketch, exact-verified —
+    * the repo's standing "sketch proposes, exact verifies candidates"
+    * pattern applied to frequent items: one bounded-state pass proposes
+    * at most k candidates (shuffle = k counters per partition, constant
+    * in data size — vs `groupBy(token)` whose shuffle carries every
+    * distinct key), then exact counts over ONLY the candidate set gate
+    * at n/(k+1). The MG guarantee (every item with true count > n/(k+1)
+    * survives the sketch) makes the composition EXACTLY the frequent-
+    * items query — deterministic and oracle-gated despite the
+    * approximate inner pass. */
+  def aggSketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val sk = toks.agg(
+      graft.functions.FreqSketch.heavyHitters(col("token"), k).as("hh"),
+      count(lit(1)).as("n"))
+    val cand = sk.select(explode(col("hh")), col("n"))
+      .select(col("key").as("token"), col("n"))
+    toks.join(broadcast(cand), Seq("token"))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > col("n") / (k + 1.0))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** Time-series resampling: per-user hourly grid spanning each user's
     * event range, backward-filled with the latest value —
     * [[graft.operators.Resample.ffillGrid]] with the clamp off (the
@@ -1718,6 +1767,7 @@ object Ext {
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_byte_bpe_encode" -> txtByteBpeEncode,
     "txt_unigram_encode" -> txtUnigramEncode,
+    "txt_wordpiece_encode" -> txtWordPieceEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
     "txt_strip_invisible" -> txtStripInvisible,
     "pipeline_hygiene" -> pipelineHygiene,
@@ -1760,6 +1810,7 @@ object Ext {
     "agg_sketch_distinct" -> aggSketchDistinct,
     "agg_sketch_quantiles" -> aggSketchQuantiles,
     "agg_sketch_overlap" -> aggSketchOverlap,
+    "agg_sketch_heavyhitters" -> aggSketchHeavyHitters,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
@@ -1960,6 +2011,15 @@ object Ext {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // the sketch-then-verify composition is EXACTLY the frequent-items
+    // query (MG guarantee: no item with true count > n/(k+1) is missed)
+    "agg_sketch_heavyhitters" ->
+      s"""WITH f AS (SELECT token
+         |  FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE length(token) > 0)
+         |SELECT token, count(*) AS cnt FROM f GROUP BY token
+         |HAVING count(*) > (SELECT count(*) FROM f) / 33.0
+         |ORDER BY cnt DESC, token""".stripMargin,
     "rpt_corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
          |m AS (SELECT source, lang,

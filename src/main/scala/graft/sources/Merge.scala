@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   private case class Manifest(version: Int, nBuckets: Int, idCol: String,
-                              partitions: Map[Int, String])
+                              partitions: Map[Int, String],
+                              lastBatchId: Option[Long] = None)
 
   // ---- public API ------------------------------------------------------
 
@@ -79,8 +80,41 @@ object Merge {
     * the new version number. Work: one distributed job over ONLY the
     * touched buckets + the batch; untouched buckets move as pointers. */
   def upsert(spark: SparkSession, root: String,
-             upserts: DataFrame, deleteIds: DataFrame): Int = {
+             upserts: DataFrame, deleteIds: DataFrame): Int =
+    upsertFrom(spark, root, currentManifest(spark, root), upserts, deleteIds,
+      batchId = None)
+
+  /** [[upsert]] keyed by a monotonic `batchId` — the exactly-once seam
+    * for Structured Streaming's `foreachBatch` (micro-batch ids are
+    * monotonic per query; a restart REPLAYS the last uncommitted one).
+    * The id commits atomically WITH the manifest, so a replayed batch
+    * observes `lastBatchId >= batchId` and no-ops instead of
+    * double-applying its upserts. Manual [[upsert]] calls interleave
+    * safely: they carry the recorded id forward untouched. */
+  def upsertBatch(spark: SparkSession, root: String, batchId: Long,
+                  upserts: DataFrame, deleteIds: DataFrame): Int = {
     val m = currentManifest(spark, root)
+    if (m.lastBatchId.exists(_ >= batchId)) m.version // replay: already applied
+    else upsertFrom(spark, root, m, upserts, deleteIds, Some(batchId))
+  }
+
+  /** A `(batch, batchId) => Unit` for
+    * `stream.writeStream.foreachBatch(Merge.foreachBatchUpsert(root))`:
+    * each micro-batch upserts by the table's id column (pure-insert
+    * streams are upserts whose ids are new), idempotent across restarts
+    * via [[upsertBatch]]. */
+  def foreachBatchUpsert(root: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val idCol = currentManifest(spark, root).idCol
+      upsertBatch(spark, root, batchId, batch,
+        batch.select(col(idCol)).limit(0))
+      ()
+    }
+
+  private def upsertFrom(spark: SparkSession, root: String, m: Manifest,
+                         upserts: DataFrame, deleteIds: DataFrame,
+                         batchId: Option[Long]): Int = {
     val idCol = m.idCol
     val newV = m.version + 1
     // UNIQUE dir per attempt: two concurrent upserts racing for version
@@ -116,7 +150,8 @@ object Merge {
     val written = listWrittenBuckets(spark, root, dataDir)
       .map(p => p -> s"$dataDir/_pt=$p").toMap
     val untouched = m.partitions.filter(t => !touched(t._1))
-    commit(spark, root, Manifest(newV, m.nBuckets, idCol, untouched ++ written))
+    commit(spark, root, Manifest(newV, m.nBuckets, idCol, untouched ++ written,
+      batchId.orElse(m.lastBatchId)))
     newV
   }
 
@@ -152,6 +187,23 @@ object Merge {
   /** Current committed version (highest manifest present). */
   def currentVersion(spark: SparkSession, root: String): Int =
     manifestVersions(spark, root).max
+
+  /** All committed versions still on disk, ascending — the time-travel
+    * horizon ([[vacuum]]'s `keepVersions` is the retention knob). */
+  def versions(spark: SparkSession, root: String): Seq[Int] =
+    manifestVersions(spark, root).sorted
+
+  /** Time travel: the corpus exactly as of committed version `v`.
+    * Manifests are immutable and data dirs are write-once, so an old
+    * snapshot is just its manifest's pointer set — zero reconstruction
+    * work (the Iceberg/Delta read path). Fails loud if `v` was
+    * vacuumed. */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val have = manifestVersions(spark, root)
+    require(have.contains(v),
+      s"version $v is not on disk (have: ${have.sorted.mkString(",")}) — vacuumed or never committed")
+    readPaths(spark, root, readManifest(spark, root, v).partitions.values.toSeq)
+  }
 
   // ---- internals -------------------------------------------------------
 
@@ -228,7 +280,8 @@ object Merge {
       (parsed \ "version").extract[Int],
       (parsed \ "nBuckets").extract[Int],
       (parsed \ "idCol").extract[String],
-      (parsed \ "partitions").extract[Map[String, String]].map { case (k, v2) => k.toInt -> v2 })
+      (parsed \ "partitions").extract[Map[String, String]].map { case (k, v2) => k.toInt -> v2 },
+      (parsed \ "lastBatchId").extractOpt[Long])
   }
 
   /** The commit point: write the manifest to a temp name, then ONE
@@ -244,7 +297,8 @@ object Merge {
     val json = {
       val parts = m.partitions.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${quote(v)}""" }.mkString("{", ",", "}")
-      s"""{"version":${m.version},"nBuckets":${m.nBuckets},"idCol":${quote(m.idCol)},"partitions":$parts}"""
+      val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
+      s"""{"version":${m.version},"nBuckets":${m.nBuckets},"idCol":${quote(m.idCol)}$batch,"partitions":$parts}"""
     }
     val tmp = new Path(dir, s".tmp-v${m.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)

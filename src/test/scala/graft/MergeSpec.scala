@@ -146,6 +146,74 @@ class MergeSpec extends SparkSpec {
     assert(byId(3L) === "THREE" && !byId.values.exists(_ == "GHOST"))
   }
 
+  test("time travel: every committed version reads back exactly; vacuum bounds the horizon") {
+    val (root, _) = table(60)
+    Merge.upsert(spark, root, Seq((5L, "FIVE", 0)).toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    Merge.upsert(spark, root, Seq((61L, "NEW", 1)).toDF("id", "text", "grp"),
+      Seq(9L).toDF("id"))
+    assert(Merge.versions(spark, root) === Seq(0, 1, 2))
+    // v0: the original 60 rows, untouched by later churn
+    val v0 = Merge.readVersion(spark, root, 0)
+    assert(v0.count() === 60)
+    assert(v0.filter($"id" === 5L).select("text").as[String].head() === "text-5")
+    // v1: the replace landed, the later delete/insert did not
+    val v1 = Merge.readVersion(spark, root, 1)
+    assert(v1.filter($"id" === 5L).select("text").as[String].head() === "FIVE")
+    assert(v1.filter($"id" === 61L).count() === 0 && v1.filter($"id" === 9L).count() === 1)
+    // v2 == current
+    assert(Merge.readVersion(spark, root, 2).orderBy("id").collect().toSeq ===
+      Merge.read(spark, root).orderBy("id").collect().toSeq)
+    // retention: keep 2 -> v0 is gone (manifest AND its exclusive dirs),
+    // v1 and v2 still read
+    Merge.vacuum(spark, root, keepVersions = 2)
+    assert(Merge.versions(spark, root) === Seq(1, 2))
+    intercept[IllegalArgumentException](Merge.readVersion(spark, root, 0))
+    assert(Merge.readVersion(spark, root, 1).count() === 60)
+  }
+
+  test("batch-keyed upsert: a replayed micro-batch never double-applies") {
+    val (root, _) = table(40)
+    val b1 = Seq((100L, "B1", 0)).toDF("id", "text", "grp")
+    val none = spark.emptyDataset[Long].toDF("id")
+    val v1 = Merge.upsertBatch(spark, root, batchId = 1L, b1, none)
+    assert(v1 === 1)
+    // restart replays batch 1 (possibly with identical content): no-op
+    assert(Merge.upsertBatch(spark, root, batchId = 1L, b1, none) === 1)
+    assert(Merge.currentVersion(spark, root) === 1)
+    assert(Merge.read(spark, root).filter($"id" === 100L).count() === 1)
+    // a LATER batch applies; a manual (unkeyed) upsert between batches
+    // carries the recorded id forward, so replay protection survives it
+    Merge.upsert(spark, root, Seq((101L, "MANUAL", 0)).toDF("id", "text", "grp"), none)
+    assert(Merge.upsertBatch(spark, root, batchId = 1L, b1, none) ===
+      Merge.currentVersion(spark, root), "old batch still skipped after manual upsert")
+    val v3 = Merge.upsertBatch(spark, root, batchId = 2L,
+      Seq((102L, "B2", 0)).toDF("id", "text", "grp"), none)
+    assert(Merge.read(spark, root).count() === 43)
+    assert(v3 === Merge.currentVersion(spark, root))
+  }
+
+  test("streaming sink: foreachBatch(Merge.foreachBatchUpsert) lands micro-batches exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_merge_stream").toString
+    Merge.init(Seq((0L, "seed")).toDF("id", "text"), root, "id", nBuckets = 4)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "text").writeStream
+      .foreachBatch(Merge.foreachBatchUpsert(root))
+      .option("checkpointLocation", Files.createTempDirectory("graft_merge_ckpt").toString)
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      val got = Merge.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got === Seq((0L, "seed"), (1L, "a"), (2L, "b2"), (3L, "c")),
+        "late batch upserts by id (2 replaced), earlier rows persist")
+    } finally q.stop()
+  }
+
   test("deleting a whole bucket removes it from the manifest") {
     val root = Files.createTempDirectory("graft_merge_empty").toString
     // 2 buckets, few ids: delete every id of one bucket

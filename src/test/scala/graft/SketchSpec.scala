@@ -86,4 +86,41 @@ class SketchSpec extends SparkSpec {
     // identity: |A| ≈ |A∩B| + |A\B|
     assert(math.abs((inter + diff) - 3000) / 3000.0 < 0.05)
   }
+
+  test("Misra–Gries heavy hitters: undercount bound; all theta-heavy items survive") {
+    // zipf-ish skew: item i (1..40) occurs ceil(2000/i) times
+    val counts = (1 to 40).map(i => s"item$i" -> ((2000 + i - 1) / i).toLong).toMap
+    val stream = new scala.util.Random(7).shuffle(
+      counts.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.toList)
+    val n = stream.size.toLong
+    val k = 10
+    // repartition(13) forces real partial-buffer merges through udaf
+    val got = stream.toDF("w").repartition(13)
+      .agg(graft.functions.FreqSketch.heavyHitters($"w", k).as("hh"))
+      .selectExpr("hh").as[Map[String, Long]].collect().head
+    assert(got.size <= k, "at most k counters survive")
+    val bound = n.toDouble / (k + 1)
+    counts.foreach { case (w, c) =>
+      if (c > bound) assert(got.contains(w), s"heavy item $w (true=$c, bound=$bound) must survive")
+    }
+    got.foreach { case (w, est) =>
+      val c = counts(w)
+      assert(est <= c, s"$w overcounted: est=$est true=$c (MG must undercount)")
+      assert(c - est <= bound, s"$w undercounted beyond n/(k+1): est=$est true=$c")
+    }
+  }
+
+  test("Misra–Gries core: decrement-all insert and PODS'12 merge") {
+    import graft.functions.FreqSketch.{insert, mergeCounts}
+    // untracked item at capacity decrements everything (and itself cancels)
+    assert(insert(Map("a" -> 1L, "b" -> 1L), "c", k = 2) === Map.empty)
+    assert(insert(Map("a" -> 3L, "b" -> 1L), "c", k = 2) === Map("a" -> 2L))
+    assert(insert(Map("a" -> 1L), "b", k = 2) === Map("a" -> 1L, "b" -> 1L))
+    // merge: sum, then subtract the (k+1)-largest and keep positives
+    val m = mergeCounts(Map("a" -> 5L, "b" -> 3L), Map("a" -> 2L, "c" -> 4L), k = 2)
+    assert(m === Map("a" -> 4L, "c" -> 1L))
+    // merging with empty is the identity
+    assert(mergeCounts(Map("a" -> 5L), Map.empty, k = 2) === Map("a" -> 5L))
+    assert(mergeCounts(Map.empty, Map("a" -> 5L), k = 2) === Map("a" -> 5L))
+  }
 }
