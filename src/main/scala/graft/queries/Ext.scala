@@ -853,6 +853,21 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Engine-native embeddings end to end: hashed TF-IDF vectors fitted
+    * on the corpus itself ([[graft.operators.Vectorize]] — no external
+    * API, no fixture), fed straight into exact kNN. Rows-only gate
+    * (xxhash64 slots aren't SQL-expressible in the oracle);
+    * VectorizeSpec pins determinism, normalization, the idf effect, and
+    * the near-dup-ranks-first composition. */
+  def simHashedEmbed(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val emb = graft.operators.Vectorize.hashedTfIdf(d, "text", "embedding", dim = 64)
+      .select(col("doc_id"), col("embedding"))
+    Similarity.knnBruteForce(
+        emb.filter(col("doc_id") < 10), emb, "doc_id", "doc_id", "embedding", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** int8-quantized kNN — rows-only (quantization rounding is
     * engine-specific); QuantSpec pins recall >= 0.9 vs exact and
     * SimilaritySpec the operator contract. */
@@ -1797,6 +1812,7 @@ object Ext {
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
+    "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_knn_int8" -> simKnnInt8,
     "sim_ann_lsh" -> simAnnLsh,
