@@ -32,5 +32,27 @@ object GraftFunctions {
         "graft_span_hashes(array<string>, k) requires a literal integer k")
     })
     GraftColumnBridge.registerFunction(spark, "graft_dedup_lines", es => DedupLines(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_hashed_tf", {
+      // dim/seed accept any FOLDABLE int expression (a bare literal or
+      // e.g. CAST(7 AS BIGINT)) — they must be plan-time constants
+      // because dim fixes the output type
+      case Seq(arr, dim, rest @ _*) if dim.foldable && rest.forall(_.foldable) &&
+          rest.length <= 1 =>
+        val d = dim.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_hashed_tf dim must be integral, got $other")
+        }
+        val s = rest.headOption.map(_.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"graft_hashed_tf seed must be integral, got $other")
+        }).getOrElse(42L)
+        HashedTfVector(arr, d, s)
+      case _ => throw new IllegalArgumentException(
+        "graft_hashed_tf(array<string>, dim[, seed]) requires constant dim/seed")
+    })
   }
 }

@@ -114,6 +114,51 @@ object Sample {
     df.filter(draw < rate)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A): each row draws priority `u^(1/w)` — equivalently
+    * `ln(u)/w`, the monotone form used here — and the k largest
+    * priorities win. The classic result: for k=1 the inclusion
+    * probability is exactly `w_i / Σw`, and for general k the scheme is
+    * the standard one-pass distributed answer to "sample k docs biased
+    * by quality/length without replacement" (a with-replacement sampler
+    * over-picks heavy rows; naive normalization needs Σw up front —
+    * E-S needs neither).
+    *
+    * `u` is the md5(salt|id) fraction like every sampler in this
+    * family: the draw is a pure per-row function — narrow,
+    * engine-reproducible, oracle-checkable, stable under corpus growth
+    * — and `salt` re-deals it. Priorities round to 12 decimals before
+    * ranking so the oracle engine's libm can never flip a rank on a
+    * 1-ulp `ln` difference; ties (same rounded key) break by id.
+    *
+    * Plan shape: with `groupCols` one window shuffle on the groups
+    * (top-k per stratum, parallel across strata); without, a global
+    * `orderBy(...).limit(k)` that Spark plans as TakeOrderedAndProject
+    * — per-partition heaps + one k-row merge, no global sort. */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                   groupCols: Seq[String] = Seq.empty, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.weightedTopK requires non-null '$idCol'")))
+      .otherwise((conv(substring(md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("double") + 0.5) / 4294967296.0) // +0.5 keeps u in (0,1): ln(0) would poison the key
+    // weights must be strictly positive: w<=0 has no E-S semantics (and
+    // null/NaN would rank arbitrarily) — fail loud like the family
+    val wgt = when(col(weightCol).isNull || isnan(col(weightCol).cast("double")) ||
+          col(weightCol).cast("double") <= 0,
+        raise_error(lit(s"Sample.weightedTopK requires positive, non-null '$weightCol'")))
+      .otherwise(col(weightCol).cast("double"))
+    val key = round(log(u) / wgt, 12)
+    if (groupCols.isEmpty) {
+      df.orderBy(key.desc_nulls_last, col(idCol).asc_nulls_last).limit(k)
+    } else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(key.desc_nulls_last, col(idCol).asc_nulls_last)
+      val rn = Iterator.from(0).map(i => s"_rn$i").find(n => !df.columns.contains(n)).get
+      df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
+    }
+  }
+
   /** Deterministic training-order shuffle: assign each row a shard
     * (top-32 md5 bits mod nShards) and a within-shard order key (the
     * full draw) — reading shards in order, each sorted by the draw,

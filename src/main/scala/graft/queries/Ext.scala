@@ -487,6 +487,19 @@ object Ext {
     * normalized WITHIN each language, so one global threshold means the
     * same thing for every slice (the CCNet per-language-tercile idea,
     * generalized to a continuous rank). */
+  /** Per-language Efraimidis–Spirakis weighted sample (k=20 per lang,
+    * weight = doc length + 1): longer docs proportionally likelier, no
+    * replacement, one window per stratum. md5-driven draw makes the
+    * whole selection oracle-reproducible. */
+  def smpWeightedTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("wgt", (col("n_chars") + 1).cast("double"))
+    graft.operators.Sample.weightedTopK(d, "doc_id", "wgt", k = 20,
+        groupCols = Seq("lang"), salt = "es")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   def smpQuantileNorm(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
@@ -1770,6 +1783,7 @@ object Ext {
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
     "smp_quantile_norm" -> smpQuantileNorm,
+    "smp_weighted_topk" -> smpWeightedTopK,
     "smp_stratified" -> smpStratified,
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
@@ -2086,6 +2100,17 @@ object Ext {
          |SELECT doc_id, lang, round(quality, 6) AS quality,
          |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6) AS score_q
          |FROM q ORDER BY doc_id""".stripMargin,
+    // Efraimidis-Spirakis priority ln(u)/w, u = (top-32 md5 bits + 0.5)/2^32,
+    // rounded to 12 decimals on BOTH sides so libm ulp differences can't
+    // flip a rank; ties break by doc_id
+    "smp_weighted_topk" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |  round(ln((CAST(('0x' || substring(md5('es|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |           / 4294967296.0) / (n_chars + 1), 12) AS es_key
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk FROM d)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin,
     "smp_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('st1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0

@@ -21,6 +21,12 @@ class GraftFunctionsSpec extends SparkSpec {
     val sig = spark.sql("SELECT graft_minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 4) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 4)
+    val tf = spark.sql("SELECT graft_hashed_tf(array('a', 'b', 'a'), 8) AS v")
+      .collect()(0).getSeq[Double](0)
+    assert(tf.length == 8 && tf.sum == 3.0 && tf.max == 2.0, s"hashed tf counts: $tf")
+    val tfSeeded = spark.sql("SELECT graft_hashed_tf(array('a'), 8, CAST(7 AS BIGINT)) AS v")
+      .collect()(0).getSeq[Double](0)
+    assert(tfSeeded.sum == 1.0)
   }
 
   test("trigram hashes: linear on a pathological 200k-token doc, parity with string shingles") {

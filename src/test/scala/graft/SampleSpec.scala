@@ -182,4 +182,54 @@ class SampleSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("quantileNormalize requires non-null"))
   }
+
+  test("weightedTopK: selection matches hand-computed E-S priorities") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 20L).map(i => (i, s"doc$i", i.toDouble)).toDF("id", "text", "w")
+    val got = Sample.weightedTopK(df, "id", "w", k = 5, salt = "t")
+      .select("id").as[Long].collect().toSet
+    // reimplement the draw: u = (top-32 md5 bits + 0.5)/2^32, key = ln(u)/w
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md.substring(0, 8), 16) + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) / w).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (1L to 20L).map(i => i -> key(i, i.toDouble))
+      .sortBy { case (id, k0) => (-k0, id) }.take(5).map(_._1).toSet
+    assert(got === expect, s"got $got expect $expect")
+  }
+
+  test("weightedTopK: k=1 inclusion probability tracks w/sum(w) (E-S property)") {
+    import org.apache.spark.sql.functions.col
+    // 400 independent replicas of {a: w=9, b: w=1}; per-replica top-1.
+    // P(a) = 0.9 exactly for k=1 under E-S; sd over 400 trials ~0.015.
+    val rows = (0 until 400).flatMap(r =>
+      Seq((r, s"r$r-a", 9.0, "a"), (r, s"r$r-b", 1.0, "b")))
+    val df = rows.toDF("rep", "id", "w", "tag")
+    val winners = Sample.weightedTopK(df, "id", "w", k = 1, groupCols = Seq("rep"))
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    val fracA = winners.getOrElse("a", 0L).toDouble / 400.0
+    assert(fracA > 0.84 && fracA < 0.96, s"P(a)=$fracA, expected ~0.9")
+    // a different salt re-deals at least SOME replicas; same salt repeats
+    val w1 = Sample.weightedTopK(df, "id", "w", k = 1, groupCols = Seq("rep"))
+      .select("id").as[String].collect().toSet
+    val w2 = Sample.weightedTopK(df, "id", "w", k = 1, groupCols = Seq("rep"),
+      salt = "epoch2").select("id").as[String].collect().toSet
+    assert(w1 !== w2, "salt re-deals the draw")
+    assert(w1 === Sample.weightedTopK(df, "id", "w", k = 1, groupCols = Seq("rep"))
+      .select("id").as[String].collect().toSet, "same salt -> same selection")
+  }
+
+  test("weightedTopK: non-positive or null weights fail loud; global path caps at k") {
+    val bad = Seq((1L, 0.0), (2L, 3.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sample.weightedTopK(bad, "id", "w", k = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("weightedTopK requires positive")), chain(e).mkString(" | "))
+    val ok = (1L to 50L).map(i => (i, 1.0)).toDF("id", "w")
+    assert(Sample.weightedTopK(ok, "id", "w", k = 7).count() === 7)
+  }
 }
