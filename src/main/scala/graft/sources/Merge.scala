@@ -155,6 +155,31 @@ object Merge {
     newV
   }
 
+  /** Re-grid the table to a new bucket count — the escape hatch for the
+    * one parameter [[init]] fixes for the table's life: a corpus that
+    * grew 100x since init has buckets 100x oversized (slow point
+    * lookups, oversized upsert rewrites). The id→bucket map changes, so
+    * this is necessarily a FULL rewrite (work ∝ corpus size — one
+    * distributed job, the same shape as a compaction); the new grid
+    * commits atomically like any version, so readers never observe a
+    * mixed grid, a crash leaves the old grid fully intact, and the old
+    * version stays time-travelable until vacuumed. */
+  def rebucket(spark: SparkSession, root: String, newNBuckets: Int): Int = {
+    require(newNBuckets > 0, "newNBuckets must be positive")
+    val m = currentManifest(spark, root)
+    require(newNBuckets != m.nBuckets, s"table already has $newNBuckets buckets")
+    val newV = m.version + 1
+    val dataDir = s"data/v$newV-${attemptId()}"
+    if (m.partitions.nonEmpty) {
+      val all = readPaths(spark, root, m.partitions.values.toSeq)
+      writeBuckets(all, root, dataDir, m.idCol, newNBuckets)
+    }
+    val written = listWrittenBuckets(spark, root, dataDir)
+      .map(p => p -> s"$dataDir/_pt=$p").toMap
+    commit(spark, root, Manifest(newV, newNBuckets, m.idCol, written, m.lastBatchId))
+    newV
+  }
+
   /** Delete data dirs no manifest within `keepVersions` of CURRENT
     * references (crash orphans + aged-out snapshots), then drop the old
     * manifests. Never touches the current snapshot. */

@@ -214,6 +214,28 @@ class MergeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rebucket: new grid carries every row; lookups and upserts keep working") {
+    val (root, df) = table(120)
+    val before = Merge.read(spark, root).orderBy("id").collect().toSeq
+    val v = Merge.rebucket(spark, root, newNBuckets = 16)
+    assert(v === 1)
+    assert(Merge.read(spark, root).orderBy("id").collect().toSeq === before,
+      "re-gridding is content-neutral")
+    // manifest now spans the 16-grid (more than the old 8 buckets used)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "manifest", "v00001.json")))
+    assert(manifest.contains("\"nBuckets\":16"))
+    // point lookup under the NEW grid finds its row
+    assert(Merge.readBucketOf(spark, root, lit(42L)).filter($"id" === 42L).count() === 1)
+    // upserts target the new grid; the old version still time-travels
+    Merge.upsert(spark, root, Seq((42L, "NEW", 0)).toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    assert(Merge.read(spark, root).filter($"id" === 42L).select("text").as[String].head() === "NEW")
+    assert(Merge.readVersion(spark, root, 0).orderBy("id").collect().toSeq === before)
+    // degenerate guard: same grid is refused
+    intercept[IllegalArgumentException](Merge.rebucket(spark, root, 16))
+  }
+
   test("deleting a whole bucket removes it from the manifest") {
     val root = Files.createTempDirectory("graft_merge_empty").toString
     // 2 buckets, few ids: delete every id of one bucket
