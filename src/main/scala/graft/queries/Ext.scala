@@ -540,6 +540,51 @@ object Ext {
       .orderBy(col("bin"))
   }
 
+  /** Robust per-language length outliers: |n_chars − median| > 2·MAD
+    * (median absolute deviation — the robust z-score every curation
+    * pipeline uses where mean/stddev would let the outliers move their
+    * own threshold; 2·MAD is the knob, tuned so the fixture's fairly
+    * uniform lengths still expose a tail — real crawls use 3-5). Two
+    * per-language dimension aggregates broadcast back over the corpus;
+    * at 100 TB the exact `percentile` swaps for the KLL sketch exactly
+    * as [[rptCorpusStatsApprox]] demonstrates for the stats family
+    * (exact here because the oracle compares values). */
+  def rptOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val med = d.groupBy(col("lang")).agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val j = d.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = j.groupBy(col("lang")).agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    j.join(broadcast(mad), Seq("lang"))
+      .filter(col("adev") > lit(2.0) * greatest(col("mad"), lit(1e-9)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"), col("mad"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinctive terms per language, c-TF-IDF style (the class-based
+    * TF-IDF of topic-labeling pipelines): per-(lang, token) counts
+    * weighted by ln(1 + n_langs/df_langs), top 10 per language. Shuffle
+    * story: one groupBy on (lang, token), one re-shuffle of that
+    * BOUNDED aggregate (vocab-sized, not corpus-sized) on token for the
+    * df join, one 3-partition window — no corpus-sized join side, no
+    * broadcast of the vocabulary. */
+  def txtTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfl = tf.groupBy(col("token")).agg(count(lit(1)).as("df_langs"))
+    val nl = d.agg(count_distinct(col("lang")).as("n_langs"))
+    val scored = tf.join(dfl, Seq("token")).crossJoin(broadcast(nl))
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + col("n_langs").cast("double") / col("df_langs")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("token"), col("score"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Pre-ship validation gate: five single-pass expectations over the
     * corpus (blank text, id uniqueness, language whitelist, length
     * range, null sources) — results as a table, `passed` conjunction is
@@ -1812,6 +1857,8 @@ object Ext {
     "rpt_category_drift" -> rptCategoryDrift,
     "rpt_corpus_novelty" -> rptCorpusNovelty,
     "rpt_numeric_drift" -> rptNumericDrift,
+    "rpt_outliers" -> rptOutliers,
+    "txt_top_terms" -> txtTopTerms,
     "mix_temperature" -> mixTemperature,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_editdist" -> dedupEditDist,
@@ -2100,6 +2147,28 @@ object Ext {
          |SELECT doc_id, lang, round(quality, 6) AS quality,
          |  round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6) AS score_q
          |FROM q ORDER BY doc_id""".stripMargin,
+    "rpt_outliers" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang),
+        |j AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+        |  abs(d.n_chars - med.med) AS adev FROM documents d JOIN med USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM j GROUP BY lang)
+        |SELECT j.doc_id, j.lang, j.n_chars, j.med, mad.mad
+        |FROM j JOIN mad USING (lang)
+        |WHERE j.adev > 2.0 * greatest(mad.mad, 1e-9) ORDER BY j.doc_id""".stripMargin,
+    "txt_top_terms" ->
+      s"""WITH f AS (SELECT lang, token
+         |  FROM (SELECT lang, unnest($duckToks) AS token FROM documents)
+         |  WHERE length(token) > 0),
+         |tf AS (SELECT lang, token, count(*) AS tf FROM f GROUP BY lang, token),
+         |dfl AS (SELECT token, count(*) AS df_langs FROM tf GROUP BY token),
+         |nl AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+         |sc AS (SELECT tf.lang, tf.token,
+         |  round(tf.tf * ln(1.0 + CAST(nl.n_langs AS DOUBLE) / dfl.df_langs), 6) AS score
+         |  FROM tf JOIN dfl ON tf.token = dfl.token CROSS JOIN nl),
+         |r AS (SELECT lang, token, score,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS INTEGER) AS rk
+         |  FROM sc)
+         |SELECT lang, rk, token, score FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     // Efraimidis-Spirakis priority ln(u)/w, u = (top-32 md5 bits + 0.5)/2^32,
     // rounded to 12 decimals on BOTH sides so libm ulp differences can't
     // flip a rank; ties break by doc_id
