@@ -269,6 +269,59 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted Misra–Gries heavy-hitters
+    * summary ([[graft.functions.FreqSketch]]): each micro-batch's
+    * k-counter summary merges into the standing artifact with the
+    * PODS'12 rule — the MG bound survives ARBITRARY merge trees, so
+    * batch-at-a-time maintenance inherits the one-pass guarantee:
+    * estimates undercount by at most total_n/(k+1) and every item with
+    * true count above that is present, across the whole stream's
+    * history. The artifact is ≤ k (item, cnt) rows plus a running total;
+    * the landed stream is never re-read — "what are the top domains so
+    * far" is answerable mid-stream at any moment. Same bootstrap stance
+    * as [[corpusSketchStream]]: only a genuinely-absent artifact
+    * bootstraps; transient read failures fail the micro-batch. */
+  def heavyHittersStream(docs: DataFrame, itemCol: String, k: Int,
+                         path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.agg(
+            graft.functions.FreqSketch.heavyHitters(col(itemCol), k).as("hh"),
+            count(col(itemCol)).as("n"))
+          .collect()(0)
+        val freshCounts = fresh.getMap[String, Long](0).toMap
+        val freshN = fresh.getLong(1)
+        val old: Option[(Map[String, Long], Long)] = try {
+          val rows = spark.read.parquet(path)
+            .select(col("item"), col("cnt"), col("total_n")).collect()
+          Some((rows.iterator.filter(_.getString(0) != null)
+              .map(r => r.getString(0) -> r.getLong(1)).toMap,
+            rows.headOption.map(_.getLong(2)).getOrElse(0L)))
+        } catch {
+          case _: java.io.FileNotFoundException => None
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null && e.getCondition.contains("PATH_NOT_FOUND") => None
+        }
+        val merged = old match {
+          case Some((oldCounts, _)) =>
+            graft.functions.FreqSketch.mergeCounts(oldCounts, freshCounts, k)
+          case None => freshCounts
+        }
+        val totalN = old.map(_._2).getOrElse(0L) + freshN
+        import spark.implicits._
+        // total_n rides on every row (k is small). A null-item sentinel
+        // carries total_n when the summary is EMPTY — possible mid-stream
+        // (k fully-cancelling decrements), and losing the running total
+        // would silently reset the error bound
+        val rows =
+          if (merged.isEmpty) Seq((null: String, 0L, totalN))
+          else merged.toSeq.map { case (item, cnt) => (item, cnt, totalN) }
+        rows.toDF("item", "cnt", "total_n")
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+      .start()
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

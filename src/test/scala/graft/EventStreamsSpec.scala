@@ -238,6 +238,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: streamed summary obeys the whole-history MG bound") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val docs = input.toDF().toDF("domain")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString + "/hh"
+    val k = 8
+    val q = EventStreams.heavyHittersStream(docs, "domain", k, dir)
+    // true counts across BOTH batches: big=900 (600+300), mid=300
+    // (100+200), 30 noise domains x10
+    val batch1 = Seq.fill(600)("big.com") ++ Seq.fill(100)("mid.org") ++
+      (0 until 30).flatMap(i => Seq.fill(5)(s"noise$i.net"))
+    val batch2 = Seq.fill(300)("big.com") ++ Seq.fill(200)("mid.org") ++
+      (0 until 30).flatMap(i => Seq.fill(5)(s"noise$i.net"))
+    try {
+      input.addData(new scala.util.Random(3).shuffle(batch1): _*)
+      q.processAllAvailable()
+      input.addData(new scala.util.Random(4).shuffle(batch2): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(dir)
+        .select($"item", $"cnt", $"total_n").as[(String, Long, Long)].collect()
+      val n = rows.head._3
+      assert(n === batch1.size + batch2.size, "running total spans the stream")
+      val est = rows.map(r => r._1 -> r._2).toMap
+      val truth = Map("big.com" -> 900L, "mid.org" -> 300L) ++
+        (0 until 30).map(i => s"noise$i.net" -> 10L)
+      val bound = n.toDouble / (k + 1)
+      // every theta-heavy item survives the cross-batch merges
+      truth.foreach { case (d, c) =>
+        if (c > bound) assert(est.contains(d), s"$d (true=$c) must survive")
+      }
+      // and no estimate violates the undercount bound
+      est.foreach { case (d, e) =>
+        assert(e <= truth(d), s"$d overcounted")
+        assert(truth(d) - e <= bound, s"$d undercounted past n/(k+1)")
+      }
+      assert(rows.length <= k, "artifact stays k rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
