@@ -99,6 +99,30 @@ object Soak {
             maxWords = 10000)
           docs.select(graft.operators.Bpe.tokenCount(col("text"), m).as("n"))
             .agg(sum(col("n"))).collect()(0).getLong(0)
+        }),
+        "wordpiece_train_encode" -> (() => {
+          val m = graft.operators.WordPiece.train(docs, col("text"), numMerges = 40,
+            maxWords = 10000)
+          docs.select(graft.operators.WordPiece.tokenCount(col("text"), m).as("n"))
+            .agg(sum(col("n"))).collect()(0).getLong(0)
+        }),
+        // two narrow passes + a dim-bounded aggregate: must be linear
+        "hashed_tfidf_embed" -> (() =>
+          graft.operators.Vectorize.hashedTfIdf(docs, "text", "v", dim = 256)
+            .select(sum(size(col("v"))).as("s")).collect()(0).getLong(0)),
+        // sketch pass + candidate-only exact verify: must be linear (the
+        // candidate set is <= k regardless of scale)
+        "heavy_hitters" -> (() => {
+          val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+            .filter(length(col("token")) > 0)
+          val sk = toks.agg(
+            graft.functions.FreqSketch.heavyHitters(col("token"), 32).as("hh"),
+            count(lit(1)).as("n"))
+          val cand = sk.select(explode(col("hh")), col("n"))
+            .select(col("key").as("token"), col("n"))
+          toks.join(broadcast(cand), Seq("token"))
+            .groupBy(col("token"), col("n")).agg(count(lit(1)).as("cnt"))
+            .where(col("cnt") > col("n") / 33.0).count()
         }))
       if (mult <= 10) dedup ++ once else dedup
     }
