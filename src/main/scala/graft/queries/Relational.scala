@@ -370,8 +370,26 @@ object Relational {
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
+  /** Bloom runtime-filter join, oracle-proved equivalent to the plain
+    * join: urgent high-value orders (selective build side) prune the
+    * lineitem scan before any shuffle. At 100 TB the probe side is the
+    * petabyte table and this is the difference between shuffling 600 M
+    * rows and shuffling the ~1% that can match. */
+  def q30RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    graft.operators.RuntimeFilterJoin
+      .bloomFilteredJoin(li, o, "l_orderkey", "o_orderkey", expectedKeys = 100000L)
+      .select(col("o_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_skew_join" -> q27SkewJoin,
+    "q30_runtime_filter" -> q30RuntimeFilter,
     "q28_outer_join" -> q28OuterJoin,
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
@@ -425,6 +443,11 @@ object Relational {
         |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
         |                           ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) <= 5
         |ORDER BY o_orderpriority, price_dec DESC, o_orderkey""".stripMargin,
+    "q30_runtime_filter" ->
+      """SELECT o_orderkey, l_linenumber, l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "q27_skew_join" ->
       """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
