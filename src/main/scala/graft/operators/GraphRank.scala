@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank over an edge list — the standard authority score
+  * for web-curation pipelines (rank domains/hosts by link structure and
+  * keep/weight documents from reputable ones; the CommonCrawl curation
+  * recipe pairs the [[WebCurate]] URL surface with exactly this ranking).
+  *
+  * Power iteration
+  * `pr'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} pr(u)/outdeg(u) + danglingMass/N)`
+  * with dangling-node mass (nodes with no out-edges) redistributed
+  * uniformly — the textbook correction that keeps Σpr = 1.
+  *
+  * Two execution shapes, chosen by node count (`vectorMaxNodes`):
+  *
+  *  - **Driver-vector path** (N ≤ vectorMaxNodes, default 1 M — a rank
+  *    vector of ~16 MB): edges are index-mapped once into a cached
+  *    `RDD[(Int, Int)]`; each iteration broadcasts the per-source weight
+  *    vector `pr(u)/outdeg(u)` (n doubles) and runs ONE treeAggregate
+  *    stage — per-partition array folds combined on the driver, no
+  *    shuffle, no exchange planning. The base/damping/dangling update is
+  *    an O(N) driver loop. Same shape as [[Classifier]]'s gradient loop
+  *    (measured 9× vs the exchange-per-step layout). This is the
+  *    "vector on driver, matrix distributed" layout every single-machine
+  *    PageRank uses, kept legal here by the explicit N bound.
+  *
+  *  - **Distributed-vector path** (N above the bound — host-level web
+  *    graphs): pure DataFrame loop. The edge table joins its out-degrees
+  *    once and is persisted; each iteration shuffle-joins the rank
+  *    vector into it, aggregates contributions per destination (the
+  *    ∝E Pregel message volume — GraphX pays the same), completes
+  *    in-edge-less nodes by unioning a zero-contribution row per node
+  *    into the SAME aggregation (no second join), and localCheckpoints
+  *    the result so lineage stays O(1) across iterations. The dangling
+  *    mass, when the graph has dangling nodes at all (static property,
+  *    checked once), is a one-row aggregate broadcast into the update —
+  *    no driver collect in the loop.
+  *
+  * Both paths compute bit-identical per-node update arithmetic
+  * (`base + d*(s + dm/N)` over the same partial-aggregated sums), so the
+  * result is independent of the path taken up to FP summation order.
+  */
+object GraphRank {
+
+  /** PageRank over `edges(srcCol, dstCol)` (long-castable node ids).
+    * Returns (node: long, pr: double) for every node appearing as a
+    * source or destination. Fixed `iterations` (deterministic, twin-able
+    * in SQL) rather than convergence-tested — damping < 1 makes the map
+    * a contraction, so a fixed count bounds the error a priori. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 10, damping: Double = 0.85,
+               vectorMaxNodes: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // persist the edge list up front: node derivation, degree counts, and
+    // every iteration read it — without this the upstream plan (often a
+    // join+distinct) re-executes per setup action
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val out =
+      if (n <= vectorMaxNodes) driverVector(e0, nodes, n, iterations, damping)
+      else distributedVector(e0, nodes, n, iterations, damping)
+    e0.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  private def driverVector(e0: DataFrame, nodesDf: DataFrame, nL: Long,
+                           iterations: Int, damping: Double): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val n = nL.toInt
+    val nodes = nodesDf.as[Long].collect().sorted
+    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    // map edges into index space ONCE and cache the int pairs: each
+    // iteration is then a single treeAggregate stage over this RDD — no
+    // shuffle, no exchange planning, just per-partition array folds
+    // combined on the driver (the same shape as the classifier's
+    // gradient loop). Per-partition accumulator = n doubles.
+    val eIdx = e0.as[(Long, Long)].rdd
+      .map { case (s0, d0) => (idx.get(s0).intValue(), idx.get(d0).intValue()) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = new Array[Long](n)
+    eIdx.map(_._1).countByValue().foreach { case (j, d) => outdeg(j) = d }
+    val base = (1.0 - damping) / nL
+    var pr = Array.fill(n)(1.0 / nL)
+    for (_ <- 1 to iterations) {
+      val w = new Array[Double](n)
+      var j = 0
+      while (j < n) { if (outdeg(j) > 0) w(j) = pr(j) / outdeg(j); j += 1 }
+      val bc = spark.sparkContext.broadcast(w)
+      val s = eIdx.treeAggregate(new Array[Double](n))(
+        seqOp = (acc, e) => { acc(e._2) += bc.value(e._1); acc },
+        combOp = (a, b) => { var k = 0; while (k < n) { a(k) += b(k); k += 1 }; a })
+      bc.unpersist(blocking = false)
+      var dm = 0.0
+      j = 0
+      while (j < n) { if (outdeg(j) == 0) dm += pr(j); j += 1 }
+      val next = new Array[Double](n)
+      j = 0
+      while (j < n) { next(j) = base + damping * (s(j) + dm / nL); j += 1 }
+      pr = next
+    }
+    eIdx.unpersist(blocking = false)
+    spark.sparkContext.parallelize(nodes.indices.map(k => (nodes(k), pr(k))), 1)
+      .toDF("node", "pr")
+  }
+
+  private def distributedVector(e0: DataFrame, nodesDf: DataFrame, n: Long,
+                                iterations: Int, damping: Double): DataFrame = {
+    val nodes = nodesDf.persist()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src").persist()
+    e.count() // materialize the static loop input once
+    val danglingNodes = nodes.join(deg, nodes("node") === deg("src"), "left_anti").persist()
+    val hasDangling = danglingNodes.limit(1).count() > 0
+    val base = (1.0 - damping) / n
+    val zeros = nodes.select(col("node"), lit(0.0).as("c"))
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val summed = e.join(ranks, e("src") === ranks("node"))
+        .select(e("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .unionByName(zeros) // completes in-edge-less nodes in the same shuffle
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val next =
+        if (hasDangling) {
+          val dangling = danglingNodes.select("node").join(ranks, "node")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("_dm"))
+          summed.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + lit(damping) * (col("s") + col("_dm") / n)).as("pr"))
+        } else {
+          summed.select(col("node"),
+            (lit(base) + lit(damping) * col("s")).as("pr"))
+        }
+      val prev = ranks
+      ranks = next.localCheckpoint()
+      prev.unpersist()
+    }
+    e.unpersist()
+    nodes.unpersist()
+    danglingNodes.unpersist()
+    ranks
+  }
+}

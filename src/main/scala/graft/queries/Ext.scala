@@ -1786,7 +1786,30 @@ object Ext {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** PageRank authority scores over the urgent-order customer↔supplier
+    * bipartite graph (node ids disambiguated arithmetically: customer =
+    * 2k, supplier = 2k+1; edges symmetrized so the graph has no dangling
+    * nodes and ranks cover every node). 10 fixed iterations, damping
+    * 0.85 — deterministic, so the DuckDB twin unrolls the identical
+    * power iteration and the hash compare gates every contribution sum.
+    * This is the domain-authority ranking a web-curation pipeline runs
+    * over the host link graph; see [[graft.operators.GraphRank]] for the
+    * per-iteration scale shape. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 10, damping = 0.85)
+      .select(col("node"), round(col("pr"), 8).as("pr_rank"))
+      .orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
     "enrich_multi" -> enrichMulti,
     "enrich_embed" -> enrichEmbed,
@@ -1998,7 +2021,33 @@ object Ext {
        |  FROM ix JOIN sz na ON ix.id_a = na.doc_id JOIN sz nb ON ix.id_b = nb.doc_id)""".stripMargin
   }
 
+  /** DuckDB twin of [[graphPagerank]]: the same 10-step power iteration,
+    * unrolled as a CTE chain (r1..r10). The graph is symmetric, so every
+    * node has out-edges (no dangling term) and every node receives at
+    * least one contribution (inner join covers all nodes). */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (SELECT e.dst AS node,
+         |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.pr / d.outdeg) AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT node, round(pr, 8) AS pr_rank FROM r$iterations ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracleSql(10),
     // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
     "enrich_stub" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response

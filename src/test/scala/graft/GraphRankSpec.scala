@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.GraphRank
+import scala.util.Random
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank (same fixed-iteration semantics). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val danglingMass = nodes.filterNot(outdeg.contains).map(pr).sum
+      val in = edges.groupBy(_._2)
+      pr = nodes.map { v =>
+        val s = in.getOrElse(v, Nil).map { case (u, _) => pr(u) / outdeg(u) }.sum
+        v -> ((1.0 - d) / n + d * (s + danglingMass / n))
+      }.toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the reference on a random directed graph with dangling nodes") {
+    val rnd = new Random(5)
+    // ~80 edges over 30 nodes; some nodes appear only as destinations (dangling)
+    val edges = (0 until 80).map(_ => (rnd.nextInt(20).toLong, (rnd.nextInt(30)).toLong))
+      .distinct.filter(e => e._1 != e._2)
+    val want = refPageRank(edges, 8, 0.85)
+    // both execution shapes: driver-vector (default) and the
+    // distributed-vector loop (forced via vectorMaxNodes = 0)
+    for (vmax <- Seq(1000000L, 0L)) {
+      val got = GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          iterations = 8, damping = 0.85, vectorMaxNodes = vmax)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (v, p) =>
+        assert(math.abs(p - want(v)) < 1e-12, s"vmax=$vmax node $v: $p vs ${want(v)}")
+      }
+      // probability mass is conserved (dangling redistribution keeps sum = 1)
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("star graph: the hub out-ranks every leaf") {
+    // leaves 1..6 all point at hub 0, hub points back at leaf 1.
+    // 40 iterations: the hub<->leaf-1 2-cycle oscillates from the uniform
+    // start, so this qualitative claim only holds near the fixpoint.
+    val edges = ((1L to 6L).map(l => (l, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val pr = GraphRank.pageRank(edges, "src", "dst", iterations = 40)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(0L) > pr.removed(0L).values.max)
+    assert(pr(1L) > pr(2L)) // leaf 1 receives the hub's mass
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+}
