@@ -1808,7 +1808,22 @@ object Ext {
       .orderBy(col("node"))
   }
 
+  /** JL random projection 64→16 over the embeddings table, exploded to
+    * (vec_id, i, component) rows so the hash compare gates every output
+    * coordinate. The ±1/0 matrix is md5-derived per cell — the DuckDB
+    * twin rebuilds the identical matrix from the same public formula and
+    * recomputes the full mat-vec, so a transposed index, wrong row
+    * order, or dropped term breaks the hash. */
+  def simRandProj(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.select(col("vec_id"),
+        posexplode(graft.operators.RandomProjection.projectColumn(col("embedding"), 64, 16)))
+      .select(col("vec_id"), col("pos").as("i"), round(col("col"), 6).as("comp"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rand_proj" -> simRandProj,
     "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
     "enrich_multi" -> enrichMulti,
@@ -2048,6 +2063,20 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    // the twin rebuilds the md5-derived sign matrix cell by cell and
+    // recomputes every projected coordinate
+    "sim_rand_proj" ->
+      """WITH m AS (
+        |  SELECT j, i,
+        |    CASE CAST(('0x' || substring(md5('rp|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) % 6
+        |      WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS w
+        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 15) t2(i)),
+        |x AS (SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS xv
+        |      FROM embeddings CROSS JOIN generate_series(0, 63) t(j))
+        |SELECT x.vec_id, CAST(m.i AS INTEGER) AS i, round(sum(x.xv * m.w), 6) AS comp
+        |FROM x JOIN m ON x.j = m.j
+        |GROUP BY x.vec_id, m.i
+        |ORDER BY vec_id, i""".stripMargin,
     // stub completion is len(prompt) where prompt = system + "\n\nInput: " + text
     "enrich_stub" ->
       """SELECT doc_id, 'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Response
