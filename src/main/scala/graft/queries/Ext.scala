@@ -1822,7 +1822,27 @@ object Ext {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** Porter-stemmed vocabulary report: top-15 stems per language, so
+    * word families ("relational"/"relations"/"related") aggregate as one
+    * line. Rows-only (no SQL engine in the oracle stack ships a Porter
+    * stemmer offline); the stemmer itself is property-gated in
+    * PorterStemSpec against the published vocabulary pairs. All narrow
+    * until the (lang, stem) count — the same shape as rpt_vocab. */
+  def txtStemTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val stems = d
+      .select(col("lang"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("lang"), graft.functions.PorterStem(col("tok")).as("stem"))
+      .groupBy(col("lang"), col("stem")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("stem"))
+    stems.withColumn("rk", row_number().over(w)).filter(col("rk") <= 15)
+      .select(col("lang"), col("rk"), col("stem"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stem_terms" -> txtStemTerms,
     "sim_rand_proj" -> simRandProj,
     "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
