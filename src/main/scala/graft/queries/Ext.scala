@@ -1584,6 +1584,32 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC change feed over the Merge table: init v0 from documents,
+    * apply one deterministic changeset (updates %7, deletes %11≡3 —
+    * upsert-wins where both hit — inserts %13≡0 at +100000), then emit
+    * [[graft.sources.Merge.changes]](v0→v1). The twin recomputes the
+    * exact insert/update/delete sets relationally, so a missed delete, a
+    * spurious update (struct equality false positive), or a change row
+    * read from an untouched bucket breaks the hash. */
+  def rptMergeChanges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = rtDir(s, "cdc", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.Merge.init(docs, root, "doc_id", nBuckets = 8)
+    val upserts = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit("!v2")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(lit("new:"), col("doc_id").cast("string"))))
+    val deletes = docs.where(col("doc_id") % 11 === 3).select(col("doc_id"))
+    graft.sources.Merge.upsert(s, root, upserts, deletes)
+    graft.sources.Merge.changes(s, root, 0, 1)
+      .select(col("_change"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("_change"))
+  }
+
   /** The incremental-refresh loop END-TO-END: snapshot diff
     * ([[graft.operators.Snapshot.changedRows]]/diff — work ∝ one
     * fingerprint join) computes the churn between yesterday's corpus
@@ -1842,6 +1868,7 @@ object Ext {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
     "sim_rand_proj" -> simRandProj,
     "graph_pagerank" -> graphPagerank,
@@ -2083,6 +2110,22 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    // the exact insert/update/delete sets of the deterministic changeset;
+    // updates include ids also deleted (upsert-wins), deletes exclude them
+    "rpt_merge_changes" ->
+      """WITH ins AS (
+        |  SELECT 'insert' AS _change, doc_id + 100000 AS doc_id,
+        |         'new:' || CAST(doc_id + 100000 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |upd AS (
+        |  SELECT 'update' AS _change, doc_id, text || '!v2' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |del AS (
+        |  SELECT 'delete' AS _change, doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0)
+        |SELECT _change, doc_id, text
+        |FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del)
+        |ORDER BY doc_id, _change""".stripMargin,
     // the twin rebuilds the md5-derived sign matrix cell by cell and
     // recomputes every projected coordinate
     "sim_rand_proj" ->

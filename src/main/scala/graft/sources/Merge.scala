@@ -230,6 +230,54 @@ object Merge {
     readPaths(spark, root, readManifest(spark, root, v).partitions.values.toSeq)
   }
 
+  /** CDC change feed between two committed versions: every row whose
+    * content differs, labeled `_change` ∈ insert / update / delete.
+    * Insert and update rows carry the NEW image, deletes the OLD one.
+    *
+    * Scale shape: buckets whose manifest pointer is IDENTICAL in both
+    * versions cannot contain changes (data dirs are write-once), so only
+    * pointer-diff buckets are read — work ∝ touched buckets, the same
+    * bound as [[upsert]] itself. The one exception is a [[rebucket]]
+    * between the versions (different grids): every bucket counts as
+    * touched and the diff degrades to a full-table compare, still
+    * correct. Updates are decided by null-safe struct equality over the
+    * full row — exact, no hash-collision risk. */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val m1 = readManifest(spark, root, fromVersion)
+    val m2 = readManifest(spark, root, toVersion)
+    val idCol = m2.idCol
+    val (oldRels, newRels) =
+      if (m1.nBuckets == m2.nBuckets) {
+        val touched = (m1.partitions.keySet ++ m2.partitions.keySet).toSeq.sorted
+          .filter(p => m1.partitions.get(p) != m2.partitions.get(p))
+        (touched.flatMap(m1.partitions.get), touched.flatMap(m2.partitions.get))
+      } else (m1.partitions.values.toSeq, m2.partitions.values.toSeq)
+    if (oldRels.isEmpty && newRels.isEmpty) {
+      // no pointer moved: empty feed with the table schema
+      val empty = read(spark, root).limit(0)
+      return empty.select(lit("").as("_change") +: empty.columns.map(col): _*).limit(0)
+    }
+    val base = readPaths(spark, root, (oldRels ++ newRels).distinct).limit(0)
+    val oldDf = if (oldRels.isEmpty) base else readPaths(spark, root, oldRels)
+    val newDf = if (newRels.isEmpty) base else readPaths(spark, root, newRels)
+    val cols = newDf.columns
+    val o = oldDf.select(col(idCol).as("_cdc_id"),
+      struct(cols.map(col): _*).as("_old"))
+    val n = newDf.select(col(idCol).as("_cdc_id2"),
+      struct(cols.map(col): _*).as("_new"))
+    o.join(n, col("_cdc_id") === col("_cdc_id2"), "full_outer")
+      .filter(col("_old").isNull || col("_new").isNull || !(col("_old") <=> col("_new")))
+      .select(
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .otherwise(lit("update")).as("_change"),
+        coalesce(col("_new"), col("_old")).as("_row"))
+      .select(col("_change") +: cols.map(c => col(s"_row.`$c`").as(c)): _*)
+  }
+
   // ---- internals -------------------------------------------------------
 
   private def attemptId(): String =

@@ -236,6 +236,43 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Merge.rebucket(spark, root, 16))
   }
 
+  test("changes: insert/update/delete labeled exactly; unchanged rows absent") {
+    val (root, _) = table(100)
+    val ups = Seq((7L, "SEVEN", 0), (13L, "text-13", 1), (200L, "NEW", 1))
+      .toDF("id", "text", "grp") // 13 re-upserted with IDENTICAL content (grp 13%3=1)
+    val dels = Seq(21L).toDF("id")
+    Merge.upsert(spark, root, ups, dels)
+    val got = Merge.changes(spark, root, 0, 1)
+      .select("_change", "id", "text").as[(String, Long, String)].collect().toSet
+    // 13's rewrite produced equal content in a rewritten bucket — the
+    // struct compare must drop it; 21 deleted; 7 updated; 200 inserted
+    assert(got === Set(("update", 7L, "SEVEN"), ("insert", 200L, "NEW"),
+      ("delete", 21L, "text-21")))
+  }
+
+  test("changes reads only pointer-diff buckets; same-version feed is empty") {
+    val (root, _) = table(200)
+    Merge.upsert(spark, root, Seq((5L, "FIVE", 0)).toDF("id", "text", "grp"),
+      spark.emptyDataset[Long].toDF("id"))
+    val feed = Merge.changes(spark, root, 0, 1)
+    // only the touched bucket's files appear in the scan
+    val scanned = feed.queryExecution.executedPlan.toString
+    val bucketDirs = "_pt=\\d+".r.findAllIn(scanned).toSet
+    assert(bucketDirs.size <= 2, s"scanned buckets: $bucketDirs") // old + new dir of ONE bucket
+    assert(feed.select("id").as[Long].collect().toSeq === Seq(5L))
+    assert(Merge.changes(spark, root, 1, 1).count() === 0)
+  }
+
+  test("changes across a rebucket falls back to the full-grid diff, still exact") {
+    val (root, _) = table(60)
+    Merge.rebucket(spark, root, 16)
+    Merge.upsert(spark, root, Seq((3L, "THREE", 0)).toDF("id", "text", "grp"),
+      Seq(9L).toDF("id"))
+    val got = Merge.changes(spark, root, 0, 2)
+      .select("_change", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("update", 3L), ("delete", 9L)))
+  }
+
   test("deleting a whole bucket removes it from the manifest") {
     val root = Files.createTempDirectory("graft_merge_empty").toString
     // 2 buckets, few ids: delete every id of one bucket
