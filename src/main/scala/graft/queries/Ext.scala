@@ -1867,7 +1867,22 @@ object Ext {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** PCA 64→8 over the embeddings table, exploded per coordinate.
+    * Rows-only: the learned eigenbasis is not SQL-expressible; PcaSpec
+    * gates the math (eigen-residuals, orthonormality, variance order,
+    * driver-equivalence of the codegen transform) and the cluster-
+    * structure retention of the projection. Fit = one bounded-state
+    * treeAggregate pass; transform = narrow codegen affine mat-vec. */
+  def simPca(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val m = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 8)
+    e.select(col("vec_id"), posexplode(graft.operators.Pca.transformColumn(col("embedding"), m)))
+      .select(col("vec_id"), col("pos").as("i"), round(col("col"), 5).as("comp"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
     "sim_rand_proj" -> simRandProj,
