@@ -1125,6 +1125,39 @@ object Ext {
     * without re-touching raw data, the property incremental pipelines
     * rely on. Rows-only entry (sketch estimates are engine-specific, so
     * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  /** Planner-style JOIN-SIZE estimation from sketches, exact-compared:
+    * |A ⋈ B| ≈ (rows_A/ndv_A)·(rows_B/ndv_B)·|keys_A ∩ keys_B|, i.e.
+    * mean per-key multiplicity on each side times the Theta-estimated
+    * shared-key count — the uniform-frequency estimator every
+    * cost-based optimizer starts from, with the containment term
+    * measured (sketch intersection) instead of assumed. Two bounded
+    * one-pass aggregates + KB-sized sketch algebra; at 100 TB this
+    * answers "will this join explode?" without running it. Rows-only
+    * (sketch estimates are engine-specific); SketchSpec bounds the
+    * relative error on the fixture. */
+  def aggSketchJoinsize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val a = li.agg(count(lit(1)).as("rows_a"),
+      count_distinct(col("l_orderkey")).as("ndv_a"),
+      theta_sketch_agg(col("l_orderkey")).as("sk_a"))
+    val b = o.agg(count(lit(1)).as("rows_b"),
+      count_distinct(col("o_orderkey")).as("ndv_b"),
+      theta_sketch_agg(col("o_orderkey")).as("sk_b"))
+    val exact = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    a.crossJoin(b).select(
+      col("rows_a"), col("rows_b"), col("ndv_a"), col("ndv_b"),
+      round(theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))), 0)
+        .cast("long").as("shared_keys_theta"),
+      round(col("rows_a").cast("double") / col("ndv_a")
+        * (col("rows_b").cast("double") / col("ndv_b"))
+        * theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))), 0)
+        .cast("long").as("est_join_rows"),
+      lit(exact).as("exact_join_rows"))
+  }
+
   def aggSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -1881,7 +1914,33 @@ object Ext {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** Join-key skew profiler: the heavy keys of the lineitem⋈orders
+    * shuffle, their multiplicity vs the mean, and the salt factor that
+    * would level them over a 32-reducer grid
+    * (ceil(key_rows / (total/32))) — the diagnosis that decides between
+    * the plain join, [[graft.operators.SkewJoin]], and AQE skew
+    * handling. Pure aggregate arithmetic, oracle-gated. */
+  def rptJoinSkew(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("nkeys"))
+    // top-10 via TakeOrderedAndProject (distributed heap top-k over the
+    // reduced key set — no single-partition global sort), THEN the rank
+    // window over just those 10 rows
+    val top = counts.orderBy(col("n").desc, col("l_orderkey")).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("l_orderkey"))
+    top.crossJoin(broadcast(stats))
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("l_orderkey"), col("n"),
+        round(col("n") * col("nkeys").cast("double") / col("total"), 4).as("skew_ratio"),
+        ceil(col("n") * lit(32.0) / col("total")).cast("int").as("suggested_salt"))
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_joinsize" -> aggSketchJoinsize,
+    "rpt_join_skew" -> rptJoinSkew,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
@@ -2125,6 +2184,17 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    // DuckDB sum(BIGINT) is HUGEINT — every use is inside double math
+    "rpt_join_skew" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |st AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c),
+        |top AS (SELECT l_orderkey, n,
+        |          CAST(row_number() OVER (ORDER BY n DESC, l_orderkey) AS INTEGER) AS rk
+        |        FROM c QUALIFY rk <= 10)
+        |SELECT rk, l_orderkey, n,
+        |  round(n * CAST(nkeys AS DOUBLE) / CAST(total AS DOUBLE), 4) AS skew_ratio,
+        |  CAST(ceil(n * 32.0 / CAST(total AS DOUBLE)) AS INTEGER) AS suggested_salt
+        |FROM top CROSS JOIN st ORDER BY rk""".stripMargin,
     // the exact insert/update/delete sets of the deterministic changeset;
     // updates include ids also deleted (upsert-wins), deletes exclude them
     "rpt_merge_changes" ->

@@ -110,6 +110,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch join-size estimate within 10% of the exact join count") {
+    val row = graft.queries.Ext
+      .aggSketchJoinsize(spark, "/root/testdata/sf0.001").head()
+    val est = row.getAs[Long]("est_join_rows").toDouble
+    val exact = row.getAs[Long]("exact_join_rows").toDouble
+    assert(exact > 0)
+    // fixture keys are near-uniform (TPC-H multiplicities), so the
+    // uniform-frequency estimator with a measured containment term must
+    // land close; Theta error at these cardinalities is sub-1%
+    assert(math.abs(est - exact) / exact < 0.10, s"est=$est exact=$exact")
+    // the containment term itself: every urgent order key exists in
+    // lineitem, so shared ~= ndv_b
+    val shared = row.getAs[Long]("shared_keys_theta").toDouble
+    val ndvB = row.getAs[Long]("ndv_b").toDouble
+    assert(math.abs(shared - ndvB) / ndvB < 0.05, s"shared=$shared ndv_b=$ndvB")
+  }
+
   test("Misra–Gries core: decrement-all insert and PODS'12 merge") {
     import graft.functions.FreqSketch.{insert, mergeCounts}
     // untracked item at capacity decrements everything (and itself cancels)
