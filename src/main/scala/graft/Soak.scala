@@ -110,6 +110,25 @@ object Soak {
         "hashed_tfidf_embed" -> (() =>
           graft.operators.Vectorize.hashedTfIdf(docs, "text", "v", dim = 256)
             .select(sum(size(col("v"))).as("s")).collect()(0).getLong(0)),
+        // synthetic 4-regular graph over the doc ids (dst = (31·src+k) mod n):
+        // nodes AND edges scale with the corpus, so the measured exponent
+        // grades the engine's per-iteration cost, not the data's shape
+        "pagerank" -> (() => {
+          val n = docs.count()
+          val ids = docs.select(col("doc_id").cast("long").as("src"))
+          val edges = ids.select(col("src"), explode(array(
+            (1 to 4).map(k => pmod(col("src") * 31 + k, lit(n))): _*)).as("dst"))
+          graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 5).count()
+        }),
+        // one bounded-state covariance pass + a narrow transform: linear
+        "pca_fit_transform" -> (() =>
+          graft.operators.Pca.fitTransform(embs, "embedding", "p", dim = 64, k = 8)
+            .select(sum(size(col("p"))).as("s")).collect()(0).getLong(0)),
+        // pure narrow mat-vec: linear by construction
+        "rand_proj" -> (() =>
+          embs.select(graft.operators.RandomProjection
+              .projectColumn(col("embedding"), 64, 16).as("p"))
+            .select(sum(size(col("p"))).as("s")).collect()(0).getLong(0)),
         // sketch pass + candidate-only exact verify: must be linear (the
         // candidate set is <= k regardless of scale)
         "heavy_hitters" -> (() => {
