@@ -98,6 +98,69 @@ object LangModel {
         round(exp(-col("h")), 4).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM — the KenLM-grade smoothing the
+    * actual CCNet recipe uses, still fully SQL-twinnable: beyond
+    * [[BigramLm]]'s tables it needs only two more vocab-bounded count
+    * tables (distinct FOLLOWERS per context `N1+(w1·)` — the
+    * interpolation weight numerator — and distinct PREDECESSORS per word
+    * `N1+(·w2)` — the continuation count that makes "francisco" cheap
+    * after "san" but expensive elsewhere) plus one scalar (total bigram
+    * types). All derive from the already-materialized bigram table:
+    * training adds two bounded aggregates and a count, no extra corpus
+    * pass. */
+  final case class KnBigramLm(vocab: LmVocab, bigrams: DataFrame,
+                              contexts: DataFrame, followers: DataFrame,
+                              continuation: DataFrame, nBigramTypes: Long,
+                              discount: Double) {
+    def vSize: Int = vocab.size + 1
+  }
+
+  def trainKn(reference: DataFrame, textCol: Column, maxVocab: Int,
+              discount: Double = 0.75,
+              tokenizer: Column => Column = TextAnalysis.tokens): KnBigramLm = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val base = train(reference, textCol, maxVocab, alpha = 0.5, tokenizer)
+    val followers = graft.core.Checkpoint.materialize(base.bigrams
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("f1")))
+    val continuation = graft.core.Checkpoint.materialize(base.bigrams
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nc")))
+    KnBigramLm(base.vocab, base.bigrams, base.contexts, followers,
+      continuation, base.bigrams.count(), discount)
+  }
+
+  /** Per-document cross-entropy/perplexity under interpolated KN:
+    * `P(w2|w1) = (max(c12−D,0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)` for
+    * seen contexts, else `Pcont(w2)`, with the continuation distribution
+    * add-1 smoothed — `Pcont(w2) = (N1+(·w2)+1) / (NB+V)` — so every
+    * probability is strictly positive and ln stays finite. Same output
+    * shape and rounding as [[perplexity]]. */
+  def perplexityKn(target: DataFrame, idCol: String, textCol: String,
+                   lm: KnBigramLm,
+                   tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val d = lm.discount
+    val pc = (coalesce(col("nc"), lit(0L)) + 1.0) /
+      lit((lm.nBigramTypes + lm.vSize).toDouble)
+    val p = when(coalesce(col("cw"), lit(0L)) > 0,
+        (greatest(coalesce(col("cb"), lit(0L)) - d, lit(0.0)) +
+          lit(d) * coalesce(col("f1"), lit(0L)) * pc) / col("cw"))
+      .otherwise(pc)
+    target
+      .select(col(idCol), explode(bigramKeys(col(textCol), lm.vocab, tokenizer)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(lm.bigrams, Seq("bg"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .join(lm.followers, Seq("w1"), "left")
+      .join(lm.continuation, Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), avg(log(p)).as("h"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("h"), 4).as("cross_entropy"),
+        round(exp(-col("h")), 4).as("perplexity"))
+  }
+
   /** Train-on-reference, score-target in one call (the CCNet filter
     * stage: keep target rows under a perplexity ceiling upstream). */
   def perplexityAgainst(reference: DataFrame, target: DataFrame,

@@ -470,6 +470,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney perplexity (same reference slice and
+    * vocabulary as [[txtPerplexity]], KenLM-grade smoothing instead of
+    * add-α). Oracle-gated: the twin rebuilds follower/continuation
+    * counts and the full interpolation arithmetic, so a wrong discount
+    * application, a missed backoff branch, or a swapped count table
+    * breaks the hash. */
+  def txtPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val lm = LangModel.trainKn(d.where(col("lang") === "en"), col("text"), maxVocab = 200)
+    LangModel.perplexityKn(d, "doc_id", "text", lm)
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet's head/middle/tail: per-language perplexity terciles over
     * the [[txtPerplexity]] scores — the bucket label IS the curation
     * decision (train on head, maybe middle; drop tail). */
@@ -2005,6 +2018,7 @@ object Ext {
     "txt_strip_invisible" -> txtStripInvisible,
     "pipeline_hygiene" -> pipelineHygiene,
     "txt_perplexity" -> txtPerplexity,
+    "txt_perplexity_kn" -> txtPerplexityKn,
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
     "txt_boilerplate" -> txtBoilerplate,
@@ -2707,6 +2721,32 @@ object Ext {
          |  round(-avg(lp), 4) AS cross_entropy,
          |  round(exp(-avg(lp)), 4) AS perplexity
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // interpolated KN over the same tok/vocab/bg/cb/cw chain: follower
+    // counts N1+(w1.) from cb rows per context, continuation counts
+    // N1+(.w2) from cb rows per second word, NB = |cb|; the arithmetic
+    // mirrors LangModel.perplexityKn term by term
+    "txt_perplexity_kn" ->
+      s"""WITH $duckPplCtes,
+         |f1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS f1 FROM cb GROUP BY 1),
+         |cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS nc FROM cb GROUP BY 1),
+         |nb AS (SELECT count(*) AS nb FROM cb),
+         |kn AS (SELECT b.doc_id,
+         |    CASE WHEN coalesce(w.cw, 0) > 0 THEN
+         |      (greatest(coalesce(c.cb, 0) - 0.75, 0) + 0.75 * coalesce(f.f1, 0) *
+         |        ((coalesce(n2.nc, 0) + 1.0) /
+         |         ((SELECT nb FROM nb) + (SELECT count(*) FROM vocab) + 1)))
+         |      / w.cw
+         |    ELSE (coalesce(n2.nc, 0) + 1.0) /
+         |         ((SELECT nb FROM nb) + (SELECT count(*) FROM vocab) + 1) END AS p
+         |  FROM bg b
+         |  LEFT JOIN cb c ON b.bg = c.bg
+         |  LEFT JOIN cw w ON split_part(b.bg, ' ', 1) = w.w1
+         |  LEFT JOIN f1 f ON split_part(b.bg, ' ', 1) = f.w1
+         |  LEFT JOIN cont n2 ON split_part(b.bg, ' ', 2) = n2.w2)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  round(-avg(ln(p)), 4) AS cross_entropy,
+         |  round(exp(-avg(ln(p))), 4) AS perplexity
+         |FROM kn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // CCNet buckets: thresholds = per-language terciles of the ROUNDED
     // perplexities, themselves rounded to 4 before the cut (both engines
     // compare identical doubles); ties fall to the lower bucket

@@ -77,6 +77,62 @@ class LangModelSpec extends SparkSpec {
       s"junk should score >=3x reference-like, got $ppl")
   }
 
+  test("Kneser–Ney reproduces the hand-worked interpolation math") {
+    // ref "a b a b": bigrams {<s> a:1, a b:2, b a:1}; contexts <s>:1,
+    // a:2, b:1; followers all 1; continuation a:2 (<s>,b), b:1 (a);
+    // NB=3 types, V=3 -> Pcont denominator 6. D=0.75.
+    val ref = Seq((1L, "a b a b")).toDF("id", "text")
+    val lm = LangModel.trainKn(ref, col("text"), maxVocab = 10)
+    assert(lm.nBigramTypes === 3 && lm.vSize === 3)
+    // "a b": p(<s> a) = (1-.75 + .75*1*(3/6))/1 = .625
+    //        p(a b)  = (2-.75 + .75*1*(2/6))/2 = .75
+    val h = -(math.log(0.625) + math.log(0.75)) / 2
+    val row = LangModel.perplexityKn(Seq((7L, "a b")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(row.getInt(1) === 2)
+    assert(row.getDouble(2) === BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // "z z": seen context <s> -> .75*1*(1/6)=.125; unseen context -> 1/6
+    val h2 = -(math.log(0.125) + math.log(1.0 / 6)) / 2
+    val row2 = LangModel.perplexityKn(Seq((9L, "z z")).toDF("id", "text"), "id", "text", lm)
+      .collect().head
+    assert(row2.getDouble(2) === BigDecimal(h2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("KN continuation: versatile-context words beat one-context words where add-α is blind") {
+    // francisco and cat occur equally often (3x), but francisco only
+    // ever follows san (1 predecessor) while cat follows the/a/my (3).
+    val ref = Seq((1L,
+      "san francisco san francisco san francisco the cat a cat my cat"))
+      .toDF("id", "text")
+    val kn = LangModel.trainKn(ref, col("text"), maxVocab = 20)
+    def pplKn(t: String) = LangModel
+      .perplexityKn(Seq((1L, t)).toDF("id", "text"), "id", "text", kn)
+      .collect().head.getDouble(3)
+    // after an unseen context, KN backs off to the continuation
+    // distribution: cat (3 predecessors) must be cheaper than francisco
+    assert(pplKn("zzz cat") < pplKn("zzz francisco"),
+      "continuation counts must discriminate")
+    // add-α scores both identically (unseen context + unseen bigram is
+    // unigram-blind) — the exact gap KN exists to close
+    val add = LangModel.train(ref, col("text"), maxVocab = 20, alpha = 0.5)
+    def pplAdd(t: String) = LangModel
+      .perplexity(Seq((1L, t)).toDF("id", "text"), "id", "text", add)
+      .collect().head.getDouble(3)
+    assert(pplAdd("zzz cat") === pplAdd("zzz francisco"))
+  }
+
+  test("KN separates reference-like from junk at least as sharply as add-α") {
+    val sent = "the cat sat on the mat and the dog sat on the rug"
+    val ref = (1L to 20L).map(i => (i, sent)).toDF("id", "text")
+    val lm = LangModel.trainKn(ref, col("text"), maxVocab = 100)
+    val target = Seq(
+      (100L, "the cat sat on the rug"),
+      (101L, "rug the on mat sat dog cat the")).toDF("id", "text")
+    val ppl = LangModel.perplexityKn(target, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(100L) * 3 < ppl(101L), s"junk should score >=3x, got $ppl")
+  }
+
   test("perplexityBuckets: per-group terciles, ties to the lower bucket") {
     val scored = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
       (1 to 6).map(i => (100L + i, "de", 10.0 * i))).toDF("id", "lang", "perplexity")
