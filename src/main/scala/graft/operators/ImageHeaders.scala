@@ -78,4 +78,83 @@ object ImageHeaders {
     }
     Unknown
   }
+
+  /** EXIF IFD0 essentials (JEITA CP-3451 / TIFF 6.0): orientation,
+    * original timestamp, camera make/model — the provenance fields a
+    * crawl-curation pipeline actually filters and groups on. Absent or
+    * unparsable → (−1, "", "", ""): corrupt blobs are data. */
+  final case class ExifMeta(orientation: Int, dateTime: String,
+                            make: String, model: String)
+  private val NoExif = ExifMeta(-1, "", "", "")
+
+  /** Parse EXIF from a JPEG's APP1 segment: marker walk → "Exif\0\0" →
+    * TIFF header (both byte orders) → IFD0 entry scan. Only the four
+    * IFD0 tags above are read; everything is bounds-checked. */
+  def exif(bytes: Array[Byte]): ExifMeta = {
+    if (bytes == null || bytes.length < 4) return NoExif
+    if (u8(bytes, 0) != 0xff || u8(bytes, 1) != 0xd8) return NoExif
+    var i = 2
+    while (i + 4 < bytes.length) {
+      if (u8(bytes, i) != 0xff) return NoExif
+      val marker = u8(bytes, i + 1)
+      if (marker == 0xff) { i += 1 }
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else {
+        val len = be16(bytes, i + 2)
+        if (len < 2 || i + 2 + len > bytes.length) return NoExif
+        if (marker == 0xe1 && len >= 8 + 6 &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0)
+          return parseTiff(bytes, i + 10, i + 2 + len)
+        if (marker == 0xda) return NoExif // entropy-coded data: EXIF precedes it
+        i += 2 + len
+      }
+    }
+    NoExif
+  }
+
+  /** TIFF block between [tiff, end): header + IFD0 tag scan. */
+  private def parseTiff(bytes: Array[Byte], tiff: Int, end: Int): ExifMeta = {
+    if (tiff + 8 > end) return NoExif
+    val little = bytes(tiff) == 'I' && bytes(tiff + 1) == 'I'
+    val big = bytes(tiff) == 'M' && bytes(tiff + 1) == 'M'
+    if (!little && !big) return NoExif
+    def r16(i: Int): Int = if (little) le16(bytes, i) else be16(bytes, i)
+    def r32(i: Int): Int = if (little) le32(bytes, i) else be32(bytes, i)
+    if (r16(tiff + 2) != 42) return NoExif
+    val ifd0 = tiff + r32(tiff + 4)
+    if (ifd0 < tiff || ifd0 + 2 > end) return NoExif
+    val n = r16(ifd0)
+    var orientation = -1
+    var dateTime = ""
+    var make = ""
+    var model = ""
+    def ascii(valOff: Int, count: Int): String = {
+      // ASCII values ≤4 bytes are inline in the value field, else the
+      // field holds an offset from the TIFF header
+      val start = if (count <= 4) valOff else tiff + r32(valOff)
+      if (start < tiff || start + count > end || count <= 0) return ""
+      val upto = start + count - 1 // trailing NUL mandated by TIFF
+      new String(bytes, start, math.max(0, upto - start), "ISO-8859-1")
+        .takeWhile(_ != '\u0000') // defensive: stop at an embedded NUL
+    }
+    var e = 0
+    while (e < n) {
+      val entry = ifd0 + 2 + e * 12
+      if (entry + 12 > end) return ExifMeta(orientation, dateTime, make, model)
+      val tag = r16(entry)
+      val typ = r16(entry + 2)
+      val count = r32(entry + 4)
+      val valOff = entry + 8
+      tag match {
+        case 0x0112 if typ == 3 && count == 1 => orientation = r16(valOff)
+        case 0x0132 if typ == 2 => dateTime = ascii(valOff, count)
+        case 0x010f if typ == 2 => make = ascii(valOff, count)
+        case 0x0110 if typ == 2 => model = ascii(valOff, count)
+        case _ =>
+      }
+      e += 1
+    }
+    ExifMeta(orientation, dateTime, make, model)
+  }
 }

@@ -202,6 +202,74 @@ object Multimodal {
       }
   }
 
+  final case class ExifMetaRow(doc_id: Long, orientation: Int,
+                               date_time: String, make: String, model: String)
+
+  /** EXIF provenance per row (orientation / original timestamp / camera
+    * make+model) — a pure narrow scan over the binary column, a few
+    * hundred bytes read per blob, same shape as [[imageMeta]]. */
+  def exifMeta(spark: SparkSession, media: DataFrame, idCol: String,
+               binCol: String): Dataset[ExifMetaRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = ImageHeaders.exif(bytes)
+        ExifMetaRow(id, m.orientation, m.dateTime, m.make, m.model)
+      }
+  }
+
+  /** Splice a genuine EXIF APP1 segment (big-endian TIFF, IFD0 with
+    * Make/Model/Orientation/DateTime) into a real ImageIO JPEG, right
+    * after SOI — fixture helper for the [[exifMeta]] round-trip. */
+  def encodeJpegExif(width: Int, height: Int, rgb: Int, orientation: Int,
+                     dateTime: String, make: String, model: String): Array[Byte] = {
+    val jpeg = encodeImage(width, height, rgb, "jpg")
+    val bos = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xffff); be16(v & 0xffff) }
+    // TIFF block, offsets relative to its own start
+    val makeB = (make + "\u0000").getBytes("ISO-8859-1")
+    val modelB = (model + "\u0000").getBytes("ISO-8859-1")
+    val dtB = (dateTime + "\u0000").getBytes("ISO-8859-1")
+    val nEntries = 4
+    val dataStart = 8 + 2 + nEntries * 12 + 4 // header + count + entries + next-IFD
+    val tiff = new java.io.ByteArrayOutputStream()
+    def t16(v: Int): Unit = { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def t32(v: Int): Unit = { t16((v >> 16) & 0xffff); t16(v & 0xffff) }
+    def entry(tag: Int, typ: Int, count: Int, writeValue: => Unit): Unit = {
+      t16(tag); t16(typ); t32(count); writeValue
+    }
+    def asciiValue(b: Array[Byte], off: Int): Unit =
+      if (b.length <= 4) { var i = 0; while (i < 4) { tiff.write(if (i < b.length) b(i) else 0); i += 1 } }
+      else t32(off)
+    tiff.write('M'); tiff.write('M'); t16(42); t32(8)
+    t16(nEntries)
+    var off = dataStart
+    val makeOff = off; off += (if (makeB.length > 4) makeB.length else 0)
+    val modelOff = off; off += (if (modelB.length > 4) modelB.length else 0)
+    val dtOff = off
+    // IFD entries must be ascending by tag: 010F Make, 0110 Model,
+    // 0112 Orientation, 0132 DateTime
+    entry(0x010f, 2, makeB.length, asciiValue(makeB, makeOff))
+    entry(0x0110, 2, modelB.length, asciiValue(modelB, modelOff))
+    entry(0x0112, 3, 1, { t16(orientation); t16(0) })
+    entry(0x0132, 2, dtB.length, asciiValue(dtB, dtOff))
+    t32(0) // next IFD
+    if (makeB.length > 4) tiff.write(makeB)
+    if (modelB.length > 4) tiff.write(modelB)
+    if (dtB.length > 4) tiff.write(dtB)
+    val tiffB = tiff.toByteArray
+    // assemble: SOI + APP1(Exif) + rest of the original JPEG
+    bos.write(jpeg, 0, 2)
+    bos.write(0xff); bos.write(0xe1)
+    be16(2 + 6 + tiffB.length) // segment length includes these 2 bytes
+    bos.write("Exif".getBytes("ISO-8859-1")); bos.write(0); bos.write(0)
+    bos.write(tiffB)
+    bos.write(jpeg, 2, jpeg.length - 2)
+    bos.toByteArray
+  }
+
   /** Encode a real single-color image via the JDK's ImageIO (PNG, GIF,
     * BMP, JPEG — no external codecs). Fixture/round-trip helper: the
     * pixels are arbitrary, the container headers are genuine. */

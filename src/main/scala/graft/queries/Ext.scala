@@ -1729,6 +1729,28 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** EXIF provenance extraction: splice a formula-derived APP1/TIFF
+    * block into a genuine ImageIO JPEG per row, walk it back with
+    * [[graft.operators.ImageHeaders.exif]]. The twin predicts every
+    * field from the same formulas, so a mis-read IFD offset, endianness
+    * slip, or inline-vs-offset ASCII confusion breaks the hash. */
+  def mmExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withJpeg = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val dt = f"2020:01:${(id % 28) + 1}%02d 12:34:56"
+        (id, Multimodal.encodeJpegExif(4, 4, rgb = (id % 0xffffff).toInt,
+          orientation = (id % 8 + 1).toInt, dateTime = dt,
+          make = s"maker${id % 5}", model = s"m${id % 3}"))
+      }
+      .toDF("doc_id", "content")
+    Multimodal.exifMeta(s, withJpeg, "doc_id", "content")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-level image dedup over perceptual hashes: render one
     * blocky 8x9 pattern per GROUP of documents at three different
     * (size, format) variants — an original PNG, a downscaled PNG, and a
@@ -1966,6 +1988,7 @@ object Ext {
     "csv_sharded_roundtrip" -> csvShardedRoundtrip,
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
+    "mm_exif_meta" -> mmExifMeta,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_video_meta" -> mmVideoMeta,
     "mm_phash_dedup" -> mmPhashDedup,
@@ -2669,6 +2692,16 @@ object Ext {
       """SELECT doc_id, 'png' AS format,
         |  CAST((n_chars % 30) + 1 AS INTEGER) AS width,
         |  CAST((doc_id % 20) + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // every EXIF field predicted from the per-row formulas; the Spark
+    // side must round-trip them through a genuine APP1/TIFF block
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+        |  '2020:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || ' 12:34:56' AS date_time,
+        |  'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  'm' || CAST(doc_id % 3 AS VARCHAR) AS model
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the twin predicts the WAV parameters from the formula alone — the
     // Spark side must round-trip them through genuine RIFF bytes to match

@@ -308,4 +308,47 @@ class MultimodalSpec extends SparkSpec {
       out(0).height === 50 && out(0).duration_ms === 750L)
     assert(out(1).format === "unknown" && out(1).width === -1)
   }
+
+  test("EXIF: spliced APP1 round-trips; both endians; corrupt degrades to empty") {
+    import graft.operators.{ImageHeaders, Multimodal}
+    val b = Multimodal.encodeJpegExif(4, 4, 0x336699, orientation = 6,
+      dateTime = "2021:07:04 08:09:10", make = "acme", model = "supercam9000")
+    val m = ImageHeaders.exif(b)
+    assert(m === ImageHeaders.ExifMeta(6, "2021:07:04 08:09:10", "acme", "supercam9000"))
+    // the spliced blob is still a valid JPEG for the dimension sniffer
+    val dims = ImageHeaders.sniff(b)
+    assert(dims.format === "jpeg" && dims.width === 4 && dims.height === 4)
+    // short make/model (inline <=4-byte ASCII values incl. NUL)
+    val short = Multimodal.encodeJpegExif(2, 2, 0, 1, "2020:01:01 00:00:00", "abc", "x")
+    assert(ImageHeaders.exif(short) ===
+      ImageHeaders.ExifMeta(1, "2020:01:01 00:00:00", "abc", "x"))
+    // little-endian TIFF: hand-built II block with just orientation
+    val tiff = Array[Int](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // header, IFD0 at 8
+      1, 0,                         // 1 entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 5, 0, 0, 0, // orientation = 5
+      0, 0, 0, 0).map(_.toByte)
+    val le = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      ((tiff.length + 8) >> 8).toByte, ((tiff.length + 8) & 0xff).toByte,
+      'E', 'x', 'i', 'f', 0, 0) ++ tiff
+    assert(ImageHeaders.exif(le).orientation === 5)
+    // no EXIF / non-JPEG / truncated / null -> defaults, never throw
+    assert(ImageHeaders.exif(Multimodal.encodeImage(3, 3, 0, "jpg")) ===
+      ImageHeaders.ExifMeta(-1, "", "", ""))
+    assert(ImageHeaders.exif("plain text".getBytes) === ImageHeaders.ExifMeta(-1, "", "", ""))
+    assert(ImageHeaders.exif(b.take(20)) === ImageHeaders.ExifMeta(-1, "", "", ""))
+    assert(ImageHeaders.exif(null) === ImageHeaders.ExifMeta(-1, "", "", ""))
+  }
+
+  test("exifMeta dataset operator extracts per row; corrupt rows yield defaults") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.encodeJpegExif(3, 3, 1, 8, "2019:12:31 23:59:59", "mk", "md")),
+      (2L, "not an image".getBytes)).toDF("doc_id", "content")
+    val out = Multimodal.exifMeta(spark, rows, "doc_id", "content")
+      .collect().sortBy(_.doc_id)
+    assert(out(0) === Multimodal.ExifMetaRow(1L, 8, "2019:12:31 23:59:59", "mk", "md"))
+    assert(out(1) === Multimodal.ExifMetaRow(2L, -1, "", "", ""))
+  }
 }
