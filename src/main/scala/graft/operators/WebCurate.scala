@@ -92,6 +92,30 @@ object WebCurate {
     df.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** Anchor grammar, shared with the oracle twins: an `<a ...>` tag's
+    * href attribute value, double- or single-quoted. Deliberately a
+    * grammar over the ATTRIBUTE (not a full HTML parse): crawl-scale
+    * link extraction wants one codegen'd regex pass per document, and
+    * malformed markup yields fewer links, never a crash. */
+  val HrefRegex: String = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** All outgoing link targets of an HTML document, in document order
+    * (array<string>) — one narrow regexp pass. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(HrefRegex), lit(1))
+
+  /** Host-level link edges (src_host, dst_host) from (url, html) rows —
+    * the input [[GraphRank.pageRank]] ranks: extract → host-normalize →
+    * drop self-loops and unparseable hosts → distinct. All narrow until
+    * the final distinct (one shuffle on the edge pair). */
+  def linkEdges(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    df.select(hostOf(col(urlCol)).as("src_host"),
+        explode(extractLinks(col(htmlCol))).as("_href"))
+      .select(col("src_host"), hostOf(col("_href")).as("dst_host"))
+      .where(col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .distinct()
+
   /** Keep at most `maxPerDomain` docs per registrable domain, lowest
     * `orderCol` first (deterministic) — the "no single site dominates"
     * cap. Plans as rank-per-key; the TopKPerKey rewrite bounds it. */

@@ -1880,6 +1880,29 @@ object Ext {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Link extraction over synthesized HTML: each document wraps its text
+    * with 1 + doc_id%3 formula-derived anchors; Spark must extract from
+    * the markup exactly what the twin predicts from the formulas, so a
+    * broken href grammar, lost document order, or host-normalization
+    * drift breaks the hash. The tricky-markup cases (single quotes,
+    * attribute order, nested text) are spec-gated in WebCurateSpec. */
+  def txtExtractLinks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val anchors = concat_ws("", transform(
+      sequence(lit(0), pmod(col("doc_id"), lit(3)).cast("int")),
+      k => concat(lit("<a class=\"l\" href=\"http://h"),
+        pmod(col("doc_id") * 7 + k, lit(50)), lit(".example.com/p"),
+        col("doc_id"), lit("\">x</a>"))))
+    val html = d.select(col("doc_id"),
+      concat(lit("<html><body><p>"), col("text"), lit("</p>"), anchors,
+        lit("</body></html>")).as("html"))
+    html.select(col("doc_id"),
+        posexplode(graft.operators.WebCurate.extractLinks(col("html"))))
+      .select(col("doc_id"), col("pos").as("link_no"), col("col").as("href"),
+        graft.operators.WebCurate.hostOf(col("col")).as("host"))
+      .orderBy(col("doc_id"), col("link_no"))
+  }
+
   /** PageRank authority scores over the urgent-order customer↔supplier
     * bipartite graph (node ids disambiguated arithmetically: customer =
     * 2k, supplier = 2k+1; edges symmetrized so the graph has no dangling
@@ -1979,6 +2002,7 @@ object Ext {
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
+    "txt_extract_links" -> txtExtractLinks,
     "sim_rand_proj" -> simRandProj,
     "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
@@ -2221,6 +2245,17 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    // every href and host predicted from the anchor-construction formulas
+    "txt_extract_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, k AS link_no,
+        |    'http://h' || CAST((doc_id * 7 + k) % 50 AS VARCHAR)
+        |      || '.example.com/p' || CAST(doc_id AS VARCHAR) AS href
+        |  FROM documents CROSS JOIN generate_series(0, 2) t(k)
+        |  WHERE k <= doc_id % 3)
+        |SELECT doc_id, CAST(link_no AS INTEGER) AS link_no, href,
+        |  'h' || CAST((doc_id * 7 + link_no) % 50 AS VARCHAR) || '.example.com' AS host
+        |FROM l ORDER BY doc_id, link_no""".stripMargin,
     // DuckDB sum(BIGINT) is HUGEINT — every use is inside double math
     "rpt_join_skew" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),

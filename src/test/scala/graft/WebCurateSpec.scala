@@ -79,4 +79,42 @@ class WebCurateSpec extends SparkSpec {
     assert(byDomain("example0.com").sorted === Seq(0L, 2L, 4L))
     assert(byDomain("example1.com").sorted === Seq(1L, 3L, 5L))
   }
+
+  test("extractLinks: quote styles, attribute order, case, and junk markup") {
+    import graft.operators.WebCurate
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val html =
+      """<html><A HREF="http://a.com/x">one</A>
+        |<a class='z' href='http://b.com/y?q=1'>two</a>
+        |<a name="no-link">three</a>
+        |<a href = "https://www.c.co.uk:8080/path#f">four</a>
+        |<area href="http://not-an-anchor.com">
+        |<a href="">empty</a></html>""".stripMargin
+    val out = Seq((1L, html)).toDF("id", "html")
+      .select(WebCurate.extractLinks(col("html")).as("l"))
+      .as[Seq[String]].head()
+    assert(out === Seq("http://a.com/x", "http://b.com/y?q=1",
+      "https://www.c.co.uk:8080/path#f", ""))
+  }
+
+  test("linkEdges + pageRank: the planted hub out-ranks the satellites") {
+    import graft.operators.{GraphRank, WebCurate}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 10 satellite pages all link to hub.com; hub links to s0 only
+    val pages = (0 until 10).map { i =>
+      (s"http://s$i.com/p", """<a href="http://hub.com/">h</a>""")
+    } :+ (("http://hub.com/", """<a href="http://s0.com/a">s</a><a href="http://hub.com/self">self</a>"""))
+    val edges = WebCurate.linkEdges(pages.toDF("url", "html"), "url", "html")
+    val got = edges.as[(String, String)].collect().toSet
+    assert(got.size === 11 && !got.exists(e => e._1 == e._2), "self-loop dropped")
+    val pr = GraphRank.pageRank(
+      edges.selectExpr("hash(src_host) as src", "hash(dst_host) as dst"),
+      "src", "dst", iterations = 20)
+      .as[(Long, Double)].collect().toMap
+    val hubId = Seq(("hub.com", 1)).toDF("h", "x")
+      .selectExpr("hash(h)").as[Long].head()
+    assert(pr(hubId) === pr.values.max, "hub must rank first")
+  }
 }
