@@ -1138,6 +1138,63 @@ object Ext {
     * without re-touching raw data, the property incremental pipelines
     * rely on. Rows-only entry (sketch estimates are engine-specific, so
     * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  /** Ordered funnel view→click→purchase per user: each step's time is
+    * the earliest qualifying event STRICTLY AFTER the previous step —
+    * the product-analytics funnel every event pipeline ships. Shape:
+    * one filtered scan + user-bounded aggregate per step, each step's
+    * tiny (≤ users) result broadcast into the next step's scan; the
+    * chain is checkpointed so no step's subtree re-executes. Depth =
+    * how far the user got. */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def fmt(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val s1 = graft.core.Checkpoint.materialize(
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1")))
+    val s2 = graft.core.Checkpoint.materialize(
+      ev.filter(col("event_type") === "click").join(broadcast(s1), "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2")))
+    val s3 = graft.core.Checkpoint.materialize(
+      ev.filter(col("event_type") === "purchase").join(broadcast(s2), "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3")))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("depth"),
+        fmt(col("t1")).as("t1"), fmt(col("t2")).as("t2"), fmt(col("t3")).as("t3"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ANALYZE-style column statistics for the optimizer story: per
+    * numeric lineitem column, NDV, null count, min/max, and the
+    * quartile boundaries of an equi-depth histogram — ONE pass over the
+    * fact table computing every column's stats side by side, reshaped
+    * to long format with `stack`. The stats a CBO feeds selectivity
+    * estimation from; at 100 TB swap exact percentiles/NDV for
+    * approx_percentile/HLL, same plan shape. */
+  def rptColumnStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def statsFor(c: String) = Seq(
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      count(when(col(c).isNull, lit(1))).as(s"${c}_nulls"),
+      round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
+      round(max(col(c)).cast("double"), 4).as(s"${c}_max"),
+      round(expr(s"percentile($c, 0.25)"), 4).as(s"${c}_p25"),
+      round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}_p50"),
+      round(expr(s"percentile($c, 0.75)"), 4).as(s"${c}_p75"))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap(statsFor)
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_ndv, ${c}_nulls, ${c}_min, ${c}_max, ${c}_p25, ${c}_p50, ${c}_p75")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(expr(stackExpr)
+        .as(Seq("column_name", "ndv", "n_nulls", "min_v", "max_v", "p25", "p50", "p75")))
+      .orderBy(col("column_name"))
+  }
+
   /** Planner-style JOIN-SIZE estimation from sketches, exact-compared:
     * |A ⋈ B| ≈ (rows_A/ndv_A)·(rows_B/ndv_B)·|keys_A ∩ keys_B|, i.e.
     * mean per-key multiplicity on each side times the Theta-estimated
@@ -1999,6 +2056,8 @@ object Ext {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_join_skew" -> rptJoinSkew,
+    "ev_funnel" -> evFunnel,
+    "rpt_column_stats" -> rptColumnStats,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
@@ -2245,6 +2304,54 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth,
+        |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+        |  strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+        |  strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "rpt_column_stats" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS column_name,
+        |    count(DISTINCT l_quantity) AS ndv,
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+        |    round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
+        |    round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |    round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(DISTINCT l_extendedprice),
+        |    count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+        |    round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+        |    round(CAST(max(l_extendedprice) AS DOUBLE), 4),
+        |    round(quantile_cont(l_extendedprice, 0.25), 4),
+        |    round(quantile_cont(l_extendedprice, 0.5), 4),
+        |    round(quantile_cont(l_extendedprice, 0.75), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(DISTINCT l_discount),
+        |    count(CASE WHEN l_discount IS NULL THEN 1 END),
+        |    round(CAST(min(l_discount) AS DOUBLE), 4),
+        |    round(CAST(max(l_discount) AS DOUBLE), 4),
+        |    round(quantile_cont(l_discount, 0.25), 4),
+        |    round(quantile_cont(l_discount, 0.5), 4),
+        |    round(quantile_cont(l_discount, 0.75), 4)
+        |  FROM lineitem)
+        |SELECT * FROM s ORDER BY column_name""".stripMargin,
     // every href and host predicted from the anchor-construction formulas
     "txt_extract_links" ->
       """WITH l AS (
