@@ -781,6 +781,37 @@ object Ext {
   /** Deterministic 80/10/10 train/val/test split by document-id hash —
     * engine-reproducible (md5), stable under corpus growth; see
     * [[graft.operators.Sample.hashSplit]]. */
+  /** 5-fold CV assignment over documents: per-doc fold plus per-fold
+    * size so skewed folds would show in the hash. */
+  def smpKfold(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val folds = graft.operators.Sample.kFold(d, "doc_id", k = 5)
+    folds.select(col("doc_id"), col("fold")).orderBy(col("doc_id"))
+  }
+
+  /** Weekly cohort retention triangle: cohort = a user's first active
+    * week; for every (cohort, week offset) the distinct active users
+    * and the retention rate vs the cohort size — the product-analytics
+    * complement of [[evFunnel]]. Weekly activity reduces events to ≤
+    * users×weeks rows FIRST (distinct), so every later join/aggregate
+    * runs on the reduced set; the cohort table broadcasts. */
+  def evRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val weekly = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("n_cohort"))
+    weekly.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_wk"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(
+        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int").as("week_no"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active") / col("n_cohort"), 4).as("retention"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
   def smpSplit(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     graft.operators.Sample
@@ -2058,6 +2089,8 @@ object Ext {
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
     "rpt_column_stats" -> rptColumnStats,
+    "ev_retention" -> evRetention,
+    "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
@@ -2304,6 +2337,22 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    "smp_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, count(*) AS n_cohort FROM cohort GROUP BY 1),
+        |act AS (SELECT c.cohort_wk, w.wk, count(DISTINCT w.user_id) AS n_active
+        |        FROM weekly w JOIN cohort c ON w.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT strftime(a.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', a.cohort_wk, a.wk) // 7 AS INTEGER) AS week_no,
+        |  a.n_active, s.n_cohort,
+        |  round(a.n_active * 1.0 / s.n_cohort, 4) AS retention
+        |FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+        |ORDER BY cohort_week, week_no""".stripMargin,
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

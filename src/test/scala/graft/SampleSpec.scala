@@ -232,4 +232,24 @@ class SampleSpec extends SparkSpec {
     val ok = (1L to 50L).map(i => (i, 1.0)).toDF("id", "w")
     assert(Sample.weightedTopK(ok, "id", "w", k = 7).count() === 7)
   }
+
+  test("kFold: deterministic, near-uniform, exhaustive and disjoint") {
+    import graft.operators.Sample
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("id")
+    val f1 = Sample.kFold(df, "id", k = 5).select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    val f2 = Sample.kFold(df, "id", k = 5).select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    assert(f1 === f2, "same salt => same folds")
+    assert(f1.values.toSet === Set(0, 1, 2, 3, 4))
+    val sizes = f1.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min > 800 && sizes.max < 1200, s"fold sizes $sizes")
+    // different salt re-deals
+    val g = Sample.kFold(df, "id", k = 5, salt = "cv2").select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    assert(f1.count { case (k, v) => g(k) == v } < 1500, "salt must re-deal")
+    intercept[IllegalArgumentException](Sample.kFold(df, "id", k = 1))
+  }
 }
