@@ -2027,6 +2027,57 @@ object Ext {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** Schema evolution on read: batch 1 lands WITHOUT the lang column,
+    * batch 2 adds it; `mergeSchema` unifies the footer schemas and
+    * back-fills nulls — the "a producer added a field last month"
+    * reality of any long-lived corpus. Partition discovery keys the
+    * batch dir as column `b`. Oracle-gated: the twin recomputes both
+    * batches relationally with an explicit NULL cast. */
+  def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val root = rtDir(s, "schevo", dir)
+    d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$root/b=1")
+    d.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("source"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/b=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .select(col("doc_id"), col("source"), col("lang"), col("b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Side-by-side tokenizer comparison — the report that picks a
+    * tokenizer for a corpus: every production subword model behind the
+    * engine's seam (BPE, byte-level BPE, unigram-LM, WordPiece) trained
+    * on the SAME English slice with the same budget, then scored on the
+    * full corpus: total tokens, tokens-per-word fertility, and total
+    * characters per token. Rows-only (four learned vocabularies); each
+    * tokenizer's own correctness is oracle/property-gated elsewhere —
+    * this query gates that the seam keeps them interchangeable. */
+  def txtTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val en = d.where(col("lang") === "en")
+    val nWords = d.agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    val nChars = d.agg(sum(length(col("text")))).head().getLong(0)
+    val bpe = graft.operators.Bpe.train(en, col("text"), numMerges = 60, maxWords = 10000)
+    val bbpe = graft.operators.Bpe.trainBytes(en, col("text"), numMerges = 60, maxWords = 10000)
+    val uni = graft.operators.Unigram.train(en, col("text"), vocabSize = 60, maxWords = 10000)
+    val wp = graft.operators.WordPiece.train(en, col("text"), numMerges = 60, maxWords = 10000)
+    val counts = Seq(
+      "bpe" -> graft.operators.Bpe.tokenCount(col("text"), bpe),
+      "byte_bpe" -> graft.operators.Bpe.tokenCountBytes(col("text"), bbpe),
+      "unigram" -> graft.operators.Unigram.tokenCount(col("text"), uni),
+      "wordpiece" -> graft.operators.WordPiece.tokenCount(col("text"), wp))
+    val rows = counts.map { case (name, cnt) =>
+      val total = d.agg(sum(cnt)).head().getLong(0)
+      (name, total,
+        math.rint(total.toDouble / nWords * 10000) / 10000,
+        math.rint(nChars.toDouble / total * 10000) / 10000)
+    }
+    import s.implicits._
+    rows.toDF("tokenizer", "total_tokens", "tokens_per_word", "chars_per_token")
+      .orderBy(col("tokenizer"))
+  }
+
   /** Porter-stemmed vocabulary report: top-15 stems per language, so
     * word families ("relational"/"relations"/"related") aggregate as one
     * line. Rows-only (no SQL engine in the oracle stack ships a Porter
@@ -2095,6 +2146,8 @@ object Ext {
     "rpt_merge_changes" -> rptMergeChanges,
     "txt_stem_terms" -> txtStemTerms,
     "txt_extract_links" -> txtExtractLinks,
+    "txt_tokenizer_compare" -> txtTokenizerCompare,
+    "src_schema_evolution" -> srcSchemaEvolution,
     "sim_rand_proj" -> simRandProj,
     "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
@@ -2337,6 +2390,13 @@ object Ext {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    "src_schema_evolution" ->
+      """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang, CAST(1 AS INTEGER) AS b
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, lang, CAST(2 AS INTEGER) AS b
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     "smp_kfold" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
