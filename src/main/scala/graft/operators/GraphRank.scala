@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * recipe pairs the [[WebCurate]] URL surface with exactly this ranking).
   *
   * Power iteration
-  * `pr'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} pr(u)/outdeg(u) + danglingMass/N)`
-  * with dangling-node mass (nodes with no out-edges) redistributed
-  * uniformly — the textbook correction that keeps Σpr = 1.
+  * `pr'(v) = (1-d)·t(v) + d * (Σ_{(u,v)∈E} pr(u)/outdeg(u) + danglingMass·t(v))`
+  * where the teleport distribution `t` is uniform (classic PageRank) or
+  * concentrated on a trusted seed set ([[personalizedPageRank]] —
+  * TrustRank, Gyöngyi et al. 2004: spam farms can fake in-links but not
+  * proximity to hand-vetted seeds). Dangling-node mass redistributes
+  * along `t` — the textbook correction that keeps Σpr = 1.
   *
   * Two execution shapes, chosen by node count (`vectorMaxNodes`):
   *
@@ -20,11 +23,9 @@ import org.apache.spark.sql.functions._
   *    `RDD[(Int, Int)]`; each iteration broadcasts the per-source weight
   *    vector `pr(u)/outdeg(u)` (n doubles) and runs ONE treeAggregate
   *    stage — per-partition array folds combined on the driver, no
-  *    shuffle, no exchange planning. The base/damping/dangling update is
-  *    an O(N) driver loop. Same shape as [[Classifier]]'s gradient loop
-  *    (measured 9× vs the exchange-per-step layout). This is the
-  *    "vector on driver, matrix distributed" layout every single-machine
-  *    PageRank uses, kept legal here by the explicit N bound.
+  *    shuffle, no exchange planning. The teleport/damping/dangling
+  *    update is an O(N) driver loop. Same shape as [[Classifier]]'s
+  *    gradient loop (measured 9× vs the exchange-per-step layout).
   *
   *  - **Distributed-vector path** (N above the bound — host-level web
   *    graphs): pure DataFrame loop. The edge table joins its out-degrees
@@ -35,12 +36,13 @@ import org.apache.spark.sql.functions._
   *    into the SAME aggregation (no second join), and localCheckpoints
   *    the result so lineage stays O(1) across iterations. The dangling
   *    mass, when the graph has dangling nodes at all (static property,
-  *    checked once), is a one-row aggregate broadcast into the update —
-  *    no driver collect in the loop.
+  *    checked once), is a one-row aggregate broadcast into the update;
+  *    the seed teleport column rides in as a broadcast join against the
+  *    (bounded, driver-supplied) seed list.
   *
-  * Both paths compute bit-identical per-node update arithmetic
-  * (`base + d*(s + dm/N)` over the same partial-aggregated sums), so the
-  * result is independent of the path taken up to FP summation order.
+  * The uniform path keeps the exact `base + d*(s + dm/N)` arithmetic
+  * (not the algebraically-equal teleport form) so results are
+  * bit-comparable with the SQL oracle twins.
   */
 object GraphRank {
 
@@ -51,7 +53,27 @@ object GraphRank {
     * a contraction, so a fixed count bounds the error a priori. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, damping: Double = 0.85,
-               vectorMaxNodes: Long = 1000000L): DataFrame = {
+               vectorMaxNodes: Long = 1000000L): DataFrame =
+    run(edges, srcCol, dstCol, iterations, damping, vectorMaxNodes, seeds = None)
+
+  /** TrustRank / personalized PageRank: teleport mass restricted to
+    * `seeds` (uniform over the seeds present in the graph). Rank decays
+    * with link distance from the trusted set — the web-curation
+    * anti-spam score. `seeds` is a driver-side list by nature (a vetted
+    * whitelist); seeds absent from the graph are ignored, and at least
+    * one must be present. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int = 10,
+                           damping: Double = 0.85,
+                           vectorMaxNodes: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    run(edges, srcCol, dstCol, iterations, damping, vectorMaxNodes,
+      seeds = Some(seeds.toSet))
+  }
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, damping: Double, vectorMaxNodes: Long,
+                  seeds: Option[Set[Long]]): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     // persist the edge list up front: node derivation, degree counts, and
@@ -64,15 +86,16 @@ object GraphRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val out =
-      if (n <= vectorMaxNodes) driverVector(e0, nodes, n, iterations, damping)
-      else distributedVector(e0, nodes, n, iterations, damping)
+      if (n <= vectorMaxNodes) driverVector(e0, nodes, n, iterations, damping, seeds)
+      else distributedVector(e0, nodes, n, iterations, damping, seeds)
     e0.unpersist()
     nodes.unpersist()
     out
   }
 
   private def driverVector(e0: DataFrame, nodesDf: DataFrame, nL: Long,
-                           iterations: Int, damping: Double): DataFrame = {
+                           iterations: Int, damping: Double,
+                           seeds: Option[Set[Long]]): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val n = nL.toInt
@@ -90,8 +113,17 @@ object GraphRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = new Array[Long](n)
     eIdx.map(_._1).countByValue().foreach { case (j, d) => outdeg(j) = d }
+    // teleport vector: uniform, or 1/|seeds∩nodes| on the seeds
+    val t: Array[Double] = seeds match {
+      case None => Array.fill(n)(1.0 / nL)
+      case Some(ss) =>
+        val present = nodes.count(ss.contains)
+        require(present > 0, "no teleport seed is present in the graph")
+        Array.tabulate(n)(j => if (ss.contains(nodes(j))) 1.0 / present else 0.0)
+    }
+    val uniform = seeds.isEmpty
     val base = (1.0 - damping) / nL
-    var pr = Array.fill(n)(1.0 / nL)
+    var pr = t.clone()
     for (_ <- 1 to iterations) {
       val w = new Array[Double](n)
       var j = 0
@@ -106,7 +138,15 @@ object GraphRank {
       while (j < n) { if (outdeg(j) == 0) dm += pr(j); j += 1 }
       val next = new Array[Double](n)
       j = 0
-      while (j < n) { next(j) = base + damping * (s(j) + dm / nL); j += 1 }
+      // uniform keeps the oracle-twinned arithmetic verbatim
+      if (uniform) {
+        while (j < n) { next(j) = base + damping * (s(j) + dm / nL); j += 1 }
+      } else {
+        while (j < n) {
+          next(j) = (1.0 - damping) * t(j) + damping * (s(j) + dm * t(j))
+          j += 1
+        }
+      }
       pr = next
     }
     eIdx.unpersist(blocking = false)
@@ -115,7 +155,10 @@ object GraphRank {
   }
 
   private def distributedVector(e0: DataFrame, nodesDf: DataFrame, n: Long,
-                                iterations: Int, damping: Double): DataFrame = {
+                                iterations: Int, damping: Double,
+                                seeds: Option[Set[Long]]): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
     val nodes = nodesDf.persist()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = e0.join(deg, "src").persist()
@@ -124,24 +167,49 @@ object GraphRank {
     val hasDangling = danglingNodes.limit(1).count() > 0
     val base = (1.0 - damping) / n
     val zeros = nodes.select(col("node"), lit(0.0).as("c"))
+    // seeded teleport as a broadcast-joinable (node, _t) table; the seed
+    // list is driver-bounded by contract
+    val tDf: Option[DataFrame] = seeds.map { ss =>
+      val present = nodes.join(broadcast(ss.toSeq.toDF("node")), "node").count()
+      require(present > 0, "no teleport seed is present in the graph")
+      ss.toSeq.toDF("node").withColumn("_t", lit(1.0 / present))
+    }
+    def withT(df: DataFrame): DataFrame = tDf match {
+      case Some(td) => df.join(broadcast(td), Seq("node"), "left")
+        .withColumn("_t", coalesce(col("_t"), lit(0.0)))
+      case None => df
+    }
 
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var ranks = (tDf match {
+      case None => nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      case Some(_) => withT(nodes).select(col("node"), col("_t").as("pr"))
+    }).localCheckpoint()
     for (_ <- 1 to iterations) {
       val summed = e.join(ranks, e("src") === ranks("node"))
         .select(e("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
         .unionByName(zeros) // completes in-edge-less nodes in the same shuffle
         .groupBy("node").agg(sum(col("c")).as("s"))
-      val next =
-        if (hasDangling) {
-          val dangling = danglingNodes.select("node").join(ranks, "node")
-            .agg(coalesce(sum(col("pr")), lit(0.0)).as("_dm"))
+      val dangling =
+        if (hasDangling) danglingNodes.select("node").join(ranks, "node")
+          .agg(coalesce(sum(col("pr")), lit(0.0)).as("_dm"))
+        else null
+      val next = (tDf, hasDangling) match {
+        case (None, true) =>
           summed.crossJoin(broadcast(dangling))
             .select(col("node"),
               (lit(base) + lit(damping) * (col("s") + col("_dm") / n)).as("pr"))
-        } else {
+        case (None, false) =>
           summed.select(col("node"),
             (lit(base) + lit(damping) * col("s")).as("pr"))
-        }
+        case (Some(_), true) =>
+          withT(summed).crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(1.0 - damping) * col("_t")
+                + lit(damping) * (col("s") + col("_dm") * col("_t"))).as("pr"))
+        case (Some(_), false) =>
+          withT(summed).select(col("node"),
+            (lit(1.0 - damping) * col("_t") + lit(damping) * col("s")).as("pr"))
+      }
       val prev = ranks
       ranks = next.localCheckpoint()
       prev.unpersist()

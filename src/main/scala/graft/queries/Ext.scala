@@ -2000,6 +2000,28 @@ object Ext {
     * This is the domain-authority ranking a web-curation pipeline runs
     * over the host link graph; see [[graft.operators.GraphRank]] for the
     * per-iteration scale shape. */
+  /** TrustRank over the same bipartite graph as [[graphPagerank]], with
+    * the teleport restricted to the supplier side (odd node ids) as the
+    * "trusted seed set" — rank decays with link distance from the
+    * seeds. Oracle-gated exactly like PageRank: the twin unrolls the
+    * identical seeded power iteration. */
+  def graphTrustrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .select((col("s_suppkey") * 2 + 1).cast("long")).as[Long].collect().toSeq
+    graft.operators.GraphRank
+      .personalizedPageRank(edges, "src", "dst", seeds, iterations = 10, damping = 0.85)
+      .select(col("node"), round(col("pr"), 8).as("trust_rank"))
+      .orderBy(col("node"))
+  }
+
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
@@ -2136,6 +2158,7 @@ object Ext {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_trustrank" -> graphTrustrank,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
@@ -2388,8 +2411,38 @@ object Ext {
       s"\nSELECT node, round(pr, 8) AS pr_rank FROM r$iterations ORDER BY node"
   }
 
+  /** DuckDB twin of [[graphTrustrank]]: the seeded power iteration
+    * unrolled; teleport t(v) = 1/|odd nodes| on suppliers, 0 elsewhere.
+    * The graph is symmetric (no dangling), so the update is
+    * `(1−d)·t + d·Σ`. */
+  private def trustRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |ns AS (SELECT count(*) AS ns FROM deg WHERE src % 2 = 1),
+        |tv AS (SELECT src AS node,
+        |         CASE WHEN src % 2 = 1 THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS t
+        |       FROM deg),
+        |r0 AS (SELECT node, t AS pr FROM tv)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (SELECT e.dst AS node,
+         |  (1.0 - 0.85) * t2.t + 0.85 * sum(r.pr / d.outdeg) AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  JOIN tv t2 ON e.dst = t2.node
+         |  GROUP BY e.dst, t2.t)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT node, round(pr, 8) AS trust_rank FROM r$iterations ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
+    "graph_trustrank" -> trustRankOracleSql(10),
     "src_schema_evolution" ->
       """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang, CAST(1 AS INTEGER) AS b
         |FROM documents WHERE doc_id % 2 = 0

@@ -45,6 +45,49 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  /** Reference personalized PageRank (teleport on seeds). */
+  private def refPersonalized(edges: Seq[(Long, Long)], seeds: Set[Long],
+                              iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val present = nodes.count(seeds.contains)
+    val t = nodes.map(v => v -> (if (seeds.contains(v)) 1.0 / present else 0.0)).toMap
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var pr = t
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outdeg.contains).map(pr).sum
+      val in = edges.groupBy(_._2)
+      pr = nodes.map { v =>
+        val s = in.getOrElse(v, Nil).map { case (u, _) => pr(u) / outdeg(u) }.sum
+        v -> ((1.0 - d) * t(v) + d * (s + dm * t(v)))
+      }.toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches the reference on both paths; seeds dominate") {
+    val rnd = new Random(41)
+    val edges = (0 until 90).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(30).toLong))
+      .distinct.filter(e => e._1 != e._2)
+    val seeds = Set(1L, 2L, 3L)
+    val want = refPersonalized(edges, seeds, iters = 8, d = 0.85)
+    for (vmax <- Seq(1000000L, 0L)) {
+      val got = GraphRank.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toSeq, iterations = 8, damping = 0.85, vectorMaxNodes = vmax)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (v, p) =>
+        assert(math.abs(p - want(v)) < 1e-12, s"vmax=$vmax node $v: $p vs ${want(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+      // trust concentrates near the seeds: their mean beats the global mean
+      val seedMean = seeds.toSeq.flatMap(got.get).sum / seeds.size
+      assert(seedMean > got.values.sum / got.size)
+    }
+    // absent seeds fail loud
+    intercept[Exception](GraphRank.personalizedPageRank(
+      edges.toDF("src", "dst"), "src", "dst", Seq(999L), iterations = 2).collect())
+  }
+
   test("star graph: the hub out-ranks every leaf") {
     // leaves 1..6 all point at hub 0, hub points back at leaf 1.
     // 40 iterations: the hub<->leaf-1 2-cycle oscillates from the uniform
