@@ -1206,23 +1206,41 @@ object Ext {
     * estimation from; at 100 TB swap exact percentiles/NDV for
     * approx_percentile/HLL, same plan shape. */
   def rptColumnStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val li = Tables.lineitem(s, dir)
-    def statsFor(c: String) = Seq(
-      countDistinct(col(c)).as(s"${c}_ndv"),
-      count(when(col(c).isNull, lit(1))).as(s"${c}_nulls"),
-      round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
-      round(max(col(c)).cast("double"), 4).as(s"${c}_max"),
-      round(expr(s"percentile($c, 0.25)"), 4).as(s"${c}_p25"),
-      round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}_p50"),
-      round(expr(s"percentile($c, 0.75)"), 4).as(s"${c}_p75"))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val aggs = cols.flatMap(statsFor)
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map(c =>
-      s"'$c', ${c}_ndv, ${c}_nulls, ${c}_min, ${c}_max, ${c}_p25, ${c}_p50, ${c}_p75")
-      .mkString(s"stack(${cols.size}, ", ", ", ")")
-    wide.select(expr(stackExpr)
-        .as(Seq("column_name", "ndv", "n_nulls", "min_v", "max_v", "p25", "p50", "p75")))
+    // Split into parallel-friendly jobs — packing everything into one
+    // agg measured 20s at sf0.1 (3 distinct expansions x 6 percentile
+    // buffers funneled through one reducer):
+    //  - ndv per column as distinct().count(): the distinct is a 2-stage
+    //    hash agg whose FINAL phase parallelizes over 32 partitions,
+    //    unlike global countDistinct whose finish runs on one reducer;
+    //  - one percentile buffer per column via the array form;
+    //  - cheap min/max/null in one combined agg.
+    // At 100 TB swap percentile -> approx_percentile and ndv -> HLL.
+    val ndvs = cols.map(c => li.select(col(c)).distinct().count())
+    val basics = li.agg(
+      count(when(col(cols(0)).isNull, lit(1))).as("nn0"),
+      count(when(col(cols(1)).isNull, lit(1))).as("nn1"),
+      count(when(col(cols(2)).isNull, lit(1))).as("nn2"),
+      min(col(cols(0))).cast("double").as("mn0"),
+      min(col(cols(1))).cast("double").as("mn1"),
+      min(col(cols(2))).cast("double").as("mn2"),
+      max(col(cols(0))).cast("double").as("mx0"),
+      max(col(cols(1))).cast("double").as("mx1"),
+      max(col(cols(2))).cast("double").as("mx2")).head()
+    val pcts = li.agg(
+      expr(s"percentile(${cols(0)}, array(0.25, 0.5, 0.75))").as("p0"),
+      expr(s"percentile(${cols(1)}, array(0.25, 0.5, 0.75))").as("p1"),
+      expr(s"percentile(${cols(2)}, array(0.25, 0.5, 0.75))").as("p2")).head()
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val p = pcts.getSeq[Double](i)
+      (c, ndvs(i), basics.getLong(i),
+        r4(basics.getDouble(3 + i)), r4(basics.getDouble(6 + i)),
+        r4(p(0)), r4(p(1)), r4(p(2)))
+    }
+    rows.toDF("column_name", "ndv", "n_nulls", "min_v", "max_v", "p25", "p50", "p75")
       .orderBy(col("column_name"))
   }
 
