@@ -1169,6 +1169,47 @@ object Ext {
     * without re-touching raw data, the property incremental pipelines
     * rely on. Rows-only entry (sketch estimates are engine-specific, so
     * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | event type), from lead() pairs within each
+    * user's time-ordered stream — the behavior model session analytics
+    * and synthetic-journey generators start from. One window pass + one
+    * bounded (type×type) aggregate. */
+  def evTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev.withColumn("_next", lead(col("event_type"), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Gaps-and-islands: contiguous same-type runs per user (the classic
+    * run-compression pattern — sessionized state intervals, SCD-style
+    * validity ranges). Island key = difference of two row_numbers, one
+    * global per user and one per (user, type) — constant within a run,
+    * distinct across runs. Restricted to users ≤ 30 to keep the gated
+    * output bounded; islands of length ≥ 2 reported. */
+  def evIslands(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("user_id") <= 30)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTyp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("_grp", row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy(col("user_id"), col("event_type"), col("_grp"))
+      .agg(count(lit(1)).as("run_len"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("run_start"))
+      .where(col("run_len") >= 2)
+      .select(col("user_id"), col("event_type"), col("run_start"), col("run_len"))
+      .orderBy(col("user_id"), col("run_start"), col("event_type"))
+  }
+
   /** Ordered funnel view→click→purchase per user: each step's time is
     * the earliest qualifying event STRICTLY AFTER the previous step —
     * the product-analytics funnel every event pipeline ships. Shape:
@@ -2182,6 +2223,8 @@ object Ext {
     "ev_funnel" -> evFunnel,
     "rpt_column_stats" -> rptColumnStats,
     "ev_retention" -> evRetention,
+    "ev_transitions" -> evTransitions,
+    "ev_islands" -> evIslands,
     "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
@@ -2472,6 +2515,30 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n / CAST(t.n_from AS DOUBLE), 4) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+    "ev_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+        |  FROM events WHERE user_id <= 30)
+        |SELECT user_id, event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS run_start,
+        |  count(*) AS run_len
+        |FROM g GROUP BY user_id, event_type, grp
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, run_start, event_type""".stripMargin,
     "ev_retention" ->
       """WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
         |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1),
