@@ -1169,6 +1169,27 @@ object Ext {
     * without re-touching raw data, the property incremental pipelines
     * rely on. Rows-only entry (sketch estimates are engine-specific, so
     * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  /** The pure-SQL user surface end-to-end: temp views + graft's
+    * SQL-registered native expressions driven through `spark.sql` text —
+    * no DataFrame API in sight. Gates that a SQL-only consumer of the
+    * library gets the same codegen'd expressions (and the same answers)
+    * the Scala surface does; the DuckDB twin recomputes dot/norm with
+    * its own list kernels and NFC with its own normalizer. */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.GraftFunctions.registerAll(s)
+    // graft_dot/graft_l2norm contract: double arrays (the Scala surface
+    // pre-casts via Similarity.asDouble; SQL users cast in the text)
+    s.sql(
+      """SELECT e.vec_id,
+        |  round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |                  CAST(e.embedding AS ARRAY<DOUBLE>)), 4) AS sq_norm,
+        |  round(graft_l2norm(CAST(e.embedding AS ARRAY<DOUBLE>)), 4) AS nrm,
+        |  length(graft_nfc(d.text)) AS n_nfc
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |ORDER BY e.vec_id""".stripMargin)
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * P(next event type | event type), from lead() pairs within each
     * user's time-ordered stream — the behavior model session analytics
@@ -2069,7 +2090,7 @@ object Ext {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val pairs = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -2085,7 +2106,7 @@ object Ext {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val pairs = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -2225,6 +2246,7 @@ object Ext {
     "ev_retention" -> evRetention,
     "ev_transitions" -> evTransitions,
     "ev_islands" -> evIslands,
+    "sql_surface" -> sqlSurface,
     "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
@@ -2515,6 +2537,15 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's own kernels recompute the native expressions: a drifted
+    // dot product, norm, or normalizer in the SQL registration breaks it
+    "sql_surface" ->
+      """SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sq_norm,
+        |  round(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS nrm,
+        |  CAST(length(nfc_normalize(d.text)) AS INTEGER) AS n_nfc
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |ORDER BY e.vec_id""".stripMargin,
     "ev_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
