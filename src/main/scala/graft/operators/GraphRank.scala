@@ -71,6 +71,32 @@ object GraphRank {
       seeds = Some(seeds.toSet))
   }
 
+  /** Triangle count over an UNDIRECTED edge list (pass each edge once,
+    * either direction; self-loops and duplicates are cleaned here) —
+    * the local-clustering signal used to find tightly-knit
+    * link-farm/community structure. Standard ordered enumeration: edges
+    * canonicalized to (lo, hi), each triangle counted exactly once via
+    * the a<b<c join chain. Scale shape: two shuffle joins over the
+    * canonical edge set; the classic optimization for skewed real
+    * graphs (join small-degree side first) is a degree-ordering
+    * refinement of the same plan. Returns one row: (n_triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val ab = e.select(col("a"), col("b"))
+    val bc = e.select(col("a").as("b2"), col("b").as("c"))
+    val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+    val out = ab
+      .join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val materialized = out.localCheckpoint()
+    e.unpersist()
+    materialized
+  }
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, damping: Double, vectorMaxNodes: Long,
                   seeds: Option[Set[Long]]): DataFrame = {

@@ -2071,6 +2071,19 @@ object Ext {
       .orderBy(col("doc_id"), col("link_no"))
   }
 
+  /** Triangle count over a deterministic 4-regular graph on the doc-id
+    * space (dst = (31·src + k) mod n for k = 1..4): the canonical
+    * ordered a&lt;b&lt;c enumeration, each triangle once. The twin
+    * rebuilds the same edges and runs the identical join chain. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val n = d.count()
+    val ids = d.select(col("doc_id").cast("long").as("src"))
+    val edges = ids.select(col("src"), explode(array(
+      (1 to 4).map(k => pmod(col("src") * 31 + k, lit(n))): _*)).as("dst"))
+    graft.operators.GraphRank.triangleCount(edges, "src", "dst")
+  }
+
   /** PageRank authority scores over the urgent-order customer↔supplier
     * bipartite graph (node ids disambiguated arithmetically: customer =
     * 2k, supplier = 2k+1; edges symmetrized so the graph has no dangling
@@ -2239,6 +2252,7 @@ object Ext {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_trustrank" -> graphTrustrank,
+    "graph_triangles" -> graphTriangles,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
@@ -2526,6 +2540,17 @@ object Ext {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(10),
     "graph_trustrank" -> trustRankOracleSql(10),
+    // same synthetic 4-regular graph, same canonical a<b<c enumeration
+    "graph_triangles" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id * 31 + k) % (SELECT n FROM n) AS dst
+        |        FROM documents CROSS JOIN generate_series(1, 4) t(k)),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst)
+        |SELECT count(*) AS n_triangles
+        |FROM e ab
+        |JOIN e bc ON ab.b = bc.a
+        |JOIN e ac ON ab.a = ac.a AND bc.b = ac.b""".stripMargin,
     "src_schema_evolution" ->
       """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang, CAST(1 AS INTEGER) AS b
         |FROM documents WHERE doc_id % 2 = 0

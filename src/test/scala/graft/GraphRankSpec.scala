@@ -88,6 +88,31 @@ class GraphRankSpec extends SparkSpec {
       edges.toDF("src", "dst"), "src", "dst", Seq(999L), iterations = 2).collect())
   }
 
+  test("triangleCount: known graphs; dirty input (dups, reversals, self-loops) cleaned") {
+    def count(edges: Seq[(Long, Long)]): Long =
+      GraphRank.triangleCount(edges.toDF("s", "d"), "s", "d")
+        .head().getLong(0)
+    // K3 = 1, K4 = 4, square (4-cycle) = 0
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === 1L)
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))) === 4L)
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === 0L)
+    // reversed duplicates, self-loops, repeated edges: still one K3
+    assert(count(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (2L, 2L), (1L, 2L))) === 1L)
+    // brute-force cross-check on a random graph
+    val rnd = new Random(9)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      if canon((nodes(i), nodes(j))) && canon((nodes(j), nodes(k))) && canon((nodes(i), nodes(k)))
+    } brute += 1
+    assert(count(edges) === brute)
+  }
+
   test("star graph: the hub out-ranks every leaf") {
     // leaves 1..6 all point at hub 0, hub points back at leaf 1.
     // 40 iterations: the hub<->leaf-1 2-cycle oscillates from the uniform
