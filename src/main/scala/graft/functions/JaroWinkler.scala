@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity (Winkler 1990) as a codegen'd scalar — the
+  * record-linkage standard for short identifying strings (names, codes):
+  * Jaro's windowed match/transposition score boosted by up to 4 chars of
+  * exact common prefix when the base score clears 0.7. Spark ships
+  * `levenshtein` but nothing in this family; DuckDB ships
+  * `jaro_winkler_similarity`, which is what makes the operator
+  * oracle-gatable — this implementation reproduces its exact semantics
+  * (verified constants in the spec): empty input → 0, equal → 1, boost
+  * only above 0.7, prefix cap 4, scale 0.1.
+  *
+  * Comparison is over UTF-16 code units (= code points on BMP text;
+  * identifying strings in practice). Null-in-null-out. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.similarity($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  def similarity(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(i + window, len2 - 1)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / len1 + m / len2 + (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(len1, len2))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      JaroWinkler(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+}

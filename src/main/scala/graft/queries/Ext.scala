@@ -1169,6 +1169,25 @@ object Ext {
     * without re-touching raw data, the property incremental pipelines
     * rely on. Rows-only entry (sketch estimates are engine-specific, so
     * no DuckDB twin); SketchSpec pins error bounds and mergeability. */
+  /** Blocked fuzzy matching over customer names with Jaro–Winkler —
+    * the record-linkage pattern: a cheap blocking predicate (same
+    * nation, nearby key) bounds the candidate pairs, the similarity
+    * scores only candidates. Oracle-gated against DuckDB's own
+    * `jaro_winkler_similarity` — an independent implementation of the
+    * same published metric, so the two engines cross-validate each
+    * other's match/transposition/boost arithmetic on every pair. */
+  def txtJaroPairs(s: SparkSession, dir: String): DataFrame = {
+    val c1 = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k1"), col("c_nationkey").as("n1"), col("c_name").as("name1"))
+    val c2 = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k2"), col("c_nationkey").as("n2"), col("c_name").as("name2"))
+    c1.join(c2, col("n1") === col("n2") &&
+        col("k2") > col("k1") && col("k2") <= col("k1") + 10)
+      .select(col("k1"), col("k2"),
+        round(graft.functions.JaroWinkler(col("name1"), col("name2")), 4).as("jw"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
   /** The pure-SQL user surface end-to-end: temp views + graft's
     * SQL-registered native expressions driven through `spark.sql` text —
     * no DataFrame API in sight. Gates that a SQL-only consumer of the
@@ -2261,6 +2280,7 @@ object Ext {
     "ev_transitions" -> evTransitions,
     "ev_islands" -> evIslands,
     "sql_surface" -> sqlSurface,
+    "txt_jaro_pairs" -> txtJaroPairs,
     "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
@@ -2562,6 +2582,14 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's independent Jaro-Winkler cross-validates ours pair by pair
+    "txt_jaro_pairs" ->
+      """SELECT c1.c_custkey AS k1, c2.c_custkey AS k2,
+        |  round(jaro_winkler_similarity(c1.c_name, c2.c_name), 4) AS jw
+        |FROM customer c1 JOIN customer c2
+        |  ON c1.c_nationkey = c2.c_nationkey
+        | AND c2.c_custkey > c1.c_custkey AND c2.c_custkey <= c1.c_custkey + 10
+        |ORDER BY k1, k2""".stripMargin,
     // DuckDB's own kernels recompute the native expressions: a drifted
     // dot product, norm, or normalizer in the SQL registration breaks it
     "sql_surface" ->
