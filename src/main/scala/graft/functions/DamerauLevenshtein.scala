@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRUE Damerau–Levenshtein distance (Lowrance & Wagner 1975) — edit
+  * distance whose transpositions are first-class, including the
+  * unrestricted form where transposed characters may drift apart
+  * ("CA"→"ABC" = 2, where the restricted/OSA variant says 3). Spark
+  * ships only `levenshtein`; transposition-aware distance is the metric
+  * human-typo linkage actually wants ("teh"→"the" = 1 edit, not 2).
+  * Matches DuckDB's `damerau_levenshtein` (the unrestricted form) for
+  * the cross-engine oracle gate.
+  *
+  * O(|a|·|b|) time and space with the per-character last-occurrence
+  * table; comparison over UTF-16 code units. Null-in-null-out. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DamerauLevenshtein.distance($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+
+  def distance(a: String, b: String): Int = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // (l1+2) x (l2+2) matrix with the INF sentinel border the
+    // unrestricted-transposition recurrence needs
+    val h = Array.ofDim[Int](l1 + 2, l2 + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= l1) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val i1: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val j1 = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = h(i)(j) + cost
+        val insert = h(i + 1)(j) + 1
+        val delete = h(i)(j + 1) + 1
+        val transp = h(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        h(i + 1)(j + 1) = math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    h(l1 + 1)(l2 + 1)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DamerauLevenshtein(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+}

@@ -23,6 +23,8 @@ object GraftFunctions {
     GraftColumnBridge.registerFunction(spark, "graft_nfc", es => NfcNormalize(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_porter_stem", es => PorterStem(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_jaro_winkler", es => JaroWinkler(es(0), es(1)))
+    GraftColumnBridge.registerFunction(spark, "graft_damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)))
     GraftColumnBridge.registerFunction(spark, "graft_deflate_ratio", es => DeflateRatio(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_quantize_int8", es => QuantizeInt8(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_int8_dot", es => Int8Dot(es(0), es(1)))

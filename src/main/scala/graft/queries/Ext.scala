@@ -1184,7 +1184,8 @@ object Ext {
     c1.join(c2, col("n1") === col("n2") &&
         col("k2") > col("k1") && col("k2") <= col("k1") + 10)
       .select(col("k1"), col("k2"),
-        round(graft.functions.JaroWinkler(col("name1"), col("name2")), 4).as("jw"))
+        round(graft.functions.JaroWinkler(col("name1"), col("name2")), 4).as("jw"),
+        graft.functions.DamerauLevenshtein(col("name1"), col("name2")).as("dl"))
       .orderBy(col("k1"), col("k2"))
   }
 
@@ -2585,7 +2586,8 @@ object Ext {
     // DuckDB's independent Jaro-Winkler cross-validates ours pair by pair
     "txt_jaro_pairs" ->
       """SELECT c1.c_custkey AS k1, c2.c_custkey AS k2,
-        |  round(jaro_winkler_similarity(c1.c_name, c2.c_name), 4) AS jw
+        |  round(jaro_winkler_similarity(c1.c_name, c2.c_name), 4) AS jw,
+        |  CAST(damerau_levenshtein(c1.c_name, c2.c_name) AS INTEGER) AS dl
         |FROM customer c1 JOIN customer c2
         |  ON c1.c_nationkey = c2.c_nationkey
         | AND c2.c_custkey > c1.c_custkey AND c2.c_custkey <= c1.c_custkey + 10

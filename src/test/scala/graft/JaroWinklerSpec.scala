@@ -27,6 +27,30 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("Damerau-Levenshtein: unrestricted transpositions, reference values") {
+    import graft.functions.DamerauLevenshtein.distance
+    // CA->ABC = 2 distinguishes TRUE D-L from the restricted/OSA variant (3)
+    assert(distance("CA", "ABC") === 2)
+    assert(distance("abcdef", "abcfed") === 2)
+    assert(distance("kitten", "sitting") === 3)
+    assert(distance("", "abc") === 3 && distance("abc", "") === 3)
+    assert(distance("ab", "ba") === 1)
+    assert(distance("teh", "the") === 1)
+    assert(distance("same", "same") === 0)
+    // symmetry on random strings + upper bound by levenshtein semantics
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 200) {
+      val a = rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      assert(distance(a, b) === distance(b, a), s"symmetry $a/$b")
+      assert(distance(a, b) <= math.max(a.length, b.length))
+    }
+    // expression path
+    val got = Seq(("CA", "ABC")).toDF("a", "b")
+      .select(graft.functions.DamerauLevenshtein(col("a"), col("b"))).head().getInt(0)
+    assert(got === 2)
+  }
+
   test("expression path under codegen matches; null propagates; SQL registration") {
     val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
     val got = df.select(JaroWinkler(col("a"), col("b")).as("jw"))
