@@ -1189,6 +1189,32 @@ object Ext {
       .orderBy(col("k1"), col("k2"))
   }
 
+  /** Record linkage end-to-end: plant corrupted duplicates (adjacent
+    * transposition at a key-derived position in the numeric tail),
+    * block on nation, score candidates with Jaro–Winkler +
+    * Damerau–Levenshtein, and keep pairs above the match threshold.
+    * The threshold (0.985) sits between planted duplicates (~0.994 —
+    * one transposition in 18 chars, full prefix boost) and the closest
+    * DIFFERENT customers (~0.978 — one digit substituted), so the
+    * decision boundary itself is gated. The twin replays corruption,
+    * blocking, both metrics, and the decision. */
+  def pipelineLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val dups = c.where(col("c_custkey") % 3 === 0)
+      .withColumn("_p", (col("c_custkey") % 7 + 10).cast("int"))
+      .selectExpr("c_custkey + 1000000 AS k", "c_nationkey AS n",
+        """concat(substring(c_name, 1, _p - 1), substring(c_name, _p + 1, 1),
+          |       substring(c_name, _p, 1), substring(c_name, _p + 2, 100)) AS name"""
+          .stripMargin)
+    val orig = c.selectExpr("c_custkey AS k0", "c_nationkey AS n0", "c_name AS name0")
+    orig.join(dups, col("n0") === col("n"))
+      .select(col("k0"), col("k"),
+        round(graft.functions.JaroWinkler(col("name0"), col("name")), 4).as("jw"),
+        graft.functions.DamerauLevenshtein(col("name0"), col("name")).as("dl"))
+      .where(col("jw") >= 0.985)
+      .orderBy(col("k0"), col("k"))
+  }
+
   /** The pure-SQL user surface end-to-end: temp views + graft's
     * SQL-registered native expressions driven through `spark.sql` text —
     * no DataFrame API in sight. Gates that a SQL-only consumer of the
@@ -2282,6 +2308,7 @@ object Ext {
     "ev_islands" -> evIslands,
     "sql_surface" -> sqlSurface,
     "txt_jaro_pairs" -> txtJaroPairs,
+    "pipeline_linkage" -> pipelineLinkage,
     "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
@@ -2583,6 +2610,21 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // corruption, blocking, both metrics, and the match decision replayed
+    "pipeline_linkage" ->
+      """WITH dups AS (
+        |  SELECT c_custkey + 1000000 AS k, c_nationkey AS n,
+        |    concat(substring(c_name, 1, CAST(c_custkey % 7 + 10 AS INTEGER) - 1),
+        |           substring(c_name, CAST(c_custkey % 7 + 10 AS INTEGER) + 1, 1),
+        |           substring(c_name, CAST(c_custkey % 7 + 10 AS INTEGER), 1),
+        |           substring(c_name, CAST(c_custkey % 7 + 10 AS INTEGER) + 2, 100)) AS name
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT c.c_custkey AS k0, d.k,
+        |  round(jaro_winkler_similarity(c.c_name, d.name), 4) AS jw,
+        |  CAST(damerau_levenshtein(c.c_name, d.name) AS INTEGER) AS dl
+        |FROM customer c JOIN dups d ON c.c_nationkey = d.n
+        |WHERE round(jaro_winkler_similarity(c.c_name, d.name), 4) >= 0.985
+        |ORDER BY k0, k""".stripMargin,
     // DuckDB's independent Jaro-Winkler cross-validates ours pair by pair
     "txt_jaro_pairs" ->
       """SELECT c1.c_custkey AS k1, c2.c_custkey AS k2,

@@ -18,7 +18,11 @@ class JaroWinklerSpec extends SparkSpec {
     ("abcdefgh", "abzzzzzz", 0.5), // prefix 2 but jaro <= 0.7: no boost
     ("prefixxx", "prefiyyy", 0.85), // 5-char prefix capped at 4
     ("abc", "abc", 1.0),
-    ("abc", "", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+    ("abc", "", 0.0), ("", "", 0.0), ("a", "b", 0.0),
+    // ODD mismatch count: floored transpositions (t=3 -> T=1), the case
+    // that distinguishes the rapidfuzz/DuckDB convention from the
+    // fractional textbook form
+    ("Customer#000000312", "Customer#000010320", 0.9888888888888889))
 
   test("reference values (driver-side)") {
     cases.foreach { case (a, b, want) =>
