@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot diff — the audit step of every incremental refresh:
@@ -77,6 +78,39 @@ object Snapshot {
         when(col(valueCol).isNull, lit(-1)).otherwise(label).cast("int"))
     }
     categoryDrift(binned(oldDf), binned(newDf), "bin", epsilon)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the nonparametric
+    * sibling of [[numericDrift]]'s binned PSI: `D = sup|F₁(v) − F₂(v)|`
+    * over the empirical CDFs, sensitive to ANY distributional change
+    * with no binning choices to tune. Returns one row
+    * (ks, n_ref, n_cur).
+    *
+    * Shape: per-sample value counts reduce both inputs to their
+    * DISTINCT values first (one shuffle each), the full-outer-joined
+    * count table is NDV-sized, and the prefix sums run as ONE window
+    * over that reduced set — fine wherever NDV ≪ rows (measured
+    * columns, scores, lengths). For genuinely continuous high-NDV
+    * columns quantile-bin upstream or accept the sort: the window is
+    * the exact-CDF floor. */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val n1 = ref.where(col(valueCol).isNotNull).count()
+    val n2 = cur.where(col(valueCol).isNotNull).count()
+    require(n1 > 0 && n2 > 0, "both samples must be non-empty")
+    def counts(df: DataFrame, out: String) = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as(out))
+    val merged = counts(ref, "a").join(counts(cur, "b"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .select(abs(sum(col("a")).over(w) / n1.toDouble
+        - sum(col("b")).over(w) / n2.toDouble).as("d"))
+      .agg(round(max(col("d")), 6).as("ks"),
+        lit(n1).as("n_ref"), lit(n2).as("n_cur"))
   }
 
   /** Distribution drift between snapshots over a categorical column —

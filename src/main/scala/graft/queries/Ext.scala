@@ -553,6 +553,20 @@ object Ext {
       .orderBy(col("bin"))
   }
 
+  /** KS drift over the same ref/cur split as [[rptNumericDrift]]: the
+    * exact sup-norm ECDF distance, no binning to tune. Planted shift:
+    * `cur` appends the %10≡0 docs with n_chars scaled 1.2×, so D is
+    * decidedly nonzero and the oracle gates the full prefix-sum path. */
+  def rptKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ref = d.where(col("doc_id") % 10 =!= 0)
+    // explicit floor: Spark's double->long cast truncates, DuckDB's
+    // rounds — floor() agrees everywhere
+    val cur = ref.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", floor(col("n_chars") * 1.2).cast("long")))
+    Snapshot.ksStatistic(ref, cur, "n_chars")
+  }
+
   /** Robust per-language length outliers: |n_chars − median| > 2·MAD
     * (median absolute deviation — the robust z-score every curation
     * pipeline uses where mean/stddev would let the outliers move their
@@ -2390,6 +2404,7 @@ object Ext {
     "rpt_category_drift" -> rptCategoryDrift,
     "rpt_corpus_novelty" -> rptCorpusNovelty,
     "rpt_numeric_drift" -> rptNumericDrift,
+    "rpt_ks_drift" -> rptKsDrift,
     "rpt_outliers" -> rptOutliers,
     "txt_top_terms" -> txtTopTerms,
     "mix_temperature" -> mixTemperature,
@@ -2610,6 +2625,24 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INTEGER) AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full prefix-sum ECDF replay over the distinct-value union
+    "rpt_ks_drift" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 10 <> 0),
+        |cur AS (SELECT n_chars FROM ref
+        |        UNION ALL
+        |        SELECT CAST(floor(n_chars * 1.2) AS BIGINT) FROM documents WHERE doc_id % 10 = 0),
+        |a AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS a FROM ref GROUP BY 1),
+        |b AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS b FROM cur GROUP BY 1),
+        |m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(a.a, 0) AS a, coalesce(b.b, 0) AS b
+        |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |n AS (SELECT (SELECT sum(a) FROM m) AS n1, (SELECT sum(b) FROM m) AS n2),
+        |c AS (SELECT abs(sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST((SELECT n1 FROM n) AS DOUBLE)
+        |            - sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST((SELECT n2 FROM n) AS DOUBLE)) AS d
+        |      FROM m)
+        |SELECT round(max(d), 6) AS ks,
+        |  CAST((SELECT n1 FROM n) AS BIGINT) AS n_ref,
+        |  CAST((SELECT n2 FROM n) AS BIGINT) AS n_cur
+        |FROM c""".stripMargin,
     // corruption, blocking, both metrics, and the match decision replayed
     "pipeline_linkage" ->
       """WITH dups AS (

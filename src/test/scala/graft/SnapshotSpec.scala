@@ -113,4 +113,24 @@ class SnapshotSpec extends SparkSpec {
       .map(_.length()).sum
     assert(bytes < 64 * 1024, s"sketch artifact should be KBs, was $bytes")
   }
+
+  test("ksStatistic: identical samples give 0; known shift gives the exact sup distance") {
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 100).map(_.toLong).toDF("x")
+    assert(Snapshot.ksStatistic(a, a, "x").head().getDouble(0) === 0.0)
+    // ref uniform{1..4} x25; cur uniform{3..6} x25: ECDFs cross maximally
+    // at v=2: F1=0.5, F2=0 -> D=0.5 (and at v=4: 1.0 vs 0.5)
+    val ref = (1 to 4).flatMap(v => Seq.fill(25)(v.toLong)).toDF("x")
+    val cur = (3 to 6).flatMap(v => Seq.fill(25)(v.toLong)).toDF("x")
+    val row = Snapshot.ksStatistic(ref, cur, "x").head()
+    assert(row.getDouble(0) === 0.5)
+    assert(row.getLong(1) === 100L && row.getLong(2) === 100L)
+    // nulls are excluded, not counted
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS x").unionByName(a)
+    assert(Snapshot.ksStatistic(withNull, a, "x").head().getDouble(0) === 0.0)
+    // empty sample fails loud
+    intercept[IllegalArgumentException](
+      Snapshot.ksStatistic(a.where(col("x") < 0), a, "x").head())
+  }
 }
