@@ -49,6 +49,10 @@ object PorterStem {
     * applies (length ≤ 2 or non a-z content). */
   def stem(word: String): String = {
     if (word.length <= 2) return word
+    // real English words are far below this; beyond it stemming is
+    // meaningless and the per-char 'y' classification (which recurses
+    // left through y-runs) must stay bounded on adversarial tokens
+    if (word.length > 64) return word
     var i = 0
     while (i < word.length) {
       val c = word.charAt(i)

@@ -111,8 +111,11 @@ object GraphRank {
       .union(e0.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // driver path requires int-indexable arrays: cap the dispatch bound
+    // so a vectorMaxNodes raised past Int.MaxValue can't wrap nL.toInt
+    val driverCap = math.min(vectorMaxNodes, Int.MaxValue.toLong - 8)
     val out =
-      if (n <= vectorMaxNodes) driverVector(e0, nodes, n, iterations, damping, seeds)
+      if (n <= driverCap) driverVector(e0, nodes, n, iterations, damping, seeds)
       else distributedVector(e0, nodes, n, iterations, damping, seeds)
     e0.unpersist()
     nodes.unpersist()

@@ -133,7 +133,9 @@ object ImageHeaders {
       // ASCII values ≤4 bytes are inline in the value field, else the
       // field holds an offset from the TIFF header
       val start = if (count <= 4) valOff else tiff + r32(valOff)
-      if (start < tiff || start + count > end || count <= 0) return ""
+      // subtraction form: `start + count` can overflow on a crafted
+      // count near Int.MaxValue and dodge the bound check
+      if (start < tiff || count <= 0 || count > end - start) return ""
       val upto = start + count - 1 // trailing NUL mandated by TIFF
       new String(bytes, start, math.max(0, upto - start), "ISO-8859-1")
         .takeWhile(_ != '\u0000') // defensive: stop at an embedded NUL

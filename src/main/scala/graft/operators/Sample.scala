@@ -197,22 +197,6 @@ object Sample {
     * the property training pipelines need so the test set stays clean
     * across corpus refreshes; (d) `salt` re-deals the split without
     * touching the data. */
-  /** K-fold cross-validation assignment: fold = top-32 md5 bits of the
-    * salted id, mod k — deterministic, stable under corpus growth, and
-    * engine-reproducible (same draw family as [[hashSplit]]). Train set
-    * for fold f = everything where fold ≠ f; no shuffle, pure narrow. */
-  def kFold(df: DataFrame, idCol: String, k: Int, salt: String = "cv",
-            foldCol: String = "fold"): DataFrame = {
-    require(k >= 2, "need at least 2 folds")
-    require(!df.columns.contains(foldCol), s"column '$foldCol' already exists")
-    val draw = when(col(idCol).isNull,
-        raise_error(lit(s"Sample.kFold requires non-null '$idCol'")))
-      .otherwise(conv(substring(md5(
-        concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
-        .cast("long"))
-    df.withColumn(foldCol, pmod(draw, lit(k.toLong)).cast("int"))
-  }
-
   def hashSplit(df: DataFrame, idCol: String, fractions: Seq[(String, Double)],
                 salt: String = "", splitCol: String = "split"): DataFrame = {
     require(fractions.size >= 2, "need at least two split buckets")
@@ -234,5 +218,21 @@ object Sample {
       case (((name, _), thr), rest) => when(draw < thr, name).otherwise(rest)
     }
     df.withColumn(splitCol, label)
+  }
+
+  /** K-fold cross-validation assignment: fold = top-32 md5 bits of the
+    * salted id, mod k — deterministic, stable under corpus growth, and
+    * engine-reproducible (same draw family as [[hashSplit]]). Train set
+    * for fold f = everything where fold ≠ f; no shuffle, pure narrow. */
+  def kFold(df: DataFrame, idCol: String, k: Int, salt: String = "cv",
+            foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(!df.columns.contains(foldCol), s"column '$foldCol' already exists")
+    val draw = when(col(idCol).isNull,
+        raise_error(lit(s"Sample.kFold requires non-null '$idCol'")))
+      .otherwise(conv(substring(md5(
+        concat(lit(salt), lit("|"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long"))
+    df.withColumn(foldCol, pmod(draw, lit(k.toLong)).cast("int"))
   }
 }

@@ -94,9 +94,6 @@ object Snapshot {
     * columns quantile-bin upstream or accept the sort: the window is
     * the exact-CDF floor. */
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
-    val n1 = ref.where(col(valueCol).isNotNull).count()
-    val n2 = cur.where(col(valueCol).isNotNull).count()
-    require(n1 > 0 && n2 > 0, "both samples must be non-empty")
     def counts(df: DataFrame, out: String) = df
       .where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
@@ -106,11 +103,22 @@ object Snapshot {
         coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // sample totals from a full-frame window over the SAME reduced set —
+    // each input is scanned exactly once (no separate count() jobs);
+    // an empty sample fails loud at evaluation time
+    val wf = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val na = sum(col("a")).over(wf)
+    val nb = sum(col("b")).over(wf)
     merged
-      .select(abs(sum(col("a")).over(w) / n1.toDouble
-        - sum(col("b")).over(w) / n2.toDouble).as("d"))
+      .select(
+        when(na === 0 || nb === 0,
+          raise_error(lit("ksStatistic: both samples must be non-empty")))
+          .otherwise(abs(sum(col("a")).over(w) / na.cast("double")
+            - sum(col("b")).over(w) / nb.cast("double"))).as("d"),
+        na.as("na"), nb.as("nb"))
       .agg(round(max(col("d")), 6).as("ks"),
-        lit(n1).as("n_ref"), lit(n2).as("n_cur"))
+        max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"))
   }
 
   /** Distribution drift between snapshots over a categorical column —

@@ -792,9 +792,6 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
-  /** Deterministic 80/10/10 train/val/test split by document-id hash —
-    * engine-reproducible (md5), stable under corpus growth; see
-    * [[graft.operators.Sample.hashSplit]]. */
   /** 5-fold CV assignment over documents: per-doc fold plus per-fold
     * size so skewed folds would show in the hash. */
   def smpKfold(s: SparkSession, dir: String): DataFrame = {
@@ -826,6 +823,9 @@ object Ext {
       .orderBy(col("cohort_week"), col("week_no"))
   }
 
+  /** Deterministic 80/10/10 train/val/test split by document-id hash —
+    * engine-reproducible (md5), stable under corpus growth; see
+    * [[graft.operators.Sample.hashSplit]]. */
   def smpSplit(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     graft.operators.Sample
@@ -1340,7 +1340,10 @@ object Ext {
     //  - one percentile buffer per column via the array form;
     //  - cheap min/max/null in one combined agg.
     // At 100 TB swap percentile -> approx_percentile and ndv -> HLL.
-    val ndvs = cols.map(c => li.select(col(c)).distinct().count())
+    // NDV conventionally excludes NULL (reported separately as n_nulls),
+    // matching the twin's count(DISTINCT c)
+    val ndvs = cols.map(c =>
+      li.where(col(c).isNotNull).select(col(c)).distinct().count())
     val basics = li.agg(
       count(when(col(cols(0)).isNull, lit(1))).as("nn0"),
       count(when(col(cols(1)).isNull, lit(1))).as("nn1"),
@@ -2121,8 +2124,12 @@ object Ext {
       k => concat(lit("<a class=\"l\" href=\"http://h"),
         pmod(col("doc_id") * 7 + k, lit(50)), lit(".example.com/p"),
         col("doc_id"), lit("\">x</a>"))))
+    // neutralize angle brackets in the body text: the twin predicts
+    // links from the anchor formulas alone, so fixture text that ever
+    // grew an <a href=...> of its own must not reach the extractor
     val html = d.select(col("doc_id"),
-      concat(lit("<html><body><p>"), col("text"), lit("</p>"), anchors,
+      concat(lit("<html><body><p>"),
+        regexp_replace(col("text"), "[<>]", " "), lit("</p>"), anchors,
         lit("</body></html>")).as("html"))
     html.select(col("doc_id"),
         posexplode(graft.operators.WebCurate.extractLinks(col("html"))))
@@ -2144,15 +2151,6 @@ object Ext {
     graft.operators.GraphRank.triangleCount(edges, "src", "dst")
   }
 
-  /** PageRank authority scores over the urgent-order customer↔supplier
-    * bipartite graph (node ids disambiguated arithmetically: customer =
-    * 2k, supplier = 2k+1; edges symmetrized so the graph has no dangling
-    * nodes and ranks cover every node). 10 fixed iterations, damping
-    * 0.85 — deterministic, so the DuckDB twin unrolls the identical
-    * power iteration and the hash compare gates every contribution sum.
-    * This is the domain-authority ranking a web-curation pipeline runs
-    * over the host link graph; see [[graft.operators.GraphRank]] for the
-    * per-iteration scale shape. */
   /** TrustRank over the same bipartite graph as [[graphPagerank]], with
     * the teleport restricted to the supplier side (odd node ids) as the
     * "trusted seed set" — rank decays with link distance from the
@@ -2175,6 +2173,15 @@ object Ext {
       .orderBy(col("node"))
   }
 
+  /** PageRank authority scores over the urgent-order customer↔supplier
+    * bipartite graph (node ids disambiguated arithmetically: customer =
+    * 2k, supplier = 2k+1; edges symmetrized so the graph has no dangling
+    * nodes and ranks cover every node). 10 fixed iterations, damping
+    * 0.85 — deterministic, so the DuckDB twin unrolls the identical
+    * power iteration and the hash compare gates every contribution sum.
+    * This is the domain-authority ranking a web-curation pipeline runs
+    * over the host link graph; see [[graft.operators.GraphRank]] for the
+    * per-iteration scale shape. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")

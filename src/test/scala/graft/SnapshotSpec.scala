@@ -129,8 +129,8 @@ class SnapshotSpec extends SparkSpec {
     // nulls are excluded, not counted
     val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS x").unionByName(a)
     assert(Snapshot.ksStatistic(withNull, a, "x").head().getDouble(0) === 0.0)
-    // empty sample fails loud
-    intercept[IllegalArgumentException](
+    // empty sample fails loud (raise_error at evaluation time)
+    intercept[Exception](
       Snapshot.ksStatistic(a.where(col("x") < 0), a, "x").head())
   }
 }
