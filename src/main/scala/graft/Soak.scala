@@ -129,6 +129,21 @@ object Soak {
           embs.select(graft.operators.RandomProjection
               .projectColumn(col("embedding"), 64, 16).as("p"))
             .select(sum(size(col("p"))).as("s")).collect()(0).getLong(0)),
+        // blocked fuzzy matching, equi-join form: candidate keys are
+        // MATERIALIZED (explode of the 5-wide window) so the join is
+        // hash-equi on (lang, key) — candidates exactly 5 per row,
+        // linear by construction. The naive range-on-top-of-lang join
+        // evaluates |lang-block|² pairs (measured 28 s at 1x vs 1 s).
+        "jaro_blocked" -> (() => {
+          val a = docs.select(col("doc_id").as("k1"), col("lang"),
+              substring(col("text"), 1, 40).as("s1"))
+            .withColumn("k2", explode(array((1 to 5).map(col("k1") + lit(_)): _*)))
+          val b = docs.select(col("doc_id").as("k2"), col("lang"),
+            substring(col("text"), 1, 40).as("s2"))
+          a.join(b, Seq("lang", "k2"))
+            .where(graft.functions.JaroWinkler(col("s1"), col("s2")) >= 0.8)
+            .count()
+        }),
         // sketch pass + candidate-only exact verify: must be linear (the
         // candidate set is <= k regardless of scale)
         "heavy_hitters" -> (() => {

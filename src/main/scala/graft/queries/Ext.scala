@@ -1191,12 +1191,18 @@ object Ext {
     * same published metric, so the two engines cross-validate each
     * other's match/transposition/boost arithmetic on every pair. */
   def txtJaroPairs(s: SparkSession, dir: String): DataFrame = {
+    // key-window blocking in EQUI-JOIN form: candidate keys are
+    // materialized (explode of the 10-wide window) so the join hashes on
+    // the key — exactly 10 candidates per row. The naive
+    // range-predicate-on-top-of-nation join evaluates |nation-block|²
+    // pairs (the Soak harness measured that shape 72× slower).
     val c1 = Tables.customer(s, dir)
       .select(col("c_custkey").as("k1"), col("c_nationkey").as("n1"), col("c_name").as("name1"))
+      .withColumn("k2", explode(array((1 to 10).map(col("k1") + lit(_)): _*)))
     val c2 = Tables.customer(s, dir)
       .select(col("c_custkey").as("k2"), col("c_nationkey").as("n2"), col("c_name").as("name2"))
-    c1.join(c2, col("n1") === col("n2") &&
-        col("k2") > col("k1") && col("k2") <= col("k1") + 10)
+    c1.join(c2, Seq("k2"))
+      .where(col("n1") === col("n2"))
       .select(col("k1"), col("k2"),
         round(graft.functions.JaroWinkler(col("name1"), col("name2")), 4).as("jw"),
         graft.functions.DamerauLevenshtein(col("name1"), col("name2")).as("dl"))
@@ -1211,7 +1217,13 @@ object Ext {
     * one transposition in 18 chars, full prefix boost) and the closest
     * DIFFERENT customers (~0.978 — one digit substituted), so the
     * decision boundary itself is gated. The twin replays corruption,
-    * blocking, both metrics, and the decision. */
+    * blocking, both metrics, and the decision.
+    *
+    * Scale note: linkage blocking is attribute-only (nation) by nature —
+    * duplicates share no key proximity — so candidate volume is
+    * Σ|block_orig|·|block_dup| and the blocking key must keep blocks
+    * bounded at scale (more attributes, or LSH over name shingles as
+    * the dedup family does); scoring is already per-candidate-only. */
   def pipelineLinkage(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val dups = c.where(col("c_custkey") % 3 === 0)
@@ -1887,6 +1899,32 @@ object Ext {
       .orderBy(col("doc_id"), col("_change"))
   }
 
+  /** Right-to-be-forgotten END-TO-END: delete the target ids from the
+    * corpus table (copy-on-write upsert), then `vacuum(keepVersions=1)`
+    * so the pre-deletion snapshots' data dirs — which still contain the
+    * forgotten rows — are physically reclaimed, not just unreferenced.
+    * The query emits the surviving rows PLUS the on-disk version count,
+    * so the hash gate fails if a forgotten row survives anywhere
+    * readable or an old snapshot escapes the vacuum. This is the
+    * compliance path a 100 TB corpus needs: work ∝ touched buckets for
+    * the delete, file deletes for the reclaim, zero rewrites of
+    * untouched data. */
+  def pipelineForget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = rtDir(s, "forget", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.Merge.init(docs, root, "doc_id", nBuckets = 8)
+    val forget = docs.where(col("doc_id") % 9 === 2).select(col("doc_id"))
+    graft.sources.Merge.upsert(s, root, docs.limit(0), forget)
+    graft.sources.Merge.vacuum(s, root, keepVersions = 1)
+    val versionsLeft = graft.sources.Merge.versions(s, root).size
+    graft.sources.Merge.read(s, root)
+      .select(col("doc_id"), col("lang"), lit(versionsLeft).as("versions_on_disk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The incremental-refresh loop END-TO-END: snapshot diff
     * ([[graft.operators.Snapshot.changedRows]]/diff — work ∝ one
     * fingerprint join) computes the churn between yesterday's corpus
@@ -2333,6 +2371,7 @@ object Ext {
     "smp_kfold" -> smpKfold,
     "sim_pca" -> simPca,
     "rpt_merge_changes" -> rptMergeChanges,
+    "pipeline_forget" -> pipelineForget,
     "txt_stem_terms" -> txtStemTerms,
     "txt_extract_links" -> txtExtractLinks,
     "txt_tokenizer_compare" -> txtTokenizerCompare,
@@ -2789,6 +2828,12 @@ object Ext {
         |  round(n * CAST(nkeys AS DOUBLE) / CAST(total AS DOUBLE), 4) AS skew_ratio,
         |  CAST(ceil(n * 32.0 / CAST(total AS DOUBLE)) AS INTEGER) AS suggested_salt
         |FROM top CROSS JOIN st ORDER BY rk""".stripMargin,
+    // survivors + the vacuumed version count: a forgotten row surviving
+    // anywhere readable, or an unreclaimed old snapshot, breaks the hash
+    "pipeline_forget" ->
+      """SELECT doc_id, lang, CAST(1 AS INTEGER) AS versions_on_disk
+        |FROM documents WHERE doc_id % 9 <> 2
+        |ORDER BY doc_id""".stripMargin,
     // the exact insert/update/delete sets of the deterministic changeset;
     // updates include ids also deleted (upsert-wins), deletes exclude them
     "rpt_merge_changes" ->
