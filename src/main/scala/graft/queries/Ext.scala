@@ -1262,6 +1262,23 @@ object Ext {
         |ORDER BY e.vec_id""".stripMargin)
   }
 
+  /** Hour-of-week seasonality profile: event share per (ISO weekday,
+    * hour) cell — the load/traffic fingerprint capacity planning and
+    * anomaly baselines start from. One bounded (7×24) aggregate; the
+    * total rides back as a broadcast scalar. Engines disagree on
+    * week-start conventions, so the ISO form (Monday=1) is pinned:
+    * Spark `weekday()+1` == DuckDB `isodow()`. */
+  def evSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cells = ev.groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n") / col("total"), 4).as("share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * P(next event type | event type), from lead() pairs within each
     * user's time-ordered stream — the behavior model session analytics
@@ -2365,6 +2382,7 @@ object Ext {
     "ev_retention" -> evRetention,
     "ev_transitions" -> evTransitions,
     "ev_islands" -> evIslands,
+    "ev_seasonality" -> evSeasonality,
     "sql_surface" -> sqlSurface,
     "txt_jaro_pairs" -> txtJaroPairs,
     "pipeline_linkage" -> pipelineLinkage,
@@ -2722,6 +2740,13 @@ object Ext {
         |  CAST(length(nfc_normalize(d.text)) AS INTEGER) AS n_nfc
         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
         |ORDER BY e.vec_id""".stripMargin,
+    "ev_seasonality" ->
+      """WITH c AS (SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+        |                  CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT dow, hr, n, round(n / CAST(total AS DOUBLE), 4) AS share
+        |FROM c CROSS JOIN t ORDER BY dow, hr""".stripMargin,
     "ev_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
