@@ -39,14 +39,18 @@ object AffineDots {
               offsets: Array[Double]): ArrayData = {
     val k = offsets.length
     val d = matrix.length / k
-    val n = math.min(vec.numElements(), d)
+    // fail loud on a dimension mismatch: a silent min() would project a
+    // truncated/zero-padded vector — a wrong answer, not an error — and
+    // Pca.fit already enforces length == dim at fit time
+    if (vec.numElements() != d) throw new IllegalArgumentException(
+      s"graft_affine_dots: vector length ${vec.numElements()} != fitted dim $d")
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       val base = c * d
       var s = 0.0
       var t = 0
-      while (t < n) { s += vec.getDouble(t) * matrix(base + t); t += 1 }
+      while (t < d) { s += vec.getDouble(t) * matrix(base + t); t += 1 }
       out(c) = s - offsets(c)
       c += 1
     }

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * across rounds — the codegen cache hits and re-planning is cheap.
   *
   * Flat layout `centroids[c*dsub + t]` where dsub = centroids.length / k;
-  * vectors shorter than dsub contribute only their length (defensive
-  * min, mirroring [[DotProduct]]).
+  * a vector whose length differs from dsub fails loud (a silent min
+  * would score a truncated vector — wrong answer, not an error —
+  * inconsistent with the fit-side length checks).
   */
 case class CentroidDots(child: Expression, centroids: Array[Double], k: Int)
     extends UnaryExpression {
@@ -44,14 +45,15 @@ case class CentroidDots(child: Expression, centroids: Array[Double], k: Int)
 object CentroidDots {
   def compute(vec: ArrayData, centroids: Array[Double], k: Int): ArrayData = {
     val d = centroids.length / k
-    val n = math.min(vec.numElements(), d)
+    if (vec.numElements() != d) throw new IllegalArgumentException(
+      s"graft_centroid_dots: vector length ${vec.numElements()} != centroid dim $d")
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       val base = c * d
       var s = 0.0
       var t = 0
-      while (t < n) { s += vec.getDouble(t) * centroids(base + t); t += 1 }
+      while (t < d) { s += vec.getDouble(t) * centroids(base + t); t += 1 }
       out(c) = s
       c += 1
     }

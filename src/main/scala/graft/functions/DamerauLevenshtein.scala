@@ -37,9 +37,20 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Inputs beyond this length fail loud: the unrestricted-transposition
+    * recurrence needs a full (l1+2)×(l2+2) int matrix, so two ~100 KB
+    * documents would allocate tens of GB PER ROW. Linkage keys (names,
+    * titles, addresses) are far below this; for document-scale text use
+    * the banded/shingle dedup operators instead. */
+  val MaxLen = 10000
+
   def distance(a: String, b: String): Int = {
     val l1 = a.length
     val l2 = b.length
+    if (l1 > MaxLen || l2 > MaxLen) throw new IllegalArgumentException(
+      s"graft_damerau_levenshtein: input lengths ($l1, $l2) exceed $MaxLen chars " +
+        "(O(l1*l2) matrix would exhaust executor memory); this metric is for " +
+        "linkage-key-sized strings — use the shingle/minhash dedup family for documents")
     if (l1 == 0) return l2
     if (l2 == 0) return l1
     val inf = l1 + l2

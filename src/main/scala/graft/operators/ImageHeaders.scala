@@ -57,7 +57,9 @@ object ImageHeaders {
     // the non-frame markers C4=DHT, C8=JPG extension, CC=DAC)
     if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) {
       var i = 2
-      while (i + 9 < bytes.length) {
+      // guard i+8 < length: a SOF whose dimension payload (i+5..i+8) ends
+      // exactly at the buffer end is still fully parseable
+      while (i + 8 < bytes.length) {
         if (u8(bytes, i) != 0xff) return Unknown // desynced — corrupt
         val marker = u8(bytes, i + 1)
         if (marker == 0xff) { i += 1 } // fill bytes before a marker
@@ -68,7 +70,7 @@ object ImageHeaders {
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
-            if (i + 9 >= bytes.length) return Unknown
+            if (i + 8 >= bytes.length) return Unknown
             return ImageMeta("jpeg", be16(bytes, i + 7), be16(bytes, i + 5))
           }
           i += 2 + len

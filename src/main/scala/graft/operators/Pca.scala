@@ -53,6 +53,8 @@ object Pca {
     val agg = df.select(col(vecCol).cast("array<double>")).as[Array[Double]].rdd
       .treeAggregate(zero)(
         seqOp = (acc, v) => {
+          require(v != null,
+            s"PCA fit: null vector in column '$vecCol' — filter nulls before fitting")
           require(v.length == dim, s"vector length ${v.length} != dim $dim")
           acc(0) += 1
           var i = 0

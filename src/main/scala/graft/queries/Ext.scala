@@ -1935,7 +1935,9 @@ object Ext {
     graft.sources.Merge.init(docs, root, "doc_id", nBuckets = 8)
     val forget = docs.where(col("doc_id") % 9 === 2).select(col("doc_id"))
     graft.sources.Merge.upsert(s, root, docs.limit(0), forget)
-    graft.sources.Merge.vacuum(s, root, keepVersions = 1)
+    // minAgeMs=0: this query is the table's only writer (it just built
+    // the table in-line), so the concurrent-upsert retention guard is moot
+    graft.sources.Merge.vacuum(s, root, keepVersions = 1, minAgeMs = 0L)
     val versionsLeft = graft.sources.Merge.versions(s, root).size
     graft.sources.Merge.read(s, root)
       .select(col("doc_id"), col("lang"), lit(versionsLeft).as("versions_on_disk"))

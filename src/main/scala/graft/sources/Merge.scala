@@ -182,8 +182,17 @@ object Merge {
 
   /** Delete data dirs no manifest within `keepVersions` of CURRENT
     * references (crash orphans + aged-out snapshots), then drop the old
-    * manifests. Never touches the current snapshot. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    * manifests. Never touches the current snapshot.
+    *
+    * `minAgeMs`: an unreferenced leaf dir younger than this is SKIPPED —
+    * it is indistinguishable from the unique attempt dir of a concurrent
+    * IN-FLIGHT upsert that has not yet renamed its manifest (deleting it
+    * would let that upsert commit a snapshot pointing at vanished data).
+    * The 1 h default covers any realistic write+commit window, same
+    * retention idea as Iceberg/Delta vacuum; pass 0 only when the caller
+    * KNOWS no writer is concurrent (single-writer batch jobs, tests). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             minAgeMs: Long = 3600000L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = manifestVersions(spark, root)
@@ -198,10 +207,12 @@ object Merge {
       readManifest(spark, root, v).partitions.values.map(rel =>
         qualified(new Path(new Path(root), rel)))).toSet
     val dataRoot = new Path(root, "data")
+    val cutoff = System.currentTimeMillis() - minAgeMs
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { vDir =>
       val leaves = fs.listStatus(vDir.getPath)
       leaves.foreach { leaf =>
-        if (!live(qualified(leaf.getPath))) fs.delete(leaf.getPath, true)
+        if (!live(qualified(leaf.getPath)) &&
+            leaf.getModificationTime <= cutoff) fs.delete(leaf.getPath, true)
       }
       if (fs.listStatus(vDir.getPath).isEmpty) fs.delete(vDir.getPath, false)
     }

@@ -67,4 +67,16 @@ class JaroWinklerSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
       .head().getDouble(0) > 0.96)
   }
+
+  test("Damerau-Levenshtein: document-sized inputs fail loud, not OOM") {
+    import graft.functions.DamerauLevenshtein
+    // just under the cap is fine (bounded by max length, not quadratic blowup)
+    assert(DamerauLevenshtein.distance("a" * 100, "a" * 100) === 0)
+    val big = "x" * (DamerauLevenshtein.MaxLen + 1)
+    val e = intercept[IllegalArgumentException](DamerauLevenshtein.distance(big, "x"))
+    assert(e.getMessage.contains("exceed"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](DamerauLevenshtein.distance("x", big))
+    assert(e2.getMessage.contains("graft_damerau_levenshtein"))
+  }
+
 }

@@ -108,7 +108,7 @@ class MergeSpec extends SparkSpec {
     Seq((999L, "GHOST", 0)).toDF("id", "text", "grp")
       .write.parquet(s"$root/data/v9/_pt=0")
     val snapshot = Merge.read(spark, root).orderBy("id").collect()
-    Merge.vacuum(spark, root, keepVersions = 1)
+    Merge.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", "v9")),
       "orphan data must be reclaimed")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "manifest", "v00000.json")),
@@ -125,7 +125,7 @@ class MergeSpec extends SparkSpec {
       Merge.upsert(spark, rel, Seq((1L, "ONE")).toDF("id", "text"),
         spark.emptyDataset[Long].toDF("id"))
       val before = Merge.read(spark, rel).orderBy("id").collect()
-      Merge.vacuum(spark, rel, keepVersions = 1)
+      Merge.vacuum(spark, rel, keepVersions = 1, minAgeMs = 0L)
       assert(Merge.read(spark, rel).orderBy("id").collect().toSeq === before.toSeq,
         "qualified-path comparison must protect the current snapshot under relative roots")
     } finally {
@@ -166,7 +166,7 @@ class MergeSpec extends SparkSpec {
       Merge.read(spark, root).orderBy("id").collect().toSeq)
     // retention: keep 2 -> v0 is gone (manifest AND its exclusive dirs),
     // v1 and v2 still read
-    Merge.vacuum(spark, root, keepVersions = 2)
+    Merge.vacuum(spark, root, keepVersions = 2, minAgeMs = 0L)
     assert(Merge.versions(spark, root) === Seq(1, 2))
     intercept[IllegalArgumentException](Merge.readVersion(spark, root, 0))
     assert(Merge.readVersion(spark, root, 1).count() === 60)
@@ -287,4 +287,20 @@ class MergeSpec extends SparkSpec {
     val got = Merge.read(spark, root).select("id").as[Long].collect().toSet
     assert(got === bucketOf.filter(_._2 == 1).keys.toSet)
   }
+
+  test("vacuum retention: a YOUNG unreferenced dir (possible in-flight upsert) survives") {
+    val (root, _) = table(20)
+    // simulate another writer mid-upsert: data written, manifest not yet renamed
+    Seq((999L, "INFLIGHT", 0)).toDF("id", "text", "grp")
+      .write.parquet(s"$root/data/v1-cafebabe01/_pt=0")
+    Merge.vacuum(spark, root, keepVersions = 1) // default minAge: 1 h
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "v1-cafebabe01")),
+      "a freshly-written attempt dir must NOT be vacuumed out from under a live writer")
+    // explicit single-writer override reclaims it
+    Merge.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "v1-cafebabe01")))
+  }
+
 }

@@ -351,4 +351,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) === Multimodal.ExifMetaRow(1L, 8, "2019:12:31 23:59:59", "mk", "md"))
     assert(out(1) === Multimodal.ExifMetaRow(2L, -1, "", "", ""))
   }
+
+  test("ImageHeaders.sniff: SOF dimension payload ending exactly at the buffer end parses") {
+    import graft.operators.ImageHeaders
+    // minimal JPEG prefix: SOI + SOF0 whose height/width bytes are the
+    // last bytes of the blob (a truncated-but-parseable crawl artifact)
+    val b = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x0a, 0x00, 0x14)
+      .map(_.toByte)
+    assert(ImageHeaders.sniff(b) === ImageHeaders.ImageMeta("jpeg", 20, 10))
+  }
+
 }

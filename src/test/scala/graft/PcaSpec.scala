@@ -87,4 +87,27 @@ class PcaSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pca.fit(df, "v", dim = 5000, k = 2))
     intercept[IllegalArgumentException](Pca.fit(df, "v", dim = 8, k = 2)) // n=1
   }
+
+  test("fit fails loud on a null vector, naming the column") {
+    val df = Seq((1L, Array.fill(8)(1.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val e = intercept[Exception](Pca.fit(df, "v", dim = 8, k = 2))
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("null vector") && m.contains("'v'")),
+      chain(e).mkString(" | "))
+  }
+
+  test("transform fails loud when the vector length differs from the fitted dim") {
+    val data = clustered(50, 8, seed = 11)
+    val df = data.toDF("id", "v")
+    val m = Pca.fit(df, "v", dim = 8, k = 2)
+    val bad = Seq((1L, Array.fill(5)(1.0f))).toDF("id", "v")
+    val e = intercept[Exception](
+      bad.select(Pca.transformColumn(col("v"), m)).collect())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("graft_affine_dots")), chain(e).mkString(" | "))
+  }
+
 }
