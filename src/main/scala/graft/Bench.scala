@@ -12,10 +12,21 @@ object Bench {
     // threshold, shuffle partitions = cores), not a detuned default —
     // round 1 measured dedup_components 5x slower under a minimal config.
     val spark = graft.core.GraftSession.get("graft-bench")
+    // MATERIALIZING measurement: df.count() lets Spark prune every
+    // column and skip the output projections entirely (a query once
+    // benched green while its projection threw on real materialization
+    // — and wide outputs like embedding columns cost real time the
+    // count-only form never measured). Running the executed plan's RDD
+    // and counting its rows forces every output column through the
+    // UnsafeRow projection — the same work Verify's parquet write pays,
+    // minus the file I/O — and is schema-agnostic where a hash-all-
+    // columns aggregate would trip on maps/arrays-of-structs.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // Untimed warmup: initialize parquet reader, shuffle machinery, and
     // codegen before the first measured query (first-query overhead was
     // ~4s of pure infra init, not query work).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -41,7 +52,7 @@ object Bench {
       val outcomes: Seq[Either[String, Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          materialize(fn(spark, sfDir))
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${t.getMessage}")

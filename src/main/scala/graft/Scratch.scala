@@ -28,7 +28,8 @@ object Scratch {
         SparkEntry.queries(name)(spark, dir).explain("formatted")
       } else {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        // materializing form, matching Bench (count() would skip projections)
+        val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
         println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       }
     }

@@ -239,30 +239,46 @@ object Dedup {
                    margin: Double = 0.1, maxHashes: Int = 1024): (Int, Int) = {
     require(threshold - margin > 0 && threshold + margin <= 1.0,
       s"threshold +- margin must stay inside (0, 1]: $threshold +- $margin")
+    // MinHash: per-hash collision probability IS the Jaccard similarity
+    lshParamsForProb(threshold + margin, threshold - margin,
+      fpBudget, fnBudget, maxHashes)
+  }
+
+  /** The S-curve solver in per-hash collision-PROBABILITY space — the
+    * family-independent core of [[lshParamsFor]]. Every banded LSH
+    * scheme shares the same algebra (detect = 1 − (1 − p^r)^b); families
+    * differ only in how similarity maps to the per-hash collision
+    * probability p: MinHash passes Jaccard directly (p = J), sign-LSH
+    * maps cosine through the Goemans–Williamson angle
+    * ([[Similarity.signCollisionProb]], p = 1 − θ/π). Both families size
+    * through here so their budget contract can never drift apart. */
+  private[operators] def lshParamsForProb(pHi: Double, pLo: Double,
+                                          fpBudget: Double, fnBudget: Double,
+                                          maxHashes: Int): (Int, Int) = {
+    require(pHi > pLo && pHi <= 1.0 && pLo > 0,
+      s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     require(fpBudget > 0 && fpBudget < 1 && fnBudget > 0 && fnBudget < 1,
       "budgets are probabilities in (0, 1)")
-    val jHi = threshold + margin
-    val jLo = threshold - margin
     var best: Option[(Int, Int)] = None // (bands, rowsPerBand)
     def cost(p: (Int, Int)): (Int, Int) = (p._1 * p._2, p._1) // (hashes, bands)
     var r = 1
-    while (r <= 32) {
-      // smallest b meeting the FN budget: (1 - jHi^r)^b <= fn
-      val miss = 1.0 - math.pow(jHi, r)
+    while (r <= 64) {
+      // smallest b meeting the FN budget: (1 - pHi^r)^b <= fn
+      val miss = 1.0 - math.pow(pHi, r)
       val b =
         if (miss <= 0.0) 1
         else math.ceil(math.log(fnBudget) / math.log(miss)).toInt.max(1)
       if (b.toLong * r <= maxHashes &&
-          lshDetectionProbability(jLo, b, r) <= fpBudget &&
-          lshDetectionProbability(jHi, b, r) >= 1.0 - fnBudget &&
+          lshDetectionProbability(pLo, b, r) <= fpBudget &&
+          lshDetectionProbability(pHi, b, r) >= 1.0 - fnBudget &&
           best.forall(p => Ordering[(Int, Int)].lt(cost((b, r)), cost(p))))
         best = Some((b, r))
       r += 1
     }
     best.getOrElse(throw new IllegalArgumentException(
-      s"no (bands, rows) within $maxHashes hashes separates " +
-        s"J=$jLo (fp<=$fpBudget) from J=$jHi (fn<=$fnBudget) — widen the " +
-        "margin, relax a budget, or raise maxHashes"))
+      s"no (bands, rows) within $maxHashes hashes separates per-hash " +
+        s"collision prob $pLo (fp<=$fpBudget) from $pHi (fn<=$fnBudget) — " +
+        "widen the margin, relax a budget, or raise maxHashes"))
   }
 
   /** MinHash+LSH near-dup pairs, verified: LSH proposes candidates via

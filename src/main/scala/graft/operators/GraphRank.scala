@@ -71,6 +71,23 @@ object GraphRank {
       seeds = Some(seeds.toSet))
   }
 
+  /** Collect a seed-id column under an explicit bound — the guarded
+    * driver-side step feeding [[personalizedPageRank]]. Seeds are a
+    * vetted whitelist BY ASSUMPTION (dim-table-sized); this enforces the
+    * assumption instead of hoping: a seed set past `cap` fails loud with
+    * the remediation options rather than OOMing the driver. Costs a
+    * `limit(cap+1)` collect — never more than cap+1 rows move. */
+  def boundedSeeds(seedIds: DataFrame, idCol: String, cap: Int = 1000000): Seq[Long] = {
+    require(cap > 0, "cap must be positive")
+    val got = seedIds.select(col(idCol).cast("long")).limit(cap + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(got.size <= cap,
+      s"seed list exceeds $cap rows — a TrustRank whitelist must stay " +
+        "dim-table-sized; sample it, raise the cap deliberately, or move " +
+        "to a distributed seed mass")
+    got
+  }
+
   /** Triangle count over an UNDIRECTED edge list (pass each edge once,
     * either direction; self-loops and duplicates are cleaned here) —
     * the local-clustering signal used to find tightly-knit

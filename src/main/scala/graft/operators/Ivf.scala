@@ -161,9 +161,26 @@ object Ivf {
     * (query_id, rk, neighbor_id, cos). */
   def searchTopK(queries: DataFrame, corpus: DataFrame, model: Model,
                  qId: String, cId: String, qVec: String, cVec: String,
-                 topK: Int, nProbe: Int): DataFrame = {
+                 topK: Int, nProbe: Int): DataFrame =
+    searchTopKWhere(queries, corpus, model, qId, cId, qVec, cVec, topK, nProbe,
+      predicate = lit(true))
+
+  /** Attribute-FILTERED IVF search — the vector-DB table-stakes compose
+    * (predicate + kNN in ONE probe): the row `predicate` applies to the
+    * corpus BEFORE cell attach and the probe join, so Catalyst pushes it
+    * down to the scan and the candidate set shrinks before any scoring
+    * work. The alternative — post-filtering an UNfiltered top-k —
+    * returns fewer than k rows (or nothing) exactly when the filter is
+    * selective, which is when filtering matters; pre-filtering keeps
+    * "top-k among rows satisfying P" semantics at one probe's cost.
+    * Hard-negative mining composes here too: `predicate =
+    * col("label") =!= queryLabel` generalizes
+    * [[Similarity.hardNegatives]]' broadcast path to the IVF index. */
+  def searchTopKWhere(queries: DataFrame, corpus: DataFrame, model: Model,
+                      qId: String, cId: String, qVec: String, cVec: String,
+                      topK: Int, nProbe: Int, predicate: Column): DataFrame = {
     val c = withCell(
-      corpus.select(col(cId).as("neighbor_id"), unit(col(cVec)).as("_cv")),
+      corpus.filter(predicate).select(col(cId).as("neighbor_id"), unit(col(cVec)).as("_cv")),
       col("_cv"), model.centroids, "_cell")
     val q = probedCells(queries, qId, qVec, model.centroids, nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))

@@ -181,6 +181,97 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
+  /** Exact kNN under a row predicate — "top-k among corpus rows
+    * satisfying P", the filtered-search baseline [[Ivf.searchTopKWhere]]
+    * approximates. The predicate applies BEFORE scoring (pushed to the
+    * corpus scan), never as a post-filter of an unfiltered top-k — the
+    * post-filter form silently under-returns exactly when the predicate
+    * is selective. */
+  def knnFiltered(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                  qVec: String, cVec: String, k: Int, predicate: Column): DataFrame =
+    knnBruteForce(queries, corpus.filter(predicate), qId, cId, qVec, cVec, k)
+
+  /** Per-BIT sign-LSH collision probability at cosine similarity `cos`:
+    * P[sign(w·a) = sign(w·b)] = 1 − θ/π for a Gaussian hyperplane w
+    * (Goemans–Williamson 1995; Charikar 2002 simhash) — the angular
+    * family's analogue of "per-MinHash collision prob = Jaccard". This
+    * is the similarity→probability map that lets sign-LSH share
+    * [[Dedup.lshParamsForProb]]'s S-curve sizing contract. */
+  def signCollisionProb(cos: Double): Double = {
+    require(cos >= -1.0 && cos <= 1.0, s"cosine must be in [-1, 1], got $cos")
+    1.0 - math.acos(cos) / math.Pi
+  }
+
+  /** (bands, bitsPerBand) for banded sign-LSH separating cosine >=
+    * threshold+margin (detected with prob >= 1−fnBudget) from cosine <=
+    * threshold−margin (candidate with prob <= fpBudget) — EXACTLY
+    * [[Dedup.lshParamsFor]]'s contract, mapped through
+    * [[signCollisionProb]] into the shared probability-space solver.
+    * Angular collision probs compress toward 1 (cos 0 already collides
+    * at p=0.5), so tight margins need far more bits than MinHash needs
+    * hashes — the solver fails loud when `maxHashes` can't buy the
+    * separation, which is the honest answer for sign-LSH at close
+    * thresholds. */
+  def annLshParamsFor(cosThreshold: Double, fpBudget: Double = 0.05,
+                      fnBudget: Double = 0.05, margin: Double = 0.1,
+                      maxHashes: Int = 1024): (Int, Int) = {
+    require(cosThreshold - margin > -1.0 && cosThreshold + margin <= 1.0,
+      s"threshold +- margin must stay inside (-1, 1]: $cosThreshold +- $margin")
+    Dedup.lshParamsForProb(
+      signCollisionProb(cosThreshold + margin),
+      signCollisionProb(cosThreshold - margin),
+      fpBudget, fnBudget, maxHashes)
+  }
+
+  /** Banded sign-LSH ANN: `bands` independent signatures of
+    * `bitsPerBand` hyperplane bits each; a corpus vector is a candidate
+    * for a query iff ANY band agrees exactly (the OR-of-ANDs S-curve —
+    * same construction as MinHash banding, so the (bands, bits) pair
+    * comes from [[annLshParamsFor]] and carries its fp/fn contract).
+    * Same bucketed equi-join shape as [[annLshTopK]] — shuffles
+    * (band-tagged bucket, id) longs, never all-pairs; the multi-PROBE
+    * variant trades that contract for fewer hashes. */
+  def annLshBandedTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                       qVec: String, cVec: String, k: Int,
+                       bands: Int, bitsPerBand: Int, dim: Int = 0): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 48,
+      s"need bands >= 1 and 1 <= bitsPerBand <= 48, got ($bands, $bitsPerBand)")
+    def sampleDim(df: DataFrame, vec: String): Option[Int] =
+      df.filter(col(vec).isNotNull).select(size(col(vec)).as("d")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+    val cDimOpt = sampleDim(corpus, cVec)
+    val qDimOpt = sampleDim(queries, qVec)
+    for (cd <- cDimOpt; qd <- qDimOpt)
+      require(qd == cd, s"annLshBandedTopK: query vectors are $qd-dim but corpus vectors are $cd-dim")
+    val cDim = cDimOpt.orElse(qDimOpt).getOrElse(1)
+    require(dim <= 0 || cDimOpt.isEmpty && qDimOpt.isEmpty || dim == cDim,
+      s"annLshBandedTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
+    val planes = hyperplanes(bands * bitsPerBand, cDim)
+    // band b's bucket: its own bitsPerBand-bit signature, tagged with the
+    // band index in the high bits so different bands can never collide
+    def bandBuckets(vec: Column): Column = array((0 until bands).map { b =>
+      lshBucket(vec, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)) +
+        lit(b.toLong * (1L << bitsPerBand))
+    }: _*)
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", l2Norm(col("_cv")))
+      .withColumn("_bucket", explode(bandBuckets(col("_cv"))))
+    val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", l2Norm(col("_qv")))
+      .withColumn("_bucket", explode(bandBuckets(col("_qv"))))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_bucket"))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"), col("_qn"), col("_cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs within blocks (e.g. same label):
     * cosine >= threshold. Blocked equi-join, not all-pairs. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -124,4 +124,15 @@ class GraphRankSpec extends SparkSpec {
     assert(pr(1L) > pr(2L)) // leaf 1 receives the hub's mass
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
   }
+
+  test("boundedSeeds: dim-sized whitelists collect; fact-sized seed sets fail loud") {
+    import graft.operators.GraphRank
+    val small = spark.range(10).toDF("seed")
+    assert(GraphRank.boundedSeeds(small, "seed").toSet === (0L until 10L).toSet)
+    val big = spark.range(5000).toDF("seed")
+    val e = intercept[IllegalArgumentException](
+      GraphRank.boundedSeeds(big, "seed", cap = 1000))
+    assert(e.getMessage.contains("dim-table-sized"), e.getMessage)
+  }
+
 }

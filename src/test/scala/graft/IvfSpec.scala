@@ -185,4 +185,52 @@ class IvfSpec extends SparkSpec {
     assert(loud.columns.toSeq ===
       Seq("cell", "old_n", "new_n", "old_share", "new_share", "psi_term"))
   }
+
+  test("searchTopKWhere: filter applies BEFORE the probe join; recall >= 0.9 vs filtered brute force") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(47)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    // 400 clustered vectors, attribute = parity of the id
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat), i % 2)
+    }
+    // parquet-backed corpus: a LocalRelation would constant-fold the
+    // predicate away and leave nothing to assert about plan placement
+    val pq = s"target/ivf_filtered_${System.nanoTime()}"
+    corpus.toDF("vec_id", "embedding", "attr").write.parquet(pq)
+    val df = spark.read.parquet(pq)
+    val queries = df.filter($"vec_id" < 8)
+    val model = Ivf.train(df, "vec_id", "embedding", k = 8, iters = 3)
+    val pred = col("attr") === 0
+    val got = Ivf.searchTopKWhere(queries, df, model, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 5, nProbe = 2, predicate = pred)
+    // plan shape: the attribute filter must sit BELOW the probe join
+    // (pushed toward the corpus scan), so candidates shrink before any
+    // scoring — never a post-filter above the join
+    val optimized = got.queryExecution.optimizedPlan
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    def subtreeHasAttrFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("attr") => f }.nonEmpty
+    assert(joins.exists(j => subtreeHasAttrFilter(j.left) || subtreeHasAttrFilter(j.right)),
+      s"attr filter must be inside a join input, not above it:\n$optimized")
+    assert(!optimized.toString.split("\\n").headOption.exists(_.contains("attr")),
+      "no attr post-filter at the plan root")
+    // results: only attr=0 neighbors, recall vs filtered brute force
+    val rows = got.as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3 % 2 == 0), "every neighbor satisfies the predicate")
+    val brute = Similarity.knnFiltered(queries, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, predicate = pred)
+      .as[(Long, Int, Long, Double)].collect()
+    val gotSets = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val wantSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = wantSets.map { case (q, want) =>
+      gotSets.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"filtered recall@5 = $mean")
+  }
+
 }

@@ -155,4 +155,61 @@ class SimilaritySpec extends SparkSpec {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos non-increasing in rank")
     }
   }
+
+  test("annLshParamsFor: sign-LSH shares the MinHash S-curve budget contract") {
+    import graft.operators.{Dedup, Similarity}
+    // the similarity->probability map is the Goemans-Williamson angle
+    assert(math.abs(Similarity.signCollisionProb(1.0) - 1.0) < 1e-12)
+    assert(math.abs(Similarity.signCollisionProb(0.0) - 0.5) < 1e-12)
+    assert(math.abs(Similarity.signCollisionProb(0.5) - (1.0 - 1.0 / 3.0)) < 1e-12)
+    // derived params honor both budgets at threshold +- margin, checked
+    // through the SAME detection-probability algebra MinHash sizing uses
+    for ((t, fp, fn, margin, maxH) <- Seq(
+        (0.55, 0.10, 0.05, 0.35, 1024),   // wide margin: cheap signature
+        (0.80, 0.05, 0.05, 0.10, 16384))) { // threshold +- 0.1: costs real bits
+      val (b, r) = Similarity.annLshParamsFor(t, fp, fn, margin, maxH)
+      assert(b >= 1 && r >= 1 && b * r <= maxH, s"($b, $r) within $maxH")
+      val pHi = Similarity.signCollisionProb(t + margin)
+      val pLo = Similarity.signCollisionProb(t - margin)
+      assert(Dedup.lshDetectionProbability(pHi, b, r) >= 1.0 - fn,
+        s"t=$t: fn budget at cos ${t + margin}")
+      assert(Dedup.lshDetectionProbability(pLo, b, r) <= fp,
+        s"t=$t: fp budget at cos ${t - margin}")
+    }
+    // angular margins the bit budget cannot buy fail loud, not degrade
+    intercept[IllegalArgumentException](
+      Similarity.annLshParamsFor(0.5, 0.01, 0.01, margin = 0.05, maxHashes = 256))
+  }
+
+  test("annLshBandedTopK: derived params find planted neighbors; scores are exact") {
+    val rnd = new Random(31)
+    // clustered corpus: 10 base directions, 6 noisy copies each -> true
+    // neighbors sit at cos ~0.9, background pairs at ~0
+    val bases = Array.fill(10)(Array.fill(16)(rnd.nextGaussian()))
+    val corpus = (0L until 60L).map { i =>
+      val b = bases((i % 10).toInt)
+      (i, b.map(x => (x + rnd.nextGaussian() * 0.22).toFloat))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 10)
+    val (bands, bits) = graft.operators.Similarity.annLshParamsFor(
+      0.55, fpBudget = 0.10, fnBudget = 0.05, margin = 0.35)
+    val got = graft.operators.Similarity.annLshBandedTopK(queries, df,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, bands, bits)
+    val exact = graft.operators.Similarity.knnBruteForce(queries, df,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5)
+    val hits = got.select($"query_id", $"neighbor_id")
+      .join(exact.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    val total = exact.count()
+    assert(hits.toDouble / total >= 0.85,
+      s"banded sign-LSH recall $hits/$total under the derived ($bands x $bits) params")
+    // reported cosines are true cosines (the verify step is exact)
+    val dbl = corpus.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    got.as[(Long, Int, Long, Double)].collect().foreach { case (q, _, c, cos) =>
+      val want = BigDecimal(refCos(dbl(q), dbl(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cos - want) < 1e-9, s"pair ($q,$c)")
+    }
+  }
+
 }
