@@ -2142,6 +2142,80 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** The WHOLE ingestion path, one oracle-gated composition — every
+    * stage an already-gated operator, chained the way a production crawl
+    * lands: WARC crawl archive (write → splittable read with forced
+    * 64 KB mid-file resyncs) → web curation (host extraction + domain
+    * blocklist, [[graft.operators.WebCurate]]) → embedding
+    * ([[graft.operators.Vectorize.hashedTfIdf]] — the engine-native
+    * stand-in at the same seam where [[graft.operators.Embed]]'s batched
+    * /v1/embeddings client plugs in) → EXACTLY-ONCE landing into the
+    * [[graft.sources.Merge]] corpus via `upsertBatch` (batch 0 seeds,
+    * batch 1 lands, then batch 1 REPLAYS — the restart case — and must
+    * no-op) → novelty sketch of the arriving batch vs the standing
+    * corpus. The gate hash-compares the FINAL corpus state (doc_id,
+    * host, text fingerprint, embedding width) against the twin's
+    * relational recomputation, and pins the landing/novelty invariants
+    * (exactly 2 versions on disk, replay no-op, batch ~100% novel) as
+    * decision constants. */
+  def pipelineIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val warcDir = rtDir(s, "ingest_warc", dir)
+    val root = rtDir(s, "ingest_corpus", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(warcDir), true)
+    // 1. crawl archive: url host derives from the source column so the
+    // curation stage has real hosts to act on
+    val recs = docs.select(
+      concat(lit("https://"), col("source"), lit(".example/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(col("doc_id") + lit(1700000000L)).as("ts"),
+      lit("conversion").as("record_type"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    graft.sources.Warc.write(recs, warcDir, numShards = 2)
+    val crawled = graft.sources.Warc.read(s, warcDir, maxSplitBytes = 1 << 16)
+      .select(col("url"), decode(col("payload"), "UTF-8").as("text"))
+    // 2. curation: blocklisted domains never enter the corpus
+    val curated = graft.operators.WebCurate
+      .filterByDomain(crawled, "url", Seq("src13.example", "src7.example"))
+      .withColumn("host", graft.operators.WebCurate.hostOf(col("url")))
+      .withColumn("doc_id", regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+    // 3. embed (narrow, deterministic, fitted on the curated batch)
+    val embedded = graft.operators.Vectorize
+      .hashedTfIdf(curated, "text", "embedding", dim = 32)
+      .select(col("doc_id"), col("host"), col("text"), col("embedding"))
+    // 4. exactly-once landing: seed with the even half, land the odd
+    // half as streaming batch 1, then REPLAY batch 1 — the crash-after-
+    // commit restart case — which must observe lastBatchId and no-op
+    val b0 = embedded.filter(col("doc_id") % 2 === 0)
+    val b1 = embedded.filter(col("doc_id") % 2 =!= 0)
+    graft.sources.Merge.init(b0, root, "doc_id", nBuckets = 8)
+    val sketchPath = rtDir(s, "ingest_sketch", dir)
+    Snapshot.saveCorpusSketch(graft.sources.Merge.read(s, root), "doc_id", sketchPath)
+    val noDeletes = b1.select(col("doc_id")).limit(0)
+    val v1 = graft.sources.Merge.upsertBatch(s, root, 1L, b1, noDeletes)
+    val vReplay = graft.sources.Merge.upsertBatch(s, root, 1L, b1, noDeletes)
+    val versions = graft.sources.Merge.versions(s, root).size
+    // 5. novelty: the arriving batch against the pre-landing corpus
+    // sketch — all-odd ids vs the even-id corpus = fully novel
+    val b1Count = b1.count()
+    val nov = Snapshot.batchVsCorpusSketch(b1, "doc_id", sketchPath).head()
+    val noveltyOk = math.abs(nov.getAs[Long]("new_est") - b1Count) <=
+      math.max(b1Count * 0.10, 2.0) && nov.getAs[Long]("overlap_est") <=
+      math.max(b1Count * 0.05, 2.0)
+    graft.sources.Merge.read(s, root)
+      .select(col("doc_id"), col("host"),
+        md5(col("text").cast("binary")).as("text_fp"),
+        size(col("embedding")).as("embedding_dim"),
+        lit(versions).as("versions_on_disk"),
+        lit(v1 == 1 && vReplay == 1).as("replay_noop"),
+        lit(noveltyOk).as("novelty_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-file compaction round-trip: shatter the corpus into 64 tiny
     * part files (a streaming sink's week), compact to a handful sized
     * from actual bytes, read back — content identical, file count
@@ -2605,6 +2679,7 @@ object Ext {
     "src_warc_roundtrip" -> srcWarcRoundtrip,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
+    "pipeline_ingest" -> pipelineIngest,
     "src_compact_roundtrip" -> srcCompactRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "txt_compress_ratio" -> txtCompressRatio,
@@ -3428,6 +3503,15 @@ object Ext {
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // the diff->apply loop's target: today's snapshot recomputed
     // relationally — the applied table must equal it exactly
+    // ingestion composition: the survivor set is documents minus the two
+    // blocklisted source-domains; landing/replay/novelty invariants gate
+    // as decision constants
+    "pipeline_ingest" ->
+      """WITH c AS (SELECT doc_id, source || '.example' AS host, md5(text) AS text_fp
+        |           FROM documents WHERE source NOT IN ('src13', 'src7'))
+        |SELECT doc_id, host, text_fp, 32 AS embedding_dim,
+        |  2 AS versions_on_disk, TRUE AS replay_noop, TRUE AS novelty_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_incremental_refresh" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || '!r2' ELSE text END AS text,

@@ -396,6 +396,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(readOut(out) == Seq(1L, 2L, 12L, 13L, 14L),
       "the retried batch lands exactly once — no dupes of rows from its failed attempt")
   }
+
+  test("Merge sink crash AFTER commit: the replayed micro-batch no-ops across restart") {
+    import graft.sources.Merge
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_restart").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ingest_restart_ckpt").toString
+    Merge.init(Seq((0L, "seed")).toDF("id", "text"), root, "id", nBuckets = 4)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // worst-case window: the Merge manifest commits, then the sink dies
+    // BEFORE the streaming checkpoint records the batch — on restart the
+    // SAME batchId replays into the table
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      Merge.foreachBatchUpsert(root)(df, id)
+      if (EventStreamsProbes.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash after Merge commit")
+    }
+    def start() = in.toDF().toDF("id", "text").writeStream
+      .foreachBatch(sink).option("checkpointLocation", chk).start()
+    EventStreamsProbes.armed.set(true)
+    val q1 = start()
+    in.addData((1L, "a"), (2L, "b"))
+    intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    assert(Merge.versions(spark, root) === Seq(0, 1),
+      "the batch committed to the table before the crash")
+    // restart: batch 0 REPLAYS (the checkpoint never saw it complete);
+    // upsertBatch observes lastBatchId >= 0 and must no-op — a re-apply
+    // would mint version 2
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Merge.versions(spark, root) === Seq(0, 1),
+      "replayed batch no-ops: exactly-once across the restart, no duplicate version")
+    assert(Merge.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((0L, "seed"), (1L, "a"), (2L, "b")))
+  }
 }
 
 /** JVM-wide kill switch for the crash-injection case (UDFs close over
