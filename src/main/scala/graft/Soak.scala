@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * dictionary, already proven by the 10x point.
   *
   * Usage: runMain graft.Soak [baseDir] [workDir] [maxScale(10|100)]
+  *        runMain graft.Soak graph        — distributed-vector graph path
+  *        runMain graft.Soak components   — CC over pre-materialized pairs
   * Not part of the driver contract. */
 object Soak {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("graph")) { soakGraphDistributed(); return }
+    if (args.headOption.contains("components")) { soakComponentsOnly(); return }
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
     val maxScale = args.lift(2).map(_.toInt).getOrElse(10)
@@ -182,6 +186,88 @@ object Soak {
       val parts = Seq(decade(1, 10), decade(10, 100)).flatten.mkString(",")
       println(s"""[soak-summary] {"op":"$name",$parts}""")
     }
+    spark.stop()
+  }
+
+  /** At-scale soak of the DISTRIBUTED-vector graph path: synthetic
+    * 4-regular graphs at 200k and 2M nodes (the decade straddles — and
+    * the big point exceeds — the 1M `vectorMaxNodes` gate), with
+    * `vectorMaxNodes = 0` forcing the shuffle-join path at BOTH points
+    * so the exponent grades that path itself, not the dispatch. This is
+    * exactly the path a host-level web graph takes at 100x. */
+  private def soakGraphDistributed(): Unit = {
+    val spark = graft.core.GraftSession.get("graft-soak-graph")
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = for (n <- Seq(200000L, 2000000L)) yield {
+      val ids = spark.range(n).select(col("id").as("src"))
+      val edges = ids.select(col("src"), explode(array(
+        (1 to 4).map(k => pmod(col("src") * 31 + k, lit(n))): _*)).as("dst"))
+        .persist()
+      edges.count() // materialize: time the algorithms, not the generator
+      val ops = Seq(
+        "dist_pagerank" -> (() => graft.operators.GraphRank
+          .pageRank(edges, "src", "dst", iterations = 5, vectorMaxNodes = 0).count()),
+        "dist_trustrank" -> (() => graft.operators.GraphRank
+          .personalizedPageRank(edges, "src", "dst", seeds = (0L until 100L),
+            iterations = 5, vectorMaxNodes = 0).count()),
+        "dist_triangles" -> (() => graft.operators.GraphRank
+          .triangleCount(edges, "src", "dst").head().getLong(0)))
+      val timedOps = ops.map { case (name, op) =>
+        val (sec, rows) = timed(op())
+        println(f"""[soak] {"op":"$name","nodes":$n,"sec":$sec%.2f,"rows":$rows}""")
+        (name, sec)
+      }
+      edges.unpersist()
+      n -> timedOps
+    }
+    val lo = results.head._2.toMap
+    val hi = results.last._2.toMap
+    lo.keys.toSeq.sorted.foreach { op =>
+      val (sl, sh) = (lo(op), hi(op))
+      println(f"""[soak-summary] {"op":"$op","sec_200k":$sl%.2f,"sec_2m":$sh%.2f,""" +
+        f""""growth":${sh / sl}%.1f,"exponent":${math.log10(sh / sl)}%.2f}""")
+    }
+    spark.stop()
+  }
+
+  /** Decomposed dedup_components measurement: connected components over
+    * PRE-MATERIALIZED pairs, so the exponent isolates the union-find +
+    * label-join cost from the embedded minhash pair generation that the
+    * composite dedup_components soak mixes in. */
+  private def soakComponentsOnly(): Unit = {
+    val spark = graft.core.GraftSession.get("graft-soak-cc")
+    val base = "/root/testdata/sf0.1"
+    val work = "/tmp/graft_soak"
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = for (mult <- Seq(1, 10)) yield {
+      val dir = if (mult == 1) base else s"$work/x$mult"
+      require(mult == 1 || new java.io.File(s"$dir/documents.parquet").exists(),
+        s"run `runMain graft.Soak` first to build the x$mult fixture")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val pairs = graft.operators.Dedup
+        .minHashNearDupPairs(docs, "doc_id", "text", 0.5).persist()
+      val nPairs = pairs.count() // materialize OUTSIDE the timed section
+      val nodes = docs.select(col("doc_id")).persist()
+      nodes.count()
+      val (sec, rows) = timed(graft.operators.Dedup
+        .connectedComponents(nodes, "doc_id", pairs).count())
+      println(f"""[soak] {"op":"components_only","scale":"${mult}x","sec":$sec%.2f,""" +
+        f""""pairs":$nPairs,"rows":$rows}""")
+      pairs.unpersist(); nodes.unpersist()
+      mult -> sec
+    }
+    val m = results.toMap
+    println(f"""[soak-summary] {"op":"components_only","sec_1x":${m(1)}%.2f,""" +
+      f""""sec_10x":${m(10)}%.2f,"growth":${m(10) / m(1)}%.1f,""" +
+      f""""exponent":${math.log10(m(10) / m(1))}%.2f}""")
     spark.stop()
   }
 }
