@@ -291,16 +291,26 @@ object Ext {
     * against the hand-worked Sennrich dictionary and the codegen path
     * against the interpreter. Training is deterministic (count-desc,
     * word-asc tie-break), so the output is stable for a given SF. */
+  /** BPE encode over the corpus, ORACLE-gated decision-constant style:
+    * `word_tokens` (the pre-tokenizer count) hash-compares cross-engine;
+    * the learned merge table stays engine-free and gates through its
+    * STRUCTURAL invariants instead — subword concatenation reproduces
+    * the pre-tokens exactly (BPE's losslessness, checked IN-ROW on every
+    * document) and the token count never drops below the word count.
+    * The fixture vocabulary is ~31 words; 40 merges fully merges the
+    * frequent words and leaves rare ones subword-split — both regimes
+    * exercised (a real corpus uses numMerges in the tens of thousands;
+    * cost scales with maxWords, not corpus size). BpeSpec +
+    * BpePropertySpec pin the sharper merge/encode semantics. */
   def txtBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    // the fixture vocabulary is ~31 words; 40 merges fully merges the
-    // frequent words and leaves rare ones subword-split — both regimes
-    // visible in the output (a real corpus uses numMerges in the tens of
-    // thousands; cost scales with maxWords, not corpus size)
     val model = graft.operators.Bpe.train(d, col("text"), numMerges = 40, maxWords = 10000)
+    val words = TextAnalysis.regexTokens(col("text"))
+    val enc = graft.operators.Bpe.encodeTokens(words, model)
     d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
-        graft.operators.Bpe.tokenCount(col("text"), model).as("bpe_tokens"))
+        TextAnalysis.regexTokenCount(col("text")).as("word_tokens"),
+        (size(enc) >= size(words)).as("bpe_ge_words"),
+        (concat_ws("", enc) === concat_ws("", words)).as("bpe_lossless"))
       .orderBy(col("doc_id"))
   }
 
@@ -314,10 +324,20 @@ object Ext {
     val d = Tables.documents(s, dir)
     val cp = graft.operators.Bpe.train(d, col("text"), numMerges = 40, maxWords = 10000)
     val by = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40, maxWords = 10000)
+    val words = TextAnalysis.regexTokens(col("text"))
+    // ORACLE gate: word_tokens cross-engine; the byte-level budget is
+    // pinned by its structural bracket — at least one token per word,
+    // at most one per UTF-8 byte (octet_length bounds the alphabet) —
+    // and the code-point model rides along under the same bracket.
+    // ByteBpeSpec pins byte-exact round-trips incl. invalid UTF-8.
     d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
-        graft.operators.Bpe.tokenCount(col("text"), cp).as("bpe_tokens"),
-        graft.operators.Bpe.tokenCountBytes(col("text"), by).as("byte_bpe_tokens"))
+        TextAnalysis.regexTokenCount(col("text")).as("word_tokens"),
+        (graft.operators.Bpe.tokenCount(col("text"), cp) >= size(words) &&
+          graft.operators.Bpe.tokenCount(col("text"), cp) <= octet_length(col("text")))
+          .as("bpe_in_bracket"),
+        (graft.operators.Bpe.tokenCountBytes(col("text"), by) >= size(words) &&
+          graft.operators.Bpe.tokenCountBytes(col("text"), by) <= octet_length(col("text")))
+          .as("byte_bpe_in_bracket"))
       .orderBy(col("doc_id"))
   }
 
@@ -422,10 +442,17 @@ object Ext {
       maxWords = 10000)
     val bpe = graft.operators.Bpe.train(d, col("text"), numMerges = 40,
       maxWords = 10000)
+    val words = TextAnalysis.regexTokens(col("text"))
+    val uniEnc = graft.operators.Unigram.encodeTokens(words, uni)
+    // ORACLE gate: word_tokens cross-engine; the learned unigram vocab
+    // gates through its structural invariants — Viterbi segmentation is
+    // lossless (piece concatenation reproduces the pre-tokens, IN-ROW)
+    // and both subword budgets sit at-or-above the word count.
     d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
-        graft.operators.Bpe.tokenCount(col("text"), bpe).as("bpe_tokens"),
-        graft.operators.Unigram.tokenCount(col("text"), uni).as("unigram_tokens"))
+        TextAnalysis.regexTokenCount(col("text")).as("word_tokens"),
+        (concat_ws("", uniEnc) === concat_ws("", words)).as("unigram_lossless"),
+        (size(uniEnc) >= size(words)).as("unigram_ge_words"),
+        (graft.operators.Bpe.tokenCount(col("text"), bpe) >= size(words)).as("bpe_ge_words"))
       .orderBy(col("doc_id"))
   }
 
@@ -1198,22 +1225,31 @@ object Ext {
       .orderBy(col("vec_id"))
   }
 
-  /** Classifier TRAINING end-to-end (rows-only: the trained weights
-    * depend on float summation order, so values aren't cross-engine
-    * stable; ClassifierSpec asserts accuracy/loss bounds instead).
-    * Trains against a planted linear concept over the embedding
+  /** Classifier TRAINING end-to-end, ORACLE-gated decision-constant
+    * style: trains against a planted linear concept over the embedding
     * coordinates (y = v0 + v1 > 0 — recoverable by construction; the
     * fixture's cluster labels heavily overlap, so they make a poor
-    * supervised target) and reports per-class calibration: the y=1
-    * class should flag near 1, the y=0 class near 0. */
+    * supervised target). The trained weights depend on float summation
+    * order (not cross-engine stable), so the gate pins what training
+    * must ACHIEVE: the per-class sizes hash-compare (the twin recomputes
+    * the planted concept), and per-class calibration gates as booleans —
+    * the y=1 class flags near 1, the y=0 class near 0 (measured
+    * mean-score 0.68-0.70 / 0.29-0.32 and flag-rate 0.91-0.96 /
+    * 0.035-0.068 across the three SFs; bounds at 2x margin).
+    * ClassifierSpec asserts the sharper accuracy/loss bounds. */
   def simClassifyTrain(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("_y",
       (col("embedding").getItem(0) + col("embedding").getItem(1) > 0).cast("int"))
     val model = Classifier.trainLogReg(e, "embedding", "_y", iters = 30, lr = 8.0)
     e.select(col("_y").as("y"), model.score(col("embedding")).as("_s"))
       .groupBy(col("y"))
-      .agg(count(lit(1)).as("n"), round(avg(col("_s")), 3).as("mean_score"),
-        round(avg((col("_s") >= 0.5).cast("double")), 3).as("flag_rate"))
+      .agg(count(lit(1)).as("n"), avg(col("_s")).as("_ms"),
+        avg((col("_s") >= 0.5).cast("double")).as("_fr"))
+      .select(col("y"), col("n"),
+        when(col("y") === 1, col("_ms") >= 0.55).otherwise(col("_ms") <= 0.45)
+          .as("mean_score_ok"),
+        when(col("y") === 1, col("_fr") >= 0.8).otherwise(col("_fr") <= 0.2)
+          .as("flag_rate_ok"))
       .orderBy(col("y"))
   }
 
@@ -4196,6 +4232,31 @@ object Ext {
       """SELECT doc_id AS query_id, CAST(3 AS BIGINT) AS n_neighbors,
         |  TRUE AS neighbors_ok, TRUE AS cos_in_range, TRUE AS ranked_desc
         |FROM documents WHERE doc_id < 10 ORDER BY query_id""".stripMargin,
+    // tokenizer encodes: the pre-tokenizer count is the cross-engine
+    // column; the learned vocab/merge state gates through structural
+    // invariants (losslessness, budget brackets) the twin emits as TRUE
+    "txt_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
+        |  TRUE AS bpe_ge_words, TRUE AS bpe_lossless
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_byte_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
+        |  TRUE AS bpe_in_bracket, TRUE AS byte_bpe_in_bracket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_unigram_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
+        |  TRUE AS unigram_lossless, TRUE AS unigram_ge_words, TRUE AS bpe_ge_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the twin recomputes the PLANTED concept's class sizes; training
+    // quality gates as calibration booleans
+    "sim_classify_train" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT CAST(v[1] + v[2] > 0 AS INTEGER) AS y, count(*) AS n,
+        |  TRUE AS mean_score_ok, TRUE AS flag_rate_ok
+        |FROM e GROUP BY 1 ORDER BY y""".stripMargin,
     // the exact-top-1 side of the ANN recall gates: identical for all
     // four families (they share one query set and one exact reference)
     "sim_knn_int8" -> annExactTop1Sql,
