@@ -398,10 +398,15 @@ object Ext {
 
   /** Mojibake repair end-to-end: every doc gets a deterministically
     * CORRUPTED copy of its first words (the text UTF-8-encoded then
-    * mis-decoded as cp1252 — the real corruption, not a lookalike),
+    * mis-decoded as latin-1 — the real corruption, not a lookalike),
     * the repair must reproduce the original exactly, and untouchable
-    * forms stay untouched. Rows-only: no SQL engine does the strict
-    * byte round-trip; TextAnalysisSpec pins the transform itself. */
+    * forms stay untouched. ORACLE-gated: the fixture corpus is pure
+    * ASCII (verified at all three SFs), so the twin recomputes both
+    * character counts arithmetically — each injected é is 2 UTF-8 bytes
+    * and thus 2 mis-decoded chars, everything else 1 — and the
+    * round-trip/no-touch assertions gate as in-row booleans the twin
+    * emits as literal TRUE. TextAnalysisSpec pins the transform on
+    * non-ASCII and cp1252-range corruption the fixture can't host. */
   def txtFixMojibake(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // corrupt: é-ify some vowels first so there IS multi-byte content,
@@ -967,9 +972,36 @@ object Ext {
     Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+  /** SimHash dedup through the ANN-style quality gate (the sim_ann_lsh
+    * treatment): SimHash-banded candidates at Hamming <= 3 are verified
+    * by exact trigram-shingle Jaccard, and the gate pins — against the
+    * exact J>=0.5 pair set the twin recomputes from all pairs — the
+    * candidate stage's RECALL (floor 0.4 vs 0.60-0.75 measured across
+    * the SFs) and PRECISION (floor 0.2 vs 0.36-0.88). A PERFECT-recall
+    * twin would be dishonest here by measurement: SimHash tracks the
+    * cosine of token-frequency vectors, which diverges from set-Jaccard
+    * — true J>=0.5 pairs reach Hamming 12 on this fixture, outside any
+    * useful radius. That divergence is exactly what this gate reports;
+    * the deterministic pair SURFACE ships via the minhash/ngram/
+    * editdist family (all hash-gated), and DedupSpec covers the raw
+    * Hamming report. */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cand = graft.core.Checkpoint.materialize(
+      Dedup.simHashNearDupPairs(d, "doc_id", "text", maxHamming = 3))
+    val sh = d.select(col("doc_id"),
+      graft.functions.TrigramShingleHashes(TextAnalysis.tokens(col("text"))).as("_sh"))
+    val truePairs = graft.core.Checkpoint.materialize(
+      Dedup.minHashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    val nTrue = truePairs.count()
+    val nRaw = cand.count()
+    val nHit = cand.select(col("id_a"), col("id_b")).join(truePairs, Seq("id_a", "id_b")).count()
+    d.sparkSession.range(1).select(
+      lit(nTrue).as("n_true_pairs"),
+      lit(nHit >= nTrue * 0.4).as("simhash_recall_ok"),
+      lit(nRaw == 0 || nHit >= nRaw * 0.2).as("simhash_precision_ok"))
+  }
 
   /** Near-dup cluster map: MinHash pairs -> connected components ->
     * (doc_id, rep). The end-to-end "apply dedup" path. */
@@ -1273,26 +1305,86 @@ object Ext {
     * cells only. Rows-only (cell membership is k-means-learned state no
     * SQL engine reproduces); DedupSpec bounds recall >= 0.9 vs brute
     * force and asserts the per-cell-only join shape. */
+  /** Exact all-pairs cosine near-dup pairs over the embeddings — the
+    * fixture-scale gate REFERENCE the semantic-dedup quality gates
+    * compare against (at 100 TB only the cell-blocked path runs; this
+    * harness is quadratic by design and bounded to the fixture).
+    * Formula mirrors [[Similarity]]'s clamped-norm cosine so the DuckDB
+    * `list_cosine_similarity` twin agrees at 6 decimals (the proven
+    * dedup_embed_cosine pairing). */
+  private def exactCosinePairs(e: DataFrame, threshold: Double): DataFrame = {
+    import graft.operators.Similarity.{asDouble, dot, l2Norm}
+    val base = e.select(col("vec_id"), asDouble(col("embedding")).as("_v"))
+      .withColumn("_n", l2Norm(col("_v")))
+    val aa = base.select(col("vec_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val bb = base.select(col("vec_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    aa.join(bb, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("_va"), col("_vb")) /
+        (greatest(col("_na"), lit(1e-12)) * greatest(col("_nb"), lit(1e-12))), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup cell-blocked semantic near-dup detection through the
+    * ANN-style quality gate: the exact J-free reference (all-pairs
+    * cosine >= 0.35, recomputed by the twin) pins `n_true_pairs`
+    * cross-engine, and the cell-blocked candidate stage gates on
+    * RECALL >= 0.5 (measured 0.73-0.78 across the SFs — pairs
+    * straddling >1 cell boundary are the documented SemDeDup miss) and
+    * on `found_all_true` (every emitted pair verifies against the exact
+    * set — the within-cell verify step means precision is exactly 1).
+    * DedupSpec pins recall >= 0.9 on CLUSTERED data, where cells track
+    * density; the near-orthogonal fixture is the hard case. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
     // assignCells=2: the multi-probe path (TopCells codegen + explode +
     // pair-key dedupe) runs on the driver surface, not just in specs
-    Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model, threshold = 0.35,
-        assignCells = 2)
-      .orderBy(col("id_a"), col("id_b"))
+    val found = graft.core.Checkpoint.materialize(
+      Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model, threshold = 0.35,
+        assignCells = 2).select(col("id_a"), col("id_b")))
+    val exact = graft.core.Checkpoint.materialize(exactCosinePairs(e, 0.35))
+    val nTrue = exact.count()
+    val nFound = found.count()
+    val nHit = found.join(exact, Seq("id_a", "id_b")).count()
+    s.range(1).select(
+      lit(nTrue).as("n_true_pairs"),
+      lit(nHit >= nTrue * 0.5).as("cell_recall_ok"),
+      lit(nHit == nFound).as("found_all_true"))
   }
 
-  /** APPLY path of dedup_semantic: keep one representative per semantic
-    * near-dup cluster (SemDeDup's prune step). Rows-only like its
-    * detect sibling; DedupSpec pins representative semantics. */
+  /** APPLY path of dedup_semantic (SemDeDup's prune step), gated on the
+    * survivor-count SANDWICH: the exact-closure minimum survivor count
+    * (connected components over the exact all-pairs cosine graph — a
+    * cross-engine VALUE the twin recomputes with a recursive CTE)
+    * bounds the engine's survivors from below (a missed pair can only
+    * SPLIT clusters and leave extra survivors, never merge), n_total
+    * bounds from above, and `dropped_have_dup` asserts nothing was
+    * dropped without a found near-dup pair. DedupSpec pins
+    * representative semantics. */
   def dedupDropSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
-    Dedup.dropSemanticNearDups(e, "vec_id", "embedding", model, threshold = 0.35,
-        assignCells = 2)
-      .select(col("vec_id"), col("label"))
-      .orderBy(col("vec_id"))
+    val survivors = graft.core.Checkpoint.materialize(
+      Dedup.dropSemanticNearDups(e, "vec_id", "embedding", model, threshold = 0.35,
+        assignCells = 2).select(col("vec_id")))
+    val exact = graft.core.Checkpoint.materialize(exactCosinePairs(e, 0.35))
+    val closureMin = Dedup.connectedComponents(e.select(col("vec_id")), "vec_id", exact)
+      .filter(col("id") === col("rep")).count()
+    val nTotal = e.count()
+    val nSurv = survivors.count()
+    val found = Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model,
+      threshold = 0.35, assignCells = 2)
+    val dupIds = found.select(col("id_a").as("vec_id"))
+      .unionByName(found.select(col("id_b").as("vec_id"))).distinct()
+    val droppedWithoutDup = e.select(col("vec_id"))
+      .join(survivors, Seq("vec_id"), "left_anti")
+      .join(dupIds, Seq("vec_id"), "left_anti").count()
+    s.range(1).select(
+      lit(nTotal).as("n_total"),
+      lit(closureMin).as("closure_min_survivors"),
+      lit(nSurv >= closureMin && nSurv <= nTotal).as("survivors_in_band"),
+      lit(droppedWithoutDup == 0).as("dropped_have_dup"))
   }
 
   // ---- event-time operators -------------------------------------------
@@ -1969,10 +2061,19 @@ object Ext {
     * (low = templated/repetitive, the long-range-repetition detector).
     * Rows-only — zlib output is implementation-specific, so no SQL twin;
     * GraftFunctionsSpec pins the discrimination property. */
+  /** Deflate-compressibility signal (the repetitive/boilerplate text
+    * detector), ORACLE-gated decision-constant style: the UTF-8 byte
+    * count hash-compares cross-engine; the zlib ratio itself is
+    * library-specific, so it gates as a sanity band (measured
+    * 0.39-1.0 across the three SFs on this corpus; floor 0.15 —
+    * natural text never deflates 6x at these lengths — and ceiling
+    * 1.1 for incompressible-short overhead). */
   def txtCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val ratio = graft.functions.DeflateRatio(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        graft.functions.DeflateRatio(col("text")).as("deflate_ratio"))
+        octet_length(col("text")).as("n_bytes"),
+        (ratio > 0.15 && ratio <= 1.1).as("deflate_ratio_ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -2346,7 +2447,15 @@ object Ext {
         (id, bytes)
       }
       .toDF("doc_id", "content")
+    // ORACLE-gated: the true pair set is planted BY CONSTRUCTION (the
+    // three valid variants of each pattern group pair up; the corrupt
+    // k=3 blob and nothing else drops out), so the twin recomputes it
+    // arithmetically from the id scheme — verified exact (no misses, no
+    // cross-group false positives) at all three SFs. The dHash distance
+    // itself is decoder-specific and stays out of the gated columns;
+    // MultimodalSpec pins the Hamming behavior under resize/re-encode.
     Multimodal.imageNearDupPairs(imgs, "doc_id", "content", maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -2586,6 +2695,10 @@ object Ext {
       "byte_bpe" -> graft.operators.Bpe.tokenCountBytes(col("text"), bbpe),
       "unigram" -> graft.operators.Unigram.tokenCount(col("text"), uni),
       "wordpiece" -> graft.operators.WordPiece.tokenCount(col("text"), wp))
+    // stays rows-only BY CHOICE: the numeric comparison table IS the
+    // deliverable (a boolean-band gate would gut the report); the
+    // budgets' sanity is oracle-gated per tokenizer in txt_bpe_encode /
+    // txt_unigram_encode / txt_byte_bpe_encode instead
     val rows = counts.map { case (name, cnt) =>
       val total = d.agg(sum(cnt)).head().getLong(0)
       (name, total,
@@ -4232,6 +4345,56 @@ object Ext {
       """SELECT doc_id AS query_id, CAST(3 AS BIGINT) AS n_neighbors,
         |  TRUE AS neighbors_ok, TRUE AS cos_in_range, TRUE AS ranked_desc
         |FROM documents WHERE doc_id < 10 ORDER BY query_id""".stripMargin,
+    // the planted pattern groups ARE the truth: variants k=0,1,2 of each
+    // group pair up, the corrupt k=3 blob drops out — pure id arithmetic
+    "mm_phash_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id // 100 AS grp FROM documents
+        |           WHERE doc_id % 100 < 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM g a JOIN g b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the twin recomputes the exact all-pairs cosine pair count; the
+    // cell-blocked stage's recall/precision gate as booleans
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS s, b.vec_id AS d FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+        |SELECT count(*) AS n_true_pairs, TRUE AS cell_recall_ok, TRUE AS found_all_true
+        |FROM p""".stripMargin,
+    // the exact-closure survivor count is a cross-engine VALUE (recursive
+    // CTE over the exact pair graph); the engine's survivors sandwich
+    // between it and n_total
+    "dedup_drop_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS s, b.vec_id AS d FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |ed AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+        |reach(s, d) AS (SELECT vec_id, vec_id FROM e
+        |                UNION SELECT r.s, ed.d FROM reach r JOIN ed ON r.d = ed.s),
+        |lab AS (SELECT s AS vec_id, min(d) AS rep FROM reach GROUP BY s)
+        |SELECT (SELECT count(*) FROM e) AS n_total,
+        |  (SELECT count(*) FROM lab WHERE rep = vec_id) AS closure_min_survivors,
+        |  TRUE AS survivors_in_band, TRUE AS dropped_have_dup""".stripMargin,
+    // the twin recomputes the exact J>=0.5 pair count; simhash's
+    // recall/precision against it gate as booleans (see dedupSimHash)
+    "dedup_simhash" ->
+      s"""WITH ${duckVerifiedPairs(langMatched = false)}
+         |SELECT count(*) AS n_true_pairs, TRUE AS simhash_recall_ok,
+         |  TRUE AS simhash_precision_ok
+         |FROM p WHERE j >= 0.5""".stripMargin,
+    // ASCII corpus: the mis-decoded length is arithmetic — each
+    // injected é is 2 UTF-8 bytes -> 2 latin-1 chars, all else 1
+    "txt_fix_mojibake" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS sub FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(sub) AS INTEGER) AS clean_chars,
+        |  CAST(2 * length(sub) - length(replace(sub, 'e', '')) AS INTEGER) AS mojibake_chars,
+        |  TRUE AS repaired_exactly, TRUE AS clean_untouched
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "txt_compress_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  TRUE AS deflate_ratio_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // tokenizer encodes: the pre-tokenizer count is the cross-engine
     // column; the learned vocab/merge state gates through structural
     // invariants (losslessness, budget brackets) the twin emits as TRUE
