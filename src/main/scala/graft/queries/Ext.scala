@@ -473,12 +473,18 @@ object Ext {
     // regimes visible (cost scales with maxWords, not corpus size)
     val wp = graft.operators.WordPiece.train(d, col("text"), numMerges = 40,
       maxWords = 10000)
-    val pieces = graft.operators.WordPiece.encodeTokens(
-      TextAnalysis.regexTokens(col("text")), wp)
+    val words = TextAnalysis.regexTokens(col("text"))
+    val pieces = graft.operators.WordPiece.encodeTokens(words, wp)
+    // ORACLE gate (decision-constant): word_tokens cross-engine; the
+    // learned vocab gates via the lossy model's own brackets — piece
+    // budget between one-per-word and one-per-byte, and whole-word [UNK]
+    // substitution can never mint more unks than words
     d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text"), TextAnalysis.regexTokens).as("word_tokens"),
-        size(pieces).as("wp_tokens"),
-        size(filter(pieces, t => t === lit(wp.unkToken))).as("unk_tokens"))
+        TextAnalysis.regexTokenCount(col("text")).as("word_tokens"),
+        (size(pieces) >= size(words) &&
+          size(pieces) <= octet_length(col("text"))).as("wp_in_bracket"),
+        (size(filter(pieces, t => t === lit(wp.unkToken))) <= size(words))
+          .as("unk_le_words"))
       .orderBy(col("doc_id"))
   }
 
@@ -4407,6 +4413,11 @@ object Ext {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
         |  TRUE AS bpe_in_bracket, TRUE AS byte_bpe_in_bracket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_wordpiece_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
+        |  TRUE AS wp_in_bracket, TRUE AS unk_le_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_unigram_encode" ->
       """SELECT doc_id,
