@@ -1379,8 +1379,12 @@ object Ext {
       .filter(col("id") === col("rep")).count()
     val nTotal = e.count()
     val nSurv = survivors.count()
-    val found = Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model,
-      threshold = 0.35, assignCells = 2)
+    // materialized once: consumed for the dup-membership check below
+    // (dropSemanticNearDups recomputes its own pairs internally — the
+    // operator is self-contained by contract)
+    val found = graft.core.Checkpoint.materialize(
+      Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model,
+        threshold = 0.35, assignCells = 2))
     val dupIds = found.select(col("id_a").as("vec_id"))
       .unionByName(found.select(col("id_b").as("vec_id"))).distinct()
     val droppedWithoutDup = e.select(col("vec_id"))

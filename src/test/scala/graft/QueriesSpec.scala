@@ -115,4 +115,33 @@ class QueriesSpec extends SparkSpec {
       expr("percentile(l_extendedprice, 0.5)")).collect()(0).toSeq.map(_.toString.toDouble).toArray
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("engine-wide join audit: no UNDECLARED cross product in any query plan") {
+    // Every BroadcastNestedLoopJoin below is a deliberate tiny-side
+    // broadcast: a one-row aggregate crossed back into a frame (sketch
+    // gates, scalar subqueries, corpus-stat denominators) or the
+    // broadcast-queries side of a kNN (bounded query set vs corpus —
+    // the documented serving shape). CartesianProduct is banned
+    // outright. Anything new that crosses must be added HERE with a
+    // reason — accidental cross products never ship silently.
+    // (Driver-side gate harnesses that run during query CONSTRUCTION
+    // return literal frames and are audited by their own specs.)
+    val declaredBnl = Set(
+      "agg_sketch_joinsize", "agg_sketch_overlap", "rpt_corpus_novelty", // 1-row sketch aggs
+      "ev_seasonality", "rpt_join_skew", "txt_bm25", "txt_top_terms",    // 1-row denominators
+      "q19_scalar_subquery",                                             // scalar subquery
+      "pipeline_embed_knn", "sim_ann_lsh", "sim_hard_negatives",         // broadcast-kNN family
+      "sim_hashed_embed", "sim_ivf", "sim_ivfpq", "sim_knn_brute",
+      "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnl = plan.contains("BroadcastNestedLoopJoin")
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnl && !declaredBnl(name)) Some(s"$name: undeclared BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"undeclared cross products:\n${offenders.mkString("\n")}")
+  }
+
 }
