@@ -293,6 +293,18 @@ object Ivf {
       encodePq(corpus, cId, cVec, model).withColumnRenamed(cId, "neighbor_id"),
       model, qId, qVec, topK, nProbe)
 
+  /** Attribute-FILTERED IVF-PQ search — [[searchTopKWhere]]'s contract
+    * on the PQ index: the predicate applies BEFORE encoding/probing, so
+    * at serving time a pre-encoded index would carry the attribute
+    * column and the filter prunes codes before ADC scoring. Same
+    * "top-k among rows satisfying P" semantics; post-filtering an
+    * unfiltered top-k under-returns exactly when P is selective. */
+  def searchTopKPqWhere(queries: DataFrame, corpus: DataFrame, model: PqModel,
+                        qId: String, cId: String, qVec: String, cVec: String,
+                        topK: Int, nProbe: Int, predicate: Column): DataFrame =
+    searchTopKPq(queries, corpus.filter(predicate), model,
+      qId, cId, qVec, cVec, topK, nProbe)
+
   // ---- model persistence ----------------------------------------------
 
   /** Write a trained coarse quantizer as parquet under `path` (layout:

@@ -273,9 +273,17 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within blocks (e.g. same label):
-    * cosine >= threshold. Blocked equi-join, not all-pairs. */
+    * cosine >= threshold. Blocked equi-join, not all-pairs — an empty
+    * block list would silently degenerate to the n² cross product this
+    * operator exists to avoid, so it fails loud instead (block on IVF
+    * cells via [[Dedup.semanticNearDupPairs]] when no natural key
+    * exists). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(blockCols.nonEmpty,
+      "cosineNearDupPairs requires at least one block column — an empty list " +
+        "would be an all-pairs cross product; use IVF-cell blocking " +
+        "(Dedup.semanticNearDupPairs) when no natural blocking key exists")
     val base = df.select(col(idCol) +: blockCols.map(col) :+ asDouble(col(vecCol)).as("_v"): _*)
       .withColumn("_n", l2Norm(col("_v")))
     val a = base.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("_v").as("_va") :+ col("_n").as("_na"): _*)

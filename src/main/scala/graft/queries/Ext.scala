@@ -1162,6 +1162,23 @@ object Ext {
         k = 5, bits = 8, probes = 9)
     }
 
+  /** Banded sign-LSH ANN under S-CURVE-DERIVED parameters
+    * ([[Similarity.annLshParamsFor]] maps the cosine operating point
+    * through the Goemans–Williamson angle into the same solver MinHash
+    * sizing uses — here (61 bands × 8 bits) for separating cos 0.55
+    * from cos −0.05 at fp<=0.2/fn<=0.05). Through [[annRecallGate]] with
+    * floor 0.4 vs 0.61-0.75 measured — the budgeted OR-construction
+    * recovers 6-10x the recall of the hash-count-matched multi-probe
+    * variant (sim_ann_lsh: 0.06-0.12) on the same near-orthogonal
+    * corpus, which is exactly what the sizing contract buys. */
+  def simAnnLshBanded(s: SparkSession, dir: String): DataFrame =
+    annRecallGate(s, dir, minRecall = 0.4) { (q, e) =>
+      val (bands, bits) = Similarity.annLshParamsFor(0.25, fpBudget = 0.2,
+        fnBudget = 0.05, margin = 0.3)
+      Similarity.annLshBandedTopK(q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, bands, bits)
+    }
+
   /** IVF ANN (coarse k-means quantizer + probe-limited search) through
     * [[annRecallGate]]; floor 0.3 vs 0.54-0.61 measured (4/16 cells
     * probed over near-uniform data bounds attainable recall); IvfSpec
@@ -2916,6 +2933,7 @@ object Ext {
     "sim_knn_int8" -> simKnnInt8,
     "sim_knn_filtered" -> simKnnFiltered,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_lsh_banded" -> simAnnLshBanded,
     "sim_centroid" -> simCentroid,
     "sim_classify" -> simClassify,
     "sim_classify_train" -> simClassifyTrain,
@@ -4452,6 +4470,7 @@ object Ext {
         |SELECT query_id, neighbor_id AS exact_top1, cos AS exact_top1_cos, TRUE AS recall_ok
         |FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin,
     "sim_ann_lsh" -> annExactTop1Sql,
+    "sim_ann_lsh_banded" -> annExactTop1Sql,
     "sim_ivf" -> annExactTop1Sql,
     "sim_ivfpq" -> annExactTop1Sql,
     "pipeline_hygiene" ->

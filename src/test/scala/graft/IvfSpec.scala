@@ -233,4 +233,36 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.9, s"filtered recall@5 = $mean")
   }
 
+
+  test("searchTopKPqWhere: predicate-respecting results, recall >= 0.85 vs filtered brute force") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(53)
+    // 80 tight 5-member blobs as in the PQ recall case; attr alternates
+    // by REPLICA index so every blob holds both attribute values (3
+    // attr-0 members each) and the filtered true top-k stays in-blob
+    val centers = Array.fill(80)(Array.fill(16)(rnd.nextGaussian() * 6))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 80)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat), (i / 80) % 2)
+    }
+    val df = corpus.toDF("vec_id", "embedding", "attr")
+    val queries = df.filter($"vec_id" < 8)
+    val model = Ivf.trainPq(df, "vec_id", "embedding", k = 16, iters = 3,
+      m = 8, ks = 32, pqIters = 6)
+    val pred = col("attr") === 0
+    val got = Ivf.searchTopKPqWhere(queries, df, model, "vec_id", "vec_id",
+      "embedding", "embedding", topK = 2, nProbe = 4, predicate = pred)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(r => (r._3 / 80) % 2 == 0), "every neighbor satisfies the predicate")
+    val brute = Similarity.knnFiltered(queries, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 2, predicate = pred)
+      .as[(Long, Int, Long, Double)].collect()
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val wantSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = wantSets.map { case (q, want) =>
+      gotSets.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"filtered PQ recall@2 = $mean")
+  }
+
 }

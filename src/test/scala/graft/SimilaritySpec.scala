@@ -212,4 +212,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+
+  test("cosineNearDupPairs: an empty block list fails loud, never degenerates to all-pairs") {
+    val df = Seq((1L, "a", Array(1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", Nil, 0.9))
+    assert(e.getMessage.contains("block column"), e.getMessage)
+  }
+
 }
