@@ -89,6 +89,52 @@ case class TopCells(child: Expression, centroids: Array[Double], k: Int, n: Int)
     copy(child = newChild)
 }
 
+/** Banded sign-LSH bucket ids from a hyperplane-dot array: band `b`'s
+  * bucket packs its `bitsPerBand` dot SIGNS into a long, tagged with the
+  * band index in the high bits so distinct bands never collide. One
+  * expression and one loop for the whole banding step — building it
+  * from per-bit when/element_at column algebra generated a
+  * bands×bits-node tree (488 nodes at the derived 61×8 sizing) whose
+  * codegen dwarfed the actual math. */
+case class SignBandBuckets(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 48,
+    s"need bands >= 1 and 1 <= bitsPerBand <= 48, got ($bands, $bitsPerBand)")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_band_buckets"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SignBandBuckets.compute(v.asInstanceOf[ArrayData], bands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SignBandBuckets.compute($v, $bands, $bitsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBandBuckets {
+  def compute(dots: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
+    if (dots.numElements() != bands * bitsPerBand) throw new IllegalArgumentException(
+      s"graft_sign_band_buckets: ${dots.numElements()} dots != $bands bands x $bitsPerBand bits")
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        if (dots.getDouble(b * bitsPerBand + i) >= 0) key |= 1L << i
+        i += 1
+      }
+      out(b) = key + b.toLong * (1L << bitsPerBand)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TopCells {
   def compute(vec: ArrayData, centroids: Array[Double], k: Int, n: Int): ArrayData = {
     val scores = CentroidDots.compute(vec, centroids, k)

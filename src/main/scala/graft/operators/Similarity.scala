@@ -247,12 +247,21 @@ object Similarity {
     require(dim <= 0 || cDimOpt.isEmpty && qDimOpt.isEmpty || dim == cDim,
       s"annLshBandedTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
     val planes = hyperplanes(bands * bitsPerBand, cDim)
-    // band b's bucket: its own bitsPerBand-bit signature, tagged with the
-    // band index in the high bits so different bands can never collide
-    def bandBuckets(vec: Column): Column = array((0 until bands).map { b =>
-      lshBucket(vec, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)) +
-        lit(b.toLong * (1L << bitsPerBand))
-    }: _*)
+    // ALL hyperplane dots as ONE referenced-object expression
+    // ([[graft.functions.CentroidDots]] — the plane matrix never enters
+    // the generated source): the per-bit literal-array form embedded
+    // bands*bits 64-double literals and a dot loop each, which at a
+    // derived 61x8 sizing meant a ~31k-double plan and a multi-second
+    // Janino ceremony per run (measured 5.8 s/query at sf0.1; this form
+    // prices the same math as one flat mat-vec)
+    val planesFlat = planes.flatten.toArray
+    def bandBuckets(vec: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val dots = graft.functions.CentroidDots(
+        expression(vec.cast("array<double>")), planesFlat, bands * bitsPerBand)
+      // band-tagged sign buckets in one loop ([[functions.SignBandBuckets]])
+      column(graft.functions.SignBandBuckets(dots, bands, bitsPerBand))
+    }
     val c = corpus
       .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
       .withColumn("_cn", l2Norm(col("_cv")))
