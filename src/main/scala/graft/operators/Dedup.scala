@@ -254,15 +254,20 @@ object Dedup {
     * through here so their budget contract can never drift apart. */
   private[operators] def lshParamsForProb(pHi: Double, pLo: Double,
                                           fpBudget: Double, fnBudget: Double,
-                                          maxHashes: Int): (Int, Int) = {
+                                          maxHashes: Int,
+                                          maxRowsPerBand: Int = 64): (Int, Int) = {
     require(pHi > pLo && pHi <= 1.0 && pLo > 0,
       s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     require(fpBudget > 0 && fpBudget < 1 && fnBudget > 0 && fnBudget < 1,
       "budgets are probabilities in (0, 1)")
+    require(maxRowsPerBand >= 1, "maxRowsPerBand must be >= 1")
     var best: Option[(Int, Int)] = None // (bands, rowsPerBand)
     def cost(p: (Int, Int)): (Int, Int) = (p._1 * p._2, p._1) // (hashes, bands)
     var r = 1
-    while (r <= 64) {
+    // the caller's packing limit caps the search (sign-LSH packs a
+    // band's bits into one long with a band tag — 48 max — so the
+    // solver must never derive parameters its consumer rejects)
+    while (r <= maxRowsPerBand) {
       // smallest b meeting the FN budget: (1 - pHi^r)^b <= fn
       val miss = 1.0 - math.pow(pHi, r)
       val b =

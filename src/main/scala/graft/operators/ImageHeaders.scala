@@ -69,10 +69,8 @@ object ImageHeaders {
           if (len < 2) return Unknown
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-          if (isSof) {
-            if (i + 8 >= bytes.length) return Unknown
-            return ImageMeta("jpeg", be16(bytes, i + 7), be16(bytes, i + 5))
-          }
+          // dims at i+5..i+8 are in bounds: the loop guard is i+8 < length
+          if (isSof) return ImageMeta("jpeg", be16(bytes, i + 7), be16(bytes, i + 5))
           i += 2 + len
         }
       }

@@ -140,22 +140,47 @@ object Similarity {
     * prefix and recall collapses. Inference reads one corpus row and one
     * query row (two `limit(1)` jobs — negligible); an explicit `dim` that
     * contradicts the data throws instead of degrading. */
-  def annLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-                 qVec: String, cVec: String, k: Int, bits: Int = 12, probes: Int = 4,
-                 dim: Int = 0): DataFrame = {
-    // one non-null sample per side; a ragged-dim corpus is NOT fully
-    // validated (that would cost a full pass) — the sample catches the
-    // systematic mistake (wrong `dim` for a homogeneous corpus)
+  /** One non-null sample per side infers the vector dimension; a
+    * ragged-dim corpus is NOT fully validated (that would cost a full
+    * pass) — the sample catches the systematic mistake (an explicit
+    * `dim` contradicting a homogeneous corpus). Shared by both LSH
+    * variants so their validation can never drift apart. */
+  private def inferredDim(opName: String, queries: DataFrame, corpus: DataFrame,
+                          qVec: String, cVec: String, dim: Int): Int = {
     def sampleDim(df: DataFrame, vec: String): Option[Int] =
       df.filter(col(vec).isNotNull).select(size(col(vec)).as("d")).limit(1)
         .collect().headOption.map(_.getInt(0))
     val cDimOpt = sampleDim(corpus, cVec)
     val qDimOpt = sampleDim(queries, qVec)
     for (cd <- cDimOpt; qd <- qDimOpt)
-      require(qd == cd, s"annLshTopK: query vectors are $qd-dim but corpus vectors are $cd-dim")
+      require(qd == cd, s"$opName: query vectors are $qd-dim but corpus vectors are $cd-dim")
     val cDim = cDimOpt.orElse(qDimOpt).getOrElse(1) // both empty -> empty result, any planes do
     require(dim <= 0 || cDimOpt.isEmpty && qDimOpt.isEmpty || dim == cDim,
-      s"annLshTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
+      s"$opName: explicit dim=$dim but the data's vectors are $cDim-dimensional")
+    cDim
+  }
+
+  /** Shared tail of both LSH variants: bucket equi-join (queries side
+    * broadcast), self-pair drop, pair dedupe on ids ONLY (the shuffle
+    * compares 2 longs, never two 64-double vectors — the same pair can
+    * arrive via multiple probes/bands), precomputed-norm cosine, per-
+    * query top-k. Both `c` and `q` carry a `_bucket` column. */
+  private def bucketedTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"), col("_qn"), col("_cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  def annLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                 qVec: String, cVec: String, k: Int, bits: Int = 12, probes: Int = 4,
+                 dim: Int = 0): DataFrame = {
+    val cDim = inferredDim("annLshTopK", queries, corpus, qVec, cVec, dim)
     val planes = hyperplanes(bits, cDim)
     val c = corpus
       .select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"))
@@ -168,17 +193,7 @@ object Similarity {
       .withColumn("_bucket", explode(array(
         col("_b0") +: (0 until (probes - 1)).map(i => col("_b0").bitwiseXOR(shiftleft(lit(1L), i))): _*)))
       .select(col("query_id"), col("_qv"), col("_qn"), col("_bucket"))
-    val scored = c.join(broadcast(q), Seq("_bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"), col("_qn"), col("_cn"))
-      // same pair may arrive via multiple probes; dedupe on ids only so
-      // the shuffle compares 2 longs, not two 64-double vectors
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+    bucketedTopK(c, q, k)
   }
 
   /** Exact kNN under a row predicate — "top-k among corpus rows
@@ -217,10 +232,13 @@ object Similarity {
                       maxHashes: Int = 1024): (Int, Int) = {
     require(cosThreshold - margin > -1.0 && cosThreshold + margin <= 1.0,
       s"threshold +- margin must stay inside (-1, 1]: $cosThreshold +- $margin")
+    // maxRowsPerBand = 48: [[annLshBandedTopK]] packs a band's sign bits
+    // plus the band tag into one long — the solver must only derive
+    // parameterizations its consumer accepts
     Dedup.lshParamsForProb(
       signCollisionProb(cosThreshold + margin),
       signCollisionProb(cosThreshold - margin),
-      fpBudget, fnBudget, maxHashes)
+      fpBudget, fnBudget, maxHashes, maxRowsPerBand = 48)
   }
 
   /** Banded sign-LSH ANN: `bands` independent signatures of
@@ -236,16 +254,7 @@ object Similarity {
                        bands: Int, bitsPerBand: Int, dim: Int = 0): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 48,
       s"need bands >= 1 and 1 <= bitsPerBand <= 48, got ($bands, $bitsPerBand)")
-    def sampleDim(df: DataFrame, vec: String): Option[Int] =
-      df.filter(col(vec).isNotNull).select(size(col(vec)).as("d")).limit(1)
-        .collect().headOption.map(_.getInt(0))
-    val cDimOpt = sampleDim(corpus, cVec)
-    val qDimOpt = sampleDim(queries, qVec)
-    for (cd <- cDimOpt; qd <- qDimOpt)
-      require(qd == cd, s"annLshBandedTopK: query vectors are $qd-dim but corpus vectors are $cd-dim")
-    val cDim = cDimOpt.orElse(qDimOpt).getOrElse(1)
-    require(dim <= 0 || cDimOpt.isEmpty && qDimOpt.isEmpty || dim == cDim,
-      s"annLshBandedTopK: explicit dim=$dim but the data's vectors are $cDim-dimensional")
+    val cDim = inferredDim("annLshBandedTopK", queries, corpus, qVec, cVec, dim)
     val planes = hyperplanes(bands * bitsPerBand, cDim)
     // ALL hyperplane dots as ONE referenced-object expression
     // ([[graft.functions.CentroidDots]] — the plane matrix never enters
@@ -270,15 +279,7 @@ object Similarity {
       .withColumn("_qn", l2Norm(col("_qv")))
       .withColumn("_bucket", explode(bandBuckets(col("_qv"))))
       .select(col("query_id"), col("_qv"), col("_qn"), col("_bucket"))
-    val scored = c.join(broadcast(q), Seq("_bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"), col("_qn"), col("_cn"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+    bucketedTopK(c, q, k)
   }
 
   /** Embedding near-duplicate pairs within blocks (e.g. same label):

@@ -979,24 +979,22 @@ object Ext {
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash dedup through the ANN-style quality gate (the sim_ann_lsh
-    * treatment): SimHash-banded candidates at Hamming <= 3 are verified
-    * by exact trigram-shingle Jaccard, and the gate pins — against the
-    * exact J>=0.5 pair set the twin recomputes from all pairs — the
-    * candidate stage's RECALL (floor 0.4 vs 0.60-0.75 measured across
-    * the SFs) and PRECISION (floor 0.2 vs 0.36-0.88). A PERFECT-recall
-    * twin would be dishonest here by measurement: SimHash tracks the
-    * cosine of token-frequency vectors, which diverges from set-Jaccard
-    * — true J>=0.5 pairs reach Hamming 12 on this fixture, outside any
-    * useful radius. That divergence is exactly what this gate reports;
-    * the deterministic pair SURFACE ships via the minhash/ngram/
-    * editdist family (all hash-gated), and DedupSpec covers the raw
-    * Hamming report. */
+    * treatment): the Hamming<=3 candidate pairs are scored against the
+    * exact J>=0.5 pair set (minHashNearDupPairs — itself hash-gated
+    * equal to the all-pairs twin), and the gate pins the candidate
+    * stage's RECALL (hits/true, floor 0.4 vs 0.60-0.75 measured across
+    * the SFs) and PRECISION (hits/candidates, floor 0.2 vs 0.36-0.88).
+    * A PERFECT-recall twin would be dishonest here by measurement:
+    * SimHash tracks the cosine of token-frequency vectors, which
+    * diverges from set-Jaccard — true J>=0.5 pairs reach Hamming 12 on
+    * this fixture, outside any useful radius. That divergence is
+    * exactly what this gate reports; the deterministic pair SURFACE
+    * ships via the minhash/ngram/editdist family (all hash-gated), and
+    * DedupSpec covers the raw Hamming report. */
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val cand = graft.core.Checkpoint.materialize(
       Dedup.simHashNearDupPairs(d, "doc_id", "text", maxHamming = 3))
-    val sh = d.select(col("doc_id"),
-      graft.functions.TrigramShingleHashes(TextAnalysis.tokens(col("text"))).as("_sh"))
     val truePairs = graft.core.Checkpoint.materialize(
       Dedup.minHashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b")))

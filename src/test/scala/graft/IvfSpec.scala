@@ -197,8 +197,8 @@ class IvfSpec extends SparkSpec {
     }
     // parquet-backed corpus: a LocalRelation would constant-fold the
     // predicate away and leave nothing to assert about plan placement
-    val pq = s"target/ivf_filtered_${System.nanoTime()}"
-    corpus.toDF("vec_id", "embedding", "attr").write.parquet(pq)
+    val pq = java.nio.file.Files.createTempDirectory("graft_ivf_filtered").toString
+    corpus.toDF("vec_id", "embedding", "attr").write.mode("overwrite").parquet(pq)
     val df = spark.read.parquet(pq)
     val queries = df.filter($"vec_id" < 8)
     val model = Ivf.train(df, "vec_id", "embedding", k = 8, iters = 3)
