@@ -1394,14 +1394,12 @@ object Ext {
       .filter(col("id") === col("rep")).count()
     val nTotal = e.count()
     val nSurv = survivors.count()
-    // materialized once: consumed for the dup-membership check below
-    // (dropSemanticNearDups recomputes its own pairs internally — the
-    // operator is self-contained by contract)
-    val found = graft.core.Checkpoint.materialize(
-      Dedup.semanticNearDupPairs(e, "vec_id", "embedding", model,
-        threshold = 0.35, assignCells = 2))
-    val dupIds = found.select(col("id_a").as("vec_id"))
-      .unionByName(found.select(col("id_b").as("vec_id"))).distinct()
+    // dup membership is checked against the EXACT pair set (found pairs
+    // are a subset of it, so "every dropped id has an exact near-dup"
+    // is implied by and cheaper than re-running the cell-blocked pairs
+    // a third time — the drop operator already computes its own)
+    val dupIds = exact.select(col("id_a").as("vec_id"))
+      .unionByName(exact.select(col("id_b").as("vec_id"))).distinct()
     val droppedWithoutDup = e.select(col("vec_id"))
       .join(survivors, Seq("vec_id"), "left_anti")
       .join(dupIds, Seq("vec_id"), "left_anti").count()
