@@ -148,6 +148,26 @@ object Soak {
             .where(graft.functions.JaroWinkler(col("s1"), col("s2")) >= 0.8)
             .count()
         }),
+        // banded sign-LSH under derived S-curve params: corpus-side work
+        // is one mat-vec + bands postings per vector — linear; the
+        // bucket join is bounded by band-key collisions, never n^2
+        "banded_lsh" -> (() => {
+          val (bands, bits) = graft.operators.Similarity.annLshParamsFor(
+            0.25, fpBudget = 0.2, fnBudget = 0.05, margin = 0.3)
+          graft.operators.Similarity.annLshBandedTopK(
+            embs.filter(col("vec_id") < 20), embs, "vec_id", "vec_id",
+            "embedding", "embedding", k = 5, bands, bits).count()
+        }),
+        // attribute-filtered IVF: the predicate prunes candidates BEFORE
+        // scoring, so filtered search must not cost more than unfiltered
+        "ivf_filtered" -> (() => {
+          val model = graft.operators.Ivf.train(embs, "vec_id", "embedding",
+            k = 16, iters = 2)
+          graft.operators.Ivf.searchTopKWhere(
+            embs.filter(col("vec_id") < 20), embs, model, "vec_id", "vec_id",
+            "embedding", "embedding", topK = 5, nProbe = 4,
+            predicate = col("label") === 3).count()
+        }),
         // sketch pass + candidate-only exact verify: must be linear (the
         // candidate set is <= k regardless of scale)
         "heavy_hitters" -> (() => {
