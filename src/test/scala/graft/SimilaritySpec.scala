@@ -220,4 +220,29 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("block column"), e.getMessage)
   }
 
+
+  test("annLshParamsFor never derives a bitsPerBand the banded operator rejects") {
+    import graft.operators.Similarity
+    // tight angular margins at generous hash budgets push the solver
+    // toward deep bands; the sign family packs a band + tag into one
+    // long (48-bit cap), so derived params must stay inside it or the
+    // solver must fail loud — never hand back a crashing pair
+    for ((t, fp, fn, m, maxH) <- Seq(
+        (0.90, 0.05, 0.01, 0.05, 65536),
+        (0.95, 0.20, 0.05, 0.02, 65536))) {
+      try {
+        val (b, r) = Similarity.annLshParamsFor(t, fp, fn, m, maxH)
+        assert(r >= 1 && r <= 48 && b >= 1, s"derived ($b, $r) at t=$t")
+        // and the pair must construct (plan-time require passes)
+        val df = Seq((1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+        Similarity.annLshBandedTopK(df, df, "vec_id", "vec_id",
+          "embedding", "embedding", k = 1, b, r)
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("no (bands, rows)") ||
+            e.getMessage.contains("separates"), e.getMessage)
+      }
+    }
+  }
+
 }
