@@ -39,10 +39,14 @@ object DamerauLevenshtein {
 
   /** Inputs beyond this length fail loud: the unrestricted-transposition
     * recurrence needs a full (l1+2)×(l2+2) int matrix, so two ~100 KB
-    * documents would allocate tens of GB PER ROW. Linkage keys (names,
-    * titles, addresses) are far below this; for document-scale text use
-    * the banded/shingle dedup operators instead. */
-  val MaxLen = 10000
+    * documents would allocate tens of GB PER ROW. The cap is sized to
+    * the metric's actual domain — linkage keys (names, titles,
+    * addresses), which are far below 2k chars — so the worst-case
+    * matrix is ~16 MB (2002² ints); the former 10k cap still permitted
+    * ~400 MB per row, which with 32 concurrent tasks is an OOM, not a
+    * guard. For document-scale text use the banded/shingle dedup
+    * operators instead. */
+  val MaxLen = 2000
 
   def distance(a: String, b: String): Int = {
     val l1 = a.length

@@ -239,9 +239,14 @@ object Dedup {
                    margin: Double = 0.1, maxHashes: Int = 1024): (Int, Int) = {
     require(threshold - margin > 0 && threshold + margin <= 1.0,
       s"threshold +- margin must stay inside (0, 1]: $threshold +- $margin")
-    // MinHash: per-hash collision probability IS the Jaccard similarity
+    // MinHash: per-hash collision probability IS the Jaccard similarity.
+    // maxRowsPerBand = 32 is deliberate: it preserves MinHash's
+    // long-standing r <= 32 sizing bound (configs that can't separate
+    // the margins within 32 rows/band fail loud here, as they always
+    // did) rather than silently inheriting the shared solver's wider
+    // 64-row default, which exists for the sign-LSH family's packing.
     lshParamsForProb(threshold + margin, threshold - margin,
-      fpBudget, fnBudget, maxHashes)
+      fpBudget, fnBudget, maxHashes, maxRowsPerBand = 32)
   }
 
   /** The S-curve solver in per-hash collision-PROBABILITY space — the

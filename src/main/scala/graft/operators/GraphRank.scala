@@ -79,7 +79,13 @@ object GraphRank {
     * `limit(cap+1)` collect — never more than cap+1 rows move. */
   def boundedSeeds(seedIds: DataFrame, idCol: String, cap: Int = 1000000): Seq[Long] = {
     require(cap > 0, "cap must be positive")
-    val got = seedIds.select(col(idCol).cast("long")).limit(cap + 1)
+    // null ids are dropped BEFORE collect: a null seed is meaningless
+    // for the whitelist, and without the filter Row.getLong would throw
+    // a bare NPE instead of this method's contracted loud-and-named
+    // failures. (Malformed string ids still fail loud via the ANSI cast
+    // error, which names the value — that path needs no guard.)
+    val got = seedIds.select(col(idCol).cast("long"))
+      .where(col(idCol).cast("long").isNotNull).limit(cap + 1)
       .collect().map(_.getLong(0)).toSeq
     require(got.size <= cap,
       s"seed list exceeds $cap rows — a TrustRank whitelist must stay " +

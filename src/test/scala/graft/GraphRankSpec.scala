@@ -135,4 +135,16 @@ class GraphRankSpec extends SparkSpec {
     assert(e.getMessage.contains("dim-table-sized"), e.getMessage)
   }
 
+  test("boundedSeeds: null ids are dropped, not NPEs; malformed ids fail loud") {
+    import graft.operators.GraphRank
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L))
+      .toDF("seed")
+    assert(GraphRank.boundedSeeds(withNulls, "seed").toSet === Set(1L, 2L, 3L))
+    // a malformed string id fails via the ANSI cast error, which names
+    // the offending value — loud, not a bare NPE
+    val mixed = Seq("7", "not-an-id", "9").toDF("seed")
+    val e = intercept[Exception](GraphRank.boundedSeeds(mixed, "seed"))
+    assert(e.getMessage.contains("not-an-id"), e.getMessage)
+  }
+
 }
