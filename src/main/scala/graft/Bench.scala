@@ -87,7 +87,33 @@ object Bench {
     // `failed`), and the partial sum moves to its own field.
     val totalOk = medians.values.flatten.sum
     val value = if (nFailed > 0) "null" else totalOk.toString
-    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    // Per-query regression gate vs the recorded materializing baseline
+    // (see BenchGate's scaladoc for the rationale and re-baseline
+    // contract). Only active when the baseline was recorded at THIS
+    // bench's SF; disable explicitly with SPARK_GRAFT_BENCH_GATE=0 for
+    // exploratory runs on contended machines.
+    val gateOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "1") != "0"
+    val gateRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_RATIO", "1.5").toDouble
+    val gateAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_ABS", "0.35").toDouble
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "/root/repo/BENCH_BASELINE.json")
+    val base = BenchGate.load(baselinePath).filter(_.sf == sfDir)
+    val alarms = base.map(b => BenchGate.alarms(medians, b.medians, gateRatio, gateAbs))
+      .getOrElse(Seq.empty)
+    val newQs = base.map(b => BenchGate.unbaselined(medians, b.medians))
+      .getOrElse(Seq.empty)
+    val regJson = alarms.map(a =>
+      jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"ratio":${math.rint(a.ratio * 100) / 100}}""")
+      .mkString("{", ",", "}")
+    val gateState =
+      if (base.isEmpty) "\"no_baseline_at_sf\"" else if (gateOn) "\"on\"" else "\"off\""
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (gateOn && alarms.nonEmpty) {
+      System.err.println(s"[bench-gate] ${alarms.size} per-query regression(s) vs $baselinePath: " +
+        alarms.map(a => f"${a.query} ${a.base}%.2f->${a.median}%.2f s (${a.ratio}%.2fx)").mkString("; ") +
+        " — fix the regression or re-baseline deliberately (BENCH_NOTES entry + fresh BENCH_BASELINE.json)")
+      sys.exit(3)
+    }
   }
 }

@@ -20,6 +20,37 @@ object Scratch {
       println(f"[scratch] ccdist ${(System.nanoTime() - t0) / 1e9}%8.2f s  non-rep rows=$nClusters")
       spark.stop(); return
     }
+    if (args.headOption.contains("semsplit")) {
+      // harness-vs-operator decomposition for the semantic-dedup family
+      // (BENCH_NOTES #35): the bench numbers for dedup_semantic /
+      // dedup_drop_semantic include an exact all-pairs GATE harness;
+      // this times the operator paths alone so the split is on record.
+      // Each label runs twice — read the second (warm) number.
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      def time(label: String)(f: => Long): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scratch] semsplit $label%-22s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+      time("sem_pairs_operator") {
+        val m = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.operators.Dedup.semanticNearDupPairs(
+          e, "vec_id", "embedding", m, threshold = 0.35, assignCells = 2).count()
+      }
+      time("sem_drop_operator") {
+        val m = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.operators.Dedup.dropSemanticNearDups(
+          e, "vec_id", "embedding", m, threshold = 0.35, assignCells = 2).count()
+      }
+      time("dedup_semantic_full") {
+        SparkEntry.queries("dedup_semantic")(spark, dir).queryExecution.toRdd.count()
+      }
+      time("dedup_drop_sem_full") {
+        SparkEntry.queries("dedup_drop_semantic")(spark, dir).queryExecution.toRdd.count()
+      }
+      spark.stop(); return
+    }
     val explain = args.headOption.contains("explain")
     val names = if (explain) args.tail else args
     for (name <- names) {

@@ -244,32 +244,25 @@ object TextAnalysis {
     "arabic" -> "[\\x{0600}-\\x{06FF}]",
     "devanagari" -> "[\\x{0900}-\\x{097F}]")
 
-  /** Per-script character counts — one codegen'd regexp_count per class,
-    * all inside a single narrow projection. */
+  /** Per-script character counts, all from ONE character walk
+    * ([[graft.functions.ScriptProfile]] — it implements exactly the
+    * [[ScriptRanges]] classes; five separate regexp_counts measured ~2×
+    * this single pass on the documents fixture, BENCH_NOTES #34). The
+    * five field extractions reference structurally identical
+    * ScriptProfile trees, which physical subexpression elimination
+    * collapses to one evaluation per row. */
   def scriptCounts(text: Column): Seq[(String, Column)] =
-    ScriptRanges.map { case (name, re) =>
-      name -> regexp_count(text, lit(re)).cast("int")
+    graft.functions.ScriptProfile.classNames.map { name =>
+      name -> graft.functions.ScriptProfile(text).getField(name)
     }
 
   /** Dominant script label: the class with the most characters, ties
     * resolved by [[ScriptRanges]] order; 'none' when no class matches
-    * (digits/punctuation-only text). Chained greatest-so-far over 5
-    * fixed classes — bounded, no exponential when-tree. */
-  def dominantScript(text: Column): Column = {
-    val counts = scriptCounts(text)
-    val total = counts.map(_._2).reduce(_ + _)
-    // argmax via explicit comparisons: label_i wins if its count beats
-    // every EARLIER class and is >= every LATER class
-    val labeled = counts.zipWithIndex.map { case ((name, c), i) =>
-      val beatsEarlier = counts.take(i).map { case (_, e) => c > e }
-      val geLater = counts.drop(i + 1).map { case (_, l) => c >= l }
-      (name, (beatsEarlier ++ geLater).foldLeft(lit(true))(_ && _))
-    }
-    val chain = labeled.reverse.foldLeft(lit("none")) {
-      case (els, (name, cond)) => when(cond, name).otherwise(els)
-    }
-    when(total === 0, lit("none")).otherwise(chain)
-  }
+    * (digits/punctuation-only text) — and, as before the single-pass
+    * rewrite, on NULL text ('none' label over null counts, the regex
+    * argmax chain's historical fallthrough). */
+  def dominantScript(text: Column): Column =
+    coalesce(graft.functions.ScriptProfile(text).getField("script"), lit("none"))
 
   /** Unicode-canonical text: NFC compose, lowercase, collapse
     * whitespace. The dedup-robustness prerequisite [[normalize]] skips:

@@ -59,6 +59,11 @@ object Ext {
 
   def txtRollHash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // hash BELOW the sort on purpose: the range-sampling pass does
+    // re-evaluate the projection, but the alternative (sort first,
+    // hash after) shuffles full text instead of an 8-byte hash —
+    // measured a wash at sf0.1 (~0.45 s both, BENCH_NOTES #34) and
+    // strictly worse shuffle bytes at scale
     d.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rh"))
       .orderBy(col("doc_id"))
   }
@@ -1877,8 +1882,16 @@ object Ext {
     * [[graft.operators.AsOfJoin.leftAsOfNearest]]. */
   def evAsOfNear(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // project BEFORE the as-of: leftAsOf carries every left column in
+    // its union+shuffle+window struct, so unneeded wide columns (props
+    // JSON, event_type) would ride through BOTH directional passes. At
+    // fixture scale the delta is inside run noise (~0.7 s either way,
+    // BENCH_NOTES #34) — this is the 100 TB shape (never shuffle bytes
+    // the output doesn't need), not a local micro-win.
     val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     AsOfJoin.leftAsOfNearest(purchases, clicks, Seq("user_id"), "ts", "ts",
         Seq("event_id", "value"))
       .select(col("event_id"), col("user_id"), col("value"),
@@ -1888,8 +1901,11 @@ object Ext {
 
   def evAsOf(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // pre-projection: see evAsOfNear — don't shuffle props/event_type
     val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
       .select(col("event_id"), col("user_id"), col("value"),
         col("asof_event_id"), col("asof_value"))
@@ -1902,8 +1918,11 @@ object Ext {
     * a CASE nulling matches beyond the bound. */
   def evAsOfFwd(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // pre-projection: see evAsOfNear — don't shuffle props/event_type
     val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
         Seq("event_id", "value"), direction = "forward", tolerance = Some("2 hours"))
       .select(col("event_id"), col("user_id"), col("value"),

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate must alarm on genuine per-query slowdowns
+  * (ratio AND absolute delta both past threshold) and stay quiet on
+  * jitter, new queries, and missing baselines — a false alarm fails a
+  * round, a missed one ships a regression. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("alarms: only queries past BOTH ratio and absolute-delta thresholds") {
+    val base = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 1.0)
+    val fresh = Map[String, Option[Double]](
+      "a" -> Some(1.9),  // 1.9x, +0.9s  -> alarm
+      "b" -> Some(0.3),  // 3.0x but +0.2s < absFloor -> quiet (jitter band)
+      "c" -> Some(2.6),  // +0.6s but 1.3x < ratio -> quiet
+      "d" -> Some(0.5))  // improvement -> quiet
+    val got = BenchGate.alarms(fresh, base, ratio = 1.5, absFloor = 0.35)
+    assert(got.map(_.query) === Seq("a"))
+    assert(math.abs(got.head.ratio - 1.9) < 1e-9)
+  }
+
+  test("alarms: all-runs-failed (None) and baseline-absent queries never alarm") {
+    val base = Map("a" -> 1.0)
+    val fresh = Map[String, Option[Double]]("a" -> None, "new_q" -> Some(99.0))
+    assert(BenchGate.alarms(fresh, base).isEmpty)
+    assert(BenchGate.unbaselined(fresh, base) === Seq("new_q"))
+  }
+
+  test("load: parses the recorded file; absent path is None, not a crash") {
+    val f = java.io.File.createTempFile("bench_baseline", ".json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f)
+    w.write("""{"sf":"/root/testdata/sf0.1","medians":{"q1":0.5,"q2":1.25}}""")
+    w.close()
+    val b = BenchGate.load(f.getAbsolutePath).get
+    assert(b.sf === "/root/testdata/sf0.1")
+    assert(b.medians === Map("q1" -> 0.5, "q2" -> 1.25))
+    assert(BenchGate.load("/nonexistent/path.json").isEmpty)
+    // malformed content is also None — a corrupt baseline must not make
+    // the bench itself fail before it can report
+    val bad = java.io.File.createTempFile("bench_bad", ".json")
+    bad.deleteOnExit()
+    val w2 = new java.io.PrintWriter(bad); w2.write("{nope"); w2.close()
+    assert(BenchGate.load(bad.getAbsolutePath).isEmpty)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.functions.{col, lit, md5, regexp_count}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -96,6 +96,36 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.scriptCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
       .collect()(0)
     assert((0 until 5).map(counts.getInt) === Seq(1, 1, 1, 1, 1))
+  }
+
+  test("ScriptProfile single-pass == the five regexp_counts it replaced") {
+    // parity fuzz against the RE2-shared regex formulation, including
+    // the chars that distinguish a char walk from a code-point regex:
+    // supplementary plane (surrogate pairs — neither side counts them),
+    // boundary code points of each range, and the multiplication sign
+    // U+00D7 (inside latin's 00C0-024F block by design)
+    val texts = Seq(
+      "hello world", "你好 ok", "привет", "مرحبا", "नमस्ते", "", "12 !!",
+      "😀 emoji 𪀀", // U+1F600, U+2A000 (CJK ext B — NOT counted)
+      "Àɏɐ", "一鿿ꀀ", "぀ヿ㄀",
+      "가힯ힰ", "ЀӿԀ", "؀ۿ܀",
+      "ऀॿঀ", "a×b", "mixed 你 п م न text")
+    val df = texts.toDF("text")
+    val regexSide = TextAnalysis.ScriptRanges.map { case (n, re) =>
+      regexp_count(col("text"), lit(re)).cast("int").as(n)
+    }
+    val walkSide = TextAnalysis.scriptCounts(col("text")).map { case (n, c) =>
+      c.as(s"w_$n")
+    }
+    df.select(regexSide ++ walkSide: _*).collect().foreach { r =>
+      (0 until 5).foreach(i => assert(r.getInt(i) === r.getInt(i + 5), r.toString))
+    }
+    // null text: counts null, label 'none' — the regex chain's
+    // historical fallthrough, preserved by the coalesce
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.dominantScript(col("text")).as("s"),
+        TextAnalysis.scriptCounts(col("text")).head._2.as("latin")).collect()(0)
+    assert(nr.getString(0) === "none" && nr.isNullAt(1))
   }
 
   test("canonicalText: NFC unifies composed and decomposed forms; ASCII untouched") {
