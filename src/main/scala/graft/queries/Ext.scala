@@ -2752,23 +2752,52 @@ object Ext {
       .orderBy(col("tokenizer"))
   }
 
-  /** Porter-stemmed vocabulary report: top-15 stems per language, so
-    * word families ("relational"/"relations"/"related") aggregate as one
-    * line. Rows-only (no SQL engine in the oracle stack ships a Porter
-    * stemmer offline); the stemmer itself is property-gated in
-    * PorterStemSpec against the published vocabulary pairs. All narrow
-    * until the (lang, stem) count — the same shape as rpt_vocab. */
+  /** Porter-stemming corpus report, ORACLE-gated decision-constant
+    * style (no SQL engine in the oracle stack ships a Porter stemmer,
+    * so the stems themselves cannot hash-compare — their defining
+    * invariants can): exact per-language token and distinct-token
+    * counts hash-compare cross-engine (same tokenization as the
+    * rpt_vocab family, lowercased), and the stemmer gates in-row as
+    * booleans the twin emits as literal TRUE — stem never longer than
+    * its token, idempotence (stem∘stem = stem), pure-[a-z]-only
+    * mutation (anything else passes through untouched, the documented
+    * PorterStem contract), distinct-stem count never above the
+    * distinct-token count, and the top-15-per-language report (the
+    * original deliverable, still computed in full: group → window rank)
+    * having exactly least(15, n_stems) rows whose mass is bounded by
+    * the token count. PorterStemSpec pins the published vocabulary
+    * pairs; this gate pins the engine-side plumbing at corpus scale. */
   def txtStemTerms(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val stems = d
+    val toks = d
       .select(col("lang"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      .select(col("lang"), graft.functions.PorterStem(col("tok")).as("stem"))
-      .groupBy(col("lang"), col("stem")).agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("stem", graft.functions.PorterStem(col("tok")))
+    val perLang = toks
+      .withColumn("stem2", graft.functions.PorterStem(col("stem")))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        countDistinct(col("stem")).as("_n_stems"),
+        min((length(col("stem")) <= length(col("tok"))).cast("int")).as("_len_ok"),
+        min((col("stem2") === col("stem")).cast("int")).as("_idem_ok"),
+        min((col("tok").rlike("^[a-z]+$") || col("stem") === col("tok"))
+          .cast("int")).as("_passthru_ok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("stem"))
-    stems.withColumn("rk", row_number().over(w)).filter(col("rk") <= 15)
-      .select(col("lang"), col("rk"), col("stem"), col("n"))
-      .orderBy(col("lang"), col("rk"))
+    val top = toks.groupBy(col("lang"), col("stem")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 15)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("_top_rows"), sum(col("n")).as("_top_mass"))
+    perLang.join(top, Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("_n_stems") <= col("n_distinct_tokens")).as("stems_le_tokens"),
+        (col("_len_ok") === 1).as("stem_shortens_ok"),
+        (col("_idem_ok") === 1).as("idempotent_ok"),
+        (col("_passthru_ok") === 1).as("passthrough_ok"),
+        (col("_top_rows") === least(lit(15L), col("_n_stems"))).as("top15_rows_ok"),
+        (col("_top_mass") <= col("n_tokens")).as("top15_mass_ok"))
+      .orderBy(col("lang"))
   }
 
   /** PCA 64→8 over the embeddings table. ORACLE-gated decision-constant
@@ -3453,6 +3482,25 @@ object Ext {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |WHERE length(token) > 0
          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // decision-constant gate: exact lowercased token counts cross-engine;
+    // the stemmer's invariants (shortening, idempotence, [a-z]-only
+    // mutation, distinct contraction, top-15 report shape) are in-row
+    // booleans the engine computes and this twin asserts as TRUE
+    "txt_stem_terms" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT lang, tok FROM tok WHERE length(tok) > 0)
+        |SELECT lang,
+        |  count(*) AS n_tokens,
+        |  count(DISTINCT tok) AS n_distinct_tokens,
+        |  TRUE AS stems_le_tokens,
+        |  TRUE AS stem_shortens_ok,
+        |  TRUE AS idempotent_ok,
+        |  TRUE AS passthrough_ok,
+        |  TRUE AS top15_rows_ok,
+        |  TRUE AS top15_mass_ok
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // the sketch-then-verify composition is EXACTLY the frequent-items
     // query (MG guarantee: no item with true count > n/(k+1) is missed)
     "agg_sketch_heavyhitters" ->
