@@ -85,11 +85,23 @@ class IvfSpec extends SparkSpec {
 
     // the serving path — encode once, search the stored (cell, codes)
     // index — must return exactly what the inline form returns
-    val viaEncoded = Ivf.searchEncodedTopKPq(queries,
+    val encodedSearch = Ivf.searchEncodedTopKPq(queries,
         enc.withColumnRenamed("vec_id", "neighbor_id"), model,
         "vec_id", "embedding", topK = 5, nProbe = 4)
-      .as[(Long, Int, Long, Double)].collect()
+    val viaEncoded = encodedSearch.as[(Long, Int, Long, Double)].collect()
     assert(viaEncoded.toSet === pq.toSet)
+
+    // plan shape (the sim_ivfpq bench-tail gate): ADC candidates come
+    // from an equi-join on the probed cell key — a refactor that scored
+    // every (query, code) pair would stay value-correct on 400 vectors
+    // and be quadratic at 100 TB
+    val pqJoins = encodedSearch.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(pqJoins.nonEmpty &&
+      pqJoins.exists(_.condition.exists(_.toString.contains("_cell"))),
+      s"PQ probe must join on _cell:\n${encodedSearch.queryExecution.optimizedPlan}")
+    assert(!encodedSearch.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "PQ probe must never cross-product")
 
     // ---- persistence round-trip: a serving restart must not retrain —
     // the loaded model reproduces the exact parameters and, against the

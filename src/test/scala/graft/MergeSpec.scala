@@ -47,6 +47,26 @@ class MergeSpec extends SparkSpec {
     assert(Merge.read(spark, root).count() === 200)
   }
 
+  test("read PLAN scans the manifest's pointer dirs directly — the pipeline_ingest landing contract") {
+    // not just the manifest layout (the copy-on-write test above): the
+    // actual scan must read untouched buckets from their OLD version
+    // dirs and only the touched bucket from the new one. A refactor
+    // that rewrote every bucket per commit — or consolidated reads
+    // through a copied snapshot — would stay value-correct and blow the
+    // write/read amplification at 100 TB; this pins the plan.
+    val (root, _) = table(200)
+    val ups = Seq((5L, "FIVE", 0)).toDF("id", "text", "grp")
+    Merge.upsert(spark, root, ups, spark.emptyDataset[Long].toDF("id"))
+    val files = Merge.read(spark, root).inputFiles
+    val v0 = files.count(_.matches(".*data/v0-[0-9a-f]+/_pt=.*"))
+    val v1 = files.count(_.matches(".*data/v1-[0-9a-f]+/_pt=.*"))
+    assert(v1 >= 1, s"touched bucket must read from v1: ${files.mkString("\n")}")
+    assert(v0 >= 7, s"untouched buckets must read from their v0 pointer dirs: ${files.mkString("\n")}")
+    assert(v0 + v1 === files.length, "no file outside the two manifest versions")
+    val buckets = files.flatMap("_pt=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(buckets.size === 8, s"all 8 buckets covered, got $buckets")
+  }
+
   test("crash safety: written data without a manifest commit is invisible") {
     val (root, df) = table(50)
     val before = Merge.read(spark, root).orderBy("id").collect()

@@ -51,6 +51,40 @@ class QueriesSpec extends SparkSpec {
       assert(!web.contains(op), s"pipeline_web_curate must not contain $op"))
   }
 
+  test("plan-shape guards for the bench tail: trustrank dispatch, semantic-dedup blocking") {
+    // graph_trustrank at fixture scale must dispatch the driver-vector
+    // treeAggregate path: the returned frame is a parallelized result
+    // (ExistingRDD) with NO joins — the distributed fallback's
+    // 10-iteration shuffle-join chain staying correct but 3x slower is
+    // exactly the silent swap this pins out (its own path is soaked
+    // separately at 2M nodes, BENCH_NOTES #30).
+    val tr = SparkEntry.queries("graph_trustrank")(spark, sf)
+    assert(tr.queryExecution.executedPlan.toString.contains("SerializeFromObject"),
+      "trustrank fixture dispatch must be the driver-vector path " +
+        "(a parallelized (node, pr) result, not a computed frame)")
+    val trJoins = tr.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(trJoins.isEmpty, "driver-vector result plan must contain no joins")
+
+    // semantic-dedup OPERATOR (the part that runs at 100 TB — the
+    // all-pairs gate harness is fixture-bounded and whitelisted in the
+    // join audit): candidate generation must be an equi-join on the
+    // cell block key, never any cross product.
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+    val pairs = graft.operators.Dedup.semanticNearDupPairs(
+      e, "vec_id", "embedding", model, threshold = 0.35, assignCells = 2)
+    val opt = pairs.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "cell-blocked verify must be a join")
+    assert(joins.exists(_.condition.exists(_.toString.contains("_sem_cell"))),
+      s"candidate join must key on the cell block:\n$opt")
+    val phys = pairs.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      "semantic-dedup operator must never cross-product")
+  }
+
   test("quality gate drops line-spam docs (dup-line rule bites on multi-line input)") {
     // the shipped fixture is all single-line docs, where the dup-line
     // rule is vacuous — plant a corpus where it is the ONLY deciding rule
