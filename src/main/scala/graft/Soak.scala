@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   * corpus by construction. Anything super-linear that shows up in the
   * timings is therefore the ENGINE's doing, not the data's.
   *
-  * Two decades (1x -> 10x -> 100x, 5k -> 500k docs) run for the dedup
-  * family; the exponent between decades (log10 of the time ratio) is
-  * the honest scaling grade: 1.0 = linear. The txt/ANN training family
-  * keeps its single-decade evidence — their scale story is the bounded
-  * dictionary, already proven by the 10x point.
+  * Two decades (1x -> 10x -> 100x, 5k -> 500k docs / 8k -> 800k
+  * vectors) run for the dedup family AND the two search operators
+  * (banded_lsh, ivf_filtered — graduated from one-decade evidence in
+  * round 12); the exponent between decades (log10 of the time ratio)
+  * is the honest scaling grade: 1.0 = linear. The txt/ANN training
+  * family keeps its single-decade evidence — their scale story is the
+  * bounded dictionary, already proven by the 10x point.
   *
-  * Usage: runMain graft.Soak [baseDir] [workDir] [maxScale(10|100)]
+  * Usage: runMain graft.Soak [baseDir] [workDir] [maxScale(10|100)] [opFilter]
+  *        (opFilter: comma-separated op names — re-measure a subset)
   *        runMain graft.Soak graph        — distributed-vector graph path
   *        runMain graft.Soak components   — CC over pre-materialized pairs
   * Not part of the driver contract. */
@@ -81,7 +84,27 @@ object Soak {
         }),
         "dedup_editdist" -> (() =>
           graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
-            blockCols = Seq("lang"), maxDistFrac = 0.2).count()))
+            blockCols = Seq("lang"), maxDistFrac = 0.2).count()),
+        // the two r11 search operators graduate to BOTH decades (their
+        // first round had one-decade evidence only): corpus-side work is
+        // one mat-vec + postings (banded LSH) / one assignment + probe
+        // join (filtered IVF) per vector — the 100x point grades that
+        // claim at 800k vectors
+        "banded_lsh" -> (() => {
+          val (bands, bits) = graft.operators.Similarity.annLshParamsFor(
+            0.25, fpBudget = 0.2, fnBudget = 0.05, margin = 0.3)
+          graft.operators.Similarity.annLshBandedTopK(
+            embs.filter(col("vec_id") < 20), embs, "vec_id", "vec_id",
+            "embedding", "embedding", k = 5, bands, bits).count()
+        }),
+        "ivf_filtered" -> (() => {
+          val model = graft.operators.Ivf.train(embs, "vec_id", "embedding",
+            k = 16, iters = 2)
+          graft.operators.Ivf.searchTopKWhere(
+            embs.filter(col("vec_id") < 20), embs, model, "vec_id", "vec_id",
+            "embedding", "embedding", topK = 5, nProbe = 4,
+            predicate = col("label") === 3).count()
+        }))
       val once = Seq(
         "sim_ivfpq" -> (() => {
           val model = graft.operators.Ivf.trainPq(embs, "vec_id", "embedding",
@@ -148,25 +171,20 @@ object Soak {
             .where(graft.functions.JaroWinkler(col("s1"), col("s2")) >= 0.8)
             .count()
         }),
-        // banded sign-LSH under derived S-curve params: corpus-side work
-        // is one mat-vec + bands postings per vector — linear; the
-        // bucket join is bounded by band-key collisions, never n^2
-        "banded_lsh" -> (() => {
+        // TIGHT-margin banded sign-LSH: annLshParamsFor's bit budget
+        // grows nonlinearly as the margin narrows (margin 0.3 -> 61x8 =
+        // 488 bits; 0.25 -> 114x9 = 1026, needs maxHashes 2048; 0.2 ->
+        // 540x12 = 6480 — SimilaritySpec pins the infeasibility boundary
+        // against a brute-force S-curve sweep). This point grades the
+        // runtime cost of the 2.1x bit budget: still one mat-vec + 114
+        // postings per vector, so the exponent must stay flat even
+        // though the constant roughly doubles.
+        "banded_lsh_tight" -> (() => {
           val (bands, bits) = graft.operators.Similarity.annLshParamsFor(
-            0.25, fpBudget = 0.2, fnBudget = 0.05, margin = 0.3)
+            0.25, fpBudget = 0.2, fnBudget = 0.05, margin = 0.25, maxHashes = 2048)
           graft.operators.Similarity.annLshBandedTopK(
             embs.filter(col("vec_id") < 20), embs, "vec_id", "vec_id",
             "embedding", "embedding", k = 5, bands, bits).count()
-        }),
-        // attribute-filtered IVF: the predicate prunes candidates BEFORE
-        // scoring, so filtered search must not cost more than unfiltered
-        "ivf_filtered" -> (() => {
-          val model = graft.operators.Ivf.train(embs, "vec_id", "embedding",
-            k = 16, iters = 2)
-          graft.operators.Ivf.searchTopKWhere(
-            embs.filter(col("vec_id") < 20), embs, model, "vec_id", "vec_id",
-            "embedding", "embedding", topK = 5, nProbe = 4,
-            predicate = col("label") === 3).count()
         }),
         // sketch pass + candidate-only exact verify: must be linear (the
         // candidate set is <= k regardless of scale)
@@ -185,11 +203,13 @@ object Soak {
       if (mult <= 10) dedup ++ once else dedup
     }
 
+    val opFilter = args.lift(3).map(_.split(",").toSet)
     val scales = Seq(1, 10) ++ (if (maxScale >= 100) Seq(100) else Nil)
     val results = for {
       mult <- scales
       dir = fixture(mult)
       (name, op) <- ops(dir, mult)
+      if opFilter.forall(_(name))
     } yield {
       val (sec, rows) = timed(op())
       println(f"""[soak] {"op":"$name","scale":"${mult}x","sec":$sec%.2f,"rows":$rows}""")

@@ -184,9 +184,17 @@ object Dedup {
       .repartition(parts)
     val txt = df.select(col(idCol), trim(col(textCol)).as("_t"))
     val bound = floor(lit(maxDistFrac) * greatest(length(col("_ta")), length(col("_tb"))))
+    // The text re-attach joins carry FULL DOCUMENT TEXT and must never
+    // become broadcasts: AQE's conversion compares the COMPRESSED
+    // runtime shuffle size against the threshold, but the in-memory
+    // hash relation it then builds is uncompressed — the 100x soak
+    // measured a 64 MB-compressed text side exploding into a 3.1 GiB
+    // broadcast that spilled to disk and dominated the decade's cost
+    // (BENCH_NOTES #37). SMJ hints pin the scale-safe shape: shuffle on
+    // the id, sort, stream — text bytes never concentrate anywhere.
     cand
-      .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")), "id_a")
-      .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")), "id_b")
+      .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")).hint("merge"), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")).hint("merge"), "id_b")
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= bound)
       // banded Levenshtein: exact d when d <= bound, -1 sentinel when the
       // band is exceeded — O((2*bound+1)*len) instead of full len^2 DP

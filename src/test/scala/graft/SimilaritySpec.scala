@@ -181,6 +181,41 @@ class SimilaritySpec extends SparkSpec {
       Similarity.annLshParamsFor(0.5, 0.01, 0.01, margin = 0.05, maxHashes = 256))
   }
 
+  test("annLshParamsFor fail-loud boundary == brute-force S-curve infeasibility") {
+    import graft.operators.{Dedup, Similarity}
+    // the solver's refusal must mean "no parameterization exists within
+    // the budget", not "the search missed one": sweep margins across
+    // the soak operating point (t=0.25, fp=0.2, fn=0.05, maxHashes
+    // 1024 — the banded_lsh soak's exact configuration) and compare
+    // feasibility against an exhaustive (b, r) scan of the same
+    // S-curve. The bit budget is sharply nonlinear in the margin
+    // (0.3 -> 488 bits, 0.25 -> 1026, 0.2 -> 6480), so the boundary
+    // sits between usable margins — worth proving, not assuming.
+    val (t, fp, fn) = (0.25, 0.2, 0.05)
+    def bruteFeasible(margin: Double, maxH: Int): Boolean = {
+      val pHi = Similarity.signCollisionProb(t + margin)
+      val pLo = Similarity.signCollisionProb(t - margin)
+      (1 to 48).exists { r =>
+        (1 to maxH / r).exists { b =>
+          Dedup.lshDetectionProbability(pLo, b, r) <= fp &&
+            Dedup.lshDetectionProbability(pHi, b, r) >= 1.0 - fn
+        }
+      }
+    }
+    for (maxH <- Seq(1024, 2048); margin <- Seq(0.10, 0.15, 0.20, 0.25, 0.30)) {
+      val solver = scala.util.Try(
+        Similarity.annLshParamsFor(t, fp, fn, margin, maxH)).isSuccess
+      assert(solver === bruteFeasible(margin, maxH),
+        s"margin=$margin maxHashes=$maxH: solver=$solver, brute force disagrees")
+    }
+    // boundary placement at the soak budgets: 0.3 fits in 1024, 0.25
+    // needs 2048, 0.2 needs more than 2048 — the tight-soak sizing
+    assert(scala.util.Try(Similarity.annLshParamsFor(t, fp, fn, 0.30, 1024)).isSuccess)
+    assert(scala.util.Try(Similarity.annLshParamsFor(t, fp, fn, 0.25, 1024)).isFailure)
+    assert(scala.util.Try(Similarity.annLshParamsFor(t, fp, fn, 0.25, 2048)).isSuccess)
+    assert(scala.util.Try(Similarity.annLshParamsFor(t, fp, fn, 0.20, 2048)).isFailure)
+  }
+
   test("annLshBandedTopK: derived params find planted neighbors; scores are exact") {
     val rnd = new Random(31)
     // clustered corpus: 10 base directions, 6 noisy copies each -> true
