@@ -85,6 +85,16 @@ object Soak {
         "dedup_editdist" -> (() =>
           graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
             blockCols = Seq("lang"), maxDistFrac = 0.2).count()),
+        // the documented scale lever for the posting self-join (SURVEY
+        // §8.3): cap shingle document-frequency so ubiquitous shingles
+        // stop minting candidate pairs. Near-dup docs still share RARE
+        // shingles, so the pair set should be (near-)identical while the
+        // join cost drops — this op grades that claim instead of
+        // assuming it.
+        "dedup_editdist_capped" -> (() =>
+          graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
+            blockCols = Seq("lang"), maxDistFrac = 0.2,
+            maxDocFreq = 1000).count()),
         // the two r11 search operators graduate to BOTH decades (their
         // first round had one-decade evidence only): corpus-side work is
         // one mat-vec + postings (banded LSH) / one assignment + probe
