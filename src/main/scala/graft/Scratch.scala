@@ -51,6 +51,22 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("edlsh")) {
+      // probe: LSH-candidate editdist vs the shingle-complete exact set
+      import org.apache.spark.sql.functions.col
+      for (sf <- Seq("0.001", "0.01", "0.1")) {
+        val d = graft.sources.Tables.documents(spark, s"/root/testdata/sf$sf")
+        val found = graft.core.Checkpoint.materialize(
+          graft.operators.Dedup.editDistPairsLsh(d, "doc_id", "text", maxDistFrac = 0.2))
+        val exact = graft.core.Checkpoint.materialize(
+          graft.operators.Dedup.editDistPairs(d, "doc_id", "text",
+            blockCols = Nil, maxDistFrac = 0.2))
+        val nF = found.count(); val nT = exact.count()
+        val nHit = found.join(exact, Seq("id_a", "id_b")).count()
+        println(s"[scratch] edlsh sf$sf found=$nF true=$nT hit=$nHit")
+      }
+      spark.stop(); return
+    }
     val explain = args.headOption.contains("explain")
     val names = if (explain) args.tail else args
     for (name <- names) {

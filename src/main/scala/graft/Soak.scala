@@ -95,6 +95,12 @@ object Soak {
           graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
             blockCols = Seq("lang"), maxDistFrac = 0.2,
             maxDocFreq = 1000).count()),
+        // the at-scale fuzzy-dedup compose: minhash-banded candidates +
+        // exact banded-Levenshtein verify — must track dedup_minhash's
+        // cost shape, not dedup_editdist's posting-join shape
+        "dedup_editdist_lsh" -> (() =>
+          graft.operators.Dedup.editDistPairsLsh(
+            docs, "doc_id", "text", maxDistFrac = 0.2).count()),
         // the two r11 search operators graduate to BOTH decades (their
         // first round had one-decade evidence only): corpus-side work is
         // one mat-vec + postings (banded LSH) / one assignment + probe

@@ -171,28 +171,43 @@ object Dedup {
     }
     val a = posts.select(col(idCol).as("id_a") +: blockCols.map(col) :+ col("_h"): _*)
     val b = posts.select(col(idCol).as("id_b") +: blockCols.map(col) :+ col("_h"): _*)
-    // Explicit-N ROUND-ROBIN repartition: AQE never coalesces a
-    // user-numbered shuffle, and round-robin (unlike re-hashing the
-    // distinct's own keys, which is statically elided as redundant)
-    // guarantees a real exchange, so the expensive verify stage below
-    // keeps full parallelism however few bytes the pair set is.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cand = a.join(b, blockCols :+ "_h")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
-      .repartition(parts)
+    editDistVerify(cand, df, idCol, textCol, maxDistFrac)
+  }
+
+  /** Exact banded-Levenshtein verification of a candidate pair frame
+    * (id_a, id_b) — the shared refinement stage of [[editDistPairs]]
+    * and [[editDistPairsLsh]]. Dedupes the candidates, restores full
+    * verify parallelism, length-prefilters, then prices each survivor
+    * with the BANDED O((2k+1)*len) algorithm.
+    *
+    * The explicit-N ROUND-ROBIN repartition: AQE never coalesces a
+    * user-numbered shuffle, and round-robin (unlike re-hashing the
+    * distinct's own keys, which is statically elided as redundant)
+    * guarantees a real exchange — AQE sizes the post-distinct stage by
+    * shuffle BYTES (pairs of longs, a few MB), but each row here costs
+    * a quadratic-ish string verify, so byte-based coalesce would funnel
+    * minutes of DP onto two tasks (measured 94 s -> 3 s at sf0.1).
+    *
+    * The text re-attach joins carry FULL DOCUMENT TEXT and must never
+    * become broadcasts: AQE's conversion compares the COMPRESSED
+    * runtime shuffle size against the threshold, but the in-memory
+    * hash relation it then builds is uncompressed — the 100x soak
+    * measured a 64 MB-compressed text side exploding into a 3.1 GiB
+    * broadcast that spilled to disk (BENCH_NOTES #37); at cluster
+    * scale that is an executor OOM. SMJ hints pin the scale-safe
+    * shape: shuffle on the id, sort, stream — text bytes never
+    * concentrate anywhere. */
+  private def editDistVerify(cand: DataFrame, df: DataFrame, idCol: String,
+                             textCol: String, maxDistFrac: Double): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val txt = df.select(col(idCol), trim(col(textCol)).as("_t"))
     val bound = floor(lit(maxDistFrac) * greatest(length(col("_ta")), length(col("_tb"))))
-    // The text re-attach joins carry FULL DOCUMENT TEXT and must never
-    // become broadcasts: AQE's conversion compares the COMPRESSED
-    // runtime shuffle size against the threshold, but the in-memory
-    // hash relation it then builds is uncompressed — the 100x soak
-    // measured a 64 MB-compressed text side exploding into a 3.1 GiB
-    // broadcast that spilled to disk and dominated the decade's cost
-    // (BENCH_NOTES #37). SMJ hints pin the scale-safe shape: shuffle on
-    // the id, sort, stream — text bytes never concentrate anywhere.
     cand
+      .distinct()
+      .repartition(parts)
       .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")).hint("merge"), "id_a")
       .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")).hint("merge"), "id_b")
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= bound)
@@ -202,6 +217,47 @@ object Dedup {
         col("_ta"), col("_tb"), bound.cast("int")))
       .filter(col("d") >= 0)
       .select(col("id_a"), col("id_b"), col("d"))
+  }
+
+  /** Edit-distance near-dup pairs at MINHASH candidate cost — the
+    * at-scale fuzzy-dedup compose. [[editDistPairs]]' candidate stage
+    * shuffles every (block, shingle, id) posting (~hundreds of rows per
+    * document; the 100x soak measured 344 s on 500k docs), which is the
+    * right EXACT-recall shape but priced per shingle. This variant
+    * proposes candidates with [[minHashNearDupPairs]]' banded-LSH
+    * machinery instead — `bands` 8-byte band keys per document, nothing
+    * else shuffles (8.3 s on the same 500k-doc fixture) — then verifies
+    * each candidate with the same exact banded Levenshtein.
+    *
+    * The trade is recall, priced by the S-curve
+    * ([[lshDetectionProbability]] at the pair's Jaccard; size with
+    * [[lshParamsFor]]): a qualifying pair surfaces iff some band of
+    * its MinHash signatures agrees. Pairs within a small relative edit
+    * bound are near-identical texts with Jaccard near 1, where 12x4
+    * detection is ~certain — the regime this operator targets.
+    * Precision stays EXACT (every emitted pair passed the real bound);
+    * the signature is deterministic (salted xxhash64), so the output
+    * is run-reproducible, not sampled. */
+  def editDistPairsLsh(df: DataFrame, idCol: String, textCol: String,
+                       maxDistFrac: Double,
+                       bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+    require(maxDistFrac > 0 && maxDistFrac < 1,
+      "maxDistFrac must be in (0, 1): a fraction of the longer text's length")
+    // same persist/release discipline as minHashNearDupPairs: the band
+    // table feeds both sides of the candidate self-join, and the eager
+    // checkpoint lets both caches release before returning
+    val sh = shingleSets(df, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
+    val banded = bandTable(sh, idCol, bands, rowsPerBand).persist()
+    val cand = banded.withColumnRenamed(idCol, "id_a")
+      .join(banded.withColumnRenamed(idCol, "id_b"), Seq("_band", "_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    try graft.core.Checkpoint.materialize(
+      editDistVerify(cand, df, idCol, textCol, maxDistFrac))
+    finally {
+      sh.unpersist()
+      banded.unpersist()
+    }
   }
 
   /** (id, _band, _h) LSH band-bucket keys from a shingle-set frame

@@ -197,6 +197,27 @@ class DedupSpec extends SparkSpec {
     assert(base.take(8).forall { case (i, _, t) => out.exists(p => p._1 == i && p._2 == i + 100L) || t.trim.length < 5 })
   }
 
+  test("editDistPairsLsh: banded candidates reproduce the exact answer on near-identical pairs") {
+    // the compose's operating regime: near-identical texts (Jaccard ~1,
+    // where 12x4 banding detects ~certainly) — LSH-proposed + exactly
+    // verified must EQUAL the shingle-complete exact operator, including
+    // the d values; the far-apart noise docs must produce nothing
+    val rnd = new Random(11)
+    val vocab = Vector.tabulate(120)(i => s"tok$i")
+    val base = (0L until 25L).map { i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val twins = base.take(9).map { case (i, t) => (i + 500L, t.dropRight(2)) } // 2-char deletion
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val viaLsh = Dedup.editDistPairsLsh(docs, "doc_id", "text", maxDistFrac = 0.2)
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Dedup.editDistPairs(docs, "doc_id", "text", Nil, maxDistFrac = 0.2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaLsh === exact)
+    // all 9 planted pairs found, with the true distance
+    (0L until 9L).foreach(i => assert(viaLsh.exists(p => p._1 == i && p._2 == i + 500L && p._3 == 2)))
+  }
+
   test("editDistPairs is order-sensitive where Jaccard is blind") {
     // docs 1 and 3 are cyclic rotations: IDENTICAL shingle sets under
     // the periodic repetition (J = 1.0 — ngramJaccardPairs pairs them),
