@@ -51,6 +51,32 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("mhdecomp")) {
+      // decompose minhash near-dup at a soak fixture dir (args(1)):
+      // shingle+signature scan vs banding+candidate join vs Jaccard
+      // verify — each timed as a cumulative count so stage deltas are
+      // attributable (per-stage persists would change what's measured)
+      import org.apache.spark.sql.functions.col
+      val fdir = args.lift(1).getOrElse(dir)
+      val docs = graft.sources.Tables.documents(spark, fdir)
+      def timeIt(label: String)(f: => Long): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scratch] mhdecomp $label%-18s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+      timeIt("signature_scan") {
+        // the narrow per-doc work only: shingle sets + k-hash signature
+        docs.select(col("doc_id"),
+            graft.functions.MinHashSignature(
+              graft.functions.TrigramShingleHashes(
+                graft.operators.TextAnalysis.tokens(col("text"))), 48).as("_sig"))
+          .queryExecution.toRdd.count()
+      }
+      timeIt("full_pairs") {
+        graft.operators.Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5).count()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("edlsh")) {
       // probe: LSH-candidate editdist vs the shingle-complete exact set
       import org.apache.spark.sql.functions.col
