@@ -201,22 +201,33 @@ object Dedup {
     * shape: shuffle on the id, sort, stream — text bytes never
     * concentrate anywhere. */
   private def editDistVerify(cand: DataFrame, df: DataFrame, idCol: String,
-                             textCol: String, maxDistFrac: Double): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val txt = df.select(col(idCol), trim(col(textCol)).as("_t"))
+                             textCol: String, maxDistFrac: Double): DataFrame =
+    editDistVerifyCross(cand, df, df, idCol, textCol, "id_a", "id_b", maxDistFrac)
+
+  /** Two-frame form of the verify stage: candidate columns `aOut`/`bOut`
+    * resolve against `aDf`/`bDf` respectively (the incremental
+    * batch-vs-corpus shape; the self-dedup form passes one frame for
+    * both). Same distinct/repartition/length-prefilter/banded-DP
+    * pipeline, same merge-hinted text re-attach. */
+  private def editDistVerifyCross(cand: DataFrame, aDf: DataFrame, bDf: DataFrame,
+                                  idCol: String, textCol: String,
+                                  aOut: String, bOut: String,
+                                  maxDistFrac: Double): DataFrame = {
+    val parts = aDf.sparkSession.sessionState.conf.numShufflePartitions
+    def txt(df: DataFrame) = df.select(col(idCol), trim(col(textCol)).as("_t"))
     val bound = floor(lit(maxDistFrac) * greatest(length(col("_ta")), length(col("_tb"))))
     cand
       .distinct()
       .repartition(parts)
-      .join(txt.select(col(idCol).as("id_a"), col("_t").as("_ta")).hint("merge"), "id_a")
-      .join(txt.select(col(idCol).as("id_b"), col("_t").as("_tb")).hint("merge"), "id_b")
+      .join(txt(aDf).select(col(idCol).as(aOut), col("_t").as("_ta")).hint("merge"), aOut)
+      .join(txt(bDf).select(col(idCol).as(bOut), col("_t").as("_tb")).hint("merge"), bOut)
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= bound)
       // banded Levenshtein: exact d when d <= bound, -1 sentinel when the
       // band is exceeded — O((2*bound+1)*len) instead of full len^2 DP
       .withColumn("d", call_function("levenshtein",
         col("_ta"), col("_tb"), bound.cast("int")))
       .filter(col("d") >= 0)
-      .select(col("id_a"), col("id_b"), col("d"))
+      .select(col(aOut), col(bOut), col("d"))
   }
 
   /** Edit-distance near-dup pairs at MINHASH candidate cost — the
@@ -243,10 +254,12 @@ object Dedup {
                        bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     require(maxDistFrac > 0 && maxDistFrac < 1,
       "maxDistFrac must be in (0, 1): a fraction of the longer text's length")
-    // same persist/release discipline as minHashNearDupPairs: the band
-    // table feeds both sides of the candidate self-join, and the eager
-    // checkpoint lets both caches release before returning
-    val sh = shingleSets(df, idCol, textCol, Nil).filter(col("_sh").isNotNull).persist()
+    // persist/release discipline follows minHashNearDupPairs, but only
+    // the band table caches: it feeds BOTH sides of the candidate
+    // self-join, while the shingle frame feeds it exactly once (the
+    // verify below prices raw text, not shingle sets — no reuse). The
+    // eager checkpoint lets the cache release before returning.
+    val sh = shingleSets(df, idCol, textCol, Nil).filter(col("_sh").isNotNull)
     val banded = bandTable(sh, idCol, bands, rowsPerBand).persist()
     val cand = banded.withColumnRenamed(idCol, "id_a")
       .join(banded.withColumnRenamed(idCol, "id_b"), Seq("_band", "_h"))
@@ -254,10 +267,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     try graft.core.Checkpoint.materialize(
       editDistVerify(cand, df, idCol, textCol, maxDistFrac))
-    finally {
-      sh.unpersist()
-      banded.unpersist()
-    }
+    finally banded.unpersist()
   }
 
   /** (id, _band, _h) LSH band-bucket keys from a shingle-set frame
@@ -462,6 +472,34 @@ object Dedup {
       shC.unpersist()
       shB.unpersist()
     }
+  }
+
+  /** INCREMENTAL edit-distance near-dup detection — [[editDistPairsLsh]]'
+    * batch-vs-corpus form ("which of today's crawl are byte-level
+    * near-copies of the index"): batch band keys join corpus band keys
+    * (work ∝ batch, one narrow corpus pass — at 100 TB the corpus band
+    * table is the persisted index, [[bandTable]] note), then the exact
+    * banded-Levenshtein verify prices each cross candidate. Returns
+    * (batch_id, corpus_id, d). Same recall framing as
+    * [[editDistPairsLsh]]: pairs inside a small relative edit bound sit
+    * at Jaccard ~1 where the banding detects ~certainly, and the
+    * salted-xxhash64 signature is deterministic. */
+  def editDistAgainstLsh(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String, maxDistFrac: Double,
+                         bands: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+    require(maxDistFrac > 0 && maxDistFrac < 1,
+      "maxDistFrac must be in (0, 1): a fraction of the longer text's length")
+    // no persist here, unlike the Jaccard-verified sibling: the shingle
+    // frames each feed exactly ONE band table (the verify below prices
+    // raw text, not shingle sets), so there is nothing to reuse
+    val shC = shingleSets(corpus, idCol, textCol, Nil).filter(col("_sh").isNotNull)
+    val shB = shingleSets(batch, idCol, textCol, Nil).filter(col("_sh").isNotNull)
+    val cand = bandTable(shB, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "batch_id")
+      .join(bandTable(shC, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "corpus_id"),
+        Seq("_band", "_h"))
+      .select(col("batch_id"), col("corpus_id"))
+    editDistVerifyCross(cand, batch, corpus, idCol, textCol,
+      "batch_id", "corpus_id", maxDistFrac)
   }
 
   /** Apply path of [[minHashNearDupAgainst]]: `batch` minus every row

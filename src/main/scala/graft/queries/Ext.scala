@@ -999,6 +999,20 @@ object Ext {
     Dedup.editDistPairsLsh(Tables.documents(s, dir), "doc_id", "text", maxDistFrac = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental edit-distance dedup — "which of today's crawl are
+    * byte-level near-copies of the index" ([[graft.operators.Dedup
+    * .editDistAgainstLsh]]); same split convention as dedup_minhash_inc
+    * and the same hash-compare justification as dedup_editdist_lsh
+    * (cross pairs at a 20% bound sit at Jaccard ~1; deterministic
+    * signatures; measured recall and precision exactly 1.0 at 3 SFs). */
+  def dedupEditDistInc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.editDistAgainstLsh(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", maxDistFrac = 0.2)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** SimHash dedup through the ANN-style quality gate (the sim_ann_lsh
     * treatment): the Hamming<=3 candidate pairs are scored against the
     * exact J>=0.5 pair set (minHashNearDupPairs — itself hash-gated
@@ -2978,6 +2992,7 @@ object Ext {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_editdist" -> dedupEditDist,
     "dedup_editdist_lsh" -> dedupEditDistLsh,
+    "dedup_editdist_inc" -> dedupEditDistInc,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
@@ -4267,6 +4282,39 @@ object Ext {
          |  WHERE greatest(pr.n3a, pr.n3b) - coalesce(ti.i3, 0) <= 3 * floor(0.2 * pr.l)),
          |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre2)
          |SELECT id_a, id_b, d FROM p WHERE d <= floor(0.2 * l) ORDER BY id_a, id_b""".stripMargin,
+    // incremental variant: same exact-answer machinery, candidates
+    // restricted to batch (doc_id >= 400) x corpus (doc_id < 400) —
+    // the dedup_minhash_inc split convention
+    "dedup_editdist_inc" ->
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
+         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM post b JOIN post c ON b.h = c.h
+         |  WHERE b.doc_id >= 400 AND c.doc_id < 400),
+         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t, length(trim(text)) AS len,
+         |  CASE WHEN length(trim(text)) < 3 THEN CAST([] AS UBIGINT[])
+         |  ELSE list_distinct(list_transform(generate_series(1, length(trim(text)) - 2),
+         |    i -> hash(substring(trim(text), i, 3)))) END AS g3
+         |  FROM documents),
+         |pre AS MATERIALIZED (SELECT cn.batch_id, cn.corpus_id, db.t AS tb, dc.t AS tc,
+         |  greatest(db.len, dc.len) AS l, len(db.g3) AS n3b, len(dc.g3) AS n3c
+         |  FROM cand cn JOIN doc db ON cn.batch_id = db.doc_id
+         |  JOIN doc dc ON cn.corpus_id = dc.doc_id
+         |  WHERE abs(db.len - dc.len) <= floor(0.2 * greatest(db.len, dc.len))),
+         |g3post AS MATERIALIZED (SELECT doc_id, unnest(g3) AS th FROM doc),
+         |ti AS (SELECT pr.batch_id, pr.corpus_id, count(*) AS i3
+         |  FROM pre pr
+         |  JOIN g3post pb ON pb.doc_id = pr.batch_id
+         |  JOIN g3post pc ON pc.doc_id = pr.corpus_id AND pc.th = pb.th
+         |  GROUP BY 1, 2),
+         |pre2 AS (SELECT pr.batch_id, pr.corpus_id, pr.tb, pr.tc, pr.l
+         |  FROM pre pr LEFT JOIN ti
+         |    ON pr.batch_id = ti.batch_id AND pr.corpus_id = ti.corpus_id
+         |  WHERE greatest(pr.n3b, pr.n3c) - coalesce(ti.i3, 0) <= 3 * floor(0.2 * pr.l)),
+         |p AS (SELECT batch_id, corpus_id,
+         |  CAST(levenshtein(tb, tc) AS INTEGER) AS d, l FROM pre2)
+         |SELECT batch_id, corpus_id, d FROM p WHERE d <= floor(0.2 * l)
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's
     // true-pair spectrum is {>=0.9} ∪ {<=0.1}, so the verified-candidate
     // output equals the exact all-pairs answer — which IS SQL-expressible.

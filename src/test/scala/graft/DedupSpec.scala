@@ -218,6 +218,25 @@ class DedupSpec extends SparkSpec {
     (0L until 9L).foreach(i => assert(viaLsh.exists(p => p._1 == i && p._2 == i + 500L && p._3 == 2)))
   }
 
+  test("editDistAgainstLsh: cross pairs only, exact distances, batch-internal dups ignored") {
+    val rnd = new Random(13)
+    val vocab = Vector.tabulate(120)(i => s"tok$i")
+    val corpus = (0L until 20L).map { i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // batch: 6 near-copies of corpus docs (2-char deletion), 2 fresh
+    // docs, and a pair of batch-INTERNAL duplicates that must NOT match
+    val internal = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val batch = corpus.take(6).map { case (i, t) => (i + 900L, t.dropRight(2)) } ++
+      Seq((950L, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+        (951L, internal), (952L, internal))
+    val got = Dedup.editDistAgainstLsh(corpus.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text"), "doc_id", "text", maxDistFrac = 0.2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === (0L until 6L).map(i => (i + 900L, i, 2)).toSet,
+      s"exactly the planted cross pairs with true distance, got $got")
+  }
+
   test("editDistPairs is order-sensitive where Jaccard is blind") {
     // docs 1 and 3 are cyclic rotations: IDENTICAL shingle sets under
     // the periodic repetition (J = 1.0 — ngramJaccardPairs pairs them),
