@@ -101,6 +101,16 @@ object Soak {
         "dedup_editdist_lsh" -> (() =>
           graft.operators.Dedup.editDistPairsLsh(
             docs, "doc_id", "text", maxDistFrac = 0.2).count()),
+        // incremental form: a FIXED-SIZE 5k-doc batch (drawn from the
+        // corpus, so every batch doc has at least its own exact match
+        // and the verify load stays comparable across scales) against
+        // the growing corpus — the "daily crawl vs index" contract is
+        // that corpus growth adds only the narrow band-table pass, so
+        // time should grow far slower than the corpus
+        "dedup_editdist_inc" -> (() =>
+          graft.operators.Dedup.editDistAgainstLsh(
+            docs, docs.filter(col("doc_id") < 5000),
+            "doc_id", "text", maxDistFrac = 0.2).count()),
         // the two r11 search operators graduate to BOTH decades (their
         // first round had one-decade evidence only): corpus-side work is
         // one mat-vec + postings (banded LSH) / one assignment + probe

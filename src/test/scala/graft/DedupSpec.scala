@@ -211,9 +211,18 @@ class DedupSpec extends SparkSpec {
     val docs = (base ++ twins).toDF("doc_id", "text")
     val viaLsh = Dedup.editDistPairsLsh(docs, "doc_id", "text", maxDistFrac = 0.2)
       .as[(Long, Long, Int)].collect().toSet
-    val exact = Dedup.editDistPairs(docs, "doc_id", "text", Nil, maxDistFrac = 0.2)
-      .as[(Long, Long, Int)].collect().toSet
+    val exactDf = Dedup.editDistPairs(docs, "doc_id", "text", Nil, maxDistFrac = 0.2)
+    val exact = exactDf.as[(Long, Long, Int)].collect().toSet
     assert(viaLsh === exact)
+    // plan shape of the shared verify stage (editDistPairs is
+    // un-checkpointed, so its plan is inspectable; the LSH variant runs
+    // the SAME editDistVerify code): the text re-attach joins must be
+    // merge-hinted SMJ — never a broadcast of a text-carrying side (the
+    // 3.1 GiB decompression blowup of BENCH_NOTES #37) and never a
+    // cross product
+    val phys = exactDf.queryExecution.executedPlan.toString
+    assert(phys.contains("SortMergeJoin"), phys.take(1500))
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"))
     // all 9 planted pairs found, with the true distance
     (0L until 9L).foreach(i => assert(viaLsh.exists(p => p._1 == i && p._2 == i + 500L && p._3 == 2)))
   }
