@@ -502,6 +502,19 @@ object Dedup {
       "batch_id", "corpus_id", maxDistFrac)
   }
 
+  /** Apply path of [[editDistPairsLsh]] — the SemDeDup-style
+    * keep-one-representative step over the byte-level near-copy graph
+    * (same shape as [[dropNearDuplicates]] for the Jaccard family):
+    * cluster the edit-distance pair graph, keep each component's
+    * min-id representative. */
+  def dropNearDupByEditDist(df: DataFrame, idCol: String, textCol: String,
+                            maxDistFrac: Double, bands: Int = 12,
+                            rowsPerBand: Int = 4, maxIter: Int = 30): DataFrame = {
+    val pairs = editDistPairsLsh(df, idCol, textCol, maxDistFrac, bands, rowsPerBand)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
+    df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   /** Apply path of [[minHashNearDupAgainst]]: `batch` minus every row
     * near-duplicating the corpus (left-anti on the matched batch ids). */
   def dropNearDupAgainst(corpus: DataFrame, batch: DataFrame,

@@ -999,6 +999,16 @@ object Ext {
     Dedup.editDistPairsLsh(Tables.documents(s, dir), "doc_id", "text", maxDistFrac = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Apply path of dedup_editdist_lsh: survivors after keeping each
+    * edit-distance component's min-id representative
+    * ([[graft.operators.Dedup.dropNearDupByEditDist]]); the twin
+    * recomputes the exact pair graph and closes it with a recursive
+    * CTE, the dedup_drop treatment. */
+  def dedupDropEditDist(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDupByEditDist(Tables.documents(s, dir), "doc_id", "text", maxDistFrac = 0.2)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Incremental edit-distance dedup — "which of today's crawl are
     * byte-level near-copies of the index" ([[graft.operators.Dedup
     * .editDistAgainstLsh]]); same split convention as dedup_minhash_inc
@@ -2993,6 +3003,7 @@ object Ext {
     "dedup_editdist" -> dedupEditDist,
     "dedup_editdist_lsh" -> dedupEditDistLsh,
     "dedup_editdist_inc" -> dedupEditDistInc,
+    "dedup_drop_editdist" -> dedupDropEditDist,
     "dedup_minhash" -> dedupMinHash,
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
@@ -3103,6 +3114,32 @@ object Ext {
     s"""list_distinct(CASE WHEN len($duckToks) < 3 THEN [array_to_string($duckToks, ' ')]
        |ELSE list_transform(generate_series(1, len($duckToks)-2),
        |  i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]) END)""".stripMargin
+
+  /** Exact UNBLOCKED edit-distance pair machinery as DuckDB CTEs:
+    * shared-shingle candidates (lossless for d<=bound pairs), the
+    * sound |len diff| prefilter, then full Levenshtein. CTE `p`
+    * carries (id_a, id_b, d, l); qualifying pairs are
+    * `d <= floor(0.2 * l)`. Shared by the dedup_editdist_lsh and
+    * dedup_drop_editdist twins so the pair definition can never drift
+    * between the detect and apply gates. Deliberately NO character-
+    * trigram prefilter (unlike the lang-blocked dedup_editdist twin):
+    * at a 20% char bound the 3d-trigram pigeonhole admits more
+    * mismatches than documents have trigrams, so the filter is
+    * formally toothless here (measured 405,656 -> 405,632 pairs at
+    * sf0.1) and its list-building only adds cost; the twin's honest
+    * price is the Levenshtein over length-compatible candidates. */
+  private val duckEditDistLshCtes =
+    s"""sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
+       |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t,
+       |  length(trim(text)) AS len FROM documents),
+       |pre AS (SELECT c.id_a, c.id_b, da.t AS ta, db.t AS tb,
+       |  greatest(da.len, db.len) AS l
+       |  FROM cand c JOIN doc da ON c.id_a = da.doc_id JOIN doc db ON c.id_b = db.doc_id
+       |  WHERE abs(da.len - db.len) <= floor(0.2 * greatest(da.len, db.len))),
+       |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre)""".stripMargin
 
   /** Shared near-dup-pair CTEs for the heavy twins: candidate pairs via
     * a posting-list self-join (docs sharing >=1 shingle — LOSSLESS for
@@ -4258,30 +4295,22 @@ object Ext {
     // ~certain, and the salted-xxhash64 signature is deterministic, so
     // the pair list hash-compares directly, the dedup_minhash treatment)
     "dedup_editdist_lsh" ->
-      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
-         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t, length(trim(text)) AS len,
-         |  CASE WHEN length(trim(text)) < 3 THEN CAST([] AS UBIGINT[])
-         |  ELSE list_distinct(list_transform(generate_series(1, length(trim(text)) - 2),
-         |    i -> hash(substring(trim(text), i, 3)))) END AS g3
-         |  FROM documents),
-         |pre AS MATERIALIZED (SELECT c.id_a, c.id_b, da.t AS ta, db.t AS tb,
-         |  greatest(da.len, db.len) AS l, len(da.g3) AS n3a, len(db.g3) AS n3b
-         |  FROM cand c JOIN doc da ON c.id_a = da.doc_id JOIN doc db ON c.id_b = db.doc_id
-         |  WHERE abs(da.len - db.len) <= floor(0.2 * greatest(da.len, db.len))),
-         |g3post AS MATERIALIZED (SELECT doc_id, unnest(g3) AS th FROM doc),
-         |ti AS (SELECT pr.id_a, pr.id_b, count(*) AS i3
-         |  FROM pre pr
-         |  JOIN g3post pa ON pa.doc_id = pr.id_a
-         |  JOIN g3post pb ON pb.doc_id = pr.id_b AND pb.th = pa.th
-         |  GROUP BY 1, 2),
-         |pre2 AS (SELECT pr.id_a, pr.id_b, pr.ta, pr.tb, pr.l
-         |  FROM pre pr LEFT JOIN ti ON pr.id_a = ti.id_a AND pr.id_b = ti.id_b
-         |  WHERE greatest(pr.n3a, pr.n3b) - coalesce(ti.i3, 0) <= 3 * floor(0.2 * pr.l)),
-         |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre2)
-         |SELECT id_a, id_b, d FROM p WHERE d <= floor(0.2 * l) ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $duckEditDistLshCtes
+         |SELECT id_a, id_b, d FROM p WHERE d <= floor(0.2 * l)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_drop_editdist" ->
+      s"""WITH RECURSIVE
+         |$duckEditDistLshCtes,
+         |ed AS (SELECT id_a AS s2, id_b AS d2 FROM p WHERE d <= floor(0.2 * l)
+         |       UNION ALL SELECT id_b, id_a FROM p WHERE d <= floor(0.2 * l)),
+         |reach(s2, d2) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s2, ed.d2 FROM reach r JOIN ed ON r.d2 = ed.s2),
+         |lab AS (SELECT s2 AS doc_id, min(d2) AS rep FROM reach GROUP BY s2)
+         |SELECT dd.doc_id, dd.lang, dd.source
+         |FROM documents dd JOIN lab USING (doc_id)
+         |WHERE lab.rep = dd.doc_id ORDER BY dd.doc_id""".stripMargin,
     // incremental variant: same exact-answer machinery, candidates
     // restricted to batch (doc_id >= 400) x corpus (doc_id < 400) —
     // the dedup_minhash_inc split convention
@@ -4291,28 +4320,15 @@ object Ext {
          |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
          |  FROM post b JOIN post c ON b.h = c.h
          |  WHERE b.doc_id >= 400 AND c.doc_id < 400),
-         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t, length(trim(text)) AS len,
-         |  CASE WHEN length(trim(text)) < 3 THEN CAST([] AS UBIGINT[])
-         |  ELSE list_distinct(list_transform(generate_series(1, length(trim(text)) - 2),
-         |    i -> hash(substring(trim(text), i, 3)))) END AS g3
-         |  FROM documents),
-         |pre AS MATERIALIZED (SELECT cn.batch_id, cn.corpus_id, db.t AS tb, dc.t AS tc,
-         |  greatest(db.len, dc.len) AS l, len(db.g3) AS n3b, len(dc.g3) AS n3c
+         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t,
+         |  length(trim(text)) AS len FROM documents),
+         |pre AS (SELECT cn.batch_id, cn.corpus_id, db.t AS tb, dc.t AS tc,
+         |  greatest(db.len, dc.len) AS l
          |  FROM cand cn JOIN doc db ON cn.batch_id = db.doc_id
          |  JOIN doc dc ON cn.corpus_id = dc.doc_id
          |  WHERE abs(db.len - dc.len) <= floor(0.2 * greatest(db.len, dc.len))),
-         |g3post AS MATERIALIZED (SELECT doc_id, unnest(g3) AS th FROM doc),
-         |ti AS (SELECT pr.batch_id, pr.corpus_id, count(*) AS i3
-         |  FROM pre pr
-         |  JOIN g3post pb ON pb.doc_id = pr.batch_id
-         |  JOIN g3post pc ON pc.doc_id = pr.corpus_id AND pc.th = pb.th
-         |  GROUP BY 1, 2),
-         |pre2 AS (SELECT pr.batch_id, pr.corpus_id, pr.tb, pr.tc, pr.l
-         |  FROM pre pr LEFT JOIN ti
-         |    ON pr.batch_id = ti.batch_id AND pr.corpus_id = ti.corpus_id
-         |  WHERE greatest(pr.n3b, pr.n3c) - coalesce(ti.i3, 0) <= 3 * floor(0.2 * pr.l)),
          |p AS (SELECT batch_id, corpus_id,
-         |  CAST(levenshtein(tb, tc) AS INTEGER) AS d, l FROM pre2)
+         |  CAST(levenshtein(tb, tc) AS INTEGER) AS d, l FROM pre)
          |SELECT batch_id, corpus_id, d FROM p WHERE d <= floor(0.2 * l)
          |ORDER BY batch_id, corpus_id""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's

@@ -227,6 +227,23 @@ class DedupSpec extends SparkSpec {
     (0L until 9L).foreach(i => assert(viaLsh.exists(p => p._1 == i && p._2 == i + 500L && p._3 == 2)))
   }
 
+  test("dropNearDupByEditDist keeps each edit-component's min-id representative") {
+    val rnd = new Random(17)
+    val vocab = Vector.tabulate(120)(i => s"tok$i")
+    val base = (0L until 12L).map { i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // chain component: 0 ~ 600 ~ 601 (601 is 600's near-copy, both near 0)
+    val twins = Seq((600L, base(0)._2.dropRight(2)), (601L, base(0)._2.dropRight(3))) ++
+      base.slice(1, 5).map { case (i, t) => (i + 700L, t.dropRight(2)) }
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupByEditDist(docs, "doc_id", "text", maxDistFrac = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // every component collapses to its min id: 0 survives its chain,
+    // 1-4 survive their twins, 5-11 are singletons
+    assert(kept === (0L until 12L).toSet, s"got $kept")
+  }
+
   test("editDistAgainstLsh: cross pairs only, exact distances, batch-internal dups ignored") {
     val rnd = new Random(13)
     val vocab = Vector.tabulate(120)(i => s"tok$i")
