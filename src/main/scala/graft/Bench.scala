@@ -97,18 +97,40 @@ object Bench {
     val gateAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_ABS", "0.35").toDouble
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
-    val base = BenchGate.load(baselinePath).filter(_.sf == sfDir)
+    // gate-state taxonomy is deliberate: a CORRUPT baseline must not
+    // masquerade as "nothing recorded" (that would silently disable the
+    // gate — the exact failure mode it exists to prevent), so it is
+    // reported distinctly AND fails the bench when the gate is on.
+    val loadRes = BenchGate.load(baselinePath)
+    val base = loadRes match {
+      case BenchGate.Loaded(b) if b.sf == sfDir => Some(b)
+      case _                                    => None
+    }
     val alarms = base.map(b => BenchGate.alarms(medians, b.medians, gateRatio, gateAbs))
       .getOrElse(Seq.empty)
     val newQs = base.map(b => BenchGate.unbaselined(medians, b.medians))
       .getOrElse(Seq.empty)
+    val goneQs = base.map(b => BenchGate.baselineMissing(medians, b.medians))
+      .getOrElse(Seq.empty)
     val regJson = alarms.map(a =>
       jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"ratio":${math.rint(a.ratio * 100) / 100}}""")
       .mkString("{", ",", "}")
-    val gateState =
-      if (base.isEmpty) "\"no_baseline_at_sf\"" else if (gateOn) "\"on\"" else "\"off\""
-    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    val gateState = loadRes match {
+      case _ if !gateOn                         => "\"off\""
+      case BenchGate.NoFile                     => "\"no_baseline_file\""
+      case BenchGate.Unreadable(_)              => "\"baseline_unreadable\""
+      case BenchGate.Loaded(b) if b.sf != sfDir => "\"baseline_sf_mismatch\""
+      case _                                    => "\"on\""
+    }
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (gateOn) loadRes match {
+      case BenchGate.Unreadable(err) =>
+        System.err.println(s"[bench-gate] $baselinePath is unreadable ($err) — the gate " +
+          "cannot run; fix or deliberately re-record the baseline")
+        sys.exit(4)
+      case _ => ()
+    }
     if (gateOn && alarms.nonEmpty) {
       System.err.println(s"[bench-gate] ${alarms.size} per-query regression(s) vs $baselinePath: " +
         alarms.map(a => f"${a.query} ${a.base}%.2f->${a.median}%.2f s (${a.ratio}%.2fx)").mkString("; ") +

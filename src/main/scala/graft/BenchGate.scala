@@ -37,21 +37,39 @@ object BenchGate {
     def ratio: Double = median / base
   }
 
+  /** [[load]] outcome, distinguished so [[Bench]] can report WHY the
+    * gate is inactive instead of folding file-missing, file-corrupt,
+    * and sf-mismatch into one label — a corrupt baseline silently
+    * reading as "nothing recorded" is precisely the silent-gate-failure
+    * mode this gate exists to prevent. */
+  sealed trait LoadResult
+  final case class Loaded(baseline: Baseline) extends LoadResult
+  case object NoFile extends LoadResult
+  final case class Unreadable(error: String) extends LoadResult
+
   /** Parse BENCH_BASELINE.json: {"sf": "...", "medians": {name: sec}}.
-    * Returns None on absent/unreadable file — a missing baseline means
-    * "nothing recorded yet", which must not fail the bench itself. */
-  def load(path: String): Option[Baseline] = {
+    * Non-numeric or null medians are SKIPPED, not coerced: Jackson's
+    * NullNode.asDouble() is 0.0, and a 0.0 baseline would alarm every
+    * subsequent run with ratio = Infinity (which is also invalid JSON
+    * in the bench line). A skipped entry simply leaves that query
+    * un-gated until the next clean re-record, and surfaces through
+    * [[baselineMissing]] if the query still runs. */
+  def load(path: String): LoadResult = {
     val f = new java.io.File(path)
-    if (!f.isFile) return None
+    if (!f.isFile) return NoFile
     try {
       val root = new ObjectMapper().readTree(f)
       val sf = root.path("sf").asText("")
       val m = root.path("medians")
       val b = Map.newBuilder[String, Double]
       val it = m.fieldNames()
-      while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asDouble() }
-      Some(Baseline(sf, b.result()))
-    } catch { case _: Exception => None }
+      while (it.hasNext) {
+        val k = it.next()
+        val v = m.get(k)
+        if (v.isNumber && v.asDouble() > 0.0) b += k -> v.asDouble()
+      }
+      Loaded(Baseline(sf, b.result()))
+    } catch { case e: Exception => Unreadable(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
   }
 
   /** Queries whose fresh median regressed past ratio AND absolute-delta
@@ -74,4 +92,15 @@ object BenchGate {
   def unbaselined(medians: Map[String, Option[Double]],
                   baseline: Map[String, Double]): Seq[String] =
     medians.keys.filterNot(baseline.contains).toSeq.sorted
+
+  /** The counterpart signal: baselined queries ABSENT from this run.
+    * A renamed (or deleted-and-readded) query would otherwise pass
+    * un-gated as merely "unbaselined" while its old baseline entry is
+    * silently ignored — a regression could ship through a rename with
+    * no trace. Surfaced in the bench line, not a failure (queries are
+    * legitimately removed sometimes); the re-baseline contract says a
+    * non-empty list here demands the same deliberate re-record. */
+  def baselineMissing(medians: Map[String, Option[Double]],
+                      baseline: Map[String, Double]): Seq[String] =
+    baseline.keys.filterNot(medians.contains).toSeq.sorted
 }

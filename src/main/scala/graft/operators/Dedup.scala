@@ -314,11 +314,11 @@ object Dedup {
     require(threshold - margin > 0 && threshold + margin <= 1.0,
       s"threshold +- margin must stay inside (0, 1]: $threshold +- $margin")
     // MinHash: per-hash collision probability IS the Jaccard similarity.
-    // maxRowsPerBand = 32 is deliberate: it preserves MinHash's
-    // long-standing r <= 32 sizing bound (configs that can't separate
-    // the margins within 32 rows/band fail loud here, as they always
-    // did) rather than silently inheriting the shared solver's wider
-    // 64-row default, which exists for the sign-LSH family's packing.
+    // maxRowsPerBand = 32 preserves MinHash's long-standing r <= 32
+    // sizing bound (configs that can't separate the margins within 32
+    // rows/band fail loud here, as they always did). Each family passes
+    // its own consumer's cap explicitly — sign-LSH passes 48, its
+    // band+tag-in-one-long packing limit.
     lshParamsForProb(threshold + margin, threshold - margin,
       fpBudget, fnBudget, maxHashes, maxRowsPerBand = 32)
   }
@@ -334,7 +334,7 @@ object Dedup {
   private[operators] def lshParamsForProb(pHi: Double, pLo: Double,
                                           fpBudget: Double, fnBudget: Double,
                                           maxHashes: Int,
-                                          maxRowsPerBand: Int = 64): (Int, Int) = {
+                                          maxRowsPerBand: Int): (Int, Int) = {
     require(pHi > pLo && pHi <= 1.0 && pLo > 0,
       s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     require(fpBudget > 0 && fpBudget < 1 && fnBudget > 0 && fnBudget < 1,

@@ -3119,27 +3119,32 @@ object Ext {
     * shared-shingle candidates (lossless for d<=bound pairs), the
     * sound |len diff| prefilter, then full Levenshtein. CTE `p`
     * carries (id_a, id_b, d, l); qualifying pairs are
-    * `d <= floor(0.2 * l)`. Shared by the dedup_editdist_lsh and
-    * dedup_drop_editdist twins so the pair definition can never drift
-    * between the detect and apply gates. Deliberately NO character-
+    * `d <= floor(0.2 * l)`. Shared by the dedup_editdist_lsh,
+    * dedup_editdist_inc, and dedup_drop_editdist twins (the
+    * incremental form parameterizes only the candidate column names
+    * and restriction) so the pair definition can never drift between
+    * the detect, incremental, and apply gates. Deliberately NO character-
     * trigram prefilter (unlike the lang-blocked dedup_editdist twin):
     * at a 20% char bound the 3d-trigram pigeonhole admits more
     * mismatches than documents have trigrams, so the filter is
     * formally toothless here (measured 405,656 -> 405,632 pairs at
     * sf0.1) and its list-building only adds cost; the twin's honest
     * price is the Levenshtein over length-compatible candidates. */
-  private val duckEditDistLshCtes =
+  private def duckEditDistCtes(idA: String, idB: String, candCond: String): String =
     s"""sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
        |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS $idA, b.doc_id AS $idB
+       |  FROM post a JOIN post b ON a.h = b.h AND $candCond),
        |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t,
        |  length(trim(text)) AS len FROM documents),
-       |pre AS (SELECT c.id_a, c.id_b, da.t AS ta, db.t AS tb,
+       |pre AS (SELECT c.$idA, c.$idB, da.t AS ta, db.t AS tb,
        |  greatest(da.len, db.len) AS l
-       |  FROM cand c JOIN doc da ON c.id_a = da.doc_id JOIN doc db ON c.id_b = db.doc_id
+       |  FROM cand c JOIN doc da ON c.$idA = da.doc_id JOIN doc db ON c.$idB = db.doc_id
        |  WHERE abs(da.len - db.len) <= floor(0.2 * greatest(da.len, db.len))),
-       |p AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre)""".stripMargin
+       |p AS (SELECT $idA, $idB, CAST(levenshtein(ta, tb) AS INTEGER) AS d, l FROM pre)""".stripMargin
+
+  private val duckEditDistLshCtes =
+    duckEditDistCtes("id_a", "id_b", "a.doc_id < b.doc_id")
 
   /** Shared near-dup-pair CTEs for the heavy twins: candidate pairs via
     * a posting-list self-join (docs sharing >=1 shingle — LOSSLESS for
@@ -4315,20 +4320,8 @@ object Ext {
     // restricted to batch (doc_id >= 400) x corpus (doc_id < 400) —
     // the dedup_minhash_inc split convention
     "dedup_editdist_inc" ->
-      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $duckShingles AS s FROM documents),
-         |post AS (SELECT doc_id, unnest(s) AS h FROM sh),
-         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-         |  FROM post b JOIN post c ON b.h = c.h
-         |  WHERE b.doc_id >= 400 AND c.doc_id < 400),
-         |doc AS MATERIALIZED (SELECT doc_id, trim(text) AS t,
-         |  length(trim(text)) AS len FROM documents),
-         |pre AS (SELECT cn.batch_id, cn.corpus_id, db.t AS tb, dc.t AS tc,
-         |  greatest(db.len, dc.len) AS l
-         |  FROM cand cn JOIN doc db ON cn.batch_id = db.doc_id
-         |  JOIN doc dc ON cn.corpus_id = dc.doc_id
-         |  WHERE abs(db.len - dc.len) <= floor(0.2 * greatest(db.len, dc.len))),
-         |p AS (SELECT batch_id, corpus_id,
-         |  CAST(levenshtein(tb, tc) AS INTEGER) AS d, l FROM pre)
+      s"""WITH ${duckEditDistCtes("batch_id", "corpus_id",
+              "a.doc_id >= 400 AND b.doc_id < 400")}
          |SELECT batch_id, corpus_id, d FROM p WHERE d <= floor(0.2 * l)
          |ORDER BY batch_id, corpus_id""".stripMargin,
     // MinHash-LSH with b=12,r=4 has recall ~1 for J>=0.9 and this corpus's

@@ -20,28 +20,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(math.abs(got.head.ratio - 1.9) < 1e-9)
   }
 
-  test("alarms: all-runs-failed (None) and baseline-absent queries never alarm") {
-    val base = Map("a" -> 1.0)
+  test("alarms: all-runs-failed (None) and baseline-absent queries never alarm; renames surface") {
+    val base = Map("a" -> 1.0, "renamed_away" -> 5.0)
     val fresh = Map[String, Option[Double]]("a" -> None, "new_q" -> Some(99.0))
     assert(BenchGate.alarms(fresh, base).isEmpty)
     assert(BenchGate.unbaselined(fresh, base) === Seq("new_q"))
+    // the counterpart signal: a baselined query absent from the run —
+    // the rename-evades-the-gate trace
+    assert(BenchGate.baselineMissing(fresh, base) === Seq("renamed_away"))
   }
 
-  test("load: parses the recorded file; absent path is None, not a crash") {
+  test("load: parses the recorded file; missing vs corrupt are DISTINCT outcomes") {
     val f = java.io.File.createTempFile("bench_baseline", ".json")
     f.deleteOnExit()
     val w = new java.io.PrintWriter(f)
-    w.write("""{"sf":"/root/testdata/sf0.1","medians":{"q1":0.5,"q2":1.25}}""")
+    // q_null and q_zero must be SKIPPED, not coerced to 0.0 (a 0.0
+    // baseline alarms forever with ratio=Infinity)
+    w.write("""{"sf":"/root/testdata/sf0.1","medians":{"q1":0.5,"q2":1.25,"q_null":null,"q_zero":0.0,"q_str":"x"}}""")
     w.close()
-    val b = BenchGate.load(f.getAbsolutePath).get
+    val BenchGate.Loaded(b) = BenchGate.load(f.getAbsolutePath): @unchecked
     assert(b.sf === "/root/testdata/sf0.1")
     assert(b.medians === Map("q1" -> 0.5, "q2" -> 1.25))
-    assert(BenchGate.load("/nonexistent/path.json").isEmpty)
-    // malformed content is also None — a corrupt baseline must not make
-    // the bench itself fail before it can report
+    assert(BenchGate.load("/nonexistent/path.json") === BenchGate.NoFile)
+    // malformed content is Unreadable — distinguishable from "nothing
+    // recorded", so Bench can fail loud instead of silently un-gating
     val bad = java.io.File.createTempFile("bench_bad", ".json")
     bad.deleteOnExit()
     val w2 = new java.io.PrintWriter(bad); w2.write("{nope"); w2.close()
-    assert(BenchGate.load(bad.getAbsolutePath).isEmpty)
+    assert(BenchGate.load(bad.getAbsolutePath).isInstanceOf[BenchGate.Unreadable])
   }
 }
