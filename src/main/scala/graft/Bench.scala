@@ -112,6 +112,7 @@ object Bench {
       .getOrElse(Seq.empty)
     val goneQs = base.map(b => BenchGate.baselineMissing(medians, b.medians))
       .getOrElse(Seq.empty)
+    val mScale = base.map(b => BenchGate.machineScale(medians, b.medians)).getOrElse(1.0)
     val regJson = alarms.map(a =>
       jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"ratio":${math.rint(a.ratio * 100) / 100}}""")
       .mkString("{", ",", "}")
@@ -122,7 +123,7 @@ object Bench {
       case BenchGate.Loaded(b) if b.sf != sfDir => "\"baseline_sf_mismatch\""
       case _                                    => "\"on\""
     }
-    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (gateOn) loadRes match {
       case BenchGate.Unreadable(err) =>

@@ -33,6 +33,9 @@ object BenchGate {
 
   final case class Baseline(sf: String, medians: Map[String, Double])
 
+  /** `base` is the MACHINE-SCALED baseline (recorded median ×
+    * [[machineScale]]) so `ratio` reads as "how far past the
+    * suite-normalized expectation", not raw-vs-recorded. */
   final case class Alarm(query: String, base: Double, median: Double) {
     def ratio: Double = median / base
   }
@@ -72,19 +75,44 @@ object BenchGate {
     } catch { case e: Exception => Unreadable(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
   }
 
+  /** The machine-speed factor: median of per-query fresh/baseline
+    * ratios over queries present in both. Shared-host machines drift —
+    * two honest full runs measured 109.5 and 127.2 s totals for
+    * IDENTICAL engine code within one session — and without this
+    * normalization a uniformly ~15% slower window trips whichever
+    * borderline query noise pushes past the threshold (observed:
+    * different single queries alarming on consecutive clean runs).
+    * Clamped to >= 1.0: on a FASTER machine the raw thresholds apply
+    * unscaled, so nothing alarms spuriously and a genuine regression
+    * hidden by machine speedup is (correctly) only caught once the
+    * speedup fades — an absolute gate cannot do better without lying
+    * about noise. */
+  def machineScale(medians: Map[String, Option[Double]],
+                   baseline: Map[String, Double]): Double = {
+    val ratios = medians.toSeq.flatMap { case (q, mOpt) =>
+      for { m <- mOpt; b <- baseline.get(q) } yield m / b
+    }.sorted
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, ratios(ratios.size / 2))
+  }
+
   /** Queries whose fresh median regressed past ratio AND absolute-delta
-    * thresholds vs the recorded baseline. All-runs-failed queries
-    * (median None) are the bench's own `failed` count's job, not this
-    * gate's. */
+    * thresholds vs the recorded baseline, after normalizing by
+    * [[machineScale]] — a single query must regress relative to the
+    * SUITE, not merely ride a slow machine window. All-runs-failed
+    * queries (median None) are the bench's own `failed` count's job,
+    * not this gate's. */
   def alarms(medians: Map[String, Option[Double]], baseline: Map[String, Double],
-             ratio: Double = 1.5, absFloor: Double = 0.35): Seq[Alarm] =
+             ratio: Double = 1.5, absFloor: Double = 0.35): Seq[Alarm] = {
+    val scale = machineScale(medians, baseline)
     medians.toSeq.sortBy(_._1).flatMap { case (q, mOpt) =>
       for {
         m <- mOpt
         base <- baseline.get(q)
-        if m > base * ratio && m - base > absFloor
-      } yield Alarm(q, base, m)
+        if m > base * scale * ratio && m - base * scale > absFloor
+      } yield Alarm(q, base * scale, m)
     }
+  }
 
   /** Queries present in this run but absent from the baseline — not
     * alarms (a new query has no prior), but surfaced so a re-baseline

@@ -9,15 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchGateSpec extends AnyFunSuite {
 
   test("alarms: only queries past BOTH ratio and absolute-delta thresholds") {
-    val base = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 1.0)
+    val base = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0)
     val fresh = Map[String, Option[Double]](
       "a" -> Some(1.9),  // 1.9x, +0.9s  -> alarm
       "b" -> Some(0.3),  // 3.0x but +0.2s < absFloor -> quiet (jitter band)
       "c" -> Some(2.6),  // +0.6s but 1.3x < ratio -> quiet
-      "d" -> Some(0.5))  // improvement -> quiet
+      "d" -> Some(0.5),  // improvement -> quiet
+      // steady majority: the suite-median ratio a real 170-query run
+      // provides — machineScale stays 1.0 and raw thresholds apply
+      "e" -> Some(1.0), "f" -> Some(1.0), "g" -> Some(1.0))
+    assert(math.abs(BenchGate.machineScale(fresh, base) - 1.0) < 1e-9)
     val got = BenchGate.alarms(fresh, base, ratio = 1.5, absFloor = 0.35)
     assert(got.map(_.query) === Seq("a"))
     assert(math.abs(got.head.ratio - 1.9) < 1e-9)
+  }
+
+  test("alarms: a uniformly slow machine window does not flake; a relative outlier still trips") {
+    val base = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 1.0, "e" -> 0.5)
+    // everything 1.4x (an honest slower window: two clean identical-code
+    // runs measured 109.5 vs 127.2 s totals in one session) — under the
+    // raw thresholds b/c/d would all alarm; normalized, none do
+    val slow = base.map { case (k, v) => k -> Some(v * 1.4) }
+    assert(math.abs(BenchGate.machineScale(slow, base) - 1.4) < 1e-9)
+    assert(BenchGate.alarms(slow, base).isEmpty)
+    // same window, but one query genuinely regressed 2.5x: it exceeds
+    // 1.5x the SCALED expectation and alarms alone
+    val oneBad = slow + ("c" -> Some(3.0 * 2.5))
+    val got = BenchGate.alarms(oneBad, base)
+    assert(got.map(_.query) === Seq("c"))
+    // alarm reports the scaled base, so the ratio reads vs expectation
+    assert(math.abs(got.head.base - 3.0 * 1.4) < 1e-9)
   }
 
   test("alarms: all-runs-failed (None) and baseline-absent queries never alarm; renames surface") {
