@@ -48,7 +48,20 @@ object Bench {
     // failing query must surface in the JSON instead of benching as a
     // fast ~0s run that silently IMPROVES the headline — the bench and
     // correctness gates must never disagree silently.
+    // One UNTIMED warmup execution per query before the measured runs:
+    // per-query cold-start cost (codegen JIT, committer/codec init for
+    // write-path queries) decays BIMODALLY across JVMs — pipeline_ingest
+    // measured runs of [7.2, 5.4, 2.7] in one bench JVM and [3.2, 2.6,
+    // 2.4] in the next for identical code — which made the MEDIAN
+    // baseline-unstable and tripped the regression gate on noise. Warm
+    // medians measure the engine; the cold-start is fixed per-JVM
+    // overhead that no cross-round comparison should gate on. Disable
+    // with SPARK_GRAFT_BENCH_WARMUP=0 to study cold behavior.
+    val perQueryWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (perQueryWarmup) {
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
       val outcomes: Seq[Either[String, Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
