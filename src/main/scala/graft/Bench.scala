@@ -25,8 +25,11 @@ object Bench {
       df.queryExecution.toRdd.count()
     // Untimed warmup: initialize parquet reader, shuffle machinery, and
     // codegen before the first measured query (first-query overhead was
-    // ~4s of pure infra init, not query work).
-    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // ~4s of pure infra init, not query work). NonFatal only: swallowing
+    // an OutOfMemoryError/LinkageError here would let the measured runs
+    // fail for a misleading secondary reason.
+    try materialize(SparkEntry.entry(spark))
+    catch { case scala.util.control.NonFatal(_) => () }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -60,7 +63,8 @@ object Bench {
     val perQueryWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     val results = SparkEntry.queries.map { case (name, fn) =>
       if (perQueryWarmup) {
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try materialize(fn(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       val outcomes: Seq[Either[String, Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -106,8 +110,21 @@ object Bench {
     // bench's SF; disable explicitly with SPARK_GRAFT_BENCH_GATE=0 for
     // exploratory runs on contended machines.
     val gateOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "1") != "0"
-    val gateRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_RATIO", "1.5").toDouble
-    val gateAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_ABS", "0.35").toDouble
+    // Malformed env values fall back to the default with a stderr
+    // warning instead of throwing AFTER the full suite ran — a config
+    // typo must never discard an hour of measurements.
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name) match {
+        case None => default
+        case Some(v) => scala.util.Try(v.toDouble).getOrElse {
+          System.err.println(s"[bench] $name='$v' is not a number; using default $default")
+          default
+        }
+      }
+    val gateRatio = envDouble("SPARK_GRAFT_BENCH_GATE_RATIO", 1.5)
+    val gateAbs = envDouble("SPARK_GRAFT_BENCH_GATE_ABS", 0.35)
+    val gateSpreadK = envDouble("SPARK_GRAFT_BENCH_GATE_SPREAD_K", BenchGate.DefaultSpreadK)
+    val gateScaleCap = envDouble("SPARK_GRAFT_BENCH_GATE_SCALE_CAP", BenchGate.DefaultScaleCap)
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
     // gate-state taxonomy is deliberate: a CORRUPT baseline must not
@@ -119,15 +136,27 @@ object Bench {
       case BenchGate.Loaded(b) if b.sf == sfDir => Some(b)
       case _                                    => None
     }
-    val alarms = base.map(b => BenchGate.alarms(medians, b.medians, gateRatio, gateAbs))
+    val alarms = base.map(b => BenchGate.alarms(medians, b.medians, gateRatio, gateAbs,
+        b.spread, gateSpreadK, gateScaleCap))
       .getOrElse(Seq.empty)
     val newQs = base.map(b => BenchGate.unbaselined(medians, b.medians))
       .getOrElse(Seq.empty)
     val goneQs = base.map(b => BenchGate.baselineMissing(medians, b.medians))
       .getOrElse(Seq.empty)
-    val mScale = base.map(b => BenchGate.machineScale(medians, b.medians)).getOrElse(1.0)
+    // raw vs applied scale: the thresholds use min(raw, cap); when raw
+    // exceeds the cap the JSON says so and stderr warns — an engine-wide
+    // uniform regression and extreme host drift are indistinguishable by
+    // construction, so past the cap a human must adjudicate (the alarm
+    // list + raw scale are the evidence).
+    val mScaleRaw = base.map(b => BenchGate.machineScale(medians, b.medians)).getOrElse(1.0)
+    val mScale = math.min(mScaleRaw, gateScaleCap)
+    if (base.nonEmpty && mScaleRaw > gateScaleCap)
+      System.err.println(f"[bench-gate] suite-median machine_scale $mScaleRaw%.3f exceeds " +
+        f"the cap $gateScaleCap%.2f — thresholds use the CAPPED scale; if this run alarms " +
+        "broadly, distinguish host contention from an engine-wide regression by a " +
+        "controlled re-run before re-baselining")
     val regJson = alarms.map(a =>
-      jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"ratio":${math.rint(a.ratio * 100) / 100}}""")
+      jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"threshold":${math.rint(a.threshold * 1000) / 1000},"ratio":${math.rint(a.ratio * 100) / 100}}""")
       .mkString("{", ",", "}")
     val gateState = loadRes match {
       case _ if !gateOn                         => "\"off\""
@@ -136,7 +165,7 @@ object Bench {
       case BenchGate.Loaded(b) if b.sf != sfDir => "\"baseline_sf_mismatch\""
       case _                                    => "\"on\""
     }
-    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (gateOn) loadRes match {
       case BenchGate.Unreadable(err) =>

@@ -52,17 +52,67 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.baselineMissing(fresh, base) === Seq("renamed_away"))
   }
 
+  test("spread: widens tolerance only where cross-JVM runs disagreed; a planted 2x still trips") {
+    // realistic shape: a stable query (spread ~3%), a write-path query
+    // whose two independent-JVM medians differed 35% (the round-12
+    // driver red class), and suite ballast
+    val base = Map("stable" -> 1.0, "writepath" -> 3.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0)
+    val spread = Map("stable" -> 0.03, "writepath" -> 1.05)
+    // the write-path query at 1.8x of its recorded max: absorbed by the
+    // 2x-spread widening ((3.0 + 2*1.05) * 1.5 = 7.65 > 5.4), NOT an alarm
+    val drift = Map[String, Option[Double]](
+      "stable" -> Some(1.05), "writepath" -> Some(5.4),
+      "e" -> Some(1.0), "f" -> Some(1.0), "g" -> Some(1.0))
+    assert(BenchGate.alarms(drift, base, spread = spread).isEmpty)
+    // the verdict's "done" condition: a planted 2x regression on the
+    // STABLE query must still trip ((1.0 + 2*0.03) * 1.5 = 1.59 < 2.0)
+    val planted = drift + ("stable" -> Some(2.0))
+    val got = BenchGate.alarms(planted, base, spread = spread)
+    assert(got.map(_.query) === Seq("stable"))
+    assert(got.head.threshold < 2.0 && got.head.threshold > 1.5)
+    // and a negative spread entry (corrupt baseline) is ignored rather
+    // than honored — honored, it would drive the threshold negative and
+    // alarm on ANY measurement; ignored, the plain 1.5x threshold applies
+    val neg = BenchGate.alarms(planted, base, spread = Map("stable" -> -5.0))
+    assert(neg.exists(a => a.query == "stable" && a.threshold > 1.4))
+  }
+
+  test("scale cap: an engine-wide uniform regression cannot hide behind machine normalization") {
+    val base = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 1.0, "e" -> 0.5)
+    // honest host drift (1.4x, the worst adjudicated in round 12) is
+    // still absorbed under the default 1.5 cap
+    val drift = base.map { case (k, v) => k -> Some(v * 1.4) }
+    assert(BenchGate.alarms(drift, base).isEmpty)
+    // a uniform 2.5x suite-wide slowdown: unbounded normalization would
+    // scale every threshold by 2.5 and ship it silently (the advisor's
+    // round-12 finding); capped at 1.5 every query exceeds
+    // cap*ratio = 2.25x and alarms broadly — un-maskable
+    val uniform = base.map { case (k, v) => k -> Some(v * 2.5) }
+    val got = BenchGate.alarms(uniform, base)
+    assert(got.map(_.query).toSet === base.keySet)
+  }
+
   test("load: parses the recorded file; missing vs corrupt are DISTINCT outcomes") {
     val f = java.io.File.createTempFile("bench_baseline", ".json")
     f.deleteOnExit()
     val w = new java.io.PrintWriter(f)
     // q_null and q_zero must be SKIPPED, not coerced to 0.0 (a 0.0
     // baseline alarms forever with ratio=Infinity)
-    w.write("""{"sf":"/root/testdata/sf0.1","medians":{"q1":0.5,"q2":1.25,"q_null":null,"q_zero":0.0,"q_str":"x"}}""")
+    w.write("""{"sf":"/root/testdata/sf0.1","medians":{"q1":0.5,"q2":1.25,"q_null":null,"q_zero":0.0,"q_str":"x"},"spread":{"q1":0.0,"q2":0.4,"q_bad":"x"}}""")
     w.close()
     val BenchGate.Loaded(b) = BenchGate.load(f.getAbsolutePath): @unchecked
     assert(b.sf === "/root/testdata/sf0.1")
     assert(b.medians === Map("q1" -> 0.5, "q2" -> 1.25))
+    // spread admits exact-0 (two JVMs CAN agree) and skips non-numerics
+    assert(b.spread === Map("q1" -> 0.0, "q2" -> 0.4))
+    // a v1 baseline (no spread field) still loads and gates
+    val v1 = java.io.File.createTempFile("bench_v1", ".json")
+    v1.deleteOnExit()
+    val w1 = new java.io.PrintWriter(v1)
+    w1.write("""{"sf":"x","medians":{"q1":0.5}}"""); w1.close()
+    val BenchGate.Loaded(b1) = BenchGate.load(v1.getAbsolutePath): @unchecked
+    assert(b1.medians === Map("q1" -> 0.5) && b1.spread.isEmpty)
     assert(BenchGate.load("/nonexistent/path.json") === BenchGate.NoFile)
     // malformed content is Unreadable — distinguishable from "nothing
     // recorded", so Bench can fail loud instead of silently un-gating
