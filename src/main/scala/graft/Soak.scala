@@ -33,6 +33,7 @@ object Soak {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("graph")) { soakGraphDistributed(); return }
     if (args.headOption.contains("components")) { soakComponentsOnly(); return }
+    if (args.headOption.contains("merge")) { soakMerge(args); return }
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
     val maxScale = args.lift(2).map(_.toInt).getOrElse(10)
@@ -296,6 +297,98 @@ object Soak {
       val (sl, sh) = (lo(op), hi(op))
       println(f"""[soak-summary] {"op":"$op","sec_200k":$sl%.2f,"sec_2m":$sh%.2f,""" +
         f""""growth":${sh / sl}%.1f,"exponent":${math.log10(sh / sl)}%.2f}""")
+    }
+    spark.stop()
+  }
+
+  /** Second-decade soak of the Merge/ingest landing path — the one heavy
+    * family previously without a 100x point: init (the full-write
+    * reference), full read, a bucket-targeted upsertBatch, its changes()
+    * feed, and a 16x-wider upsert, at 1x/10x/100x the corpus with a
+    * FIXED-SIZE batch (the r==0 replica slice ∩ buckets 0..3, ~0.6k docs
+    * at every scale).
+    *
+    * What the numbers must prove (the work-∝-touched-buckets contract,
+    * Merge.scala:22-28): (a) WITHIN a scale, upsert time grows ~linearly
+    * in touched-bucket count (b64/b4 ≈ 16x the buckets, same batch-side
+    * overhead); (b) ACROSS decades, the b4 upsert and its changes() feed
+    * cost a ~constant FRACTION of the full write/read (≈ 4+4/256 of the
+    * grid at 100x bucket size), i.e. they scale with the touched
+    * buckets' bytes, never the corpus's. The corollary lever is
+    * [[graft.sources.Merge.rebucket]]: keeping upsert cost FLAT as the
+    * corpus grows means growing the grid, which is spec'd separately.
+    *
+    * Usage: runMain graft.Soak merge [baseDir] [workDir] [maxScale] */
+  private def soakMerge(args: Array[String]): Unit = {
+    val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(2).getOrElse("/tmp/graft_soak_merge")
+    val maxScale = args.lift(3).map(_.toInt).getOrElse(100)
+    val spark = graft.core.GraftSession.get("graft-soak-merge")
+    val nBuckets = 256
+    // mirrors Merge's private bucketExpr — keep in sync (the soak needs
+    // to TARGET buckets, which the public API deliberately hides)
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      pmod(xxhash64(id.cast("string")), lit(nBuckets.toLong)).cast("int")
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = for (mult <- Seq(1, 10, 100).takeWhile(_ <= maxScale)) yield {
+      // same token-bijection replication as the dedup soak
+      val reps = spark.range(mult).select(col("id").cast("int").as("r"))
+      val docs = graft.sources.Tables.documents(spark, base)
+        .crossJoin(broadcast(reps))
+        .select((col("doc_id") * mult + col("r")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1z"), col("r"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val root = s"$work/x$mult/corpus"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // fixed-size batches regardless of scale: the r==0 replica slice,
+      // bucket-limited so touched-bucket count is the controlled variable
+      def batch(maxBucket: Int, minBucket: Int = 0) =
+        docs.filter(col("doc_id") % mult === 0 &&
+            bucketOf(col("doc_id")) >= minBucket && bucketOf(col("doc_id")) < maxBucket)
+          .withColumn("text", concat(col("text"), lit("!upd")))
+      val noDeletes = docs.select(col("doc_id")).limit(0)
+      val ops = Seq[(String, () => Long)](
+        "merge_init" -> (() => {
+          graft.sources.Merge.init(docs, root, "doc_id", nBuckets); 0L
+        }),
+        "merge_read_full" -> (() =>
+          graft.sources.Merge.read(spark, root).count()),
+        "merge_upsert_b4" -> (() => {
+          graft.sources.Merge.upsertBatch(spark, root, 1L, batch(4), noDeletes); 0L
+        }),
+        "merge_changes_b4" -> (() =>
+          graft.sources.Merge.changes(spark, root, 0, 1).count()),
+        // 16x the touched buckets (4..68), disjoint from b4 so every
+        // touched bucket really rewrites
+        "merge_upsert_b64" -> (() => {
+          graft.sources.Merge.upsertBatch(spark, root, 2L, batch(68, 4), noDeletes); 0L
+        }))
+      val timings = ops.map { case (name, op) =>
+        val (sec, rows) = timed(op())
+        println(f"""[soak] {"op":"$name","scale":"${mult}x","sec":$sec%.2f,"rows":$rows}""")
+        name -> sec
+      }.toMap
+      println(f"""[soak-ratios] {"scale":"${mult}x","upsert_b4_over_init":${
+        timings("merge_upsert_b4") / timings("merge_init")}%.4f,"changes_b4_over_read":${
+        timings("merge_changes_b4") / timings("merge_read_full")}%.4f,"b64_over_b4":${
+        timings("merge_upsert_b64") / timings("merge_upsert_b4")}%.2f}""")
+      mult -> timings
+    }
+    val byOp = results.flatMap { case (m, t) => t.map { case (op, s) => (op, m, s) } }
+    byOp.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (op, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      def decade(lo: Int, hi: Int): Option[String] =
+        for { sl <- m.get(lo); sh <- m.get(hi) } yield
+          f""""sec_${lo}x":$sl%.2f,"sec_${hi}x":$sh%.2f,"exponent_${lo}_$hi":${math.log10(sh / sl)}%.2f"""
+      val parts = Seq(decade(1, 10), decade(10, 100)).flatten.mkString(",")
+      println(s"""[soak-summary] {"op":"$op",$parts}""")
     }
     spark.stop()
   }

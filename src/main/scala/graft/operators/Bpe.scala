@@ -235,4 +235,125 @@ object Bpe {
       .collect().map(r => (r.getString(1), r.getString(2)))
     ByteModel(rows)
   }
+
+  // ---- published-vocabulary interchange (GPT-2 merges.txt/vocab.json) --
+
+  /** The GPT-2 family's released pre-tokenizer regex (Radford et al.
+    * 2019 encoder.py, public): contractions split off, letter runs and
+    * digit runs keep ONE leading space (byte-mapped to 'Ġ' — the
+    * convention every merges.txt in this format assumes), punctuation
+    * runs likewise, and whitespace runs split so the last space sticks
+    * to the next word. Matches partition the text exactly, so
+    * concatenating a row's tokens reproduces it byte-for-byte — the
+    * losslessness the import gate pins. Use as the `tokenizer`/`base`
+    * argument wherever the seam takes one; budgets counted under an
+    * imported production model are only comparable to that model's real
+    * counts when pre-tokenization matches too. */
+  def gpt2PreTokens(text: Column): Column =
+    regexp_extract_all(text,
+      lit("""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""),
+      lit(0))
+
+  /** Write `model` in the GPT-2 interchange format: a `#version` header
+    * then one "left right" pair per line in rank order. Symbols live in
+    * the [[ByteCoder]] alphabet, which by construction contains no raw
+    * space — the single-space separator is unambiguous, which is
+    * exactly why the published format works. Driver-bounded (a merge
+    * list is ≤ vocab-size lines); written through the Hadoop FS so s3a
+    * paths work like every other sink. */
+  def exportMergesTxt(spark: SparkSession, model: ByteModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8)
+      w.write("#version: 0.2\n")
+      model.merges.foreach { case (a, b) => w.write(a); w.write(' '); w.write(b); w.write('\n') }
+      w.flush()
+    } finally out.close()
+  }
+
+  /** Load a GPT-2-style `merges.txt` — the published artifact a
+    * production user brings to "count tokens under MY model". Blank
+    * lines and `#...` headers skip; each remaining line is one
+    * space-separated merge pair in priority order. The symbols are
+    * expected in the byte-mapped alphabet the format is defined over
+    * (ours is bit-identical to the released mapping — see
+    * [[graft.functions.ByteCoder]]), so a file exported by
+    * [[exportMergesTxt]] or taken from a published model directory
+    * loads without translation. */
+  def importMergesTxt(spark: SparkSession, path: String): ByteModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val b = Array.newBuilder[(String, String)]
+      var line = r.readLine()
+      while (line != null) {
+        val t = line.trim
+        if (t.nonEmpty && !t.startsWith("#")) {
+          val sp = t.indexOf(' ')
+          require(sp > 0 && t.indexOf(' ', sp + 1) < 0,
+            s"merges line is not exactly two space-separated symbols: '$t'")
+          b += ((t.substring(0, sp), t.substring(sp + 1)))
+        }
+        line = r.readLine()
+      }
+      ByteModel(b.result())
+    } finally in.close()
+  }
+
+  /** Token → id table in the published construction: the 256 byte-mapped
+    * base symbols take ids 0..255 in byte order, then each merge's
+    * product takes 256 + rank — the id layout the GPT-2 family's
+    * released vocab.json follows (special tokens, which sit after the
+    * merges in real files, are the caller's to append). */
+  def vocabIds(model: ByteModel): Map[String, Int] = {
+    val base = (0 until 256).map(b =>
+      graft.functions.ByteCoder.byteToChar(b).toString -> b)
+    val merged = model.merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }
+    (base ++ merged).toMap
+  }
+
+  /** Write the [[vocabIds]] table as a `vocab.json` (token → id), the
+    * companion artifact of [[exportMergesTxt]]. Jackson handles the
+    * escaping — tokens legitimately contain quotes and backslashes
+    * (bytes 34 and 92 map to themselves). */
+  def exportVocabJson(spark: SparkSession, model: ByteModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      vocabIds(model).toSeq.sortBy(_._2).foreach { case (tok, id) => node.put(tok, id) }
+      out.write(m.writeValueAsBytes(node))
+    } finally out.close()
+  }
+
+  /** Load a `vocab.json` (token → id). Driver-bounded: a vocabulary is
+    * ≤ ~100k short strings. */
+  def importVocabJson(spark: SparkSession, path: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      require(root.isObject, s"$path is not a JSON object")
+      val b = Map.newBuilder[String, Int]
+      val it = root.fields()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asInt() }
+      b.result()
+    } finally in.close()
+  }
+
+  /** Token IDS of a word-array column under `model` + `vocab` — what a
+    * training pipeline actually ships. The vocab rides as a map literal
+    * (codegen'd `element_at`); a token absent from the vocab yields a
+    * NULL id, which any downstream forall/not-null gate fails LOUD on —
+    * a truncated vocab.json must never silently emit id 0. */
+  def encodeIds(words: Column, model: ByteModel, vocab: Map[String, Int]): Column =
+    transform(encodeTokensBytes(words, model), t => element_at(typedLit(vocab), t))
 }

@@ -128,9 +128,64 @@ object TextAnalysis {
     * en > de > fr (fixed order, so the result is deterministic).
     * Single-projection convenience form — inside a wide scan, prefer
     * materializing the distinct tokens and calling
-    * [[langIdFromDistinctTokens]]. */
+    * [[langIdFromDistinctTokens]]. A 6-marker intersection is a WEAK
+    * signal on short texts (any text missing all markers ties to 'en');
+    * the production predictor is the trained
+    * [[trainTrigramLangId]]/[[langIdTrigram]] pair — this heuristic
+    * stays as the zero-training fallback and the quality-gate
+    * agreement check whose oracles pin it. */
   def langId(text: Column): Column =
     langIdFromDistinctTokens(array_distinct(tokens(text)))
+
+  /** Character trigrams of an (already-lowercased) text column —
+    * consecutive 3-char windows, step 1; fewer than 3 chars → empty.
+    * Built from codegen builtins so training's only corpus-sized pass
+    * is this narrow scan + one groupBy shuffle. */
+  def charTrigrams(lowered: Column): Column =
+    when(length(lowered) >= 3,
+      transform(sequence(lit(1), length(lowered) - 2), i => lowered.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train the Cavnar–Trenkle (1994) rank-order trigram language
+    * identifier on a labeled corpus: per language, the `topK` character
+    * trigrams of the lowercased text ranked by (count desc, trigram
+    * asc). One explode + one (lang, trigram) groupBy shuffle — the
+    * model is `langs × topK` short strings, driver-bounded regardless
+    * of corpus size. Scoring ([[langIdTrigram]]) is all-integer rank
+    * displacement, so an SQL twin reproduces predictions bit-exactly
+    * (the reason this formulation was chosen over log-likelihood, whose
+    * FP argmax can flip cross-engine). Candidate languages and their
+    * deterministic tie-break order are the sorted distinct labels. */
+  def trainTrigramLangId(df: org.apache.spark.sql.DataFrame, textCol: Column,
+                         langCol: Column, topK: Int = 500,
+                         docTopK: Int = 300): graft.functions.TrigramLangRanks = {
+    require(topK > 0 && docTopK > 0, "profile sizes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_lang")).orderBy(col("_c").desc, col("_t").asc)
+    val ranked = df
+      .select(langCol.as("_lang"), explode(charTrigrams(lower(textCol))).as("_t"))
+      .groupBy(col("_lang"), col("_t")).agg(count(lit(1)).as("_c"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col("_lang"), col("_t"), col("_rk"))
+      .collect()
+    val langs = ranked.map(_.getString(0)).distinct.sorted
+    val tables = langs.map { l =>
+      val m = new java.util.HashMap[String, Integer]()
+      ranked.foreach { r =>
+        if (r.getString(0) == l) m.put(r.getString(1), Int.box(r.getInt(2)))
+      }
+      m
+    }
+    new graft.functions.TrigramLangRanks(langs, tables, penalty = topK, docTopK = docTopK)
+  }
+
+  /** Predicted language of `text` under a trained model — a narrow
+    * zero-shuffle codegen scan ([[graft.functions.TrigramLangId]]);
+    * lowercasing happens HERE with the engine's own `lower` so training
+    * and scoring share one case-folding definition. */
+  def langIdTrigram(text: Column, model: graft.functions.TrigramLangRanks): Column =
+    graft.functions.TrigramLangId(lower(text), model)
 
   /** The composite quality gate over any frame with (textCol, langCol):
     * quality score, both Gopher repetition bounds, langid agreement —

@@ -38,16 +38,23 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Language ID with the TRAINED Cavnar–Trenkle trigram classifier
+    * (upgraded from the 6-marker stopword heuristic, which ties to 'en'
+    * on any short text missing all markers — TextAnalysisSpec pins the
+    * case the old predictor fails): train per-language rank profiles on
+    * the corpus's own labels, then score every doc with the narrow
+    * all-integer rank-displacement expression. The twin retrains and
+    * rescores bit-exactly in SQL — integer ranks and distances end to
+    * end, no FP argmax to flip cross-engine. The marker heuristic's
+    * prediction rides along as `marker_lang` (its own oracle line in
+    * the twin), keeping the old signal visible for comparison. */
   def txtLangId(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    // lower projection materializes the distinct tokens once; the three
-    // per-language intersections above reference the column, not the
-    // tokenizer (CollapseProject keeps the boundary: non-cheap expr
-    // referenced 3x)
-    d.select(col("doc_id"), col("lang"),
-        array_distinct(TextAnalysis.tokens(col("text"))).as("_toks"))
-      .select(col("doc_id"),
-        TextAnalysis.langIdFromDistinctTokens(col("_toks")).as("pred_lang"), col("lang"))
+    val model = TextAnalysis.trainTrigramLangId(d, col("text"), col("lang"))
+    d.select(col("doc_id"),
+        TextAnalysis.langIdTrigram(col("text"), model).as("pred_lang"),
+        TextAnalysis.langId(col("text")).as("marker_lang"),
+        col("lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -343,6 +350,48 @@ object Ext {
         (graft.operators.Bpe.tokenCountBytes(col("text"), by) >= size(words) &&
           graft.operators.Bpe.tokenCountBytes(col("text"), by) <= octet_length(col("text")))
           .as("byte_bpe_in_bracket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Published-vocabulary import end-to-end — the production ask "count
+    * tokens under MY model": train a byte-level model under the GPT-2
+    * pre-tokenizer, EXPORT it in the published interchange format
+    * (merges.txt + vocab.json), IMPORT both back through
+    * [[graft.operators.Bpe.importMergesTxt]]/importVocabJson, and gate
+    * that the round-tripped artifacts drive the engine bit-identically:
+    * imported-model tokens equal trained-model tokens on every row,
+    * every token resolves to a vocab id (NULL ids fail the forall
+    * loud), ids invert back to the same tokens through the reversed
+    * table, and the total sits in the structural bracket (≥ one token
+    * per \S+ run, ≤ one per byte). ORACLE decision-constant: the twin
+    * recomputes doc_id/char/byte/\S+-run counts exactly and asserts the
+    * import invariants as literal TRUE. BpeSpec pins a hand-built
+    * merges.txt against expected tokens. */
+  def txtBpeImport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val trained = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40,
+      maxWords = 10000, tokenizer = graft.operators.Bpe.gpt2PreTokens)
+    val art = rtDir(s, "bpe_import", dir)
+    graft.operators.Bpe.exportMergesTxt(s, trained, s"$art/merges.txt")
+    graft.operators.Bpe.exportVocabJson(s, trained, s"$art/vocab.json")
+    val model = graft.operators.Bpe.importMergesTxt(s, s"$art/merges.txt")
+    val vocab = graft.operators.Bpe.importVocabJson(s, s"$art/vocab.json")
+    val inverse = vocab.map { case (t, i) => i -> t }
+    val words = graft.operators.Bpe.gpt2PreTokens(col("text"))
+    val toks = graft.operators.Bpe.encodeTokensBytes(words, model)
+    val ids = graft.operators.Bpe.encodeIds(words, model, vocab)
+    d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        octet_length(col("text")).as("n_bytes"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_runs"),
+        (toks === graft.operators.Bpe.encodeTokensBytes(words, trained))
+          .as("import_identical"),
+        forall(ids, i => i.isNotNull && i >= 0 && i < lit(vocab.size))
+          .as("ids_resolved"),
+        (transform(ids, i => element_at(typedLit(inverse), i)) === toks)
+          .as("ids_invert"),
+        (size(toks) >= size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))) &&
+          size(toks) <= octet_length(col("text"))).as("count_in_bracket"))
       .orderBy(col("doc_id"))
   }
 
@@ -2772,14 +2821,26 @@ object Ext {
     * tokenizer for a corpus: every production subword model behind the
     * engine's seam (BPE, byte-level BPE, unigram-LM, WordPiece) trained
     * on the SAME English slice with the same budget, then scored on the
-    * full corpus: total tokens, tokens-per-word fertility, and total
-    * characters per token. Rows-only (four learned vocabularies); each
-    * tokenizer's own correctness is oracle/property-gated elsewhere —
-    * this query gates that the seam keeps them interchangeable. */
-  def txtTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    * full corpus (total tokens, tokens-per-word fertility, characters
+    * per token — [[tokenizerCompareReport]] still computes the full
+    * numeric table). ORACLE-gated decision-constant style (converted
+    * from the last rows-only holdout): the twin recomputes EXACTLY the
+    * report's two denominators — corpus word-token count (the same
+    * regex pre-tokenization the encode-family oracles pin) and corpus
+    * character count — and the four learned totals, which no SQL engine
+    * can recompute, gate in-row inside their structural bracket: a
+    * subword segmentation never merges across pre-token boundaries
+    * (total ≥ words) and never splits below one token per byte
+    * (total ≤ bytes). Garbage totals (a broken model, an overflow, a
+    * swapped column) break the bracket or the hash; the per-tokenizer
+    * encode semantics are oracle/property-gated at a DIFFERENT budget
+    * in txt_*_encode, so this gate adds the seam's interchangeability
+    * at budget 60 rather than repeating those. */
+  def tokenizerCompareReport(s: SparkSession, dir: String):
+      Seq[(String, Long, Double, Double)] = {
     val d = Tables.documents(s, dir)
     val en = d.where(col("lang") === "en")
-    val nWords = d.agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    val nWords = d.agg(sum(TextAnalysis.regexTokenCount(col("text")))).head().getLong(0)
     val nChars = d.agg(sum(length(col("text")))).head().getLong(0)
     val bpe = graft.operators.Bpe.train(en, col("text"), numMerges = 60, maxWords = 10000)
     val bbpe = graft.operators.Bpe.trainBytes(en, col("text"), numMerges = 60, maxWords = 10000)
@@ -2790,18 +2851,31 @@ object Ext {
       "byte_bpe" -> graft.operators.Bpe.tokenCountBytes(col("text"), bbpe),
       "unigram" -> graft.operators.Unigram.tokenCount(col("text"), uni),
       "wordpiece" -> graft.operators.WordPiece.tokenCount(col("text"), wp))
-    // stays rows-only BY CHOICE: the numeric comparison table IS the
-    // deliverable (a boolean-band gate would gut the report); the
-    // budgets' sanity is oracle-gated per tokenizer in txt_bpe_encode /
-    // txt_unigram_encode / txt_byte_bpe_encode instead
-    val rows = counts.map { case (name, cnt) =>
+    counts.map { case (name, cnt) =>
       val total = d.agg(sum(cnt)).head().getLong(0)
       (name, total,
         math.rint(total.toDouble / nWords * 10000) / 10000,
         math.rint(nChars.toDouble / total * 10000) / 10000)
     }
+  }
+
+  def txtTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nWords = d.agg(sum(TextAnalysis.regexTokenCount(col("text")))).head().getLong(0)
+    val nChars = d.agg(sum(length(col("text")))).head().getLong(0)
+    val nBytes = d.agg(sum(octet_length(col("text")))).head().getLong(0)
+    val report = tokenizerCompareReport(s, dir)
     import s.implicits._
-    rows.toDF("tokenizer", "total_tokens", "tokens_per_word", "chars_per_token")
+    report.map { case (name, total, fertility, charsPerTok) =>
+      // the numeric report columns feed the booleans, so a NaN/garbage
+      // metric still breaks the gate even though the learned totals
+      // themselves cannot hash cross-engine
+      (name, nWords, nChars,
+        total >= nWords && total <= nBytes,
+        fertility >= 1.0 && math.abs(fertility - total.toDouble / nWords) < 1e-3,
+        charsPerTok > 0.0 && math.abs(charsPerTok - nChars.toDouble / total) < 1e-3)
+    }.toDF("tokenizer", "n_words", "n_chars", "total_in_bracket",
+        "fertility_consistent", "chars_per_token_consistent")
       .orderBy(col("tokenizer"))
   }
 
@@ -2990,6 +3064,7 @@ object Ext {
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
     "txt_byte_bpe_encode" -> txtByteBpeEncode,
+    "txt_bpe_import" -> txtBpeImport,
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_wordpiece_encode" -> txtWordPieceEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
@@ -3588,6 +3663,22 @@ object Ext {
         |  TRUE AS top15_rows_ok,
         |  TRUE AS top15_mass_ok
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // decision-constant gate (the former last rows-only holdout): the
+    // twin recomputes the report's two denominators exactly — corpus
+    // regex word-token count and character count — and the learned
+    // per-tokenizer totals gate in-row inside the words ≤ total ≤ bytes
+    // structural bracket plus arithmetic-consistency booleans
+    "txt_tokenizer_compare" ->
+      """WITH w AS (SELECT
+        |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_words,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT t.tokenizer, w.n_words, w.n_chars,
+        |  TRUE AS total_in_bracket,
+        |  TRUE AS fertility_consistent,
+        |  TRUE AS chars_per_token_consistent
+        |FROM (VALUES ('bpe'), ('byte_bpe'), ('unigram'), ('wordpiece')) AS t(tokenizer), w
+        |ORDER BY tokenizer""".stripMargin,
     // the sketch-then-verify composition is EXACTLY the frequent-items
     // query (MG guarantee: no item with true count > n/(k+1) is missed)
     "agg_sketch_heavyhitters" ->
@@ -3980,16 +4071,45 @@ object Ext {
          |  round(list_sum(list_transform(toks, x -> length(x))) * CAST(1.0 AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
          |  $duckQuality AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    // the twin RETRAINS the Cavnar-Trenkle rank profiles and rescores
+    // every doc — possible bit-exactly because the formulation is
+    // all-integer: row_number ranks, |rank - rank| displacements,
+    // penalty 500 for out-of-profile trigrams, argmin with lang-asc
+    // tie-break; the marker heuristic rides along unchanged
     "txt_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckToks) AS toks FROM documents),
-         |h AS (SELECT doc_id, lang,
+      s"""WITH lo AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+         |tg AS (SELECT doc_id, lang,
+         |    unnest([substring(lt, CAST(i AS INTEGER), 3) FOR i IN range(1, greatest(length(lt) - 1, 1))]) AS t
+         |  FROM lo),
+         |lp AS (SELECT lang, t,
+         |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, t) AS rk
+         |  FROM tg GROUP BY lang, t QUALIFY rk <= 500),
+         |dp AS (SELECT doc_id, t,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, t) AS drk
+         |  FROM tg GROUP BY doc_id, t QUALIFY drk <= 300),
+         |cand AS (SELECT DISTINCT lang AS clang FROM documents),
+         |dist AS (SELECT dp.doc_id, c.clang,
+         |    sum(CASE WHEN lp.rk IS NULL THEN 500 ELSE abs(dp.drk - lp.rk) END) AS dist
+         |  FROM dp CROSS JOIN cand c
+         |  LEFT JOIN lp ON lp.lang = c.clang AND lp.t = dp.t
+         |  GROUP BY dp.doc_id, c.clang),
+         |best AS (SELECT doc_id, clang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, clang) AS brk
+         |  FROM dist QUALIFY brk = 1),
+         |mk AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents),
+         |mh AS (SELECT doc_id,
          |  len(list_intersect(toks, ['the','a','is','and','of','to'])) AS en,
          |  len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS de,
-         |  len(list_intersect(toks, ['le','la','les','et','est','un'])) AS fr FROM t)
-         |SELECT doc_id,
-         |  CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
-         |  lang
-         |FROM h ORDER BY doc_id""".stripMargin,
+         |  len(list_intersect(toks, ['le','la','les','et','est','un'])) AS fr FROM mk)
+         |SELECT d.doc_id,
+         |  coalesce(b.clang, (SELECT min(lang) FROM documents)) AS pred_lang,
+         |  CASE WHEN mh.en >= mh.de AND mh.en >= mh.fr THEN 'en'
+         |       WHEN mh.de >= mh.fr THEN 'de' ELSE 'fr' END AS marker_lang,
+         |  d.lang
+         |FROM documents d
+         |LEFT JOIN best b ON b.doc_id = d.doc_id
+         |JOIN mh ON mh.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // reproduces LangModel's math exactly: closed top-200 vocab from the
     // en slice (count desc, token asc), <s>-prefixed vocab-mapped bigram
     // keys, add-0.5 smoothing with V = |vocab|+1 — all integer counts
@@ -4617,6 +4737,18 @@ object Ext {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
         |  TRUE AS bpe_in_bracket, TRUE AS byte_bpe_in_bracket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // vocabulary-interchange gate: exact char/byte/non-space-run counts
+    // cross-engine; the imported-artifact invariants (bit-identical
+    // encode, total id resolution, id inversion, structural bracket)
+    // are in-row booleans the twin asserts as literal TRUE
+    "txt_bpe_import" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_runs,
+        |  TRUE AS import_identical, TRUE AS ids_resolved,
+        |  TRUE AS ids_invert, TRUE AS count_in_bracket
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_wordpiece_encode" ->
       """SELECT doc_id,

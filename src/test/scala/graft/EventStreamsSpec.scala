@@ -433,6 +433,63 @@ class EventStreamsSpec extends SparkSpec {
     assert(Merge.read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq ===
       Seq((0L, "seed"), (1L, "a"), (2L, "b")))
   }
+
+  test("ingest pipeline e2e: landing -> near-dup gate -> Merge, crash mid-stream, zero dup / zero lost") {
+    // the three exactly-once cases COMPOSED as one pipeline (the shape
+    // pipeline_ingest gates in batch form): files land, each micro-batch
+    // gates against the CURRENT corpus (so later batches dedup vs
+    // just-landed docs too), survivors upsert exactly-once — and the
+    // crash hits the worst window, AFTER the Merge commit but BEFORE the
+    // streaming checkpoint records the batch
+    import graft.sources.Merge
+    val base = java.nio.file.Files.createTempDirectory("graft-e2e-").toString
+    val (landing, chk, root) = (s"$base/landing", s"$base/chk", s"$base/corpus")
+    def txt(i: Long) = s"document body $i with plenty of shared shingle words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    Merge.init((0L until 10L).map(i => (i, txt(i))).toDF("id", "text"), root,
+      "id", nBuckets = 8)
+    def landDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "text").coalesce(1).write.mode("append").parquet(landing)
+    val docSchema = Seq.empty[(Long, String)].toDF("id", "text")
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, id) => {
+      val fresh = graft.operators.Dedup.dropNearDupAgainst(
+        Merge.read(spark, root), batch, "id", "text", 0.5)
+      Merge.foreachBatchUpsert(root)(fresh, id)
+      if (EventStreamsProbes.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash after Merge commit")
+    }
+    def start() = EventStreams.fileSource(spark, landing, docSchema).writeStream
+      .foreachBatch(sink).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+
+    // batch 0: ten novel docs + three re-crawls of standing-corpus texts
+    landDocs((10L until 20L).map(i => (i, txt(i))) ++
+      Seq((100L, txt(1)), (101L, txt(2)), (102L, txt(3))))
+    EventStreamsProbes.armed.set(true)
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination())
+    assert(Merge.versions(spark, root) === Seq(0, 1),
+      "batch 0's survivors committed to the table before the crash")
+
+    // restart: batch 0 replays (checkpoint never saw it finish); the
+    // gate now drops everything (the corpus already holds those texts)
+    // AND upsertBatch observes lastBatchId — either way, no new version
+    val q2 = start()
+    q2.awaitTermination()
+    assert(Merge.versions(spark, root) === Seq(0, 1),
+      "replayed batch no-ops — zero duplicates across the restart")
+
+    // batch 1 after the restart: two novel docs + a re-crawl of a doc
+    // the STREAM itself landed (dup only vs the grown corpus)
+    landDocs(Seq((200L, txt(12)), (20L, txt(20)), (21L, txt(21))))
+    val q3 = start()
+    q3.awaitTermination()
+    val rows = Merge.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 22L).toSeq,
+      "zero lost: every novel doc landed; zero dup: every re-crawl dropped")
+    assert(rows.map(_._2).distinct.length === rows.length,
+      "corpus texts are pairwise distinct — no near-dup slipped through")
+  }
 }
 
 /** JVM-wide kill switch for the crash-injection case (UDFs close over

@@ -239,4 +239,49 @@ class TextAnalysisSpec extends SparkSpec {
       .select(md5(TextAnalysis.stripInvisible($"t").cast("binary"))).as[String].collect()
     assert(fp(0) === fp(1))
   }
+
+  test("trigram langId: trained rank profiles beat the marker heuristic on short marker-free text") {
+    // training corpus: distinctive trigram distributions per language,
+    // long enough to fill real profiles
+    val train = Seq(
+      ("en", "the shipping dock handles the heavy weather with the working crew on the long night watch"),
+      ("en", "this thing that brings light through the things we think with strength and length"),
+      ("de", "schmetterlinge flattern durch zwischen bluehenden wiesen waehrend schoene voegel zwitschern"),
+      ("de", "schnell schreiben schoene schueler schwierige woerter zwischendurch mit schwung"),
+      ("fr", "beaucoup de choses heureuses arrivent chaque jour aux gens qui cherchent toujours"),
+      ("fr", "quelques oiseaux chantent joyeusement pres des eaux fraiches chaque matin")
+    ).toDF("lang", "text")
+    val model = TextAnalysis.trainTrigramLangId(train, col("text"), col("lang"),
+      topK = 200, docTopK = 100)
+    assert(model.langs.toSeq === Seq("de", "en", "fr"), "sorted tie-break order")
+    // SHORT texts with ZERO marker words — the old heuristic's blind
+    // spot: every marker intersection is 0, so it ties to 'en'
+    val probes = Seq(
+      (1L, "schwierige schmetterlinge zwischen", "de"),
+      (2L, "chaque oiseau heureux cherche toujours", "fr"),
+      (3L, "strength through thinking things", "en"))
+    val df = probes.map { case (i, t, _) => (i, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.langIdTrigram(col("text"), model).as("tri"),
+        TextAnalysis.langId(col("text")).as("marker"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    probes.foreach { case (i, _, want) =>
+      assert(got(i)._1 === want, s"trigram model must identify probe $i")
+    }
+    // the documented failure the upgrade exists for: marker heuristic
+    // calls the de/fr probes 'en' (no markers -> 0-0-0 tie)
+    assert(got(1L)._2 === "en" && got(2L)._2 === "en")
+    // determinism edges: empty and sub-trigram texts -> first sorted lang
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("id", "text")
+      .select(TextAnalysis.langIdTrigram(col("text"), model)).collect()
+    assert(edge.forall(_.getString(0) == "de"))
+    // codegen and interpreted agree (the repo-wide expression contract)
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = df.select(TextAnalysis.langIdTrigram(col("text"), model))
+        .collect().map(_.getString(0))
+      assert(interp.toSeq === probes.map(_._3))
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.wholeStage", _))
+  }
 }
