@@ -378,20 +378,30 @@ object Ext {
     val vocab = graft.operators.Bpe.importVocabJson(s, s"$art/vocab.json")
     val inverse = vocab.map { case (t, i) => i -> t }
     val words = graft.operators.Bpe.gpt2PreTokens(col("text"))
-    val toks = graft.operators.Bpe.encodeTokensBytes(words, model)
-    val ids = graft.operators.Bpe.encodeIds(words, model, vocab)
+    // lower projection materializes the expensive expressions ONCE per
+    // row (CollapseProject keeps the boundary for non-cheap expressions
+    // referenced more than once): without it the plan evaluated the
+    // GPT-2 regex 6x and the BPE encode 5x per row
     d.select(col("doc_id"),
         length(col("text")).as("n_chars"),
         octet_length(col("text")).as("n_bytes"),
-        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_runs"),
-        (toks === graft.operators.Bpe.encodeTokensBytes(words, trained))
-          .as("import_identical"),
-        forall(ids, i => i.isNotNull && i >= 0 && i < lit(vocab.size))
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("_nr"),
+        words.as("_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_bytes"), col("_nr"),
+        graft.operators.Bpe.encodeTokensBytes(col("_words"), model).as("_toks"),
+        graft.operators.Bpe.encodeTokensBytes(col("_words"), trained).as("_toks_trained"))
+      // ids map over the MATERIALIZED tokens (same construction as
+      // Bpe.encodeIds, which would re-encode from the raw text here)
+      .withColumn("_ids", transform(col("_toks"), t => element_at(typedLit(vocab), t)))
+      .select(col("doc_id"), col("n_chars"), col("n_bytes"),
+        col("_nr").as("n_runs"),
+        (col("_toks") === col("_toks_trained")).as("import_identical"),
+        forall(col("_ids"), i => i.isNotNull && i >= 0 && i < lit(vocab.size))
           .as("ids_resolved"),
-        (transform(ids, i => element_at(typedLit(inverse), i)) === toks)
+        (transform(col("_ids"), i => element_at(typedLit(inverse), i)) === col("_toks"))
           .as("ids_invert"),
-        (size(toks) >= size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))) &&
-          size(toks) <= octet_length(col("text"))).as("count_in_bracket"))
+        (size(col("_toks")) >= col("_nr") &&
+          size(col("_toks")) <= col("n_bytes")).as("count_in_bracket"))
       .orderBy(col("doc_id"))
   }
 
@@ -2840,8 +2850,6 @@ object Ext {
       Seq[(String, Long, Double, Double)] = {
     val d = Tables.documents(s, dir)
     val en = d.where(col("lang") === "en")
-    val nWords = d.agg(sum(TextAnalysis.regexTokenCount(col("text")))).head().getLong(0)
-    val nChars = d.agg(sum(length(col("text")))).head().getLong(0)
     val bpe = graft.operators.Bpe.train(en, col("text"), numMerges = 60, maxWords = 10000)
     val bbpe = graft.operators.Bpe.trainBytes(en, col("text"), numMerges = 60, maxWords = 10000)
     val uni = graft.operators.Unigram.train(en, col("text"), vocabSize = 60, maxWords = 10000)
@@ -2851,8 +2859,14 @@ object Ext {
       "byte_bpe" -> graft.operators.Bpe.tokenCountBytes(col("text"), bbpe),
       "unigram" -> graft.operators.Unigram.tokenCount(col("text"), uni),
       "wordpiece" -> graft.operators.WordPiece.tokenCount(col("text"), wp))
-    counts.map { case (name, cnt) =>
-      val total = d.agg(sum(cnt)).head().getLong(0)
+    // the denominators and all four corpus totals in ONE scan (the
+    // per-tokenizer agg form paid 6 full passes)
+    val aggs = Seq(sum(TextAnalysis.regexTokenCount(col("text"))),
+      sum(length(col("text")))) ++ counts.map { case (_, cnt) => sum(cnt) }
+    val r = d.agg(aggs.head, aggs.tail: _*).head()
+    val (nWords, nChars) = (r.getLong(0), r.getLong(1))
+    counts.zipWithIndex.map { case ((name, _), i) =>
+      val total = r.getLong(2 + i)
       (name, total,
         math.rint(total.toDouble / nWords * 10000) / 10000,
         math.rint(nChars.toDouble / total * 10000) / 10000)
@@ -2861,9 +2875,9 @@ object Ext {
 
   def txtTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val nWords = d.agg(sum(TextAnalysis.regexTokenCount(col("text")))).head().getLong(0)
-    val nChars = d.agg(sum(length(col("text")))).head().getLong(0)
-    val nBytes = d.agg(sum(octet_length(col("text")))).head().getLong(0)
+    val denom = d.agg(sum(TextAnalysis.regexTokenCount(col("text"))),
+      sum(length(col("text"))), sum(octet_length(col("text")))).head()
+    val (nWords, nChars, nBytes) = (denom.getLong(0), denom.getLong(1), denom.getLong(2))
     val report = tokenizerCompareReport(s, dir)
     import s.implicits._
     report.map { case (name, total, fertility, charsPerTok) =>
