@@ -187,6 +187,45 @@ object TextAnalysis {
   def langIdTrigram(text: Column, model: graft.functions.TrigramLangRanks): Column =
     graft.functions.TrigramLangId(lower(text), model)
 
+  /** Persist the trained profiles as parquet (lang, trigram, rank —
+    * plus the two scoring constants, which are part of the model: a
+    * loaded model must score identically or cross-run predictions
+    * drift). Same artifact pattern as [[graft.operators.Bpe.saveModel]];
+    * langs × topK short rows, driver-bounded. */
+  def saveTrigramLangId(spark: org.apache.spark.sql.SparkSession,
+                        model: graft.functions.TrigramLangRanks, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (l, i) <- model.langs.zipWithIndex.toSeq
+      e <- {
+        import scala.jdk.CollectionConverters._
+        model.ranks(i).entrySet().asScala
+      }
+    } yield (l, e.getKey, e.getValue.toInt, model.penalty, model.docTopK)
+    rows.toDF("lang", "trigram", "rank", "penalty", "doc_top_k")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadTrigramLangId(spark: org.apache.spark.sql.SparkSession,
+                        path: String): graft.functions.TrigramLangRanks = {
+    val rows = spark.read.parquet(path)
+      .select(col("lang"), col("trigram"), col("rank"),
+        col("penalty"), col("doc_top_k")).collect()
+    require(rows.nonEmpty, s"$path holds no language profiles")
+    val consts = rows.map(r => (r.getInt(3), r.getInt(4))).distinct
+    require(consts.length == 1, s"$path mixes scoring constants: ${consts.toSeq}")
+    val langs = rows.map(_.getString(0)).distinct.sorted
+    val tables = langs.map { l =>
+      val m = new java.util.HashMap[String, Integer]()
+      rows.foreach { r =>
+        if (r.getString(0) == l) m.put(r.getString(1), Int.box(r.getInt(2)))
+      }
+      m
+    }
+    new graft.functions.TrigramLangRanks(langs, tables,
+      penalty = consts.head._1, docTopK = consts.head._2)
+  }
+
   /** The composite quality gate over any frame with (textCol, langCol):
     * quality score, both Gopher repetition bounds, langid agreement —
     * one fused narrow projection + filter, all codegen builtins. Keeps

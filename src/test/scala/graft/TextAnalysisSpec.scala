@@ -284,4 +284,24 @@ class TextAnalysisSpec extends SparkSpec {
       assert(interp.toSeq === probes.map(_._3))
     } finally prev.foreach(spark.conf.set("spark.sql.codegen.wholeStage", _))
   }
+
+  test("trigram langId save/load: a loaded model predicts bit-identically") {
+    val train = Seq(
+      ("en", "the shipping dock handles the heavy weather with the working crew"),
+      ("de", "schmetterlinge flattern zwischen bluehenden wiesen mit schwung"),
+      ("fr", "beaucoup de choses heureuses arrivent chaque jour aux gens")
+    ).toDF("lang", "text")
+    val model = TextAnalysis.trainTrigramLangId(train, col("text"), col("lang"),
+      topK = 150, docTopK = 80)
+    val path = java.nio.file.Files.createTempDirectory("graft_langid").toString + "/model"
+    TextAnalysis.saveTrigramLangId(spark, model, path)
+    val loaded = TextAnalysis.loadTrigramLangId(spark, path)
+    assert(loaded.langs.toSeq === model.langs.toSeq)
+    assert(loaded.penalty === model.penalty && loaded.docTopK === model.docTopK)
+    val probes = Seq((1L, "zwischen schmetterlinge"), (2L, "the working weather"),
+      (3L, "chaque jour heureux"), (4L, ""), (5L, "xq")).toDF("id", "text")
+    val a = probes.select(TextAnalysis.langIdTrigram(col("text"), model)).collect().map(_.getString(0))
+    val b = probes.select(TextAnalysis.langIdTrigram(col("text"), loaded)).collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+  }
 }
