@@ -306,13 +306,15 @@ object Bpe {
   }
 
   /** Token → id table in the published construction: the 256 byte-mapped
-    * base symbols take ids 0..255 in byte order, then each merge's
-    * product takes 256 + rank — the id layout the GPT-2 family's
-    * released vocab.json follows (special tokens, which sit after the
-    * merges in real files, are the caller's to append). */
+    * base symbols take ids 0..255 ordered BY MAPPED CODEPOINT — '!'
+    * (byte 33) is id 0 and the 68 shifted awkward bytes land last at
+    * 188..255, exactly the released GPT-2 vocab.json layout ('Ā', the
+    * mapped NUL, is id 188 there) — then each merge's product takes
+    * 256 + rank (special tokens, which sit after the merges in real
+    * files, are the caller's to append). */
   def vocabIds(model: ByteModel): Map[String, Int] = {
-    val base = (0 until 256).map(b =>
-      graft.functions.ByteCoder.byteToChar(b).toString -> b)
+    val base = (0 until 256).map(b => graft.functions.ByteCoder.byteToChar(b))
+      .sorted.zipWithIndex.map { case (c, i) => c.toString -> i }
     val merged = model.merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }
     (base ++ merged).toMap
   }

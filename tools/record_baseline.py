@@ -25,7 +25,10 @@ def main() -> int:
     runs = []
     for path in sys.argv[1:]:
         with open(path) as f:
-            d = json.load(f)
+            s = f.read()
+        # bench lines arrive wrapped by sbt ("[info] {...}"); parse from
+        # the first brace so a raw or wrapped capture both work
+        d = json.loads(s[s.index("{"):])
         if d.get("failed", 0):
             print(f"warning: {path} has {d['failed']} failed queries", file=sys.stderr)
         runs.append(d)
