@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Trained character-trigram language profiles for the Cavnar–Trenkle
@@ -51,6 +52,50 @@ case class TrigramLangId(child: Expression, model: TrigramLangRanks)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Character trigrams of an (already-lowercased) string as one linear
+  * walk — the training-side extraction. The HOF formulation this
+  * replaced (`transform(sequence(1, len-2), i => substr(i, 3))`) was
+  * QUADRATIC per document: UTF8String substring seeks codepoints from
+  * the start on every call, and it measured 7.5 s for txt_langid at
+  * sf0.1 where this walk takes a fraction of that. Windows are
+  * Java-char-based, IDENTICAL to [[TrigramLangId.compute]]'s scoring
+  * windows — training and scoring can never disagree on a boundary,
+  * astral planes included. */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_trigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharTrigrams.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.CharTrigrams.compute($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - 2, 0)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 3))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CharTrigrams(org.apache.spark.sql.GraftColumnBridge.expression(text)))
 }
 
 object TrigramLangId {

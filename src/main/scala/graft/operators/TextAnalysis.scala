@@ -139,12 +139,10 @@ object TextAnalysis {
 
   /** Character trigrams of an (already-lowercased) text column —
     * consecutive 3-char windows, step 1; fewer than 3 chars → empty.
-    * Built from codegen builtins so training's only corpus-sized pass
-    * is this narrow scan + one groupBy shuffle. */
+    * One native linear walk ([[graft.functions.CharTrigrams]]); the
+    * builtin HOF form was quadratic per document (see its scaladoc). */
   def charTrigrams(lowered: Column): Column =
-    when(length(lowered) >= 3,
-      transform(sequence(lit(1), length(lowered) - 2), i => lowered.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.CharTrigrams(lowered)
 
   /** Train the Cavnar–Trenkle (1994) rank-order trigram language
     * identifier on a labeled corpus: per language, the `topK` character

@@ -382,20 +382,22 @@ object Ext {
     // row (CollapseProject keeps the boundary for non-cheap expressions
     // referenced more than once): without it the plan evaluated the
     // GPT-2 regex 6x and the BPE encode 5x per row
+    // import_identical compares the MODELS driver-side: encode is a pure
+    // function of the merge list, so merge-list equality implies encode
+    // equality on every input — a second per-row encode with the trained
+    // model proved the same thing at twice the row cost
+    val importIdentical = model.merges.sameElements(trained.merges)
     d.select(col("doc_id"),
         length(col("text")).as("n_chars"),
         octet_length(col("text")).as("n_bytes"),
         size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("_nr"),
-        words.as("_words"))
-      .select(col("doc_id"), col("n_chars"), col("n_bytes"), col("_nr"),
-        graft.operators.Bpe.encodeTokensBytes(col("_words"), model).as("_toks"),
-        graft.operators.Bpe.encodeTokensBytes(col("_words"), trained).as("_toks_trained"))
+        graft.operators.Bpe.encodeTokensBytes(words, model).as("_toks"))
       // ids map over the MATERIALIZED tokens (same construction as
       // Bpe.encodeIds, which would re-encode from the raw text here)
       .withColumn("_ids", transform(col("_toks"), t => element_at(typedLit(vocab), t)))
       .select(col("doc_id"), col("n_chars"), col("n_bytes"),
         col("_nr").as("n_runs"),
-        (col("_toks") === col("_toks_trained")).as("import_identical"),
+        lit(importIdentical).as("import_identical"),
         forall(col("_ids"), i => i.isNotNull && i >= 0 && i < lit(vocab.size))
           .as("ids_resolved"),
         (transform(col("_ids"), i => element_at(typedLit(inverse), i)) === col("_toks"))
