@@ -61,7 +61,18 @@ object Bench {
     // overhead that no cross-round comparison should gate on. Disable
     // with SPARK_GRAFT_BENCH_WARMUP=0 to study cold behavior.
     val perQueryWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for dev iteration (e.g.
+    // recording baseline entries for newly added queries without the
+    // full suite). The driver's per-round bench never sets it; a
+    // filtered run naturally surfaces every other query under
+    // `baseline_missing`, which is informational, not a failure.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = selected.map { case (name, fn) =>
       if (perQueryWarmup) {
         try materialize(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(_) => () }

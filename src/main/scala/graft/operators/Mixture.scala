@@ -33,6 +33,79 @@ object Mixture {
     }
   }
 
+  /** Token-budget mixture planner: given per-source token counts,
+    * allocate a total training-token budget across sources by
+    * temperature weight w_s ∝ n_s^alpha, capping every source at
+    * `maxEpochs` passes over its data (the standard guard against
+    * over-repeating small sources; public practice from LLM data
+    * recipes — epoch caps appear in e.g. the data-constrained-scaling
+    * literature, Muennighoff et al. 2023). Allocation is TWO
+    * deterministic rounds: (1) alloc1_s = min(w_s·T, maxEpochs·n_s);
+    * (2) the leftover T − Σ alloc1 is redistributed over the uncapped
+    * sources proportional to their weights, again capped. Whatever
+    * remains after round 2 is reported as `unallocated_tokens` rather
+    * than silently looping — a fixed-round semantic is reproducible
+    * on any engine (full water-filling iterates a data-dependent
+    * number of times), and in practice two rounds place all but a few
+    * percent of skewed budgets.
+    *
+    * Shape: the input frame is one row per SOURCE — bounded by the
+    * catalog, not the corpus — so the three tiny aggregates and
+    * broadcast cross-joins here cost nothing at any scale; the only
+    * data-sized work is whatever aggregate produced `sizes`.
+    *
+    * @param sizes one row per source: (`srcCol`, `nCol` = token count)
+    * @param budgetTokens total token budget T to allocate
+    * @param maxEpochs max passes over any single source (rate cap)
+    * @param alpha temperature exponent for w_s ∝ n_s^alpha
+    * @return (mix_source, n_tokens, weight, alloc_tokens, epochs,
+    *         capped, budget_tokens, unallocated_tokens) */
+  def budgetPlan(sizes: DataFrame, srcCol: String, nCol: String,
+                 budgetTokens: Long, maxEpochs: Double,
+                 alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(alpha >= 0, "alpha must be >= 0")
+    val n = col(nCol).cast("double")
+    val budget = lit(budgetTokens.toDouble)
+    // Materialize the per-source frame ONCE: `sizes` is typically a
+    // corpus-sized aggregate, and the planner's three tiny aggregates
+    // below would otherwise each re-evaluate that lineage — five full
+    // corpus scans for a rows-per-source plan (measured: the sf0.1
+    // sizing tokenize re-ran 4x before this truncation).
+    val once = graft.core.Checkpoint.materialize(sizes)
+    // fail loudly on a non-positive source size: pow(0, alpha) would
+    // silently zero the weight while epochs divides by zero
+    val guarded = once.withColumn("_n",
+      when(col(nCol).isNull || col(nCol) <= 0,
+        raise_error(lit(s"Mixture.budgetPlan requires positive '$nCol'")))
+        .otherwise(n))
+    val wRaw = guarded.withColumn("_wr", pow(col("_n"), lit(alpha)))
+    val a1 = wRaw.crossJoin(broadcast(wRaw.agg(sum(col("_wr")).as("_wsum"))))
+      .withColumn("_w", col("_wr") / col("_wsum"))
+      .withColumn("_cap", lit(maxEpochs) * col("_n"))
+      .withColumn("_alloc1", least(col("_w") * budget, col("_cap")))
+    val t2 = a1.agg(sum(col("_alloc1")).as("_sum1"),
+      sum(when(col("_alloc1") < col("_cap"), col("_w")).otherwise(lit(0.0))).as("_wu"))
+    val a2 = a1.crossJoin(broadcast(t2))
+      .withColumn("_alloc2", least(
+        col("_alloc1") + when(col("_alloc1") < col("_cap") && col("_wu") > 0,
+          col("_w") / col("_wu") * greatest(budget - col("_sum1"), lit(0.0)))
+          .otherwise(lit(0.0)),
+        col("_cap")))
+    a2.crossJoin(broadcast(a2.agg(sum(col("_alloc2")).as("_sum2"))))
+      .select(
+        col(srcCol).as("mix_source"),
+        col(nCol).cast("long").as("n_tokens"),
+        round(col("_w"), 6).as("weight"),
+        floor(col("_alloc2")).cast("long").as("alloc_tokens"),
+        round(col("_alloc2") / col("_n"), 4).as("epochs"),
+        (col("_alloc2") >= col("_cap")).as("capped"),
+        lit(budgetTokens).as("budget_tokens"),
+        floor(greatest(budget - col("_sum2"), lit(0.0))).cast("long")
+          .as("unallocated_tokens"))
+  }
+
   /** Shared mixing skeleton: whole-copy repeats + a fractional sample
     * per source, provenance-tagged union. `fracSample(name, idx, df,
     * frac)` decides HOW the fractional part is drawn. */

@@ -1015,6 +1015,44 @@ object Ext {
       .orderBy(col("mix_source"), col("doc_id"))
   }
 
+  /** Token-budget mixture plan per language: temperature weights
+    * (alpha=0.5) over whitespace-token counts, a 2.5×-corpus token
+    * budget, and a 3-epoch per-source cap with one deterministic
+    * redistribution round ([[graft.operators.Mixture.budgetPlan]]).
+    * 2.5× against a 3-epoch cap makes BOTH rounds bind on the fixture:
+    * small languages hit the cap in round 1 and the leftover flows to
+    * the uncapped large ones. The per-source sizing aggregate is the
+    * only data-sized work; the planner itself runs on a
+    * rows-per-source frame. The corpus total is a 1-value collect
+    * (bounded), mirroring mix_temperature's bounded sizes collect. */
+  def mixBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // materialize the sizing aggregate before BOTH consumers (the total
+    // collect and the planner) — one tokenize scan, not two
+    val sizes = graft.core.Checkpoint.materialize(
+      d.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("_t"))
+        .filter(length(col("_t")) > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_tokens")))
+    val total = sizes.agg(sum(col("n_tokens"))).head().getLong(0)
+    graft.operators.Mixture.budgetPlan(sizes, "lang", "n_tokens",
+        budgetTokens = math.floor(2.5 * total).toLong, maxEpochs = 3.0, alpha = 0.5)
+      .orderBy(col("mix_source"))
+  }
+
+  /** DSIR importance selection: treat sources src0/src1 as the
+    * target-domain exemplar, score every OTHER document by its hashed
+    * -unigram log importance ratio, keep the top 100
+    * ([[graft.operators.Dsir.topK]]). Oracle-checkable end to end
+    * because the feature hash is an md5 prefix both engines compute
+    * identically. */
+  def smpDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isTarget = col("source").isin("src0", "src1")
+    graft.operators.Dsir.topK(d.filter(!isTarget), "doc_id", "text",
+        d.filter(isTarget), k = 100)
+      .orderBy(col("rank"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -3103,6 +3141,8 @@ object Ext {
     "rpt_outliers" -> rptOutliers,
     "txt_top_terms" -> txtTopTerms,
     "mix_temperature" -> mixTemperature,
+    "mix_budget" -> mixBudget,
+    "smp_dsir" -> smpDsir,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_editdist" -> dedupEditDist,
     "dedup_editdist_lsh" -> dedupEditDistLsh,
@@ -3645,6 +3685,56 @@ object Ext {
         |  SELECT mix_source, doc_id FROM whole
         |  UNION ALL SELECT mix_source, doc_id FROM frac)
         |ORDER BY mix_source, doc_id""".stripMargin,
+    // the planner's two-round allocation replayed in SQL: identical
+    // double arithmetic (pow/least/greatest/floor are exactly-rounded
+    // or shared-precedent ops — the mix_temperature pow/floor pattern),
+    // so every column including the capped booleans hash-compares
+    "mix_budget" ->
+      """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |sz AS (SELECT lang, count(*) AS n FROM tok WHERE length(t) > 0 GROUP BY lang),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS wr FROM sz),
+        |c AS (SELECT lang, n, wr / (SELECT sum(wr) FROM w) AS w,
+        |        floor(2.5 * (SELECT sum(n) FROM sz)) AS t_budget,
+        |        3.0 * n AS cap
+        |      FROM w),
+        |a1 AS (SELECT *, least(w * t_budget, cap) AS alloc1 FROM c),
+        |s1 AS (SELECT sum(alloc1) AS sum1,
+        |              sum(CASE WHEN alloc1 < cap THEN w ELSE 0.0 END) AS wu FROM a1),
+        |a2 AS (SELECT lang, n, w, t_budget, cap,
+        |         least(alloc1 + CASE WHEN alloc1 < cap AND (SELECT wu FROM s1) > 0
+        |             THEN w / (SELECT wu FROM s1) * greatest(t_budget - (SELECT sum1 FROM s1), 0.0)
+        |             ELSE 0.0 END, cap) AS alloc2
+        |       FROM a1)
+        |SELECT lang AS mix_source,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  round(w, 6) AS weight,
+        |  CAST(floor(alloc2) AS BIGINT) AS alloc_tokens,
+        |  round(alloc2 / n, 4) AS epochs,
+        |  alloc2 >= cap AS capped,
+        |  CAST(floor(2.5 * (SELECT sum(n) FROM sz)) AS BIGINT) AS budget_tokens,
+        |  CAST(floor(greatest(t_budget - (SELECT sum(alloc2) FROM a2), 0.0)) AS BIGINT) AS unallocated_tokens
+        |FROM a2 ORDER BY mix_source""".stripMargin,
+    // DSIR twin: the 256-bucket md5-prefix feature space is an engine
+    // -shared hash, per-(doc, bucket) counts are exact integers, and
+    // weights round to 4 dp BEFORE the rank ordering on both sides
+    "smp_dsir" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |       unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
+        |ft AS (SELECT doc_id, source, substring(md5(t), 1, 2) AS b
+        |       FROM tok WHERE length(t) > 0),
+        |tgt AS (SELECT b, count(*) AS ct FROM ft WHERE source IN ('src0','src1') GROUP BY b),
+        |pool AS (SELECT b, count(*) AS cr FROM ft WHERE source NOT IN ('src0','src1') GROUP BY b),
+        |lr AS (SELECT coalesce(t.b, p.b) AS b,
+        |         ln((coalesce(ct, 0) + 1.0) / ((SELECT sum(ct) FROM tgt) + 256.0))
+        |       - ln((coalesce(cr, 0) + 1.0) / ((SELECT sum(cr) FROM pool) + 256.0)) AS logratio
+        |       FROM tgt t FULL OUTER JOIN pool p ON t.b = p.b),
+        |db AS (SELECT doc_id, b, count(*) AS nb FROM ft
+        |       WHERE source NOT IN ('src0','src1') GROUP BY doc_id, b),
+        |dw AS (SELECT db.doc_id, round(sum(db.nb * lr.logratio), 4) AS weight
+        |       FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, weight
+        |FROM dw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
     "smp_cap_per_key" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source

@@ -55,6 +55,62 @@ class MixtureSpec extends SparkSpec {
     assert(other != aFrac, "per-source salt must vary the draw")
   }
 
+  test("budgetPlan: caps bind, leftover redistributes to the uncapped source") {
+    // small=100 tokens, large=10000; alpha=0.5 -> w_small ~ 0.0909.
+    // T=5000, E=3: small's round-1 ask 454.5 hits its 300 cap; large
+    // absorbs the 154.5 leftover -> ~4700 tokens, uncapped, 0 left over.
+    val sizes = Seq(("small", 100L), ("large", 10000L)).toDF("src", "n")
+    val plan = Mixture.budgetPlan(sizes, "src", "n",
+        budgetTokens = 5000L, maxEpochs = 3.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = plan("small"); val l = plan("large")
+    assert(s.getAs[Long]("alloc_tokens") == 300L && s.getAs[Boolean]("capped"))
+    assert(s.getAs[Double]("epochs") == 3.0)
+    assert(math.abs(l.getAs[Long]("alloc_tokens") - 4700L) <= 1 && !l.getAs[Boolean]("capped"))
+    assert(plan.values.map(_.getAs[Long]("unallocated_tokens")).toSet.size == 1)
+    assert(s.getAs[Long]("unallocated_tokens") <= 1L)
+  }
+
+  test("budgetPlan: budget beyond every cap -> all capped, surplus reported") {
+    val sizes = Seq(("a", 1000L), ("b", 2000L)).toDF("src", "n")
+    val plan = Mixture.budgetPlan(sizes, "src", "n",
+        budgetTokens = 100000L, maxEpochs = 2.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("a").getAs[Long]("alloc_tokens") == 2000L)
+    assert(plan("b").getAs[Long]("alloc_tokens") == 4000L)
+    assert(plan.values.forall(_.getAs[Boolean]("capped")))
+    assert(plan("a").getAs[Long]("unallocated_tokens") == 100000L - 6000L)
+  }
+
+  test("budgetPlan invariants across a parameter grid") {
+    val sizes = Seq(("a", 100L), ("b", 3000L), ("c", 50000L), ("d", 7L)).toDF("src", "n")
+    for (t <- Seq(500L, 20000L, 200000L); e <- Seq(1.0, 3.0); alpha <- Seq(0.0, 0.5, 1.0)) {
+      val rows = Mixture.budgetPlan(sizes, "src", "n", t, e, alpha).collect()
+      val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+      assert(alloc <= t, s"t=$t e=$e alpha=$alpha over-allocated: $alloc")
+      rows.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("alloc_tokens") <= math.ceil(e * n).toLong)
+        assert(r.getAs[Double]("epochs") <= e + 1e-9)
+        assert(r.getAs[Long]("alloc_tokens") >= 0L)
+        assert(r.getAs[Boolean]("capped") == (math.abs(r.getAs[Double]("epochs") - e) < 1e-9))
+      }
+      // accounting identity: allocated + unallocated == budget (floor slack
+      // of at most one token per source plus the reported remainder)
+      val un = rows.head.getAs[Long]("unallocated_tokens")
+      assert(alloc + un <= t && t - (alloc + un) <= rows.length + 1,
+        s"t=$t e=$e alpha=$alpha alloc=$alloc un=$un")
+    }
+  }
+
+  test("budgetPlan rejects non-positive sizes loudly") {
+    val sizes = Seq(("a", 0L), ("b", 10L)).toDF("src", "n")
+    val e = intercept[Exception] {
+      Mixture.budgetPlan(sizes, "src", "n", 100L, 2.0).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("rate 0 contributes nothing; integer rate repeats exactly") {
     val a = (0 until 100).map(i => (i.toLong, "x")).toDF("id", "payload")
     val mixed = Mixture.mix(Seq(("none", a, 0.0), ("twice", a, 2.0)))
