@@ -43,24 +43,31 @@ object Dsir {
   /** md5-prefix feature bucket of one token — engine-portable. */
   def bucket(token: Column): Column = substring(md5(token.cast("binary")), 1, 2)
 
+  /** Joined per-bucket token counts for target (`_ct`) and pool
+    * (`_cr`) — at most one row per OBSERVED bucket. Target and pool
+    * are typically filters of ONE corpus frame, so the two aggregates
+    * share scan lineage — every reference is qualified via explicit
+    * aliases or the analyzer calls the columns ambiguous. */
+  private def pairedBucketCounts(target: DataFrame, pool: DataFrame,
+                                 textCol: String): DataFrame = {
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(toks(col(textCol))).as("_t"))
+        .filter(length(col("_t")) > 0)
+        .groupBy(bucket(col("_t")).as("_b")).agg(count(lit(1)).as(out))
+    val t = bucketCounts(target, "_ct").alias("_dsir_t")
+    val r = bucketCounts(pool, "_cr").alias("_dsir_r")
+    t.join(r, col("_dsir_t._b") === col("_dsir_r._b"), "full_outer")
+      .select(coalesce(col("_dsir_t._b"), col("_dsir_r._b")).as("_b"),
+        coalesce(col("_dsir_t._ct"), lit(0L)).as("_ct"),
+        coalesce(col("_dsir_r._cr"), lit(0L)).as("_cr"))
+  }
+
   /** Per-bucket log importance ratios
     * log((ct_b+1)/(Ct+256)) − log((cr_b+1)/(Cr+256)) fitted from the
     * target exemplar vs the raw pool: a 256-row frame (`_b`,
     * `_logratio`), broadcastable by construction. */
   def logRatios(target: DataFrame, pool: DataFrame, textCol: String): DataFrame = {
-    def bucketCounts(df: DataFrame, out: String): DataFrame =
-      df.select(explode(toks(col(textCol))).as("_t"))
-        .filter(length(col("_t")) > 0)
-        .groupBy(bucket(col("_t")).as("_b")).agg(count(lit(1)).as(out))
-    // target and pool are typically filters of ONE corpus frame, so the
-    // two aggregates share scan lineage — qualify every reference via
-    // explicit aliases or the analyzer calls the columns ambiguous
-    val t = bucketCounts(target, "_ct").alias("_dsir_t")
-    val r = bucketCounts(pool, "_cr").alias("_dsir_r")
-    val joined = t.join(r, col("_dsir_t._b") === col("_dsir_r._b"), "full_outer")
-      .select(coalesce(col("_dsir_t._b"), col("_dsir_r._b")).as("_b"),
-        coalesce(col("_dsir_t._ct"), lit(0L)).as("_ct"),
-        coalesce(col("_dsir_r._cr"), lit(0L)).as("_cr"))
+    val joined = pairedBucketCounts(target, pool, textCol)
     // corpus totals via a window over the joined frame — ≤256 rows by
     // construction (the feature space), so the single partition is
     // bounded by the bucket count, never the data
@@ -80,22 +87,91 @@ object Dsir {
     * across engines and partitionings (doc id breaks rounded ties).
     * The final rank window runs over k rows, bounded by the ask, not
     * the data. */
-  def topK(pool: DataFrame, idCol: String, textCol: String,
-           target: DataFrame, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** Per-doc importance weights, 4-dp rounded: (`idCol`, weight). */
+  private def docWeights(pool: DataFrame, idCol: String, textCol: String,
+                         target: DataFrame): DataFrame = {
     val lr = logRatios(target, pool, textCol)
-    val perDocBucket = pool
-      .select(col(idCol), explode(toks(col(textCol))).as("_t"))
+    pool.select(col(idCol), explode(toks(col(textCol))).as("_t"))
       .filter(length(col("_t")) > 0)
       .groupBy(col(idCol), bucket(col("_t")).as("_b"))
       .agg(count(lit(1)).as("_n"))
-    val weighted = perDocBucket.join(broadcast(lr), "_b")
+      .join(broadcast(lr), "_b")
       .groupBy(col(idCol))
       .agg(round(sum(col("_n").cast("double") * col("_logratio")), 4).as("weight"))
-      .orderBy(col("weight").desc, col(idCol).asc)
-      .limit(k)
-    val w = Window.orderBy(col("weight").desc, col(idCol).asc)
-    weighted.withColumn("rank", row_number().over(w))
-      .select(col("rank"), col(idCol), col("weight"))
+  }
+
+  /** Top-k by key desc (id tiebreak) with a bounded `rank` column —
+    * TakeOrderedAndProject then a window over the k survivors. */
+  private def rankedTopK(weighted: DataFrame, idCol: String,
+                         keyCol: String, k: Int, outCols: Seq[Column]): DataFrame = {
+    val top = weighted.orderBy(col(keyCol).desc, col(idCol).asc).limit(k)
+    val w = Window.orderBy(col(keyCol).desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w)).select(outCols: _*)
+  }
+
+  def topK(pool: DataFrame, idCol: String, textCol: String,
+           target: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    rankedTopK(docWeights(pool, idCol, textCol, target), idCol, "weight", k,
+      Seq(col("rank"), col(idCol), col("weight")))
+  }
+
+  /** The paper-faithful RESAMPLING form: a weighted sample of `k`
+    * documents WITHOUT replacement with inclusion odds softened by
+    * temperature `tau`, via the Gumbel-top-k trick (public method:
+    * Vieira 2014; Kool et al. 2019) — rank by weight/tau + Gumbel
+    * noise and keep the top k. The noise is NOT seeded RNG: each
+    * doc's uniform is the top 32 bits of md5(salt|id) (the
+    * [[Sample.acceptByScore]] draw), so the sample is reproducible
+    * across runs, partitionings, and ENGINES — g = −ln(−ln((h+0.5) /
+    * 2^32)), well-defined because the +0.5 keeps u strictly inside
+    * (0, 1). Same scale shape as [[topK]]; the key rounds to 4 dp
+    * before ranking for cross-engine ordering stability. */
+  def resample(pool: DataFrame, idCol: String, textCol: String,
+               target: DataFrame, k: Int, tau: Double,
+               salt: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(tau > 0, "tau must be positive")
+    val u = (conv(substring(md5(concat(lit(salt), lit("|"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val keyed = docWeights(pool, idCol, textCol, target)
+      .withColumn("gumbel_key",
+        round(col("weight") / lit(tau) - log(-log(u)), 4))
+    rankedTopK(keyed, idCol, "gumbel_key", k,
+      Seq(col("rank"), col(idCol), col("weight"), col("gumbel_key")))
+  }
+
+  /** Domain-shift report between the target exemplar and the pool
+    * over the full smoothed 256-bucket hashed-vocabulary
+    * distributions: KL(P‖Q), KL(Q‖P), Jensen–Shannon divergence, and
+    * L1 distance, plus observed-bucket counts. P and Q include the
+    * smoothing mass of UNOBSERVED buckets (the full space is
+    * generated, not just observed rows), so each distribution sums to
+    * exactly 1 and the divergences are true divergences. One row out;
+    * the only data-sized work is the two token-count aggregates. */
+  def domainDivergence(target: DataFrame, pool: DataFrame,
+                       textCol: String): DataFrame = {
+    val spark = target.sparkSession
+    val full = spark.range(Buckets).select(format_string("%02x", col("id")).as("_b"))
+    val joined = full.join(pairedBucketCounts(target, pool, textCol), Seq("_b"), "left")
+      .select(col("_b"),
+        coalesce(col("_ct"), lit(0L)).as("_ct"),
+        coalesce(col("_cr"), lit(0L)).as("_cr"))
+    val wAll = Window.partitionBy(lit(1))
+    val dist = joined.select(col("_b"), col("_ct"), col("_cr"),
+      ((col("_ct").cast("double") + lit(1.0))
+        / (sum(col("_ct")).over(wAll).cast("double") + lit(Buckets.toDouble))).as("_p"),
+      ((col("_cr").cast("double") + lit(1.0))
+        / (sum(col("_cr")).over(wAll).cast("double") + lit(Buckets.toDouble))).as("_q"))
+    val m = (col("_p") + col("_q")) / lit(2.0)
+    dist.agg(
+      round(sum(col("_p") * log(col("_p") / col("_q"))), 6).as("kl_target_pool"),
+      round(sum(col("_q") * log(col("_q") / col("_p"))), 6).as("kl_pool_target"),
+      round(sum(col("_p") * log(col("_p") / m) + col("_q") * log(col("_q") / m)) / 2.0, 6)
+        .as("js_divergence"),
+      round(sum(abs(col("_p") - col("_q"))), 6).as("l1_distance"),
+      sum((col("_ct") > 0).cast("long")).as("target_buckets"),
+      sum((col("_cr") > 0).cast("long")).as("pool_buckets"))
   }
 }

@@ -1053,6 +1053,29 @@ object Ext {
       .orderBy(col("rank"))
   }
 
+  /** DSIR's paper-faithful RESAMPLING form: Gumbel-top-k (tau=1) over
+    * the same importance weights, noise derived from md5 so the
+    * weighted sample-without-replacement is engine-reproducible
+    * ([[graft.operators.Dsir.resample]]). */
+  def smpDsirGumbel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isTarget = col("source").isin("src0", "src1")
+    graft.operators.Dsir.resample(d.filter(!isTarget), "doc_id", "text",
+        d.filter(isTarget), k = 100, tau = 1.0)
+      .orderBy(col("rank"))
+  }
+
+  /** Domain-shift report between the src0/src1 target exemplar and
+    * the rest of the corpus: KL both ways, Jensen–Shannon, L1 over
+    * the full smoothed 256-bucket hashed-vocabulary distributions
+    * ([[graft.operators.Dsir.domainDivergence]]) — the monitoring
+    * companion to the DSIR selection queries. */
+  def rptDomainKl(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isTarget = col("source").isin("src0", "src1")
+    graft.operators.Dsir.domainDivergence(d.filter(isTarget), d.filter(!isTarget), "text")
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -3143,6 +3166,8 @@ object Ext {
     "mix_temperature" -> mixTemperature,
     "mix_budget" -> mixBudget,
     "smp_dsir" -> smpDsir,
+    "smp_dsir_gumbel" -> smpDsirGumbel,
+    "rpt_domain_kl" -> rptDomainKl,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_editdist" -> dedupEditDist,
     "dedup_editdist_lsh" -> dedupEditDistLsh,
@@ -3735,6 +3760,56 @@ object Ext {
         |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER) AS rank,
         |  doc_id, weight
         |FROM dw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+    // Gumbel twin: identical weights, noise from the shared md5-fraction
+    // draw (the smp_quality_weighted '0x'||hex UBIGINT parse), key
+    // rounded to 4 dp before ranking on both sides
+    "smp_dsir_gumbel" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |       unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
+        |ft AS (SELECT doc_id, source, substring(md5(t), 1, 2) AS b
+        |       FROM tok WHERE length(t) > 0),
+        |tgt AS (SELECT b, count(*) AS ct FROM ft WHERE source IN ('src0','src1') GROUP BY b),
+        |pool AS (SELECT b, count(*) AS cr FROM ft WHERE source NOT IN ('src0','src1') GROUP BY b),
+        |lr AS (SELECT coalesce(t.b, p.b) AS b,
+        |         ln((coalesce(ct, 0) + 1.0) / ((SELECT sum(ct) FROM tgt) + 256.0))
+        |       - ln((coalesce(cr, 0) + 1.0) / ((SELECT sum(cr) FROM pool) + 256.0)) AS logratio
+        |       FROM tgt t FULL OUTER JOIN pool p ON t.b = p.b),
+        |db AS (SELECT doc_id, b, count(*) AS nb FROM ft
+        |       WHERE source NOT IN ('src0','src1') GROUP BY doc_id, b),
+        |dw AS (SELECT db.doc_id, round(sum(db.nb * lr.logratio), 4) AS weight
+        |       FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
+        |g AS (SELECT doc_id, weight,
+        |        round(weight / 1.0 - ln(-ln(
+        |          (CAST(('0x' || substring(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |            / 4294967296.0)), 4) AS gumbel_key
+        |      FROM dw)
+        |SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, weight, gumbel_key
+        |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
+    // divergence twin over the FULL generated 256-bucket space (range +
+    // printf) so the smoothed distributions sum to exactly 1 on both
+    // sides; every aggregate rounds before the hash compare
+    "rpt_domain_kl" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |       unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents),
+        |ft AS (SELECT doc_id, source, substring(md5(t), 1, 2) AS b
+        |       FROM tok WHERE length(t) > 0),
+        |tgt AS (SELECT b, count(*) AS ct FROM ft WHERE source IN ('src0','src1') GROUP BY b),
+        |pool AS (SELECT b, count(*) AS cr FROM ft WHERE source NOT IN ('src0','src1') GROUP BY b),
+        |allb AS (SELECT printf('%02x', range) AS b FROM range(256)),
+        |j AS (SELECT allb.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM allb LEFT JOIN tgt ON allb.b = tgt.b LEFT JOIN pool ON allb.b = pool.b),
+        |d AS (SELECT b, ct, cr,
+        |        (ct + 1.0) / ((SELECT sum(ct) FROM j) + 256.0) AS p,
+        |        (cr + 1.0) / ((SELECT sum(cr) FROM j) + 256.0) AS q
+        |      FROM j)
+        |SELECT round(sum(p * ln(p / q)), 6) AS kl_target_pool,
+        |       round(sum(q * ln(q / p)), 6) AS kl_pool_target,
+        |       round(sum(p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2.0, 6) AS js_divergence,
+        |       round(sum(abs(p - q)), 6) AS l1_distance,
+        |       CAST(sum(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT) AS target_buckets,
+        |       CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pool_buckets
+        |FROM d""".stripMargin,
     "smp_cap_per_key" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source

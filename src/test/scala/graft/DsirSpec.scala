@@ -48,6 +48,46 @@ class DsirSpec extends SparkSpec {
     assert(out(11L) > out(12L), "novel token mass accumulates negative evidence")
   }
 
+  test("resample: k rows, deterministic, salt-sensitive; tiny tau converges to topK") {
+    val target = docs(Seq((1L, "alpha beta gamma delta")))
+    val pool = docs((10L to 40L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma" else s"junk$i noise$i blob$i")))
+    val a = Dsir.resample(pool, "doc_id", "text", target, k = 8, tau = 1.0).collect()
+    assert(a.length == 8)
+    assert(a.map(_.getInt(0)).toSeq == (1 to 8))
+    val b = Dsir.resample(pool, "doc_id", "text", target, k = 8, tau = 1.0).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "md5 noise must be run-stable")
+    val salted = Dsir.resample(pool, "doc_id", "text", target, k = 8, tau = 1.0,
+      salt = "other").collect()
+    assert(a.map(_.getLong(1)).toSet != salted.map(_.getLong(1)).toSet ||
+      a.map(_.toSeq).toSeq != salted.map(_.toSeq).toSeq,
+      "a different salt must vary the draw")
+    // tau -> 0: weights dominate the O(1) Gumbel noise, recovering
+    // topK's set. Needs DISTINCT weights (ties are legitimately
+    // noise-decided at any tau), so give doc i exactly i-9 target
+    // tokens — strictly increasing weights.
+    val graded = docs((10L to 40L).map(i => (i, Seq.fill((i - 9).toInt)("alpha").mkString(" "))))
+    val tight = Dsir.resample(graded, "doc_id", "text", target, k = 8, tau = 1e-4)
+      .collect().map(_.getLong(1)).toSet
+    val det = Dsir.topK(graded, "doc_id", "text", target, k = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(tight == det, s"tau->0 must converge to the deterministic top-k: $tight vs $det")
+  }
+
+  test("domainDivergence: zero on identical corpora, positive and bounded on disjoint ones") {
+    val a = docs((1L to 20L).map(i => (i, "alpha beta gamma delta")))
+    val same = Dsir.domainDivergence(a, a, "text").collect()(0)
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0 &&
+      same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0)
+    val b = docs((1L to 20L).map(i => (i, "zork quux wibble frotz")))
+    val diff = Dsir.domainDivergence(a, b, "text").collect()(0)
+    assert(diff.getDouble(0) > 0 && diff.getDouble(1) > 0)
+    assert(diff.getDouble(2) > 0 && diff.getDouble(2) <= math.log(2) + 1e-9,
+      s"JS must sit in (0, ln 2]: ${diff.getDouble(2)}")
+    assert(diff.getDouble(3) > 0 && diff.getDouble(3) <= 2.0 + 1e-9)
+    assert(diff.getLong(4) <= 256 && diff.getLong(5) <= 256)
+  }
+
   test("logRatios is a bounded bucket table") {
     val target = docs(Seq((1L, "alpha beta gamma delta")))
     val pool = docs((10L to 50L).map(i => (i, s"word$i other$i thing$i")))
