@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * O(|a|·|b|) time and space with the per-character last-occurrence
   * table; comparison over UTF-16 code units. Null-in-null-out. */
-case class DamerauLevenshtein(left: Expression, right: Expression)
+case class DamerauLevenshtein(left: Expression, right: Expression,
+    maxLen: Int = DamerauLevenshtein.configuredMaxLen)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType, StringType)
   override def dataType: DataType = IntegerType
@@ -25,11 +26,11 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DamerauLevenshtein.distance(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+      b.asInstanceOf[UTF8String].toString, maxLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DamerauLevenshtein.distance($a.toString(), $b.toString());")
+      s"${ev.value} = graft.functions.DamerauLevenshtein.distance($a.toString(), $b.toString(), $maxLen);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -45,16 +46,43 @@ object DamerauLevenshtein {
     * matrix is ~16 MB (2002² ints); the former 10k cap still permitted
     * ~400 MB per row, which with 32 concurrent tasks is an OOM, not a
     * guard. For document-scale text use the banded/shingle dedup
-    * operators instead. */
+    * operators instead.
+    *
+    * Callers who KNOWINGLY accept the memory trade (mid-size text,
+    * low task concurrency) can raise the cap per session via
+    * `spark.graft.editdist.maxLen` — read at PLAN time, so set it
+    * before building the query. The 10k→2k tightening was otherwise a
+    * breaking change for 2k–10k-char inputs with no migration path. */
   val MaxLen = 2000
 
-  def distance(a: String, b: String): Int = {
+  /** Session conf key raising/lowering [[MaxLen]] for new plans. */
+  val MaxLenKey = "spark.graft.editdist.maxLen"
+
+  /** The session's cap: `spark.graft.editdist.maxLen` if set and a
+    * positive int (malformed values fall back to [[MaxLen]] with a
+    * stderr warning — a typo must not silently change semantics in
+    * EITHER direction), else [[MaxLen]]. Evaluated at expression
+    * construction, on the driver, where SQLConf is in scope. */
+  def configuredMaxLen: Int = {
+    val raw = try org.apache.spark.sql.internal.SQLConf.get.getConfString(MaxLenKey, MaxLen.toString)
+      catch { case scala.util.control.NonFatal(_) => MaxLen.toString }
+    scala.util.Try(raw.trim.toInt).toOption.filter(_ > 0).getOrElse {
+      if (raw != MaxLen.toString)
+        System.err.println(s"[graft] ignoring malformed $MaxLenKey='$raw'; using $MaxLen")
+      MaxLen
+    }
+  }
+
+  def distance(a: String, b: String): Int = distance(a, b, MaxLen)
+
+  def distance(a: String, b: String, maxLen: Int): Int = {
     val l1 = a.length
     val l2 = b.length
-    if (l1 > MaxLen || l2 > MaxLen) throw new IllegalArgumentException(
-      s"graft_damerau_levenshtein: input lengths ($l1, $l2) exceed $MaxLen chars " +
+    if (l1 > maxLen || l2 > maxLen) throw new IllegalArgumentException(
+      s"graft_damerau_levenshtein: input lengths ($l1, $l2) exceed $maxLen chars " +
         "(O(l1*l2) matrix would exhaust executor memory); this metric is for " +
-        "linkage-key-sized strings — use the shingle/minhash dedup family for documents")
+        s"linkage-key-sized strings — raise $MaxLenKey knowingly, or use the " +
+        "shingle/minhash dedup family for documents")
     if (l1 == 0) return l2
     if (l2 == 0) return l1
     val inf = l1 + l2

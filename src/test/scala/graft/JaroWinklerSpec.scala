@@ -79,4 +79,25 @@ class JaroWinklerSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_damerau_levenshtein"))
   }
 
+  test("Damerau-Levenshtein cap is session-configurable; malformed values fall back") {
+    import graft.functions.DamerauLevenshtein
+    import org.apache.spark.sql.functions.col
+    val big = "y" * (DamerauLevenshtein.MaxLen + 1)
+    try {
+      // raised cap: a previously-rejected length computes (read at PLAN
+      // time — the expression is built inside the conf window)
+      spark.conf.set(DamerauLevenshtein.MaxLenKey, (DamerauLevenshtein.MaxLen * 2).toString)
+      import spark.implicits._
+      val d = Seq((big, big)).toDF("a", "b")
+        .select(DamerauLevenshtein(col("a"), col("b"))).head().getInt(0)
+      assert(d == 0)
+      // malformed value: default cap again -> the same input fails loud
+      spark.conf.set(DamerauLevenshtein.MaxLenKey, "not-a-number")
+      assert(DamerauLevenshtein.configuredMaxLen == DamerauLevenshtein.MaxLen)
+      val e = intercept[Exception](Seq((big, big)).toDF("a", "b")
+        .select(DamerauLevenshtein(col("a"), col("b"))).head())
+      assert(e.getMessage != null)
+    } finally spark.conf.unset(DamerauLevenshtein.MaxLenKey)
+  }
+
 }
