@@ -1053,6 +1053,31 @@ object Ext {
       .orderBy(col("rank"))
   }
 
+  /** The APPLY form of [[mixBudget]]: materialize the planned mix —
+    * per-source rate = the plan's (4-dp-rounded) epochs, drawn with
+    * [[graft.operators.Mixture.mixDeterministic]]'s md5-threshold
+    * sampler, so the emitted corpus IS the plan, reproducibly on any
+    * engine. The plan collect is bounded by the source count
+    * (mix_temperature's rates-collect precedent); sampling is N
+    * narrow scans, zero shuffles. */
+  def mixBudgetApply(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sizes = graft.core.Checkpoint.materialize(
+      d.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("_t"))
+        .filter(length(col("_t")) > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_tokens")))
+    val total = sizes.agg(sum(col("n_tokens"))).head().getLong(0)
+    val plan = graft.operators.Mixture.budgetPlan(sizes, "lang", "n_tokens",
+      budgetTokens = math.floor(2.5 * total).toLong, maxEpochs = 3.0, alpha = 0.5)
+    val rates = plan.select(col("mix_source"), col("epochs")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val sources = rates.map { case (lang, rate) =>
+      (lang, d.filter(col("lang") === lang), rate) }
+    graft.operators.Mixture.mixDeterministic(sources, "doc_id")
+      .select(col("mix_source"), col("doc_id"))
+      .orderBy(col("mix_source"), col("doc_id"))
+  }
+
   /** DSIR's paper-faithful RESAMPLING form: Gumbel-top-k (tau=1) over
     * the same importance weights, noise derived from md5 so the
     * weighted sample-without-replacement is engine-reproducible
@@ -3165,6 +3190,7 @@ object Ext {
     "txt_top_terms" -> txtTopTerms,
     "mix_temperature" -> mixTemperature,
     "mix_budget" -> mixBudget,
+    "mix_budget_apply" -> mixBudgetApply,
     "smp_dsir" -> smpDsir,
     "smp_dsir_gumbel" -> smpDsirGumbel,
     "rpt_domain_kl" -> rptDomainKl,
@@ -3739,6 +3765,37 @@ object Ext {
         |  CAST(floor(2.5 * (SELECT sum(n) FROM sz)) AS BIGINT) AS budget_tokens,
         |  CAST(floor(greatest(t_budget - (SELECT sum(alloc2) FROM a2), 0.0)) AS BIGINT) AS unallocated_tokens
         |FROM a2 ORDER BY mix_source""".stripMargin,
+    // the apply twin replays the plan CTEs to the 4-dp epochs rate,
+    // then draws with the mix_temperature whole+frac md5 machinery
+    "mix_budget_apply" ->
+      """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |sz AS (SELECT lang, count(*) AS n FROM tok WHERE length(t) > 0 GROUP BY lang),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS wr FROM sz),
+        |c AS (SELECT lang, n, wr / (SELECT sum(wr) FROM w) AS w,
+        |        floor(2.5 * (SELECT sum(n) FROM sz)) AS t_budget,
+        |        3.0 * n AS cap
+        |      FROM w),
+        |a1 AS (SELECT *, least(w * t_budget, cap) AS alloc1 FROM c),
+        |s1 AS (SELECT sum(alloc1) AS sum1,
+        |              sum(CASE WHEN alloc1 < cap THEN w ELSE 0.0 END) AS wu FROM a1),
+        |a2 AS (SELECT lang, n,
+        |         least(alloc1 + CASE WHEN alloc1 < cap AND (SELECT wu FROM s1) > 0
+        |             THEN w / (SELECT wu FROM s1) * greatest(t_budget - (SELECT sum1 FROM s1), 0.0)
+        |             ELSE 0.0 END, cap) AS alloc2
+        |       FROM a1),
+        |rate AS (SELECT lang, round(alloc2 / n, 4) AS rate FROM a2),
+        |whole AS (SELECT d.lang AS mix_source, d.doc_id,
+        |            unnest(range(CAST(floor(r.rate) AS BIGINT))) AS _c
+        |          FROM documents d JOIN rate r ON d.lang = r.lang),
+        |frac AS (SELECT d.lang AS mix_source, d.doc_id
+        |         FROM documents d JOIN rate r ON d.lang = r.lang
+        |         WHERE r.rate - floor(r.rate) > 0
+        |           AND substring(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |             < printf('%08x', CAST(floor((r.rate - floor(r.rate)) * 4294967296) AS BIGINT)))
+        |SELECT mix_source, doc_id FROM (
+        |  SELECT mix_source, doc_id FROM whole
+        |  UNION ALL SELECT mix_source, doc_id FROM frac)
+        |ORDER BY mix_source, doc_id""".stripMargin,
     // DSIR twin: the 256-bucket md5-prefix feature space is an engine
     // -shared hash, per-(doc, bucket) counts are exact integers, and
     // weights round to 4 dp BEFORE the rank ordering on both sides
