@@ -34,6 +34,7 @@ object Soak {
     if (args.headOption.contains("graph")) { soakGraphDistributed(); return }
     if (args.headOption.contains("components")) { soakComponentsOnly(); return }
     if (args.headOption.contains("merge")) { soakMerge(args); return }
+    if (args.headOption.contains("dsir")) { soakDsir(args); return }
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
     val maxScale = args.lift(2).map(_.toInt).getOrElse(10)
@@ -319,6 +320,87 @@ object Soak {
     * grid, which is spec'd separately.
     *
     * Usage: runMain graft.Soak merge [baseDir] [workDir] [maxScale] */
+  /** DSIR/mix-family soak, both decades (5k -> 500k docs). Cost model
+    * being graded: every operator here is two narrow tokenize
+    * aggregates + a 256-row broadcast + a per-doc (or per-source)
+    * group — time must track the corpus (exponent ≈ 1, with fixed
+    * overhead pushing the measured exponent BELOW 1 at small scales),
+    * and nothing may concentrate corpus-sized state (the planner and
+    * log-ratio tables are bounded at any scale). Reuses the dedup
+    * soak's token-bijection fixtures ($work/x<mult>). */
+  private def soakDsir(args: Array[String]): Unit = {
+    val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(2).getOrElse("/tmp/graft_soak")
+    val maxScale = args.lift(3).map(_.toInt).getOrElse(100)
+    val spark = graft.core.GraftSession.get("graft-soak-dsir")
+    def fixture(mult: Int): String = {
+      if (mult == 1) return base
+      val dir = s"$work/x$mult"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val reps = spark.range(mult).select(col("id").cast("int").as("r"))
+        graft.sources.Tables.documents(spark, base)
+          .crossJoin(broadcast(reps))
+          .select((col("doc_id") * mult + col("r")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1z"), col("r"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      dir
+    }
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = for (mult <- Seq(1, 10, 100).takeWhile(_ <= maxScale)) yield {
+      val dir = fixture(mult)
+      def docs = graft.sources.Tables.documents(spark, dir)
+      def target = docs.filter(col("source").isin("src0", "src1"))
+      def pool = docs.filter(!col("source").isin("src0", "src1"))
+      // report-shaped results (1-5 rows) materialize via toRdd.count():
+      // a plain count() lets column pruning skip the aggregate
+      // expressions themselves — the 100x divergence "ran" in 0.24 s
+      // because none of its KL columns were ever computed
+      def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val ops = Seq(
+        "dsir_topk" -> (() =>
+          full(graft.operators.Dsir.topK(pool, "doc_id", "text", target, 100))),
+        "dsir_gumbel" -> (() =>
+          full(graft.operators.Dsir.resample(pool, "doc_id", "text", target, 100, 1.0))),
+        "dsir_domain_kl" -> (() =>
+          full(graft.operators.Dsir.domainDivergence(target, pool, "text"))),
+        "mix_budget_plan" -> (() => {
+          val sizes = graft.core.Checkpoint.materialize(
+            docs.select(col("lang"),
+                explode(split(trim(col("text")), "\\s+")).as("_t"))
+              .filter(length(col("_t")) > 0)
+              .groupBy(col("lang")).agg(count(lit(1)).as("n_tokens")))
+          val total = sizes.agg(sum(col("n_tokens"))).head().getLong(0)
+          full(graft.operators.Mixture.budgetPlan(sizes, "lang", "n_tokens",
+            math.floor(2.5 * total).toLong, maxEpochs = 3.0))
+        }))
+      val timings = ops.map { case (name, f) =>
+        f() // warm: JIT + file listing out of the timed run
+        val (sec, rows) = timed(f())
+        println(f"""[soak] {"op":"$name","scale":"${mult}x","sec":$sec%.2f,"rows":$rows}""")
+        (name, sec, rows)
+      }
+      mult -> timings
+    }
+    for (opIdx <- results.head._2.indices) {
+      val name = results.head._2(opIdx)._1
+      val parts = results.sliding(2).collect { case Seq((lo, tl), (hi, th)) =>
+        val (_, sl, nl) = tl(opIdx); val (_, sh, nh) = th(opIdx)
+        f""""sec_${lo}x":$sl%.2f,"sec_${hi}x":$sh%.2f,""" +
+          f""""exponent_${lo}_$hi":${math.log10(sh / sl)}%.2f,"rows_${lo}x":$nl,"rows_${hi}x":$nh"""
+      }.mkString(",")
+      println(s"""[soak-summary] {"op":"$name",$parts}""")
+    }
+    spark.stop()
+  }
+
   private def soakMerge(args: Array[String]): Unit = {
     val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(2).getOrElse("/tmp/graft_soak_merge")

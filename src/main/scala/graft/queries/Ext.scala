@@ -1053,6 +1053,36 @@ object Ext {
       .orderBy(col("rank"))
   }
 
+  /** The data-SELECTION recipe composed end to end: quality gate →
+    * DSIR top-200 against the src0/src1 exemplar (scored within the
+    * gated pool) → token-budget plan over the SELECTION (1.5× budget,
+    * 2-epoch cap). One row per selected doc with its rank, weight,
+    * token count, and its language's planned allocation — the hash
+    * pins all three stages and their composition. The gated frame
+    * materializes once (three consumers: exemplar, pool, metadata);
+    * everything downstream of the gate runs on gated/selected rows
+    * only. */
+  def pipelineSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val gated = graft.core.Checkpoint.materialize(
+      TextAnalysis.qualityGate(d).select(d.columns.toIndexedSeq.map(col): _*))
+    val isTarget = col("source").isin("src0", "src1")
+    val sel = graft.operators.Dsir.topK(gated.filter(!isTarget), "doc_id", "text",
+      gated.filter(isTarget), k = 200)
+    val withMeta = graft.core.Checkpoint.materialize(
+      sel.join(gated.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")), "doc_id"))
+    val sizes = withMeta.groupBy(col("lang")).agg(sum(col("n_tok")).as("n_tokens"))
+    val total = sizes.agg(sum(col("n_tokens"))).head().getLong(0)
+    val plan = graft.operators.Mixture.budgetPlan(sizes, "lang", "n_tokens",
+      budgetTokens = math.floor(1.5 * total).toLong, maxEpochs = 2.0, alpha = 0.5)
+    withMeta.join(broadcast(plan.select(col("mix_source").as("lang"),
+        col("alloc_tokens"), col("epochs"))), "lang")
+      .select(col("rank"), col("doc_id"), col("lang"), col("weight"),
+        col("n_tok"), col("alloc_tokens"), col("epochs"))
+      .orderBy(col("rank"))
+  }
+
   /** The APPLY form of [[mixBudget]]: materialize the planned mix —
     * per-source rate = the plan's (4-dp-rounded) epochs, drawn with
     * [[graft.operators.Mixture.mixDeterministic]]'s md5-threshold
@@ -3191,6 +3221,7 @@ object Ext {
     "mix_temperature" -> mixTemperature,
     "mix_budget" -> mixBudget,
     "mix_budget_apply" -> mixBudgetApply,
+    "pipeline_select" -> pipelineSelect,
     "smp_dsir" -> smpDsir,
     "smp_dsir_gumbel" -> smpDsirGumbel,
     "rpt_domain_kl" -> rptDomainKl,
@@ -3796,6 +3827,52 @@ object Ext {
         |  SELECT mix_source, doc_id FROM whole
         |  UNION ALL SELECT mix_source, doc_id FROM frac)
         |ORDER BY mix_source, doc_id""".stripMargin,
+    // the selection-recipe compose: the gate CTEs (shared with
+    // txt_quality_gate), the smp_dsir CTEs restricted to the gated set,
+    // and the mix_budget plan CTEs over the selection — chained so the
+    // hash pins all three stages and their composition
+    "pipeline_select" ->
+      s"""WITH $duckGateCtes,
+         |gated AS (SELECT d.doc_id, d.lang, d.source, d.text
+         |          FROM documents d JOIN (SELECT doc_id FROM r WHERE $duckGatePred) keep USING (doc_id)),
+         |tok2 AS (SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tkn FROM gated),
+         |ft AS (SELECT doc_id, source, substring(md5(tkn), 1, 2) AS b
+         |       FROM tok2 WHERE length(tkn) > 0),
+         |tgt AS (SELECT b, count(*) AS ct FROM ft WHERE source IN ('src0','src1') GROUP BY b),
+         |pool AS (SELECT b, count(*) AS cr FROM ft WHERE source NOT IN ('src0','src1') GROUP BY b),
+         |lr AS (SELECT coalesce(tg.b, p.b) AS b,
+         |         ln((coalesce(ct, 0) + 1.0) / ((SELECT sum(ct) FROM tgt) + 256.0))
+         |       - ln((coalesce(cr, 0) + 1.0) / ((SELECT sum(cr) FROM pool) + 256.0)) AS logratio
+         |       FROM tgt tg FULL OUTER JOIN pool p ON tg.b = p.b),
+         |db AS (SELECT doc_id, b, count(*) AS nb FROM ft
+         |       WHERE source NOT IN ('src0','src1') GROUP BY doc_id, b),
+         |dw AS (SELECT db.doc_id, round(sum(db.nb * lr.logratio), 4) AS weight
+         |       FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
+         |topsel AS (SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER) AS rank,
+         |             doc_id, weight
+         |           FROM dw ORDER BY weight DESC, doc_id LIMIT 200),
+         |meta AS (SELECT topsel.rank, topsel.doc_id, topsel.weight, g.lang,
+         |           CAST(len(t.toks) AS BIGINT) AS n_tok
+         |         FROM topsel JOIN gated g USING (doc_id) JOIN t ON t.doc_id = topsel.doc_id),
+         |sz2 AS (SELECT lang, sum(n_tok) AS n FROM meta GROUP BY lang),
+         |w2 AS (SELECT lang, n, pow(n, 0.5) AS wr FROM sz2),
+         |c2 AS (SELECT lang, n, wr / (SELECT sum(wr) FROM w2) AS wgt,
+         |         floor(1.5 * (SELECT sum(n) FROM sz2)) AS t_budget,
+         |         2.0 * n AS cap
+         |       FROM w2),
+         |pa1 AS (SELECT *, least(wgt * t_budget, cap) AS alloc1 FROM c2),
+         |ps1 AS (SELECT sum(alloc1) AS sum1,
+         |               sum(CASE WHEN alloc1 < cap THEN wgt ELSE 0.0 END) AS wu FROM pa1),
+         |pa2 AS (SELECT lang, n,
+         |          least(alloc1 + CASE WHEN alloc1 < cap AND (SELECT wu FROM ps1) > 0
+         |              THEN wgt / (SELECT wu FROM ps1) * greatest(t_budget - (SELECT sum1 FROM ps1), 0.0)
+         |              ELSE 0.0 END, cap) AS alloc2
+         |        FROM pa1)
+         |SELECT meta.rank, meta.doc_id, meta.lang, meta.weight, meta.n_tok,
+         |  CAST(floor(pa2.alloc2) AS BIGINT) AS alloc_tokens,
+         |  round(pa2.alloc2 / pa2.n, 4) AS epochs
+         |FROM meta JOIN pa2 ON meta.lang = pa2.lang
+         |ORDER BY meta.rank""".stripMargin,
     // DSIR twin: the 256-bucket md5-prefix feature space is an engine
     // -shared hash, per-(doc, bucket) counts are exact integers, and
     // weights round to 4 dp BEFORE the rank ordering on both sides
