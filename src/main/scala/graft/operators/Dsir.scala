@@ -142,6 +142,46 @@ object Dsir {
       Seq(col("rank"), col(idCol), col("weight"), col("gumbel_key")))
   }
 
+  /** The fitted log-ratio model as a COMPLETE driver-side map — one
+    * entry for every one of the 256 buckets, including unobserved
+    * ones (whose ratio is the smoothing constant ln((Cr+256)/(Ct+256))
+    * ), so per-row scoring never misses a key. Bounded by the feature
+    * space — a model artifact, not data. */
+  def fitLogRatioMap(target: DataFrame, pool: DataFrame,
+                     textCol: String): Map[String, Double] = {
+    val spark = target.sparkSession
+    val full = spark.range(Buckets).select(format_string("%02x", col("id")).as("_b"))
+    val joined = full.join(pairedBucketCounts(target, pool, textCol), Seq("_b"), "left")
+      .select(col("_b"),
+        coalesce(col("_ct"), lit(0L)).as("_ct"),
+        coalesce(col("_cr"), lit(0L)).as("_cr"))
+    val wAll = Window.partitionBy(lit(1))
+    joined.select(col("_b"),
+        (log((col("_ct").cast("double") + lit(1.0))
+              / (sum(col("_ct")).over(wAll).cast("double") + lit(Buckets.toDouble)))
+          - log((col("_cr").cast("double") + lit(1.0))
+              / (sum(col("_cr")).over(wAll).cast("double") + lit(Buckets.toDouble)))).as("_lr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Per-ROW importance score against a fitted model: the sum of
+    * bucket log-ratios over the row's tokens as a single narrow
+    * expression — no explode, no grouping, no state. This is the
+    * STREAMING-safe form (append mode, stateless): a live admission
+    * gate filters each micro-batch row by `scoreExpr >= minWeight`
+    * with the model broadcast as a 256-entry literal map. Numerically
+    * it equals [[topK]]'s grouped weight up to FP summation order
+    * (per-token adds here vs per-bucket count×ratio there). */
+  def scoreExpr(text: Column, lrMap: Map[String, Double]): Column = {
+    require(lrMap.size == Buckets,
+      s"lrMap must cover all $Buckets buckets (use fitLogRatioMap)")
+    val m = typedLit(lrMap)
+    aggregate(
+      filter(toks(text), t => length(t) > 0),
+      lit(0.0),
+      (acc, t) => acc + element_at(m, bucket(t)))
+  }
+
   /** Domain-shift report between the target exemplar and the pool
     * over the full smoothed 256-bucket hashed-vocabulary
     * distributions: KL(P‖Q), KL(Q‖P), Jensen–Shannon divergence, and

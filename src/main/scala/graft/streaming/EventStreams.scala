@@ -213,6 +213,21 @@ object EventStreams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityGate(docs)
 
+  /** Streaming DSIR admission gate: keep only documents whose hashed
+    * -unigram importance score against a PRE-FITTED target-vs-pool
+    * model ([[graft.operators.Dsir.fitLogRatioMap]], a 256-entry
+    * driver map refreshed by batch jobs at whatever cadence the
+    * corpus drifts) clears `minWeight`. Stateless narrow predicate —
+    * [[graft.operators.Dsir.scoreExpr]] sums bucket log-ratios per
+    * row with no explode/group/state — so it runs in append mode on
+    * any document stream, the live counterpart of the smp_dsir batch
+    * selection. Batch and streaming share the expression, so the
+    * DsirSpec consistency case (per-row score == grouped weight up to
+    * FP order) validates both. */
+  def dsirAdmitStream(docs: DataFrame, lrMap: Map[String, Double],
+                      minWeight: Double, textCol: String = "text"): DataFrame =
+    docs.filter(graft.operators.Dsir.scoreExpr(col(textCol), lrMap) >= minWeight)
+
   /** Streaming URL/domain admission gate: blocklisted domains (and their
     * subdomains) never enter the corpus — the earliest, cheapest cut in
     * a live-crawl feed. Stateless narrow predicate
