@@ -235,4 +235,28 @@ object Sample {
         .cast("long"))
     df.withColumn(foldCol, pmod(draw, lit(k.toLong)).cast("int"))
   }
+
+  /** Cluster-balanced sampling — diversity selection over an embedding
+    * column (the prototype/cluster-capping step of SemDeDup, Abbas 2023
+    * §4, and density-balanced selection generally): assign every row to
+    * its nearest k-means centroid ([[Ivf.attachCell]], one narrow
+    * codegen pass against the broadcast centroid table — no join) and
+    * keep at most `capPerCell` rows per cluster via [[capPerKey]]'s
+    * deterministic md5 draw. A raw crawl is dominated by its densest
+    * semantic modes; capping per CLUSTER (not per domain) flattens the
+    * topical distribution, which per-domain caps cannot see.
+    *
+    * Scale: one narrow assignment pass + one window shuffle keyed on the
+    * cell. The cell key has `model.centroids.length` distinct values —
+    * at corpus scale train with the IVF regime's k (~sqrt(n), thousands
+    * of cells) so no cell is a hot shuffle key; tiny k is a fixture
+    * convenience, not the deployment shape. */
+  def clusterBalanced(df: DataFrame, idCol: String, vecCol: String,
+                      model: Ivf.Model, capPerCell: Int, salt: String = "",
+                      cellCol: String = "cell"): DataFrame = {
+    require(!df.columns.contains(cellCol),
+      s"clusterBalanced would overwrite existing column '$cellCol'")
+    capPerKey(Ivf.attachCell(df, vecCol, model, cellCol),
+      Seq(cellCol), idCol, capPerCell, salt)
+  }
 }

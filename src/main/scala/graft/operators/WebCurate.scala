@@ -131,4 +131,50 @@ object WebCurate {
       .where(col("_rk") <= maxPerDomain)
       .drop("_domain", "_rk")
   }
+
+  /** Tracking query parameters dropped by [[canonicalizeUrl]] — the
+    * click-attribution families every published URL normalizer strips
+    * (utm_*, ad-click ids, social share refs). Shared VERBATIM with the
+    * DuckDB twin; matches the whole `key=value` token (or a bare key). */
+  val TrackingParamRegex: String =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$"
+
+  /** Canonical URL form for crawl-frontier/corpus dedup (the
+    * standard normalizations of RFC 3986 §6.2 plus tracking-param
+    * removal): lowercase scheme and host, drop the scheme's default
+    * port (80/443), drop the fragment, empty path becomes "/", strip
+    * [[TrackingParamRegex]] query params and byte-sort the survivors
+    * (`a=1&b=2` == `b=2&a=1`). Userinfo and percent-encoding are
+    * preserved verbatim (decoding can change semantics). A string the
+    * scheme grammar can't parse is returned UNCHANGED — canonicalization
+    * must never destroy a key it cannot read.
+    *
+    * Scale shape: one narrow per-row projection — regex splits plus one
+    * array filter/sort over the handful of query params (the lambda is
+    * per-row-once and non-generator, the sanctioned HOF position). The
+    * whole grammar is regex-expressible so the DuckDB twin reruns it
+    * verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostPort = regexp_replace(auth, "^[^@]*@", "")
+    val host = lower(regexp_extract(hostPort, "^([^:]+)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portOut = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rest = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    val path0 = regexp_extract(rest, "^([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(rest, "^[^?#]*\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRegex))
+    val qOut = array_join(array_sort(params), "&")
+    val canon = concat(scheme, lit("://"), userinfo, host, portOut, path,
+      when(qOut === "", lit("")).otherwise(concat(lit("?"), qOut)))
+    when(regexp_extract(url, schemeRe, 1) === "", url).otherwise(canon)
+  }
 }

@@ -220,6 +220,40 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization + canonical-form dedup flag (the crawl-
+    * frontier half of RefinedWeb §3.1 URL dedup): each document carries
+    * a deterministically MESSY url — one of five grammars by doc_id
+    * covering case noise, default and non-default ports, userinfo,
+    * tracking params, unsorted query keys, fragments, an empty path,
+    * and one unparseable string (must pass through unchanged).
+    * [[graft.operators.WebCurate.canonicalizeUrl]] normalizes; a
+    * row_number over the canonical form (doc order) marks the FIRST
+    * copy — the frontier keep/skip decision. The twin rebuilds the same
+    * urls and reruns the same regex grammar, so any scheme/port/param
+    * drift breaks the hash. One narrow projection + one window on the
+    * canonical key: at crawl scale the window is the standard keyed
+    * shuffle (canonical url is near-unique, no hot key). */
+  def txtUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val m = pmod(col("doc_id"), lit(5))
+    val h = pmod(col("doc_id"), lit(20)).cast("string")
+    val id = col("doc_id").cast("string")
+    val url = when(m === 0, concat(lit("HTTP://WWW.Example"), h,
+        lit(".COM:80/Path"), id, lit("?utm_source=feed&b=2&a=1#frag")))
+      .when(m === 1, concat(lit("https://user@Site"), h,
+        lit(".org:443/p/"), id, lit("/?gclid=x&z=9&y=8")))
+      .when(m === 2, concat(lit("http://host"), h, lit(".net:8080?q=7")))
+      .when(m === 3, concat(lit("HTTPS://Mixed"), h,
+        lit(".Com/a?ref=tw&ref_src=x&utm_campaign=c")))
+      .otherwise(concat(lit("not a url "), id))
+    Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url",
+        graft.operators.WebCurate.canonicalizeUrl(col("url")))
+      .withColumn("is_first", row_number().over(
+        w.partitionBy(col("canon_url")).orderBy(col("doc_id"))) === 1)
+      .orderBy(col("doc_id"))
+  }
+
   def pipelineWebCurate(s: SparkSession, dir: String): DataFrame = {
     val d0 = Tables.documents(s, dir).withColumn("url", syntheticUrl)
     // curation starts at the URL: blocklisted domains (and their
@@ -992,6 +1026,31 @@ object Ext {
   /** Per-(lang, source) document cap in deterministic md5 order — the
     * corpus-curation "max N docs per domain" step, oracle-checkable
     * because both engines agree on md5. */
+  /** Cluster-balanced diversity sampling over the embedding corpus:
+    * k-means cells (k=16, 2 Lloyd iterations, the [[simIvf]] trainer)
+    * capped at 20 rows each by the deterministic md5 draw
+    * ([[graft.operators.Sample.clusterBalanced]]). ORACLE-gated on the
+    * engine-free invariants of the selection (the cell ids themselves
+    * are k-means-learned state): assignment is TOTAL (per-cell sizes sum
+    * to the cross-engine corpus count), the cell space is bounded by k,
+    * and the cap is EXACT — every cell contributes precisely
+    * min(cell size, cap) rows, never fewer (md5 draw is null-free) and
+    * never more. SampleSpec pins the balance property (a planted dense
+    * mode stops dominating) and cross-run determinism. */
+  def smpClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 16, iters = 2)
+    val sampled = graft.operators.Sample.clusterBalanced(
+      e, "vec_id", "embedding", model, capPerCell = 20)
+    val perCell = sampled.groupBy(col("cell")).agg(count(lit(1)).as("n_samp"))
+    val sizes = graft.operators.Ivf.attachCell(e, "embedding", model, "cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    perCell.join(sizes, "cell").agg(
+      sum(col("n_cell")).as("n_total"),
+      (count(lit(1)) <= 16).as("cells_ok"),
+      (max(abs(col("n_samp") - least(col("n_cell"), lit(20)))) === 0).as("cap_exact_ok"))
+  }
+
   def smpCapPerKey(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     graft.operators.Sample.capPerKey(d, Seq("lang", "source"), "doc_id", k = 10)
@@ -3181,6 +3240,7 @@ object Ext {
     "txt_bm25" -> txtBm25,
     "txt_pii_redact" -> txtPiiRedact,
     "smp_cap_per_key" -> smpCapPerKey,
+    "smp_cluster_balanced" -> smpClusterBalanced,
     "smp_split" -> smpSplit,
     "smp_quality_weighted" -> smpQualityWeighted,
     "smp_quantile_norm" -> smpQuantileNorm,
@@ -3209,6 +3269,7 @@ object Ext {
     "txt_boilerplate" -> txtBoilerplate,
     "pipeline_web_curate" -> pipelineWebCurate,
     "txt_domain_filter" -> txtDomainFilter,
+    "txt_url_canon" -> txtUrlCanon,
     "txt_ppl_bucket" -> txtPplBucket,
     "rpt_snapshot_diff" -> rptSnapshotDiff,
     "rpt_expectations" -> rptExpectations,
@@ -4086,6 +4147,12 @@ object Ext {
         |r AS (SELECT doc_id, lang, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk FROM d)
         |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // decision-constant gate (cell ids are k-means-learned state): the
+    // twin pins the engine-free invariants — totality, cell bound, and
+    // exact min(cell,cap) selection — as constants + the corpus count
+    "smp_cluster_balanced" ->
+      """SELECT count(*) AS n_total, TRUE AS cells_ok, TRUE AS cap_exact_ok
+        |FROM embeddings""".stripMargin,
     "smp_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5('st1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
@@ -4552,6 +4619,50 @@ object Ext {
         |SELECT doc_id, host, domain FROM d
         |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 50
         |ORDER BY doc_id""".stripMargin,
+    // the full canonicalization grammar rerun in SQL: scheme/host
+    // lowering, default-port drop, fragment drop, tracking-param strip,
+    // byte-sorted query, empty path -> '/', unparseable pass-through
+    "txt_url_canon" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM:80/Path' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://user@Site' || CAST(doc_id % 20 AS VARCHAR) || '.org:443/p/' || CAST(doc_id AS VARCHAR) || '/?gclid=x&z=9&y=8'
+        |    WHEN 2 THEN 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.net:8080?q=7'
+        |    WHEN 3 THEN 'HTTPS://Mixed' || CAST(doc_id % 20 AS VARCHAR) || '.Com/a?ref=tw&ref_src=x&utm_campaign=c'
+        |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |    regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+        |  FROM d),
+        |q AS (SELECT doc_id, url, scheme,
+        |    regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+        |    regexp_replace(auth, '^[^@]*@', '') AS hostport,
+        |    regexp_extract(rest, '^([^?#]*)', 1) AS path0,
+        |    regexp_extract(rest, '^[^?#]*\?([^#]*)', 1) AS query
+        |  FROM p),
+        |r AS (SELECT doc_id, url, scheme, userinfo,
+        |    lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    -- DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+        |    -- array_join is ''): coalesce so all-tracking queries drop cleanly
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$'))), '&'), '') AS qout
+        |  FROM q),
+        |c AS (SELECT doc_id, url,
+        |    CASE WHEN scheme = '' THEN url ELSE
+        |      scheme || '://' || userinfo || host ||
+        |      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |                          OR (scheme = 'https' AND port = '443')
+        |           THEN '' ELSE ':' || port END ||
+        |      path || CASE WHEN qout = '' THEN '' ELSE '?' || qout END
+        |    END AS canon_url
+        |  FROM r)
+        |SELECT doc_id, url, canon_url,
+        |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1 AS is_first
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_web_curate" ->
       """WITH u AS (SELECT doc_id, text,
         |  'https://' || CASE CAST(doc_id % 8 AS INTEGER)

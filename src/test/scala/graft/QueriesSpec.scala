@@ -165,6 +165,7 @@ class QueriesSpec extends SparkSpec {
       "ev_seasonality", "rpt_join_skew", "txt_bm25", "txt_top_terms",    // 1-row denominators
       "q19_scalar_subquery",                                             // scalar subquery
       "mix_budget",                    // planner: 1-row totals crossed into a rows-per-source frame
+      "pipeline_select",               // same planner cross (budgetPlan over the DSIR selection)
       "pipeline_embed_knn", "sim_ann_lsh", "sim_ann_lsh_banded", "sim_hard_negatives",         // broadcast-kNN family
       "sim_hashed_embed", "sim_ivf", "sim_ivfpq", "sim_knn_brute",
       "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem")

@@ -252,4 +252,35 @@ class SampleSpec extends SparkSpec {
     assert(f1.count { case (k, v) => g(k) == v } < 1500, "salt must re-deal")
     intercept[IllegalArgumentException](Sample.kFold(df, "id", k = 1))
   }
+
+  test("clusterBalanced flattens a planted dense mode and is deterministic") {
+    // two well-separated modes in 4-d: 400 points near e1 (the dense
+    // crawl mode), 25 near e2 — uniform sampling keeps the 16:1 skew,
+    // cluster-balanced must not
+    val rnd = new Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val dense = (0L until 400L).map(i => (i, jitter(Array(1f, 0f, 0f, 0f))))
+    val sparse = (1000L until 1025L).map(i => (i, jitter(Array(0f, 1f, 0f, 0f))))
+    val df = (dense ++ sparse).toDF("id", "vec")
+    // hand-built centroids: the test pins the SAMPLER's semantics, and
+    // k-means init on a 16:1 fixture can legitimately local-optimum
+    // both seeds into the dense mode (IvfSpec owns trainer behavior)
+    val model = graft.operators.Ivf.Model(
+      Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)))
+    val out = Sample.clusterBalanced(df, "id", "vec", model, capPerCell = 25)
+      .select("id").as[Long].collect().toSet
+    val nDense = out.count(_ < 1000L)
+    val nSparse = out.size - nDense
+    assert(nSparse === 25, "the sparse mode survives whole")
+    assert(nDense === 25, s"dense mode must cap at exactly 25, kept $nDense")
+    // deterministic: a second run selects the identical id set
+    val again = Sample.clusterBalanced(df, "id", "vec", model, capPerCell = 25)
+      .select("id").as[Long].collect().toSet
+    assert(again === out)
+    // cell column collision fails loudly instead of silently overwriting
+    intercept[IllegalArgumentException](Sample.clusterBalanced(
+      df.withColumn("cell", org.apache.spark.sql.functions.lit(1)),
+      "id", "vec", model, capPerCell = 5))
+  }
 }

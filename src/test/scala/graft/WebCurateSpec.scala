@@ -117,4 +117,41 @@ class WebCurateSpec extends SparkSpec {
       .selectExpr("hash(h)").as[Long].head()
     assert(pr(hubId) === pr.values.max, "hub must rank first")
   }
+
+  private def canon1(url: String): String =
+    Seq(url).toDF("u").select(WebCurate.canonicalizeUrl($"u")).as[String].head()
+
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, param order") {
+    // scheme+host lowered, :80 dropped, fragment dropped, utm stripped, params sorted
+    assert(canon1("HTTP://WWW.Example.COM:80/Path9?utm_source=f&b=2&a=1#frag")
+      === "http://www.example.com/Path9?a=1&b=2")
+    // :443 is https-default; trailing-slash path preserved; gclid stripped
+    assert(canon1("https://user@Site.org:443/p/1/?gclid=x&z=9&y=8")
+      === "https://user@site.org/p/1/?y=8&z=9")
+    // non-default port survives; empty path becomes '/'
+    assert(canon1("http://host.net:8080?q=7") === "http://host.net:8080/?q=7")
+    // every param is tracking -> query dropped entirely
+    assert(canon1("HTTPS://Mixed.Com/a?ref=tw&ref_src=x&utm_campaign=c")
+      === "https://mixed.com/a")
+    // :80 is NOT ftp's default; path case preserved
+    assert(canon1("FTP://Files.example:80/Pub") === "ftp://files.example:80/Pub")
+    // 'referrer' is not in the tracking family ('ref' must not prefix-match)
+    assert(canon1("http://a.com/x?referrer=me") === "http://a.com/x?referrer=me")
+    // percent-encoding preserved verbatim
+    assert(canon1("http://a.com/a%20b?x=%2F") === "http://a.com/a%20b?x=%2F")
+  }
+
+  test("canonicalizeUrl: unparseable input passes through unchanged") {
+    for (junk <- Seq("not a url", "relative/path", "", "www.example.com/nope"))
+      assert(canon1(junk) === junk)
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Path9?utm_source=f&b=2&a=1#frag",
+      "https://user@Site.org:443/p/1/?gclid=x&z=9&y=8",
+      "http://host.net:8080?q=7", "not a url")
+    val once = urls.map(canon1)
+    assert(once.map(canon1) === once)
+  }
 }
