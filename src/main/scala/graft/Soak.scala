@@ -132,6 +132,16 @@ object Soak {
             embs.filter(col("vec_id") < 20), embs, model, "vec_id", "vec_id",
             "embedding", "embedding", topK = 5, nProbe = 4,
             predicate = col("label") === 3).count()
+        }),
+        // deliberately k=16 at every decade: 16 cells over 800k rows IS
+        // the hot-key worst case the operator scaladoc warns about —
+        // the exponent measures the engine under that stress, and the
+        // deployment guidance (k ~ sqrt(n)) only improves on it
+        "cluster_balanced" -> (() => {
+          val model = graft.operators.Ivf.train(embs, "vec_id", "embedding",
+            k = 16, iters = 2)
+          graft.operators.Sample.clusterBalanced(
+            embs, "vec_id", "embedding", model, capPerCell = 200).count()
         }))
       val once = Seq(
         "sim_ivfpq" -> (() => {

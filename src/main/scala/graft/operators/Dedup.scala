@@ -662,6 +662,36 @@ object Dedup {
     df.join(comps.filter(col("id") === col("rep")).select(col("id").as(idCol)), Seq(idCol))
   }
 
+  /** Quality-aware canonical selection: given near-dup PAIRS from any
+    * detector family (`id_a`/`id_b`, the [[minHashNearDupPairs]] shape)
+    * and a per-row quality score, keep each duplicate component's
+    * HIGHEST-scoring member (ties -> lowest id) plus every singleton —
+    * the curation refinement over [[dropNearDuplicates]]'s min-id rule:
+    * a crawl's near-dup cluster typically mixes one clean original with
+    * truncated, boilerplate-wrapped, or mojibake copies, and the kept
+    * text should be the BEST one, not the one whose id happens to be
+    * smallest (CCNet keeps by quality bucket, Wenzek 2020 §4.3 —
+    * public practice). Returns the surviving rows of `df` with their
+    * original columns.
+    *
+    * Scale: components via [[connectedComponents]] (driver union-find
+    * under `maxDriverEdges`, star-contraction beyond); the argmax is
+    * ONE row_number window keyed on the component representative — a
+    * near-unique key (components are tiny), so no hot partition. */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                           score: Column, maxIter: Int = 30): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs, maxIter)
+      .select(col("id").as(idCol), col("rep").as("_kb_rep"))
+    val w = Window.partitionBy(col("_kb_rep"))
+      .orderBy(col("_kb_score").desc_nulls_last, col(idCol).asc_nulls_last)
+    val keep = df.select(col(idCol), score.as("_kb_score"))
+      .join(comps, Seq(idCol))
+      .withColumn("_kb_rk", row_number().over(w))
+      .filter(col("_kb_rk") === 1)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol))
+  }
+
   /** Positional k-span postings (id, _pos 1-based, _h) filtered to
     * hashes occurring in >= minDocFreq DISTINCT documents.
     * The posting set feeds both the doc-frequency aggregate and the join

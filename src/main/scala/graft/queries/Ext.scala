@@ -1309,6 +1309,19 @@ object Ext {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware canonical selection over the same verified minhash
+    * pair set as [[dedupDrop]]: each near-dup component keeps its
+    * HIGHEST-n_chars member (tie -> lowest doc_id) instead of the
+    * min-id one ([[graft.operators.Dedup.dropNearDupsKeepBest]]). The
+    * twin reruns the recursive closure and the same argmax in SQL. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+    Dedup.dropNearDupsKeepBest(d, "doc_id", pairs, col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic decontamination: training embeddings (vec_id >= 100)
     * whose cosine to ANY benchmark embedding (vec_id < 100) reaches
     * 0.4; see [[graft.operators.Decontaminate.semanticContamination]]. */
@@ -3295,6 +3308,7 @@ object Ext {
     "dedup_simhash" -> dedupSimHash,
     "dedup_components" -> dedupComponents,
     "dedup_drop" -> dedupDrop,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_minhash_inc" -> dedupMinHashInc,
     "dedup_drop_inc" -> dedupDropInc,
     "dedup_semantic" -> dedupSemantic,
@@ -5019,6 +5033,23 @@ object Ext {
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN lab USING (doc_id)
          |WHERE lab.rep = d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the same recursive closure as dedup_drop, reduced by per-component
+    // argmax(n_chars, tie min doc_id) instead of min-id survival
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |${duckVerifiedPairs(langMatched = false)},
+         |e AS (SELECT id_a AS s, id_b AS d FROM p WHERE jx >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM p WHERE jx >= 0.5),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN lab USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY lab.rep
+         |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "sim_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

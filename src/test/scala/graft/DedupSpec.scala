@@ -769,4 +769,23 @@ class DedupSpec extends SparkSpec {
       s"pairing must be an equi-join on the cell:\n$plan")
     assert(plan.contains("_sem_cell"), s"join must key on the learned cell:\n$plan")
   }
+
+  test("dropNearDupsKeepBest keeps the argmax-score member, not the min id") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // transitive cluster {1,2,3} via 1-2, 2-3: scores tie at 50 for
+      // ids 2 and 3 -> lowest id among the best wins (2), never min-id 1
+      (1L, "a", 10L), (2L, "a", 50L), (3L, "a", 50L),
+      (10L, "b", 5L),                 // singleton survives untouched
+      (20L, "c", 1L), (21L, "c", 2L)  // best is the HIGHER id (21)
+    ).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.dropNearDupsKeepBest(docs, "id", pairs, col("score"))
+    assert(out.columns.toSeq === Seq("id", "text", "score"), "original columns survive")
+    assert(out.select("id").as[Long].collect().toSet === Set(2L, 10L, 21L))
+    // the min-id rule keeps {1, 10, 20}: the refinement changes survivors
+    val minId = Dedup.connectedComponents(docs.select(col("id")), "id", pairs)
+    assert(minId.filter(col("id") === col("rep")).select("id").as[Long]
+      .collect().toSet === Set(1L, 10L, 20L))
+  }
 }
