@@ -876,6 +876,45 @@ object Dedup {
       .withColumn(outCol, coalesce(col(outCol), lit("")))
   }
 
+  /** Cross-document KEEP-FIRST line dedup (RefinedWeb 2023 §3.2 exact
+    * line dedup: a repeated line is removed from every document EXCEPT
+    * its first occurrence, corpus order = (doc id, line position)).
+    * Complements [[stripBoilerplateLines]], which strips a frequent
+    * line from ALL documents once it crosses a doc-frequency threshold:
+    * keep-first preserves exactly one copy of every line, threshold-
+    * free. Whitespace-only lines are structural — never deduped.
+    * Returns one row per input document: (idCol, outCol); a document
+    * reduced to nothing keeps an empty string.
+    *
+    * Scale: one window keyed on the trimmed line (per-key rows = that
+    * line's total occurrence count) + one per-doc reassembly shuffle.
+    * A line repeated across millions of documents is a hot window key —
+    * the price of a GLOBAL argmin per line; when the corpus has such
+    * lines and one canonical copy isn't required, the df-threshold
+    * [[stripBoilerplateLines]] is the skew-robust form (its count
+    * aggregate partials map-side; an argmin window cannot). */
+  def keepFirstLinesAcrossDocs(df: DataFrame, idCol: String, textCol: String,
+                               outCol: String = "clean"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+    val w = Window.partitionBy(col("_key"))
+      .orderBy(col(idCol).asc_nulls_last, col("_pos").asc_nulls_last)
+    val firsts = lines.filter(col("_key") =!= "")
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col(idCol), col("_pos"), col("_line"))
+    // blank keys never enter the window: they are kept everywhere AND
+    // would otherwise be the one guaranteed-hot key
+    val blanks = lines.filter(col("_key") === "")
+      .select(col(idCol), col("_pos"), col("_line"))
+    val kept = firsts.unionByName(blanks)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_line")))).as("_ls"))
+      .select(col(idCol), concat_ws("\n", col("_ls").getField("_line")).as(outCol))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the result is the
     * sign of the population vote across token hashes (`2*popcount_i > n`).
     * One native codegen'd expression (graft.functions.SimHash64) — a

@@ -850,6 +850,23 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document KEEP-FIRST line dedup over the same page shape as
+    * [[txtBoilerplate]]: the corpus-wide footer/copyright survive only
+    * in the first document, each language's section header only in that
+    * language's first document, and every unique body line everywhere —
+    * [[graft.operators.Dedup.keepFirstLinesAcrossDocs]], the threshold-
+    * free sibling of the df>=10 strip. The twin replays the global
+    * (doc_id, position) argmin per trimmed line in SQL. */
+  def txtDedupLinesGlobal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val page = concat_ws("\n",
+      col("text"), lit("FOOTER | terms | privacy"),
+      concat(lit("section "), col("lang")), lit("(c) example site"))
+    Dedup.keepFirstLinesAcrossDocs(
+        d.select(col("doc_id"), page.as("page")), "doc_id", "page")
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical text + its fingerprint: NFC-compose, lowercase,
     * collapse whitespace, then md5 — the normalization pass that makes
     * composed/decomposed duplicates hash identically. The fixture corpus
@@ -3280,6 +3297,7 @@ object Ext {
     "txt_strip_markup" -> txtStripMarkup,
     "txt_dedup_lines" -> txtDedupLines,
     "txt_boilerplate" -> txtBoilerplate,
+    "txt_dedup_lines_global" -> txtDedupLinesGlobal,
     "pipeline_web_curate" -> pipelineWebCurate,
     "txt_domain_filter" -> txtDomainFilter,
     "txt_url_canon" -> txtUrlCanon,
@@ -4612,6 +4630,28 @@ object Ext {
         |SELECT d.doc_id,
         |  coalesce(string_agg(kept.line, chr(10) ORDER BY kept.i), '') AS clean
         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // the global (doc_id, position) argmin per trimmed line; blank
+    // lines structural (kept everywhere, never deduped)
+    "txt_dedup_lines_global" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'FOOTER | terms | privacy' || chr(10) ||
+        |  'section ' || lang || chr(10) || '(c) example site' AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS i
+        |  FROM d),
+        |g AS (SELECT doc_id, line, i FROM l WHERE trim(line) = ''
+        |  UNION ALL
+        |  SELECT doc_id, line, i FROM (
+        |    SELECT doc_id, line, i,
+        |      row_number() OVER (PARTITION BY trim(line)
+        |        ORDER BY doc_id, i) AS rk
+        |    FROM l WHERE trim(line) <> '') WHERE rk = 1)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(g.line, chr(10) ORDER BY g.i), '') AS clean
+        |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // every stage of the web pipeline replayed: page build, line dedup,
     // markup strip, whitespace token floor, canonical md5

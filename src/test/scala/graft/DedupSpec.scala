@@ -770,6 +770,24 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("_sem_cell"), s"join must key on the learned cell:\n$plan")
   }
 
+  test("keepFirstLinesAcrossDocs: global (doc, pos) keep-first; blanks structural") {
+    val docs = Seq(
+      (1L, "alpha\nshared\n\nbody one"),
+      (2L, "shared\nbeta\n\nbody two"),  // 'shared' already seen in doc 1
+      (3L, "shared\nalpha\ngamma"),      // both repeats vanish
+      (4L, "shared"),                    // reduced to nothing -> empty string
+      (5L, "echo\necho")                 // within-doc repeat also deduped
+    ).toDF("id", "text")
+    val out = Dedup.keepFirstLinesAcrossDocs(docs, "id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha\nshared\n\nbody one"),
+      (2L, "beta\n\nbody two"),
+      (3L, "gamma"),
+      (4L, ""),
+      (5L, "echo")))
+  }
+
   test("dropNearDupsKeepBest keeps the argmax-score member, not the min id") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
