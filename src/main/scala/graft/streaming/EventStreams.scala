@@ -241,6 +241,27 @@ object EventStreams {
                          blocklist: Seq[String]): DataFrame =
     graft.operators.WebCurate.filterByDomain(docs, urlCol, blocklist)
 
+  /** Streaming crawl-frontier admission: canonicalize each arriving URL
+    * ([[graft.operators.WebCurate.canonicalizeUrl]] — case/port/
+    * fragment/tracking-param noise all collapse to one form) and admit
+    * only the FIRST arrival of each canonical form within the
+    * watermark. The frontier use: a live crawl re-discovers the same
+    * page under utm-decorated and case-varied aliases continuously;
+    * admission must key on the canonical identity, not the raw string.
+    * The canonical url is the STATE key, so alias storms cost one state
+    * entry; state expires with the watermark (bounded by rate x
+    * horizon, the [[streamingDedup]] contract — a frontier that must
+    * never re-admit across restarts layers the Merge corpus anti-join
+    * on top, as [[dropNearDupStream]] does for text). `ts` column
+    * required (event time). */
+  def urlFrontierStream(docs: DataFrame, urlCol: String,
+                        watermark: String = "2 hours",
+                        canonCol: String = "canon_url"): DataFrame =
+    docs.withColumn(canonCol,
+        graft.operators.WebCurate.canonicalizeUrl(col(urlCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq(canonCol))
+
   /** Streaming maintenance of the persisted corpus-membership sketch
     * ([[graft.operators.Snapshot.saveCorpusSketch]]'s artifact): each
     * micro-batch's Theta sketch unions into the standing one — the

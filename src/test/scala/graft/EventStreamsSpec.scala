@@ -293,6 +293,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlFrontierStream admits one arrival per CANONICAL url, aliases collapse") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "crawl_id", "url")
+    val q = EventStreams.urlFrontierStream(docs, "url", watermark = "1 hour")
+      .writeStream.format("memory").queryName("frontier").outputMode("append").start()
+    try {
+      // four aliases of ONE page: case, default port, utm noise, fragment
+      input.addData(
+        (ts(0), 1L, "http://Example.com/a?b=2&a=1"),
+        (ts(1), 2L, "HTTP://EXAMPLE.COM:80/a?a=1&b=2&utm_source=x"),
+        (ts(2), 3L, "http://example.com/a?b=2&a=1#frag"),
+        (ts(3), 4L, "https://other.org/b"))
+      q.processAllAvailable()
+      input.addData((ts(4), 5L, "http://example.com/a?a=1&b=2"))
+      q.processAllAvailable()
+      val got = spark.table("frontier")
+        .select("crawl_id", "canon_url").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // one admission per canonical form (which alias represents it
+      // within a micro-batch is unspecified); the LATER batch's alias
+      // (id 5) must stay suppressed by standing state
+      val byCanon = got.groupBy(_._2)
+      assert(got.size === 2 && byCanon.keySet ===
+        Set("http://example.com/a?a=1&b=2", "https://other.org/b"), s"$got")
+      assert(byCanon("http://example.com/a?a=1&b=2").keySet.subsetOf(Set(1L, 2L, 3L)),
+        s"the second batch's alias must not be re-admitted: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs each left event with in-window right events only") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[(Timestamp, Long, Double)]
