@@ -3188,6 +3188,22 @@ object Ext {
     * (ceil(key_rows / (total/32))) — the diagnosis that decides between
     * the plain join, [[graft.operators.SkewJoin]], and AQE skew
     * handling. Pure aggregate arithmetic, oracle-gated. */
+  /** Near-dup cluster profile — the dedup AUDIT report (how much of the
+    * corpus sits in duplicate clusters and how big they get): the same
+    * verified minhash pair set as [[dedupDrop]] -> components -> the
+    * cluster-size histogram (size, n_clusters, n_docs), singletons as
+    * the size-1 row. The twin reruns the recursive closure. Components
+    * cost what dedup_drop pays; the histogram is two tiny aggregates. */
+  def rptDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+    val comps = Dedup.connectedComponents(d.select(col("doc_id")), "doc_id", pairs)
+    comps.groupBy(col("rep")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy(col("size"))
+  }
+
   def rptJoinSkew(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
@@ -3210,6 +3226,7 @@ object Ext {
     "graph_trustrank" -> graphTrustrank,
     "graph_triangles" -> graphTriangles,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
+    "rpt_dup_clusters" -> rptDupClusters,
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
     "rpt_column_stats" -> rptColumnStats,
@@ -5057,6 +5074,20 @@ object Ext {
          |  UNION
          |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    // the closure's per-rep sizes folded into a histogram
+    "rpt_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |${duckVerifiedPairs(langMatched = false)},
+         |e AS (SELECT id_a AS s, id_b AS d FROM p WHERE jx >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM p WHERE jx >= 0.5),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s),
+         |c AS (SELECT rep, count(*) AS size FROM lab GROUP BY rep)
+         |SELECT size, count(*) AS n_clusters, size * count(*) AS n_docs
+         |FROM c GROUP BY size ORDER BY size""".stripMargin,
     // the components closure reduced to its min-id survivors: valid as an
     // exact twin for the same reason as dedup_minhash (LSH recall ~1 at
     // this corpus's J spectrum, candidates exactly verified)

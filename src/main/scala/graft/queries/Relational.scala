@@ -309,6 +309,32 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** UNPIVOT (the inverse of [[q24Pivot]]): wide per-flag aggregates
+    * stacked to (key, measure, value) rows via the `stack` generator —
+    * the melt shape reporting layers expect. */
+  def q31Unpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (measure, value)")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Distribution window functions over a unique ordering: ntile
+    * quartiles, percent_rank, cume_dist — the remaining SQL-window
+    * surface beyond rank/row_number/frames (q07/q08/q22). */
+  def q32WindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** The window top-k idiom WITHOUT the rank column in the output — the
     * exact shape [[graft.plans.TopKRewrite]] rewrites to the native
     * TopKPerKey operator under GraftSession. Oracle-gated, so the
@@ -393,6 +419,8 @@ object Relational {
     "q28_outer_join" -> q28OuterJoin,
     "q23_percentiles" -> q23Percentiles,
     "q24_pivot" -> q24Pivot,
+    "q31_unpivot" -> q31Unpivot,
+    "q32_window_dist" -> q32WindowDist,
     "q25_topk_rewrite" -> q25TopkRewrite,
     "q26_topk_decimal" -> q26TopkDecimal,
     "q01_agg_pricing" -> q01AggPricing,
@@ -432,6 +460,20 @@ object Relational {
         |round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
         |round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q31_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_price FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q32_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q25_topk_rewrite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
