@@ -133,6 +133,17 @@ object Soak {
             "embedding", "embedding", topK = 5, nProbe = 4,
             predicate = col("label") === 3).count()
         }),
+        // the corpus-wide footer lines repeat in EVERY replica (added
+        // after the token bijection), so their window key grows with
+        // the corpus — the hot-key worst case the scaladoc prices
+        "keepfirst_lines" -> (() => {
+          val page = concat_ws("\n", col("text"),
+            lit("FOOTER | terms | privacy"),
+            concat(lit("section "), col("lang")), lit("(c) example site"))
+          graft.operators.Dedup.keepFirstLinesAcrossDocs(
+            docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+            .count()
+        }),
         // deliberately k=16 at every decade: 16 cells over 800k rows IS
         // the hot-key worst case the operator scaladoc warns about —
         // the exponent measures the engine under that stress, and the
