@@ -273,6 +273,28 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Consistent pseudonymization of email identities: each address
+    * becomes a STABLE token `[EMAIL:xxxxxxxx]` (the 8-hex md5(salt|
+    * address) prefix), so the same identity still LINKS across
+    * documents while the raw value never survives — the GDPR-style
+    * pseudonymization pass, vs [[redactPii]]'s destructive masking
+    * (every address collapses to one literal and cross-doc joins die).
+    * Rotating `salt` re-keys the whole pseudonym space.
+    *
+    * Per-match hashing is beyond regexp_replace, so the text is split
+    * at the matches and reassembled around the hashed tokens — all
+    * column algebra, the two HOFs in the sanctioned per-row-once
+    * non-generator position. Narrow; no shuffle. */
+  def pseudonymizeEmails(text: Column, salt: String = ""): Column = {
+    val parts = split(text, EmailRe, -1)
+    val ms = regexp_extract_all(text, lit(EmailRe), lit(0))
+    val toks = transform(ms, m => concat(lit("[EMAIL:"),
+      substring(md5(concat(lit(salt), lit("|"), m)), 1, 8), lit("]")))
+    val tail = zip_with(toks, slice(parts, lit(2), size(parts) - 1),
+      (t, p) => concat(t, p))
+    concat(element_at(parts, 1), array_join(tail, ""))
+  }
+
   /** Match counts per PII class on the ORIGINAL text (audit channel:
     * corpus-level PII incidence without keeping the raw values). */
   def piiCounts(text: Column): (Column, Column, Column) =

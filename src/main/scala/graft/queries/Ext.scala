@@ -159,6 +159,22 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Consistent pseudonymization ([[graft.operators.TextAnalysis
+    * .pseudonymizeEmails]]): the fixture appends a per-doc contact line
+    * whose address REPEATS across documents (doc_id % 7), so the output
+    * visibly preserves linkability — the same identity maps to the same
+    * [EMAIL:xxxxxxxx] token corpus-wide — while raw addresses (these and
+    * any already in the text) never survive. The twin reruns the split/
+    * hash/reassemble in SQL, so the whole grammar hash-compares. */
+  def txtPiiPseudo(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val withContact = concat(col("text"), lit("\ncontact: user"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit("@mail.example"))
+    d.select(col("doc_id"),
+        TextAnalysis.pseudonymizeEmails(withContact, salt = "k1").as("text_pseudo"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Flagship end-to-end curation pipeline — the canonical pretraining
     * prep chain as ONE composed query, every stage an already-gated
     * operator: quality gate -> PII scrub -> exact keep-first dedup ->
@@ -3286,6 +3302,7 @@ object Ext {
     "txt_decontam_sem" -> txtDecontamSem,
     "txt_bm25" -> txtBm25,
     "txt_pii_redact" -> txtPiiRedact,
+    "txt_pii_pseudo" -> txtPiiPseudo,
     "smp_cap_per_key" -> smpCapPerKey,
     "smp_cluster_balanced" -> smpClusterBalanced,
     "smp_split" -> smpSplit,
@@ -4315,6 +4332,20 @@ object Ext {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same email -> IPv4 -> phone order as the engine; patterns live in
     // the Java-regex/RE2 agreement subset (TextAnalysis.{Email,Ipv4,Phone}Re)
+    // split-at-matches / hash / reassemble, rerun in SQL: p has exactly
+    // len(m)+1 segments (trailing empty kept by BOTH engines' split)
+    "txt_pii_pseudo" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'contact: user' || CAST(doc_id % 7 AS VARCHAR) || '@mail.example' AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |    string_split_regex(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS p,
+        |    regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS m
+        |  FROM d)
+        |SELECT doc_id,
+        |  p[1] || coalesce(array_to_string(list_transform(range(1, len(m)+1),
+        |    i -> '[EMAIL:' || substring(md5('k1|' || m[i]), 1, 8) || ']' || p[i+1]), ''), '') AS text_pseudo
+        |FROM x ORDER BY doc_id""".stripMargin,
     "txt_pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

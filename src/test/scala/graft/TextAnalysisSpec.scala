@@ -304,4 +304,24 @@ class TextAnalysisSpec extends SparkSpec {
     val b = probes.select(TextAnalysis.langIdTrigram(col("text"), loaded)).collect().map(_.getString(0))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("pseudonymizeEmails: stable linkable tokens, salt re-keys, non-matches untouched") {
+    def run(t: String, salt: String = "s"): String =
+      Seq(t).toDF("t").select(TextAnalysis.pseudonymizeEmails(col("t"), salt))
+        .collect()(0).getString(0)
+    // same identity -> same token, across positions and documents
+    val one = run("write a@b.co or a@b.co again")
+    val tok = "\\[EMAIL:[0-9a-f]{8}\\]".r.findAllIn(one).toSeq
+    assert(tok.size === 2 && tok.distinct.size === 1, one)
+    assert(one === s"write ${tok.head} or ${tok.head} again")
+    // different identities -> different tokens
+    val two = "\\[EMAIL:[0-9a-f]{8}\\]".r.findAllIn(run("a@b.co c@d.org")).toSeq
+    assert(two.distinct.size === 2)
+    // salt rotation re-keys the space
+    assert(run("a@b.co", "s1") !== run("a@b.co", "s2"))
+    // raw address never survives; text ending with a match reassembles
+    assert(!run("end with a@b.co").contains("a@b.co"))
+    // no-match text passes through unchanged
+    assert(run("no pii here 1.2") === "no pii here 1.2")
+  }
 }
