@@ -902,6 +902,31 @@ object Ext {
     * (count desc, token) order so the cut at rank 100 is deterministic —
     * the counting step of vocabulary/tokenizer induction. Explode ->
     * partial-aggregating count -> TakeOrderedAndProject heap. */
+  /** Corpus lexical-diversity report — distinct-n (Li 2016): per source
+    * and n in 1..3, total vs distinct n-gram counts and their ratio,
+    * the standard repetitiveness signal for generated-or-templated text
+    * (a low distinct-2/3 source is boilerplate-heavy). Construction is
+    * the chunking idiom (explode(sequence) + slice — generator over a
+    * codegen child, no HOF under the generator); per (source, n) the
+    * distinct count is one partial-aggregated shuffle. */
+  def rptDistinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def forN(n: Int): DataFrame = d
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("_t"))
+      .where(size(col("_t")) >= n)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"), col("_t"))
+      .select(col("source"), lit(n).as("n"),
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("_g"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("_g")).as("distinct_ngrams"))
+    (1 to 3).map(forN).reduce(_ unionByName _)
+      .withColumn("distinct_ratio",
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+      .orderBy(col("source"), col("n"))
+  }
+
   def rptVocab(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -3313,6 +3338,7 @@ object Ext {
     "smp_shuffle_shard" -> smpShuffleShard,
     "rpt_corpus_stats" -> rptCorpusStats,
     "rpt_corpus_stats_approx" -> rptCorpusStatsApprox,
+    "rpt_distinct_ngrams" -> rptDistinctNgrams,
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
@@ -4081,6 +4107,23 @@ object Ext {
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
         |  FROM documents)
         |SELECT doc_id, canon, md5(canon) AS canon_fp FROM n ORDER BY doc_id""".stripMargin,
+    // the three n-gram spaces rebuilt by explicit concatenation, the
+    // ratio cast to DOUBLE before rounding (DuckDB's 1.0 is DECIMAL)
+    "rpt_distinct_ngrams" ->
+      s"""WITH tk AS (SELECT source, $duckToks AS t FROM documents),
+         |u AS (
+         |  SELECT source, 1 AS n, unnest(list_transform(generate_series(1, len(t)),
+         |    i -> t[i])) AS g FROM tk WHERE len(t) >= 1
+         |  UNION ALL
+         |  SELECT source, 2 AS n, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> t[i] || ' ' || t[i+1])) AS g FROM tk WHERE len(t) >= 2
+         |  UNION ALL
+         |  SELECT source, 3 AS n, unnest(list_transform(generate_series(1, len(t)-2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tk WHERE len(t) >= 3)
+         |SELECT source, n, count(*) AS total_ngrams,
+         |  count(DISTINCT g) AS distinct_ngrams,
+         |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio
+         |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
     "rpt_vocab" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
