@@ -396,6 +396,26 @@ class EventStreamsSpec extends SparkSpec {
       "recovered state store still knows key b — the duplicate is dropped, c passes")
   }
 
+  test("landing restart: URL-frontier state survives — a cross-restart alias stays suppressed") {
+    val (landing, out, chk) = landingDirs()
+    def frontier(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.urlFrontierStream(df.withColumnRenamed("k", "url"), "url")
+    land(landing, Seq((1L, "http://Example.com/a?b=2&a=1", ts(600)),
+      (2L, "https://other.org/x", ts(600))))
+    val q1 = EventStreams.runLandingToParquet(spark, landing, schemaDf, frontier, out, chk)
+    q1.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L))
+
+    // an ALIAS of page 1 (case + default port + utm + fragment) lands
+    // AFTER the restart, within the watermark window
+    land(landing, Seq((3L, "HTTP://EXAMPLE.COM:80/a?a=1&b=2&utm_source=x#f", ts(630)),
+      (4L, "https://new.org/y", ts(630))))
+    val q2 = EventStreams.runLandingToParquet(spark, landing, schemaDf, frontier, out, chk)
+    q2.awaitTermination()
+    assert(readOut(out) == Seq(1L, 2L, 4L),
+      "recovered state knows the canonical form — the alias drops, the new page passes")
+  }
+
   test("landing crash mid-batch: no partial rows visible; retry lands the batch exactly once") {
     val (landing, out, chk) = landingDirs()
     val crash = org.apache.spark.sql.functions.udf { (id: Long) =>
