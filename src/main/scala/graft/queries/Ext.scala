@@ -902,6 +902,48 @@ object Ext {
     * (count desc, token) order so the cut at rank 100 is deterministic —
     * the counting step of vocabulary/tokenizer induction. Explode ->
     * partial-aggregating count -> TakeOrderedAndProject heap. */
+  /** Cross-source overlap matrix — which sources duplicate EACH OTHER
+    * (the inter-dataset audit that decides what to drop before mixing):
+    * per source pair (a < b), the exact Jaccard of their distinct
+    * trigram-shingle vocabularies. Exact form for the oracle; the
+    * 100 TB shape is the mergeable theta-sketch sibling
+    * (agg_sketch_overlap) — one KB summary per source, no shingle join.
+    * Here: the shingle stream is the HOF-free chunking idiom
+    * (explode(sequence) + slice — Dedup.shingles3's transform() under a
+    * generator would re-evaluate per output row, the survey's measured
+    * 20x trap; per-doc distinctness is unnecessary because the
+    * collect_set dedups), then ONE map-side-combined shuffle —
+    * collect_set(source) per shingle, bounded by the source count —
+    * and the pair space explodes NARROWLY out of each set into a
+    * sources²-bounded count that partial-aggregates to almost nothing. */
+  def rptSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val grouped = graft.core.Checkpoint.materialize(
+      d.select(col("source"), TextAnalysis.tokens(col("text")).as("_t"))
+        .select(col("source"),
+          explode(sequence(lit(1), greatest(size(col("_t")) - 2, lit(1)))).as("_i"),
+          col("_t"))
+        .select(col("source"),
+          concat_ws(" ", slice(col("_t"), col("_i"), lit(3))).as("_h"))
+        .groupBy(col("_h")).agg(collect_set(col("source")).as("_ss"))
+        .select(col("_ss")))
+    val sizes = grouped.select(explode(col("_ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val pairs = grouped
+      .select(explode(col("_ss")).as("source_a"), col("_ss"))
+      .select(col("source_a"), explode(col("_ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("_n").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("_n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Corpus lexical-diversity report — distinct-n (Li 2016): per source
     * and n in 1..3, total vs distinct n-gram counts and their ratio,
     * the standard repetitiveness signal for generated-or-templated text
@@ -3339,6 +3381,7 @@ object Ext {
     "rpt_corpus_stats" -> rptCorpusStats,
     "rpt_corpus_stats_approx" -> rptCorpusStatsApprox,
     "rpt_distinct_ngrams" -> rptDistinctNgrams,
+    "rpt_source_overlap" -> rptSourceOverlap,
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
@@ -4107,6 +4150,21 @@ object Ext {
         |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
         |  FROM documents)
         |SELECT doc_id, canon, md5(canon) AS canon_fp FROM n ORDER BY doc_id""".stripMargin,
+    // exact pairwise Jaccard over per-source distinct shingle sets;
+    // pairs sharing nothing are absent on BOTH sides (inner semantics)
+    "rpt_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT source, h FROM
+         |    (SELECT source, unnest($duckShingles) AS h FROM documents)),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        count(*) AS n_shared
+         |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |FROM p JOIN sz sa ON sa.source = p.source_a
+         |       JOIN sz sb ON sb.source = p.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     // the three n-gram spaces rebuilt by explicit concatenation, the
     // ratio cast to DOUBLE before rounding (DuckDB's 1.0 is DECIMAL)
     "rpt_distinct_ngrams" ->
