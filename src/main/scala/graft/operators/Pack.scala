@@ -141,4 +141,53 @@ object Pack {
         array_join(transform(array_sort(collect_list(struct(col("_pos"), col("_sent")))),
           s => s.getField("_sent")), " ").as("chunk_text"))
   }
+
+  /** T5-style span-corruption sample prep (Raffel 2020 §3.1.4): mask
+    * fixed-length token spans and emit the denoising (input, target)
+    * pair — input keeps the unmasked tokens with one `<extra_id_k>`
+    * sentinel per masked span, target is each sentinel followed by its
+    * masked tokens, sentinels numbered in document order. The schedule
+    * is DETERMINISTIC: the token stream is cut into `period`-token
+    * blocks and block b masks its [spanStart, spanStart+spanLen) slice
+    * whenever that slice fits inside the document (defaults 7/3/2 ≈ the
+    * paper's 15%-rate, mean-span-2 regime at reproducible positions).
+    * Determinism keeps the pair engine-reproducible and SQL-checkable;
+    * a production noise draw hashes (id, block) into the offset — same
+    * shape, same cost, one expression swapped.
+    *
+    * One narrow per-row pass: the block loop is a per-row-once HOF over
+    * a bounded sequence (the sanctioned non-generator position); no
+    * shuffle, no state. Output: (idCol, n_tokens, n_spans, input_text,
+    * target_text); a doc too short for one span emits an empty target. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  period: Int = 7, spanStart: Int = 3, spanLen: Int = 2,
+                  tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+    require(period > 0 && spanLen > 0 && spanStart >= 0 &&
+      spanStart + spanLen <= period, "span must fit inside the period")
+    val p = period; val s0 = spanStart; val sl = spanLen
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val n = size(col("_t"))
+    val nBlocks = ceil(n / lit(p.toDouble)).cast("int")
+    val blocks = sequence(lit(0), greatest(nBlocks - 1, lit(0)))
+    val inParts = flatten(transform(blocks, b => {
+      val base = b * p
+      when(base + s0 + sl <= n,
+        concat(slice(col("_t"), base + 1, lit(s0)), array(sentinel(b)),
+          slice(col("_t"), base + s0 + sl + 1, lit(p - s0 - sl))))
+        .otherwise(slice(col("_t"), base + 1, lit(p)))
+    }))
+    val tgtParts = flatten(transform(blocks, b => {
+      val base = b * p
+      when(base + s0 + sl <= n,
+        concat(array(sentinel(b)), slice(col("_t"), base + s0 + 1, lit(sl))))
+        .otherwise(array().cast("array<string>"))
+    }))
+    val nSpans = when(n >= s0 + sl,
+      (floor((n - s0 - sl) / lit(p.toDouble)) + 1).cast("int")).otherwise(lit(0))
+    df.select(col(idCol), tokenizer(col(textCol)).as("_t"))
+      .select(col(idCol), n.as("n_tokens"), nSpans.as("n_spans"),
+        array_join(inParts, " ").as("input_text"),
+        array_join(tgtParts, " ").as("target_text"))
+  }
 }

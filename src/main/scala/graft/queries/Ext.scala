@@ -332,6 +332,18 @@ object Ext {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Denoising-objective sample prep ([[graft.operators.Pack
+    * .spanCorrupt]], the T5 span-corruption shape at the deterministic
+    * 7/3/2 schedule): per document, the (input_text with <extra_id_k>
+    * sentinels, target_text) pair plus token/span counts. The twin
+    * replays the block/slice/sentinel construction over the same
+    * whitespace tokens, so every masked position hash-compares. */
+  def txtSpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Pack.spanCorrupt(d, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** The tokenizer seam exercised end-to-end: same 32/16 sliding-window
     * chunking as txt_chunk but under the BPE-ish REGEX tokenizer
     * ([[TextAnalysis.regexTokens]] — letter runs / digit runs / single
@@ -3385,6 +3397,7 @@ object Ext {
     "rpt_vocab" -> rptVocab,
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
+    "txt_span_corrupt" -> txtSpanCorrupt,
     "txt_chunk_sent" -> txtChunkSent,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
@@ -4334,6 +4347,24 @@ object Ext {
         |       WHEN substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the 7/3/2 block/slice/sentinel construction replayed over the
+    // same whitespace tokens; empty-branch lists cast to VARCHAR[]
+    "txt_span_corrupt" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |b AS (SELECT doc_id, t, len(t) AS n,
+         |        CAST(ceil(len(t) / 7.0) AS INTEGER) AS nb FROM tk)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CASE WHEN n >= 5 THEN CAST(floor((n - 5) / 7.0) + 1 AS INTEGER)
+         |       ELSE 0 END AS n_spans,
+         |  array_to_string(flatten(list_transform(range(0, greatest(nb, 1)),
+         |    k -> CASE WHEN k*7 + 5 <= n
+         |      THEN t[k*7+1 : k*7+3] || ['<extra_id_' || k || '>'] || t[k*7+6 : k*7+7]
+         |      ELSE t[k*7+1 : k*7+7] END)), ' ') AS input_text,
+         |  coalesce(array_to_string(flatten(list_transform(range(0, greatest(nb, 1)),
+         |    k -> CASE WHEN k*7 + 5 <= n
+         |      THEN ['<extra_id_' || k || '>'] || t[k*7+4 : k*7+5]
+         |      ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS target_text
+         |FROM b ORDER BY doc_id""".stripMargin,
     "txt_chunk" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |n AS (SELECT doc_id, toks,

@@ -160,4 +160,34 @@ class PackSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(0, 1), "no holes in chunk_idx")
     assert(out(0)._5.startsWith("a b c") && out(1)._5 === "x y.")
   }
+
+  test("spanCorrupt: 7/3/2 schedule masks hand-checked spans; short docs pass through") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                  // 10 toks: block 0 masked, block 1 partial-unmasked
+      (2L, "a b c d e f g h i j k l m n"),          // 14 toks: both blocks masked
+      (3L, "x y"),                                   // too short for one span
+      (4L, "p q r s t")                              // exactly start+len: one span, no post-span tokens
+    ).toDF("id", "text")
+    val out = Pack.spanCorrupt(docs, "id", "text")
+      .orderBy("id")
+      .as[(Long, Int, Int, String, String)].collect()
+    assert(out(0) === ((1L, 10, 1, "a b c <extra_id_0> f g h i j", "<extra_id_0> d e")))
+    assert(out(1) === ((2L, 14, 2,
+      "a b c <extra_id_0> f g h i j <extra_id_1> m n",
+      "<extra_id_0> d e <extra_id_1> k l")))
+    assert(out(2) === ((3L, 2, 0, "x y", "")))
+    assert(out(3) === ((4L, 5, 1, "p q r <extra_id_0>", "<extra_id_0> s t")))
+    // reconstruction invariant: splicing each target span back over its
+    // sentinel recovers the original token stream
+    for ((id, _, _, inp, tgt) <- out) {
+      val spans = tgt.split("<extra_id_\\d+> ?").filter(_.nonEmpty).map(_.trim)
+      var rec = inp
+      for ((s, k) <- spans.zipWithIndex)
+        rec = rec.replace(s"<extra_id_$k>", s)
+      val orig = docs.where($"id" === id).as[(Long, String)].head()._2
+      assert(rec === orig, s"doc $id must reconstruct")
+    }
+    intercept[IllegalArgumentException](
+      Pack.spanCorrupt(docs, "id", "text", period = 4, spanStart = 3, spanLen = 2))
+  }
 }
