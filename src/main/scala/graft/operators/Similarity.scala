@@ -88,6 +88,43 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("neighbor_label"), col("cos"))
   }
 
+  /** Contrastive TRIPLET mining — the (anchor, positive, hardest
+    * negative) table a reranker/bi-encoder trains on (DPR, Karpukhin
+    * 2020 §4.2): per query, the most-similar SAME-label row is the
+    * positive, the most-similar DIFFERENT-label row the hard negative,
+    * `margin` their cosine gap (small/negative margin = the pairs that
+    * teach the most). One broadcast-queries pass (the [[knnBruteForce]]
+    * plan) + one (query, side) window; queries lacking either side are
+    * dropped (documented: a singleton label has no positive). Swap the
+    * corpus side for the IVF path at billion-vector scale. */
+  def contrastiveTriplets(queries: DataFrame, corpus: DataFrame, qId: String,
+                          cId: String, qVec: String, cVec: String,
+                          labelCol: String): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), asDouble(col(qVec)).as("_qv"),
+        col(labelCol).as("_qlbl"))
+      .withColumn("_qn", l2Norm(col("_qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), asDouble(col(cVec)).as("_cv"),
+        col(labelCol).as("_clbl"))
+      .withColumn("_cn", l2Norm(col("_cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_pos", col("_clbl") === col("_qlbl"))
+      .withColumn("cos", round(cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6))
+    val w = Window.partitionBy(col("query_id"), col("_pos"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("_pos"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("_pos"), col("cos"))).as("pos_cos"),
+        max(when(!col("_pos"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("_pos"), col("cos"))).as("neg_cos"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
   /** Top-k neighbors over int8-QUANTIZED vectors: L2-normalize, quantize
     * ([[graft.functions.QuantizeInt8]], 4x smaller than float32), score
     * with integer dot products ([[graft.functions.Int8Dot]]) — on unit

@@ -1722,6 +1722,18 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Contrastive triplet mining over the embeddings fixture
+    * ([[graft.operators.Similarity.contrastiveTriplets]]): per query
+    * (vec_id < 20), the exact same-label top-1 positive, the exact
+    * different-label top-1 hard negative, and their cosine margin. The
+    * twin recomputes both sides brute-force in SQL. */
+  def simTriplets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.contrastiveTriplets(e.filter(col("vec_id") < 20), e,
+        "vec_id", "vec_id", "embedding", "embedding", "label")
+      .orderBy(col("query_id"))
+  }
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         blockCols = Seq("label"), threshold = 0.35)
@@ -3452,6 +3464,7 @@ object Ext {
     "sim_knn_brute" -> simKnnBrute,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
+    "sim_triplets" -> simTriplets,
     "sim_knn_int8" -> simKnnInt8,
     "sim_knn_filtered" -> simKnnFiltered,
     "sim_ann_lsh" -> simAnnLsh,
@@ -5501,6 +5514,27 @@ object Ext {
          |FROM m
          |WHERE round(n_flagged * 1.0 / n_shingles + 1e-9, 4) >= 0.02
          |ORDER BY doc_id""".stripMargin,
+    // both sides of the triplet recomputed brute-force; the margin is a
+    // difference of identically-rounded doubles, so it hash-compares
+    "sim_triplets" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        c.label = q.label AS is_pos,
+        |        round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+        |        ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id,
+        |  max(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+        |  max(CASE WHEN is_pos THEN cos END) AS pos_cos,
+        |  max(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+        |  max(CASE WHEN NOT is_pos THEN cos END) AS neg_cos,
+        |  round(max(CASE WHEN is_pos THEN cos END)
+        |        - max(CASE WHEN NOT is_pos THEN cos END), 6) AS margin
+        |FROM r WHERE rk = 1 GROUP BY query_id
+        |HAVING max(CASE WHEN is_pos THEN neighbor_id END) IS NOT NULL
+        |   AND max(CASE WHEN NOT is_pos THEN neighbor_id END) IS NOT NULL
+        |ORDER BY query_id""".stripMargin,
     "sim_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,

@@ -167,6 +167,7 @@ class QueriesSpec extends SparkSpec {
       "mix_budget",                    // planner: 1-row totals crossed into a rows-per-source frame
       "pipeline_select",               // same planner cross (budgetPlan over the DSIR selection)
       "pipeline_embed_knn", "sim_ann_lsh", "sim_ann_lsh_banded", "sim_hard_negatives",         // broadcast-kNN family
+      "sim_triplets",                  // broadcast-kNN family (positive + hard negative in one pass)
       "sim_hashed_embed", "sim_ivf", "sim_ivfpq", "sim_knn_brute",
       "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
