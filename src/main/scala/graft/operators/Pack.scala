@@ -190,4 +190,28 @@ object Pack {
         array_join(inParts, " ").as("input_text"),
         array_join(tgtParts, " ").as("target_text"))
   }
+
+  /** Fill-in-the-middle sample prep (Bavarian 2022 §2, PSM order): the
+    * token stream splits at the deterministic thirds into (prefix,
+    * middle, suffix) and emits
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the infilling
+    * sample an autoregressive trainer consumes. Thirds keep the split
+    * engine-reproducible and SQL-checkable; a production draw hashes
+    * the id into the two cut points — same shape. Assembled from token
+    * arrays (flatten of sentinel singletons + slices, then one join) so
+    * empty parts never leave doubled separators. One narrow per-row
+    * pass, no shuffle. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val n = size(col("_t"))
+    val c1 = floor(n / lit(3.0)).cast("int")
+    val c2 = floor(n * 2 / lit(3.0)).cast("int")
+    df.select(col(idCol), tokenizer(col(textCol)).as("_t"))
+      .select(col(idCol), n.as("n_tokens"), c1.as("cut1"), c2.as("cut2"),
+        array_join(flatten(array(
+          array(lit("<fim_prefix>")), slice(col("_t"), lit(1), c1),
+          array(lit("<fim_suffix>")), slice(col("_t"), c2 + 1, greatest(n - c2, lit(0))),
+          array(lit("<fim_middle>")), slice(col("_t"), c1 + 1, c2 - c1))), " ")
+          .as("psm_text"))
+  }
 }

@@ -344,6 +344,15 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Fill-in-the-middle prep ([[graft.operators.Pack.fimSplit]], PSM
+    * order at the deterministic thirds): per document the
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` sample plus the cut
+    * points. The twin replays the slices in SQL. */
+  def txtFim(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Pack.fimSplit(d, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
   /** The tokenizer seam exercised end-to-end: same 32/16 sliding-window
     * chunking as txt_chunk but under the BPE-ish REGEX tokenizer
     * ([[TextAnalysis.regexTokens]] — letter runs / digit runs / single
@@ -3410,6 +3419,7 @@ object Ext {
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
     "txt_span_corrupt" -> txtSpanCorrupt,
+    "txt_fim" -> txtFim,
     "txt_chunk_sent" -> txtChunkSent,
     "txt_chunk_bpe" -> txtChunkBpe,
     "txt_bpe_encode" -> txtBpeEncode,
@@ -4360,6 +4370,17 @@ object Ext {
         |       WHEN substring(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // thirds split replayed with list slices; sentinel singletons keep
+    // empty parts from doubling separators
+    "txt_fim" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |b AS (SELECT doc_id, t, CAST(len(t) AS INTEGER) AS n,
+         |        CAST(floor(len(t) / 3.0) AS INTEGER) AS c1,
+         |        CAST(floor(len(t) * 2 / 3.0) AS INTEGER) AS c2 FROM tk)
+         |SELECT doc_id, n AS n_tokens, c1 AS cut1, c2 AS cut2,
+         |  array_to_string(flatten([['<fim_prefix>'], t[1:c1],
+         |    ['<fim_suffix>'], t[c2+1:n], ['<fim_middle>'], t[c1+1:c2]]), ' ') AS psm_text
+         |FROM b ORDER BY doc_id""".stripMargin,
     // the 7/3/2 block/slice/sentinel construction replayed over the
     // same whitespace tokens; empty-branch lists cast to VARCHAR[]
     "txt_span_corrupt" ->

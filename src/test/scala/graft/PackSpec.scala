@@ -190,4 +190,26 @@ class PackSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pack.spanCorrupt(docs, "id", "text", period = 4, spanStart = 3, spanLen = 2))
   }
+
+  test("fimSplit: thirds PSM split reconstructs the original") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),  // 9 toks: P=a b c, M=d e f, S=g h i
+      (2L, "x"),                  // 1 tok: P and M empty, S=x
+      (3L, "p q r s")             // 4 toks: c1=1, c2=2 -> P=p, M=q, S=r s
+    ).toDF("id", "text")
+    val out = Pack.fimSplit(docs, "id", "text")
+      .orderBy("id").as[(Long, Int, Int, Int, String)].collect()
+    assert(out(0) === ((1L, 9, 3, 6,
+      "<fim_prefix> a b c <fim_suffix> g h i <fim_middle> d e f")))
+    assert(out(1) === ((2L, 1, 0, 0, "<fim_prefix> <fim_suffix> x <fim_middle>")))
+    assert(out(2) === ((3L, 4, 1, 2, "<fim_prefix> p <fim_suffix> r s <fim_middle> q")))
+    // PSM reorder recovers the original token stream
+    for ((id, _, _, _, psm) <- out) {
+      val m = "<fim_prefix> ?(.*?) ?<fim_suffix> ?(.*?) ?<fim_middle> ?(.*)".r
+      val m(p, sfx, mid) = psm
+      val rec = Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ")
+      val orig = docs.where($"id" === id).as[(Long, String)].head()._2
+      assert(rec === orig, s"doc $id must reconstruct")
+    }
+  }
 }
