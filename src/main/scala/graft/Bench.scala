@@ -136,6 +136,7 @@ object Bench {
     val gateAbs = envDouble("SPARK_GRAFT_BENCH_GATE_ABS", 0.35)
     val gateSpreadK = envDouble("SPARK_GRAFT_BENCH_GATE_SPREAD_K", BenchGate.DefaultSpreadK)
     val gateScaleCap = envDouble("SPARK_GRAFT_BENCH_GATE_SCALE_CAP", BenchGate.DefaultScaleCap)
+    val gateIoScaleCap = envDouble("SPARK_GRAFT_BENCH_GATE_IO_SCALE_CAP", BenchGate.DefaultIoScaleCap)
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "/root/repo/BENCH_BASELINE.json")
     // gate-state taxonomy is deliberate: a CORRUPT baseline must not
@@ -148,7 +149,7 @@ object Bench {
       case _                                    => None
     }
     val alarms = base.map(b => BenchGate.alarms(medians, b.medians, gateRatio, gateAbs,
-        b.spread, gateSpreadK, gateScaleCap))
+        b.spread, gateSpreadK, gateScaleCap, BenchGate.DefaultIoQueries, gateIoScaleCap))
       .getOrElse(Seq.empty)
     val newQs = base.map(b => BenchGate.unbaselined(medians, b.medians))
       .getOrElse(Seq.empty)
@@ -159,8 +160,16 @@ object Bench {
     // uniform regression and extreme host drift are indistinguishable by
     // construction, so past the cap a human must adjudicate (the alarm
     // list + raw scale are the evidence).
-    val mScaleRaw = base.map(b => BenchGate.machineScale(medians, b.medians)).getOrElse(1.0)
+    // scales are PER-CLASS since round 13: CPU-bound queries normalize
+    // by the non-IO median, declared write-path queries by the IO-class
+    // median (disk windows drift independently of CPU — twice observed;
+    // see BenchGate.DefaultIoQueries). machine_scale keeps its meaning
+    // (the CPU/suite scale) for cross-round comparability.
+    val (mScaleRaw, ioScaleRaw) = base.map(b =>
+      BenchGate.classScales(medians, b.medians, BenchGate.DefaultIoQueries))
+      .getOrElse((1.0, 1.0))
     val mScale = math.min(mScaleRaw, gateScaleCap)
+    val ioScale = math.min(ioScaleRaw, gateIoScaleCap)
     if (base.nonEmpty && mScaleRaw > gateScaleCap)
       System.err.println(f"[bench-gate] suite-median machine_scale $mScaleRaw%.3f exceeds " +
         f"the cap $gateScaleCap%.2f — thresholds use the CAPPED scale; if this run alarms " +
@@ -176,7 +185,7 @@ object Bench {
       case BenchGate.Loaded(b) if b.sf != sfDir => "\"baseline_sf_mismatch\""
       case _                                    => "\"on\""
     }
-    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (gateOn) loadRes match {
       case BenchGate.Unreadable(err) =>

@@ -145,6 +145,48 @@ object BenchGate {
     * independent JVM medians legitimately differ by 30%+. */
   val DefaultSpreadK = 2.0
 
+  /** The declared IO-BOUND (write-path) queries: each timed run writes
+    * and re-reads real files, so their medians track DISK speed, which
+    * on a shared host drifts independently of CPU speed. Twice now
+    * (the round-12 driver red; the round-13 final-run alarm on
+    * src_warc_roundtrip + pipeline_incremental_refresh at suite
+    * machine_scale 1.03) exactly this class alarmed under disk-window
+    * drift that the CPU-dominated suite-median normalization cannot
+    * see. These queries normalize by their OWN class median
+    * ([[classScales]]); with ~13 members the class median is robust —
+    * one genuinely regressed member cannot move it, so a planted 2×
+    * single-query regression still trips (BenchGateSpec proves it). */
+  val DefaultIoQueries: Set[String] = Set(
+    "csv_sharded_roundtrip", "src_warc_roundtrip", "src_orc_roundtrip",
+    "src_avro_roundtrip", "src_jsonl_roundtrip", "src_compact_roundtrip",
+    "src_partitioned_roundtrip", "src_schema_evolution",
+    "rpt_snapshot_upsert", "rpt_merge_changes", "pipeline_ingest",
+    "pipeline_forget", "pipeline_incremental_refresh", "txt_bpe_import")
+
+  /** Cap for the IO-class scale: disk windows legitimately swing harder
+    * than CPU windows (2× observed within one session on this host), so
+    * the IO class gets more normalization headroom — but still a cap,
+    * for the same un-maskability argument as [[DefaultScaleCap]]. */
+  val DefaultIoScaleCap = 2.5
+
+  /** Per-CLASS machine scales: (cpuScale, ioScale), each the median
+    * fresh/baseline ratio over its class (clamped ≥ 1, uncapped — the
+    * caller caps). An empty class falls back to the other class's
+    * median (a subset bench run of only IO queries still normalizes). */
+  def classScales(medians: Map[String, Option[Double]],
+                  baseline: Map[String, Double],
+                  ioQueries: Set[String]): (Double, Double) = {
+    def medianRatio(keep: String => Boolean): Option[Double] = {
+      val ratios = medians.toSeq.flatMap { case (q, mOpt) =>
+        for { m <- mOpt; b <- baseline.get(q) if keep(q) } yield m / b
+      }.sorted
+      if (ratios.isEmpty) None else Some(math.max(1.0, ratios(ratios.size / 2)))
+    }
+    val cpu = medianRatio(q => !ioQueries(q))
+    val io = medianRatio(ioQueries)
+    (cpu.orElse(io).getOrElse(1.0), io.orElse(cpu).getOrElse(1.0))
+  }
+
   /** Queries whose fresh median regressed past ratio AND absolute-delta
     * thresholds vs the recorded baseline, after normalizing by
     * [[machineScale]] (capped at `scaleCap`) and widening per-query by
@@ -157,9 +199,14 @@ object BenchGate {
              ratio: Double = 1.5, absFloor: Double = 0.35,
              spread: Map[String, Double] = Map.empty,
              spreadK: Double = DefaultSpreadK,
-             scaleCap: Double = DefaultScaleCap): Seq[Alarm] = {
-    val scale = math.min(machineScale(medians, baseline), scaleCap)
+             scaleCap: Double = DefaultScaleCap,
+             ioQueries: Set[String] = DefaultIoQueries,
+             ioScaleCap: Double = DefaultIoScaleCap): Seq[Alarm] = {
+    val (rawCpu, rawIo) = classScales(medians, baseline, ioQueries)
+    val cpuScale = math.min(rawCpu, scaleCap)
+    val ioScale = math.min(rawIo, ioScaleCap)
     medians.toSeq.sortBy(_._1).flatMap { case (q, mOpt) =>
+      val scale = if (ioQueries(q)) ioScale else cpuScale
       for {
         m <- mOpt
         base <- baseline.get(q)

@@ -93,6 +93,41 @@ class BenchGateSpec extends AnyFunSuite {
     assert(got.map(_.query).toSet === base.keySet)
   }
 
+  test("io class: uniform disk drift on write-path queries does not flake; a planted 2x io regression still trips") {
+    // 6 CPU queries steady, 6 declared IO queries — use REAL members of
+    // DefaultIoQueries so the production set is what's under test
+    val ioNames = BenchGate.DefaultIoQueries.toSeq.sorted.take(6)
+    val base = (1 to 6).map(i => s"cpu$i" -> 1.0).toMap ++ ioNames.map(_ -> 1.0).toMap
+    // disk window: every IO query 1.9x while CPU sits at 1.0x — the
+    // round-13 final-run shape. Suite-median normalization can't see it
+    // (median over 12 entries ~1.0); the IO-class scale absorbs it.
+    val drift = base.map { case (q, v) =>
+      q -> Some(if (BenchGate.DefaultIoQueries(q)) v * 1.9 else v)
+    }
+    assert(BenchGate.alarms(drift, base).isEmpty,
+      "uniform io-class drift must normalize away")
+    val (cpuS, ioS) = BenchGate.classScales(drift, base, BenchGate.DefaultIoQueries)
+    assert(math.abs(cpuS - 1.0) < 1e-9 && math.abs(ioS - 1.9) < 1e-9)
+    // a SINGLE io query regressed 2.5x against a steady io class: the
+    // class median stays ~1, so it trips — normalization can't mask it
+    val oneBad = base.map { case (q, v) => q -> Some(v) } +
+      (ioNames.head -> Some(2.5))
+    assert(BenchGate.alarms(oneBad, base).map(_.query) === Seq(ioNames.head))
+    // and past the io cap, even a class-wide slowdown alarms (un-maskable)
+    val extreme = base.map { case (q, v) =>
+      q -> Some(if (BenchGate.DefaultIoQueries(q)) v * 4.5 else v)
+    }
+    assert(BenchGate.alarms(extreme, base).size === 6,
+      "a class-wide slowdown past the io cap must alarm broadly")
+    // a CPU query never borrows the io headroom: cpu at 1.9x with io
+    // steady trips even though 1.9 < ioScaleCap
+    val cpuBad = base.map { case (q, v) => q -> Some(v) } + ("cpu1" -> Some(1.9))
+    assert(BenchGate.alarms(cpuBad, base).map(_.query) === Seq("cpu1"))
+    // subset run of ONLY io queries still normalizes (falls back sanely)
+    val ioOnly = ioNames.map(q => q -> Some(1.2)).toMap[String, Option[Double]]
+    assert(BenchGate.alarms(ioOnly, base).isEmpty)
+  }
+
   test("load: parses the recorded file; missing vs corrupt are DISTINCT outcomes") {
     val f = java.io.File.createTempFile("bench_baseline", ".json")
     f.deleteOnExit()
