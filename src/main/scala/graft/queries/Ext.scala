@@ -961,7 +961,12 @@ object Ext {
       .join(sizes.select(col("source").as("source_b"), col("_n").as("n_b")), "source_b")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"),
+        // directional containment is the actionable half: jaccard dilutes
+        // when a small source sits wholly INSIDE a big one, containment
+        // says "drop the contained one before mixing"
+        round(col("n_shared").cast("double") / col("n_a"), 6).as("containment_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 6).as("containment_b"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -4197,7 +4202,9 @@ object Ext {
          |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
          |      GROUP BY 1, 2)
          |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard,
+         |  round(CAST(n_shared AS DOUBLE) / sa.n, 6) AS containment_a,
+         |  round(CAST(n_shared AS DOUBLE) / sb.n, 6) AS containment_b
          |FROM p JOIN sz sa ON sa.source = p.source_a
          |       JOIN sz sb ON sb.source = p.source_b
          |ORDER BY source_a, source_b""".stripMargin,
