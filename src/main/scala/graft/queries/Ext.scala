@@ -3325,6 +3325,40 @@ object Ext {
       .orderBy(col("size"))
   }
 
+  /** Filter FUNNEL report — the per-rule attrition table every curation
+    * paper publishes (how much each filter removes, independently and
+    * cumulatively in gate order): for each of the quality gate's four
+    * rules, `n_failed_alone` (docs failing that rule regardless of the
+    * others) and `n_surviving` (docs passing the gate PREFIX through
+    * that rule). One narrow scoring pass + one all-boolean aggregate —
+    * at 100 TB this costs one scan, which is why funnels are reported
+    * from the same job that gates. The last n_surviving equals
+    * txt_quality_gate's row count by construction. */
+  def rptGateFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = d
+      .withColumn("_dt", array_distinct(TextAnalysis.tokens(col("text"))))
+      .select(
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("r1"),
+        (TextAnalysis.duplicateLineFraction(col("text")) <= 0.3).as("r2"),
+        (TextAnalysis.topBigramFraction(col("text")) <= 0.2).as("r3"),
+        (TextAnalysis.langIdFromDistinctTokens(col("_dt")) === col("lang")).as("r4"))
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    scored.agg(
+        count(lit(1)).as("n"),
+        cnt(!col("r1")).as("f1"), cnt(!col("r2")).as("f2"),
+        cnt(!col("r3")).as("f3"), cnt(!col("r4")).as("f4"),
+        cnt(col("r1")).as("s1"),
+        cnt(col("r1") && col("r2")).as("s2"),
+        cnt(col("r1") && col("r2") && col("r3")).as("s3"),
+        cnt(col("r1") && col("r2") && col("r3") && col("r4")).as("s4"))
+      .selectExpr("n AS n_docs",
+        "stack(4, 1, 'quality', f1, s1, 2, 'dup_lines', f2, s2, " +
+          "3, 'top_bigram', f3, s3, 4, 'lang_match', f4, s4) " +
+          "AS (stage, rule, n_failed_alone, n_surviving)")
+      .orderBy(col("stage"))
+  }
+
   def rptJoinSkew(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
@@ -3348,6 +3382,7 @@ object Ext {
     "graph_triangles" -> graphTriangles,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_dup_clusters" -> rptDupClusters,
+    "rpt_gate_funnel" -> rptGateFunnel,
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
     "rpt_column_stats" -> rptColumnStats,
@@ -5278,6 +5313,49 @@ object Ext {
          |  UNION
          |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    // the gate's four predicates rerun in SQL (the txt_quality_gate
+    // twin's CTEs), folded into independent-fail + cumulative-survive
+    "rpt_gate_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, toks,
+        |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+        |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+        |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
+        |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
+        |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
+        |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
+        |  FROM t),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
+        |       FROM t WHERE len(toks) >= 2),
+        |best AS (SELECT doc_id, max(c) AS best FROM
+        |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+        |r AS (SELECT q.doc_id,
+        |        q.quality >= 0.5 AS r1,
+        |        round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
+        |              ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
+        |                         / len(string_split(t.text, chr(10))) END + 1e-9, 4) <= 0.3 AS r2,
+        |        round(CASE WHEN len(t.toks) < 2 THEN 0.0
+        |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) <= 0.2 AS r3,
+        |        (CASE WHEN q.en >= q.de AND q.en >= q.fr THEN 'en'
+        |              WHEN q.de >= q.fr THEN 'de' ELSE 'fr' END) = q.lang AS r4
+        |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id),
+        |a AS (SELECT count(*) AS n,
+        |        sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS f1,
+        |        sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS f2,
+        |        sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS f3,
+        |        sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS f4,
+        |        sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS s1,
+        |        sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS s2,
+        |        sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS s3,
+        |        sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS s4
+        |      FROM r)
+        |SELECT n AS n_docs, stage, rule,
+        |  CAST(CASE stage WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 ELSE f4 END AS BIGINT) AS n_failed_alone,
+        |  CAST(CASE stage WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE s4 END AS BIGINT) AS n_surviving
+        |FROM a CROSS JOIN (SELECT * FROM (VALUES (1, 'quality'), (2, 'dup_lines'),
+        |  (3, 'top_bigram'), (4, 'lang_match')) AS v(stage, rule))
+        |ORDER BY stage""".stripMargin,
     // the closure's per-rep sizes folded into a histogram
     "rpt_dup_clusters" ->
       s"""WITH RECURSIVE
