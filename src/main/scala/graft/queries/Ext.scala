@@ -353,6 +353,22 @@ object Ext {
     graft.operators.Pack.fimSplit(d, "doc_id", "text").orderBy(col("doc_id"))
   }
 
+  /** Denoising-sample EMISSION pipeline — the round's new stages
+    * composed end to end: quality gate -> consistent email
+    * pseudonymization (identities link, raw values gone) -> T5
+    * span-corruption pairs. Output is sample-level, so the oracle
+    * hashes the whole composition; each stage's twin is already proven
+    * alone (txt_quality_gate, txt_pii_pseudo, txt_span_corrupt). Plan:
+    * gate + pseudonymize fuse into the scan, spanCorrupt stays narrow —
+    * ONE pass end to end. */
+  def pipelineDenoise(s: SparkSession, dir: String): DataFrame = {
+    val gated = TextAnalysis.qualityGate(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        TextAnalysis.pseudonymizeEmails(col("text"), salt = "k1").as("text_p"))
+    graft.operators.Pack.spanCorrupt(gated, "doc_id", "text_p")
+      .orderBy(col("doc_id"))
+  }
+
   /** The tokenizer seam exercised end-to-end: same 32/16 sliding-window
     * chunking as txt_chunk but under the BPE-ish REGEX tokenizer
     * ([[TextAnalysis.regexTokens]] — letter runs / digit runs / single
@@ -3459,6 +3475,7 @@ object Ext {
     "txt_normalize" -> txtNormalize,
     "txt_chunk" -> txtChunk,
     "txt_span_corrupt" -> txtSpanCorrupt,
+    "pipeline_denoise" -> pipelineDenoise,
     "txt_fim" -> txtFim,
     "txt_chunk_sent" -> txtChunkSent,
     "txt_chunk_bpe" -> txtChunkBpe,
@@ -4423,6 +4440,56 @@ object Ext {
          |  array_to_string(flatten([['<fim_prefix>'], t[1:c1],
          |    ['<fim_suffix>'], t[c2+1:n], ['<fim_middle>'], t[c1+1:c2]]), ' ') AS psm_text
          |FROM b ORDER BY doc_id""".stripMargin,
+    // the three proven stage twins chained: gate CTEs -> pseudonymize
+    // raw text -> span-corrupt the pseudo token stream
+    "pipeline_denoise" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, toks,
+        |  round(0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+        |      + 0.3 * least(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 4.0 / greatest(len(toks), 1.0), 1.0)
+        |      + 0.3 * (len(list_distinct(toks)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) + 1e-9, 4) AS quality,
+        |  len(list_intersect(list_distinct(toks), ['the','a','is','and','of','to'])) AS en,
+        |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein'])) AS de,
+        |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un'])) AS fr
+        |  FROM t),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                                            i -> toks[i] || ' ' || toks[i+1])) AS g
+        |       FROM t WHERE len(toks) >= 2),
+        |best AS (SELECT doc_id, max(c) AS best FROM
+        |           (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+        |surv AS (SELECT q.doc_id, t.text
+        |      FROM q JOIN t ON q.doc_id = t.doc_id LEFT JOIN best ON q.doc_id = best.doc_id
+        |      WHERE q.quality >= 0.5
+        |        AND round(CASE WHEN len(string_split(t.text, chr(10))) <= 1 THEN 0.0
+        |              ELSE 1.0 - len(list_distinct(string_split(t.text, chr(10)))) * 1.0
+        |                         / len(string_split(t.text, chr(10))) END + 1e-9, 4) <= 0.3
+        |        AND round(CASE WHEN len(t.toks) < 2 THEN 0.0
+        |              ELSE best.best * 1.0 / (len(t.toks) - 1) END + 1e-9, 4) <= 0.2
+        |        AND (CASE WHEN q.en >= q.de AND q.en >= q.fr THEN 'en'
+        |              WHEN q.de >= q.fr THEN 'de' ELSE 'fr' END) = q.lang),
+        |px AS (SELECT doc_id,
+        |    string_split_regex(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS p,
+        |    regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS m
+        |  FROM surv),
+        |pp AS (SELECT doc_id,
+        |    p[1] || coalesce(array_to_string(list_transform(range(1, len(m)+1),
+        |      i -> '[EMAIL:' || substring(md5('k1|' || m[i]), 1, 8) || ']' || p[i+1]), ''), '') AS tp
+        |  FROM px),
+        |tk2 AS (SELECT doc_id, string_split_regex(trim(tp), '\s+') AS t FROM pp),
+        |b2 AS (SELECT doc_id, t, len(t) AS n,
+        |        CAST(ceil(len(t) / 7.0) AS INTEGER) AS nb FROM tk2)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |  CASE WHEN n >= 5 THEN CAST(floor((n - 5) / 7.0) + 1 AS INTEGER)
+        |       ELSE 0 END AS n_spans,
+        |  array_to_string(flatten(list_transform(range(0, greatest(nb, 1)),
+        |    k -> CASE WHEN k*7 + 5 <= n
+        |      THEN t[k*7+1 : k*7+3] || ['<extra_id_' || k || '>'] || t[k*7+6 : k*7+7]
+        |      ELSE t[k*7+1 : k*7+7] END)), ' ') AS input_text,
+        |  coalesce(array_to_string(flatten(list_transform(range(0, greatest(nb, 1)),
+        |    k -> CASE WHEN k*7 + 5 <= n
+        |      THEN ['<extra_id_' || k || '>'] || t[k*7+4 : k*7+5]
+        |      ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS target_text
+        |FROM b2 ORDER BY doc_id""".stripMargin,
     // the 7/3/2 block/slice/sentinel construction replayed over the
     // same whitespace tokens; empty-branch lists cast to VARCHAR[]
     "txt_span_corrupt" ->
