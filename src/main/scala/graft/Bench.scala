@@ -175,6 +175,20 @@ object Bench {
         f"the cap $gateScaleCap%.2f — thresholds use the CAPPED scale; if this run alarms " +
         "broadly, distinguish host contention from an engine-wide regression by a " +
         "controlled re-run before re-baselining")
+    if (base.nonEmpty && ioScaleRaw > gateIoScaleCap)
+      System.err.println(f"[bench-gate] IO-class median io_scale $ioScaleRaw%.3f exceeds " +
+        f"the cap $gateIoScaleCap%.2f — thresholds use the CAPPED scale; if the write-path " +
+        "queries alarm broadly, distinguish disk contention from a write-path regression " +
+        "by a controlled re-run before re-baselining")
+    // a class-wide write-path regression normalizes away as "disk
+    // drift" by construction (the IO scale IS the class median), so when
+    // the IO class drifts far beyond the CPU class, surface it for human
+    // adjudication even though no per-query alarm fires
+    if (base.nonEmpty && ioScaleRaw > 1.5 * math.max(mScaleRaw, 0.001) && ioScaleRaw > 1.3)
+      System.err.println(f"[bench-gate] io_scale_raw $ioScaleRaw%.3f is far above " +
+        f"machine_scale_raw $mScaleRaw%.3f — either the disk drifted independently of CPU " +
+        "or the SHARED write path regressed class-wide (which the per-class normalization " +
+        "cannot distinguish); adjudicate with a controlled re-run before trusting rc 0")
     val regJson = alarms.map(a =>
       jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"threshold":${math.rint(a.threshold * 1000) / 1000},"ratio":${math.rint(a.ratio * 100) / 100}}""")
       .mkString("{", ",", "}")

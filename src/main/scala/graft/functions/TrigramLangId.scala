@@ -101,10 +101,12 @@ object CharTrigrams {
 object TrigramLangId {
   def compute(text: UTF8String, model: TrigramLangRanks): UTF8String = {
     val s = text.toString
-    // doc trigram counts (consecutive 3-char windows, 1 step). Windows
-    // are Java-char-based; training's substr windows are codepoint-based
-    // — identical through the BMP, so only astral-plane text (outside
-    // every fixture and most corpora) could shift a window boundary.
+    // doc trigram counts (consecutive 3-char windows, 1 step). Scoring
+    // and engine-side TRAINING both window over Java chars (training
+    // uses CharTrigrams), so engine train/score never diverge; only the
+    // DuckDB retrain twin windows over codepoints, so astral-plane text
+    // (outside every fixture and most corpora) could shift a TWIN window
+    // boundary — an oracle-side caveat, not an engine one.
     val counts = new java.util.HashMap[String, Integer]()
     var i = 0
     while (i + 3 <= s.length) {

@@ -135,9 +135,13 @@ object WebCurate {
   /** Tracking query parameters dropped by [[canonicalizeUrl]] — the
     * click-attribution families every published URL normalizer strips
     * (utm_*, ad-click ids, social share refs). Shared VERBATIM with the
-    * DuckDB twin; matches the whole `key=value` token (or a bare key). */
+    * DuckDB twin; matches the whole `key=value` token (or a bare key).
+    * Bare `ref` is deliberately NOT in the default list: it is
+    * content-bearing on many sites (VCS `?ref=branch`, pagination
+    * refs), so stripping it would alias distinct pages; crawls that
+    * know their corpus can pass a tuned list to [[canonicalizeUrl]]. */
   val TrackingParamRegex: String =
-    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$"
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=.*)?$"
 
   /** Canonical URL form for crawl-frontier/corpus dedup (the
     * standard normalizations of RFC 3986 §6.2 plus tracking-param
@@ -147,14 +151,25 @@ object WebCurate {
     * (`a=1&b=2` == `b=2&a=1`). Userinfo and percent-encoding are
     * preserved verbatim (decoding can change semantics). A string the
     * scheme grammar can't parse is returned UNCHANGED — canonicalization
-    * must never destroy a key it cannot read.
+    * must never destroy a key it cannot read. IPv6-literal authorities
+    * (`http://[::1]:8080/…`) also pass through unchanged for the same
+    * reason: the colon-based host/port split cannot read a bracketed
+    * host, and a mangled canonical form would wrongly collapse distinct
+    * hosts (they stay distinct verbatim — IPv6 literals are rare enough
+    * in crawl frontiers that losing their case/port folding is the safe
+    * trade).
+    *
+    * `trackingParamRegex` defaults to [[TrackingParamRegex]]; crawls
+    * whose corpus uses a stripped key as content (or needs more keys
+    * stripped) pass their own list.
     *
     * Scale shape: one narrow per-row projection — regex splits plus one
     * array filter/sort over the handful of query params (the lambda is
     * per-row-once and non-generator, the sanctioned HOF position). The
     * whole grammar is regex-expressible so the DuckDB twin reruns it
     * verbatim. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column,
+                      trackingParamRegex: String = TrackingParamRegex): Column = {
     val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
     val scheme = lower(regexp_extract(url, schemeRe, 1))
     val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
@@ -171,10 +186,11 @@ object WebCurate {
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val query = regexp_extract(rest, "^[^?#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamRegex))
+      p => p =!= "" && !p.rlike(trackingParamRegex))
     val qOut = array_join(array_sort(params), "&")
     val canon = concat(scheme, lit("://"), userinfo, host, portOut, path,
       when(qOut === "", lit("")).otherwise(concat(lit("?"), qOut)))
-    when(regexp_extract(url, schemeRe, 1) === "", url).otherwise(canon)
+    when(regexp_extract(url, schemeRe, 1) === "" ||
+      substring(hostPort, 1, 1) === "[", url).otherwise(canon)
   }
 }

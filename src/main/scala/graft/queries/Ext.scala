@@ -238,10 +238,14 @@ object Ext {
 
   /** URL canonicalization + canonical-form dedup flag (the crawl-
     * frontier half of RefinedWeb §3.1 URL dedup): each document carries
-    * a deterministically MESSY url — one of five grammars by doc_id
+    * a deterministically MESSY url — one of six grammars by doc_id
     * covering case noise, default and non-default ports, userinfo,
-    * tracking params, unsorted query keys, fragments, an empty path,
-    * and one unparseable string (must pass through unchanged).
+    * tracking params beside a content-bearing bare `ref=` (which must
+    * SURVIVE the strip — round-14 fix: bare `ref` left the default
+    * tracking list), unsorted query keys, fragments, an empty path,
+    * an IPv6-literal authority (must pass through UNCHANGED — the
+    * canonicalizer never rewrites a host it cannot parse), and one
+    * unparseable string (must pass through unchanged).
     * [[graft.operators.WebCurate.canonicalizeUrl]] normalizes; a
     * row_number over the canonical form (doc order) marks the FIRST
     * copy — the frontier keep/skip decision. The twin rebuilds the same
@@ -251,7 +255,7 @@ object Ext {
     * shuffle (canonical url is near-unique, no hot key). */
   def txtUrlCanon(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val m = pmod(col("doc_id"), lit(5))
+    val m = pmod(col("doc_id"), lit(6))
     val h = pmod(col("doc_id"), lit(20)).cast("string")
     val id = col("doc_id").cast("string")
     val url = when(m === 0, concat(lit("HTTP://WWW.Example"), h,
@@ -259,8 +263,14 @@ object Ext {
       .when(m === 1, concat(lit("https://user@Site"), h,
         lit(".org:443/p/"), id, lit("/?gclid=x&z=9&y=8")))
       .when(m === 2, concat(lit("http://host"), h, lit(".net:8080?q=7")))
+      // bare ref= is CONTENT (a VCS branch ref here) and must survive
+      // the strip; ref_src/utm are tracking and must not
       .when(m === 3, concat(lit("HTTPS://Mixed"), h,
         lit(".Com/a?ref=tw&ref_src=x&utm_campaign=c")))
+      // IPv6-literal authority: the canonicalizer cannot read a
+      // bracketed host, so the whole URL passes through UNCHANGED
+      .when(m === 4, concat(lit("HTTP://[2001:db8::"), h, lit("]:80/P"),
+        id, lit("?b=2&a=1#f")))
       .otherwise(concat(lit("not a url "), id))
     Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
       .withColumn("canon_url",
@@ -5001,11 +5011,12 @@ object Ext {
     // byte-sorted query, empty path -> '/', unparseable pass-through
     "txt_url_canon" ->
       """WITH d AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |  CASE CAST(doc_id % 6 AS INTEGER)
         |    WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM:80/Path' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
         |    WHEN 1 THEN 'https://user@Site' || CAST(doc_id % 20 AS VARCHAR) || '.org:443/p/' || CAST(doc_id AS VARCHAR) || '/?gclid=x&z=9&y=8'
         |    WHEN 2 THEN 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.net:8080?q=7'
         |    WHEN 3 THEN 'HTTPS://Mixed' || CAST(doc_id % 20 AS VARCHAR) || '.Com/a?ref=tw&ref_src=x&utm_campaign=c'
+        |    WHEN 4 THEN 'HTTP://[2001:db8::' || CAST(doc_id % 20 AS VARCHAR) || ']:80/P' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#f'
         |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         |  FROM documents),
         |p AS (SELECT doc_id, url,
@@ -5019,17 +5030,19 @@ object Ext {
         |    regexp_extract(rest, '^([^?#]*)', 1) AS path0,
         |    regexp_extract(rest, '^[^?#]*\?([^#]*)', 1) AS query
         |  FROM p),
-        |r AS (SELECT doc_id, url, scheme, userinfo,
+        |r AS (SELECT doc_id, url, scheme, userinfo, hostport,
         |    lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
         |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
         |    -- DuckDB's array_to_string of an EMPTY list is NULL (Spark's
         |    -- array_join is ''): coalesce so all-tracking queries drop cleanly
         |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$'))), '&'), '') AS qout
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=.*)?$'))), '&'), '') AS qout
         |  FROM q),
         |c AS (SELECT doc_id, url,
-        |    CASE WHEN scheme = '' THEN url ELSE
+        |    -- IPv6-literal authority ('[' leads hostport) passes through
+        |    -- unchanged, mirroring the engine's cannot-read guard
+        |    CASE WHEN scheme = '' OR substr(hostport, 1, 1) = '[' THEN url ELSE
         |      scheme || '://' || userinfo || host ||
         |      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
         |                          OR (scheme = 'https' AND port = '443')

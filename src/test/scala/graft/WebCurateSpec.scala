@@ -130,13 +130,26 @@ class WebCurateSpec extends SparkSpec {
       === "https://user@site.org/p/1/?y=8&z=9")
     // non-default port survives; empty path becomes '/'
     assert(canon1("http://host.net:8080?q=7") === "http://host.net:8080/?q=7")
-    // every param is tracking -> query dropped entirely
+    // bare ref= is content-bearing (VCS branch refs, pagination) and
+    // SURVIVES; ref_src and utm_* are tracking and drop
     assert(canon1("HTTPS://Mixed.Com/a?ref=tw&ref_src=x&utm_campaign=c")
+      === "https://mixed.com/a?ref=tw")
+    // every param is tracking -> query dropped entirely
+    assert(canon1("HTTPS://Mixed.Com/a?gclid=1&ref_src=x&utm_campaign=c")
       === "https://mixed.com/a")
+    // the ?ref=content false positive: a VCS file URL keeps its branch
+    assert(canon1("https://git.example.com/r/blob/f.md?ref=main")
+      === "https://git.example.com/r/blob/f.md?ref=main")
     // :80 is NOT ftp's default; path case preserved
     assert(canon1("FTP://Files.example:80/Pub") === "ftp://files.example:80/Pub")
     // 'referrer' is not in the tracking family ('ref' must not prefix-match)
     assert(canon1("http://a.com/x?referrer=me") === "http://a.com/x?referrer=me")
+    // the tracking list is a parameter: a crawl that KNOWS bare ref is
+    // tracking in its corpus can opt back in
+    val refToo = "^(utm_[^=]*|ref|ref_src)(=.*)?$"
+    assert(Seq("HTTPS://Mixed.Com/a?ref=tw&ref_src=x").toDF("u")
+      .select(WebCurate.canonicalizeUrl($"u", refToo)).as[String].head()
+      === "https://mixed.com/a")
     // percent-encoding preserved verbatim
     assert(canon1("http://a.com/a%20b?x=%2F") === "http://a.com/a%20b?x=%2F")
   }
@@ -144,6 +157,20 @@ class WebCurateSpec extends SparkSpec {
   test("canonicalizeUrl: unparseable input passes through unchanged") {
     for (junk <- Seq("not a url", "relative/path", "", "www.example.com/nope"))
       assert(canon1(junk) === junk)
+  }
+
+  test("canonicalizeUrl: IPv6-literal authorities pass through unchanged") {
+    // the colon-based host/port split cannot read a bracketed host:
+    // rather than mangle ('[' as host, trailing digits as port) and
+    // collapse DISTINCT hosts, the URL is preserved verbatim
+    val v6 = Seq(
+      "http://[::1]:8080/a",
+      "http://[2001:db8::1]/x?b=2&a=1",
+      "HTTP://[2001:DB8::2]:80/Path#frag",
+      "https://user@[::1]/p")
+    for (u <- v6) assert(canon1(u) === u)
+    // distinct IPv6 hosts stay distinct (the regression the guard fixes)
+    assert(canon1("http://[::1]:8080/a") !== canon1("http://[::2]:8080/a"))
   }
 
   test("canonicalizeUrl is idempotent on its own output") {

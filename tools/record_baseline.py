@@ -39,6 +39,19 @@ def main() -> int:
     names = set(runs[0]["queries"])
     for d in runs[1:]:
         names &= set(d["queries"])
+    # a run captured under SPARK_GRAFT_BENCH_ONLY (or with a crashed
+    # query) would silently shrink the intersection, leaving the dropped
+    # queries permanently un-gated as "unbaselined" — make it loud
+    union = set()
+    for d in runs:
+        union |= set(d["queries"])
+    if union - names:
+        print(
+            "warning: per-run query sets DIFFER; excluded from the baseline "
+            f"(present in some runs only): {sorted(union - names)} — if this "
+            "is not deliberate, re-capture full-suite runs",
+            file=sys.stderr,
+        )
     medians, spread = {}, {}
     for q in sorted(names):
         vals = [d["queries"][q] for d in runs]
