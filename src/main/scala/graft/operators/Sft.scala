@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning / alignment sample preparation `[EXT]`: the
+  * stages between a curated corpus and an SFT/DPO training set.
+  *
+  * The reference service (test.py) stops at enriched rows; a
+  * fine-tuning pipeline additionally needs (a) conversation turns
+  * rendered into ONE training string under a chat template, (b) the
+  * loss mask over that string (loss on assistant content only —
+  * InstructGPT-style SFT), (c) preference pairs (chosen vs rejected
+  * response per prompt — the DPO/RLHF comparison format, Rafailov et
+  * al. 2023 §3), and (d) a curriculum ordering that assigns every
+  * sample a contiguous global training index without a single-partition
+  * global sort.
+  *
+  * Everything here is a declarative DataFrame transform: Catalyst keeps
+  * pushdown/pruning, and each operator is one keyed shuffle (or none),
+  * so the shapes hold on a 1000-executor cluster.
+  */
+object Sft {
+
+  /** Chat template: a turn renders as
+    * `prefixOpen + role + prefixClose + content + suffix`.
+    * Defaults to `<|role|>\n…content…\n<|end|>\n` — structurally the
+    * published ChatML shape, spelled with ASCII-only delimiters so the
+    * DuckDB oracle twin reproduces it with plain `||`/`chr(10)`. */
+  final case class ChatTemplate(prefixOpen: String = "<|",
+                                prefixClose: String = "|>\n",
+                                suffix: String = "\n<|end|>\n") {
+    /** Rendered length of a turn, as a Column over (role, content) —
+      * used by [[assistantSpans]] to locate content without re-rendering. */
+    def segLen(role: Column, content: Column): Column =
+      length(role) + length(content) +
+        lit(prefixOpen.length + prefixClose.length + suffix.length)
+    def segment(role: Column, content: Column): Column =
+      concat(lit(prefixOpen), role, lit(prefixClose), content, lit(suffix))
+  }
+
+  /** Render (convId, turnIdx, role, content) rows into one training
+    * string per conversation, turns in `turnIdx` order.
+    *
+    * Output: `convCol | rendered | n_turns` (n_turns is bigint).
+    *
+    * Scale shape: ONE keyed shuffle (groupBy conv) with map-side
+    * partial `collect_list`; the sort and the template render happen
+    * per-conversation on an array of turns — `transform` here is in the
+    * per-row-once position (one output row per conversation), not under
+    * a generator, so the measured HOF-regeneration trap does not apply.
+    * Conversations are bounded (chat depth), so the collected array is
+    * bounded — this is the standard "group is small, corpus is huge"
+    * aggregation. */
+  def renderConversations(df: DataFrame, convCol: String, idxCol: String,
+                          roleCol: String, contentCol: String,
+                          t: ChatTemplate = ChatTemplate()): DataFrame = {
+    val turns = sort_array(collect_list(
+      struct(col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    df.groupBy(col(convCol))
+      .agg(turns.as("_turns"))
+      .select(col(convCol),
+        array_join(transform(col("_turns"),
+          x => t.segment(x.getField("r"), x.getField("c"))), "").as("rendered"),
+        size(col("_turns")).cast("long").as("n_turns"))
+  }
+
+  /** Character spans of `lossRole` CONTENT inside the
+    * [[renderConversations]] output — the SFT loss mask (train on
+    * assistant tokens only). Offsets are 0-based character positions,
+    * `end` exclusive, counted in Unicode codepoints (what both Spark's
+    * `length`/`substring` and the SQL twin's count), so
+    * `substring(rendered, start+1, end-start)` recovers the content
+    * exactly.
+    *
+    * Output: `convCol | idxCol | start | end` (bigint offsets), one row
+    * per `lossRole` turn.
+    *
+    * Scale shape: one window (partition by conversation, order by turn)
+    * computing the running rendered length — the same keyed shuffle the
+    * render pays, no join, no re-render. */
+  def assistantSpans(df: DataFrame, convCol: String, idxCol: String,
+                     roleCol: String, contentCol: String,
+                     t: ChatTemplate = ChatTemplate(),
+                     lossRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = coalesce(
+      sum(t.segLen(col(roleCol), col(contentCol)).cast("long")).over(w), lit(0L))
+    val start = prefix + length(col(roleCol)).cast("long") +
+      lit(t.prefixOpen.length.toLong + t.prefixClose.length.toLong)
+    df.select(col(convCol), col(idxCol), col(roleCol),
+        start.as("start"),
+        (start + length(col(contentCol)).cast("long")).as("end"))
+      .where(col(roleCol) === lossRole)
+      .drop(roleCol)
+  }
+
+  /** DPO/RLHF preference pairs: per prompt, `chosen` = the response
+    * with the HIGHEST score and `rejected` = the LOWEST, both with
+    * deterministic tie-breaks (lowest response id wins a score tie on
+    * either side), emitted only when the margin is strictly positive
+    * (an all-tied prompt yields no training signal and is dropped).
+    *
+    * Output: `promptCol | chosen_id | chosen | chosen_score |
+    * rejected_id | rejected | rejected_score | margin`.
+    *
+    * Scale shape: ONE groupBy aggregate with map-side partial combine —
+    * the argmax/argmin ride Spark's lexicographic struct min/max
+    * (`max(struct(score, -id, …))` = highest score, ties to lowest id),
+    * so there is no window sort and no second shuffle; prompts with
+    * millions of responses still combine partially on the map side. */
+  def preferencePairs(df: DataFrame, promptCol: String, respIdCol: String,
+                      respCol: String, scoreCol: String): DataFrame = {
+    val best = max(struct(col(scoreCol).as("s"), (-col(respIdCol)).as("ni"),
+      col(respIdCol).as("i"), col(respCol).as("r")))
+    val worst = min(struct(col(scoreCol).as("s"), col(respIdCol).as("i"),
+      col(respCol).as("r")))
+    df.groupBy(col(promptCol))
+      .agg(best.as("_c"), worst.as("_r"))
+      .select(col(promptCol),
+        col("_c.i").as("chosen_id"), col("_c.r").as("chosen"),
+        col("_c.s").as("chosen_score"),
+        col("_r.i").as("rejected_id"), col("_r.r").as("rejected"),
+        col("_r.s").as("rejected_score"),
+        (col("_c.s") - col("_r.s")).as("margin"))
+      .where(col("margin") > 0)
+  }
+
+  /** Contiguous global training index WITHOUT a single-partition global
+    * sort — curriculum ordering at cluster scale.
+    *
+    * The global order is `(bucket, salt, shuffleKey, id)` where
+    * `salt = shuffleKey mod salts`: bucket encodes the curriculum
+    * policy (caller-supplied — difficulty band, source tier, …), the
+    * salted shuffle key gives a deterministic pseudo-random order
+    * WITHIN a bucket. The index is assigned scalably: per-(bucket,salt)
+    * counts (a bounded `buckets × salts` vector) come to the driver
+    * once, their cumulative sums become broadcast offsets, and each
+    * row's index is `offset + row_number within its (bucket, salt)
+    * cell`. Window parallelism is `buckets × salts` cells, NOT 1 — the
+    * classic distributed zipWithIndex; pick `salts` ≈ cluster cores /
+    * buckets so cells stay partition-sized.
+    *
+    * Output: input columns + `bucket` (bigint) + `train_idx` (bigint,
+    * 0-based, contiguous, a permutation of 0..n-1).
+    *
+    * Driver memory: one (bucket, salt, count) row per cell — bounded by
+    * the cap below, metadata not data (the [[GraphRank]] driver-vector
+    * pattern). */
+  def curriculumIndex(df: DataFrame, idCol: String, bucket: Column,
+                      shuffleKey: Column, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be > 0")
+    val d = df.withColumn("bucket", bucket.cast("long"))
+      .withColumn("_key", shuffleKey.cast("long"))
+      .withColumn("_salt", pmod(col("_key"), lit(salts.toLong)))
+    val counts = d.groupBy("bucket", "_salt").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    require(counts.length <= (1 << 20),
+      s"${counts.length} (bucket, salt) cells exceed the driver-vector cap " +
+        "(1M) — coarsen the bucket expression or lower salts")
+    val offsets = counts.scanLeft(((0L, 0L), 0L)) { case ((_, acc), ((b, s), n)) =>
+      ((b, s), acc + n)
+    }.init.zip(counts).map { case ((_, off), ((b, s), _)) => (b, s, off) }
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
+      .toDF("bucket", "_salt", "_off")
+    val w = Window.partitionBy(col("bucket"), col("_salt"))
+      .orderBy(col("_key"), col(idCol))
+    d.join(broadcast(offDf), Seq("bucket", "_salt"))
+      .withColumn("train_idx",
+        col("_off") + row_number().over(w).cast("long") - 1L)
+      .drop("_key", "_salt", "_off")
+  }
+}

@@ -3403,7 +3403,109 @@ object Ext {
       .orderBy(col("rk"))
   }
 
+  // ---- SFT / alignment sample prep -----------------------------------
+
+  /** Deterministic conversation-turn fixture over `documents`: every 6
+    * consecutive doc_ids form one conversation (system, user, assistant,
+    * user, assistant, user), content = a doc_id-varying prefix of the
+    * doc text. Shared VERBATIM with the DuckDB twins so the whole chat
+    * grammar is oracle-hashed. */
+  private def sftTurns(s: SparkSession, dir: String): DataFrame = {
+    val t = pmod(col("doc_id"), lit(6)).cast("int")
+    val role = when(t === 0, "system")
+      .when(t === 2 || t === 4, "assistant").otherwise("user")
+    Tables.documents(s, dir).select(
+      expr("doc_id div 6").cast("long").as("conv_id"),
+      t.as("turn_idx"), role.as("role"),
+      // doc_id-varying prefix length (80..139 chars) so span arithmetic
+      // is exercised on non-uniform content
+      expr("substring(text, 1, cast(80 + (doc_id * 37) % 60 as int))")
+        .as("content"))
+  }
+
+  /** Chat-template render (the SFT sample-assembly step): turns ->
+    * ONE training string per conversation under the `<|role|>` template.
+    * The twin re-renders with string_agg(ORDER BY turn_idx), so any
+    * drift in template, turn order, or grouping breaks the hash. One
+    * keyed shuffle; see [[graft.operators.Sft.renderConversations]]. */
+  def sftRenderChat(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sft.renderConversations(
+        sftTurns(s, dir), "conv_id", "turn_idx", "role", "content")
+      .orderBy(col("conv_id"))
+
+  /** SFT loss mask + self-consistency proof: assistant-content spans
+    * computed ARITHMETICALLY (running rendered length, no re-render) are
+    * joined back to the rendered string and the span is EXTRACTED with
+    * substring — `span_text` must equal the turn content, which the twin
+    * emits directly from the fixture. A one-off offset anywhere in the
+    * template math breaks the hash on every row. Window + one conv-keyed
+    * join; see [[graft.operators.Sft.assistantSpans]]. */
+  def sftLossMask(s: SparkSession, dir: String): DataFrame = {
+    val turns = sftTurns(s, dir)
+    val spans = graft.operators.Sft.assistantSpans(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val rendered = graft.operators.Sft.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "content")
+    spans.join(rendered.select(col("conv_id"), col("rendered")), Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+        expr("substring(rendered, cast(start as int) + 1, cast(end - start as int))")
+          .as("span_text"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  /** DPO preference-pair construction: per prompt (5 scored responses
+    * each), chosen = highest score, rejected = lowest, deterministic
+    * tie-breaks, strictly-positive margin only. The engine's
+    * single-aggregate struct-argmax must match the twin's two explicit
+    * row_number orderings exactly — tie semantics are part of the hash.
+    * See [[graft.operators.Sft.preferencePairs]]. */
+  def sftPrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      expr("doc_id div 5").cast("long").as("prompt_id"),
+      pmod(col("doc_id"), lit(5)).cast("int").as("resp_id"),
+      substring(col("text"), 1, 60).as("response"),
+      (pmod(col("doc_id") * 48271L, lit(997L))).cast("int").as("score"))
+    graft.operators.Sft.preferencePairs(d, "prompt_id", "resp_id",
+        "response", "score")
+      .orderBy(col("prompt_id"))
+  }
+
+  /** Curriculum ordering: contiguous 0-based global training index over
+    * (difficulty bucket, deterministic shuffle key) WITHOUT a global
+    * sort — per-(bucket,salt) counts to the driver (bounded metadata),
+    * broadcast offsets, per-cell row_number. The twin computes the SAME
+    * permutation with one global row_number, so every index must match
+    * bit-exactly. bucket = capped n_chars/100 band; key = a 31-bit LCG
+    * step both engines evaluate in exact integer arithmetic. See
+    * [[graft.operators.Sft.curriculumIndex]]. */
+  def sftCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bucket = least(lit(7L), expr("n_chars div 100")).cast("long")
+    val key = pmod(col("doc_id") * 48271L, lit(2147483647L))
+    graft.operators.Sft.curriculumIndex(d, "doc_id", bucket, key, salts = 4)
+      .select(col("doc_id"), col("bucket"), col("train_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** k-anonymity + l-diversity annotation over customer quasi-identifiers
+    * (nation, market segment), sensitive attribute = account-balance
+    * band: every row carries its equivalence-class size, distinct
+    * sensitive count, and both release gates. Two shuffles on the quasi
+    * key; see [[graft.operators.Privacy.annotate]]. */
+  def privKanon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.annotate(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 8, l = 5)
+      .select(col("c_custkey"), col("grp_n"), col("distinct_sens"),
+        col("k_ok"), col("l_ok"))
+      .orderBy(col("c_custkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sft_render_chat" -> sftRenderChat,
+    "sft_loss_mask" -> sftLossMask,
+    "sft_pref_pairs" -> sftPrefPairs,
+    "sft_curriculum" -> sftCurriculum,
+    "priv_kanon" -> privKanon,
     "graph_trustrank" -> graphTrustrank,
     "graph_triangles" -> graphTriangles,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
@@ -3768,6 +3870,87 @@ object Ext {
       |FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chat-template render: the twin re-renders the SAME fixture grammar
+    // with string_agg(ORDER BY turn_idx) — template, turn order, and
+    // grouping are all hash-gated
+    "sft_render_chat" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents)
+        |SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+        |  count(*) AS n_turns
+        |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // loss mask: the twin computes assistant-content spans by the same
+    // running-length arithmetic (seg_len = len(role)+len(content)+14
+    // template chars; content starts at prefix+len(role)+5) and emits
+    // span_text = content DIRECTLY — the engine extracts it from the
+    // rendered string with substring, so a one-off offset anywhere
+    // breaks the hash on every row
+    "sft_loss_mask" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents),
+        |s AS (SELECT conv_id, turn_idx, role, content,
+        |  COALESCE(SUM(length(role) + length(content) + 14) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM t)
+        |SELECT conv_id, turn_idx,
+        |  CAST(prefix + length(role) + 5 AS BIGINT) AS start,
+        |  CAST(prefix + length(role) + 5 + length(content) AS BIGINT) AS "end",
+        |  content AS span_text
+        |FROM s WHERE role = 'assistant' ORDER BY conv_id, turn_idx""".stripMargin,
+    // DPO pairs: chosen/rejected via two explicit row_number orderings —
+    // the engine's struct-argmax tie semantics (lowest resp_id wins both
+    // ties) are part of the hash; zero-margin prompts must vanish
+    "sft_pref_pairs" ->
+      """WITH r AS (SELECT CAST(doc_id // 5 AS BIGINT) AS prompt_id,
+        |  CAST(doc_id % 5 AS INTEGER) AS resp_id,
+        |  substr(text, 1, 60) AS response,
+        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
+        |c AS (SELECT *,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS rc,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id ASC) AS rr
+        |  FROM r)
+        |SELECT a.prompt_id, a.resp_id AS chosen_id, a.response AS chosen,
+        |  a.score AS chosen_score, b.resp_id AS rejected_id,
+        |  b.response AS rejected, b.score AS rejected_score,
+        |  a.score - b.score AS margin
+        |FROM c a JOIN c b ON a.prompt_id = b.prompt_id AND a.rc = 1 AND b.rr = 1
+        |WHERE a.score - b.score > 0 ORDER BY a.prompt_id""".stripMargin,
+    // curriculum index: the engine's distributed zipWithIndex (per-cell
+    // row_number + broadcast offsets) must reproduce the twin's single
+    // global row_number over (bucket, salt, key, id) BIT-EXACTLY — the
+    // index is a permutation, so one misplaced row breaks two hashes
+    "sft_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(LEAST(7, n_chars // 100) AS BIGINT) AS bucket,
+        |  (doc_id * 48271) % 2147483647 AS key FROM documents)
+        |SELECT doc_id, bucket,
+        |  CAST(row_number() OVER (ORDER BY bucket, key % 4, key, doc_id) - 1 AS BIGINT) AS train_idx
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // k-anonymity / l-diversity: equivalence classes on (nation,
+    // segment), sensitive = acctbal/1000 band — class sizes, distinct
+    // sensitive counts, and both gates hash-compared per row
+    "priv_kanon" ->
+      """WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS grp_n,
+        |  count(DISTINCT sens) AS distinct_sens FROM s GROUP BY 1, 2)
+        |SELECT s.c_custkey, g.grp_n, g.distinct_sens,
+        |  g.grp_n >= 8 AS k_ok, g.distinct_sens >= 5 AS l_ok
+        |FROM s JOIN g ON s.c_nationkey = g.c_nationkey
+        |  AND s.c_mktsegment = g.c_mktsegment
+        |ORDER BY s.c_custkey""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(10),
     "graph_trustrank" -> trustRankOracleSql(10),
     // same synthetic 4-regular graph, same canonical a<b<c enumeration

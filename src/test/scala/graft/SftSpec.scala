@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Sft
+import org.apache.spark.sql.functions._
+
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    // conv 0, deliberately out of input order — render must sort
+    (0L, 2, "assistant", "Sure: 42."),
+    (0L, 0, "system", "Be terse."),
+    (0L, 1, "user", "Answer?"),
+    // conv 1: assistant FIRST (prefix window is empty -> 0), then two
+    // more assistant turns around a user turn
+    (1L, 0, "assistant", "Hi"),
+    (1L, 1, "user", "Who?"),
+    (1L, 2, "assistant", "Me")
+  ).toDF("conv_id", "turn_idx", "role", "content")
+
+  test("renderConversations: template, turn order, n_turns") {
+    val out = Sft.renderConversations(turns, "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(1) ===
+      "<|system|>\nBe terse.\n<|end|>\n<|user|>\nAnswer?\n<|end|>\n<|assistant|>\nSure: 42.\n<|end|>\n")
+    assert(out(0).getLong(2) === 3L)
+    assert(out(1).getString(1) ===
+      "<|assistant|>\nHi\n<|end|>\n<|user|>\nWho?\n<|end|>\n<|assistant|>\nMe\n<|end|>\n")
+  }
+
+  test("assistantSpans: substring of the render recovers the content exactly") {
+    val rendered = Sft.renderConversations(turns, "conv_id", "turn_idx", "role", "content")
+    val spans = Sft.assistantSpans(turns, "conv_id", "turn_idx", "role", "content")
+    val joined = spans.join(rendered, Seq("conv_id"))
+      .select($"conv_id", $"turn_idx", $"start", $"end",
+        expr("substring(rendered, cast(start as int) + 1, cast(end - start as int))").as("got"))
+      .orderBy("conv_id", "turn_idx").collect()
+    // conv 0: one assistant turn; conv 1: two (one at turn 0 — null prefix)
+    assert(joined.map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSeq ===
+      Seq((0L, 2, "Sure: 42."), (1L, 0, "Hi"), (1L, 2, "Me")))
+    // the turn-0 assistant starts right after its template prefix
+    val first = joined.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
+    assert(first.getLong(2) === "<|assistant|>\n".length.toLong)
+  }
+
+  test("preferencePairs: argmax/argmin, deterministic ties, zero-margin dropped") {
+    val d = Seq(
+      // prompt 0: clear winner/loser
+      (0L, 0, "a", 5), (0L, 1, "b", 9), (0L, 2, "c", 1),
+      // prompt 1: max-score tie (ids 1,2) -> chosen is LOWEST id;
+      // min-score tie (ids 0,3) -> rejected is LOWEST id
+      (1L, 0, "p", 2), (1L, 1, "q", 7), (1L, 2, "r", 7), (1L, 3, "s", 2),
+      // prompt 2: all equal -> margin 0 -> dropped
+      (2L, 0, "x", 4), (2L, 1, "y", 4)
+    ).toDF("prompt_id", "resp_id", "response", "score")
+    val out = Sft.preferencePairs(d, "prompt_id", "resp_id", "response", "score")
+      .orderBy("prompt_id").collect()
+    assert(out.length === 2)
+    assert(out(0).toSeq === Seq(0L, 1, "b", 9, 2, "c", 1, 8))
+    assert(out(1).toSeq === Seq(1L, 1, "q", 7, 0, "p", 2, 5))
+  }
+
+  test("curriculumIndex: a contiguous permutation matching the global order") {
+    val n = 500
+    val d = spark.range(n).toDF("id")
+      .withColumn("diff", pmod(col("id") * 13L, lit(40L)))
+    val bucket = expr("diff div 10") // 4 buckets
+    val key = pmod(col("id") * 48271L, lit(104729L))
+    val out = Sft.curriculumIndex(d, "id", bucket, key, salts = 3)
+      .select("id", "bucket", "train_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation of 0..n-1
+    assert(out.map(_._3).sorted.toSeq === (0L until n).toSeq)
+    // matches the single global sort by (bucket, salt, key, id)
+    val expected = out.map { case (id, b, _) =>
+      val k = (id * 48271L) % 104729L
+      (b, k % 3, k, id)
+    }.sorted.map(_._4).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    for ((id, _, idx) <- out) assert(idx === expected(id), s"id $id")
+  }
+
+  test("curriculumIndex: single bucket, salts wider than data") {
+    val d = spark.range(5).toDF("id")
+    val out = Sft.curriculumIndex(d, "id", lit(0L), col("id"), salts = 64)
+      .select("id", "train_idx").as[(Long, Long)].collect().sorted
+    // key = id, salt = id%64 = id -> global order (0, id, id, id) = id order
+    assert(out.toSeq === (0L until 5).map(i => (i, i)))
+  }
+}
