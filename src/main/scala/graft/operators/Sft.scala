@@ -128,6 +128,39 @@ object Sft {
       .where(col("margin") > 0)
   }
 
+  /** Leak-free train/val/test split: every member of a duplicate
+    * cluster lands on the SAME side of the split, so near-identical
+    * text can never sit in both train and eval (the cross-split
+    * contamination C4/Pile-style dedup exists to prevent — splitting
+    * BEFORE dedup leaks; this splits BY cluster).
+    *
+    * `clusterKey` is any duplicate-cluster key expression — an exact
+    * fingerprint ([[TextAnalysis.fingerprint]]), a MinHash component
+    * representative from [[Dedup]], a canonical URL. The cluster's
+    * representative is its MINIMUM id (deterministic), and the split is
+    * a pure function of the representative: `(rep * 48271) mod 100` <
+    * testPct → test, < testPct+valPct → val, else train — so adding or
+    * removing cluster MEMBERS never moves the cluster.
+    *
+    * Output: input columns + `rep` (bigint) + `split` (string).
+    *
+    * Scale shape: one window (partition by cluster key, min over the
+    * whole frame — no ORDER BY, no sort) = one keyed shuffle; the split
+    * itself is a narrow projection. */
+  def leakFreeSplit(df: DataFrame, idCol: String, clusterKey: Column,
+                    valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "val/test percentages must be non-negative and sum to <= 100")
+    val w = Window.partitionBy(clusterKey)
+    val rep = min(col(idCol).cast("long")).over(w)
+    val b = pmod(rep * 48271L, lit(100L))
+    df.withColumn("rep", rep)
+      .withColumn("split",
+        when(b < testPct, "test")
+          .when(b < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
   /** Contiguous global training index WITHOUT a single-partition global
     * sort — curriculum ordering at cluster scale.
     *

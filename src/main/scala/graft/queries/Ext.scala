@@ -3487,6 +3487,39 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Leak-free split: exact-duplicate clusters (normalized-text
+    * fingerprint) are assigned to train/val/test as UNITS — the split is
+    * a pure function of the cluster's min-doc_id representative, so no
+    * near-copy can straddle the train/eval boundary. The twin recomputes
+    * fingerprint, representative, and split arithmetic; the per-row hash
+    * gates the whole cluster->split function. One keyed shuffle (window
+    * min, no sort); see [[graft.operators.Sft.leakFreeSplit]]. */
+  def sftSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    graft.operators.Sft.leakFreeSplit(d, "doc_id", col("fp"))
+      .select(col("doc_id"), col("fp"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end SFT set assembly — the round's stages COMPOSED: turns ->
+    * chat-template render -> rendered-length floor -> curriculum index
+    * over (length band, deterministic shuffle). The twin chains the
+    * proven render and curriculum twins, so the hash gates the whole
+    * composition including the filter boundary. Shapes: one groupBy
+    * (render), a narrow filter, the bounded-metadata offsets pass, one
+    * per-cell window. */
+  def pipelineSft(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.operators.Sft.renderConversations(
+      sftTurns(s, dir), "conv_id", "turn_idx", "role", "content")
+    val kept = r.where(length(col("rendered")) >= 750)
+    val bucket = least(lit(5L), expr("length(rendered) div 200")).cast("long")
+    val key = pmod(col("conv_id") * 48271L, lit(2147483647L))
+    graft.operators.Sft.curriculumIndex(kept, "conv_id", bucket, key, salts = 4)
+      .select(col("conv_id"), col("n_turns"), col("bucket"), col("train_idx"))
+      .orderBy(col("conv_id"))
+  }
+
   /** k-anonymity + l-diversity annotation over customer quasi-identifiers
     * (nation, market segment), sensitive attribute = account-balance
     * band: every row carries its equivalence-class size, distinct
@@ -3505,6 +3538,8 @@ object Ext {
     "sft_loss_mask" -> sftLossMask,
     "sft_pref_pairs" -> sftPrefPairs,
     "sft_curriculum" -> sftCurriculum,
+    "sft_split_leakfree" -> sftSplitLeakfree,
+    "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
     "graph_trustrank" -> graphTrustrank,
     "graph_triangles" -> graphTriangles,
@@ -3938,6 +3973,42 @@ object Ext {
         |SELECT doc_id, bucket,
         |  CAST(row_number() OVER (ORDER BY bucket, key % 4, key, doc_id) - 1 AS BIGINT) AS train_idx
         |FROM d ORDER BY doc_id""".stripMargin,
+    // leak-free split: fingerprint clusters -> min-id representative ->
+    // pure-function split; the twin recomputes all three stages so the
+    // per-row hash gates cluster atomicity across the train/eval boundary
+    "sft_split_leakfree" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |r AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep FROM f)
+        |SELECT doc_id, fp, rep,
+        |  CASE WHEN (rep * 48271) % 100 < 10 THEN 'test'
+        |       WHEN (rep * 48271) % 100 < 20 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // SFT assembly composed end to end: the render twin chained into a
+    // length floor and the curriculum twin's global row_number — the
+    // hash gates the whole composition including the filter boundary
+    "pipeline_sft" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents),
+        |g AS (SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+        |  count(*) AS n_turns
+        |  FROM t GROUP BY conv_id),
+        |k AS (SELECT conv_id, n_turns, length(rendered) AS rl FROM g
+        |  WHERE length(rendered) >= 750),
+        |d AS (SELECT conv_id, n_turns,
+        |  CAST(LEAST(5, rl // 200) AS BIGINT) AS bucket,
+        |  (conv_id * 48271) % 2147483647 AS key FROM k)
+        |SELECT conv_id, n_turns, bucket,
+        |  CAST(row_number() OVER (ORDER BY bucket, key % 4, key, conv_id) - 1 AS BIGINT) AS train_idx
+        |FROM d ORDER BY conv_id""".stripMargin,
     // k-anonymity / l-diversity: equivalence classes on (nation,
     // segment), sensitive = acctbal/1000 band — class sizes, distinct
     // sensitive counts, and both gates hash-compared per row

@@ -80,6 +80,37 @@ class SftSpec extends SparkSpec {
     for ((id, _, idx) <- out) assert(idx === expected(id), s"id $id")
   }
 
+  test("leakFreeSplit: clusters move as units, split is rep-deterministic") {
+    val d = Seq(
+      (0L, "aaa"), (1L, "bbb"), (2L, "aaa"),   // cluster {0,2} rep 0
+      (3L, "ccc"), (4L, "bbb"), (5L, "bbb")    // cluster {1,4,5} rep 1
+    ).toDF("id", "key")
+    val out = Sft.leakFreeSplit(d, "id", col("key"), valPct = 30, testPct = 30)
+      .select("id", "rep", "split").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // same key -> same rep -> same split (cluster atomicity)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._3 === byId(2L)._3 && byId(0L)._2 === 0L)
+    assert(byId(1L)._3 === byId(4L)._3 && byId(4L)._3 === byId(5L)._3)
+    assert(byId(1L)._2 === 1L && byId(4L)._2 === 1L)
+    // split is the documented pure function of rep
+    def expected(rep: Long): String = {
+      val b = (rep * 48271L) % 100L
+      if (b < 30) "test" else if (b < 60) "val" else "train"
+    }
+    for ((_, rep, split) <- out) assert(split === expected(rep))
+  }
+
+  test("leakFreeSplit: fractions roughly honored over many singleton clusters") {
+    val d = spark.range(1000).toDF("id").withColumn("key", col("id"))
+    val counts = Sft.leakFreeSplit(d, "id", col("key"), valPct = 10, testPct = 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+  }
+
   test("curriculumIndex: single bucket, salts wider than data") {
     val d = spark.range(5).toDF("id")
     val out = Sft.curriculumIndex(d, "id", lit(0L), col("id"), salts = 64)
