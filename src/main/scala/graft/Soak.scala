@@ -153,7 +153,40 @@ object Soak {
             k = 16, iters = 2)
           graft.operators.Sample.clusterBalanced(
             embs, "vec_id", "embedding", model, capPerCell = 200).count()
-        }))
+        }),
+        // SFT family (round 14): every shape is one keyed shuffle over
+        // BOUNDED groups (6-turn conversations, 5-response prompts,
+        // 8x64 curriculum cells, fingerprint clusters) — the exponents
+        // must stay ~1.0 across both decades because nothing
+        // corpus-sized ever concentrates
+        "sft_render" -> (() => {
+          val m6 = pmod(col("doc_id"), lit(6))
+          val turns = docs.select(
+            expr("doc_id div 6").cast("long").as("conv_id"),
+            m6.cast("int").as("turn_idx"),
+            when(m6 === 0, "system").when(m6 === 2 || m6 === 4, "assistant")
+              .otherwise("user").as("role"),
+            substring(col("text"), 1, 120).as("content"))
+          graft.operators.Sft.renderConversations(
+            turns, "conv_id", "turn_idx", "role", "content").count()
+        }),
+        "sft_curriculum" -> (() =>
+          graft.operators.Sft.curriculumIndex(docs, "doc_id",
+            least(lit(7L), expr("n_chars div 100")).cast("long"),
+            pmod(col("doc_id") * 48271L, lit(2147483647L)), salts = 64)
+            .count()),
+        "sft_split" -> (() =>
+          graft.operators.Sft.leakFreeSplit(
+            docs.withColumn("fp",
+              graft.operators.TextAnalysis.fingerprint(col("text"))),
+            "doc_id", col("fp")).count()),
+        "sft_pref_pairs" -> (() =>
+          graft.operators.Sft.preferencePairs(
+            docs.select(expr("doc_id div 5").cast("long").as("p"),
+              pmod(col("doc_id"), lit(5)).cast("int").as("i"),
+              substring(col("text"), 1, 60).as("r"),
+              pmod(col("doc_id") * 48271L, lit(997L)).cast("int").as("s")),
+            "p", "i", "r", "s").count()))
       val once = Seq(
         "sim_ivfpq" -> (() => {
           val model = graft.operators.Ivf.trainPq(embs, "vec_id", "embedding",

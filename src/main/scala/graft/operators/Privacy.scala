@@ -51,4 +51,77 @@ object Privacy {
     annotate(df, quasiCols, sensitive, k, l)
       .where(col("k_ok") && col("l_ok"))
       .drop("grp_n", "distinct_sens", "k_ok", "l_ok")
+
+  /** Generalization ladder: widen the numeric quasi-identifier's band
+    * until EVERY equivalence class reaches size k (the
+    * generalize-then-suppress order of the k-anonymity literature —
+    * suppressing at a too-fine width throws away rows a coarser band
+    * would have kept). `widths` is ascending and each must be a
+    * multiple of the FIRST: the corpus is aggregated ONCE at the finest
+    * width, and every coarser width's class sizes derive from that
+    * bounded group table (`floor(x/w) == floor(floor(x/w0)*w0/w)` when
+    * w0 | w), so the ladder costs one corpus shuffle + L bounded-table
+    * aggregates + one annotate join — NOT L corpus passes. The chosen
+    * width is the smallest that satisfies k everywhere (the widest if
+    * none does — caller then suppresses via `k_ok`).
+    *
+    * Output: input columns + `gen_width` + `bucket` + `grp_n` + `k_ok`.
+    * Deterministic: the choice is a pure function of the data. */
+  def generalizeUntilK(df: DataFrame, catCols: Seq[String], num: Column,
+                       widths: Seq[Long], k: Int): DataFrame = {
+    require(widths.nonEmpty && widths == widths.sorted &&
+      widths.distinct == widths, "widths must be ascending and distinct")
+    val w0 = widths.head
+    require(w0 > 0 && widths.forall(_ % w0 == 0),
+      "each width must be a positive multiple of the first")
+    val b0 = floor(num / w0.toDouble).cast("long")
+    val g0 = df.groupBy((catCols.map(col) :+ b0.as("_b0")): _*)
+      .agg(count(lit(1)).as("n")).persist()
+    def atWidth(w: Long) = g0.groupBy((catCols.map(col) :+
+        floor(col("_b0").cast("double") / (w / w0)).cast("long").as("bucket")): _*)
+      .agg(sum(col("n")).as("grp_n"))
+    // smallest width whose WORST class reaches k — L tiny aggregates on
+    // the persisted group table (bounded by quasi cardinality)
+    val chosen = widths.find(w =>
+      atWidth(w).agg(min(col("grp_n"))).collect()(0).getLong(0) >= k)
+      .getOrElse(widths.last)
+    val gw = atWidth(chosen)
+    g0.unpersist(false)
+    df.withColumn("bucket", floor(num / chosen.toDouble).cast("long"))
+      .join(gw, catCols :+ "bucket")
+      .withColumn("gen_width", lit(chosen))
+      .withColumn("k_ok", col("grp_n") >= k)
+  }
+
+  /** Differentially-private histogram release: per-group counts with
+    * Laplace(1/eps) noise (sensitivity 1 for disjoint groups — the
+    * textbook counting-query mechanism, Dwork 2006). The noise draw is
+    * the engine-reproducible md5-fraction `u` (the same draw every
+    * sampler in [[Sample]] uses) pushed through the Laplace inverse
+    * CDF: `-(1/eps) * sign(u-1/2) * ln(1 - 2|u-1/2|)`. A DETERMINISTIC
+    * draw is NOT private — it exists so tests and the DuckDB twin can
+    * hash-compare the mechanism's arithmetic; a production release
+    * swaps `salt` for secure randomness (one expression), everything
+    * else unchanged. `keepTrueCount` retains the raw count for
+    * validation ONLY — never in a release.
+    *
+    * One keyed aggregate (map-side combine) + a narrow noise
+    * projection; the group table is bounded by group-key cardinality. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+                    salt: String = "", keepTrueCount: Boolean = false): DataFrame = {
+    require(eps > 0, "eps must be > 0")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val key = concat_ws("|", (lit(salt) +: groupCols.map(c =>
+      col(c).cast("string"))): _*)
+    val u = conv(substring(md5(key), 1, 8), 16, 10).cast("double") / 4294967296.0
+    // clamp the log argument away from 0: u = 0 (one in 2^32 keys)
+    // would otherwise release an infinite count
+    val arg = greatest(lit(1.0) - lit(2.0) * abs(u - 0.5), lit(1.0 / 4294967296.0))
+    val lap = lit(-1.0 / eps) * signum(u - 0.5) * log(arg)
+    val out = counts.withColumn("noisy_n", round(col("_n") + lap, 4))
+    if (keepTrueCount) out.withColumnRenamed("_n", "n")
+    else out.drop("_n")
+  }
 }

@@ -3533,7 +3533,40 @@ object Ext {
         col("k_ok"), col("l_ok"))
       .orderBy(col("c_custkey"))
 
+  /** Generalization ladder: widen the acctbal band (500 -> 4000) until
+    * every (segment, band) class reaches k=10, fall back to the widest
+    * when none suffices. The three SFs exercise all paths: sf0.001 hits
+    * the fallback (sparse tails keep min class = 1 at every width),
+    * sf0.01 settles mid-ladder, sf0.1 already passes at the finest. The
+    * twin recomputes the whole choice, so width selection — not just
+    * the chosen width's counts — is hash-gated. One corpus shuffle + L
+    * bounded-table aggregates; see
+    * [[graft.operators.Privacy.generalizeUntilK]]. */
+  def privGeneralize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.generalizeUntilK(Tables.customer(s, dir),
+        Seq("c_mktsegment"), col("c_acctbal"),
+        widths = Seq(500L, 1000L, 2000L, 4000L), k = 10)
+      .select(col("c_custkey"), col("gen_width"), col("bucket"),
+        col("grp_n"), col("k_ok"))
+      .orderBy(col("c_custkey"))
+
+  /** DP noisy histogram: per-(nation, segment) counts + Laplace(1/eps)
+    * noise through the md5-fraction inverse CDF — deterministic BY
+    * DESIGN here so the mechanism's arithmetic is engine-reproducible
+    * and hash-gated (a production release swaps the draw for secure
+    * randomness; see the operator scaladoc). True counts retained via
+    * keepTrueCount for exactly this validation. One keyed aggregate +
+    * narrow noise projection; see
+    * [[graft.operators.Privacy.dpNoisyCounts]]. */
+  def privDpNoise(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpNoisyCounts(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), eps = 0.5, salt = "dp14",
+        keepTrueCount = true)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_generalize" -> privGeneralize,
+    "priv_dp_noise" -> privDpNoise,
     "sft_render_chat" -> sftRenderChat,
     "sft_loss_mask" -> sftLossMask,
     "sft_pref_pairs" -> sftPrefPairs,
@@ -3973,6 +4006,38 @@ object Ext {
         |SELECT doc_id, bucket,
         |  CAST(row_number() OVER (ORDER BY bucket, key % 4, key, doc_id) - 1 AS BIGINT) AS train_idx
         |FROM d ORDER BY doc_id""".stripMargin,
+    // generalization ladder: the twin recomputes class sizes at EVERY
+    // width, picks the smallest satisfying k (fallback widest), and
+    // re-derives the chosen width's annotation — width choice itself is
+    // hash-gated, not just the final counts
+    "priv_generalize" ->
+      """WITH w AS (SELECT unnest([500, 1000, 2000, 4000]) AS width),
+        |b AS (SELECT c_custkey, c_mktsegment, c_acctbal, width,
+        |  floor(c_acctbal / width) AS bucket FROM customer CROSS JOIN w),
+        |g AS (SELECT c_mktsegment, width, bucket, count(*) AS grp_n
+        |  FROM b GROUP BY 1, 2, 3),
+        |m AS (SELECT width, min(grp_n) AS mn FROM g GROUP BY 1),
+        |pick AS (SELECT COALESCE(min(width) FILTER (WHERE mn >= 10), 4000) AS width FROM m)
+        |SELECT c.c_custkey, CAST(p.width AS BIGINT) AS gen_width,
+        |  CAST(floor(c.c_acctbal / p.width) AS BIGINT) AS bucket,
+        |  g.grp_n, g.grp_n >= 10 AS k_ok
+        |FROM customer c CROSS JOIN pick p
+        |JOIN g ON g.width = p.width AND g.c_mktsegment = c.c_mktsegment
+        |  AND g.bucket = floor(c.c_acctbal / p.width)
+        |ORDER BY c.c_custkey""".stripMargin,
+    // DP noisy counts: the twin replays the md5-fraction draw and the
+    // Laplace inverse CDF bit for bit (round(,4) absorbs libm ulp
+    // differences); the clamp keeps a u=0 draw finite on both sides
+    "priv_dp_noise" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (SELECT *,
+        |  CAST(('0x' || substring(md5('dp14|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(n + (-1.0 / 0.5) * sign(u - 0.5) *
+        |    ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1.0 / 4294967296.0)), 4) AS noisy_n
+        |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // leak-free split: fingerprint clusters -> min-id representative ->
     // pure-function split; the twin recomputes all three stages so the
     // per-row hash gates cluster atomicity across the train/eval boundary

@@ -36,6 +36,62 @@ class PrivacySpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("generalizeUntilK: picks the smallest passing width") {
+    // ids 0..19 with value = id*10 (0..190), one category: width 100
+    // gives classes {0..9}=10 and {10..19}=10 -> k=10 passes at 100;
+    // width 50 gives classes of 5 -> fails
+    val d = spark.range(20).toDF("id")
+      .withColumn("cat", lit("a")).withColumn("v", col("id") * 10.0)
+    val out = graft.operators.Privacy.generalizeUntilK(
+      d, Seq("cat"), col("v"), widths = Seq(50L, 100L, 200L), k = 10)
+    val rows = out.select("id", "gen_width", "bucket", "grp_n", "k_ok")
+      .orderBy("id").collect()
+    assert(rows.forall(_.getLong(1) === 100L))
+    assert(rows.forall(_.getBoolean(4)))
+    assert(rows.map(_.getLong(2)).toSet === Set(0L, 1L))
+    assert(rows.forall(_.getLong(3) === 10L))
+  }
+
+  test("generalizeUntilK: falls back to the widest width when none passes") {
+    val d = spark.range(4).toDF("id")
+      .withColumn("cat", lit("a")).withColumn("v", col("id") * 100.0)
+    val out = graft.operators.Privacy.generalizeUntilK(
+        d, Seq("cat"), col("v"), widths = Seq(100L, 200L), k = 10)
+      .select("gen_width", "k_ok").collect()
+    assert(out.forall(_.getLong(0) === 200L))
+    assert(out.forall(!_.getBoolean(1)))
+  }
+
+  test("generalizeUntilK: negative values bucket by floor on every ladder rung") {
+    val d = Seq(("a", -150.0), ("a", -50.0), ("a", 50.0)).toDF("cat", "v")
+    val out = graft.operators.Privacy.generalizeUntilK(
+        d, Seq("cat"), col("v"), widths = Seq(100L, 200L), k = 1)
+      .select("v", "bucket").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // k=1 passes at the finest width 100: floor(-150/100) = -2
+    assert(out === Map(-150.0 -> -2L, -50.0 -> -1L, 50.0 -> 0L))
+  }
+
+  test("dpNoisyCounts: deterministic, bounded noise, true count optional") {
+    val d = Seq(("x", 1), ("x", 2), ("x", 3), ("y", 1)).toDF("g", "i")
+    val a = graft.operators.Privacy.dpNoisyCounts(d, Seq("g"), eps = 0.5,
+      salt = "s", keepTrueCount = true).orderBy("g").collect()
+    val b = graft.operators.Privacy.dpNoisyCounts(d, Seq("g"), eps = 0.5,
+      salt = "s", keepTrueCount = true).orderBy("g").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "same salt -> same release")
+    assert(a.map(_.getString(0)).toSeq === Seq("x", "y"))
+    assert(a(0).getLong(1) === 3L && a(1).getLong(1) === 1L)
+    // noise is finite and centered-ish: |noisy - n| plausible for b=2
+    for (r <- a) assert(math.abs(r.getDouble(2) - r.getLong(1)) < 50.0)
+    // a different salt moves the release
+    val c = graft.operators.Privacy.dpNoisyCounts(d, Seq("g"), eps = 0.5,
+      salt = "t", keepTrueCount = true).orderBy("g").collect()
+    assert(c.map(_.getDouble(2)).toSeq !== a.map(_.getDouble(2)).toSeq)
+    // release form drops the true count
+    val rel = graft.operators.Privacy.dpNoisyCounts(d, Seq("g"), eps = 0.5, salt = "s")
+    assert(rel.columns.toSeq === Seq("g", "noisy_n"))
+  }
+
   test("annotate: l gate is independent of k gate") {
     // k=2 passes both classes; l=2 still fails the homogeneous one
     val out = Privacy.annotate(d, Seq("region", "tier"),
