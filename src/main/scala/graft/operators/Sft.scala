@@ -38,6 +38,11 @@ object Sft {
         lit(prefixOpen.length + prefixClose.length + suffix.length)
     def segment(role: Column, content: Column): Column =
       concat(lit(prefixOpen), role, lit(prefixClose), content, lit(suffix))
+    /** Driver/executor-side render of one turn — the STRING twin of
+      * [[segment]], shared with the streaming assembler so batch and
+      * stream renders can never drift. */
+    def segmentStr(role: String, content: String): String =
+      prefixOpen + role + prefixClose + content + suffix
   }
 
   /** Render (convId, turnIdx, role, content) rows into one training

@@ -408,6 +408,80 @@ object EventStreams {
       }
   }
 
+  // ---- streaming SFT assembly: conversation gap-close ------------------
+
+  final case class Turn(conv_id: Long, turn_idx: Int, role: String,
+                        content: String, ts: Timestamp)
+  final case class ConvState(turns: Map[Int, (Long, String, String)], lastTs: Long)
+  final case class ConvOut(conv_id: Long, rendered: String, n_turns: Int)
+
+  /** Streaming twin of [[graft.operators.Sft.renderConversations]]:
+    * turns arrive as events (possibly out of order, possibly replayed),
+    * and a conversation is rendered and emitted once it has been QUIET
+    * for `gapMs` of event time (the live-chat close condition — there is
+    * no in-band "conversation done" marker, exactly like sessionization).
+    *
+    * Semantics pinned by the spec: turns render in `turn_idx` order
+    * regardless of arrival order; when a turn_idx arrives more than once
+    * (at-least-once transports dup, buggy producers rewrite), the copy
+    * with the EARLIEST (ts, role, content) wins — a commutative rule, so
+    * the result is independent of both arrival order and micro-batch
+    * boundaries (within a batch the rows iterator is unordered; "first
+    * arrival wins" would be nondeterministic); the render string is
+    * produced by the template's [[graft.operators.Sft.ChatTemplate
+    * .segmentStr]], the same constants the batch operator concatenates —
+    * batch and stream output are asserted EQUAL on the same turns.
+    *
+    * State: O(live conversations × chat depth) — `maxTurns` caps a
+    * runaway key (extra turns beyond the cap are dropped, counted
+    * nowhere: a million-turn "conversation" is an attack, not data).
+    * Event-time timeout against the watermark bounds state lifetime. */
+  def conversationAssemblyStream(turns: Dataset[Turn], gapMs: Long,
+                                 watermark: String = "2 hours",
+                                 template: graft.operators.Sft.ChatTemplate =
+                                   graft.operators.Sft.ChatTemplate(),
+                                 maxTurns: Int = 1024): Dataset[ConvOut] = {
+    import turns.sparkSession.implicits._
+    require(gapMs > 0 && maxTurns > 0, "gapMs and maxTurns must be positive")
+    turns
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (convId: Long, rows: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ordered = s.turns.toSeq.sortBy(_._1)
+            val rendered = ordered.map { case (_, (_, r, c)) =>
+              template.segmentStr(r, c)
+            }.mkString
+            Iterator.single(ConvOut(convId, rendered, ordered.size))
+          } else {
+            val s0 = state.getOption.getOrElse(ConvState(Map.empty, 0L))
+            var m = s0.turns
+            var last = s0.lastTs
+            rows.foreach { t =>
+              val cand = (t.ts.getTime, t.role, t.content)
+              m.get(t.turn_idx) match {
+                // earliest (ts, role, content) wins — commutative, so
+                // arrival order and batch boundaries cannot change it
+                case Some(prev) =>
+                  if (Ordering[(Long, String, String)].lt(cand, prev))
+                    m += t.turn_idx -> cand
+                case None if m.size < maxTurns =>
+                  m += t.turn_idx -> cand
+                case None => () // capped: a runaway key stops growing state
+              }
+              last = math.max(last, t.ts.getTime)
+            }
+            state.update(ConvState(m, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- arbitrary state v2: transformWithState -------------------------
 
   final case class KeyedDoc(key: String, id: Long)

@@ -105,6 +105,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversationAssemblyStream: out-of-order turns across batches render like batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.{ConvOut, Turn}
+    val input = MemoryStream[Turn]
+    val q = EventStreams.conversationAssemblyStream(
+        input.toDS(), gapMs = 30 * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("conv").outputMode("append").start()
+    try {
+      // conv 1 split ACROSS micro-batches, turns out of order; a replay
+      // of turn 1 with different content loses because its ts is later
+      // (earliest (ts, role, content) wins — arrival-order-independent)
+      input.addData(Turn(1L, 2, "assistant", "A2", ts(62)),
+        Turn(1L, 0, "system", "S0", ts(60)))
+      q.processAllAvailable()
+      // second batch must sit at/after the watermark (ts 62 now) — the
+      // replay shares a batch with the original, so iterator order is
+      // genuinely arbitrary and only the (ts,...) rule can decide
+      input.addData(Turn(1L, 1, "user", "U1", ts(63)),
+        Turn(1L, 1, "user", "REPLAYED", ts(64)))
+      q.processAllAvailable()
+      // advance event time far past the gap => conv 1 times out and emits
+      input.addData(Turn(9L, 0, "user", "x", ts(1000)))
+      q.processAllAvailable()
+      input.addData(Turn(9L, 1, "user", "y", ts(2000)))
+      q.processAllAvailable()
+      val out = spark.table("conv").as[ConvOut].collect()
+      assert(out.length === 1)
+      assert(out.head.conv_id === 1L && out.head.n_turns === 3)
+      // EQUAL to the batch operator's render on the same turns
+      val batch = graft.operators.Sft.renderConversations(
+        Seq((1L, 0, "system", "S0"), (1L, 1, "user", "U1"),
+          (1L, 2, "assistant", "A2"))
+          .toDF("conv_id", "turn_idx", "role", "content"),
+        "conv_id", "turn_idx", "role", "content")
+        .select("rendered").as[String].head()
+      assert(out.head.rendered === batch)
+      assert(!out.head.rendered.contains("REPLAYED"))
+    } finally q.stop()
+  }
+
+  test("conversationAssemblyStream: maxTurns caps a runaway conversation") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.{ConvOut, Turn}
+    val input = MemoryStream[Turn]
+    val q = EventStreams.conversationAssemblyStream(
+        input.toDS(), gapMs = 60000L, watermark = "0 seconds", maxTurns = 3)
+      .writeStream.format("memory").queryName("convcap").outputMode("append").start()
+    try {
+      input.addData((0 until 10).map(i =>
+        Turn(5L, i, "user", s"c$i", ts(60))): _*)
+      q.processAllAvailable()
+      input.addData(Turn(6L, 0, "user", "z", ts(5000)))
+      q.processAllAvailable()
+      input.addData(Turn(6L, 1, "user", "z", ts(9000)))
+      q.processAllAvailable()
+      val out = spark.table("convcap").as[ConvOut].collect()
+      assert(out.length === 1 && out.head.n_turns === 3)
+    } finally q.stop()
+  }
+
   test("enrichStream enriches every micro-batch through the batch operator") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
