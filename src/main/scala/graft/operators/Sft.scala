@@ -133,6 +133,64 @@ object Sft {
       .where(col("margin") > 0)
   }
 
+  /** Shared pack-assignment core: each sample lands in the block where
+    * its START offset falls in the group's concatenated stream
+    * (`chunk = (cum - len) div cap` — the same start-offset contract as
+    * the txt_pack query: a sample crossing the boundary belongs to, and
+    * may overflow, its starting block; samples are never split). Adds
+    * `_len`, `_chunk`, `_off` (offset of the sample INSIDE its block =
+    * running length of its block-mates before it). Two windows on
+    * bounded keys: the caller's `groupCol` shards the cumsum (pick a
+    * shard key ≈ cluster cores, like txt_pack's per-lang partition), the
+    * second window refines by block. */
+  private def packAssign(df: DataFrame, idCol: String, textCol: String,
+                         groupCol: String, capChars: Long): DataFrame = {
+    require(capChars > 0, "capChars must be > 0")
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val len = length(col(textCol)).cast("long")
+    val start = sum(len).over(wCum) - len
+    val d = df.withColumn("_len", len)
+      .withColumn("_chunk", floor(start.cast("double") / capChars).cast("long"))
+    val wOff = Window.partitionBy(col(groupCol), col("_chunk"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("_off", coalesce(sum(col("_len")).over(wOff), lit(0L)))
+  }
+
+  /** Packed training blocks: concatenate samples (in id order) into
+    * blocks of ~`capChars` per `groupCol` shard. Output:
+    * `groupCol | chunk | block_text | n_docs`. */
+  def packBlocks(df: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, capChars: Long): DataFrame =
+    packAssign(df, idCol, textCol, groupCol, capChars)
+      .groupBy(col(groupCol), col("_chunk").as("chunk"))
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col(idCol).as("i"), col(textCol).as("t")))),
+          x => x.getField("t")), "").as("block_text"),
+        count(lit(1)).as("n_docs"))
+
+  /** Loss-mask SURVIVAL through packing: remap per-sample [start, end)
+    * spans (e.g. [[assistantSpans]] output) into the coordinates of the
+    * packed block the sample landed in — the step real pipelines get
+    * subtly wrong (a one-sample offset error poisons every loss mask in
+    * the block). Join [[packBlocks]] on (group, chunk) and
+    * `substring(block_text, block_start+1, …)` recovers the original
+    * span content exactly — which is how the oracle query checks it.
+    *
+    * Output: spans columns + `chunk` + `block_start` + `block_end`.
+    * Shapes: the two pack windows + one id-keyed join (spans to
+    * assignment) — nothing corpus-sized concentrates beyond the caller's
+    * shard choice. */
+  def packSpans(df: DataFrame, idCol: String, textCol: String,
+                groupCol: String, capChars: Long,
+                spans: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val assign = packAssign(df, idCol, textCol, groupCol, capChars)
+      .select(col(idCol), col(groupCol), col("_chunk").as("chunk"), col("_off"))
+    spans.join(assign, idCol)
+      .withColumn("block_start", col(startCol) + col("_off"))
+      .withColumn("block_end", col(endCol) + col("_off"))
+      .drop("_off")
+  }
+
   /** Leak-free train/val/test split: every member of a duplicate
     * cluster lands on the SAME side of the split, so near-identical
     * text can never sit in both train and eval (the cross-split

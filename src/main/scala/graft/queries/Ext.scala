@@ -3520,6 +3520,34 @@ object Ext {
       .orderBy(col("conv_id"))
   }
 
+  /** Loss-mask survival through sample packing: rendered conversations
+    * pack into ~2000-char blocks (4 shard groups), assistant spans remap
+    * into block coordinates, and the query EXTRACTS each remapped span
+    * from the physically packed block text — while the twin emits the
+    * turn content directly from the fixture. Packing order, block
+    * assignment, within-block offsets, and the span arithmetic all have
+    * to agree for any row to hash-match. See
+    * [[graft.operators.Sft.packSpans]]. */
+  def sftPackSpans(s: SparkSession, dir: String): DataFrame = {
+    val turns = sftTurns(s, dir)
+    val rendered = graft.operators.Sft.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val spans = graft.operators.Sft.assistantSpans(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val r = rendered.withColumn("grp", pmod(col("conv_id"), lit(4L)))
+    val remap = graft.operators.Sft.packSpans(
+      r, "conv_id", "rendered", "grp", 2000L, spans, "start", "end")
+    val blocks = graft.operators.Sft.packBlocks(
+      r, "conv_id", "rendered", "grp", 2000L)
+    remap.join(blocks.select(col("grp"), col("chunk"), col("block_text")),
+        Seq("grp", "chunk"))
+      .select(col("conv_id"), col("turn_idx"), col("grp"), col("chunk"),
+        col("block_start"), col("block_end"),
+        expr("substring(block_text, cast(block_start as int) + 1, " +
+          "cast(block_end - block_start as int))").as("span_text"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
   /** k-anonymity + l-diversity annotation over customer quasi-identifiers
     * (nation, market segment), sensitive attribute = account-balance
     * band: every row carries its equivalence-class size, distinct
@@ -3572,6 +3600,7 @@ object Ext {
     "sft_pref_pairs" -> sftPrefPairs,
     "sft_curriculum" -> sftCurriculum,
     "sft_split_leakfree" -> sftSplitLeakfree,
+    "sft_pack_spans" -> sftPackSpans,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
     "graph_trustrank" -> graphTrustrank,
@@ -4051,6 +4080,41 @@ object Ext {
         |       WHEN (rep * 48271) % 100 < 20 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+    // loss-mask survival through packing: the twin chains the render and
+    // span twins into the SAME start-offset pack assignment and emits
+    // span content from the fixture — the engine extracts it from the
+    // physically packed block, so pack order, block assignment, offsets,
+    // and span arithmetic must all agree per row
+    "sft_pack_spans" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents),
+        |g AS (SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
+        |  FROM t GROUP BY conv_id),
+        |a AS (SELECT conv_id, conv_id % 4 AS grp, length(rendered) AS len,
+        |  CAST(floor((sum(length(rendered)) OVER (PARTITION BY conv_id % 4 ORDER BY conv_id) - length(rendered)) / 2000.0) AS BIGINT) AS chunk
+        |  FROM g),
+        |o AS (SELECT conv_id, grp, chunk,
+        |  COALESCE(SUM(len) OVER (PARTITION BY grp, chunk ORDER BY conv_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM a),
+        |sp AS (SELECT conv_id, turn_idx, content,
+        |  COALESCE(SUM(length(role) + length(content) + 14) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + length(role) + 5 AS s0
+        |  FROM t QUALIFY role = 'assistant')
+        |SELECT sp.conv_id, sp.turn_idx, o.grp, o.chunk,
+        |  CAST(sp.s0 + o.off AS BIGINT) AS block_start,
+        |  CAST(sp.s0 + length(sp.content) + o.off AS BIGINT) AS block_end,
+        |  sp.content AS span_text
+        |FROM sp JOIN o USING (conv_id)
+        |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
     // SFT assembly composed end to end: the render twin chained into a
     // length floor and the curriculum twin's global row_number — the
     // hash gates the whole composition including the filter boundary

@@ -80,6 +80,28 @@ class SftSpec extends SparkSpec {
     for ((id, _, idx) <- out) assert(idx === expected(id), s"id $id")
   }
 
+  test("packBlocks/packSpans: start-offset assignment, offsets, span survival") {
+    // one group; cap 10: doc0 len 6 starts at 0 -> block 0; doc1 len 8
+    // starts at 6 -> block 0 (overflows it, never split); doc2 len 4
+    // starts at 14 -> block 1
+    val r = Seq((0L, "aaaaaa", "g"), (1L, "bbbbbbbb", "g"), (2L, "cccc", "g"))
+      .toDF("id", "text", "grp")
+    val blocks = Sft.packBlocks(r, "id", "text", "grp", 10L)
+      .orderBy("chunk").collect()
+    assert(blocks.map(b => (b.getLong(1), b.getString(2), b.getLong(3))).toSeq ===
+      Seq((0L, "aaaaaa" + "bbbbbbbb", 2L), (1L, "cccc", 1L)))
+    // spans: doc1's [2,5) must land at block offset 6 (after doc0)
+    val spans = Seq((0L, 1L, 3L), (1L, 2L, 5L), (2L, 0L, 4L))
+      .toDF("id", "start", "end")
+    val remap = Sft.packSpans(r, "id", "text", "grp", 10L, spans, "start", "end")
+      .select("id", "chunk", "block_start", "block_end").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(remap.toSeq === Seq((0L, 0L, 1L, 3L), (1L, 0L, 8L, 11L), (2L, 1L, 0L, 4L)))
+    // extraction from the packed block recovers the original span
+    val block0 = blocks(0).getString(2)
+    assert(block0.substring(8, 11) === "bbbbbbbb".substring(2, 5))
+  }
+
   test("leakFreeSplit: clusters move as units, split is rep-deterministic") {
     val d = Seq(
       (0L, "aaa"), (1L, "bbb"), (2L, "aaa"),   // cluster {0,2} rep 0
