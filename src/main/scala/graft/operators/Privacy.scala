@@ -37,9 +37,21 @@ object Privacy {
       .groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("grp_n"),
         count_distinct(col("_sens")).as("distinct_sens"))
-    df.join(g, quasiCols)
+    // NULL is a legal quasi value and forms its own equivalence class —
+    // a plain equi-join would silently DROP null-keyed rows (they'd be
+    // neither annotated nor counted as suppressed), so join null-safely
+    joinNullSafe(df, g, quasiCols)
       .withColumn("k_ok", col("grp_n") >= k)
       .withColumn("l_ok", col("distinct_sens") >= l)
+  }
+
+  /** Inner join on `keys` where NULL == NULL (`<=>`), keeping the left
+    * side's key columns — the USING-join shape with null-safe equality. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    val r = keys.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"_r_$c"))
+    val cond = keys.map(c => left(c) <=> r(s"_r_$c")).reduce(_ && _)
+    keys.foldLeft(left.join(r, cond))((d, c) => d.drop(s"_r_$c"))
   }
 
   /** Suppression release: only rows whose equivalence class satisfies
@@ -81,14 +93,22 @@ object Privacy {
         floor(col("_b0").cast("double") / (w / w0)).cast("long").as("bucket")): _*)
       .agg(sum(col("n")).as("grp_n"))
     // smallest width whose WORST class reaches k — L tiny aggregates on
-    // the persisted group table (bounded by quasi cardinality)
-    val chosen = widths.find(w =>
-      atWidth(w).agg(min(col("grp_n"))).collect()(0).getLong(0) >= k)
-      .getOrElse(widths.last)
-    val gw = atWidth(chosen)
+    // the persisted group table (bounded by quasi cardinality). An EMPTY
+    // input has no classes, so every width passes vacuously (min over
+    // nothing is a null row, not a zero).
+    def worst(w: Long): Long =
+      Option(atWidth(w).agg(min(col("grp_n"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
+    val chosen = widths.find(worst(_) >= k).getOrElse(widths.last)
+    // materialize the chosen width's BOUNDED group table off the cache
+    // BEFORE unpersisting: the returned plan is lazy, and letting it
+    // recompute g0 at action time would silently double the promised
+    // "one corpus shuffle"
+    val gw = atWidth(chosen).localCheckpoint()
     g0.unpersist(false)
-    df.withColumn("bucket", floor(num / chosen.toDouble).cast("long"))
-      .join(gw, catCols :+ "bucket")
+    joinNullSafe(
+      df.withColumn("bucket", floor(num / chosen.toDouble).cast("long")),
+      gw, catCols :+ "bucket")
       .withColumn("gen_width", lit(chosen))
       .withColumn("k_ok", col("grp_n") >= k)
   }
@@ -113,8 +133,14 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
-    val key = concat_ws("|", (lit(salt) +: groupCols.map(c =>
-      col(c).cast("string"))): _*)
+    // the key encodes each group value as md5(value) + a null flag:
+    // FIXED-length components cannot alias across positions (a '|'-join
+    // would collide ('x|y','z') with ('x','y|z') and hand two groups the
+    // same noise draw), and NULL is distinguished from every real value
+    // including '' — same arithmetic in the DuckDB twin
+    val key = concat((lit(salt) +: groupCols.map(c => concat(
+      md5(coalesce(col(c).cast("string"), lit(""))),
+      when(col(c).isNull, "0").otherwise("1")))): _*)
     val u = conv(substring(md5(key), 1, 8), 16, 10).cast("double") / 4294967296.0
     // clamp the log argument away from 0: u = 0 (one in 2^32 keys)
     // would otherwise release an infinite count

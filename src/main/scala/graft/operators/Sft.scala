@@ -89,7 +89,12 @@ object Sft {
                      roleCol: String, contentCol: String,
                      t: ChatTemplate = ChatTemplate(),
                      lossRole: String = "assistant"): DataFrame = {
-    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    // order by the SAME (idx, role, content) triple the render's
+    // sort_array uses: with a duplicated turn_idx (at-least-once
+    // ingestion) an idx-only sort would sum the duplicates in arbitrary
+    // partition order and the spans would drift off the rendered text
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(idxCol), col(roleCol), col(contentCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = coalesce(
       sum(t.segLen(col(roleCol), col(contentCol)).cast("long")).over(w), lit(0L))
@@ -216,7 +221,11 @@ object Sft {
       "val/test percentages must be non-negative and sum to <= 100")
     val w = Window.partitionBy(clusterKey)
     val rep = min(col(idCol).cast("long")).over(w)
-    val b = pmod(rep * 48271L, lit(100L))
+    // reduce mod 100 BEFORE the multiply: (rep mod 100)·48271 mod 100 ==
+    // rep·48271 mod 100, and the pre-reduced product cannot overflow a
+    // Long the way a raw 64-bit id (snowflake-scale) times 48271 silently
+    // would — the twin's BIGINT multiply would error where Spark wraps
+    val b = pmod(pmod(rep, lit(100L)) * 48271L, lit(100L))
     df.withColumn("rep", rep)
       .withColumn("split",
         when(b < testPct, "test")

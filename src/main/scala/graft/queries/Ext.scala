@@ -4061,7 +4061,9 @@ object Ext {
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |  FROM customer GROUP BY 1, 2),
         |u AS (SELECT *,
-        |  CAST(('0x' || substring(md5('dp14|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+        |  CAST(('0x' || substring(md5('dp14'
+        |    || md5(coalesce(CAST(c_nationkey AS VARCHAR), '')) || CASE WHEN c_nationkey IS NULL THEN '0' ELSE '1' END
+        |    || md5(coalesce(c_mktsegment, '')) || CASE WHEN c_mktsegment IS NULL THEN '0' ELSE '1' END), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
         |  FROM g)
         |SELECT c_nationkey, c_mktsegment, n,
         |  round(n + (-1.0 / 0.5) * sign(u - 0.5) *
@@ -4076,8 +4078,8 @@ object Ext {
         |  FROM documents),
         |r AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep FROM f)
         |SELECT doc_id, fp, rep,
-        |  CASE WHEN (rep * 48271) % 100 < 10 THEN 'test'
-        |       WHEN (rep * 48271) % 100 < 20 THEN 'val'
+        |  CASE WHEN ((rep % 100) * 48271) % 100 < 10 THEN 'test'
+        |       WHEN ((rep % 100) * 48271) % 100 < 20 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
     // loss-mask survival through packing: the twin chains the render and

@@ -433,8 +433,9 @@ object EventStreams {
     * batch and stream output are asserted EQUAL on the same turns.
     *
     * State: O(live conversations × chat depth) — `maxTurns` caps a
-    * runaway key (extra turns beyond the cap are dropped, counted
-    * nowhere: a million-turn "conversation" is an attack, not data).
+    * runaway key by keeping the LOWEST `maxTurns` turn_idx values (a
+    * deterministic set — replays and batch splits render identically;
+    * a million-turn "conversation" is an attack, not data).
     * Event-time timeout against the watermark bounds state lifetime. */
   def conversationAssemblyStream(turns: Dataset[Turn], gapMs: Long,
                                  watermark: String = "2 hours",
@@ -471,7 +472,16 @@ object EventStreams {
                     m += t.turn_idx -> cand
                 case None if m.size < maxTurns =>
                   m += t.turn_idx -> cand
-                case None => () // capped: a runaway key stops growing state
+                case None =>
+                  // capped: keep the LOWEST maxTurns turn_idx values —
+                  // a deterministic set, so an over-cap conversation
+                  // still renders identically across replays and batch
+                  // splits ("whoever arrived first" would not)
+                  val worst = m.keysIterator.max
+                  if (t.turn_idx < worst) {
+                    m -= worst
+                    m += t.turn_idx -> cand
+                  }
               }
               last = math.max(last, t.ts.getTime)
             }

@@ -153,8 +153,13 @@ class EventStreamsSpec extends SparkSpec {
         input.toDS(), gapMs = 60000L, watermark = "0 seconds", maxTurns = 3)
       .writeStream.format("memory").queryName("convcap").outputMode("append").start()
     try {
-      input.addData((0 until 10).map(i =>
+      // HIGH turn indexes arrive first, low ones later across a batch
+      // boundary: the cap must keep the LOWEST 3 regardless of arrival
+      input.addData((9 to 5 by -1).map(i =>
         Turn(5L, i, "user", s"c$i", ts(60))): _*)
+      q.processAllAvailable()
+      input.addData((4 to 0 by -1).map(i =>
+        Turn(5L, i, "user", s"c$i", ts(61))): _*)
       q.processAllAvailable()
       input.addData(Turn(6L, 0, "user", "z", ts(5000)))
       q.processAllAvailable()
@@ -162,6 +167,8 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val out = spark.table("convcap").as[ConvOut].collect()
       assert(out.length === 1 && out.head.n_turns === 3)
+      assert(out.head.rendered ===
+        "<|user|>\nc0\n<|end|>\n<|user|>\nc1\n<|end|>\n<|user|>\nc2\n<|end|>\n")
     } finally q.stop()
   }
 

@@ -92,6 +92,40 @@ class PrivacySpec extends SparkSpec {
     assert(rel.columns.toSeq === Seq("g", "noisy_n"))
   }
 
+  test("annotate: NULL quasi values form their own class and are never dropped") {
+    val d = Seq(
+      (1L, Some("e"), "a", 100.0), (2L, Some("e"), "a", 250.0),
+      (3L, None, "a", 300.0), (4L, None, "a", 410.0)
+    ).toDF("id", "region", "tier", "bal")
+    val out = graft.operators.Privacy.annotate(d, Seq("region", "tier"),
+        floor(col("bal") / 100).cast("long"), k = 2, l = 2)
+      .select("id", "grp_n", "k_ok").orderBy("id").collect()
+    assert(out.length === 4, "null-keyed rows must survive the annotate join")
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("generalizeUntilK: empty input yields empty output, not an NPE") {
+    val d = Seq.empty[(String, Double)].toDF("cat", "v")
+    val out = graft.operators.Privacy.generalizeUntilK(
+      d, Seq("cat"), col("v"), widths = Seq(100L, 200L), k = 5)
+    assert(out.count() === 0L)
+    assert(out.columns.contains("gen_width"))
+  }
+
+  test("dpNoisyCounts: delimiter-shaped values and NULL keys never collide") {
+    val d = Seq(
+      (Some("x|y"), Some("z")), (Some("x"), Some("y|z")),
+      (None, Some("n")), (Some(""), Some("n"))
+    ).toDF("a", "b")
+    val out = graft.operators.Privacy.dpNoisyCounts(d, Seq("a", "b"), eps = 1.0,
+      salt = "s", keepTrueCount = true).collect()
+    assert(out.length === 4)
+    val noises = out.map(r => r.getDouble(r.length - 1) - r.getLong(r.length - 2))
+    assert(noises.distinct.length === 4,
+      "every group (incl. null vs '' and pipe-shaped values) draws distinct noise")
+  }
+
   test("annotate: l gate is independent of k gate") {
     // k=2 passes both classes; l=2 still fails the homogeneous one
     val out = Privacy.annotate(d, Seq("region", "tier"),

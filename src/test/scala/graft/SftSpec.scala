@@ -123,6 +123,38 @@ class SftSpec extends SparkSpec {
     for ((_, rep, split) <- out) assert(split === expected(rep))
   }
 
+  test("leakFreeSplit: snowflake-scale ids don't overflow the split arithmetic") {
+    // raw id * 48271 would wrap a Long for ids ~2e14+; the pre-reduced
+    // form must equal the mathematical (rep * 48271) mod 100
+    val big = 4611686018427387900L // ~2^62
+    val d = Seq((big, "k1"), (big - 7L, "k2")).toDF("id", "key")
+    val out = Sft.leakFreeSplit(d, "id", col("key"), valPct = 10, testPct = 10)
+      .select("rep", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expected(rep: Long): String = {
+      val b = ((rep % 100L) * 48271L) % 100L
+      if (b < 10) "test" else if (b < 20) "val" else "train"
+    }
+    for ((rep, split) <- out) assert(split === expected(rep))
+  }
+
+  test("assistantSpans: duplicated turn_idx stays consistent with the render") {
+    // at-least-once ingestion can duplicate a turn_idx with different
+    // content; render sorts by (idx, role, content) and the spans window
+    // must order identically, or offsets drift off the rendered text
+    val turns = Seq(
+      (7L, 0, "user", "Q"),
+      (7L, 1, "assistant", "AAA"),
+      (7L, 1, "assistant", "B")  // duplicate idx, different content
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val rendered = Sft.renderConversations(turns, "conv_id", "turn_idx", "role", "content")
+    val spans = Sft.assistantSpans(turns, "conv_id", "turn_idx", "role", "content")
+    val got = spans.join(rendered, Seq("conv_id"))
+      .select(expr("substring(rendered, cast(start as int) + 1, cast(end - start as int))"))
+      .as[String].collect().sorted
+    assert(got.toSeq === Seq("AAA", "B"))
+  }
+
   test("leakFreeSplit: fractions roughly honored over many singleton clusters") {
     val d = spark.range(1000).toDF("id").withColumn("key", col("id"))
     val counts = Sft.leakFreeSplit(d, "id", col("key"), valPct = 10, testPct = 10)
