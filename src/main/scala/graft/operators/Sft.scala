@@ -138,6 +138,35 @@ object Sft {
       .where(col("margin") > 0)
   }
 
+  /** Interleaved multimodal assembly: turns that carry an image get a
+    * `<|image_k|>` placeholder APPENDED to their content, where `k` is
+    * the image's per-conversation ordinal (turn order) — the rendered
+    * string then interleaves text and image slots exactly the way
+    * published VLM chat formats do, and the (conversation, slot) →
+    * image-id sidecar tells the vision side what to splice where.
+    * Images stay opaque ids here (the multimodal decode plumbing lives
+    * in [[Multimodal]]); this operator owns only the TEXT-side contract:
+    * deterministic slot numbering and placeholder placement.
+    *
+    * Output: input columns with `contentCol` rewritten + `slot` (long,
+    * null for imageless turns). Sidecar = `.where(col("slot").isNotNull)
+    * .select(conv, slot, image)`. One window on the conversation key —
+    * the same keyed shuffle every other turn operator pays. */
+  def withImagePlaceholders(df: DataFrame, convCol: String, idxCol: String,
+                            contentCol: String, imageCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    // count of image-bearing turns up to AND including this one, minus
+    // one on image rows = this image's 0-based slot; running count is
+    // order-deterministic because idxCol orders the frame
+    val slot = (sum(when(col(imageCol).isNotNull, 1L).otherwise(0L)).over(w) - 1L)
+    df.withColumn("slot", when(col(imageCol).isNotNull, slot))
+      .withColumn(contentCol,
+        when(col(imageCol).isNotNull,
+          concat(col(contentCol), lit("<|image_"),
+            col("slot").cast("string"), lit("|>")))
+          .otherwise(col(contentCol)))
+  }
+
   /** Shared pack-assignment core: each sample lands in the block where
     * its START offset falls in the group's concatenated stream
     * (`chunk = (cum - len) div cap` — the same start-offset contract as

@@ -3548,6 +3548,68 @@ object Ext {
       .orderBy(col("conv_id"), col("turn_idx"))
   }
 
+  /** Interleaved multimodal SFT assembly: every third-turn user message
+    * carries an image (image_id = the doc id), the placeholder lands at
+    * the end of that turn's content inside the RENDERED conversation,
+    * and the sidecar row (conv, slot, image_id) records what the vision
+    * side splices there. The query computes the placeholder's rendered
+    * offset ARITHMETICALLY and extracts it from the render — the twin
+    * emits the expected `<|image_k|>` literal, so slot numbering,
+    * placement, and the render must all agree. See
+    * [[graft.operators.Sft.withImagePlaceholders]]. */
+  def sftMmInterleave(s: SparkSession, dir: String): DataFrame = {
+    val turns0 = sftTurns(s, dir)
+      .withColumn("image_id",
+        when(col("turn_idx") === 3, col("conv_id") * 6 + 3))
+    val turns = graft.operators.Sft.withImagePlaceholders(
+      turns0, "conv_id", "turn_idx", "content", "image_id")
+    val rendered = graft.operators.Sft.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "content")
+    // spans of ALL user turns (the image turn is role 'user'), then keep
+    // the image-bearing turn and point at the appended placeholder
+    val spans = graft.operators.Sft.assistantSpans(
+      turns, "conv_id", "turn_idx", "role", "content", lossRole = "user")
+    val side = turns.where(col("slot").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("slot"), col("image_id"))
+    side.join(spans, Seq("conv_id", "turn_idx"))
+      .join(rendered.select(col("conv_id"), col("rendered")), Seq("conv_id"))
+      .select(col("conv_id"), col("slot"), col("image_id"),
+        (col("end") - lit(11L)).as("ph_start"),
+        expr("substring(rendered, cast(end - 11 as int) + 1, 11)")
+          .as("placeholder"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** SFT data card — the assembled set's release summary per leak-free
+    * split: conversation and turn counts, mean rendered length, and the
+    * assistant-character fraction (the share of the corpus the loss
+    * actually trains on — THE number an SFT data card must report).
+    * Composes four proven stages (render -> spans -> fingerprint ->
+    * leak-free split) and aggregates; the twin sums assistant chars
+    * straight from the fixture while the engine sums its computed span
+    * widths, so the spans are proven again through the aggregate. */
+  def rptSftDatacard(s: SparkSession, dir: String): DataFrame = {
+    val turns = sftTurns(s, dir)
+    val rendered = graft.operators.Sft.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val spans = graft.operators.Sft.assistantSpans(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val asst = spans.groupBy(col("conv_id"))
+      .agg(sum(col("end") - col("start")).as("asst_chars"))
+    val withFp = rendered.withColumn("fp",
+      TextAnalysis.fingerprint(col("rendered")))
+    graft.operators.Sft.leakFreeSplit(withFp, "conv_id", col("fp"))
+      .join(asst, Seq("conv_id"), "left")
+      .na.fill(0L, Seq("asst_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("n_turns")).as("total_turns"),
+        round(avg(length(col("rendered"))), 4).as("avg_len"),
+        round(sum(col("asst_chars")).cast("double") /
+          sum(length(col("rendered"))).cast("double"), 6).as("asst_frac"))
+      .orderBy(col("split"))
+  }
+
   /** k-anonymity + l-diversity annotation over customer quasi-identifiers
     * (nation, market segment), sensitive attribute = account-balance
     * band: every row carries its equivalence-class size, distinct
@@ -3601,6 +3663,8 @@ object Ext {
     "sft_curriculum" -> sftCurriculum,
     "sft_split_leakfree" -> sftSplitLeakfree,
     "sft_pack_spans" -> sftPackSpans,
+    "sft_mm_interleave" -> sftMmInterleave,
+    "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
     "graph_trustrank" -> graphTrustrank,
@@ -4117,6 +4181,72 @@ object Ext {
         |  sp.content AS span_text
         |FROM sp JOIN o USING (conv_id)
         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+    // interleaved multimodal assembly: the twin rewrites the image turn's
+    // content with the same slot-numbered placeholder, reruns the span
+    // arithmetic over the REWRITTEN content, and emits the placeholder
+    // literal — the engine extracts it from the render at the computed
+    // offset, so slot numbering, placement, and render must all agree
+    "sft_mm_interleave" ->
+      """WITH t0 AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content,
+        |  CASE WHEN CAST(doc_id % 6 AS INTEGER) = 3
+        |       THEN CAST(doc_id // 6 AS BIGINT) * 6 + 3 END AS image_id
+        |  FROM documents),
+        |t1 AS (SELECT *,
+        |  SUM(CASE WHEN image_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS slot
+        |  FROM t0),
+        |t AS (SELECT conv_id, turn_idx, role,
+        |  CASE WHEN image_id IS NOT NULL
+        |       THEN content || '<|image_' || CAST(slot AS VARCHAR) || '|>'
+        |       ELSE content END AS content,
+        |  image_id, slot FROM t1),
+        |s AS (SELECT conv_id, turn_idx, image_id, slot, content,
+        |  COALESCE(SUM(length(role) + length(content) + 14) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + length(role) + 5 + length(content) AS e
+        |  FROM t)
+        |SELECT conv_id, CAST(slot AS BIGINT) AS slot, image_id,
+        |  CAST(e - 11 AS BIGINT) AS ph_start,
+        |  '<|image_' || CAST(slot AS VARCHAR) || '|>' AS placeholder
+        |FROM s WHERE image_id IS NOT NULL ORDER BY conv_id""".stripMargin,
+    // SFT data card: render + assistant-char + fingerprint + split twins
+    // chained into the release aggregate; the twin sums assistant chars
+    // from the FIXTURE while the engine sums its span widths
+    "rpt_sft_datacard" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents),
+        |g AS (SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+        |  count(*) AS n_turns
+        |  FROM t GROUP BY conv_id),
+        |sp AS (SELECT conv_id, SUM(length(content)) AS asst_chars
+        |  FROM t WHERE role = 'assistant' GROUP BY conv_id),
+        |f AS (SELECT conv_id, rendered, n_turns,
+        |  md5(trim(regexp_replace(regexp_replace(lower(rendered), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM g),
+        |r AS (SELECT *, min(conv_id) OVER (PARTITION BY fp) AS rep FROM f),
+        |s AS (SELECT *, CASE WHEN ((rep % 100) * 48271) % 100 < 10 THEN 'test'
+        |       WHEN ((rep % 100) * 48271) % 100 < 20 THEN 'val'
+        |       ELSE 'train' END AS split FROM r),
+        |j AS (SELECT s.split, s.n_turns, s.rendered,
+        |  COALESCE(sp.asst_chars, 0) AS asst_chars
+        |  FROM s LEFT JOIN sp USING (conv_id))
+        |SELECT split, count(*) AS n_convs,
+        |  CAST(sum(n_turns) AS BIGINT) AS total_turns,
+        |  round(avg(length(rendered)), 4) AS avg_len,
+        |  round(CAST(sum(asst_chars) AS DOUBLE) / CAST(sum(length(rendered)) AS DOUBLE), 6) AS asst_frac
+        |FROM j GROUP BY split ORDER BY split""".stripMargin,
     // SFT assembly composed end to end: the render twin chained into a
     // length floor and the curriculum twin's global row_number — the
     // hash gates the whole composition including the filter boundary
