@@ -186,7 +186,29 @@ object Soak {
               pmod(col("doc_id"), lit(5)).cast("int").as("i"),
               substring(col("text"), 1, 60).as("r"),
               pmod(col("doc_id") * 48271L, lit(997L)).cast("int").as("s")),
-            "p", "i", "r", "s").count()))
+            "p", "i", "r", "s").count()),
+        // pack windows shard on a 64-way group key (the caller-sized
+        // knob), so cells stay partition-sized at every decade
+        "sft_pack_spans" -> (() => {
+          val r = docs.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(64L)).as("grp"))
+          val spans = docs.select(col("doc_id"), lit(0L).as("start"),
+            least(length(col("text")).cast("long"), lit(40L)).as("end"))
+          graft.operators.Sft.packSpans(
+            r, "doc_id", "text", "grp", 8192L, spans, "start", "end").count()
+        }),
+        // privacy gates over the replicated corpus: quasi = (lang,
+        // source), sensitive = a length band — ONE keyed aggregate +
+        // the null-safe annotate join; the ladder adds L bounded-table
+        // re-aggregates on top. Group tables are bounded by quasi
+        // cardinality, so cost must track the corpus scan, exponent ~1
+        "priv_kanon" -> (() =>
+          graft.operators.Privacy.annotate(docs, Seq("lang", "source"),
+            expr("n_chars div 200"), k = 100, l = 5).count()),
+        "priv_generalize" -> (() =>
+          graft.operators.Privacy.generalizeUntilK(docs, Seq("lang"),
+            col("n_chars"), widths = Seq(50L, 100L, 200L, 400L), k = 1000)
+            .count()))
       val once = Seq(
         "sim_ivfpq" -> (() => {
           val model = graft.operators.Ivf.trainPq(embs, "vec_id", "embedding",
