@@ -3580,6 +3580,73 @@ object Ext {
       .orderBy(col("conv_id"))
   }
 
+  /** Bradley–Terry reward-model fit: 25 "models" produce the prompt
+    * responses (item = doc_id mod 25), every within-prompt score
+    * difference becomes a pairwise comparison, and 10 MM iterations
+    * (Hunter 2004) fit per-item strengths. The twin unrolls the SAME
+    * iteration in SQL (the pagerank-oracle pattern) — game table, win
+    * vector, regularized update, and the mean-1 renormalization are all
+    * hash-gated at 8 dp. Corpus reduces once to the bounded game table;
+    * iterations cost ∝ observed item pairs. See
+    * [[graft.operators.BradleyTerry.fit]]. */
+  def sftBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.documents(s, dir).select(
+      expr("doc_id div 5").cast("long").as("p"),
+      pmod(col("doc_id"), lit(5)).cast("int").as("slot"),
+      pmod(col("doc_id"), lit(25)).cast("long").as("item"),
+      pmod(col("doc_id") * 48271L, lit(997L)).cast("int").as("score"))
+    val a = r.select(col("p"), col("slot").as("s1"), col("item").as("i1"),
+      col("score").as("sc1"))
+    val b = r.select(col("p"), col("slot").as("s2"), col("item").as("i2"),
+      col("score").as("sc2"))
+    val comps = a.join(b, Seq("p"))
+      .where(col("s1") < col("s2") && col("sc1") =!= col("sc2"))
+      .select(
+        when(col("sc1") > col("sc2"), col("i1")).otherwise(col("i2")).as("winner"),
+        when(col("sc1") > col("sc2"), col("i2")).otherwise(col("i1")).as("loser"))
+    graft.operators.BradleyTerry.fit(comps, "winner", "loser",
+        iterations = 10, lambda = 1.0)
+      .select(col("item"), round(col("strength"), 8).as("strength"))
+      .orderBy(col("item"))
+  }
+
+  /** DuckDB twin of [[sftBradleyTerry]]: the MM iteration unrolled
+    * (the pagerank-oracle pattern), λ=1, mean-1 renormalization each
+    * step. */
+  private def bradleyTerryOracleSql(iterations: Int): String = {
+    val head =
+      """WITH r AS MATERIALIZED (SELECT CAST(doc_id // 5 AS BIGINT) AS p,
+        |  CAST(doc_id % 5 AS INTEGER) AS slot,
+        |  CAST(doc_id % 25 AS BIGINT) AS item,
+        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
+        |comp AS MATERIALIZED (SELECT
+        |  CASE WHEN a.score > b.score THEN a.item ELSE b.item END AS winner,
+        |  CASE WHEN a.score > b.score THEN b.item ELSE a.item END AS loser
+        |  FROM r a JOIN r b ON a.p = b.p AND a.slot < b.slot
+        |  WHERE a.score <> b.score),
+        |dirs AS MATERIALIZED (SELECT winner AS i, loser AS j FROM comp
+        |  UNION ALL SELECT loser, winner FROM comp),
+        |games AS MATERIALIZED (SELECT i, j, CAST(count(*) AS DOUBLE) AS nij FROM dirs GROUP BY 1, 2),
+        |winsv AS MATERIALIZED (SELECT winner AS i, CAST(count(*) AS DOUBLE) AS wi FROM comp GROUP BY 1),
+        |items AS MATERIALIZED (SELECT DISTINCT i FROM games),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM items),
+        |w0 AS MATERIALIZED (SELECT items.i, COALESCE(winsv.wi, 0.0) AS wi, 1.0 AS w
+        |  FROM items LEFT JOIN winsv USING (i))""".stripMargin
+    val steps = (1 to iterations).map { k =>
+      s""",
+         |d$k AS MATERIALIZED (SELECT g.i, sum(g.nij / (wi.w + wj.w)) AS den
+         |  FROM games g JOIN w${k - 1} wi ON g.i = wi.i
+         |  JOIN w${k - 1} wj ON g.j = wj.i GROUP BY g.i),
+         |u$k AS MATERIALIZED (SELECT w.i, w.wi,
+         |  (w.wi + 1.0) / (d.den + 2.0 / (w.w + 1.0)) AS raw
+         |  FROM w${k - 1} w JOIN d$k d ON w.i = d.i),
+         |w$k AS MATERIALIZED (SELECT i, wi,
+         |  raw * (SELECT n FROM nn) / (SELECT sum(raw) FROM u$k) AS w FROM u$k)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT i AS item, round(w, 8) AS strength FROM w$iterations ORDER BY item"
+  }
+
   /** SFT data card — the assembled set's release summary per leak-free
     * split: conversation and turn counts, mean rendered length, and the
     * assistant-character fraction (the share of the corpus the loss
@@ -3664,6 +3731,7 @@ object Ext {
     "sft_split_leakfree" -> sftSplitLeakfree,
     "sft_pack_spans" -> sftPackSpans,
     "sft_mm_interleave" -> sftMmInterleave,
+    "sft_bradley_terry" -> sftBradleyTerry,
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
@@ -4181,6 +4249,8 @@ object Ext {
         |  sp.content AS span_text
         |FROM sp JOIN o USING (conv_id)
         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+    // Bradley-Terry MM fit unrolled in SQL (the pagerank-oracle pattern)
+    "sft_bradley_terry" -> bradleyTerryOracleSql(10),
     // interleaved multimodal assembly: the twin rewrites the image turn's
     // content with the same slot-numbered placeholder, reruns the span
     // arithmetic over the REWRITTEN content, and emits the placeholder
