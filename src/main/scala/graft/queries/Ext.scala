@@ -3580,6 +3580,43 @@ object Ext {
       .orderBy(col("conv_id"))
   }
 
+  /** Cross-split leakage audit: count duplicate pairs whose members
+    * landed on DIFFERENT sides of the train/eval boundary, for the
+    * leak-free cluster split vs a naive per-document hash split. The
+    * leak-free row's n_cross = 0 is the operator's core guarantee made
+    * hash-checkable; the naive row's non-zero count is the leak it
+    * prevents. Pairs = same-fingerprint doc pairs (a<b) — the standard
+    * posting self-join, bounded per cluster. */
+  def rptSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    // plant dups: every 10th doc recurs under a far-away id, so the
+    // audit has guaranteed same-fp pairs at EVERY SF (sf0.01's natural
+    // corpus has zero exact dups — a 0-pair audit proves nothing)
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.where(pmod(col("doc_id"), lit(10L)) === 0)
+      .select((col("doc_id") + 1000003L).as("doc_id"), col("text"))
+    val d = base.unionAll(planted)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val lf = graft.operators.Sft.leakFreeSplit(d, "doc_id", col("fp"))
+      .select(col("doc_id"), col("fp"), col("split"))
+    val naiveB = pmod(pmod(col("doc_id"), lit(100L)) * 48271L, lit(100L))
+    val naive = d.select(col("doc_id"), col("fp"),
+      when(naiveB < 10, "test").when(naiveB < 20, "val")
+        .otherwise("train").as("split"))
+    def leakage(splits: DataFrame, method: String): DataFrame = {
+      val a = splits.select(col("fp"), col("doc_id").as("a"),
+        col("split").as("sa"))
+      val b = splits.select(col("fp"), col("doc_id").as("b"),
+        col("split").as("sb"))
+      a.join(b, Seq("fp")).where(col("a") < col("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+            lit(0L)).as("n_cross"))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_cross"))
+    }
+    leakage(lf, "leakfree").unionAll(leakage(naive, "naive_hash"))
+      .orderBy(col("method"))
+  }
+
   /** Bradley–Terry reward-model fit: 25 "models" produce the prompt
     * responses (item = doc_id mod 25), every within-prompt score
     * difference becomes a pairwise comparison, and 10 MM iterations
@@ -3732,6 +3769,7 @@ object Ext {
     "sft_pack_spans" -> sftPackSpans,
     "sft_mm_interleave" -> sftMmInterleave,
     "sft_bradley_terry" -> sftBradleyTerry,
+    "rpt_split_leakage" -> rptSplitLeakage,
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
@@ -4249,6 +4287,31 @@ object Ext {
         |  sp.content AS span_text
         |FROM sp JOIN o USING (conv_id)
         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+    // cross-split leakage audit: the twin recomputes fingerprints, both
+    // split rules, and the same-fp a<b pair join — the leakfree row's
+    // n_cross = 0 is part of the hash, not an assertion
+    "rpt_split_leakage" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000003, text FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM d0),
+        |lf AS (SELECT doc_id, fp,
+        |  CASE WHEN ((rep % 100) * 48271) % 100 < 10 THEN 'test'
+        |       WHEN ((rep % 100) * 48271) % 100 < 20 THEN 'val'
+        |       ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep FROM f)),
+        |nv AS (SELECT doc_id, fp,
+        |  CASE WHEN ((doc_id % 100) * 48271) % 100 < 10 THEN 'test'
+        |       WHEN ((doc_id % 100) * 48271) % 100 < 20 THEN 'val'
+        |       ELSE 'train' END AS split FROM f),
+        |l1 AS (SELECT 'leakfree' AS method, count(*) AS n_pairs,
+        |  CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross
+        |  FROM lf a JOIN lf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |l2 AS (SELECT 'naive_hash' AS method, count(*) AS n_pairs,
+        |  CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross
+        |  FROM nv a JOIN nv b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT * FROM l1 UNION ALL SELECT * FROM l2 ORDER BY method""".stripMargin,
     // Bradley-Terry MM fit unrolled in SQL (the pagerank-oracle pattern)
     "sft_bradley_terry" -> bradleyTerryOracleSql(10),
     // interleaved multimodal assembly: the twin rewrites the image turn's
