@@ -239,6 +239,16 @@ object Sft {
     * testPct → test, < testPct+valPct → val, else train — so adding or
     * removing cluster MEMBERS never moves the cluster.
     *
+    * Growth stability: because ids in an append-only corpus are
+    * assigned monotonically, new arrivals always have LARGER ids than
+    * the cluster's representative, so refreshing the corpus never moves
+    * an existing cluster's split — held-out sets stay clean across
+    * refreshes (the [[Sample.hashSplit]] property, lifted to clusters).
+    * The one way to flip a cluster is backfilling a duplicate with a
+    * SMALLER id than the current representative; if ids are not
+    * monotone, key the split on a content-derived rep (e.g. min
+    * fingerprint) instead of min id.
+    *
     * Output: input columns + `rep` (bigint) + `split` (string).
     *
     * Scale shape: one window (partition by cluster key, min over the

@@ -123,6 +123,22 @@ class SftSpec extends SparkSpec {
     for ((_, rep, split) <- out) assert(split === expected(rep))
   }
 
+  test("leakFreeSplit: assignments are stable under append-only growth") {
+    // refresh = the same corpus plus LARGER-id arrivals (some joining
+    // existing clusters): every pre-existing row keeps its split
+    val before = Seq((0L, "ka"), (1L, "kb"), (2L, "ka")).toDF("id", "key")
+    val after = before.unionAll(
+      Seq((10L, "ka"), (11L, "kc")).toDF("id", "key"))
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Sft.leakFreeSplit(d, "id", col("key"), valPct = 30, testPct = 30)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = splits(before); val a = splits(after)
+    for ((id, s) <- b) assert(a(id) === s, s"id $id moved on refresh")
+    // the new cluster member inherits its cluster's split
+    assert(a(10L) === a(0L))
+  }
+
   test("leakFreeSplit: snowflake-scale ids don't overflow the split arithmetic") {
     // raw id * 48271 would wrap a Long for ids ~2e14+; the pre-reduced
     // form must equal the mathematical (rep * 48271) mod 100
