@@ -3580,6 +3580,28 @@ object Ext {
       .orderBy(col("conv_id"))
   }
 
+  /** Inter-annotator agreement: three synthetic annotators label every
+    * doc's quality band — each copies a shared base label ~70% of the
+    * time and drifts rater-specifically otherwise — and pairwise
+    * Cohen's kappa is computed over the co-rated set. The twin reruns
+    * the contingency/marginal arithmetic, so po, pe, and kappa are all
+    * hash-gated at 6 dp. See [[graft.operators.Agreement.cohenKappa]]. */
+  def rptAnnotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val base = pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(5L))
+    val k = col("k")
+    val agrees = pmod(col("doc_id") * 31L + k * 17L, lit(10L)) < 7
+    val label = when(agrees, base)
+      .otherwise(pmod(base + lit(1L) + k, lit(5L)))
+    val ratings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+      .select(col("doc_id"), k.as("rater"), label.as("label"))
+    graft.operators.Agreement.cohenKappa(ratings, "doc_id", "rater", "label")
+      .select(col("rater_a"), col("rater_b"), col("n_items"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        round(col("kappa"), 6).as("kappa"))
+      .orderBy(col("rater_a"), col("rater_b"))
+  }
+
   /** Cross-split leakage audit: count duplicate pairs whose members
     * landed on DIFFERENT sides of the train/eval boundary, for the
     * leak-free cluster split vs a naive per-document hash split. The
@@ -3770,6 +3792,7 @@ object Ext {
     "sft_mm_interleave" -> sftMmInterleave,
     "sft_bradley_terry" -> sftBradleyTerry,
     "rpt_split_leakage" -> rptSplitLeakage,
+    "rpt_annotator_agreement" -> rptAnnotatorAgreement,
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
@@ -4287,6 +4310,38 @@ object Ext {
         |  sp.content AS span_text
         |FROM sp JOIN o USING (conv_id)
         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+    // Cohen's kappa: the twin rebuilds the three-annotator fixture, the
+    // item-keyed pair join, the contingency table, the marginals, and
+    // the (po - pe)/(1 - pe) arithmetic — agreement itself is hash-gated
+    "rpt_annotator_agreement" ->
+      """WITH rt AS (SELECT doc_id, CAST(k AS BIGINT) AS rater,
+        |  CASE WHEN (doc_id * 31 + k * 17) % 10 < 7
+        |       THEN (doc_id * 48271) % 997 % 5
+        |       ELSE ((doc_id * 48271) % 997 % 5 + 1 + k) % 5 END AS label
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+        |p AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+        |  a.label AS la, b.label AS lb
+        |  FROM rt a JOIN rt b ON a.doc_id = b.doc_id AND a.rater < b.rater),
+        |cont AS (SELECT rater_a, rater_b, la, lb, count(*) AS n
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT rater_a, rater_b, CAST(sum(n) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cont GROUP BY 1, 2),
+        |ma AS (SELECT rater_a, rater_b, la, sum(n) AS na FROM cont GROUP BY 1, 2, 3),
+        |mb AS (SELECT rater_a, rater_b, lb, sum(n) AS nb FROM cont GROUP BY 1, 2, 3),
+        |cx AS (SELECT ma.rater_a, ma.rater_b,
+        |  CAST(sum(ma.na * mb.nb) AS DOUBLE) AS crossn
+        |  FROM ma JOIN mb ON ma.rater_a = mb.rater_a
+        |    AND ma.rater_b = mb.rater_b AND ma.la = mb.lb
+        |  GROUP BY 1, 2),
+        |kp AS (SELECT t.rater_a, t.rater_b, t.n_items,
+        |  CAST(t.agree AS DOUBLE) / t.n_items AS po,
+        |  COALESCE(cx.crossn, 0.0) / (CAST(t.n_items AS DOUBLE) * t.n_items) AS pe
+        |  FROM tot t LEFT JOIN cx ON t.rater_a = cx.rater_a AND t.rater_b = cx.rater_b)
+        |SELECT rater_a, rater_b, n_items, round(po, 6) AS po, round(pe, 6) AS pe,
+        |  CASE WHEN pe = 1.0 THEN NULL
+        |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM kp ORDER BY rater_a, rater_b""".stripMargin,
     // cross-split leakage audit: the twin recomputes fingerprints, both
     // split rules, and the same-fp a<b pair join — the leakfree row's
     // n_cross = 0 is part of the hash, not an assertion

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Agreement
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kappa(rows: Seq[(Long, Long, Long)]): Map[(Long, Long), (Double, Option[Double])] =
+    Agreement.cohenKappa(rows.toDF("item", "rater", "label"), "item", "rater", "label")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(3), if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      }.toMap
+
+  test("perfect agreement on varied labels gives kappa 1") {
+    val rows = (0L until 20L).flatMap(i => Seq((i, 0L, i % 4), (i, 1L, i % 4)))
+    val ((po, k)) = kappa(rows)((0L, 1L))
+    assert(po === 1.0)
+    assert(math.abs(k.get - 1.0) < 1e-9)
+  }
+
+  test("systematic disagreement scores below chance (negative kappa)") {
+    // rater 1 always says the OTHER label: po = 0, kappa < 0
+    val rows = (0L until 20L).flatMap(i => Seq((i, 0L, i % 2), (i, 1L, (i + 1) % 2)))
+    val ((po, k)) = kappa(rows)((0L, 1L))
+    assert(po === 0.0)
+    assert(k.get < 0.0)
+  }
+
+  test("two constant identical raters: agreement undefined, kappa NULL") {
+    val rows = (0L until 10L).flatMap(i => Seq((i, 0L, 3L), (i, 1L, 3L)))
+    val ((po, k)) = kappa(rows)((0L, 1L))
+    assert(po === 1.0)
+    assert(k.isEmpty, "pe = 1 must yield NULL, not a division blow-up")
+  }
+
+  test("pairs are computed over co-rated items only, all rater pairs emitted") {
+    // rater 2 rated only half the items; three pairs expected
+    val rows = (0L until 10L).flatMap { i =>
+      Seq((i, 0L, i % 3), (i, 1L, i % 3)) ++
+        (if (i < 5) Seq((i, 2L, (i + 1) % 3)) else Nil)
+    }
+    val out = Agreement.cohenKappa(rows.toDF("item", "rater", "label"),
+        "item", "rater", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out((0L, 1L)) === 10L && out((0L, 2L)) === 5L && out((1L, 2L)) === 5L)
+  }
+}
