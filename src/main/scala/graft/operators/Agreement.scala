@@ -22,6 +22,51 @@ import org.apache.spark.sql.functions._
   * bounded by raters² × labels², metadata from there on. */
 object Agreement {
 
+  /** Fleiss' kappa (Fleiss 1971, generalized to varying raters-per-item
+    * via the per-item pairwise-agreement form): ONE agreement statistic
+    * for the whole labeling job across ANY number of raters —
+    * `P_i = (Σ_l n_il² − n_i) / (n_i (n_i − 1))` per item, P̄ their
+    * mean over items with ≥ 2 ratings, `pe = Σ_l p_l²` over the global
+    * label marginals, `kappa = (P̄ − pe) / (1 − pe)` (NULL when pe = 1).
+    *
+    * Output: ONE row `n_items | n_ratings | p_bar | p_e | kappa`.
+    *
+    * Scale shape: two keyed aggregates reduce the corpus to per-item
+    * and per-label counts; the final scalars are collected driver-side
+    * (bounded: two numbers) — no one-row cross join ever enters the
+    * plan. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String): DataFrame = {
+    val cnt = df.groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("nl")).persist()
+    val per = cnt.groupBy(col(itemCol))
+      .agg(sum(col("nl")).as("n"),
+        sum(col("nl") * col("nl")).as("s2"))
+      .where(col("n") >= 2)
+    val row1 = per.agg(count(lit(1)).as("n_items"), sum(col("n")).as("n_ratings"),
+      avg((col("s2") - col("n")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")).as("p_bar")).collect()(0)
+    // marginals over the SAME kept items (≥2 ratings)
+    val marg = cnt.join(per.select(col(itemCol)), itemCol)
+      .groupBy(col(labelCol)).agg(sum(col("nl")).as("ml"))
+    // cast each sum BEFORE multiplying: the Long product of two
+    // ratings-scale totals overflows where the double product does not
+    val peRow = marg.agg(
+      (sum(col("ml") * col("ml")).cast("double") /
+        (sum(col("ml")).cast("double") * sum(col("ml")).cast("double")))
+        .as("pe")).collect()(0)
+    cnt.unpersist(false)
+    val (nItems, nRatings) = (row1.getLong(0), Option(row1.get(1))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val pBar = if (nItems == 0) None else Some(row1.getDouble(2))
+    val pe = if (nItems == 0) None else Some(peRow.getDouble(0))
+    val kappa = for (pb <- pBar; p <- pe; if p != 1.0) yield (pb - p) / (1.0 - p)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nItems, nRatings, pBar, pe, kappa))
+      .toDF("n_items", "n_ratings", "p_bar", "p_e", "kappa")
+  }
+
   def cohenKappa(df: DataFrame, itemCol: String, raterCol: String,
                  labelCol: String): DataFrame = {
     val a = df.select(col(itemCol).as("it"), col(raterCol).as("rater_a"),

@@ -3602,6 +3602,25 @@ object Ext {
       .orderBy(col("rater_a"), col("rater_b"))
   }
 
+  /** Fleiss' kappa over the same three-annotator fixture — the one-row
+    * whole-job agreement statistic beside [[rptAnnotatorAgreement]]'s
+    * pairwise view. The twin reruns the per-item pairwise-agreement
+    * form and the marginal chance correction at 6 dp. */
+  def rptFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val base = pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(5L))
+    val k = col("k")
+    val agrees = pmod(col("doc_id") * 31L + k * 17L, lit(10L)) < 7
+    val label = when(agrees, base)
+      .otherwise(pmod(base + lit(1L) + k, lit(5L)))
+    val ratings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+      .select(col("doc_id"), k.as("rater"), label.as("label"))
+    graft.operators.Agreement.fleissKappa(ratings, "doc_id", "rater", "label")
+      .select(col("n_items"), col("n_ratings"),
+        round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
+        round(col("kappa"), 6).as("kappa"))
+  }
+
   /** Cross-split leakage audit: count duplicate pairs whose members
     * landed on DIFFERENT sides of the train/eval boundary, for the
     * leak-free cluster split vs a naive per-document hash split. The
@@ -3793,6 +3812,7 @@ object Ext {
     "sft_bradley_terry" -> sftBradleyTerry,
     "rpt_split_leakage" -> rptSplitLeakage,
     "rpt_annotator_agreement" -> rptAnnotatorAgreement,
+    "rpt_fleiss_kappa" -> rptFleissKappa,
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
@@ -4310,6 +4330,29 @@ object Ext {
         |  sp.content AS span_text
         |FROM sp JOIN o USING (conv_id)
         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+    // Fleiss' kappa: per-item pairwise-agreement form + marginal chance
+    // correction over the kept (>=2 ratings) items, one hash-gated row
+    "rpt_fleiss_kappa" ->
+      """WITH rt AS (SELECT doc_id, CAST(k AS BIGINT) AS rater,
+        |  CASE WHEN (doc_id * 31 + k * 17) % 10 < 7
+        |       THEN (doc_id * 48271) % 997 % 5
+        |       ELSE ((doc_id * 48271) % 997 % 5 + 1 + k) % 5 END AS label
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+        |cnt AS (SELECT doc_id, label, count(*) AS nl FROM rt GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(nl) AS n, sum(nl * nl) AS s2
+        |  FROM cnt GROUP BY 1 HAVING sum(nl) >= 2),
+        |st AS (SELECT count(*) AS n_items, CAST(sum(n) AS BIGINT) AS n_ratings,
+        |  avg(CAST(s2 - n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS p_bar
+        |  FROM per),
+        |mg AS (SELECT c.label, sum(c.nl) AS ml FROM cnt c
+        |  JOIN per p ON c.doc_id = p.doc_id GROUP BY 1),
+        |pe AS (SELECT CAST(sum(ml * ml) AS DOUBLE)
+        |  / (CAST(sum(ml) AS DOUBLE) * CAST(sum(ml) AS DOUBLE)) AS pe FROM mg)
+        |SELECT st.n_items, st.n_ratings, round(st.p_bar, 6) AS p_bar,
+        |  round(pe.pe, 6) AS p_e,
+        |  CASE WHEN pe.pe = 1.0 THEN NULL
+        |       ELSE round((st.p_bar - pe.pe) / (1.0 - pe.pe), 6) END AS kappa
+        |FROM st, pe""".stripMargin,
     // Cohen's kappa: the twin rebuilds the three-annotator fixture, the
     // item-keyed pair join, the contingency table, the marginals, and
     // the (po - pe)/(1 - pe) arithmetic — agreement itself is hash-gated

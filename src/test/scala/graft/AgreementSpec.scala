@@ -34,6 +34,34 @@ class AgreementSpec extends SparkSpec {
     assert(k.isEmpty, "pe = 1 must yield NULL, not a division blow-up")
   }
 
+  private def fleiss(rows: Seq[(Long, Long, Long)]) =
+    Agreement.fleissKappa(rows.toDF("item", "rater", "label"),
+      "item", "rater", "label").collect()(0)
+
+  test("fleissKappa: perfect multi-rater agreement on varied labels = 1") {
+    val rows = (0L until 12L).flatMap(i => (0L until 3L).map(r => (i, r, i % 4)))
+    val out = fleiss(rows)
+    assert(out.getLong(0) === 12L && out.getLong(1) === 36L)
+    assert(out.getDouble(2) === 1.0)
+    assert(math.abs(out.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("fleissKappa: constant identical raters -> pe = 1, kappa NULL") {
+    val rows = (0L until 8L).flatMap(i => (0L until 3L).map(r => (i, r, 2L)))
+    val out = fleiss(rows)
+    assert(out.getDouble(3) === 1.0 && out.isNullAt(4))
+  }
+
+  test("fleissKappa: single-rating items are excluded; empty input yields a zero row") {
+    val rows = Seq((0L, 0L, 1L), (0L, 1L, 1L), (9L, 0L, 4L)) // item 9: one rating
+    val out = fleiss(rows)
+    assert(out.getLong(0) === 1L && out.getLong(1) === 2L)
+    val empty = Agreement.fleissKappa(
+      Seq.empty[(Long, Long, Long)].toDF("item", "rater", "label"),
+      "item", "rater", "label").collect()(0)
+    assert(empty.getLong(0) === 0L && empty.isNullAt(2) && empty.isNullAt(4))
+  }
+
   test("pairs are computed over co-rated items only, all rater pairs emitted") {
     // rater 2 rated only half the items; three pairs expected
     val rows = (0L until 10L).flatMap { i =>
