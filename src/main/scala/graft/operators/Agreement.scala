@@ -34,10 +34,18 @@ object Agreement {
     * Scale shape: two keyed aggregates reduce the corpus to per-item
     * and per-label counts; the final scalars are collected driver-side
     * (bounded: two numbers) — no one-row cross join ever enters the
-    * plan. */
+    * plan.
+    *
+    * Input hygiene: the (item, rater, label) triples are DEDUPLICATED
+    * first — at-least-once ingestion duplicating a rating row must not
+    * inflate n_i and skew kappa. A rater who genuinely assigned TWO
+    * DIFFERENT labels to one item still contributes both (that is
+    * conflicting data, not a transport duplicate — resolve upstream if
+    * one-rating-per-rater is the labeling contract). */
   def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
                   labelCol: String): DataFrame = {
-    val cnt = df.groupBy(col(itemCol), col(labelCol))
+    val ratings = df.select(col(itemCol), col(raterCol), col(labelCol)).distinct()
+    val cnt = ratings.groupBy(col(itemCol), col(labelCol))
       .agg(count(lit(1)).as("nl")).persist()
     val per = cnt.groupBy(col(itemCol))
       .agg(sum(col("nl")).as("n"),
@@ -67,11 +75,16 @@ object Agreement {
       .toDF("n_items", "n_ratings", "p_bar", "p_e", "kappa")
   }
 
+  /** Same dedup contract as [[fleissKappa]]: transport-duplicate
+    * (item, rater, label) rows collapse before the pair join (a
+    * duplicated row would otherwise quadruple its cell in the
+    * contingency table); genuinely conflicting labels both count. */
   def cohenKappa(df: DataFrame, itemCol: String, raterCol: String,
                  labelCol: String): DataFrame = {
-    val a = df.select(col(itemCol).as("it"), col(raterCol).as("rater_a"),
+    val ratings = df.select(col(itemCol), col(raterCol), col(labelCol)).distinct()
+    val a = ratings.select(col(itemCol).as("it"), col(raterCol).as("rater_a"),
       col(labelCol).as("la"))
-    val b = df.select(col(itemCol).as("it"), col(raterCol).as("rater_b"),
+    val b = ratings.select(col(itemCol).as("it"), col(raterCol).as("rater_b"),
       col(labelCol).as("lb"))
     val cont = a.join(b, Seq("it")).where(col("rater_a") < col("rater_b"))
       .groupBy(col("rater_a"), col("rater_b"), col("la"), col("lb"))

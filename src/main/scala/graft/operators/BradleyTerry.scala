@@ -50,6 +50,19 @@ object BradleyTerry {
     require(iterations > 0, "iterations must be > 0")
     require(lambda > 0, "lambda must be > 0 (the MM update needs the " +
       "regularizer to stay finite on zero-win/zero-loss items)")
+    // fail fast on non-integral id columns: a silent cast-to-long of a
+    // string/double id column yields NULLs, which would collapse every
+    // item into one null key and NPE deep inside the driver-vector sweep
+    // instead of pointing at the caller's schema
+    for (c <- Seq(winnerCol, loserCol)) {
+      import org.apache.spark.sql.types._
+      val dt = comparisons.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(integral,
+        s"column '$c' must be an integral item id, got $dt — " +
+          "map string/float ids to longs upstream (e.g. a dictionary join)")
+    }
     val wc = col(winnerCol).cast("long")
     val lc = col(loserCol).cast("long")
     val dirs = comparisons.select(wc.as("i"), lc.as("j"))

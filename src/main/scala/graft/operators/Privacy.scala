@@ -106,8 +106,14 @@ object Privacy {
     // "one corpus shuffle"
     val gw = atWidth(chosen).localCheckpoint()
     g0.unpersist(false)
+    // derive the join-side bucket from the SAME two-stage _b0 arithmetic
+    // atWidth used (floor(floor(x/w0)/(w/w0))): mathematically equal to
+    // floor(x/chosen), but sharing one double-division path means a
+    // boundary value can never round differently on the two sides of the
+    // inner join and silently drop its rows from the output
     joinNullSafe(
-      df.withColumn("bucket", floor(num / chosen.toDouble).cast("long")),
+      df.withColumn("bucket",
+        floor(b0.cast("double") / (chosen / w0)).cast("long")),
       gw, catCols :+ "bucket")
       .withColumn("gen_width", lit(chosen))
       .withColumn("k_ok", col("grp_n") >= k)

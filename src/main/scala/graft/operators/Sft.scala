@@ -176,7 +176,15 @@ object Sft {
     * running length of its block-mates before it). Two windows on
     * bounded keys: the caller's `groupCol` shards the cumsum (pick a
     * shard key ≈ cluster cores, like txt_pack's per-lang partition), the
-    * second window refines by block. */
+    * second window refines by block.
+    *
+    * PRECONDITION (stated on [[packBlocks]]/[[packSpans]] too): `idCol`
+    * must be unique within each `groupCol` shard. The cumsum window's
+    * default RANGE frame makes duplicate ids PEERS — both lengths sum
+    * into each peer's running total and the `_off` ROWS window breaks
+    * the tie nondeterministically, silently drifting block text and
+    * remapped spans. Unique ids make both windows total orders, which
+    * is what the deterministic-offset contract is built on. */
   private def packAssign(df: DataFrame, idCol: String, textCol: String,
                          groupCol: String, capChars: Long): DataFrame = {
     require(capChars > 0, "capChars must be > 0")
@@ -192,7 +200,9 @@ object Sft {
 
   /** Packed training blocks: concatenate samples (in id order) into
     * blocks of ~`capChars` per `groupCol` shard. Output:
-    * `groupCol | chunk | block_text | n_docs`. */
+    * `groupCol | chunk | block_text | n_docs`. REQUIRES `idCol` unique
+    * per `groupCol` shard (see [[packAssign]] — duplicate ids make the
+    * offsets nondeterministic). */
   def packBlocks(df: DataFrame, idCol: String, textCol: String,
                  groupCol: String, capChars: Long): DataFrame =
     packAssign(df, idCol, textCol, groupCol, capChars)
@@ -213,7 +223,8 @@ object Sft {
     * Output: spans columns + `chunk` + `block_start` + `block_end`.
     * Shapes: the two pack windows + one id-keyed join (spans to
     * assignment) — nothing corpus-sized concentrates beyond the caller's
-    * shard choice. */
+    * shard choice. REQUIRES `idCol` unique per `groupCol` shard (see
+    * [[packAssign]]). */
   def packSpans(df: DataFrame, idCol: String, textCol: String,
                 groupCol: String, capChars: Long,
                 spans: DataFrame, startCol: String, endCol: String): DataFrame = {

@@ -224,6 +224,15 @@ object TextAnalysis {
       penalty = consts.head._1, docTopK = consts.head._2)
   }
 
+  /** The four gate thresholds, SHARED by [[qualityGate]], the funnel
+    * report ([[graft.queries.Ext]] `rptGateFunnel`) and the streaming
+    * gate — a tuned threshold must move every consumer at once, or the
+    * funnel silently reports a different gate than the one that ran
+    * (QueriesSpec pins gate-survivors == funnel-survivors). */
+  val MinQualityScore: Double = 0.5
+  val MaxDupLineFrac: Double = 0.3
+  val MaxTopBigramFrac: Double = 0.2
+
   /** The composite quality gate over any frame with (textCol, langCol):
     * quality score, both Gopher repetition bounds, langid agreement —
     * one fused narrow projection + filter, all codegen builtins. Keeps
@@ -238,8 +247,10 @@ object TextAnalysis {
       .withColumn("dup_line_frac", duplicateLineFraction(col(textCol)))
       .withColumn("top_bigram_frac", topBigramFraction(col(textCol)))
       .withColumn("pred_lang", langIdFromDistinctTokens(col("_toks")))
-      .filter(col("quality") >= 0.5 && col("dup_line_frac") <= 0.3 &&
-        col("top_bigram_frac") <= 0.2 && col("pred_lang") === col(langCol))
+      .filter(col("quality") >= MinQualityScore &&
+        col("dup_line_frac") <= MaxDupLineFrac &&
+        col("top_bigram_frac") <= MaxTopBigramFrac &&
+        col("pred_lang") === col(langCol))
       .drop("_toks", "pred_lang")
 
   // ---- PII scrubbing ----------------------------------------------------

@@ -3365,9 +3365,12 @@ object Ext {
     val scored = d
       .withColumn("_dt", array_distinct(TextAnalysis.tokens(col("text"))))
       .select(
-        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("r1"),
-        (TextAnalysis.duplicateLineFraction(col("text")) <= 0.3).as("r2"),
-        (TextAnalysis.topBigramFraction(col("text")) <= 0.2).as("r3"),
+        (TextAnalysis.qualityScore(col("text")) >=
+          TextAnalysis.MinQualityScore).as("r1"),
+        (TextAnalysis.duplicateLineFraction(col("text")) <=
+          TextAnalysis.MaxDupLineFrac).as("r2"),
+        (TextAnalysis.topBigramFraction(col("text")) <=
+          TextAnalysis.MaxTopBigramFrac).as("r3"),
         (TextAnalysis.langIdFromDistinctTokens(col("_dt")) === col("lang")).as("r4"))
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     scored.agg(

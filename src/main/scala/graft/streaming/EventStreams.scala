@@ -436,7 +436,17 @@ object EventStreams {
     * runaway key by keeping the LOWEST `maxTurns` turn_idx values (a
     * deterministic set — replays and batch splits render identically;
     * a million-turn "conversation" is an attack, not data).
-    * Event-time timeout against the watermark bounds state lifetime. */
+    * Event-time timeout against the watermark bounds state lifetime.
+    *
+    * Re-emission on stragglers (inherent to gap-close sessionization):
+    * a turn arriving AFTER its conversation's gap already closed and
+    * emitted — but still inside the watermark — re-opens state for that
+    * conv_id and, at the next gap close, emits a SECOND ConvOut carrying
+    * only the late turns (Append mode cannot retract the first row).
+    * Downstream consumers must reconcile per conv_id — keep the earliest
+    * or the longest render (`min_by(struct(render), n_turns DESC)` in
+    * batch, or the [[graft.sources.Merge]] keep-best upsert) — exactly
+    * the contract every watermark-bounded session stream carries. */
   def conversationAssemblyStream(turns: Dataset[Turn], gapMs: Long,
                                  watermark: String = "2 hours",
                                  template: graft.operators.Sft.ChatTemplate =
