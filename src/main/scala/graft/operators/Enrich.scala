@@ -191,6 +191,29 @@ object Enrich {
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
       .withColumn("Response", lit(""))
 
+    val enriched = runPaidCalls(head, columnIndex, cfg, clientFactory,
+      progress, throttles)
+
+    // NOT a global orderBy: RangePartitioning runs a SAMPLING pass over
+    // the child, which would execute the paid LLM mapPartitions a second
+    // time (observed: 2x calls). The head partitions are already
+    // contiguous _row_idx ranges (repartitionByRange) and the tail
+    // follows in input order, so sortWithinPartitions yields total
+    // _row_idx order for partition-ordered consumers (collect,
+    // coalesce(1) write) with zero extra executions.
+    enriched.unionByName(tail).sortWithinPartitions(col("_row_idx"))
+  }
+
+  /** The paid-call core shared by [[enrich]] and [[enrichResumable]]:
+    * range-batch an already-indexed head frame and drive the sliding
+    * LLM submission window over each batch partition. Input must carry
+    * `_row_idx` as its LAST column; output appends `Response`. Pays one
+    * `count()` (the batch-count job — the price [[enrich]]'s scaladoc
+    * documents). */
+  private def runPaidCalls(head: DataFrame, columnIndex: Int, cfg: Config,
+                           clientFactory: () => LlmClient,
+                           progress: Option[LongAccumulator],
+                           throttles: Option[LongAccumulator]): DataFrame = {
     val n = head.count()
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
     val batched = head.repartitionByRange(numBatches, col("_row_idx"))
@@ -199,7 +222,7 @@ object Enrich {
     val colIdx = columnIndex // avoid closing over `this`
     val conf = cfg
 
-    val enriched = batched.mapPartitions { rows =>
+    batched.mapPartitions { rows =>
       val client = clientFactory()
       implicit val ec: ExecutionContext = ioPool
       val deadlineNs = System.nanoTime() + conf.batchTimeoutMs * 1000000L
@@ -276,15 +299,131 @@ object Enrich {
         }
       }
     }(Encoders.row(outSchema))
+  }
 
-    // NOT a global orderBy: RangePartitioning runs a SAMPLING pass over
-    // the child, which would execute the paid LLM mapPartitions a second
-    // time (observed: 2x calls). The head partitions are already
-    // contiguous _row_idx ranges (repartitionByRange) and the tail
-    // follows in input order, so sortWithinPartitions yields total
-    // _row_idx order for partition-ordered consumers (collect,
-    // coalesce(1) write) with zero extra executions.
-    enriched.unionByName(tail).sortWithinPartitions(col("_row_idx"))
+  /** Cross-run paid-call durability ([EXT] — the production extension of
+    * the reference's WITHIN-request no-re-pay guarantee, test.py:98-103):
+    * every succeeded LLM response persists to a [[graft.sources.Merge]]
+    * table keyed `(requestId, _row_idx)` as it is earned, so a rerun of a
+    * killed/failed/finished job pays ZERO for rows that already
+    * succeeded. At 100 TB restarts are routine; without this, every
+    * restart re-buys the whole corpus.
+    *
+    * Mechanics:
+    *   - the head is processed in `chunkRows`-row chunks; each chunk's
+    *     responses commit ATOMICALLY (one Merge version) before the next
+    *     chunk starts — a kill loses at most the in-flight chunk's calls,
+    *     never a committed one;
+    *   - rows whose cached response is the failure sentinel are RETRIED
+    *     on rerun (only paid SUCCESSES are durable — parity with the
+    *     reference, which retries failures but never re-pays successes);
+    *   - a `config_hash` (prompt/model/maxTokens/temperature) rides every
+    *     cache row: changing any of them invalidates the cache for those
+    *     rows instead of silently serving answers to a different prompt;
+    *   - the RETURNED frame is assembled purely from parquet (input ⋈
+    *     committed cache) — no paid call is in its plan, so the final
+    *     order-restoring range shuffle (and any downstream re-execution)
+    *     is free to sample and replay, the hazard [[enrich]] must dodge
+    *     with sortWithinPartitions.
+    *
+    * PRECONDITION: the input must be byte-stable across runs (same files,
+    * same order) — `_row_idx` is the row's identity, exactly the
+    * reference's positional contract (test.py:221). A corpus that may be
+    * re-shuffled between runs needs a content-derived id instead; key the
+    * cache run on such a column upstream by making it the enriched value's
+    * sibling and deduplicating on it after.
+    *
+    * Scale shape: one zipWithIndex pass, one anti-join against the
+    * bounded succeeded-row set, then per chunk one bounded job + one
+    * Merge upsert (work ∝ touched buckets). Each chunk is a Merge
+    * version — `Merge.vacuum(cacheRoot)` periodically. `cacheBuckets`
+    * fixes the cache table's grid at creation (~total_rows/1M at scale). */
+  def enrichResumable(df: DataFrame, columnIndex: Int, cfg: Config,
+                      clientFactory: () => LlmClient,
+                      cacheRoot: String,
+                      chunkRows: Long = 10000L,
+                      cacheBuckets: Int = 16,
+                      progress: Option[LongAccumulator] = None,
+                      throttles: Option[LongAccumulator] = None): DataFrame = {
+    require(cfg.requestId.nonEmpty,
+      "enrichResumable keys its durable cache on cfg.requestId — set one " +
+        "(reruns resume the SAME requestId; a new requestId starts fresh)")
+    require(chunkRows > 0, "chunkRows must be > 0")
+    require(cacheBuckets > 0, "cacheBuckets must be > 0")
+    Seq("Response", "_row_idx").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — the enrich operator reserves it"))
+    val spark = df.sparkSession
+    val configHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq(cfg.systemPrompt, cfg.model, cfg.maxTokens.toString,
+          cfg.temperature.toString).mkString("\u0000")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+    val indexed = withRowIndex(df)
+    val head = indexed.filter(col("_row_idx") < cfg.maxRows)
+    val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
+      .withColumn("Response", lit(""))
+    val n = head.count()
+
+    def tableExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(cacheRoot, "manifest")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // this request's cache rows under the CURRENT config (manifest read
+    // at call time — re-read after the chunk loop picks up this run's
+    // commits)
+    def cacheRows(): DataFrame = graft.sources.Merge.read(spark, cacheRoot)
+      .filter(col("request_id") === cfg.requestId &&
+        col("config_hash") === configHash)
+
+    // rows a PRIOR run already paid for and succeeded: skipped entirely.
+    // Sentinel rows stay in the work set — failures retry on rerun.
+    val done: DataFrame =
+      if (tableExists) cacheRows().filter(col("response") =!= ErrorSentinel)
+        .select(col("row_idx"))
+      else head.select(col("_row_idx").as("row_idx")).limit(0)
+    val todo = head.join(done, col("_row_idx") === col("row_idx"), "left_anti")
+
+    var lo = 0L
+    while (lo < n) {
+      val hi = math.min(n, lo + chunkRows)
+      val chunk = todo.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
+      // isEmpty is one cheap job per chunk — the price of skipping a
+      // fully-cached chunk without running its (empty) paid pass + commit
+      if (!chunk.isEmpty) {
+        val res = runPaidCalls(chunk, columnIndex, cfg, clientFactory,
+            progress, throttles)
+          .select(
+            concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
+            lit(cfg.requestId).as("request_id"),
+            col("_row_idx").as("row_idx"),
+            lit(configHash).as("config_hash"),
+            col("Response").as("response"))
+        // the Merge write IS the action that runs this chunk's paid calls
+        // — exactly once, committed atomically with the manifest rename
+        if (!tableExists)
+          graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
+        else
+          graft.sources.Merge.upsert(spark, cacheRoot, res,
+            res.select(col("cache_id")).limit(0))
+      }
+      lo = hi
+    }
+
+    val responses =
+      if (tableExists) cacheRows().select(col("row_idx"), col("response"))
+      else head.select(col("_row_idx").as("row_idx"))
+        .withColumn("response", lit(null).cast("string")).limit(0)
+    // defensive coalesce: every head row was either cached or enriched
+    // above, so a miss here means a concurrent writer vacuumed the table
+    // mid-run — surface it as the sentinel, never a null
+    val out = head.join(responses, col("_row_idx") === col("row_idx"), "left")
+      .withColumn("Response", coalesce(col("response"), lit(ErrorSentinel)))
+      .drop("row_idx", "response")
+    val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
+    out.unionByName(tail)
+      .repartitionByRange(numBatches, col("_row_idx"))
+      .sortWithinPartitions(col("_row_idx"))
   }
 
   /** One enrichment column for [[enrichMany]]: positional input column,

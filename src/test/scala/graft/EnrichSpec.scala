@@ -53,6 +53,41 @@ object EnrichProbes {
   }
   val throttledPrompts: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Counts every SUCCESSFUL completion in `calls` — the "paid call"
+    * ledger the resume tests assert on. */
+  class CountingClient(f: String => String) extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      val out = f(req.prompt)
+      calls.incrementAndGet()
+      out
+    }
+  }
+
+  /** Hangs forever on the marker row (the batch deadline then kills the
+    * job — the in-engine "kill -9 mid-chunk" for restart tests); counts
+    * successes like [[CountingClient]]. */
+  class HangOnClient(marker: String, f: String => String)
+      extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      if (req.prompt.contains(marker)) Thread.sleep(600000L)
+      val out = f(req.prompt)
+      calls.incrementAndGet()
+      out
+    }
+  }
+
+  /** Row-level failure (NonFatal — retried by the backoff ladder, then
+    * the sentinel) on the marker row; successes counted. */
+  class FailOnClient(marker: String, f: String => String)
+      extends graft.llm.LlmClient with Serializable {
+    override def complete(req: graft.llm.LlmRequest): String = {
+      if (req.prompt.contains(marker)) throw new RuntimeException("stub failure")
+      val out = f(req.prompt)
+      calls.incrementAndGet()
+      out
+    }
+  }
 }
 
 class EnrichSpec extends SparkSpec {
@@ -400,6 +435,111 @@ class EnrichSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Enrich.enrichMany(corpus(3), Seq(Enrich.EnrichColumn(9, "p", "R")),
         cfg, () => new StubLlmClient(_ => "x"))
+    }
+  }
+
+  // ---- cross-run durability (enrichResumable) ---------------------------
+
+  private def resumeRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_resume").toString + "/cache"
+  private val echo: String => String =
+    p => p.substring(p.indexOf("Input: ") + 7)
+
+  test("enrichResumable: killed mid-chunk, rerun pays ONLY the lost rows, output byte-identical") {
+    EnrichProbes.reset()
+    val root = resumeRoot()
+    val df = corpus(30)
+    // rowConcurrency=1 + chunkRows=10: strictly sequential rows, three
+    // chunk commits; the client hangs on row 20 (chunk 3's first row) and
+    // the 900ms batch deadline kills that chunk's job — chunks 1-2 are
+    // already committed with 20 paid calls
+    val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 1,
+      requestId = "resume-kill", retries = 1, retryBaseDelayMs = 1L,
+      batchTimeoutMs = 900L)
+    intercept[Throwable] {
+      Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.HangOnClient("Input: row20", echo),
+        root, chunkRows = 10)
+    }
+    assert(EnrichProbes.calls.get() == 20,
+      s"run 1 should have paid exactly the two committed chunks, paid ${EnrichProbes.calls.get()}")
+
+    EnrichProbes.calls.set(0)
+    val out = Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+      .select("val", "_row_idx", "Response").collect()
+    assert(EnrichProbes.calls.get() == 10,
+      s"rerun must pay only the 10 uncommitted rows, paid ${EnrichProbes.calls.get()}")
+    assert(out.length == 30)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == s"row$i" && r.getLong(1) == i,
+        s"order broken at $i")
+      assert(r.getString(2) == s"row$i", s"response wrong at $i: ${r.getString(2)}")
+    }
+    // byte-identical to a never-failed plain run over the same input
+    val fresh = Enrich.enrich(df, 0, cfg.copy(batchTimeoutMs = 3600000L),
+        () => new StubLlmClient(echo))
+      .select("val", "_row_idx", "Response").collect()
+    assert(out.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "resumed output differs from a single-run enrich")
+  }
+
+  test("enrichResumable: completed request re-pays ZERO; config change invalidates the cache") {
+    EnrichProbes.reset()
+    val root = resumeRoot()
+    val df = corpus(25)
+    val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 4,
+      requestId = "resume-done", retryBaseDelayMs = 1L)
+    val r1 = Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+      .select("val", "_row_idx", "Response").collect()
+    assert(EnrichProbes.calls.get() == 25)
+
+    EnrichProbes.calls.set(0)
+    val r2 = Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+      .select("val", "_row_idx", "Response").collect()
+    assert(EnrichProbes.calls.get() == 0, "a completed request must re-pay nothing")
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+
+    // a different prompt is a DIFFERENT job: cached answers must not be
+    // served to it (config_hash invalidation re-pays every row)
+    EnrichProbes.calls.set(0)
+    Enrich.enrichResumable(df, 0, cfg.copy(systemPrompt = "Q"),
+        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+      .select("Response").collect()
+    assert(EnrichProbes.calls.get() == 25,
+      "changed prompt must invalidate the cache, not reuse stale answers")
+  }
+
+  test("enrichResumable: sentinel rows retry on rerun, successes never re-pay") {
+    EnrichProbes.reset()
+    val root = resumeRoot()
+    val df = corpus(12)
+    val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 1,
+      requestId = "resume-sentinel", retries = 1, retryBaseDelayMs = 1L)
+    val r1 = Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.FailOnClient("Input: row7", echo),
+        root, chunkRows = 5)
+      .select("_row_idx", "Response").collect()
+    assert(EnrichProbes.calls.get() == 11)
+    assert(r1.count(_.getString(1) == Enrich.ErrorSentinel) == 1,
+      "row 7 should carry the sentinel after run 1")
+
+    EnrichProbes.calls.set(0)
+    val r2 = Enrich.enrichResumable(df, 0, cfg,
+        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 5)
+      .select("_row_idx", "Response").collect()
+    assert(EnrichProbes.calls.get() == 1,
+      s"only the failed row retries, paid ${EnrichProbes.calls.get()}")
+    assert(r2.forall(_.getString(1) != Enrich.ErrorSentinel))
+    assert(r2.find(_.getLong(0) == 7L).get.getString(1) == "row7")
+  }
+
+  test("enrichResumable: requires a requestId") {
+    intercept[IllegalArgumentException] {
+      Enrich.enrichResumable(corpus(3), 0, Enrich.Config(systemPrompt = "P"),
+        () => new StubLlmClient(_ => "x"), resumeRoot())
     }
   }
 }
