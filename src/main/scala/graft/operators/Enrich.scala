@@ -391,16 +391,23 @@ object Enrich {
       // isEmpty is one cheap job per chunk — the price of skipping a
       // fully-cached chunk without running its (empty) paid pass + commit
       if (!chunk.isEmpty) {
-        val res = runPaidCalls(chunk, columnIndex, cfg, clientFactory,
-            progress, throttles)
-          .select(
-            concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
-            lit(cfg.requestId).as("request_id"),
-            col("_row_idx").as("row_idx"),
-            lit(configHash).as("config_hash"),
-            col("Response").as("response"))
-        // the Merge write IS the action that runs this chunk's paid calls
-        // — exactly once, committed atomically with the manifest rename
+        // materialize the paid pass EXACTLY ONCE before the sink sees it:
+        // Merge runs several actions over its upsert frame (touched-bucket
+        // collect, anti-join, write), each of which would re-execute the
+        // paid mapPartitions (observed: 2-3x calls per chunk). The
+        // checkpoint is the single paid execution; the atomic Merge commit
+        // then makes it durable. (Losing an executor between the two loses
+        // the chunk's blocks and fails the job — which is exactly a
+        // mid-chunk kill: the rerun resumes from the last committed chunk.)
+        val res = graft.core.Checkpoint.materialize(
+          runPaidCalls(chunk, columnIndex, cfg, clientFactory,
+              progress, throttles)
+            .select(
+              concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
+              lit(cfg.requestId).as("request_id"),
+              col("_row_idx").as("row_idx"),
+              lit(configHash).as("config_hash"),
+              col("Response").as("response")))
         if (!tableExists)
           graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
         else
@@ -410,16 +417,21 @@ object Enrich {
       lo = hi
     }
 
+    // underscore-prefixed names: Spark's default case-INSENSITIVE
+    // resolution would otherwise make "response" collide with the
+    // "Response" output column (withColumn would REPLACE it and the drop
+    // would take both)
     val responses =
-      if (tableExists) cacheRows().select(col("row_idx"), col("response"))
-      else head.select(col("_row_idx").as("row_idx"))
-        .withColumn("response", lit(null).cast("string")).limit(0)
+      if (tableExists) cacheRows()
+        .select(col("row_idx").as("_c_idx"), col("response").as("_c_resp"))
+      else head.select(col("_row_idx").as("_c_idx"))
+        .withColumn("_c_resp", lit(null).cast("string")).limit(0)
     // defensive coalesce: every head row was either cached or enriched
     // above, so a miss here means a concurrent writer vacuumed the table
     // mid-run — surface it as the sentinel, never a null
-    val out = head.join(responses, col("_row_idx") === col("row_idx"), "left")
-      .withColumn("Response", coalesce(col("response"), lit(ErrorSentinel)))
-      .drop("row_idx", "response")
+    val out = head.join(responses, col("_row_idx") === col("_c_idx"), "left")
+      .withColumn("Response", coalesce(col("_c_resp"), lit(ErrorSentinel)))
+      .drop("_c_idx", "_c_resp")
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
     out.unionByName(tail)
       .repartitionByRange(numBatches, col("_row_idx"))

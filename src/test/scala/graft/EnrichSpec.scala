@@ -54,6 +54,12 @@ object EnrichProbes {
   val throttledPrompts: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Extracts the row's input back out of the prompt — a deterministic
+    * "completion" whose expected value per row is obvious in asserts.
+    * Lives on the OBJECT so client closures never capture the spec
+    * class (whose scalatest Engine is not serializable). */
+  val echo: String => String = p => p.substring(p.indexOf("Input: ") + 7)
+
   /** Counts every SUCCESSFUL completion in `calls` — the "paid call"
     * ledger the resume tests assert on. */
   class CountingClient(f: String => String) extends graft.llm.LlmClient with Serializable {
@@ -442,8 +448,6 @@ class EnrichSpec extends SparkSpec {
 
   private def resumeRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_resume").toString + "/cache"
-  private val echo: String => String =
-    p => p.substring(p.indexOf("Input: ") + 7)
 
   test("enrichResumable: killed mid-chunk, rerun pays ONLY the lost rows, output byte-identical") {
     EnrichProbes.reset()
@@ -458,7 +462,7 @@ class EnrichSpec extends SparkSpec {
       batchTimeoutMs = 900L)
     intercept[Throwable] {
       Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.HangOnClient("Input: row20", echo),
+        () => new EnrichProbes.HangOnClient("Input: row20", EnrichProbes.echo),
         root, chunkRows = 10)
     }
     assert(EnrichProbes.calls.get() == 20,
@@ -466,7 +470,7 @@ class EnrichSpec extends SparkSpec {
 
     EnrichProbes.calls.set(0)
     val out = Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 10)
       .select("val", "_row_idx", "Response").collect()
     assert(EnrichProbes.calls.get() == 10,
       s"rerun must pay only the 10 uncommitted rows, paid ${EnrichProbes.calls.get()}")
@@ -478,7 +482,7 @@ class EnrichSpec extends SparkSpec {
     }
     // byte-identical to a never-failed plain run over the same input
     val fresh = Enrich.enrich(df, 0, cfg.copy(batchTimeoutMs = 3600000L),
-        () => new StubLlmClient(echo))
+        () => new StubLlmClient(EnrichProbes.echo))
       .select("val", "_row_idx", "Response").collect()
     assert(out.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
       "resumed output differs from a single-run enrich")
@@ -491,13 +495,13 @@ class EnrichSpec extends SparkSpec {
     val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 4,
       requestId = "resume-done", retryBaseDelayMs = 1L)
     val r1 = Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 10)
       .select("val", "_row_idx", "Response").collect()
     assert(EnrichProbes.calls.get() == 25)
 
     EnrichProbes.calls.set(0)
     val r2 = Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 10)
       .select("val", "_row_idx", "Response").collect()
     assert(EnrichProbes.calls.get() == 0, "a completed request must re-pay nothing")
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
@@ -506,7 +510,7 @@ class EnrichSpec extends SparkSpec {
     // served to it (config_hash invalidation re-pays every row)
     EnrichProbes.calls.set(0)
     Enrich.enrichResumable(df, 0, cfg.copy(systemPrompt = "Q"),
-        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 10)
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 10)
       .select("Response").collect()
     assert(EnrichProbes.calls.get() == 25,
       "changed prompt must invalidate the cache, not reuse stale answers")
@@ -519,7 +523,7 @@ class EnrichSpec extends SparkSpec {
     val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 1,
       requestId = "resume-sentinel", retries = 1, retryBaseDelayMs = 1L)
     val r1 = Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.FailOnClient("Input: row7", echo),
+        () => new EnrichProbes.FailOnClient("Input: row7", EnrichProbes.echo),
         root, chunkRows = 5)
       .select("_row_idx", "Response").collect()
     assert(EnrichProbes.calls.get() == 11)
@@ -528,7 +532,7 @@ class EnrichSpec extends SparkSpec {
 
     EnrichProbes.calls.set(0)
     val r2 = Enrich.enrichResumable(df, 0, cfg,
-        () => new EnrichProbes.CountingClient(echo), root, chunkRows = 5)
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 5)
       .select("_row_idx", "Response").collect()
     assert(EnrichProbes.calls.get() == 1,
       s"only the failed row retries, paid ${EnrichProbes.calls.get()}")
