@@ -22,5 +22,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Ext.oracles
+    Relational.oracles ++ Ext.oracles ++ Map(
+      // loaded-model twins are their fresh-model siblings VERBATIM: the
+      // oracle gate is the statement that scoring from a persisted +
+      // reloaded model is bit-identical to the trainer's in-memory model
+      "txt_perplexity_kn_loaded" -> Ext.oracles("txt_perplexity_kn"),
+      "sim_classify_loaded" -> Ext.oracles("sim_classify_train"))
 }

@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * closed-vocabulary trick that bounds LM table size regardless of
   * corpus size — the knob that keeps a 100 TB corpus's bigram table
   * joinable). Rides into generated code as one reference object. */
-final class LmVocab(tokens: Array[String]) extends Serializable {
+final class LmVocab(val tokens: Array[String]) extends Serializable {
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](tokens.length * 2)
     tokens.foreach(s.add)

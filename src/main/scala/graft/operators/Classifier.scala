@@ -150,6 +150,60 @@ object Classifier {
     HashedModel(w, b, loss.result())
   }
 
+  // ---- model persistence (the Ivf.saveModel artifact shape) -------------
+
+  /** Persist a [[LogRegModel]] under `path/logreg`: one row of
+    * (weights, bias, loss_history) — dim+1 doubles plus the training
+    * curve, bounded by the feature dimension. Closes the train-per-job
+    * gap: the published pipelines train the quality classifier ONCE on
+    * the curated sample and score every corpus snapshot with the same
+    * weights; a loaded model's scores are bit-identical to the
+    * trainer's (same literal weight array → same codegen). */
+  def saveLogReg(spark: org.apache.spark.sql.SparkSession,
+                 model: LogRegModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias, model.lossHistory.toSeq))
+      .toDF("weights", "bias", "loss_history").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/logreg")
+  }
+
+  def loadLogReg(spark: org.apache.spark.sql.SparkSession,
+                 path: String): LogRegModel = {
+    val r = spark.read.parquet(s"$path/logreg")
+      .select(col("weights"), col("bias"), col("loss_history")).collect()
+    require(r.length == 1, s"expected one model row under $path/logreg, got ${r.length}")
+    LogRegModel(r(0).getSeq[Double](0).toArray, r(0).getDouble(1),
+      r(0).getSeq[Double](2).toArray)
+  }
+
+  /** Persist a [[HashedModel]] under `path/hashed`: SPARSE (idx, w)
+    * rows for the nonzero buckets plus a one-row meta file carrying
+    * (buckets, bias, loss_history) — a 2^22-bucket model with 50k seen
+    * tokens writes 50k rows, not 4M zeros. */
+  def saveHashed(spark: org.apache.spark.sql.SparkSession,
+                 model: HashedModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.buckets, model.bias, model.lossHistory.toSeq))
+      .toDF("buckets", "bias", "loss_history").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/hashed/meta")
+    model.weights.iterator.zipWithIndex.filter(_._1 != 0.0)
+      .map { case (w, i) => (i, w) }.toSeq
+      .toDF("idx", "w").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/hashed/weights")
+  }
+
+  def loadHashed(spark: org.apache.spark.sql.SparkSession,
+                 path: String): HashedModel = {
+    val m = spark.read.parquet(s"$path/hashed/meta")
+      .select(col("buckets"), col("bias"), col("loss_history")).collect()
+    require(m.length == 1, s"expected one meta row under $path/hashed/meta, got ${m.length}")
+    val w = new Array[Double](m(0).getInt(0))
+    spark.read.parquet(s"$path/hashed/weights")
+      .select(col("idx"), col("w")).collect()
+      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    HashedModel(w, m(0).getDouble(1), m(0).getSeq[Double](2).toArray)
+  }
+
   /** Full-batch gradient-descent logistic regression on `vecCol`
     * (array of float/double, constant dimension) against binary
     * `labelCol` (0/1, any numeric/boolean castable to double).

@@ -161,6 +161,72 @@ object LangModel {
         round(exp(-col("h")), 4).as("perplexity"))
   }
 
+  // ---- model persistence (the Ivf.saveModel artifact shape) -------------
+
+  /** Persist a trained [[BigramLm]] under `path`: vocabulary as
+    * (idx, token) rows (the top-by-count ORDER is part of the model),
+    * both count tables as plain parquet, the smoothing scalar in a
+    * one-row meta file. Everything written is vocab-bounded — never
+    * corpus-sized — so the artifact is kilobytes-to-megabytes at any
+    * training-corpus scale. Closes the train-per-job gap: the CCNet
+    * recipe trains the reference LM ONCE (on Wikipedia) and scores every
+    * crawl snapshot against the SAME model; without persistence every
+    * scoring job silently re-trains on whatever slice it has. */
+  def save(spark: org.apache.spark.sql.SparkSession, lm: BigramLm,
+           path: String): Unit = {
+    import spark.implicits._
+    lm.vocab.tokens.zipWithIndex.toSeq.map { case (t, i) => (i, t) }
+      .toDF("idx", "token").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    Seq(lm.alpha).toDF("alpha").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[BigramLm]]: the count tables come back as LAZY parquet
+    * reads — a loaded model scores a 100 TB target without retraining
+    * and without materializing anything up front (the tables join as
+    * the small side exactly like the trainer's checkpointed frames).
+    * Scoring from a loaded model is bit-identical to scoring from the
+    * trainer's in-memory model (LangModelSpec pins it). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm = {
+    val vocab = new LmVocab(spark.read.parquet(s"$path/vocab")
+      .orderBy(col("idx")).select(col("token")).collect().map(_.getString(0)))
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"expected one meta row under $path/meta, got ${meta.length}")
+    BigramLm(vocab, spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"), meta(0).getDouble(0))
+  }
+
+  /** [[save]] plus the KN side: follower/continuation tables and the
+    * (discount, bigram-type-count) scalars. */
+  def saveKn(spark: org.apache.spark.sql.SparkSession, lm: KnBigramLm,
+             path: String): Unit = {
+    import spark.implicits._
+    lm.vocab.tokens.zipWithIndex.toSeq.map { case (t, i) => (i, t) }
+      .toDF("idx", "token").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    lm.followers.write.mode("overwrite").parquet(s"$path/followers")
+    lm.continuation.write.mode("overwrite").parquet(s"$path/continuation")
+    Seq((lm.discount, lm.nBigramTypes)).toDF("discount", "n_bigram_types")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta_kn")
+  }
+
+  def loadKn(spark: org.apache.spark.sql.SparkSession, path: String): KnBigramLm = {
+    val vocab = new LmVocab(spark.read.parquet(s"$path/vocab")
+      .orderBy(col("idx")).select(col("token")).collect().map(_.getString(0)))
+    val meta = spark.read.parquet(s"$path/meta_kn").collect()
+    require(meta.length == 1, s"expected one meta row under $path/meta_kn, got ${meta.length}")
+    KnBigramLm(vocab, spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/followers"),
+      spark.read.parquet(s"$path/continuation"),
+      meta(0).getLong(1), meta(0).getDouble(0))
+  }
+
   /** Train-on-reference, score-target in one call (the CCNet filter
     * stage: keep target rows under a perplexity ceiling upstream). */
   def perplexityAgainst(reference: DataFrame, target: DataFrame,

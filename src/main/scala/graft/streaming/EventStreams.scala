@@ -213,6 +213,24 @@ object EventStreams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityGate(docs)
 
+  /** Streaming MODEL-based quality gate: score each micro-batch with a
+    * trained — typically persisted-and-LOADED — hashed text classifier
+    * and keep rows clearing `minScore`. Stateless narrow predicate (the
+    * score is one codegen'd expression over the literal weight array),
+    * so it drops into any landing stream. The model is a bounded driver
+    * object riding the plan; batch jobs own its lifecycle
+    * ([[graft.operators.Classifier.trainHashedText]] →
+    * `saveHashed`/`loadHashed`) and refresh it at whatever cadence the
+    * corpus drifts — the same batch-owns-the-model seam as the DSIR
+    * admission gate. A stream RESTART reloads the artifact and gates
+    * identically (EventStreamsSpec pins it). */
+  def classifierGateStream(docs: DataFrame,
+                           model: graft.operators.Classifier.HashedModel,
+                           textCol: String = "text",
+                           minScore: Double = 0.5): DataFrame =
+    docs.filter(model.score(
+      graft.operators.TextAnalysis.tokens(col(textCol))) >= minScore)
+
   /** Streaming DSIR admission gate: keep only documents whose hashed
     * -unigram importance score against a PRE-FITTED target-vs-pool
     * model ([[graft.operators.Dsir.fitLogRatioMap]], a 256-entry

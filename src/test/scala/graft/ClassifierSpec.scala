@@ -117,4 +117,38 @@ class ClassifierSpec extends SparkSpec {
       Classifier.trainLogReg(badLabel, "x", "y", iters = 1)
     }
   }
+
+  test("saveLogReg/loadLogReg round-trip: loaded model scores bit-identically") {
+    val df = separable(200, seed = 11).toDF("x", "y")
+    val model = Classifier.trainLogReg(df, "x", "y", iters = 40, lr = 1.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_lr_rt").toString
+    Classifier.saveLogReg(spark, model, path)
+    val loaded = Classifier.loadLogReg(spark, path)
+    assert(loaded.weights.toSeq === model.weights.toSeq)
+    assert(loaded.bias === model.bias)
+    assert(loaded.lossHistory.toSeq === model.lossHistory.toSeq)
+    val fresh = df.select(model.score(col("x"))).as[Double].collect().toSeq
+    val again = df.select(loaded.score(col("x"))).as[Double].collect().toSeq
+    assert(fresh === again, "loaded-model scores differ from the trainer's")
+  }
+
+  test("saveHashed/loadHashed round-trip: sparse artifact, identical scoring") {
+    val rows = (0 until 60).map { i =>
+      if (i % 2 == 0) (s"good clean prose number $i", 1)
+      else (s"zz$i spammy junk zz$i", 0)
+    }
+    val df = rows.toDF("text", "y")
+    val model = Classifier.trainHashedText(df, "text", "y",
+      buckets = 1 << 10, iters = 6, lr = 2.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_hm_rt").toString
+    Classifier.saveHashed(spark, model, path)
+    val loaded = Classifier.loadHashed(spark, path)
+    assert(loaded.buckets === model.buckets)
+    assert(loaded.weights.toSeq === model.weights.toSeq,
+      "sparse (idx, w) rows must reconstruct the DENSE weight array exactly")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val fresh = df.select(model.score(toks)).as[Double].collect().toSeq
+    val again = df.select(loaded.score(toks)).as[Double].collect().toSeq
+    assert(fresh === again, "loaded-model scores differ from the trainer's")
+  }
 }

@@ -463,6 +463,43 @@ class EventStreamsSpec extends SparkSpec {
       "recovered state store still knows key b — the duplicate is dropped, c passes")
   }
 
+  test("landing restart from a LOADED classifier model: gate identical across restart, old rows once") {
+    // batch job trains + persists the gate model ONCE; every stream
+    // (re)start loads the ARTIFACT — across a restart the reloaded model
+    // must gate new arrivals exactly as the first load did, and the
+    // checkpoint must keep committed files unreprocessed
+    val trainRows = (0 until 60).map { i =>
+      if (i % 2 == 0) (s"good clean prose number $i", 1)
+      else (s"zz$i spammy junk zz$i", 0)
+    }
+    val model = graft.operators.Classifier.trainHashedText(
+      trainRows.toDF("text", "y"), "text", "y",
+      buckets = 1 << 10, iters = 6, lr = 2.0)
+    val modelPath = java.nio.file.Files.createTempDirectory("graft_gate_model").toString
+    graft.operators.Classifier.saveHashed(spark, model, modelPath)
+
+    val (landing, out, chk) = landingDirs()
+    val docSchema = Seq.empty[(Long, String, Timestamp)].toDF("id", "text", "ts")
+    def landDocs(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("id", "text", "ts").coalesce(1).write.mode("append").parquet(landing)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.classifierGateStream(df,
+        graft.operators.Classifier.loadHashed(spark, modelPath))
+
+    landDocs(Seq((1L, "good clean prose number 2", ts(0)),
+      (2L, "zz9 spammy junk zz9", ts(0))))
+    val q1 = EventStreams.runLandingToParquet(spark, landing, docSchema, gate, out, chk)
+    q1.awaitTermination()
+    assert(readOut(out) == Seq(1L), "first run keeps only the good doc")
+
+    landDocs(Seq((3L, "good clean prose number 4", ts(30)),
+      (4L, "zz7 spammy junk zz7", ts(30))))
+    val q2 = EventStreams.runLandingToParquet(spark, landing, docSchema, gate, out, chk)
+    q2.awaitTermination()
+    assert(readOut(out) == Seq(1L, 3L),
+      "restart reloads the model artifact and gates identically; committed rows exactly once")
+  }
+
   test("landing restart: URL-frontier state survives — a cross-restart alias stays suppressed") {
     val (landing, out, chk) = landingDirs()
     def frontier(df: org.apache.spark.sql.DataFrame) =

@@ -159,4 +159,35 @@ class LangModelSpec extends SparkSpec {
     val again = LangModel.perplexity(t, "id", "text", lm).orderBy("id")
     assert(out.collect().toSeq === again.collect().toSeq)
   }
+
+  test("save/load round-trip: a loaded bigram LM scores bit-identically") {
+    val ref = Seq("a b a b c", "a b c a", "b c b a").toDF("text")
+    val t = Seq((1, "a b c"), (2, "c b a z"), (3, "a a a")).toDF("id", "text")
+    val lm = LangModel.train(ref, col("text"), maxVocab = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_rt").toString
+    LangModel.save(spark, lm, path)
+    val loaded = LangModel.load(spark, path)
+    assert(loaded.vocab.tokens.toSeq === lm.vocab.tokens.toSeq,
+      "vocabulary content and ORDER survive the round trip")
+    assert(loaded.alpha === lm.alpha)
+    val fresh = LangModel.perplexity(t, "id", "text", lm).orderBy("id").collect().toSeq
+    val again = LangModel.perplexity(t, "id", "text", loaded).orderBy("id").collect().toSeq
+    assert(fresh === again, "loaded-model scores differ from the trainer's")
+  }
+
+  test("saveKn/loadKn round-trip: loaded KN model scores bit-identically, cross-input") {
+    // train on one corpus, score ANOTHER through both the in-memory and
+    // the reloaded model — the train-once / score-every-snapshot contract
+    val ref = Seq("a b a b c d", "a b c a d b", "b c b a a d").toDF("text")
+    val lm = LangModel.trainKn(ref, col("text"), maxVocab = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_knlm_rt").toString
+    LangModel.saveKn(spark, lm, path)
+    val loaded = LangModel.loadKn(spark, path)
+    assert(loaded.nBigramTypes === lm.nBigramTypes)
+    assert(loaded.discount === lm.discount)
+    val other = Seq((1, "a b d c"), (2, "z z a b"), (3, "d a c b a")).toDF("id", "text")
+    val fresh = LangModel.perplexityKn(other, "id", "text", lm).orderBy("id").collect().toSeq
+    val again = LangModel.perplexityKn(other, "id", "text", loaded).orderBy("id").collect().toSeq
+    assert(fresh === again, "loaded KN model scores differ from the trainer's")
+  }
 }
