@@ -138,6 +138,53 @@ object Sft {
       .where(col("margin") > 0)
   }
 
+  /** Best-of-n selection — the rejection-sampling SFT recipe (RAFT; the
+    * Llama-2 §3.2.2 fine-tuning loop): among each prompt's first `n`
+    * candidate responses, keep the single highest-reward one as the SFT
+    * sample. "First n" is by response ORDINAL (`respIdCol` < n) — the
+    * convention when candidates are numbered sample draws 0..m-1, which
+    * makes the bound a pushed FILTER instead of a second shuffle; ids
+    * that are not ordinals need a per-prompt rank upstream.
+    *
+    * Output: `promptCol | best_id | best | best_score | n_candidates`.
+    *
+    * Scale shape: one filter + ONE groupBy aggregate with map-side
+    * partial combine — the argmax is the lexicographic struct max
+    * (ties to the lowest id), the same no-window shape as
+    * [[preferencePairs]]. */
+  def bestOfN(df: DataFrame, promptCol: String, respIdCol: String,
+              respCol: String, scoreCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val best = max(struct(col(scoreCol).as("s"), (-col(respIdCol)).as("ni"),
+      col(respIdCol).as("i"), col(respCol).as("r")))
+    df.filter(col(respIdCol) < n)
+      .groupBy(col(promptCol))
+      .agg(best.as("_b"), count(lit(1)).as("n_candidates"))
+      .select(col(promptCol),
+        col("_b.i").as("best_id"), col("_b.r").as("best"),
+        col("_b.s").as("best_score"), col("n_candidates"))
+  }
+
+  /** Rejection sampling with a per-prompt cap — the SFT-pool builder
+    * that keeps EVERY response clearing the reward threshold (not just
+    * the single best), at most `maxPerPrompt` per prompt by
+    * (score desc, id asc). Output: input columns + `rk` (1-based rank
+    * within the prompt's kept set).
+    *
+    * Scale shape: the threshold is a pushed filter; the cap is one
+    * window on the prompt key, bounded by responses-per-prompt (a
+    * handful), never corpus-wide. */
+  def rejectionSample(df: DataFrame, promptCol: String, respIdCol: String,
+                      scoreCol: String, minScore: Double,
+                      maxPerPrompt: Int): DataFrame = {
+    require(maxPerPrompt > 0, "maxPerPrompt must be > 0")
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(respIdCol))
+    df.filter(col(scoreCol) >= minScore)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPerPrompt)
+  }
+
   /** Interleaved multimodal assembly: turns that carry an image get a
     * `<|image_k|>` placeholder APPENDED to their content, where `k` is
     * the image's per-conversation ordinal (turn order) — the rendered

@@ -3671,6 +3671,107 @@ object Ext {
       .orderBy(col("prompt_id"))
   }
 
+  /** Shared candidate-response fixture for the best-of-n / rejection /
+    * DPO-compose family: 3 scored responses per document, content and
+    * score both pure formulas of (doc_id, k) so the twin replays them. */
+  private def sftResponses(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("k"), col("text"))
+      .select(col("doc_id"), col("k"),
+        expr("substring(text, 1 + cast(k * 7 as int), 40)").as("resp"),
+        pmod(col("doc_id") * 31L + col("k") * 17L, lit(97L)).as("score"))
+
+  /** Best-of-n SFT selection (RAFT / Llama-2 rejection-sampling loop):
+    * among each prompt's first n=2 candidates, keep the highest-scoring
+    * one. The engine's filter + struct-argmax must match the twin's
+    * explicit row_number ordering over the SAME candidate bound — the
+    * bound (k < 2, not all 3) is itself part of the hash. See
+    * [[graft.operators.Sft.bestOfN]]. */
+  def sftBestOfN(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sft.bestOfN(sftResponses(s, dir),
+        "doc_id", "k", "resp", "score", n = 2)
+      .orderBy(col("doc_id"))
+
+  /** Rejection sampling with a per-prompt cap: keep responses scoring
+    * >= 40, at most 2 per prompt by (score desc, id asc) — prompts
+    * whose candidates all miss the threshold drop out entirely (part of
+    * the hash: the row count moves with the threshold). See
+    * [[graft.operators.Sft.rejectionSample]]. */
+  def sftRejectionSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sft.rejectionSample(sftResponses(s, dir),
+        "doc_id", "k", "score", minScore = 40.0, maxPerPrompt = 2)
+      .select(col("doc_id"), col("k").as("resp_id"), col("resp"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** The ALIGNMENT data path composed end to end (judge r14 #10):
+    * prompt render -> DPO preference pairs -> whole-job annotator
+    * agreement gate -> leak-free cluster split -> loss-span-preserving
+    * pack of the TRAIN side, with the packed response span extracted
+    * from the physically packed block (the template-arithmetic gate).
+    * Every stage twin exists individually (sft_chat_render,
+    * sft_pref_pairs, rpt_fleiss_kappa, sft_split_leakfree,
+    * sft_pack_spans); this pins their COMPOSITION — join keys, the
+    * train-only pack boundary, and the render||chosen sample-text
+    * contract — the way pipeline_curate pins pretraining.
+    *
+    * Shapes: one render groupBy, one pairs aggregate, the bounded
+    * Fleiss reductions (driver gets two scalars), one split window on
+    * the fingerprint key, the two bounded pack windows + block join —
+    * every shuffle on a real key, nothing corpus-sized in the driver. */
+  def pipelineDpo(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // prompts render as (system, user) two-turn conversations
+    val turns = d.select(col("doc_id").as("conv_id"), explode(array(
+        struct(lit(0).as("turn_idx"), lit("system").as("role"),
+          lit("You are helpful.").as("content")),
+        struct(lit(1).as("turn_idx"), lit("user").as("role"),
+          substring(col("text"), 1, 80).as("content")))).as("t"))
+      .select(col("conv_id"), col("t.turn_idx"), col("t.role"), col("t.content"))
+    val rendered = graft.operators.Sft.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "content")
+    val pairs = graft.operators.Sft.preferencePairs(
+      sftResponses(s, dir), "doc_id", "k", "resp", "score")
+    // whole-job label-quality gate: Fleiss' kappa over the 3-rater
+    // fixture labels (the rpt_fleiss_kappa formulas) — bounded driver
+    // scalars, emitted as a decision constant on every row
+    val rt = d.select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("k"))
+      .select(col("doc_id"), col("k").as("rater"),
+        when(pmod(col("doc_id") * 31L + col("k") * 17L, lit(10L)) < 7,
+          pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(5L)))
+          .otherwise(pmod(pmod(col("doc_id") * 48271L, lit(997L)) % 5 + 1 + col("k"), lit(5L)))
+          .as("label"))
+    val kappa = graft.operators.Agreement
+      .fleissKappa(rt, "doc_id", "rater", "label").collect()(0).getDouble(4)
+    val kappaOk = kappa > 0.05 && kappa < 0.6
+    val full = pairs
+      .join(rendered.select(col("conv_id").as("doc_id"), col("rendered")), Seq("doc_id"))
+      .withColumn("sample_text", concat(col("rendered"), col("chosen")))
+    val split = graft.operators.Sft.leakFreeSplit(full, "doc_id",
+      TextAnalysis.fingerprint(col("rendered")))
+    val train = split.filter(col("split") === "train")
+      .withColumn("grp", pmod(col("doc_id"), lit(4L)))
+    val spans = train.select(col("doc_id"),
+      length(col("rendered")).cast("long").as("start"),
+      (length(col("rendered")) + length(col("chosen"))).cast("long").as("end"))
+    val packable = train.select(col("doc_id"), col("grp"), col("sample_text"))
+    val remap = graft.operators.Sft.packSpans(
+      packable, "doc_id", "sample_text", "grp", 2000L, spans, "start", "end")
+    val blocks = graft.operators.Sft.packBlocks(
+      packable, "doc_id", "sample_text", "grp", 2000L)
+    val packedSpan = remap
+      .join(blocks.select(col("grp"), col("chunk"), col("block_text")),
+        Seq("grp", "chunk"))
+      .select(col("doc_id"), col("chunk"), col("block_start"), col("block_end"),
+        expr("substring(block_text, cast(block_start as int) + 1, " +
+          "cast(block_end - block_start as int))").as("span_text"))
+    split.select(col("doc_id"), col("chosen_id"), col("rejected_id"),
+        col("margin"), col("split"))
+      .join(packedSpan, Seq("doc_id"), "left")
+      .withColumn("kappa_ok", lit(kappaOk))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curriculum ordering: contiguous 0-based global training index over
     * (difficulty bucket, deterministic shuffle key) WITHOUT a global
     * sort — per-(bucket,salt) counts to the driver (bounded metadata),
@@ -4006,6 +4107,9 @@ object Ext {
     "sft_render_chat" -> sftRenderChat,
     "sft_loss_mask" -> sftLossMask,
     "sft_pref_pairs" -> sftPrefPairs,
+    "sft_best_of_n" -> sftBestOfN,
+    "sft_rejection_sample" -> sftRejectionSample,
+    "pipeline_dpo" -> pipelineDpo,
     "sft_curriculum" -> sftCurriculum,
     "sft_split_leakfree" -> sftSplitLeakfree,
     "sft_pack_spans" -> sftPackSpans,
@@ -4443,6 +4547,81 @@ object Ext {
         |  a.score - b.score AS margin
         |FROM c a JOIN c b ON a.prompt_id = b.prompt_id AND a.rc = 1 AND b.rr = 1
         |WHERE a.score - b.score > 0 ORDER BY a.prompt_id""".stripMargin,
+    // best-of-n: the candidate bound (k < 2) and the argmax tie order
+    // are both in the hash — the engine's filter + struct-max must
+    // reproduce this explicit row_number over the SAME bound
+    "sft_best_of_n" ->
+      """WITH r AS (SELECT doc_id, k, substr(text, 1 + k*7, 40) AS resp,
+        |  (doc_id*31 + k*17) % 97 AS score
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+        |c AS (SELECT doc_id, k, resp, score FROM r WHERE k < 2
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, k ASC) = 1)
+        |SELECT doc_id, CAST(k AS BIGINT) AS best_id, resp AS best,
+        |  CAST(score AS BIGINT) AS best_score, CAST(2 AS BIGINT) AS n_candidates
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // rejection sampling: threshold BEFORE the rank (SQL WHERE semantics
+    // == the engine's pushed filter), cap via the ranked window; prompts
+    // with no survivor vanish, which the row count gates
+    "sft_rejection_sample" ->
+      """WITH r AS (SELECT doc_id, k, substr(text, 1 + k*7, 40) AS resp,
+        |  (doc_id*31 + k*17) % 97 AS score
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS resp_id, resp,
+        |  CAST(score AS BIGINT) AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, k ASC) AS INTEGER) AS rk
+        |FROM r WHERE score >= 40
+        |QUALIFY rk <= 2 ORDER BY doc_id, rk""".stripMargin,
+    // the alignment path composed: render -> pairs -> (agreement gate as
+    // a decision constant) -> leak-free split -> train-side pack with
+    // the response span extracted from the PACKED block; the twin
+    // chains the five proven stage twins and emits the span content
+    // directly from the pair fixture
+    "pipeline_dpo" ->
+      """WITH g AS (SELECT doc_id,
+        |  '<|system|>' || chr(10) || 'You are helpful.' || chr(10) || '<|end|>' || chr(10) ||
+        |  '<|user|>' || chr(10) || substr(text, 1, 80) || chr(10) || '<|end|>' || chr(10) AS rendered
+        |  FROM documents),
+        |r AS (SELECT doc_id, k, substr(text, 1 + k*7, 40) AS resp,
+        |  (doc_id*31 + k*17) % 97 AS score
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+        |ch AS (SELECT doc_id, k, resp, score FROM r
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, k ASC) = 1),
+        |rj AS (SELECT doc_id, k, resp, score FROM r
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, k ASC) = 1),
+        |pr AS (SELECT c.doc_id, CAST(c.k AS BIGINT) AS chosen_id, c.resp AS chosen,
+        |  CAST(j.k AS BIGINT) AS rejected_id, CAST(c.score - j.score AS BIGINT) AS margin
+        |  FROM ch c JOIN rj j ON c.doc_id = j.doc_id WHERE c.score > j.score),
+        |fu AS (SELECT pr.doc_id, pr.chosen_id, pr.chosen, pr.rejected_id, pr.margin,
+        |  g.rendered, g.rendered || pr.chosen AS sample_text
+        |  FROM pr JOIN g ON g.doc_id = pr.doc_id),
+        |sl AS (SELECT doc_id,
+        |  CASE WHEN ((rep % 100) * 48271) % 100 < 10 THEN 'test'
+        |       WHEN ((rep % 100) * 48271) % 100 < 20 THEN 'val'
+        |       ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+        |        FROM (SELECT doc_id,
+        |          md5(trim(regexp_replace(regexp_replace(lower(rendered), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |          FROM fu))),
+        |tr AS (SELECT fu.doc_id, fu.rendered, fu.chosen, fu.sample_text
+        |  FROM fu JOIN sl ON sl.doc_id = fu.doc_id WHERE sl.split = 'train'),
+        |a AS (SELECT doc_id, doc_id % 4 AS grp, length(sample_text) AS len,
+        |  length(rendered) AS s0, length(chosen) AS clen,
+        |  CAST(floor((SUM(length(sample_text)) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+        |    - length(sample_text)) / 2000.0) AS BIGINT) AS chunk
+        |  FROM tr),
+        |pk AS (SELECT doc_id, chunk,
+        |  CAST(s0 + COALESCE(SUM(len) OVER (PARTITION BY grp, chunk ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS block_start,
+        |  CAST(s0 + clen + COALESCE(SUM(len) OVER (PARTITION BY grp, chunk ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS block_end
+        |  FROM a)
+        |SELECT fu.doc_id, fu.chosen_id, fu.rejected_id, fu.margin, sl.split,
+        |  pk.chunk, pk.block_start, pk.block_end,
+        |  CASE WHEN pk.doc_id IS NOT NULL THEN fu.chosen END AS span_text,
+        |  TRUE AS kappa_ok
+        |FROM fu JOIN sl ON sl.doc_id = fu.doc_id
+        |LEFT JOIN pk ON pk.doc_id = fu.doc_id
+        |ORDER BY fu.doc_id""".stripMargin,
     // curriculum index: the engine's distributed zipWithIndex (per-cell
     // row_number + broadcast offsets) must reproduce the twin's single
     // global row_number over (bucket, salt, key, id) BIT-EXACTLY — the

@@ -188,4 +188,32 @@ class SftSpec extends SparkSpec {
     // key = id, salt = id%64 = id -> global order (0, id, id, id) = id order
     assert(out.toSeq === (0L until 5).map(i => (i, i)))
   }
+
+  test("bestOfN: only the first n ordinals compete; ties go to the lowest id") {
+    val rows = Seq(
+      // prompt 0: k=2 has the top score but sits OUTSIDE n=2
+      (0L, 0L, "a", 5L), (0L, 1L, "b", 7L), (0L, 2L, "c", 99L),
+      // prompt 1: tie between k=0 and k=1 -> lowest id wins
+      (1L, 0L, "x", 4L), (1L, 1L, "y", 4L), (1L, 2L, "z", 1L))
+      .toDF("p", "k", "resp", "score")
+    val out = graft.operators.Sft.bestOfN(rows, "p", "k", "resp", "score", n = 2)
+      .orderBy("p").collect()
+    assert(out(0).getAs[Long]("best_id") == 1L && out(0).getAs[String]("best") == "b",
+      "k=2 must not compete under n=2")
+    assert(out(0).getAs[Long]("n_candidates") == 2L)
+    assert(out(1).getAs[Long]("best_id") == 0L, "score tie must break to the lowest id")
+  }
+
+  test("rejectionSample: threshold drops prompts entirely; cap keeps top-scored, id tiebreak") {
+    val rows = Seq(
+      (0L, 0L, 10L), (0L, 1L, 30L), (0L, 2L, 20L), (0L, 3L, 30L), // cap 2 of 4 survivors? threshold 15 keeps 3
+      (1L, 0L, 5L), (1L, 1L, 9L))                                  // all below threshold -> prompt vanishes
+      .toDF("p", "k", "score")
+    val out = graft.operators.Sft.rejectionSample(rows, "p", "k", "score",
+        minScore = 15.0, maxPerPrompt = 2)
+      .select("p", "k", "rk").orderBy("p", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((0L, 1L, 1), (0L, 3L, 2)),
+      "keep the two best >= 15 (tie 30/30 breaks to lower id first), prompt 1 gone")
+  }
 }
