@@ -136,6 +136,28 @@ object Soak {
           println(f"""[soak-theta-cert] {"scale":"${mult}x","pairs":${est.length},"max_rel_err_n_shared":$maxErr%.4f}""")
           est.length.toLong
         }),
+        // round-15 SFT selection + multimodal pair ops, all decades:
+        // each is one filter + one keyed aggregate/window, so the
+        // exponents grade the no-global-sort claims directly
+        "sft_best_of_n" -> (() => {
+          val resp = docs
+            .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("k"), col("text"))
+            .select(col("doc_id"), col("k"),
+              expr("substring(text, 1 + cast(k * 7 as int), 40)").as("resp"),
+              pmod(col("doc_id") * 31L + col("k") * 17L, lit(97L)).as("score"))
+          graft.operators.Sft.bestOfN(resp, "doc_id", "k", "resp", "score", n = 2)
+            .queryExecution.toRdd.count()
+        }),
+        "sft_rejection" -> (() => {
+          val resp = docs
+            .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("k"),
+              pmod(col("doc_id") * 31L + col("k") * 17L, lit(97L)).as("score"))
+          graft.operators.Sft.rejectionSample(resp, "doc_id", "k", "score",
+            minScore = 40.0, maxPerPrompt = 2).queryExecution.toRdd.count()
+        }),
+        "mm_pairs" -> (() =>
+          graft.queries.Ext.pipelineMmPairs(spark, dir)
+            .queryExecution.toRdd.count()),
         "dedup_editdist" -> (() =>
           graft.operators.Dedup.editDistPairs(docs, "doc_id", "text",
             blockCols = Seq("lang"), maxDistFrac = 0.2).count()),
@@ -262,6 +284,21 @@ object Soak {
             col("n_chars"), widths = Seq(50L, 100L, 200L, 400L), k = 1000)
             .count()))
       val once = Seq(
+        // heavier round-15 compositions, first decade: the resumable
+        // chunk loop (jobs ∝ rows/chunkRows — the checkpoint-cadence
+        // knob) and the five-family retrieval eval
+        "enrich_resume_fresh" -> (() => {
+          val root = s"$work/resume_x$mult/${java.util.UUID.randomUUID().toString.take(8)}"
+          val cfg = graft.operators.Enrich.Config(systemPrompt = "S",
+            rowConcurrency = 16, requestId = "soak")
+          graft.operators.Enrich.enrichResumable(
+            docs.select(col("doc_id"), col("text")), 1, cfg,
+            () => new graft.llm.StubLlmClient(p => s"len:${p.length}"),
+            root, chunkRows = 5000L).queryExecution.toRdd.count()
+        }),
+        "retrieval_eval" -> (() =>
+          graft.queries.Ext.rptRetrievalEval(spark, dir)
+            .queryExecution.toRdd.count()),
         "sim_ivfpq" -> (() => {
           val model = graft.operators.Ivf.trainPq(embs, "vec_id", "embedding",
             k = 16, iters = 2, m = 8, ks = 32, pqIters = 5)

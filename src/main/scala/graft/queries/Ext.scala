@@ -3100,6 +3100,46 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** The full VLM data path — [[pipelineMmPairs]] COMPOSED with the SFT
+    * multimodal interleave: curated (text, image) pairs become two-turn
+    * conversations (user turn carries the image, assistant turn the
+    * caption tail), image placeholders number and land via
+    * [[graft.operators.Sft.withImagePlaceholders]], and the conversation
+    * renders under the chat template. The query extracts the
+    * `<|image_0|>` placeholder from the RENDERED string at the
+    * arithmetically computed offset (template prefix 9 chars + content
+    * length − placeholder length) while the twin emits the literal —
+    * gates, join, slot numbering, placement, and render must all agree
+    * per row. Shapes: the pair pipeline's gate/sniff/join + one conv
+    * window + one render groupBy — every stage bounded as its parent
+    * operator documents. */
+  def pipelineVlm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pipelineMmPairs(s, dir)
+    val turns0 = pairs
+      .select(col("doc_id").as("conv_id"), col("width"), col("height"),
+        explode(array(
+          struct(lit(0).as("turn_idx"), lit("user").as("role"),
+            substring(col("text"), 1, 60).as("content"),
+            col("doc_id").as("image_id")),
+          struct(lit(1).as("turn_idx"), lit("assistant").as("role"),
+            substring(col("text"), 61, 40).as("content"),
+            lit(null).cast("long").as("image_id")))).as("t"))
+      .select(col("conv_id"), col("width"), col("height"),
+        col("t.turn_idx"), col("t.role"), col("t.content"), col("t.image_id"))
+    val withPh = graft.operators.Sft.withImagePlaceholders(
+      turns0, "conv_id", "turn_idx", "content", "image_id")
+    val rendered = graft.operators.Sft.renderConversations(
+      withPh, "conv_id", "turn_idx", "role", "content")
+    val sidecar = withPh.where(col("slot").isNotNull)
+      .select(col("conv_id"), col("slot"), col("image_id"),
+        col("width"), col("height"), length(col("content")).as("clen"))
+    sidecar.join(rendered, Seq("conv_id"))
+      .select(col("conv_id").as("doc_id"), col("width"), col("height"),
+        col("n_turns"), col("slot"),
+        expr("substring(rendered, cast(9 + clen - 11 + 1 as int), 11)").as("ph"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXIF provenance extraction: splice a formula-derived APP1/TIFF
     * block into a genuine ImageIO JPEG per row, walk it back with
     * [[graft.operators.ImageHeaders.exif]]. The twin predicts every
@@ -4155,6 +4195,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_image_meta" -> mmImageMeta,
     "pipeline_mm_pairs" -> pipelineMmPairs,
+    "pipeline_vlm" -> pipelineVlm,
     "mm_exif_meta" -> mmExifMeta,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_video_meta" -> mmVideoMeta,
@@ -5927,6 +5968,23 @@ object Ext {
          |  CAST((n_chars % 30) + 1 AS INTEGER) AS width,
          |  CAST((doc_id % 20) + 1 AS INTEGER) AS height FROM documents)
          |SELECT d.doc_id, d.text, i.width, i.height
+         |FROM surv s JOIN documents d ON s.doc_id = d.doc_id
+         |JOIN img i ON i.doc_id = d.doc_id
+         |WHERE i.width >= 8 AND i.height >= 8
+         |ORDER BY d.doc_id""".stripMargin,
+    // the VLM compose: same gate/dims/join CTEs, then the placeholder
+    // LITERAL per pair — the engine must extract it from the real
+    // render at the arithmetic offset (slot numbering + placement +
+    // template all in the hash)
+    "pipeline_vlm" ->
+      s"""WITH $duckGateCtes,
+         |surv AS (SELECT doc_id FROM r WHERE $duckGatePred),
+         |img AS (SELECT doc_id,
+         |  CAST((n_chars % 30) + 1 AS INTEGER) AS width,
+         |  CAST((doc_id % 20) + 1 AS INTEGER) AS height FROM documents)
+         |SELECT d.doc_id, i.width, i.height,
+         |  CAST(2 AS BIGINT) AS n_turns, CAST(0 AS BIGINT) AS slot,
+         |  '<|image_0|>' AS ph
          |FROM surv s JOIN documents d ON s.doc_id = d.doc_id
          |JOIN img i ON i.doc_id = d.doc_id
          |WHERE i.width >= 8 AND i.height >= 8
