@@ -75,6 +75,38 @@ object Agreement {
       .toDF("n_items", "n_ratings", "p_bar", "p_e", "kappa")
   }
 
+  /** Per-rater bias calibration over SCORED labels — the
+    * annotator-leniency report run alongside the kappas when labels are
+    * scalar rewards rather than categories (a systematically-lenient
+    * rater inflates every response they touch; reward models fit to
+    * uncalibrated raters learn the rater, not the preference).
+    *
+    * For each rating, the residual is `score − item_mean` (the item
+    * mean absorbs prompt difficulty); per rater the report gives
+    * `n_ratings`, `mean_score`, `leniency` (mean residual — positive =
+    * lenient) and `residual_sd` (consistency). Subtracting `leniency`
+    * from a rater's scores is the standard bias correction.
+    *
+    * Scale shape: one item-keyed aggregate (bounded by items), one join
+    * back (AQE broadcasts the item-mean table when small), one
+    * rater-keyed aggregate (bounded by raters) — no window, nothing
+    * corpus-sized anywhere. Same (item, rater, score) dedup contract as
+    * the kappas. */
+  def raterBias(df: DataFrame, itemCol: String, raterCol: String,
+                scoreCol: String): DataFrame = {
+    val ratings = df.select(col(itemCol), col(raterCol),
+      col(scoreCol).cast("double").as("_s")).distinct()
+    val itemMean = ratings.groupBy(col(itemCol))
+      .agg(avg(col("_s")).as("_im"))
+    ratings.join(itemMean, Seq(itemCol))
+      .withColumn("_r", col("_s") - col("_im"))
+      .groupBy(col(raterCol))
+      .agg(count(lit(1)).as("n_ratings"),
+        round(avg(col("_s")), 6).as("mean_score"),
+        round(avg(col("_r")), 6).as("leniency"),
+        round(stddev_pop(col("_r")), 6).as("residual_sd"))
+  }
+
   /** Same dedup contract as [[fleissKappa]]: transport-duplicate
     * (item, rater, label) rows collapse before the pair join (a
     * duplicated row would otherwise quadruple its cell in the

@@ -3922,6 +3922,22 @@ object Ext {
       .orderBy(col("conv_id"))
   }
 
+  /** Per-rater bias calibration over scalar reward scores: three
+    * synthetic raters score every doc with a shared item-difficulty
+    * term, a planted per-rater offset, and rater-specific noise; the
+    * report recovers each rater's leniency (mean residual vs the item
+    * mean) and consistency. The twin reruns the residual arithmetic at
+    * 6 dp. See [[graft.operators.Agreement.raterBias]]. */
+  def rptRaterBias(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val rt = d.select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("k"))
+      .select(col("doc_id"), col("k").as("rater"),
+        (pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(50L)) + col("k") * 3L +
+          pmod(col("doc_id") * 31L + col("k") * 17L, lit(7L))).cast("double").as("score"))
+    graft.operators.Agreement.raterBias(rt, "doc_id", "rater", "score")
+      .orderBy(col("rater"))
+  }
+
   /** Inter-annotator agreement: three synthetic annotators label every
     * doc's quality band — each copies a shared base label ~70% of the
     * time and drifts rater-specifically otherwise — and pairwise
@@ -4157,6 +4173,7 @@ object Ext {
     "sft_bradley_terry" -> sftBradleyTerry,
     "rpt_split_leakage" -> rptSplitLeakage,
     "rpt_annotator_agreement" -> rptAnnotatorAgreement,
+    "rpt_rater_bias" -> rptRaterBias,
     "rpt_fleiss_kappa" -> rptFleissKappa,
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
@@ -4779,6 +4796,18 @@ object Ext {
         |  CASE WHEN pe.pe = 1.0 THEN NULL
         |       ELSE round((st.p_bar - pe.pe) / (1.0 - pe.pe), 6) END AS kappa
         |FROM st, pe""".stripMargin,
+    // rater bias: residual-vs-item-mean arithmetic rerun in SQL at 6 dp
+    // — leniency and consistency per rater are hash-gated
+    "rpt_rater_bias" ->
+      """WITH rt AS (SELECT doc_id, k AS rater,
+        |  CAST((doc_id * 48271) % 997 % 50 + k * 3 + (doc_id * 31 + k * 17) % 7 AS DOUBLE) AS s
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+        |im AS (SELECT doc_id, avg(s) AS im FROM rt GROUP BY 1)
+        |SELECT CAST(rt.rater AS BIGINT) AS rater, count(*) AS n_ratings,
+        |  round(avg(rt.s), 6) AS mean_score,
+        |  round(avg(rt.s - im.im), 6) AS leniency,
+        |  round(stddev_pop(rt.s - im.im), 6) AS residual_sd
+        |FROM rt JOIN im USING (doc_id) GROUP BY 1 ORDER BY rater""".stripMargin,
     // Cohen's kappa: the twin rebuilds the three-annotator fixture, the
     // item-keyed pair join, the contingency table, the marginals, and
     // the (po - pe)/(1 - pe) arithmetic — agreement itself is hash-gated

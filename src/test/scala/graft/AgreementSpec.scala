@@ -74,4 +74,25 @@ class AgreementSpec extends SparkSpec {
     assert(out.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
     assert(out((0L, 1L)) === 10L && out((0L, 2L)) === 5L && out((1L, 2L)) === 5L)
   }
+
+  test("raterBias: planted constant offsets recovered exactly; dup rows collapse") {
+    // item difficulty varies (i*2), rater 1 is +3 lenient, rater 2 is -3
+    // harsh; residuals remove the item term exactly, so leniency is the
+    // planted offset MINUS the rater-mean of offsets (residuals are
+    // centered per item): offsets (0, 3, -3) -> mean 0 -> leniency = offset
+    val rows = (0L until 20L).flatMap { i =>
+      Seq((i, 0L, (i * 2).toDouble), (i, 1L, i * 2 + 3.0), (i, 2L, i * 2 - 3.0))
+    }
+    val dup = rows ++ rows.take(5) // transport duplicates must not skew
+    val out = Agreement.raterBias(dup.toDF("item", "rater", "score"),
+        "item", "rater", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L)._1 == 20L && out(1L)._1 == 20L && out(2L)._1 == 20L)
+    assert(out(0L)._2 == 0.0, s"neutral rater leniency ${out(0L)._2}")
+    assert(out(1L)._2 == 3.0, s"lenient rater leniency ${out(1L)._2}")
+    assert(out(2L)._2 == -3.0, s"harsh rater leniency ${out(2L)._2}")
+    // constant offsets -> zero residual variance per rater
+    assert(out.values.forall(_._3 == 0.0), s"residual_sd should be 0: $out")
+  }
 }
