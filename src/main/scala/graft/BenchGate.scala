@@ -161,7 +161,10 @@ object BenchGate {
     "src_avro_roundtrip", "src_jsonl_roundtrip", "src_compact_roundtrip",
     "src_partitioned_roundtrip", "src_schema_evolution",
     "rpt_snapshot_upsert", "rpt_merge_changes", "pipeline_ingest",
-    "pipeline_forget", "pipeline_incremental_refresh", "txt_bpe_import")
+    "pipeline_forget", "pipeline_incremental_refresh", "txt_bpe_import",
+    // round 15 write-path additions: the resumable enrich commits chunked
+    // Merge versions, the export writes + re-reads JSONL
+    "enrich_resume", "sft_export_jsonl")
 
   /** Cap for the IO-class scale: disk windows legitimately swing harder
     * than CPU windows (2× observed within one session on this host), so

@@ -71,6 +71,22 @@ object Sft {
         size(col("_turns")).cast("long").as("n_turns"))
   }
 
+  /** Messages-format export shape — the OpenAI-style SFT handoff file:
+    * one row per conversation with `messages = [{role, content} …]` in
+    * turn order; `out.write.json(path)` then emits the standard
+    * one-JSON-object-per-line training file every fine-tuning stack
+    * ingests. Same bounded-group one-keyed-shuffle shape as
+    * [[renderConversations]] (sorted by the full (idx, role, content)
+    * triple, so duplicated turn indexes order identically to the
+    * render). */
+  def toMessages(df: DataFrame, convCol: String, idxCol: String,
+                 roleCol: String, contentCol: String): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(transform(sort_array(collect_list(struct(col(idxCol).as("i"),
+          col(roleCol).as("role"), col(contentCol).as("content")))),
+        x => struct(x.getField("role").as("role"),
+          x.getField("content").as("content"))).as("messages"))
+
   /** Character spans of `lossRole` CONTENT inside the
     * [[renderConversations]] output — the SFT loss mask (train on
     * assistant tokens only). Offsets are 0-based character positions,

@@ -3664,6 +3664,28 @@ object Ext {
         .as("content"))
   }
 
+  /** Messages-format JSONL export ROUND-TRIPPED: turns assemble into the
+    * OpenAI-style `{messages:[{role,content}…]}` shape
+    * ([[graft.operators.Sft.toMessages]]), write as one-object-per-line
+    * JSON — the file every fine-tuning stack ingests — read back under
+    * the explicit schema, and explode back to per-turn rows. The twin
+    * emits the turn fixture directly, so JSON escaping, array order
+    * survival, and the grouping are all inside the hash (a lost or
+    * reordered message breaks its conversation's rows). Position within
+    * the array must equal turn_idx by the fixture's construction —
+    * also hash-gated. */
+  def sftExportJsonl(s: SparkSession, dir: String): DataFrame = {
+    val msgs = graft.operators.Sft.toMessages(
+      sftTurns(s, dir), "conv_id", "turn_idx", "role", "content")
+    val out = rtDir(s, "sft_jsonl", dir)
+    msgs.write.mode("overwrite").json(out)
+    s.read.schema(msgs.schema).json(out)
+      .select(col("conv_id"), posexplode(col("messages")))
+      .select(col("conv_id"), col("pos").cast("int").as("turn_pos"),
+        col("col.role").as("role"), col("col.content").as("content"))
+      .orderBy(col("conv_id"), col("turn_pos"))
+  }
+
   /** Chat-template render (the SFT sample-assembly step): turns ->
     * ONE training string per conversation under the `<|role|>` template.
     * The twin re-renders with string_agg(ORDER BY turn_idx), so any
@@ -4161,6 +4183,7 @@ object Ext {
     "priv_generalize" -> privGeneralize,
     "priv_dp_noise" -> privDpNoise,
     "sft_render_chat" -> sftRenderChat,
+    "sft_export_jsonl" -> sftExportJsonl,
     "sft_loss_mask" -> sftLossMask,
     "sft_pref_pairs" -> sftPrefPairs,
     "sft_best_of_n" -> sftBestOfN,
@@ -4563,6 +4586,19 @@ object Ext {
         |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
         |  count(*) AS n_turns
         |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // messages-JSONL roundtrip: the twin emits the turn fixture
+    // directly; the engine must survive assemble -> write JSONL ->
+    // schema read -> explode with array order == turn order intact
+    "sft_export_jsonl" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_pos,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       ELSE 'user' END AS role,
+        |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+        |  FROM documents)
+        |SELECT conv_id, turn_pos, role, content
+        |FROM t ORDER BY conv_id, turn_pos""".stripMargin,
     // loss mask: the twin computes assistant-content spans by the same
     // running-length arithmetic (seg_len = len(role)+len(content)+14
     // template chars; content starts at prefix+len(role)+5) and emits
