@@ -86,6 +86,29 @@ object Ext {
       .orderBy(col("lang"), col("chunk"))
   }
 
+  /** Packing-efficiency report — the fill/overflow table a pipeline
+    * watches when packing under a token budget: per language, block
+    * count, packed docs, mean block fill vs the 512-token budget, and
+    * the count of OVERFLOWING blocks (a straddling sample belongs to
+    * its starting block and may overflow — the start-offset contract;
+    * chronic overflow means the budget is small against document
+    * sizes, chronic underfill means the shard key fragments streams).
+    * Same windows as txt_pack + two bounded aggregates. */
+  def rptPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Pack.byTokenBudget(d, "doc_id", "n_tok", budget = 512L,
+        partitionCols = Seq("lang"))
+      .groupBy(col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("ct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("n_docs")).as("n_docs"),
+        round(avg(col("ct").cast("double")) / 512.0, 6).as("fill_ratio"),
+        sum(when(col("ct") > 512L, 1L).otherwise(0L)).as("n_overflow"))
+      .orderBy(col("lang"))
+  }
+
   /** Gopher-style repetition metrics (duplicate-line fraction, top-bigram
     * fraction) — narrow per-row maps. */
   def txtRepetition(s: SparkSession, dir: String): DataFrame = {
@@ -4068,20 +4091,72 @@ object Ext {
       .orderBy(col("item"))
   }
 
-  /** DuckDB twin of [[sftBradleyTerry]]: the MM iteration unrolled
-    * (the pagerank-oracle pattern), λ=1, mean-1 renormalization each
-    * step. */
-  private def bradleyTerryOracleSql(iterations: Int): String = {
+  /** Bradley–Terry GOODNESS-OF-FIT on held-out data — the diagnostic
+    * that tells a reward-model team whether the fitted strengths
+    * actually predict preferences or just memorize the training
+    * comparisons: fit on prompts with p % 7 != 0 (7 is coprime to the
+    * 25-item assignment cycle, so held-out prompts still use items the
+    * training side saw — a % 5 split would perfectly alias with
+    * item = doc_id % 25 and score nothing), score every held-out
+    * comparison (both items seen in training — inner joins drop
+    * unseen-item pairs identically in both engines), predict "stronger
+    * item wins", report accuracy. Strength comparison runs on the
+    * 8-dp-ROUNDED values whose cross-engine equality sft_bradley_terry
+    * already proves, so the > is deterministic. One fit (bounded game
+    * table) + one broadcastable strengths join. */
+  def rptBtEval(s: SparkSession, dir: String): DataFrame = {
+    // PLANTED strength signal (item*10) + bounded noise: the report must
+    // demonstrably separate a real fit from chance — the fit query's
+    // noise-only fixture would leave held-out accuracy at coin-flip
+    val r = Tables.documents(s, dir).select(
+      expr("doc_id div 5").cast("long").as("p"),
+      pmod(col("doc_id"), lit(5)).cast("int").as("slot"),
+      pmod(col("doc_id"), lit(25)).cast("long").as("item"),
+      (pmod(col("doc_id"), lit(25L)) * 10L +
+        pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(30L))).cast("int").as("score"))
+    val a = r.select(col("p"), col("slot").as("s1"), col("item").as("i1"),
+      col("score").as("sc1"))
+    val b = r.select(col("p"), col("slot").as("s2"), col("item").as("i2"),
+      col("score").as("sc2"))
+    val comps = a.join(b, Seq("p"))
+      .where(col("s1") < col("s2") && col("sc1") =!= col("sc2"))
+      .select(col("p"),
+        when(col("sc1") > col("sc2"), col("i1")).otherwise(col("i2")).as("winner"),
+        when(col("sc1") > col("sc2"), col("i2")).otherwise(col("i1")).as("loser"))
+    val train = comps.where(pmod(col("p"), lit(7L)) =!= 0)
+    val held = comps.where(pmod(col("p"), lit(7L)) === 0)
+    val strengths = graft.operators.BradleyTerry.fit(
+        train.select(col("winner"), col("loser")), "winner", "loser",
+        iterations = 10, lambda = 1.0)
+      .select(col("item"), round(col("strength"), 8).as("w"))
+    val nTrain = train.count()
+    val nHeld = held.count()
+    held
+      .join(strengths.select(col("item").as("winner"), col("w").as("ww")), Seq("winner"))
+      .join(strengths.select(col("item").as("loser"), col("w").as("wl")), Seq("loser"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("ww") > col("wl"), 1L).otherwise(0L)).as("n_correct"),
+        round(avg(when(col("ww") > col("wl"), 1.0).otherwise(0.0)), 6).as("accuracy"))
+      .select(lit(nTrain).as("n_train"), lit(nHeld).as("n_heldout"),
+        col("n_scored"), col("n_correct"), col("accuracy"))
+  }
+
+  /** Shared MM-iteration CTE chain for the BT twins (the
+    * pagerank-oracle pattern, λ=1, mean-1 renormalization each step).
+    * `compExtraWhere` filters the comparison set (e.g. the train side
+    * of a held-out split). */
+  private def btMmChain(iterations: Int, compExtraWhere: String,
+                        scoreSql: String = "(doc_id * 48271) % 997"): String = {
     val head =
-      """WITH r AS MATERIALIZED (SELECT CAST(doc_id // 5 AS BIGINT) AS p,
+      s"""WITH r AS MATERIALIZED (SELECT CAST(doc_id // 5 AS BIGINT) AS p,
         |  CAST(doc_id % 5 AS INTEGER) AS slot,
         |  CAST(doc_id % 25 AS BIGINT) AS item,
-        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
+        |  CAST($scoreSql AS INTEGER) AS score FROM documents),
         |comp AS MATERIALIZED (SELECT
         |  CASE WHEN a.score > b.score THEN a.item ELSE b.item END AS winner,
         |  CASE WHEN a.score > b.score THEN b.item ELSE a.item END AS loser
         |  FROM r a JOIN r b ON a.p = b.p AND a.slot < b.slot
-        |  WHERE a.score <> b.score),
+        |  WHERE a.score <> b.score$compExtraWhere),
         |dirs AS MATERIALIZED (SELECT winner AS i, loser AS j FROM comp
         |  UNION ALL SELECT loser, winner FROM comp),
         |games AS MATERIALIZED (SELECT i, j, CAST(count(*) AS DOUBLE) AS nij FROM dirs GROUP BY 1, 2),
@@ -4101,9 +4176,36 @@ object Ext {
          |w$k AS MATERIALIZED (SELECT i, wi,
          |  raw * (SELECT n FROM nn) / (SELECT sum(raw) FROM u$k) AS w FROM u$k)""".stripMargin
     }.mkString
-    head + steps +
-      s"\nSELECT i AS item, round(w, 8) AS strength FROM w$iterations ORDER BY item"
+    head + steps
   }
+
+  /** DuckDB twin of [[sftBradleyTerry]]. */
+  private def bradleyTerryOracleSql(iterations: Int): String =
+    btMmChain(iterations, "") +
+      s"\nSELECT i AS item, round(w, 8) AS strength FROM w$iterations ORDER BY item"
+
+  /** DuckDB twin of [[rptBtEval]]: fit on the train comparisons (the
+    * same unrolled chain), score the HELD-OUT comparisons against the
+    * ROUNDED strengths (8 dp — the precision the strength hash is
+    * already proven at, so the > comparison is cross-engine
+    * deterministic). */
+  private def btEvalOracleSql(iterations: Int): String =
+    btMmChain(iterations, " AND a.p % 7 <> 0",
+      scoreSql = "(doc_id % 25) * 10 + (doc_id * 48271) % 997 % 30") +
+      s""",
+         |comph AS MATERIALIZED (SELECT
+         |  CASE WHEN a.score > b.score THEN a.item ELSE b.item END AS winner,
+         |  CASE WHEN a.score > b.score THEN b.item ELSE a.item END AS loser
+         |  FROM r a JOIN r b ON a.p = b.p AND a.slot < b.slot
+         |  WHERE a.score <> b.score AND a.p % 7 = 0),
+         |wr AS MATERIALIZED (SELECT i, round(w, 8) AS w FROM w$iterations)
+         |SELECT (SELECT count(*) FROM comp) AS n_train,
+         |  (SELECT count(*) FROM comph) AS n_heldout,
+         |  count(*) AS n_scored,
+         |  CAST(SUM(CASE WHEN ww.w > wl.w THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(AVG(CASE WHEN ww.w > wl.w THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+         |FROM comph c JOIN wr ww ON c.winner = ww.i
+         |JOIN wr wl ON c.loser = wl.i""".stripMargin
 
   /** SFT data card — the assembled set's release summary per leak-free
     * split: conversation and turn counts, mean rendered length, and the
@@ -4194,6 +4296,8 @@ object Ext {
     "sft_pack_spans" -> sftPackSpans,
     "sft_mm_interleave" -> sftMmInterleave,
     "sft_bradley_terry" -> sftBradleyTerry,
+    "rpt_bt_eval" -> rptBtEval,
+    "rpt_pack_efficiency" -> rptPackEfficiency,
     "rpt_split_leakage" -> rptSplitLeakage,
     "rpt_annotator_agreement" -> rptAnnotatorAgreement,
     "rpt_rater_bias" -> rptRaterBias,
@@ -4630,7 +4734,7 @@ object Ext {
       """WITH r AS (SELECT CAST(doc_id // 5 AS BIGINT) AS prompt_id,
         |  CAST(doc_id % 5 AS INTEGER) AS resp_id,
         |  substr(text, 1, 60) AS response,
-        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
+        |  CAST($scoreSql AS INTEGER) AS score FROM documents),
         |c AS (SELECT *,
         |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS rc,
         |  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id ASC) AS rr
@@ -4903,6 +5007,9 @@ object Ext {
         |SELECT * FROM l1 UNION ALL SELECT * FROM l2 ORDER BY method""".stripMargin,
     // Bradley-Terry MM fit unrolled in SQL (the pagerank-oracle pattern)
     "sft_bradley_terry" -> bradleyTerryOracleSql(10),
+    // held-out BT accuracy: fit unrolled on train comps, eval joins on
+    // the ROUNDED strengths so the > is cross-engine deterministic
+    "rpt_bt_eval" -> btEvalOracleSql(10),
     // interleaved multimodal assembly: the twin rewrites the image turn's
     // content with the same slot-numbered placeholder, reruns the span
     // arithmetic over the REWRITTEN content, and emits the placeholder
@@ -6463,6 +6570,21 @@ object Ext {
          |  FROM t)
          |SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
          |FROM c GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin,
+    // packing efficiency: the txt_pack chain plus the per-language
+    // fill/overflow aggregate
+    "rpt_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($duckToks) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT lang, n_tok,
+         |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 512) AS BIGINT) AS chunk
+         |  FROM t),
+         |g AS (SELECT lang, chunk, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS ct
+         |  FROM c GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_blocks, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  round(avg(CAST(ct AS DOUBLE)) / 512.0, 6) AS fill_ratio,
+         |  CAST(SUM(CASE WHEN ct > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_rollhash" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
