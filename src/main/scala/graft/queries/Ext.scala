@@ -4734,7 +4734,7 @@ object Ext {
       """WITH r AS (SELECT CAST(doc_id // 5 AS BIGINT) AS prompt_id,
         |  CAST(doc_id % 5 AS INTEGER) AS resp_id,
         |  substr(text, 1, 60) AS response,
-        |  CAST($scoreSql AS INTEGER) AS score FROM documents),
+        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
         |c AS (SELECT *,
         |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS rc,
         |  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id ASC) AS rr
