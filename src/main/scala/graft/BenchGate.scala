@@ -164,7 +164,7 @@ object BenchGate {
     "pipeline_forget", "pipeline_incremental_refresh", "txt_bpe_import",
     // round 15 write-path additions: the resumable enrich commits chunked
     // Merge versions, the export writes + re-reads JSONL
-    "enrich_resume", "sft_export_jsonl")
+    "enrich_resume", "embed_resume", "sft_export_jsonl")
 
   /** Cap for the IO-class scale: disk windows legitimately swing harder
     * than CPU windows (2× observed within one session on this host), so

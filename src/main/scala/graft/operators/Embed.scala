@@ -81,6 +81,23 @@ object Embed {
 
     val indexed =
       if (shardedIndex) Enrich.withRowIndexSharded(df) else Enrich.withRowIndex(df)
+    val embedded = runPaidEmbeds(indexed, columnIndex, cfg, clientFactory,
+      progress, throttles)
+
+    // Same argument as Enrich: batches are contiguous _row_idx ranges, so
+    // a within-partition sort yields total order for partition-ordered
+    // consumers without re-executing the paid calls.
+    embedded.sortWithinPartitions(col("_row_idx"))
+  }
+
+  /** The paid-call core shared by [[embed]] and [[embedResumable]]:
+    * range-batch an already-indexed frame and drive the sliding CALL
+    * window over each batch partition. Input must carry `_row_idx` as
+    * its LAST column; output appends `embedding`. */
+  private def runPaidEmbeds(indexed: DataFrame, columnIndex: Int, cfg: Config,
+                            clientFactory: () => EmbedClient,
+                            progress: Option[LongAccumulator],
+                            throttles: Option[LongAccumulator]): DataFrame = {
     val n = indexed.count()
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
     val batched = indexed.repartitionByRange(numBatches, col("_row_idx"))
@@ -90,7 +107,7 @@ object Embed {
     val colIdx = columnIndex
     val conf = cfg
 
-    val embedded = batched.mapPartitions { rows =>
+    batched.mapPartitions { rows =>
       val client = clientFactory()
       implicit val ec: ExecutionContext = Enrich.ioPool
       val deadlineNs = System.nanoTime() + conf.batchTimeoutMs * 1000000L
@@ -189,11 +206,103 @@ object Embed {
         }
       }
     }(Encoders.row(outSchema))
+  }
 
-    // Same argument as Enrich: batches are contiguous _row_idx ranges, so
-    // a within-partition sort yields total order for partition-ordered
-    // consumers without re-executing the paid calls.
-    embedded.sortWithinPartitions(col("_row_idx"))
+  /** Cross-run paid-call durability for EMBEDDINGS — the
+    * [[Enrich.enrichResumable]] contract applied to the pipeline's
+    * highest-volume paid call: every successfully embedded row persists
+    * to a [[graft.sources.Merge]] table keyed (requestId, row_idx),
+    * committed atomically per `chunkRows` chunk, so a rerun of a
+    * killed/failed/finished embedding job pays ZERO for committed rows.
+    * NULL embeddings (a call that exhausted retries) are retried on
+    * rerun — only paid SUCCESSES are durable. A `config_hash` over the
+    * model id invalidates the cache when the model changes (same texts
+    * under a different model are DIFFERENT vectors; `textsPerCall` and
+    * concurrency knobs deliberately do NOT hash — they change chunking,
+    * never results).
+    *
+    * Same preconditions and shapes as the enrich sibling: byte-stable
+    * input (`_row_idx` is row identity), one bounded anti-join, one
+    * Merge version per chunk (+ one isEmpty probe), output assembled
+    * purely from parquet so the final order-restoring shuffle re-pays
+    * nothing. */
+  def embedResumable(df: DataFrame, columnIndex: Int, cfg: Config,
+                     clientFactory: () => EmbedClient,
+                     cacheRoot: String,
+                     chunkRows: Long = 10000L,
+                     cacheBuckets: Int = 16,
+                     progress: Option[LongAccumulator] = None,
+                     throttles: Option[LongAccumulator] = None): DataFrame = {
+    require(cfg.requestId.nonEmpty,
+      "embedResumable keys its durable cache on cfg.requestId — set one " +
+        "(reruns resume the SAME requestId; a new requestId starts fresh)")
+    require(chunkRows > 0, "chunkRows must be > 0")
+    require(cacheBuckets > 0, "cacheBuckets must be > 0")
+    require(columnIndex >= 0 && columnIndex < df.columns.length,
+      s"columnIndex $columnIndex out of range for ${df.columns.length} columns")
+    Seq("embedding", "_row_idx").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — the embed operator reserves it"))
+    val spark = df.sparkSession
+    val configHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.model.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+    val indexed = Enrich.withRowIndex(df)
+    val n = indexed.count()
+
+    def tableExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(cacheRoot, "manifest")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def cacheRows(): DataFrame = graft.sources.Merge.read(spark, cacheRoot)
+      .filter(col("request_id") === cfg.requestId &&
+        col("config_hash") === configHash)
+
+    val done: DataFrame =
+      if (tableExists) cacheRows().filter(col("embedding").isNotNull)
+        .select(col("row_idx"))
+      else indexed.select(col("_row_idx").as("row_idx")).limit(0)
+    val todo = indexed.join(done, col("_row_idx") === col("row_idx"), "left_anti")
+
+    var lo = 0L
+    while (lo < n) {
+      val hi = math.min(n, lo + chunkRows)
+      val chunk = todo.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
+      if (!chunk.isEmpty) {
+        // exactly-once materialization before the multi-action sink —
+        // same argument as enrichResumable
+        val res = graft.core.Checkpoint.materialize(
+          runPaidEmbeds(chunk, columnIndex, cfg, clientFactory,
+              progress, throttles)
+            .select(
+              concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
+              lit(cfg.requestId).as("request_id"),
+              col("_row_idx").as("row_idx"),
+              lit(configHash).as("config_hash"),
+              col("embedding")))
+        if (!tableExists)
+          graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
+        else
+          graft.sources.Merge.upsert(spark, cacheRoot, res,
+            res.select(col("cache_id")).limit(0))
+      }
+      lo = hi
+    }
+
+    val responses =
+      if (tableExists) cacheRows()
+        .select(col("row_idx").as("_c_idx"), col("embedding").as("_c_emb"))
+      else indexed.select(col("_row_idx").as("_c_idx"))
+        .withColumn("_c_emb",
+          lit(null).cast(ArrayType(FloatType, containsNull = false))).limit(0)
+    // a head row missing from the cache (vacuumed mid-run) surfaces as
+    // the operator's failure encoding — NULL embedding — via the left join
+    val out = indexed.join(responses, col("_row_idx") === col("_c_idx"), "left")
+      .withColumn("embedding", col("_c_emb"))
+      .drop("_c_idx", "_c_emb")
+    val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
+    out.repartitionByRange(numBatches, col("_row_idx"))
+      .sortWithinPartitions(col("_row_idx"))
   }
 
   /** Rows whose call failed after retries (NULL embedding). */

@@ -2611,6 +2611,41 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-run EMBEDDINGS durability composed end-to-end — the
+    * [[enrichResume]] story on the pipeline's highest-volume paid call:
+    * run 1 embeds the corpus through [[Embed.embedResumable]] into a
+    * fresh durable cache (chunk-atomic Merge commits), run 2 resumes and
+    * pays ZERO; ledgers ride decision constants, vector components are
+    * hash-gated against the stub formula (same as enrich_embed), and
+    * run 2's vectors are served FROM the cache — so payment accounting,
+    * cache round-trip of array<float>, and ordering are all in one
+    * hash. */
+  def embedResume(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_resume_q")
+      .toString + "/cache"
+    val cfg = Embed.Config(textsPerCall = 16, batchSize = 500,
+      callConcurrency = 4, requestId = "embed-resume-oracle")
+    val stub = () => new StubEmbedClient(t => Array(
+      t.length.toFloat, t.count(_ == ' ').toFloat, (t.length % 97).toFloat, 1.0f))
+    val n = docs.count()
+    val paid1 = s.sparkContext.longAccumulator
+    val paid2 = s.sparkContext.longAccumulator
+    Embed.embedResumable(docs, 1, cfg, stub, root, chunkRows = 2000L,
+      progress = Some(paid1))
+    val out = Embed.embedResumable(docs, 1, cfg, stub, root,
+      chunkRows = 2000L, progress = Some(paid2))
+    out.select(col("doc_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e0"),
+        element_at(col("embedding"), 2).as("e1"),
+        element_at(col("embedding"), 3).as("e2"),
+        element_at(col("embedding"), 4).as("e3"))
+      .withColumn("run1_paid_all", lit(paid1.value == n))
+      .withColumn("run2_paid_zero", lit(paid2.value == 0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multi-column enrichment in ONE pass ([EXT]: the reference runs one
     * column per request — N columns there cost N scans): two prompts
     * over two input columns, each landing in its own output column,
@@ -4332,6 +4367,7 @@ object Ext {
     "graph_pagerank" -> graphPagerank,
     "enrich_stub" -> enrichStub,
     "enrich_resume" -> enrichResume,
+    "embed_resume" -> embedResume,
     "enrich_multi" -> enrichMulti,
     "enrich_embed" -> enrichEmbed,
     "pipeline_embed_knn" -> pipelineEmbedKnn,
@@ -5380,6 +5416,18 @@ object Ext {
         |  CAST(length(text) - length(replace(text, ' ', '')) AS FLOAT) AS e1,
         |  CAST(length(text) % 97 AS FLOAT) AS e2,
         |  CAST(1.0 AS FLOAT) AS e3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // embeddings resume ledger: run-2 vectors come FROM the durable
+    // cache; components follow the enrich_embed stub formula and the
+    // payment booleans are decision constants
+    "embed_resume" ->
+      """SELECT doc_id,
+        |  CAST(4 AS INTEGER) AS dim,
+        |  CAST(length(text) AS FLOAT) AS e0,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS FLOAT) AS e1,
+        |  CAST(length(text) % 97 AS FLOAT) AS e2,
+        |  CAST(1.0 AS FLOAT) AS e3,
+        |  TRUE AS run1_paid_all, TRUE AS run2_paid_zero
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),

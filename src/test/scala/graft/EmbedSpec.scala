@@ -46,6 +46,27 @@ object EmbedProbes {
       req.inputs.map(t => Array(t.length.toFloat))
     }
   }
+
+  /** Counts successfully EMBEDDED texts; hangs on a marker input (the
+    * batch deadline then kills the job — the mid-chunk-kill for resume
+    * tests). */
+  class HangOnEmbedClient(marker: String) extends EmbedClient with Serializable {
+    override def embed(req: EmbedRequest): Seq[Array[Float]] = {
+      if (req.inputs.exists(_.contains(marker))) Thread.sleep(600000L)
+      inputsSeen.addAndGet(req.inputs.size)
+      req.inputs.map(t => Array(t.length.toFloat, (t.length % 7).toFloat))
+    }
+  }
+
+  /** Counting success-only client for the resume ledger. */
+  class CountingEmbedClient(failOn: String => Boolean = _ => false)
+      extends EmbedClient with Serializable {
+    override def embed(req: EmbedRequest): Seq[Array[Float]] = {
+      if (req.inputs.exists(failOn)) throw new RuntimeException("stub embed failure")
+      inputsSeen.addAndGet(req.inputs.size)
+      req.inputs.map(t => Array(t.length.toFloat, (t.length % 7).toFloat))
+    }
+  }
 }
 
 class EmbedSpec extends SparkSpec {
@@ -187,5 +208,60 @@ class EmbedSpec extends SparkSpec {
       () => new StubEmbedClient(t => Array(t.length.toFloat)))
     val byId = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](r.length - 1)).toMap
     assert(byId(2L) === Seq(3.0f), "null -> \"nan\" -> length 3")
+  }
+
+  // ---- cross-run durability (embedResumable) ----------------------------
+
+  test("embedResumable: killed mid-chunk, rerun pays only the lost texts, output identical") {
+    EmbedProbes.reset()
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_resume").toString + "/cache"
+    // 30 distinct-length rows, 1 text per call, sequential: chunk size 10
+    val df = (0 until 30).map(i => (i.toLong, "y" * (i + 1))).toDF("id", "text")
+    val cfg = graft.operators.Embed.Config(textsPerCall = 1, callConcurrency = 1,
+      requestId = "embed-kill", retries = 1, retryBaseDelayMs = 1L,
+      batchTimeoutMs = 900L)
+    // row 20 has length 21 -> the marker string of 21 y's hangs chunk 3
+    intercept[Throwable] {
+      graft.operators.Embed.embedResumable(df, 1, cfg,
+        () => new EmbedProbes.HangOnEmbedClient("y" * 21), root, chunkRows = 10)
+    }
+    assert(EmbedProbes.inputsSeen.get() == 20,
+      s"run 1 should pay exactly the two committed chunks, paid ${EmbedProbes.inputsSeen.get()}")
+
+    EmbedProbes.inputsSeen.set(0)
+    val out = graft.operators.Embed.embedResumable(df, 1, cfg,
+        () => new EmbedProbes.CountingEmbedClient(), root, chunkRows = 10)
+      .select("id", "embedding").collect()
+    assert(EmbedProbes.inputsSeen.get() == 10,
+      s"rerun must pay only the 10 uncommitted texts, paid ${EmbedProbes.inputsSeen.get()}")
+    assert(out.length == 30)
+    out.foreach { r =>
+      val i = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      assert(v == Seq((i + 1).toFloat, ((i + 1) % 7).toFloat), s"vector wrong at $i: $v")
+    }
+  }
+
+  test("embedResumable: completed rerun pays zero; null-embedding rows retry") {
+    EmbedProbes.reset()
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_resume").toString + "/cache"
+    val df = (0 until 12).map(i => (i.toLong, "y" * (i + 1))).toDF("id", "text")
+    val cfg = graft.operators.Embed.Config(textsPerCall = 1, callConcurrency = 1,
+      requestId = "embed-null", retries = 1, retryBaseDelayMs = 1L)
+    // row 7 (length 8) fails its call -> NULL embedding persisted
+    val r1 = graft.operators.Embed.embedResumable(df, 1, cfg,
+        () => new EmbedProbes.CountingEmbedClient(failOn = _ == "y" * 8),
+        root, chunkRows = 5)
+      .select("id", "embedding").collect()
+    assert(EmbedProbes.inputsSeen.get() == 11)
+    assert(r1.count(_.isNullAt(1)) == 1, "row 7 should carry NULL after run 1")
+
+    EmbedProbes.inputsSeen.set(0)
+    val r2 = graft.operators.Embed.embedResumable(df, 1, cfg,
+        () => new EmbedProbes.CountingEmbedClient(), root, chunkRows = 5)
+      .select("id", "embedding").collect()
+    assert(EmbedProbes.inputsSeen.get() == 1,
+      s"only the failed row retries, paid ${EmbedProbes.inputsSeen.get()}")
+    assert(r2.forall(!_.isNullAt(1)))
   }
 }
