@@ -352,29 +352,70 @@ object Enrich {
     require(cacheBuckets > 0, "cacheBuckets must be > 0")
     Seq("Response", "_row_idx").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column — the enrich operator reserves it"))
-    val spark = df.sparkSession
-    val configHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(Seq(cfg.systemPrompt, cfg.model, cfg.maxTokens.toString,
-          cfg.temperature.toString).mkString("\u0000")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
     val indexed = withRowIndex(df)
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
       .withColumn("Response", lit(""))
     val n = head.count()
 
+    val responses = resumeColumn(head, n, columnIndex, cfg.systemPrompt,
+      outCol = "", cfg, clientFactory, cacheRoot, chunkRows, cacheBuckets,
+      progress, throttles)
+    // defensive coalesce: every head row was either cached or enriched
+    // above, so a miss here means a concurrent writer vacuumed the table
+    // mid-run — surface it as the sentinel, never a null
+    val out = head.join(responses, col("_row_idx") === col("_c_idx"), "left")
+      .withColumn("Response", coalesce(col("_c_resp"), lit(ErrorSentinel)))
+      .drop("_c_idx", "_c_resp")
+    val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
+    out.unionByName(tail)
+      .repartitionByRange(numBatches, col("_row_idx"))
+      .sortWithinPartitions(col("_row_idx"))
+  }
+
+  /** One column's durable-resume pass — the shared core of
+    * [[enrichResumable]] and [[enrichManyResumable]]: derive the skip
+    * set from the cache, run chunked paid passes committed atomically
+    * through the Merge sink, and return the column's final
+    * (`_c_idx`, `_c_resp`) frame read back from the COMMITTED cache
+    * (underscore names: case-insensitive resolution would otherwise
+    * collide "response" with the "Response" output).
+    *
+    * `outCol` identifies the column in the cache (empty for the
+    * single-column operator) — it rides the cache row AND the config
+    * hash includes the input column index, so two columns sharing a
+    * prompt can never serve each other's answers; the paid pass's
+    * idempotency keys are suffixed per column for the same reason. */
+  private def resumeColumn(head: DataFrame, n: Long, columnIndex: Int,
+                           systemPrompt: String, outCol: String, cfg: Config,
+                           clientFactory: () => LlmClient, cacheRoot: String,
+                           chunkRows: Long, cacheBuckets: Int,
+                           progress: Option[LongAccumulator],
+                           throttles: Option[LongAccumulator]): DataFrame = {
+    val spark = head.sparkSession
+    val configHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq(systemPrompt, cfg.model, cfg.maxTokens.toString,
+          cfg.temperature.toString, columnIndex.toString).mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val paidCfg = cfg.copy(systemPrompt = systemPrompt,
+      requestId =
+        if (outCol.isEmpty || cfg.requestId.isEmpty) cfg.requestId
+        else s"${cfg.requestId}-$outCol")
+    val cacheIdExpr =
+      if (outCol.isEmpty) concat_ws("-", lit(cfg.requestId), col("_row_idx"))
+      else concat_ws("-", lit(cfg.requestId), col("_row_idx"), lit(outCol))
+
     def tableExists: Boolean = {
       val p = new org.apache.hadoop.fs.Path(cacheRoot, "manifest")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    // this request's cache rows under the CURRENT config (manifest read
-    // at call time — re-read after the chunk loop picks up this run's
-    // commits)
+    // this request's cache rows for THIS column under the CURRENT config
+    // (manifest read at call time — re-read after the chunk loop picks
+    // up this run's commits)
     def cacheRows(): DataFrame = graft.sources.Merge.read(spark, cacheRoot)
       .filter(col("request_id") === cfg.requestId &&
-        col("config_hash") === configHash)
+        col("config_hash") === configHash && col("out_col") === outCol)
 
     // rows a PRIOR run already paid for and succeeded: skipped entirely.
     // Sentinel rows stay in the work set — failures retry on rerun.
@@ -400,13 +441,14 @@ object Enrich {
         // the chunk's blocks and fails the job — which is exactly a
         // mid-chunk kill: the rerun resumes from the last committed chunk.)
         val res = graft.core.Checkpoint.materialize(
-          runPaidCalls(chunk, columnIndex, cfg, clientFactory,
+          runPaidCalls(chunk, columnIndex, paidCfg, clientFactory,
               progress, throttles)
             .select(
-              concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
+              cacheIdExpr.as("cache_id"),
               lit(cfg.requestId).as("request_id"),
               col("_row_idx").as("row_idx"),
               lit(configHash).as("config_hash"),
+              lit(outCol).as("out_col"),
               col("Response").as("response")))
         if (!tableExists)
           graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
@@ -417,21 +459,64 @@ object Enrich {
       lo = hi
     }
 
-    // underscore-prefixed names: Spark's default case-INSENSITIVE
-    // resolution would otherwise make "response" collide with the
-    // "Response" output column (withColumn would REPLACE it and the drop
-    // would take both)
-    val responses =
-      if (tableExists) cacheRows()
-        .select(col("row_idx").as("_c_idx"), col("response").as("_c_resp"))
-      else head.select(col("_row_idx").as("_c_idx"))
-        .withColumn("_c_resp", lit(null).cast("string")).limit(0)
-    // defensive coalesce: every head row was either cached or enriched
-    // above, so a miss here means a concurrent writer vacuumed the table
-    // mid-run — surface it as the sentinel, never a null
-    val out = head.join(responses, col("_row_idx") === col("_c_idx"), "left")
-      .withColumn("Response", coalesce(col("_c_resp"), lit(ErrorSentinel)))
-      .drop("_c_idx", "_c_resp")
+    if (tableExists) cacheRows()
+      .select(col("row_idx").as("_c_idx"), col("response").as("_c_resp"))
+    else head.select(col("_row_idx").as("_c_idx"))
+      .withColumn("_c_resp", lit(null).cast("string")).limit(0)
+  }
+
+  /** Multi-column durable resume — [[enrichResumable]]'s contract for
+    * the [[enrichMany]] surface: each column's succeeded responses
+    * persist independently (cache rows keyed
+    * (requestId, row_idx, outputCol)), so a rerun pays only the
+    * (row, column) calls that never committed — one column's failure
+    * never re-buys a sibling's success.
+    *
+    * Deliberate trade vs [[enrichMany]]: the durable form runs ONE
+    * chunked pass PER COLUMN (N columns = N chunk loops over the indexed
+    * head — input re-scans ∝ columns × chunks) instead of enrichMany's
+    * single fan-out pass, because per-(row, column) skip sets cannot
+    * ride one fused pass without re-paying a row's surviving columns
+    * whenever one column is missing. Size `chunkRows` accordingly; at
+    * restart-heavy scale the re-scan cost is noise next to the paid
+    * calls it saves. */
+  def enrichManyResumable(df: DataFrame, columns: Seq[EnrichColumn],
+                          cfg: Config, clientFactory: () => LlmClient,
+                          cacheRoot: String,
+                          chunkRows: Long = 10000L,
+                          cacheBuckets: Int = 16,
+                          progress: Option[LongAccumulator] = None,
+                          throttles: Option[LongAccumulator] = None): DataFrame = {
+    require(cfg.requestId.nonEmpty,
+      "enrichManyResumable keys its durable cache on cfg.requestId — set one")
+    require(chunkRows > 0, "chunkRows must be > 0")
+    require(cacheBuckets > 0, "cacheBuckets must be > 0")
+    require(columns.nonEmpty, "at least one EnrichColumn")
+    require(columns.map(_.outputCol).distinct.size == columns.size,
+      "outputCol names must be distinct")
+    require(columns.forall(_.outputCol.nonEmpty), "outputCol must be non-empty")
+    columns.foreach(c => require(c.columnIndex >= 0 && c.columnIndex < df.columns.length,
+      s"columnIndex ${c.columnIndex} out of range for ${df.columns.length} columns"))
+    require(columns.forall(c => !df.columns.contains(c.outputCol)),
+      "outputCol collides with an input column")
+    require(!df.columns.contains("_row_idx"),
+      "input already has a '_row_idx' column — the enrich operator reserves it")
+
+    val indexed = withRowIndex(df)
+    val head = indexed.filter(col("_row_idx") < cfg.maxRows)
+    val tail = columns.foldLeft(
+      indexed.filter(col("_row_idx") >= cfg.maxRows))((d, c) =>
+      d.withColumn(c.outputCol, lit("")))
+    val n = head.count()
+
+    val out = columns.foldLeft(head) { (acc, spec) =>
+      val resp = resumeColumn(head, n, spec.columnIndex, spec.systemPrompt,
+        spec.outputCol, cfg, clientFactory, cacheRoot, chunkRows,
+        cacheBuckets, progress, throttles)
+      acc.join(resp, col("_row_idx") === col("_c_idx"), "left")
+        .withColumn(spec.outputCol, coalesce(col("_c_resp"), lit(ErrorSentinel)))
+        .drop("_c_idx", "_c_resp")
+    }
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
     out.unionByName(tail)
       .repartitionByRange(numBatches, col("_row_idx"))

@@ -2664,6 +2664,34 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-column durable resume composed end-to-end: both prompts of
+    * the enrich_multi surface run through [[Enrich.enrichManyResumable]]
+    * twice against one cache — run 1 pays rows × columns, run 2 pays
+    * ZERO; the per-column responses are hash-gated by the same formulas
+    * as enrich_multi, so the (row, column)-keyed cache can neither
+    * cross-serve columns nor lose order. */
+  def enrichMultiResume(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_multi_resume_q")
+      .toString + "/cache"
+    val cfg = Enrich.Config(systemPrompt = "ignored", rowConcurrency = 8,
+      requestId = "multi-resume-oracle")
+    val stub = () => new StubLlmClient(p => s"len:${p.length}")
+    val specs = Seq(Enrich.EnrichColumn(1, "Summarize", "Summary"),
+      Enrich.EnrichColumn(2, "Classify the language", "LangGuess"))
+    val n = docs.count()
+    val paid1 = s.sparkContext.longAccumulator
+    val paid2 = s.sparkContext.longAccumulator
+    Enrich.enrichManyResumable(docs, specs, cfg, stub, root,
+      chunkRows = 2000L, progress = Some(paid1))
+    val out = Enrich.enrichManyResumable(docs, specs, cfg, stub, root,
+      chunkRows = 2000L, progress = Some(paid2))
+    out.select(col("doc_id"), col("Summary"), col("LangGuess"))
+      .withColumn("run1_paid_all", lit(paid1.value == 2 * n))
+      .withColumn("run2_paid_zero", lit(paid2.value == 0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batched embeddings generation end-to-end with a deterministic stub:
     * the full distributed path (zipWithIndex -> range-batch ->
     * mapPartitions packing `textsPerCall` texts per call under the
@@ -4368,6 +4396,7 @@ object Ext {
     "enrich_stub" -> enrichStub,
     "enrich_resume" -> enrichResume,
     "embed_resume" -> embedResume,
+    "enrich_multi_resume" -> enrichMultiResume,
     "enrich_multi" -> enrichMulti,
     "enrich_embed" -> enrichEmbed,
     "pipeline_embed_knn" -> pipelineEmbedKnn,
@@ -5389,6 +5418,14 @@ object Ext {
       """SELECT doc_id,
         |  'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Summary,
         |  'len:' || CAST(length('Classify the language' || chr(10) || chr(10) || 'Input: ' || lang) AS VARCHAR) AS LangGuess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // multi-column resume ledger: run 1 pays rows x columns, run 2 zero;
+    // per-column bytes follow the enrich_multi formulas from the cache
+    "enrich_multi_resume" ->
+      """SELECT doc_id,
+        |  'len:' || CAST(length('Summarize' || chr(10) || chr(10) || 'Input: ' || text) AS VARCHAR) AS Summary,
+        |  'len:' || CAST(length('Classify the language' || chr(10) || chr(10) || 'Input: ' || lang) AS VARCHAR) AS LangGuess,
+        |  TRUE AS run1_paid_all, TRUE AS run2_paid_zero
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the full embed -> search hand-off replayed: stub vectors from the
     // text formula, cosine kNN in SQL; ties at 6 decimals break by

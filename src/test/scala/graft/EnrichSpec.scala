@@ -546,4 +546,66 @@ class EnrichSpec extends SparkSpec {
         () => new StubLlmClient(_ => "x"), resumeRoot())
     }
   }
+
+  test("enrichManyResumable: per-(row, column) durability — one column's failure never re-buys a sibling") {
+    EnrichProbes.reset()
+    val root = resumeRoot()
+    val df = corpus(10)
+    val cfg = Enrich.Config(systemPrompt = "ignored", rowConcurrency = 1,
+      requestId = "many-resume", retries = 1, retryBaseDelayMs = 1L)
+    val specs = Seq(
+      Enrich.EnrichColumn(0, "A", "ColA"),
+      Enrich.EnrichColumn(0, "B", "ColB"))
+    // run 1: column B fails on row 7 (prompt B + row7) -> sentinel there
+    val r1 = Enrich.enrichManyResumable(df, specs, cfg,
+        () => new EnrichProbes.FailOnClient("B\n\nInput: row7", EnrichProbes.echo),
+        root, chunkRows = 4)
+      .select("_row_idx", "ColA", "ColB").collect()
+    assert(EnrichProbes.calls.get() == 19, s"paid ${EnrichProbes.calls.get()}")
+    assert(r1.count(_.getString(2) == Enrich.ErrorSentinel) == 1)
+    assert(r1.forall(_.getString(1) != Enrich.ErrorSentinel))
+
+    // rerun: ONLY ColB/row7 is re-paid; output fully clean
+    EnrichProbes.calls.set(0)
+    val r2 = Enrich.enrichManyResumable(df, specs, cfg,
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 4)
+      .select("_row_idx", "ColA", "ColB").collect()
+    assert(EnrichProbes.calls.get() == 1,
+      s"only the failed (row, column) retries, paid ${EnrichProbes.calls.get()}")
+    assert(r2.forall(r => r.getString(1) != Enrich.ErrorSentinel &&
+      r.getString(2) != Enrich.ErrorSentinel))
+    r2.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(1) == s"row$i" && r.getString(2) == s"row$i")
+    }
+  }
+
+  test("enrichManyResumable: same prompt on two columns never cross-serves cached answers") {
+    EnrichProbes.reset()
+    val root = resumeRoot()
+    // two INPUT columns with different content, enriched under the SAME
+    // prompt: a cache keyed only on (request, row, prompt) would serve
+    // column 0's answer to column 1
+    val df = (0 until 8).map(i => (s"left$i", s"right$i")).toDF("l", "r")
+    val cfg = Enrich.Config(systemPrompt = "P", rowConcurrency = 1,
+      requestId = "cross-col", retryBaseDelayMs = 1L)
+    val specs = Seq(
+      Enrich.EnrichColumn(0, "P", "OutL"),
+      Enrich.EnrichColumn(1, "P", "OutR"))
+    val out = Enrich.enrichManyResumable(df, specs, cfg,
+        () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 4)
+      .select("_row_idx", "OutL", "OutR").collect()
+    assert(EnrichProbes.calls.get() == 16, "both columns pay on first run")
+    out.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(1) == s"left$i", s"OutL wrong at $i: ${r.getString(1)}")
+      assert(r.getString(2) == s"right$i", s"OutR wrong at $i: ${r.getString(2)}")
+    }
+    // completed rerun: zero for BOTH columns
+    EnrichProbes.calls.set(0)
+    Enrich.enrichManyResumable(df, specs, cfg,
+      () => new EnrichProbes.CountingClient(EnrichProbes.echo), root, chunkRows = 4)
+      .select("OutL").collect()
+    assert(EnrichProbes.calls.get() == 0)
+  }
 }
