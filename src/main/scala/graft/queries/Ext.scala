@@ -3737,6 +3737,39 @@ object Ext {
       .orderBy(col("stage"))
   }
 
+  /** Gate-change A/B review — the diff a curation team reads before
+    * shipping a tuned gate: the CURRENT composite gate (the shared
+    * [[TextAnalysis]] threshold constants) vs a CANDIDATE (stricter
+    * quality >= 0.6, looser top-bigram <= 0.3), per language: docs kept
+    * by both, dropped by the candidate, newly added by it, and the
+    * churn fraction. ONE scoring scan evaluates both predicates (the
+    * funnel-report shape) — at 100 TB a gate review costs one pass, not
+    * two gated reruns. */
+  def rptGateDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = d
+      .withColumn("_dt", array_distinct(TextAnalysis.tokens(col("text"))))
+      .withColumn("_q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("_dl", TextAnalysis.duplicateLineFraction(col("text")))
+      .withColumn("_tb", TextAnalysis.topBigramFraction(col("text")))
+      .withColumn("_lm",
+        TextAnalysis.langIdFromDistinctTokens(col("_dt")) === col("lang"))
+    val cur = col("_q") >= TextAnalysis.MinQualityScore &&
+      col("_dl") <= TextAnalysis.MaxDupLineFrac &&
+      col("_tb") <= TextAnalysis.MaxTopBigramFrac && col("_lm")
+    val cand = col("_q") >= 0.6 && col("_dl") <= TextAnalysis.MaxDupLineFrac &&
+      col("_tb") <= 0.3 && col("_lm")
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(cur && cand, 1L).otherwise(0L)).as("n_both"),
+        sum(when(cur && !cand, 1L).otherwise(0L)).as("n_dropped_by_candidate"),
+        sum(when(cand && !cur, 1L).otherwise(0L)).as("n_added_by_candidate"))
+      .withColumn("churn", round(
+        (col("n_dropped_by_candidate") + col("n_added_by_candidate"))
+          .cast("double") / col("n_docs"), 6))
+      .orderBy(col("lang"))
+  }
+
   def rptJoinSkew(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val counts = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
@@ -4398,6 +4431,7 @@ object Ext {
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_dup_clusters" -> rptDupClusters,
     "rpt_gate_funnel" -> rptGateFunnel,
+    "rpt_gate_diff" -> rptGateDiff,
     "rpt_join_skew" -> rptJoinSkew,
     "ev_funnel" -> evFunnel,
     "rpt_column_stats" -> rptColumnStats,
@@ -6905,6 +6939,22 @@ object Ext {
          |SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     // the gate's four predicates rerun in SQL (the txt_quality_gate
     // twin's CTEs), folded into independent-fail + cumulative-survive
+    // gate A/B diff: both predicates evaluated over the shared scoring
+    // CTEs; per-language keep/drop/add counts and churn all hash-gated
+    "rpt_gate_diff" ->
+      s"""WITH $duckGateCtes,
+         |dec AS (SELECT lang,
+         |  (quality >= 0.5 AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2
+         |    AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang) AS cur,
+         |  (quality >= 0.6 AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.3
+         |    AND (CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END) = lang) AS cand
+         |  FROM r)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cur AND cand THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN cur AND NOT cand THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_by_candidate,
+         |  CAST(SUM(CASE WHEN cand AND NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_added_by_candidate,
+         |  round(SUM(CASE WHEN cur <> cand THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS churn
+         |FROM dec GROUP BY lang ORDER BY lang""".stripMargin,
     "rpt_gate_funnel" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |q AS (SELECT doc_id, lang, toks,
