@@ -247,7 +247,10 @@ object Embed {
       .digest(cfg.model.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-    val indexed = Enrich.withRowIndex(df)
+    // pinned snapshot — same consistency/cost argument as
+    // Enrich.enrichResumable (the chunk loop's actions must all see ONE
+    // input image)
+    val indexed = graft.core.Checkpoint.materialize(Enrich.withRowIndex(df))
     val n = indexed.count()
 
     def tableExists: Boolean = {

@@ -352,7 +352,15 @@ object Enrich {
     require(cacheBuckets > 0, "cacheBuckets must be > 0")
     Seq("Response", "_row_idx").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column — the enrich operator reserves it"))
-    val indexed = withRowIndex(df)
+    // materialize the indexed snapshot ONCE: the chunk loop runs several
+    // actions per chunk (isEmpty probe, the paid pass's count + range
+    // sampling, the sink write), and a lazy zipWithIndex lineage would
+    // re-scan the SOURCE for each — both a cost multiplier and, worse, a
+    // consistency hazard (a source that changes mid-run would hand
+    // different chunks different snapshots under one row-identity). The
+    // checkpoint pins one snapshot for the whole run; its storage cost is
+    // the session's policy knob (local executor blocks / reliable dir).
+    val indexed = graft.core.Checkpoint.materialize(withRowIndex(df))
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
       .withColumn("Response", lit(""))
@@ -502,7 +510,9 @@ object Enrich {
     require(!df.columns.contains("_row_idx"),
       "input already has a '_row_idx' column — the enrich operator reserves it")
 
-    val indexed = withRowIndex(df)
+    // one pinned snapshot for N column passes — same consistency/cost
+    // argument as the single-column operator, multiplied by columns
+    val indexed = graft.core.Checkpoint.materialize(withRowIndex(df))
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = columns.foldLeft(
       indexed.filter(col("_row_idx") >= cfg.maxRows))((d, c) =>
