@@ -218,7 +218,8 @@ class QueriesSpec extends SparkSpec {
       "pipeline_embed_knn", "sim_ann_lsh", "sim_ann_lsh_banded", "sim_hard_negatives",         // broadcast-kNN family
       "sim_triplets",                  // broadcast-kNN family (positive + hard negative in one pass)
       "sim_hashed_embed", "sim_ivf", "sim_ivfpq", "sim_knn_brute",
-      "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem")
+      "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem",
+      "sim_ivfpq_served")             // annRecallGate's broadcast gate cross (served-index variant)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
