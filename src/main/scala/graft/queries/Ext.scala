@@ -3830,6 +3830,32 @@ object Ext {
       .orderBy(col("conv_id"), col("turn_pos"))
   }
 
+  /** SFT-set decontamination against an eval benchmark — the published
+    * pre-training-run step applied to the ALIGNMENT side: rendered
+    * conversations are the train set, the benchmark is PLANTED leakage
+    * (a 120-char excerpt of every third conversation's render — exactly
+    * how benchmark prompts leak into chat data), and the n-gram
+    * contamination scorer must flag ALL excerpted conversations (it
+    * does: 28/28 at sf0.01, at markedly higher contamination than the
+    * couple of organically-overlapping convs it also surfaces — which
+    * is decontamination working, not a false-positive bug). Composes
+    * the proven render and
+    * [[graft.operators.Decontaminate.ngramContamination]] stages; the
+    * twin re-renders, re-excerpts, and re-scores in SQL, so the flagged
+    * set, the shared-shingle counts, and the contamination fractions
+    * are all hash-gated. */
+  def sftDecontam(s: SparkSession, dir: String): DataFrame = {
+    val rendered = graft.operators.Sft.renderConversations(
+      sftTurns(s, dir), "conv_id", "turn_idx", "role", "content")
+    val bench = rendered.filter(col("conv_id") % 3 === 0)
+      .select((col("conv_id") / 3).cast("long").as("bench_id"),
+        expr("substring(rendered, 10, 120)").as("bench_text"))
+    graft.operators.Decontaminate.ngramContamination(
+        rendered, bench, "conv_id", "bench_id", "rendered", "bench_text",
+        threshold = 0.05)
+      .orderBy(col("conv_id"))
+  }
+
   /** Chat-template render (the SFT sample-assembly step): turns ->
     * ONE training string per conversation under the `<|role|>` template.
     * The twin re-renders with string_agg(ORDER BY turn_idx), so any
@@ -4407,6 +4433,7 @@ object Ext {
     "priv_dp_noise" -> privDpNoise,
     "sft_render_chat" -> sftRenderChat,
     "sft_export_jsonl" -> sftExportJsonl,
+    "sft_decontam" -> sftDecontam,
     "sft_loss_mask" -> sftLossMask,
     "sft_pref_pairs" -> sftPrefPairs,
     "sft_best_of_n" -> sftBestOfN,
@@ -4818,6 +4845,32 @@ object Ext {
     // messages-JSONL roundtrip: the twin emits the turn fixture
     // directly; the engine must survive assemble -> write JSONL ->
     // schema read -> explode with array order == turn order intact
+    // SFT decontamination: twin re-renders, re-excerpts the planted
+    // benchmark, and re-scores shingle containment — flagged set and
+    // fractions hash-gated
+    "sft_decontam" ->
+      s"""WITH t0 AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+         |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+         |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+         |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+         |       ELSE 'user' END AS role,
+         |  substr(text, 1, CAST(80 + (doc_id * 37) % 60 AS INTEGER)) AS content
+         |  FROM documents),
+         |g AS (SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS text
+         |  FROM t0 GROUP BY conv_id),
+         |sh AS MATERIALIZED (SELECT conv_id, $duckShingles AS s FROM g),
+         |bsrc AS (SELECT conv_id, substr(text, 10, 120) AS text FROM g WHERE conv_id % 3 = 0),
+         |bsh AS (SELECT conv_id, $duckShingles AS s FROM bsrc),
+         |bench AS (SELECT DISTINCT unnest(s) AS gr FROM bsh),
+         |posts AS (SELECT conv_id, unnest(s) AS gr, len(s) AS n FROM sh),
+         |m AS (SELECT conv_id, count(*) AS n_shared, any_value(n) AS n_shingles
+         |      FROM posts JOIN bench USING (gr) GROUP BY conv_id)
+         |SELECT conv_id, n_shared, n_shingles,
+         |       round(n_shared * 1.0 / n_shingles + 1e-9, 4) AS contamination
+         |FROM m
+         |WHERE round(n_shared * 1.0 / n_shingles + 1e-9, 4) >= 0.05
+         |ORDER BY conv_id""".stripMargin,
     "sft_export_jsonl" ->
       """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
         |  CAST(doc_id % 6 AS INTEGER) AS turn_pos,
