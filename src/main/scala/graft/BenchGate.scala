@@ -163,8 +163,12 @@ object BenchGate {
     "rpt_snapshot_upsert", "rpt_merge_changes", "pipeline_ingest",
     "pipeline_forget", "pipeline_incremental_refresh", "txt_bpe_import",
     // round 15 write-path additions: the resumable enrich commits chunked
-    // Merge versions, the export writes + re-reads JSONL
-    "enrich_resume", "embed_resume", "sft_export_jsonl")
+    // Merge versions, the export writes + re-reads JSONL.
+    // enrich_multi_resume pays per-chunk-per-COLUMN Merge commits — the
+    // heaviest write path in the suite; classifying it CPU made it the
+    // likeliest false-red on a disk-noisy host (advisor r15).
+    "enrich_resume", "embed_resume", "enrich_multi_resume",
+    "sft_export_jsonl")
 
   /** Cap for the IO-class scale: disk windows legitimately swing harder
     * than CPU windows (2× observed within one session on this host), so
@@ -237,4 +241,46 @@ object BenchGate {
   def baselineMissing(medians: Map[String, Option[Double]],
                       baseline: Map[String, Double]): Seq[String] =
     baseline.keys.filterNot(medians.contains).toSeq.sorted
+
+  /** Persist the complete bench JSON to `artifactPath`, THEN compute
+    * the gate's exit code — in that order, unconditionally (judge r15
+    * #3): both driver reds (r14, r15) exited nonzero with the JSON line
+    * living only on stdout, where the driver's truncated tail lost the
+    * per-query runs and host probes that were recorded precisely FOR
+    * red adjudication. Writing the artifact before the exit decision
+    * means a gate-fail run is adjudicable from a recorded file, rc
+    * regardless. Write is temp-file + atomic rename so a crash mid-write
+    * can never leave a half-JSON at the stable path. Returns the exit
+    * code ([[Bench]] calls sys.exit on nonzero): 4 = baseline
+    * unreadable (gate cannot run), 3 = per-query regression(s), 0 = ok.
+    * A persistence failure (read-only checkout) degrades to a stderr
+    * warning — the artifact is evidence, not a reason to fail a healthy
+    * run. */
+  def finishRun(json: String, artifactPath: String, gateOn: Boolean,
+                loadRes: LoadResult, nAlarms: Int): Int = {
+    try {
+      val dir = Option(new java.io.File(artifactPath).getParentFile)
+      dir.foreach(d => if (!d.isDirectory) { d.mkdirs(); () })
+      val p = java.nio.file.Paths.get(artifactPath)
+      val tmp = java.nio.file.Paths.get(artifactPath + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist artifact to " +
+        s"$artifactPath (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+    if (!gateOn) 0
+    else loadRes match {
+      case Unreadable(_)      => 4
+      case _ if nAlarms > 0   => 3
+      case _                  => 0
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inter-annotator agreement for preference/label data `[EXT]`:
@@ -102,10 +102,22 @@ object Agreement {
       .withColumn("_r", col("_s") - col("_im"))
       .groupBy(col(raterCol))
       .agg(count(lit(1)).as("n_ratings"),
-        round(avg(col("_s")), 6).as("mean_score"),
-        round(avg(col("_r")), 6).as("leniency"),
-        round(stddev_pop(col("_r")), 6).as("residual_sd"))
+        noNegZero(round(avg(col("_s")), 6)).as("mean_score"),
+        noNegZero(round(avg(col("_r")), 6)).as("leniency"),
+        noNegZero(round(stddev_pop(col("_r")), 6)).as("residual_sd"))
   }
+
+  /** Signed-zero normalization for ROUNDED order-dependent double
+    * aggregates (judge r15 #1): when the exact statistic is 0, the
+    * floating sum lands at ±ε depending on partition-combine order and
+    * `round(±ε, 6)` preserves the SIGN of its zero — the engine then
+    * emits `-0.0` or `+0.0` run by run, bit-different under the
+    * driver's hash even though the value is correct. `-0.0 === 0.0` is
+    * true under IEEE comparison, so this maps both zeros to `+0.0` and
+    * leaves every other value untouched. Apply to any 6-dp-rounded
+    * avg/stddev/corr whose fixture can sit exactly on zero; the DuckDB
+    * twin needs the same CASE on its side. */
+  def noNegZero(c: Column): Column = when(c === 0.0, lit(0.0)).otherwise(c)
 
   /** Same dedup contract as [[fleissKappa]]: transport-duplicate
     * (item, rater, label) rows collapse before the pair join (a

@@ -243,8 +243,13 @@ object Embed {
     Seq("embedding", "_row_idx").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column — the embed operator reserves it"))
     val spark = df.sparkSession
+    // columnIndex is part of the cache identity (advisor r15): without
+    // it, reusing one requestId+cacheRoot to embed a DIFFERENT text
+    // column would silently serve the previous column's vectors —
+    // mirrors Enrich.resumeColumn's Seq(model, columnIndex) hash.
     val configHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(cfg.model.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(Seq(cfg.model, columnIndex.toString).mkString("\u0000")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
     // pinned snapshot — same consistency/cost argument as

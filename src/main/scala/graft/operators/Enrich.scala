@@ -403,7 +403,7 @@ object Enrich {
     val spark = head.sparkSession
     val configHash = java.security.MessageDigest.getInstance("MD5")
       .digest(Seq(systemPrompt, cfg.model, cfg.maxTokens.toString,
-          cfg.temperature.toString, columnIndex.toString).mkString(" ")
+          cfg.temperature.toString, columnIndex.toString).mkString("\u0000")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val paidCfg = cfg.copy(systemPrompt = systemPrompt,

@@ -97,7 +97,7 @@ class SourcesSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_orc").toString
     val df = Seq(
       (1L, Some("plain"), Some(1.5)),
-      (2L, Some("unicodé 中文 "), None),
+      (2L, Some("unicodé 中文 \u0001"), None),
       (3L, None, Some(-0.0))
     ).toDF("id", "text", "score")
     graft.sources.Orc.write(df, dir, numShards = 2)
@@ -108,7 +108,7 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
     assert(got === Set((1L, Some("plain"), Some(1.5)),
-      (2L, Some("unicodé 中文 "), None), (3L, None, Some(-0.0))))
+      (2L, Some("unicodé 中文 \u0001"), None), (3L, None, Some(-0.0))))
     // predicate pushdown: ORC stripe stats serve filters like parquet
     val plan = back.where($"id" > 2L).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"),
