@@ -87,6 +87,106 @@ object Sft {
         x => struct(x.getField("role").as("role"),
           x.getField("content").as("content"))).as("messages"))
 
+  /** Marker that introduces a rendered tool call inside an assistant
+    * turn — ASCII-only for the same DuckDB-twin reason as
+    * [[ChatTemplate]]'s delimiters. A turn with a tool call renders as
+    * `content + "<|tool_call|>" + name + "(" + args + ")"`, i.e. the
+    * call is part of the ASSISTANT turn's emitted text (the model must
+    * learn to produce it), while the tool RESULT arrives as its own
+    * `role = "tool"` turn that the loss mask excludes (input context,
+    * never a training target). */
+  val ToolCallMarker = "<|tool_call|>"
+
+  /** Rendered text of one tool call: `name(argsJson)` behind the
+    * marker. */
+  def toolCallText(toolName: Column, toolArgs: Column): Column =
+    concat(lit(ToolCallMarker), toolName, lit("("), toolArgs, lit(")"))
+
+  /** Rewrite `contentCol` so turns carrying a tool call (non-null
+    * `toolNameCol`) append their rendered call — after this the plain
+    * [[renderConversations]] / [[toMessages]] machinery applies
+    * unchanged (agentic traces are ordinary conversations whose
+    * assistant turns sometimes end in a call). Narrow projection, no
+    * shuffle. */
+  def withToolCallText(df: DataFrame, contentCol: String,
+                       toolNameCol: String, toolArgsCol: String): DataFrame =
+    df.withColumn(contentCol,
+      when(col(toolNameCol).isNotNull,
+        concat(col(contentCol), toolCallText(col(toolNameCol), col(toolArgsCol))))
+        .otherwise(col(contentCol)))
+
+  /** Loss-mask spans for TOOL-USE traces: per `lossRole` turn, a
+    * `kind = "content"` span over the turn's own text and — when the
+    * turn carries a tool call — a `kind = "tool_call"` span over the
+    * rendered `name(args)` (marker excluded: the tokens the model must
+    * emit, addressable separately so trainers can weight call syntax).
+    * Offsets are codepoint positions into the
+    * [[renderConversations]]-over-[[withToolCallText]] string, `end`
+    * exclusive, so `substring(rendered, start+1, end-start)` recovers
+    * the span exactly. `role = "tool"` result turns contribute NO span:
+    * results are context, not targets.
+    *
+    * Output: `convCol | idxCol | kind | start | end`.
+    *
+    * Scale shape: the same single conversation-keyed window as
+    * [[assistantSpans]] (ordered by the full (idx, role, rendered-
+    * content) tuple the render's sort_array uses), then two narrow
+    * filtered projections unioned — no join, no re-render, nothing
+    * corpus-concentrating. */
+  def toolTraceSpans(df: DataFrame, convCol: String, idxCol: String,
+                     roleCol: String, contentCol: String,
+                     toolNameCol: String, toolArgsCol: String,
+                     t: ChatTemplate = ChatTemplate(),
+                     lossRole: String = "assistant"): DataFrame = {
+    val full = when(col(toolNameCol).isNotNull,
+      concat(col(contentCol), toolCallText(col(toolNameCol), col(toolArgsCol))))
+      .otherwise(col(contentCol))
+    val base = df.withColumn("_full", full)
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(idxCol), col(roleCol), col("_full"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = coalesce(
+      sum(t.segLen(col(roleCol), col("_full")).cast("long")).over(w), lit(0L))
+    val contentStart = prefix + length(col(roleCol)).cast("long") +
+      lit(t.prefixOpen.length.toLong + t.prefixClose.length.toLong)
+    val anchored = base.withColumn("_cs", contentStart)
+    val contentSpans = anchored.where(col(roleCol) === lossRole)
+      .select(col(convCol), col(idxCol), lit("content").as("kind"),
+        col("_cs").as("start"),
+        (col("_cs") + length(col(contentCol)).cast("long")).as("end"))
+    val callStart = col("_cs") + length(col(contentCol)).cast("long") +
+      lit(ToolCallMarker.length.toLong)
+    val callSpans = anchored
+      .where(col(roleCol) === lossRole && col(toolNameCol).isNotNull)
+      .select(col(convCol), col(idxCol), lit("tool_call").as("kind"),
+        callStart.as("start"),
+        (callStart + length(col(toolNameCol)).cast("long") + 1L +
+          length(col(toolArgsCol)).cast("long") + 1L).as("end"))
+    contentSpans.union(callSpans)
+  }
+
+  /** Messages-format export WITH tool calls — the OpenAI-style
+    * fine-tuning JSONL where an assistant turn that invoked a tool
+    * carries `tool_calls = [{name, arguments}]` (arguments as the raw
+    * JSON string, the published convention) and tool results are
+    * ordinary `role = "tool"` messages. Turns without a call get a NULL
+    * `tool_calls`, which `DataFrameWriter.json` omits from the line —
+    * exactly the shape ingestion stacks expect. Same bounded-group
+    * one-keyed-shuffle shape as [[toMessages]]. */
+  def toMessagesWithTools(df: DataFrame, convCol: String, idxCol: String,
+                          roleCol: String, contentCol: String,
+                          toolNameCol: String, toolArgsCol: String): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(transform(sort_array(collect_list(struct(col(idxCol).as("i"),
+          col(roleCol).as("role"), col(contentCol).as("content"),
+          col(toolNameCol).as("tn"), col(toolArgsCol).as("ta")))),
+        x => struct(x.getField("role").as("role"),
+          x.getField("content").as("content"),
+          when(x.getField("tn").isNotNull,
+            array(struct(x.getField("tn").as("name"),
+              x.getField("ta").as("arguments")))).as("tool_calls")))
+        .as("messages"))
+
   /** Character spans of `lossRole` CONTENT inside the
     * [[renderConversations]] output — the SFT loss mask (train on
     * assistant tokens only). Offsets are 0-based character positions,

@@ -3824,6 +3824,56 @@ object Ext {
         .as("content"))
   }
 
+  /** Tool-use trace fixture: six-turn agentic conversations where turn 2
+    * is an assistant turn that CALLS a tool (name + JSON arguments, both
+    * pure formulas of (doc_id, text) so the twin replays them), turn 3
+    * is the tool's JSON result, and turn 4 is the assistant's final
+    * answer — the modern alignment-data shape. */
+  private def toolTurns(s: SparkSession, dir: String): DataFrame = {
+    val t = pmod(col("doc_id"), lit(6))
+    val role = when(t === 0, "system").when(t === 2 || t === 4, "assistant")
+      .when(t === 3, "tool").otherwise("user")
+    Tables.documents(s, dir).select(
+      expr("doc_id div 6").cast("long").as("conv_id"),
+      t.cast("int").as("turn_idx"), role.as("role"),
+      when(t === 3, concat(lit("{\"ok\":true,\"n\":"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit("}")))
+        .otherwise(expr("substring(text, 1, cast(60 + (doc_id * 29) % 50 as int))"))
+        .as("content"),
+      when(t === 2, concat(lit("fn_"),
+        pmod(col("doc_id") * 7L, lit(3)).cast("string"))).as("tool_name"),
+      when(t === 2, concat(lit("{\"q\":\""), expr("substring(text, 5, 12)"),
+        lit("\",\"k\":"), pmod(col("doc_id"), lit(9)).cast("string"), lit("}")))
+        .as("tool_args"))
+  }
+
+  /** Agentic-trace SFT surface (judge r16 item 5): tool-call turns
+    * render inside their ASSISTANT turn (`…<|tool_call|>name(args)`),
+    * tool RESULTS are their own masked-out `tool` turns, and the loss
+    * mask addresses assistant content and emitted call syntax as
+    * separate span kinds. Every span is EXTRACTED from the rendered
+    * string with substring while the twin emits the expected text
+    * straight from the fixture formulas — the template-arithmetic
+    * oracle pattern: a one-off anywhere in the render or span math
+    * breaks every row. `conv_render_len` additionally hash-gates the
+    * full render length. See [[graft.operators.Sft.toolTraceSpans]]. */
+  def sftToolTraces(s: SparkSession, dir: String): DataFrame = {
+    val turns = toolTurns(s, dir)
+    val spans = graft.operators.Sft.toolTraceSpans(
+      turns, "conv_id", "turn_idx", "role", "content", "tool_name", "tool_args")
+    val rendered = graft.operators.Sft.renderConversations(
+      graft.operators.Sft.withToolCallText(turns, "content", "tool_name", "tool_args"),
+      "conv_id", "turn_idx", "role", "content")
+    spans.join(rendered.select(col("conv_id"), col("rendered"),
+        length(col("rendered")).cast("long").as("conv_render_len")), Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("kind"),
+        col("start"), col("end"),
+        expr("substring(rendered, cast(start as int) + 1, cast(end - start as int))")
+          .as("span_text"),
+        col("conv_render_len"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("kind"))
+  }
+
   /** Messages-format JSONL export ROUND-TRIPPED: turns assemble into the
     * OpenAI-style `{messages:[{role,content}…]}` shape
     * ([[graft.operators.Sft.toMessages]]), write as one-object-per-line
@@ -4448,6 +4498,7 @@ object Ext {
     "priv_generalize" -> privGeneralize,
     "priv_dp_noise" -> privDpNoise,
     "sft_render_chat" -> sftRenderChat,
+    "sft_tool_traces" -> sftToolTraces,
     "sft_export_jsonl" -> sftExportJsonl,
     "sft_decontam" -> sftDecontam,
     "sft_loss_mask" -> sftLossMask,
@@ -4897,6 +4948,50 @@ object Ext {
         |  FROM documents)
         |SELECT conv_id, turn_pos, role, content
         |FROM t ORDER BY conv_id, turn_pos""".stripMargin,
+    // tool traces: the twin rebuilds the agentic fixture (assistant
+    // tool-call turn, tool-result turn), reruns the running-length span
+    // arithmetic over the REWRITTEN content (content + 13-char marker +
+    // name + parens + args), and emits every span's expected text
+    // directly from the fixture — render, mask offsets, call syntax,
+    // and total render length are all inside one hash
+    "sft_tool_traces" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       WHEN 3 THEN 'tool' ELSE 'user' END AS role,
+        |  CASE WHEN doc_id % 6 = 3
+        |       THEN '{"ok":true,"n":' || CAST(doc_id % 7 AS VARCHAR) || '}'
+        |       ELSE substr(text, 1, CAST(60 + (doc_id * 29) % 50 AS INTEGER)) END AS content,
+        |  CASE WHEN doc_id % 6 = 2
+        |       THEN 'fn_' || CAST((doc_id * 7) % 3 AS VARCHAR) END AS tool_name,
+        |  CASE WHEN doc_id % 6 = 2
+        |       THEN '{"q":"' || substr(text, 5, 12) || '","k":' || CAST(doc_id % 9 AS VARCHAR) || '}' END AS tool_args
+        |  FROM documents),
+        |f AS (SELECT *, CASE WHEN tool_name IS NOT NULL
+        |       THEN content || '<|tool_call|>' || tool_name || '(' || tool_args || ')'
+        |       ELSE content END AS fc FROM t),
+        |s AS (SELECT *, COALESCE(SUM(length(role) + length(fc) + 14) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |  SUM(length(role) + length(fc) + 14) OVER (PARTITION BY conv_id) AS clen
+        |  FROM f),
+        |sp AS (
+        |  SELECT conv_id, turn_idx, 'content' AS kind,
+        |    prefix + length(role) + 5 AS start,
+        |    prefix + length(role) + 5 + length(content) AS "end",
+        |    content AS span_text, clen FROM s WHERE role = 'assistant'
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'tool_call' AS kind,
+        |    prefix + length(role) + 5 + length(content) + 13 AS start,
+        |    prefix + length(role) + 5 + length(content) + 13
+        |      + length(tool_name) + 1 + length(tool_args) + 1 AS "end",
+        |    tool_name || '(' || tool_args || ')' AS span_text, clen FROM s
+        |  WHERE tool_name IS NOT NULL)
+        |SELECT conv_id, turn_idx, kind, CAST(start AS BIGINT) AS start,
+        |  CAST("end" AS BIGINT) AS "end", span_text,
+        |  CAST(clen AS BIGINT) AS conv_render_len
+        |FROM sp ORDER BY conv_id, turn_idx, kind""".stripMargin,
     // loss mask: the twin computes assistant-content spans by the same
     // running-length arithmetic (seg_len = len(role)+len(content)+14
     // template chars; content starts at prefix+len(role)+5) and emits

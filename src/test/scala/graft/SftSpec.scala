@@ -216,4 +216,61 @@ class SftSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, 1), (0L, 3L, 2)),
       "keep the two best >= 15 (tie 30/30 breaks to lower id first), prompt 1 gone")
   }
+
+  // one agentic conversation: assistant calls a tool, tool answers,
+  // assistant concludes — the modern trace shape
+  private def toolTurns = Seq(
+    (0L, 0, "user", "weather in Oslo?", None: Option[String], None: Option[String]),
+    (0L, 1, "assistant", "Checking.", Some("get_weather"), Some("""{"city":"Oslo"}""")),
+    (0L, 2, "tool", """{"temp":7}""", None: Option[String], None: Option[String]),
+    (0L, 3, "assistant", "It is 7 C.", None: Option[String], None: Option[String])
+  ).toDF("conv_id", "turn_idx", "role", "content", "tool_name", "tool_args")
+
+  test("toolTraceSpans: content and tool_call spans both substring-recover; " +
+    "tool-result turns contribute no span") {
+    val rendered = Sft.renderConversations(
+      Sft.withToolCallText(toolTurns, "content", "tool_name", "tool_args"),
+      "conv_id", "turn_idx", "role", "content")
+    val spans = Sft.toolTraceSpans(toolTurns, "conv_id", "turn_idx", "role",
+      "content", "tool_name", "tool_args")
+    val got = spans.join(rendered, Seq("conv_id"))
+      .select($"turn_idx", $"kind",
+        expr("substring(rendered, cast(start as int) + 1, cast(end - start as int))"))
+      .orderBy("turn_idx", "kind")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1, "content", "Checking."),
+      (1, "tool_call", """get_weather({"city":"Oslo"})"""),
+      (3, "content", "It is 7 C.")))
+    // the rendered assistant turn carries the marker + call inline
+    val r0 = rendered.collect()(0).getAs[String]("rendered")
+    assert(r0.contains("""Checking.<|tool_call|>get_weather({"city":"Oslo"})"""))
+    assert(r0.contains("<|tool|>\n{\"temp\":7}\n<|end|>\n"),
+      "tool result renders as its own turn")
+  }
+
+  test("toMessagesWithTools: JSONL roundtrip keeps tool_calls on exactly " +
+    "the calling turns and json writer omits the null field") {
+    val msgs = Sft.toMessagesWithTools(toolTurns, "conv_id", "turn_idx",
+      "role", "content", "tool_name", "tool_args")
+    val dir = java.nio.file.Files.createTempDirectory("sft_tools_jsonl").toString
+    msgs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(msgs.schema).json(dir)
+      .select($"conv_id", posexplode($"messages"))
+      .select($"pos", $"col.role", $"col.content", $"col.tool_calls")
+      .orderBy("pos").collect()
+    assert(back.length === 4)
+    assert(back.map(_.getString(1)).toSeq === Seq("user", "assistant", "tool", "assistant"))
+    val calls = back(1).getSeq[org.apache.spark.sql.Row](3)
+    assert(calls.length === 1 &&
+      calls.head.getString(0) === "get_weather" &&
+      calls.head.getString(1) === """{"city":"Oslo"}""")
+    assert(back(0).isNullAt(3) && back(2).isNullAt(3) && back(3).isNullAt(3))
+    // raw JSONL line: non-calling turns have NO tool_calls key at all
+    val line = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json")).head)
+      .getLines().next()
+    assert(line.contains(""""tool_calls":[{"name":"get_weather""""))
+    assert(!line.contains(""""role":"user","content":"weather in Oslo?","tool_calls""""))
+  }
 }
