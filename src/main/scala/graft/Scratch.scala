@@ -20,6 +20,22 @@ object Scratch {
       println(f"[scratch] ccdist ${(System.nanoTime() - t0) / 1e9}%8.2f s  non-rep rows=$nClusters")
       spark.stop(); return
     }
+    if (args.headOption.contains("topicprobe")) {
+      // rpt_topics gate calibration: measured cell-vs-label purity and
+      // the top-term coverage bridge at this SF (recorded in BENCH_NOTES
+      // when the thresholds were chosen)
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+      val cells = graft.operators.Ivf.attachCell(e, "embedding", model)
+      val n = cells.count()
+      val pure = cells.groupBy("cell", "label").count()
+        .groupBy("cell").agg(max("count").as("maj"), sum("count").as("tot"))
+      val purity = pure.agg(sum("maj"), sum("tot")).collect()(0)
+      println(s"[topicprobe] n=$n cells=${cells.select("cell").distinct.count} " +
+        s"purity=${purity.getLong(0).toDouble / purity.getLong(1)}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("semsplit")) {
       // harness-vs-operator decomposition for the semantic-dedup family
       // (BENCH_NOTES #35): the bench numbers for dedup_semantic /

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -422,4 +422,48 @@ object TextAnalysis {
     * md5 and incrementally computable. */
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash(normalize(text))
+
+  /** Distinctive terms per class, c-TF-IDF style (the class-based
+    * TF-IDF topic-labeling pipelines use — BERTopic's scoring shape):
+    * per-(class, token) counts weighted by `ln(1 + n_classes /
+    * df_classes)`, top `k` per class by (score desc, token asc).
+    * `toks` is one row per token occurrence (`classCol | tokenCol`);
+    * the class can be a language, a planted label, or a discovered
+    * embedding-cluster cell ([[Ivf.attachCell]]) — the topic-report
+    * composition. Output: `classCol | rk | token | score`.
+    *
+    * Shuffle story (unchanged from the txt_top_terms query this was
+    * factored out of, whose DuckDB twin value-gates the arithmetic):
+    * one groupBy on (class, token); one re-shuffle of that BOUNDED
+    * vocab-sized aggregate on token for the df join; one window over
+    * n_classes partitions. Nothing corpus-sized joins or broadcasts. */
+  def classTopTerms(toks: DataFrame, classCol: String, tokenCol: String,
+                    k: Int, classUniverse: Option[DataFrame] = None): DataFrame = {
+    val tf = toks.groupBy(col(classCol), col(tokenCol)).agg(count(lit(1)).as("tf"))
+    // n_classes from the (cheap, un-exploded) universe frame when the
+    // caller has one — counting it off the token rows would re-scan the
+    // exploded corpus for a single scalar
+    val nc = classUniverse.getOrElse(toks.select(col(classCol)))
+      .agg(count_distinct(col(classCol)).as("n_classes"))
+    classTopTermsFromCounts(tf, classCol, tokenCol, "tf", k, nc)
+  }
+
+  /** [[classTopTerms]] over PRE-AGGREGATED (class, token, tf) counts —
+    * for callers that already hold the count table (e.g. a checkpointed
+    * per-cell aggregate reused by several gates). `nClasses` is a
+    * one-row frame with an `n_classes` column. Same vocab-bounded
+    * shuffle story. */
+  def classTopTermsFromCounts(tf: DataFrame, classCol: String,
+                              tokenCol: String, tfCol: String, k: Int,
+                              nClasses: DataFrame): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val dfc = tf.groupBy(col(tokenCol)).agg(count(lit(1)).as("df_classes"))
+    val scored = tf.join(dfc, Seq(tokenCol)).crossJoin(broadcast(nClasses))
+      .withColumn("score",
+        round(col(tfCol) * log(lit(1.0) + col("n_classes").cast("double") / col("df_classes")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("score").desc, col(tokenCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(classCol), col("rk"), col(tokenCol).as("token"), col("score"))
+  }
 }

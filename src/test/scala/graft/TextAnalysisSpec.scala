@@ -324,4 +324,29 @@ class TextAnalysisSpec extends SparkSpec {
     // no-match text passes through unchanged
     assert(run("no pii here 1.2") === "no pii here 1.2")
   }
+
+  test("classTopTerms: c-TF-IDF ranks class-exclusive terms above shared ones; " +
+    "counts path agrees with the occurrence path") {
+    // class A: 'apple' x3 exclusive, 'the' x4 shared; class B: 'boat' x2
+    // exclusive, 'the' x1. Exclusive terms score ln(1+2/1)=ln 3 per hit,
+    // shared 'the' only ln(1+2/2)=ln 2 — apple must outrank the in A.
+    val toks = Seq(
+      ("A", "apple"), ("A", "apple"), ("A", "apple"),
+      ("A", "the"), ("A", "the"), ("A", "the"), ("A", "the"),
+      ("B", "boat"), ("B", "boat"), ("B", "the")
+    ).toDF("cls", "token")
+    val out = TextAnalysis.classTopTerms(toks, "cls", "token", 2)
+      .orderBy("cls", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq(("A", 1, "apple"), ("A", 2, "the"), ("B", 1, "boat"), ("B", 2, "the")))
+    assert(out(0)._4 === math.rint(3 * math.log(3.0) * 1e6) / 1e6)
+    // pre-counted variant reproduces the same report exactly
+    val tf = toks.groupBy($"cls", $"token").count().withColumnRenamed("count", "tf")
+    val fromCounts = TextAnalysis.classTopTermsFromCounts(tf, "cls", "token", "tf", 2,
+        toks.agg(org.apache.spark.sql.functions.count_distinct($"cls").as("n_classes")))
+      .orderBy("cls", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(fromCounts.toSeq === out.toSeq)
+  }
 }
