@@ -168,7 +168,9 @@ object BenchGate {
     // heaviest write path in the suite; classifying it CPU made it the
     // likeliest false-red on a disk-noisy host (advisor r15).
     "enrich_resume", "embed_resume", "enrich_multi_resume",
-    "sft_export_jsonl")
+    "sft_export_jsonl",
+    // round 16: JDBC sink+source roundtrip is insert/scan bound
+    "src_jdbc_roundtrip")
 
   /** Cap for the IO-class scale: disk windows legitimately swing harder
     * than CPU windows (2× observed within one session on this host), so

@@ -165,6 +165,26 @@ class SourcesSpec extends SparkSpec {
       s"partition filter missing from scan: $scanLine")
   }
 
+  test("Jdbc: overwrite sink + range-partitioned parallel read roundtrip; " +
+    "stride predicates give numPartitions partitions; filters push down") {
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("jdbc_spec").toString
+    val url = s"jdbc:derby:$db/db;create=true"
+    val df = (0L until 40L).map(i => (i, s"name_$i", i % 5)).toDF("id", "name", "grp")
+    graft.sources.Jdbc.write(df, url, "t")
+    // overwrite is idempotent (second write drops + recreates)
+    graft.sources.Jdbc.write(df, url, "t")
+    val back = graft.sources.Jdbc.readPartitioned(spark, url, "t", "id", 0L, 40L, 4)
+    assert(back.rdd.getNumPartitions === 4, "one stride predicate per partition")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      === (0L until 40L).map(i => (i, s"name_$i", i % 5)))
+    // Catalyst pushes the filter into the generated SQL
+    val plan = back.filter($"grp" === 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GRP") || plan.contains("grp"),
+      s"filter not pushed: $plan")
+    assert(back.filter($"grp" === 3L).count() === 8)
+  }
+
   test("withRowIndex is contiguous and matches input order across partitions") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Tuple1(s"r$i")), 7))
