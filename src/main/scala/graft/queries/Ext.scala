@@ -3967,6 +3967,37 @@ object Ext {
       .orderBy(col("conv_id"), col("turn_idx"), col("kind"))
   }
 
+  /** Agentic-trace training pipeline end to end: tool-use conversations
+    * render (calls inline, results as masked-out turns), the two-kind
+    * loss mask computes arithmetically, conversations pack into
+    * ~2000-char training blocks, and every span — assistant content AND
+    * emitted call syntax — is extracted FROM THE PACKED BLOCK at its
+    * remapped offset. This is the compose that proves the round-16 tool
+    * surface survives the same packing step the plain SFT path proved
+    * in sft_pack_spans: a one-off anywhere (render, span math, pack
+    * assignment, offset remap) breaks every row's hash. Twin chains the
+    * sft_tool_traces and sft_pack_spans twin arithmetic. */
+  def pipelineAgentic(s: SparkSession, dir: String): DataFrame = {
+    val turns = toolTurns(s, dir)
+    val rendered = graft.operators.Sft.renderConversations(
+      graft.operators.Sft.withToolCallText(turns, "content", "tool_name", "tool_args"),
+      "conv_id", "turn_idx", "role", "content")
+    val spans = graft.operators.Sft.toolTraceSpans(
+      turns, "conv_id", "turn_idx", "role", "content", "tool_name", "tool_args")
+    val r = rendered.withColumn("grp", pmod(col("conv_id"), lit(4L)))
+    val remap = graft.operators.Sft.packSpans(
+      r, "conv_id", "rendered", "grp", 2000L, spans, "start", "end")
+    val blocks = graft.operators.Sft.packBlocks(
+      r, "conv_id", "rendered", "grp", 2000L)
+    remap.join(blocks.select(col("grp"), col("chunk"), col("block_text")),
+        Seq("grp", "chunk"))
+      .select(col("conv_id"), col("turn_idx"), col("kind"), col("grp"),
+        col("chunk"), col("block_start"), col("block_end"),
+        expr("substring(block_text, cast(block_start as int) + 1, " +
+          "cast(block_end - block_start as int))").as("span_text"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("kind"))
+  }
+
   /** Messages-format JSONL export ROUND-TRIPPED: turns assemble into the
     * OpenAI-style `{messages:[{role,content}…]}` shape
     * ([[graft.operators.Sft.toMessages]]), write as one-object-per-line
@@ -4592,6 +4623,7 @@ object Ext {
     "priv_dp_noise" -> privDpNoise,
     "sft_render_chat" -> sftRenderChat,
     "sft_tool_traces" -> sftToolTraces,
+    "pipeline_agentic" -> pipelineAgentic,
     "sft_export_jsonl" -> sftExportJsonl,
     "sft_decontam" -> sftDecontam,
     "sft_loss_mask" -> sftLossMask,
@@ -5087,6 +5119,59 @@ object Ext {
         |  CAST("end" AS BIGINT) AS "end", span_text,
         |  CAST(clen AS BIGINT) AS conv_render_len
         |FROM sp ORDER BY conv_id, turn_idx, kind""".stripMargin,
+    // agentic pipeline: the sft_tool_traces span arithmetic chained
+    // through the sft_pack_spans pack arithmetic — block offsets land on
+    // the REWRITTEN (call-inline) renders, span text emitted from the
+    // fixture
+    "pipeline_agentic" ->
+      """WITH t AS (SELECT CAST(doc_id // 6 AS BIGINT) AS conv_id,
+        |  CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+        |  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'system'
+        |       WHEN 2 THEN 'assistant' WHEN 4 THEN 'assistant'
+        |       WHEN 3 THEN 'tool' ELSE 'user' END AS role,
+        |  CASE WHEN doc_id % 6 = 3
+        |       THEN '{"ok":true,"n":' || CAST(doc_id % 7 AS VARCHAR) || '}'
+        |       ELSE substr(text, 1, CAST(60 + (doc_id * 29) % 50 AS INTEGER)) END AS content,
+        |  CASE WHEN doc_id % 6 = 2
+        |       THEN 'fn_' || CAST((doc_id * 7) % 3 AS VARCHAR) END AS tool_name,
+        |  CASE WHEN doc_id % 6 = 2
+        |       THEN '{"q":"' || substr(text, 5, 12) || '","k":' || CAST(doc_id % 9 AS VARCHAR) || '}' END AS tool_args
+        |  FROM documents),
+        |f AS (SELECT *, CASE WHEN tool_name IS NOT NULL
+        |       THEN content || '<|tool_call|>' || tool_name || '(' || tool_args || ')'
+        |       ELSE content END AS fc FROM t),
+        |g AS (SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || fc || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
+        |  FROM f GROUP BY conv_id),
+        |a AS (SELECT conv_id, conv_id % 4 AS grp, length(rendered) AS len,
+        |  CAST(floor((sum(length(rendered)) OVER (PARTITION BY conv_id % 4 ORDER BY conv_id) - length(rendered)) / 2000.0) AS BIGINT) AS chunk
+        |  FROM g),
+        |o AS (SELECT conv_id, grp, chunk,
+        |  COALESCE(SUM(len) OVER (PARTITION BY grp, chunk ORDER BY conv_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM a),
+        |s AS (SELECT *, COALESCE(SUM(length(role) + length(fc) + 14) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM f),
+        |sp AS (
+        |  SELECT conv_id, turn_idx, 'content' AS kind,
+        |    prefix + length(role) + 5 AS s0,
+        |    prefix + length(role) + 5 + length(content) AS e0,
+        |    content AS span_text FROM s WHERE role = 'assistant'
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, 'tool_call' AS kind,
+        |    prefix + length(role) + 5 + length(content) + 13 AS s0,
+        |    prefix + length(role) + 5 + length(content) + 13
+        |      + length(tool_name) + 1 + length(tool_args) + 1 AS e0,
+        |    tool_name || '(' || tool_args || ')' AS span_text FROM s
+        |  WHERE tool_name IS NOT NULL)
+        |SELECT sp.conv_id, sp.turn_idx, sp.kind, o.grp, o.chunk,
+        |  CAST(sp.s0 + o.off AS BIGINT) AS block_start,
+        |  CAST(sp.e0 + o.off AS BIGINT) AS block_end,
+        |  sp.span_text
+        |FROM sp JOIN o USING (conv_id)
+        |ORDER BY sp.conv_id, sp.turn_idx, sp.kind""".stripMargin,
     // loss mask: the twin computes assistant-content spans by the same
     // running-length arithmetic (seg_len = len(role)+len(content)+14
     // template chars; content starts at prefix+len(role)+5) and emits
