@@ -85,4 +85,75 @@ object Relevance {
     bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Multi-query BM25 — [[bm25Scores]] generalized from one literal
+    * term list to a QUERY TABLE (`qidCol | qtextCol`), the retrieval
+    * half of a RAG/eval batch: tokenize each query, score every
+    * (query, matching doc) pair in one pass. Query-side term frequency
+    * (the Okapi qtf multiplier) comes from the tokenized query itself.
+    * Output: `qidCol | idCol | bm25` (4 dp, the engine-reproducible
+    * rounding convention), absent pairs mean score 0.
+    *
+    * Scale shape: the query table is broadcast twice (distinct terms as
+    * a pre-shuffle semi-join filter over the postings, then (q, term,
+    * qtf) onto the tf rows — fan-out bounded by queries-per-term);
+    * document frequency and corpus stats are query-independent and stay
+    * the [[bm25Scores]] aggregates. The corpus is scanned twice
+    * (postings + stats), both narrow — same contract as the
+    * single-query form. */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(qidCol),
+        explode(TextAnalysis.tokens(col(qtextCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .groupBy(col(qidCol), col("_tok")).agg(count(lit(1)).as("_qtf"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val posts = docs
+      .select(col(idCol), size(toks).as("_dl"), explode(toks).as("_tok"))
+      .join(broadcast(qt.select(col("_tok")).distinct()), Seq("_tok"), "left_semi")
+    val tf = graft.core.Checkpoint.materialize(
+      posts.groupBy(col(idCol), col("_tok"))
+        .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf")))
+    val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val stats = docs.select(size(TextAnalysis.tokens(col(textCol))).as("_l"))
+      .agg(count(lit(1)).as("_n"), avg(col("_l")).as("_avgdl"))
+    tf.join(broadcast(dfreq), "_tok")
+      .join(broadcast(qt), Seq("_tok")) // attach (query, qtf); bounded fan-out
+      .join(broadcast(stats))
+      .withColumn("_idf", log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
+      .withColumn("_s", col("_idf") * col("_tf") * (k1 + 1) /
+        (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl")))
+        * col("_qtf"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("_s")) + 1e-9, 4).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * ranked lists — the standard hybrid-retrieval combiner (BM25 ∪
+    * vector ANN): `rrf(d) = Σ_lists 1/(c + rank_d)`, a document absent
+    * from a list contributes nothing from it. Both inputs carry
+    * `(qidCol, idCol, rankCol)` with ranks 1-based; output is the fused
+    * top-`k` per query: `qidCol | rk | idCol | rrf` (6 dp + the 1e-9
+    * nudge, ties broken by id — cross-engine deterministic because the
+    * score is a rational of small integers).
+    *
+    * Scale shape: one full-outer join on (query, doc) between two
+    * ALREADY-TRUNCATED top-k lists (each bounded by queries × k), one
+    * window over the query key. Nothing corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(c >= 0, "c must be >= 0")
+    val fa = a.select(col(qidCol), col(idCol), col(rankCol).as("_ra"))
+    val fb = b.select(col(qidCol), col(idCol), col(rankCol).as("_rb"))
+    val fused = fa.join(fb, Seq(qidCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("_ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("_rb")), lit(0.0)) + 1e-9, 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(qidCol), col("rk"), col(idCol), col("rrf"))
+  }
 }

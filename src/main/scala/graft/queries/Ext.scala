@@ -1658,6 +1658,36 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Hybrid retrieval: BM25 keyword ranks fused with exact vector-cosine
+    * ranks by reciprocal-rank fusion — the standard two-tower serving
+    * recipe (keyword recall ∪ semantic recall, RRF as the combiner
+    * needing no score calibration). Queries are every 97th doc: its
+    * 40-char text prefix feeds the keyword side
+    * ([[graft.operators.Relevance.bm25PerQuery]]), its embedding the
+    * vector side ([[graft.operators.Similarity.knnBruteForce]], the
+    * oracle-exact sibling of the IVF/LSH scale paths). Everything —
+    * per-query BM25, both rank lists, the fusion rationals — is
+    * hash-gated; the twin replays all three stages in SQL. */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val q = d.filter(pmod(col("doc_id"), lit(97L)) === 3L)
+      .select(col("doc_id").as("q_id"), substring(col("text"), 1, 40).as("q_text"))
+    val bm = graft.operators.Relevance.bm25PerQuery(
+      d, "doc_id", "text", q, "q_id", "q_text")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+    val bmTop = bm.withColumn("r", row_number().over(wb)).filter(col("r") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r"))
+    val vecTop = graft.operators.Similarity.knnBruteForce(
+        e.filter(pmod(col("vec_id"), lit(97L)) === 3L), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 10)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("r"))
+    graft.operators.Relevance.rrfFuse(bmTop, vecTop, "q_id", "doc_id", "r", k = 10)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Engine-native embeddings end to end: hashed TF-IDF vectors fitted
     * on the corpus itself ([[graft.operators.Vectorize]] — no external
     * API, no fixture), fed straight into exact kNN. ORACLE-gated on the
@@ -4789,6 +4819,7 @@ object Ext {
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
+    "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_triplets" -> simTriplets,
@@ -7413,6 +7444,47 @@ object Ext {
          |QUALIFY row_number() OVER (PARTITION BY lab.rep
          |  ORDER BY d.n_chars DESC, d.doc_id) = 1
          |ORDER BY d.doc_id""".stripMargin,
+    // hybrid RRF: per-query BM25 (qtf from the tokenized 40-char query
+    // prefix), exact cosine ranks, and the 1/(60+rank) fusion rationals
+    // all replayed in SQL — ranks are cross-engine stable because both
+    // sides order by (rounded score DESC, id)
+    "sim_hybrid_rrf" ->
+      s"""WITH q AS (SELECT doc_id AS q_id, substr(text, 1, 40) AS q_text
+         |  FROM documents WHERE doc_id % 97 = 3),
+         |qt AS (SELECT q_id, tok, count(*) AS qtf
+         |  FROM (SELECT q_id, unnest(string_split_regex(trim(q_text), '\\s+')) AS tok FROM q)
+         |  WHERE length(tok) > 0 GROUP BY q_id, tok),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+         |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, any_value(dl) AS dl, count(*) AS tf
+         |       FROM p WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |bm AS (SELECT qt.q_id, tf.doc_id,
+         |        round(sum(ln((n - df + 0.5)/(df + 0.5) + 1)
+         |          * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * qtf) + 1e-9, 4) AS bm25
+         |       FROM tf JOIN dfq USING (tok) JOIN qt USING (tok) CROSS JOIN stats
+         |       GROUP BY qt.q_id, tf.doc_id),
+         |bt0 AS (SELECT q_id, doc_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+         |bt AS (SELECT * FROM bt0 WHERE r <= 10),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |vs AS (SELECT qe.vec_id AS q_id, c.vec_id AS doc_id,
+         |        round(list_cosine_similarity(qe.v, c.v), 6) AS cos
+         |       FROM e qe JOIN e c ON c.vec_id <> qe.vec_id WHERE qe.vec_id % 97 = 3),
+         |vt0 AS (SELECT q_id, doc_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r FROM vs),
+         |vt AS (SELECT * FROM vt0 WHERE r <= 10),
+         |f AS (SELECT COALESCE(bt.q_id, vt.q_id) AS q_id,
+         |        COALESCE(bt.doc_id, vt.doc_id) AS doc_id,
+         |        round(COALESCE(1.0/(60 + bt.r), 0) + COALESCE(1.0/(60 + vt.r), 0) + 1e-9, 6) AS rrf
+         |      FROM bt FULL OUTER JOIN vt ON bt.q_id = vt.q_id AND bt.doc_id = vt.doc_id),
+         |rr AS (SELECT q_id, doc_id, rrf,
+         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk
+         |       FROM f)
+         |SELECT q_id, rk, doc_id, rrf FROM rr WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
     "sim_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -55,4 +55,31 @@ class RelevanceSpec extends SparkSpec {
     assert(s(1L) > s(2L))
     assert(s(2L) == s(3L))
   }
+
+  test("bm25PerQuery: each query scores exactly as the single-query form " +
+    "with its own tokenized terms (qtf included)") {
+    val q = Seq((10L, "a b"), (20L, "a a d")).toDF("q_id", "q_text")
+    val got = Relevance.bm25PerQuery(corpus, "doc_id", "text", q, "q_id", "q_text")
+      .orderBy("q_id", "doc_id").as[(Long, Long, Double)].collect()
+    val exp10 = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val exp20 = Relevance.bm25Scores(corpus, "doc_id", "text", Seq("a", "a", "d"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got.filter(_._1 == 10L).map(t => (t._2, t._3)).toSeq === exp10.toSeq)
+    assert(got.filter(_._1 == 20L).map(t => (t._2, t._3)).toSeq === exp20.toSeq)
+  }
+
+  test("rrfFuse: 1/(c+rank) arithmetic, single-list docs contribute one term, " +
+    "ties break by id, top-k cut") {
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3)).toDF("q", "d", "r")
+    val b = Seq((1L, 101L, 1), (1L, 103L, 2)).toDF("q", "d", "r")
+    val out = Relevance.rrfFuse(a, b, "q", "d", "r", k = 3, c = 60)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect()
+    def f(rs: Seq[Int]) = math.rint((rs.map(r => 1.0 / (60 + r)).sum + 1e-9) * 1e6) / 1e6
+    // 101 in both lists (ranks 2,1) wins; 100 (rank 1 in a) next;
+    // 103 (rank 2 in b) and 102 (rank 3 in a) trail
+    assert(out.map(_._3).toSeq === Seq(101L, 100L, 103L))
+    assert(out.map(_._4).toSeq === Seq(f(Seq(2, 1)), f(Seq(1)), f(Seq(2))))
+    assert(out.map(_._2).toSeq === Seq(1, 2, 3))
+  }
 }
