@@ -282,7 +282,60 @@ object Soak {
         "priv_generalize" -> (() =>
           graft.operators.Privacy.generalizeUntilK(docs, Seq("lang"),
             col("n_chars"), widths = Seq(50L, 100L, 200L, 400L), k = 1000)
-            .count()))
+            .count()),
+        // round-16 ops, all decades: tool-trace spans are one conv-keyed
+        // window; topic terms are attachCell (narrow) + vocab-bounded
+        // aggregates (vocab grows ~linearly under token bijection); the
+        // hybrid fuse holds the QUERY set fixed (~20) so the exponent
+        // grades the corpus-side scans
+        "tool_trace_spans" -> (() => {
+          val m6 = pmod(col("doc_id"), lit(6))
+          val turns = docs.select(
+            expr("doc_id div 6").cast("long").as("conv_id"),
+            m6.cast("int").as("turn_idx"),
+            when(m6 === 0, "system").when(m6 === 2 || m6 === 4, "assistant")
+              .when(m6 === 3, "tool").otherwise("user").as("role"),
+            substring(col("text"), 1, 120).as("content"),
+            when(m6 === 2, concat(lit("fn_"),
+              pmod(col("doc_id") * 7, lit(3)).cast("string"))).as("tool_name"),
+            when(m6 === 2, concat(lit("{\"q\":\""),
+              substring(col("text"), 5, 12), lit("\"}"))).as("tool_args"))
+          graft.operators.Sft.toolTraceSpans(turns, "conv_id", "turn_idx",
+            "role", "content", "tool_name", "tool_args")
+            .queryExecution.toRdd.count()
+        }),
+        "topic_terms" -> (() => {
+          val model = graft.operators.Ivf.train(embs, "vec_id", "embedding",
+            k = 8, iters = 2)
+          val cells = graft.operators.Ivf.attachCell(embs, "embedding", model)
+            .select(col("vec_id").as("doc_id"), col("cell"))
+          val toks = docs.join(cells, Seq("doc_id"))
+            .select(col("cell"), explode(
+              graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+            .filter(length(col("token")) > 0)
+          graft.operators.TextAnalysis.classTopTerms(toks, "cell", "token", 5,
+            classUniverse = Some(cells.select(col("cell")))).count()
+        }),
+        "hybrid_rrf" -> (() => {
+          val q = docs.filter(pmod(col("doc_id"), lit(97L)) === 3L
+              && col("doc_id") < 2000L)
+            .select(col("doc_id").as("q_id"),
+              substring(col("text"), 1, 40).as("q_text"))
+          val bm = graft.operators.Relevance.bm25PerQuery(
+            docs, "doc_id", "text", q, "q_id", "q_text")
+          val wb = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+          val bmTop = bm.withColumn("r", row_number().over(wb))
+            .filter(col("r") <= 10).select(col("q_id"), col("doc_id"), col("r"))
+          val vecTop = graft.operators.Similarity.knnBruteForce(
+              embs.filter(pmod(col("vec_id"), lit(97L)) === 3L
+                && col("vec_id") < 2000L), embs,
+              "vec_id", "vec_id", "embedding", "embedding", k = 10)
+            .select(col("query_id").as("q_id"),
+              col("neighbor_id").as("doc_id"), col("rk").as("r"))
+          graft.operators.Relevance.rrfFuse(
+            bmTop, vecTop, "q_id", "doc_id", "r", k = 10).count()
+        }))
       val once = Seq(
         // heavier round-15 compositions, first decade: the resumable
         // chunk loop (jobs ∝ rows/chunkRows — the checkpoint-cadence
