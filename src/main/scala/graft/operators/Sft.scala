@@ -102,6 +102,12 @@ object Sft {
   def toolCallText(toolName: Column, toolArgs: Column): Column =
     concat(lit(ToolCallMarker), toolName, lit("("), toolArgs, lit(")"))
 
+  /** Executor/driver-side STRING twin of [[toolCallText]] — shared with
+    * the streaming assembler so batch and stream tool-call renders can
+    * never drift (the [[ChatTemplate.segmentStr]] pattern). */
+  def toolCallTextStr(content: String, name: String, args: String): String =
+    content + ToolCallMarker + name + "(" + args + ")"
+
   /** Rewrite `contentCol` so turns carrying a tool call (non-null
     * `toolNameCol`) append their rendered call — after this the plain
     * [[renderConversations]] / [[toMessages]] machinery applies

@@ -448,6 +448,48 @@ object TextAnalysis {
     classTopTermsFromCounts(tf, classCol, tokenCol, "tf", k, nc)
   }
 
+  /** Overlapping fixed-size chunking — the RAG/embedding-prep splitter:
+    * each document yields `1 + ceil(max(0, len - size) / stride)` chunks
+    * (stride = size − overlap), chunk `i` covering codepoints
+    * `[i·stride, min(i·stride + size, len))`; the final chunk may be
+    * short, a doc shorter than `size` (including empty) yields exactly
+    * one chunk. Offsets are emitted so downstream consumers (span
+    * alignment, citation highlighting) can map chunk hits back into the
+    * source — `substring(text, start+1, end-start)` recovers the chunk,
+    * which is how the oracle gates it.
+    *
+    * Output: `idCol | chunk_idx | start | end | chunk` (long offsets,
+    * end exclusive).
+    *
+    * Scale shape: one narrow generate pass — `explode(sequence)` +
+    * `substring` (the sanctioned chunking idiom; substring is codegen,
+    * so the measured HOF-regeneration trap does not apply). Row fan-out
+    * is the chunk count, text duplicated per chunk exactly like every
+    * columnar splitter — linear, no shuffle. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0, "size must be > 0")
+    require(overlap >= 0 && overlap < size, "overlap must be in [0, size)")
+    val stride = (size - overlap).toLong
+    val len = length(col(textCol)).cast("long")
+    // integer ceil via floor((x + stride - 1) / stride): exact — the
+    // operands are far below 2^53, so the double division of an exact
+    // multiple rounds to the exact integer
+    val n = lit(1L) + floor(
+      (greatest(len - size.toLong, lit(0L)) + lit(stride - 1L)).cast("double")
+        / stride).cast("long")
+    val start = col("chunk_idx") * stride
+    val end = least(start + size.toLong, len)
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), n - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"), start.as("start"), end.as("end"),
+        // substring(col, colPos, colLen) needs the SQL form — the Scala
+        // overload takes Int literals only
+        expr(s"substring($textCol, cast(chunk_idx * $stride as int) + 1, " +
+          s"cast(least(chunk_idx * $stride + $size, length($textCol)) " +
+          s"- chunk_idx * $stride as int))").as("chunk"))
+  }
+
   /** [[classTopTerms]] over PRE-AGGREGATED (class, token, tf) counts —
     * for callers that already hold the count table (e.g. a checkpointed
     * per-cell aggregate reused by several gates). `nClasses` is a

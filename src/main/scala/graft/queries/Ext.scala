@@ -176,6 +176,19 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping RAG chunking: every document splits into 400-char
+    * chunks with 80-char overlap (stride 320), offsets emitted so chunk
+    * hits map back into the source. Chunk text is EXTRACTED with
+    * substring at the computed offsets while the twin recomputes the
+    * same splits directly — count formula, offsets, and every chunk's
+    * bytes are all in the hash. One narrow generate pass; see
+    * [[graft.operators.TextAnalysis.chunkText]]. */
+  def txtChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.chunkText(d, "doc_id", "text", size = 400, overlap = 80)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** BM25 keyword relevance over the corpus for a fixed seed-term query
     * — the "score documents against a target domain" curation step.
     * Postings are filtered to the query terms before any shuffle; see
@@ -4745,6 +4758,7 @@ object Ext {
     "txt_decontam_bloom" -> txtDecontamBloom,
     "txt_decontam_sem" -> txtDecontamSem,
     "txt_bm25" -> txtBm25,
+    "txt_chunks" -> txtChunks,
     "txt_pii_redact" -> txtPiiRedact,
     "txt_pii_pseudo" -> txtPiiPseudo,
     "smp_cap_per_key" -> smpCapPerKey,
@@ -6494,6 +6508,20 @@ object Ext {
          |FROM m
          |WHERE round(n_shared * 1.0 / n_shingles + 1e-9, 4) >= 0.02
          |ORDER BY doc_id""".stripMargin,
+    // RAG chunking: 400-char chunks, 80 overlap (stride 320); count
+    // formula, offsets, and chunk bytes recomputed directly
+    "txt_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text, len,
+        |  1 + (greatest(len - 400, 0) + 319) // 320 AS nc FROM d),
+        |c AS (SELECT doc_id, text, len,
+        |  unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 320 AS BIGINT) AS start,
+        |  CAST(least(chunk_idx * 320 + 400, len) AS BIGINT) AS "end",
+        |  substr(text, CAST(chunk_idx * 320 AS INTEGER) + 1,
+        |    CAST(least(chunk_idx * 320 + 400, len) - chunk_idx * 320 AS INTEGER)) AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // Okapi BM25 with the Lucene idf variant; k1=1.2 b=0.75; tf over
     // whitespace tokens, dl = token count, N/avgdl over the whole corpus
     "txt_bm25" ->

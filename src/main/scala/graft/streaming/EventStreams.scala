@@ -520,6 +520,36 @@ object EventStreams {
       }
   }
 
+  final case class ToolTurn(conv_id: Long, turn_idx: Int, role: String,
+                            content: String, tool_name: Option[String],
+                            tool_args: Option[String], ts: Timestamp)
+
+  /** Streaming twin of the TOOL-TRACE render (round 16): turns carrying
+    * a tool call rewrite their content through
+    * [[graft.operators.Sft.toolCallTextStr]] — the same constants the
+    * batch [[graft.operators.Sft.withToolCallText]] column form
+    * concatenates — in a STATELESS pre-map, then the proven
+    * [[conversationAssemblyStream]] gap-close machinery applies
+    * unchanged (dedup rule, turn cap, re-emission contract all
+    * inherited). Batch and stream renders are asserted EQUAL on the
+    * same turns in EventStreamsSpec. */
+  def toolTraceAssemblyStream(turns: Dataset[ToolTurn], gapMs: Long,
+                              watermark: String = "2 hours",
+                              template: graft.operators.Sft.ChatTemplate =
+                                graft.operators.Sft.ChatTemplate(),
+                              maxTurns: Int = 1024): Dataset[ConvOut] = {
+    import turns.sparkSession.implicits._
+    conversationAssemblyStream(
+      turns.map { t =>
+        val c = t.tool_name match {
+          case Some(n) => graft.operators.Sft.toolCallTextStr(
+            t.content, n, t.tool_args.getOrElse(""))
+          case None => t.content
+        }
+        Turn(t.conv_id, t.turn_idx, t.role, c, t.ts)
+      }, gapMs, watermark, template, maxTurns)
+  }
+
   // ---- arbitrary state v2: transformWithState -------------------------
 
   final case class KeyedDoc(key: String, id: Long)

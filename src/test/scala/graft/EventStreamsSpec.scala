@@ -145,6 +145,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toolTraceAssemblyStream: stream render of a tool-use trace equals " +
+    "the batch withToolCallText + renderConversations composition") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.{ConvOut, ToolTurn}
+    val input = MemoryStream[ToolTurn]
+    val q = EventStreams.toolTraceAssemblyStream(
+        input.toDS(), gapMs = 30 * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("toolconv").outputMode("append").start()
+    try {
+      // out of order, split across batches; turn 1 carries the tool call
+      input.addData(
+        ToolTurn(1L, 2, "tool", """{"temp":7}""", None, None, ts(62)),
+        ToolTurn(1L, 0, "user", "weather?", None, None, ts(60)))
+      q.processAllAvailable()
+      input.addData(
+        ToolTurn(1L, 1, "assistant", "Checking.",
+          Some("get_weather"), Some("""{"city":"Oslo"}"""), ts(63)),
+        ToolTurn(1L, 3, "assistant", "7 C.", None, None, ts(64)))
+      q.processAllAvailable()
+      input.addData(ToolTurn(9L, 0, "user", "x", None, None, ts(1000)))
+      q.processAllAvailable()
+      input.addData(ToolTurn(9L, 1, "user", "y", None, None, ts(2000)))
+      q.processAllAvailable()
+      val out = spark.table("toolconv").as[ConvOut].collect()
+      assert(out.length === 1 && out.head.conv_id === 1L && out.head.n_turns === 4)
+      val batchTurns = Seq(
+        (1L, 0, "user", "weather?", None: Option[String], None: Option[String]),
+        (1L, 1, "assistant", "Checking.", Some("get_weather"), Some("""{"city":"Oslo"}""")),
+        (1L, 2, "tool", """{"temp":7}""", None: Option[String], None: Option[String]),
+        (1L, 3, "assistant", "7 C.", None: Option[String], None: Option[String]))
+        .toDF("conv_id", "turn_idx", "role", "content", "tool_name", "tool_args")
+      val batch = graft.operators.Sft.renderConversations(
+        graft.operators.Sft.withToolCallText(batchTurns, "content", "tool_name", "tool_args"),
+        "conv_id", "turn_idx", "role", "content")
+        .select("rendered").as[String].head()
+      assert(out.head.rendered === batch)
+      assert(out.head.rendered.contains(
+        """Checking.<|tool_call|>get_weather({"city":"Oslo"})"""))
+    } finally q.stop()
+  }
+
   test("conversationAssemblyStream: maxTurns caps a runaway conversation") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.EventStreams.{ConvOut, Turn}

@@ -325,6 +325,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run("no pii here 1.2") === "no pii here 1.2")
   }
 
+  test("chunkText: overlap reconstruction, boundary counts, short/empty docs") {
+    val d = Seq(
+      (1L, "a" * 1000),   // 1 + ceil(600/320) = 3 chunks
+      (2L, "b" * 400),    // exactly size -> 1 chunk
+      (3L, "c" * 401),    // one past size -> 2 chunks (second is 81 chars)
+      (4L, "short"),      // under size -> 1 chunk
+      (5L, "")            // empty -> 1 empty chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(d, "doc_id", "text", size = 400, overlap = 80)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.count(_._1 == 1L) === 3 && out.count(_._1 == 2L) === 1 &&
+      out.count(_._1 == 3L) === 2 && out.count(_._1 == 4L) === 1 &&
+      out.count(_._1 == 5L) === 1)
+    // offsets stride by 320, end-exclusive, last chunk clipped to len
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ===
+      Seq((0L, 400L), (320L, 720L), (640L, 1000L)))
+    assert(out.find(t => t._1 == 3L && t._2 == 1L).get._5 === "c" * 81)
+    assert(out.find(_._1 == 4L).get._5 === "short")
+    assert(out.find(_._1 == 5L).get match { case (_, i, s, e, c) =>
+      i == 0L && s == 0L && e == 0L && c == "" })
+    // every chunk's text is exactly the substring at its offsets, and
+    // consecutive chunks overlap by exactly 80 where both are full
+    out.filter(_._1 == 1L).foreach { case (_, _, s, e, c) =>
+      assert(c === ("a" * 1000).substring(s.toInt, e.toInt)) }
+  }
+
   test("classTopTerms: c-TF-IDF ranks class-exclusive terms above shared ones; " +
     "counts path agrees with the occurrence path") {
     // class A: 'apple' x3 exclusive, 'the' x4 shared; class B: 'boat' x2
