@@ -260,13 +260,21 @@ object Bench {
     // Persist the complete artifact BEFORE any exit decision (judge r15
     // #3: both driver reds lost the JSON to a truncated stdout tail —
     // the recorded probes existed only in memory when the gate exited).
+    // cwd-relative default: behaves identically under the driver (cwd =
+    // repo root) and lands next to whatever checkout actually ran
+    // elsewhere, instead of a hardcoded machine path
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST",
-      "/root/repo/BENCH_LAST.json")
+      "BENCH_LAST.json")
     val rc = BenchGate.finishRun(jsonLine, artifactPath, gateOn, loadRes,
       alarms.size)
-    if (rc == 4)
-      System.err.println(s"[bench-gate] $baselinePath is unreadable — the gate " +
+    if (rc == 4) {
+      val detail = loadRes match {
+        case BenchGate.Unreadable(err) => s" ($err)"
+        case _ => ""
+      }
+      System.err.println(s"[bench-gate] $baselinePath is unreadable$detail — the gate " +
         "cannot run; fix or deliberately re-record the baseline")
+    }
     if (rc == 3)
       System.err.println(s"[bench-gate] ${alarms.size} per-query regression(s) vs $baselinePath: " +
         alarms.map(a => f"${a.query} ${a.base}%.2f->${a.median}%.2f s (${a.ratio}%.2fx)").mkString("; ") +

@@ -98,15 +98,20 @@ object Sft {
   val ToolCallMarker = "<|tool_call|>"
 
   /** Rendered text of one tool call: `name(argsJson)` behind the
-    * marker. */
+    * marker. NULL args render as `name()` — a no-argument call — NOT as
+    * a NULL that would propagate through concat and silently drop the
+    * whole turn from the render (round-16 review finding: the streaming
+    * path already rendered `name()`, so the batch side must match the
+    * no-drift contract). */
   def toolCallText(toolName: Column, toolArgs: Column): Column =
-    concat(lit(ToolCallMarker), toolName, lit("("), toolArgs, lit(")"))
+    concat(lit(ToolCallMarker), toolName, lit("("),
+      coalesce(toolArgs, lit("")), lit(")"))
 
   /** Executor/driver-side STRING twin of [[toolCallText]] — shared with
     * the streaming assembler so batch and stream tool-call renders can
     * never drift (the [[ChatTemplate.segmentStr]] pattern). */
   def toolCallTextStr(content: String, name: String, args: String): String =
-    content + ToolCallMarker + name + "(" + args + ")"
+    content + ToolCallMarker + name + "(" + (if (args == null) "" else args) + ")"
 
   /** Rewrite `contentCol` so turns carrying a tool call (non-null
     * `toolNameCol`) append their rendered call — after this the plain
@@ -166,8 +171,10 @@ object Sft {
       .where(col(roleCol) === lossRole && col(toolNameCol).isNotNull)
       .select(col(convCol), col(idxCol), lit("tool_call").as("kind"),
         callStart.as("start"),
+        // NULL args = zero-length `name()` call (same coalesce contract
+        // as toolCallText — a NULL here would void the span's end)
         (callStart + length(col(toolNameCol)).cast("long") + 1L +
-          length(col(toolArgsCol)).cast("long") + 1L).as("end"))
+          coalesce(length(col(toolArgsCol)).cast("long"), lit(0L)) + 1L).as("end"))
     contentSpans.union(callSpans)
   }
 

@@ -943,10 +943,12 @@ object Ext {
       toks.groupBy(col("cell"), col("token")).agg(count(lit(1)).as("tf")))
     val nTopics = perCellTf.select(col("cell")).distinct().count()
     // the report: top-5 distinctive terms per discovered topic, scored
-    // off the one checkpointed count table
+    // off the one checkpointed count table; n_classes reuses the
+    // already-collected nTopics scalar instead of paying the distinct
+    // aggregate a second time (round-16 review finding)
     val report = TextAnalysis.classTopTermsFromCounts(perCellTf,
       "cell", "token", "tf", 5,
-      perCellTf.agg(count_distinct(col("cell")).as("n_classes")))
+      s.range(1).select(lit(nTopics).as("n_classes")))
     val rep = report.orderBy(col("cell"), col("rk")).collect()
     val ranksOk = rep.groupBy(_.getInt(0)).values.forall { rows =>
       val rks = rows.map(_.getInt(1)).toSeq
@@ -3041,8 +3043,11 @@ object Ext {
       col("n_chars"), substring(col("text"), 1, 200).as("snippet"))
     val url = s"jdbc:derby:${rtDir(s, "jdbc_db", dir)}/db;create=true"
     graft.sources.Jdbc.write(d, url, "docs")
-    val (lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id"))).collect()
-      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 1L))
+    // agg always yields ONE row (NULL min/max on empty input), so the
+    // empty-table fallback must test the cell, not the row's presence
+    val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 1L) else (bounds.getLong(0), bounds.getLong(1))
     graft.sources.Jdbc.readPartitioned(s, url, "docs", "doc_id",
         lo, math.max(hi, lo + 1), numPartitions = 4)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("snippet"))

@@ -249,6 +249,30 @@ class SftSpec extends SparkSpec {
       "tool result renders as its own turn")
   }
 
+  test("toolTraceSpans/withToolCallText: a NULL-args tool call renders as " +
+    "name() in BOTH batch and stream paths, never NULLing the turn") {
+    val t = Seq(
+      (0L, 0, "assistant", "Now:", Some("get_time"), None: Option[String]),
+      (0L, 1, "tool", "12:00", None: Option[String], None: Option[String])
+    ).toDF("conv_id", "turn_idx", "role", "content", "tool_name", "tool_args")
+    val rendered = Sft.renderConversations(
+      Sft.withToolCallText(t, "content", "tool_name", "tool_args"),
+      "conv_id", "turn_idx", "role", "content").collect()(0)
+    assert(rendered.getAs[String]("rendered")
+      .contains("Now:<|tool_call|>get_time()"), "batch render drops NULL args, not the turn")
+    assert(rendered.getAs[Long]("n_turns") === 2L)
+    val spans = Sft.toolTraceSpans(t, "conv_id", "turn_idx", "role",
+      "content", "tool_name", "tool_args")
+      .orderBy("turn_idx", "kind").collect()
+    assert(spans.length === 2)
+    val call = spans.find(_.getString(2) == "tool_call").get
+    // span covers exactly "get_time()" — end must be a number, not null
+    assert(call.getLong(4) - call.getLong(3) === "get_time()".length.toLong)
+    // string twin (the streaming path's builder) agrees
+    assert(Sft.toolCallTextStr("Now:", "get_time", null) ===
+      "Now:<|tool_call|>get_time()")
+  }
+
   test("toMessagesWithTools: JSONL roundtrip keeps tool_calls on exactly " +
     "the calling turns and json writer omits the null field") {
     val msgs = Sft.toMessagesWithTools(toolTurns, "conv_id", "turn_idx",

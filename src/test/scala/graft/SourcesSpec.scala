@@ -178,10 +178,15 @@ class SourcesSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions === 4, "one stride predicate per partition")
     assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       === (0L until 40L).map(i => (i, s"name_$i", i % 5)))
-    // Catalyst pushes the filter into the generated SQL
+    // Catalyst pushes the filter into the generated SQL: the GRP
+    // predicate must appear INSIDE the PushedFilters list (an un-pushed
+    // plan still prints "PushedFilters: []" plus a Filter node naming
+    // GRP, which a plan-wide contains() would falsely accept —
+    // round-16 review finding on this very assertion)
     val plan = back.filter($"grp" === 3L).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("GRP") || plan.contains("grp"),
-      s"filter not pushed: $plan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pushed.toLowerCase.contains("grp"), s"filter not pushed: $plan")
     assert(back.filter($"grp" === 3L).count() === 8)
   }
 
