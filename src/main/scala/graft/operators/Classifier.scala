@@ -285,4 +285,73 @@ object Classifier {
       LogRegModel(w, b, loss.result())
     } finally rdd.unpersist(blocking = false)
   }
+
+  // ---- evaluation reports --------------------------------------------
+
+  /** Calibration report — the reliability diagram every model-gated
+    * curation pipeline reads before trusting classifier scores as keep
+    * probabilities: scores in [0,1] bin into `bins` equal-width buckets,
+    * each emitting its mean predicted score vs the empirical positive
+    * rate; the per-row |gap| weighted by bucket mass is the Expected
+    * Calibration Error (Naeini et al. 2015), attached to every row as
+    * the whole-job scalar. Scores exactly 1.0 land in the TOP bucket
+    * (the standard closed-last-interval convention).
+    *
+    * Output: `bucket | n | mean_score | pos_rate | gap` + `ece`
+    * (doubles at 6 dp; empty buckets are absent).
+    *
+    * Scale shape: ONE groupBy on the bucket index (bins-bounded
+    * aggregate with map-side combine) + a broadcast of the bins-row
+    * total for the ECE — nothing corpus-sized shuffles. */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be > 0")
+    val b = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    val agg = df.select(b.as("bucket"), col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("double").as("_y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("_s")).as("_ms"), avg(col("_y")).as("_pr"))
+    val tot = agg.agg(sum(col("n")).as("_tot"),
+      sum(abs(col("_ms") - col("_pr")) * col("n")).as("_werr"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        Agreement.noNegZero(round(col("_ms"), 6)).as("mean_score"),
+        Agreement.noNegZero(round(col("_pr"), 6)).as("pos_rate"),
+        Agreement.noNegZero(round(abs(col("_ms") - col("_pr")), 6)).as("gap"),
+        Agreement.noNegZero(round(col("_werr") / col("_tot"), 6)).as("ece"))
+  }
+
+  /** Multi-class confusion report: per (gold, predicted) cell counts
+    * plus per-gold-class precision/recall/F1 — the eval table a
+    * label-model or langid gate ships with. Per-class metrics join back
+    * onto the cells so one frame carries both views (precision repeats
+    * across a predicted class's cells by construction).
+    *
+    * Output: `gold | pred | n | recall | precision | f1` (6 dp; a
+    * class never predicted has precision NULL — honest, not 0).
+    *
+    * Scale shape: one (gold, pred) groupBy (classes²-bounded) + two
+    * class-bounded re-aggregates broadcast back. */
+  def confusionReport(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val cells = df.select(col(goldCol).as("gold"), col(predCol).as("pred"))
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+    // per-CLASS metric table: recall(g) = tp/ng, precision(g) = tp/np
+    // (np = rows PREDICTED as g; NULL when g is never predicted)
+    val ng = cells.groupBy(col("gold")).agg(sum(col("n")).as("_ng"))
+    val np = cells.groupBy(col("pred")).agg(sum(col("n")).as("_np"))
+      .withColumnRenamed("pred", "gold")
+    val tp = cells.filter(col("gold") === col("pred"))
+      .select(col("gold"), col("n").as("_tp"))
+    val metrics = ng.join(np, Seq("gold"), "left").join(tp, Seq("gold"), "left")
+      .withColumn("_tpz", coalesce(col("_tp"), lit(0L)).cast("double"))
+      .select(col("gold"),
+        round(col("_tpz") / col("_ng"), 6).as("recall"),
+        round(col("_tpz") / col("_np"), 6).as("precision"),
+        round(when(col("_tpz") > 0,
+          lit(2.0) * col("_tpz") / (col("_ng") + col("_np")))
+          .otherwise(when(col("_np").isNull, null).otherwise(0.0)), 6).as("f1"))
+    cells.join(broadcast(metrics), Seq("gold"))
+      .select(col("gold"), col("pred"), col("n"),
+        col("recall"), col("precision"), col("f1"))
+  }
 }

@@ -982,6 +982,39 @@ object Ext {
       .orderBy(col("global_tf").desc, col("token"))
   }
 
+  /** Classifier calibration report over a planted Bernoulli fixture:
+    * score = a 3-digit hash of doc_id scaled to [0,1), label drawn by
+    * comparing an INDEPENDENT hash against that score — so each bucket's
+    * empirical positive rate tracks its mean score up to sampling noise
+    * and the reliability diagram carries real signal. Binning, per-bucket
+    * means, gaps, and the mass-weighted ECE are all rerun by the twin at
+    * 6 dp. See [[graft.operators.Classifier.calibrationReport]]. */
+  def rptCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      (pmod(col("doc_id") * 48271L, lit(1000L)) / 1000.0).as("score"),
+      when(pmod(col("doc_id") * 31L + 7L, lit(1000L)) <
+        pmod(col("doc_id") * 48271L, lit(1000L)), 1.0).otherwise(0.0).as("label"))
+    Classifier.calibrationReport(d, "score", "label", bins = 10)
+      .orderBy(col("bucket"))
+  }
+
+  /** Multi-class confusion report over a planted 70%-identity label
+    * corruption: pred copies gold ~70% of the time and drifts
+    * deterministically otherwise. Cell counts and per-gold-class
+    * recall/precision/F1 are ratios of exact integers — bit-identical
+    * cross-engine — and the twin reruns the whole table. See
+    * [[graft.operators.Classifier.confusionReport]]. */
+  def rptConfusion(s: SparkSession, dir: String): DataFrame = {
+    val base = pmod(pmod(col("doc_id") * 48271L, lit(997L)), lit(5L))
+    val d = Tables.documents(s, dir).select(
+      base.as("gold"),
+      when(pmod(col("doc_id") * 31L + 11L, lit(10L)) < 7, base)
+        .otherwise(pmod(base + 1L + pmod(col("doc_id"), lit(3L)), lit(5L)))
+        .as("pred"))
+    Classifier.confusionReport(d, "gold", "pred")
+      .orderBy(col("gold"), col("pred"))
+  }
+
   /** Pre-ship validation gate: five single-pass expectations over the
     * corpus (blank text, id uniqueness, language whitelist, length
     * range, null sources) — results as a table, `passed` conjunction is
@@ -4812,6 +4845,8 @@ object Ext {
     "rpt_numeric_drift" -> rptNumericDrift,
     "rpt_ks_drift" -> rptKsDrift,
     "rpt_outliers" -> rptOutliers,
+    "rpt_calibration" -> rptCalibration,
+    "rpt_confusion" -> rptConfusion,
     "rpt_topics" -> rptTopics,
     "txt_top_terms" -> txtTopTerms,
     "mix_temperature" -> mixTemperature,
@@ -6291,6 +6326,39 @@ object Ext {
         |SELECT j.doc_id, j.lang, j.n_chars, j.med, mad.mad
         |FROM j JOIN mad USING (lang)
         |WHERE j.adev > 2.0 * greatest(mad.mad, 1e-9) ORDER BY j.doc_id""".stripMargin,
+    // calibration: planted Bernoulli fixture; binning, per-bucket means,
+    // gaps, and the mass-weighted ECE rerun at 6 dp
+    "rpt_calibration" ->
+      """WITH d AS (SELECT ((doc_id * 48271) % 1000) / 1000.0 AS s,
+        |  CASE WHEN (doc_id * 31 + 7) % 1000 < (doc_id * 48271) % 1000
+        |       THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |a AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bucket,
+        |  count(*) AS n, avg(s) AS ms, avg(y) AS pr FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot, sum(abs(ms - pr) * n) AS werr FROM a)
+        |SELECT bucket, n, round(ms, 6) AS mean_score, round(pr, 6) AS pos_rate,
+        |  round(abs(ms - pr), 6) AS gap, round(werr / tot, 6) AS ece
+        |FROM a CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // confusion: cells + per-gold-class recall/precision/F1 — ratios of
+    // exact integers, replayed verbatim
+    "rpt_confusion" ->
+      """WITH d AS (SELECT (doc_id * 48271) % 997 % 5 AS gold,
+        |  CASE WHEN (doc_id * 31 + 11) % 10 < 7 THEN (doc_id * 48271) % 997 % 5
+        |       ELSE ((doc_id * 48271) % 997 % 5 + 1 + doc_id % 3) % 5 END AS pred
+        |  FROM documents),
+        |cells AS (SELECT gold, pred, count(*) AS n FROM d GROUP BY 1, 2),
+        |ng AS (SELECT gold, sum(n) AS ngn FROM cells GROUP BY 1),
+        |np AS (SELECT pred AS gold, sum(n) AS npn FROM cells GROUP BY 1),
+        |tp AS (SELECT gold, n AS tpn FROM cells WHERE gold = pred),
+        |m AS (SELECT ng.gold, COALESCE(tpn, 0) AS tpn, ngn, npn
+        |      FROM ng LEFT JOIN np USING (gold) LEFT JOIN tp USING (gold))
+        |SELECT c.gold, c.pred, c.n,
+        |  round(m.tpn * 1.0 / m.ngn, 6) AS recall,
+        |  round(m.tpn * 1.0 / m.npn, 6) AS precision,
+        |  round(CASE WHEN m.tpn > 0 THEN 2.0 * m.tpn / (m.ngn + m.npn)
+        |             WHEN m.npn IS NULL THEN NULL ELSE 0.0 END, 6) AS f1
+        |FROM cells c JOIN m ON c.gold = m.gold
+        |ORDER BY c.gold, c.pred""".stripMargin,
     // topic labeling: the VALUE rows are the global top-20 token counts
     // computed through the per-cell aggregation (the twin recomputes
     // them from raw text — a dropped/duplicated topic assignment breaks

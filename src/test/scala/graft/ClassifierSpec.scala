@@ -151,4 +151,48 @@ class ClassifierSpec extends SparkSpec {
     val again = df.select(loaded.score(toks)).as[Double].collect().toSeq
     assert(fresh === again, "loaded-model scores differ from the trainer's")
   }
+
+  test("calibrationReport: hand-computed bins, gaps, ECE; score 1.0 joins " +
+    "the top bucket") {
+    // bucket 0: scores .05/.05, 0 positives -> gap .05
+    // bucket 9: scores .95/1.0, both positive -> gap |0.975-1| = .025
+    val d = Seq((0.05, 0), (0.05, 0), (0.95, 1), (1.0, 1))
+      .toDF("score", "label")
+    val out = Classifier.calibrationReport(d, "score", "label", bins = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((0L, 2L), (9L, 2L)))
+    assert(out(0)._3 === 0.05 && out(0)._4 === 0.0 && out(0)._5 === 0.05)
+    assert(out(1)._3 === 0.975 && out(1)._4 === 1.0 && out(1)._5 === 0.025)
+    // ECE = (2*.05 + 2*.025)/4 = 0.0375, attached to every row
+    assert(out.forall(_._6 === 0.0375))
+  }
+
+  test("confusionReport: per-gold recall/precision/F1; a never-predicted " +
+    "class has NULL precision and F1, not fake zeros") {
+    // gold a: 3 rows, 2 predicted a, 1 predicted b; gold b: 1 row -> b;
+    // gold c: 1 row predicted a (c is never predicted)
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "a"))
+      .toDF("gold", "pred")
+    val out = Classifier.confusionReport(d, "gold", "pred")
+      .orderBy("gold", "pred").collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    // recall(a)=2/3, precision(a)=2/3 (3 predicted a), f1 = 2*2/(3+3)
+    assert(byKey(("a", "a"))._1 === 2L)
+    assert(math.abs(byKey(("a", "a"))._2 - 0.666667) < 1e-6)
+    assert(math.abs(byKey(("a", "a"))._3.get - 0.666667) < 1e-6)
+    assert(math.abs(byKey(("a", "a"))._4.get - 0.666667) < 1e-6)
+    // metrics repeat on every cell of the same gold class
+    assert(byKey(("a", "b")) === byKey(("a", "a")).copy(_1 = 1L))
+    // recall(b)=1, precision(b)=1/2 (two predicted b), f1=2*1/(1+2)
+    assert(byKey(("b", "b"))._2 === 1.0 &&
+      byKey(("b", "b"))._3.get === 0.5 &&
+      math.abs(byKey(("b", "b"))._4.get - 0.666667) < 1e-6)
+    // gold c never predicted: recall 0, precision NULL, f1 NULL
+    assert(byKey(("c", "a"))._2 === 0.0 &&
+      byKey(("c", "a"))._3.isEmpty && byKey(("c", "a"))._4.isEmpty)
+  }
 }
