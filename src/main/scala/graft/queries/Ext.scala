@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{StubEmbedClient, StubLlmClient}
-import graft.operators.{AsOfJoin, Classifier, Dedup, Embed, Enrich, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOfJoin, Classifier, Dedup, Embed, Enrich, Experiment, LangModel, Multimodal, Similarity, Snapshot, TextAnalysis}
 import graft.sources.{OrderedCsv, Tables}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
@@ -2350,6 +2350,55 @@ object Ext {
       .select(col("dow"), col("hr"), col("n"),
         round(col("n") / col("total") + lit(1e-9), 4).as("share"))
       .orderBy(col("dow"), col("hr"))
+  }
+
+  /** A/B experiment readout over the events stream: users split by
+    * id parity into control/treatment, two binary outcomes measured —
+    * a REAL conversion (a big-ticket purchase, value > 150; parity
+    * carries no effect, so the z-test should not fire: the null-holds
+    * leg) and a planted Bernoulli engagement whose rate is 40 % vs
+    * 60 % by variant (the effect-detected leg). Both legs ride
+    * [[Experiment.twoProportion]]; every statistic is a ratio of exact
+    * integer counts. One per-user aggregation (user-keyed shuffle)
+    * then two O(1) reductions. (Plain "any purchase" saturates — every
+    * user buys ~13 times at sf0.01 — so the value floor is what keeps
+    * the pooled rate off the ANSI-fatal 0/1 boundary.) */
+  def rptAbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val variant = pmod(col("user_id"), lit(2L))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+        .otherwise(0L)).as("purchased"))
+      .select(variant.cast("int").as("variant"), col("purchased"),
+        when(pmod(col("user_id") * 48271L + variant * 13L, lit(100L)) <
+          lit(40L) + variant * 20L, 1L).otherwise(0L).as("engaged"))
+    Experiment.twoProportion(perUser, "variant", "purchased", "purchase_conversion")
+      .unionAll(Experiment.twoProportion(perUser, "variant", "engaged", "planted_engagement"))
+      .orderBy(col("metric"))
+  }
+
+  /** Seasonal-residual anomaly detection: per (event_type, day-of-week,
+    * hour) cell mean/σ over the stream, events flagged where
+    * `|value − μ_cell| > 3σ_cell` — the standard "unusual for this hour
+    * of this weekday" monitor (same seasonality grid as
+    * [[evSeasonality]]). Scale shape: one bounded aggregation
+    * (|types|×168 cells) broadcast-joined back into the stream — the
+    * corpus is scanned, never shuffled. The z FILTER uses the raw
+    * value (an event sitting within FP noise of exactly 3.000σ would
+    * flap, but the planted stream is continuous); the REPORTED z is
+    * rounded at 4 dp like the seasonality shares. */
+  def evAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+    val cells = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    ev.join(broadcast(cells), Seq("event_type", "dow", "hr"))
+      .where(col("sd") > 1e-9 && abs(z) > 3.0)
+      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
+        col("value"), round(z + lit(1e-9), 4).as("z"))
+      .orderBy(col("event_id"))
   }
 
   /** First-order Markov transition matrix over per-user event streams:
@@ -4739,6 +4788,8 @@ object Ext {
     "ev_transitions" -> evTransitions,
     "ev_islands" -> evIslands,
     "ev_seasonality" -> evSeasonality,
+    "ev_anomaly" -> evAnomaly,
+    "rpt_ab_test" -> rptAbTest,
     "sql_surface" -> sqlSurface,
     "txt_jaro_pairs" -> txtJaroPairs,
     "pipeline_linkage" -> pipelineLinkage,
@@ -5753,6 +5804,42 @@ object Ext {
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT dow, hr, n, round(n / CAST(total AS DOUBLE) + 1e-9, 4) AS share
         |FROM c CROSS JOIN t ORDER BY dow, hr""".stripMargin,
+    // two-proportion z-test replayed from the same exact integer counts
+    "rpt_ab_test" ->
+      """WITH u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS purchased,
+        |    CASE WHEN (user_id * 48271 + (user_id % 2) * 13) % 100
+        |         < 40 + (user_id % 2) * 20 THEN 1 ELSE 0 END AS engaged
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT 'purchase_conversion' AS metric, variant, purchased AS y FROM u
+        |      UNION ALL
+        |      SELECT 'planted_engagement' AS metric, variant, engaged AS y FROM u),
+        |a AS (SELECT metric,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN variant <> 0 THEN y ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM m GROUP BY metric),
+        |s AS (SELECT *, x_a / CAST(n_a AS DOUBLE) AS pa, x_b / CAST(n_b AS DOUBLE) AS pb,
+        |    (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS pp FROM a),
+        |f AS (SELECT *, (pb - pa) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS zz FROM s)
+        |SELECT metric, n_a, n_b, x_a, x_b,
+        |  round(pa + 1e-9, 6) AS rate_a, round(pb + 1e-9, 6) AS rate_b,
+        |  round(pb - pa + 1e-9, 6) AS abs_lift, round(zz + 1e-9, 6) AS z,
+        |  abs(zz) > 1.959963984540054 AS significant
+        |FROM f ORDER BY metric""".stripMargin,
+    // seasonal-residual anomalies: same cell grid, same 3-sigma filter
+    "ev_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(isodow(ts) AS INTEGER) AS dow, CAST(hour(ts) AS INTEGER) AS hr
+        |  FROM events),
+        |c AS (SELECT event_type, dow, hr, avg(value) AS mu, stddev_pop(value) AS sd
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.event_type, e.dow, e.hr, e.value,
+        |  round((e.value - c.mu) / c.sd + 1e-9, 4) AS z
+        |FROM e JOIN c USING (event_type, dow, hr)
+        |WHERE c.sd > 1e-9 AND abs((e.value - c.mu) / c.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
     "ev_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
