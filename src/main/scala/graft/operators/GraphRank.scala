@@ -271,4 +271,109 @@ object GraphRank {
     danglingNodes.unpersist()
     ranks
   }
+
+  /** HITS (Kleinberg 1999) over a DIRECTED edge list: hub scores on the
+    * source side, authority scores on the destination side — the
+    * companion to PageRank for link analysis where "points at good
+    * things" and "is pointed at by good things" are distinct signals
+    * (bipartite curation graphs: crawlers→domains, raters→documents).
+    *
+    * Fixed iterations of the UNNORMALIZED mutual recursion
+    * `h_i = A·a_{i−1}`, `a_i = Aᵀ·h_i` from `a_0 = 1`, with ONE final
+    * L1 normalization per side — the per-step normalization of the
+    * textbook form only rescales (the direction is identical), and
+    * skipping it keeps the SQL twin's arithmetic minimal. Duplicate
+    * edges are collapsed (HITS is defined on the edge SET).
+    *
+    * Same dual execution shape as [[pageRank]]: a driver-vector path
+    * (two treeAggregates per iteration — one per matrix side — no
+    * shuffle) below `vectorMaxNodes` per side, a DataFrame loop with
+    * localCheckpointed O(1) lineage above it. Every source has
+    * outdegree ≥ 1 and every destination indegree ≥ 1 by construction,
+    * so no zero-completion union is needed (unlike PageRank's dangling
+    * handling). Returns (node: long, role: 'hub'|'auth', score). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 5, vectorMaxNodes: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val srcs = e0.select(col("src")).distinct().persist()
+    val dsts = e0.select(col("dst")).distinct().persist()
+    val ns = srcs.count()
+    val nd = dsts.count()
+    require(ns > 0 && nd > 0, "empty graph")
+    val driverCap = math.min(vectorMaxNodes, Int.MaxValue.toLong - 8)
+    val out =
+      if (ns <= driverCap && nd <= driverCap)
+        hitsDriver(e0, srcs, dsts, ns.toInt, nd.toInt, iterations)
+      else hitsDistributed(e0, srcs, dsts, iterations)
+    e0.unpersist()
+    srcs.unpersist()
+    dsts.unpersist()
+    out
+  }
+
+  private def hitsDriver(e0: DataFrame, srcsDf: DataFrame, dstsDf: DataFrame,
+                         ns: Int, nd: Int, iterations: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val srcs = srcsDf.as[Long].collect().sorted
+    val dsts = dstsDf.as[Long].collect().sorted
+    val si = new java.util.HashMap[java.lang.Long, Integer](ns * 2)
+    val di = new java.util.HashMap[java.lang.Long, Integer](nd * 2)
+    var i = 0
+    while (i < ns) { si.put(srcs(i), i); i += 1 }
+    i = 0
+    while (i < nd) { di.put(dsts(i), i); i += 1 }
+    // index-map edges once (same idiom as driverVector): each iteration
+    // is two treeAggregate stages over the cached int pairs
+    val eIdx = e0.as[(Long, Long)].rdd
+      .map { case (s0, d0) => (si.get(s0).intValue(), di.get(d0).intValue()) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var a = Array.fill(nd)(1.0)
+    var h = new Array[Double](ns)
+    for (_ <- 1 to iterations) {
+      val bcA = spark.sparkContext.broadcast(a)
+      h = eIdx.treeAggregate(new Array[Double](ns))(
+        seqOp = (acc, e) => { acc(e._1) += bcA.value(e._2); acc },
+        combOp = (x, y) => { var k = 0; while (k < ns) { x(k) += y(k); k += 1 }; x })
+      bcA.unpersist(blocking = false)
+      val bcH = spark.sparkContext.broadcast(h)
+      a = eIdx.treeAggregate(new Array[Double](nd))(
+        seqOp = (acc, e) => { acc(e._2) += bcH.value(e._1); acc },
+        combOp = (x, y) => { var k = 0; while (k < nd) { x(k) += y(k); k += 1 }; x })
+      bcH.unpersist(blocking = false)
+    }
+    eIdx.unpersist(blocking = false)
+    val hSum = h.sum
+    val aSum = a.sum
+    val rows = srcs.indices.map(k => (srcs(k), "hub", h(k) / hSum)) ++
+      dsts.indices.map(k => (dsts(k), "auth", a(k) / aSum))
+    spark.sparkContext.parallelize(rows, 1).toDF("node", "role", "score")
+  }
+
+  private def hitsDistributed(e0: DataFrame, srcs: DataFrame, dsts: DataFrame,
+                              iterations: Int): DataFrame = {
+    var auth = dsts.select(col("dst").as("node"), lit(1.0).as("a")).localCheckpoint()
+    var hubs = srcs.select(col("src"), lit(0.0).as("h")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val prevA = auth
+      val prevH = hubs
+      hubs = e0.join(auth, e0("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h")).localCheckpoint()
+      auth = e0.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a")).localCheckpoint()
+      prevA.unpersist()
+      prevH.unpersist()
+    }
+    val hTot = hubs.agg(sum(col("h")).as("_th"))
+    val aTot = auth.agg(sum(col("a")).as("_ta"))
+    hubs.crossJoin(broadcast(hTot))
+      .select(col("src").as("node"), lit("hub").as("role"),
+        (col("h") / col("_th")).as("score"))
+      .unionAll(auth.crossJoin(broadcast(aTot))
+        .select(col("node"), lit("auth").as("role"),
+          (col("a") / col("_ta")).as("score")))
+  }
 }

@@ -45,13 +45,16 @@ object Privacy {
       .withColumn("l_ok", col("distinct_sens") >= l)
   }
 
-  /** Inner join on `keys` where NULL == NULL (`<=>`), keeping the left
-    * side's key columns — the USING-join shape with null-safe equality. */
+  /** Join on `keys` where NULL == NULL (`<=>`), keeping the left side's
+    * key columns — the USING-join shape with null-safe equality.
+    * `keepUnmatchedLeft` switches inner → left outer (grid completion). */
   private def joinNullSafe(left: DataFrame, right: DataFrame,
-                           keys: Seq[String]): DataFrame = {
+                           keys: Seq[String],
+                           keepUnmatchedLeft: Boolean = false): DataFrame = {
     val r = keys.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"_r_$c"))
     val cond = keys.map(c => left(c) <=> r(s"_r_$c")).reduce(_ && _)
-    keys.foldLeft(left.join(r, cond))((d, c) => d.drop(s"_r_$c"))
+    val joined = left.join(r, cond, if (keepUnmatchedLeft) "left" else "inner")
+    keys.foldLeft(joined)((d, c) => d.drop(s"_r_$c"))
   }
 
   /** Suppression release: only rows whose equivalence class satisfies
@@ -117,6 +120,54 @@ object Privacy {
       gw, catCols :+ "bucket")
       .withColumn("gen_width", lit(chosen))
       .withColumn("k_ok", col("grp_n") >= k)
+  }
+
+  /** t-closeness (Li et al. 2007): per equivalence class, the Earth
+    * Mover's Distance between the class's sensitive-value distribution
+    * and the GLOBAL one, for an ORDERED sensitive attribute — the gate
+    * that catches what l-diversity misses (a class can be diverse yet
+    * skewed, e.g. all its salaries in the top bins). For m ordered bins
+    * with unit adjacent distance, `EMD = (1/(m-1)) · Σ_i |Σ_{j≤i}(p_j −
+    * q_j)|` — the standard ordered-attribute formula from the paper.
+    *
+    * Scale shape: three keyed aggregations over the corpus (global
+    * bins, class sizes, class×bin cells — all one shuffle family on the
+    * quasi key), then a classes × bins GRID via broadcast cross join
+    * (both sides dim-bounded: quasi-cardinality × bin-cardinality;
+    * declared in the join audit), a quasi-PARTITIONED cumulative-sum
+    * window, and a bounded final aggregate. The cumulative sum runs in
+    * window order (ORDER BY bin), so both engines add in the same
+    * order — no summation-order caveat on the EMD itself.
+    *
+    * Output: one row per equivalence class — quasi cols, `grp_n`,
+    * `t_emd` (6 dp), `t_ok = EMD <= t`. Requires >= 2 global bins. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+                 t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0, "t must be > 0")
+    val s = df.withColumn("_sens", sensitive)
+      .select(quasiCols.map(col) :+ col("_sens"): _*)
+    val global = s.groupBy(col("_sens")).agg(count(lit(1)).as("_qn"))
+    val gstats = global.agg(count(lit(1)).as("_m"), sum(col("_qn")).as("_n"))
+    val globalW = global.crossJoin(broadcast(gstats))
+    val groups = s.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("grp_n"))
+    val cells = s.groupBy(quasiCols.map(col) :+ col("_sens"): _*)
+      .agg(count(lit(1)).as("_cn"))
+    // complete the missing-bin zeros: every class needs a row for every
+    // GLOBAL bin (the cumulative difference keeps moving through bins
+    // the class lacks), hence the bounded grid
+    val grid = joinNullSafe(groups.crossJoin(broadcast(globalW)), cells,
+      quasiCols :+ "_sens", keepUnmatchedLeft = true)
+    val p = coalesce(col("_cn").cast("double"), lit(0.0)) / col("grp_n")
+    val q = col("_qn").cast("double") / col("_n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).orderBy(col("_sens"))
+    grid.withColumn("_cum", sum(p - q).over(w))
+      .groupBy((quasiCols.map(col) :+ col("grp_n")): _*)
+      .agg((sum(abs(col("_cum"))) / (first(col("_m")) - 1)).as("_emd"))
+      .select((quasiCols.map(col) :+ col("grp_n") :+
+        round(col("_emd") + lit(1e-9), 6).as("t_emd") :+
+        (col("_emd") <= t).as("t_ok")): _*)
   }
 
   /** Differentially-private histogram release: per-group counts with

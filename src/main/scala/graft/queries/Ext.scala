@@ -3737,6 +3737,27 @@ object Ext {
       .orderBy(col("node"))
   }
 
+  /** HITS hubs/authorities over the DIRECTED urgent-order bipartite
+    * graph (customer = 2k sources, supplier = 2k+1 destinations — no
+    * symmetrization: "buys from good suppliers" and "is bought from by
+    * good customers" are the two distinct scores, exactly what
+    * PageRank's single authority collapses). 5 fixed unnormalized
+    * iterations + one final L1 normalization per side; the twin
+    * unrolls the identical mutual recursion. Fixture scale dispatches
+    * the driver-vector treeAggregate path; see
+    * [[graft.operators.GraphRank.hits]]. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.operators.GraphRank.hits(pairs, "src", "dst", iterations = 5)
+      .select(col("node"), col("role"), round(col("score"), 8).as("score"))
+      .orderBy(col("role"), col("node"))
+  }
+
   /** JL random projection 64→16 over the embeddings table, exploded to
     * (vec_id, i, component) rows so the hash compare gates every output
     * coordinate. The ±1/0 matrix is md5-derived per cell — the DuckDB
@@ -4717,6 +4738,19 @@ object Ext {
         col("k_ok"), col("l_ok"))
       .orderBy(col("c_custkey"))
 
+  /** t-closeness over the same release fixture as [[privKanon]]:
+    * quasi = (nation, segment), ordered sensitive attribute = the
+    * acctbal thousand-bucket. One row per equivalence class with its
+    * EMD to the global bucket distribution and the t&le;0.2 gate — the
+    * skew check l-diversity can't see. The twin replays the grid,
+    * window-ordered cumulative differences, and the (m−1) normalizer.
+    * See [[graft.operators.Privacy.tCloseness]]. */
+  def privTcloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tCloseness(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), t = 0.2)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   /** Generalization ladder: widen the acctbal band (500 -> 4000) until
     * every (segment, band) class reaches k=10, fall back to the widest
     * when none suffices. The three SFs exercise all paths: sf0.001 hits
@@ -4775,8 +4809,10 @@ object Ext {
     "rpt_sft_datacard" -> rptSftDatacard,
     "pipeline_sft" -> pipelineSft,
     "priv_kanon" -> privKanon,
+    "priv_tcloseness" -> privTcloseness,
     "graph_trustrank" -> graphTrustrank,
     "graph_triangles" -> graphTriangles,
+    "graph_hits" -> graphHits,
     "agg_sketch_joinsize" -> aggSketchJoinsize,
     "rpt_dup_clusters" -> rptDupClusters,
     "rpt_gate_funnel" -> rptGateFunnel,
@@ -5139,6 +5175,35 @@ object Ext {
     }.mkString
     head + steps +
       s"\nSELECT node, round(pr, 8) AS trust_rank FROM r$iterations ORDER BY node"
+  }
+
+  /** DuckDB twin of [[graphHits]]: the unnormalized mutual recursion
+    * unrolled (h_i from a_{i-1}, a_i from h_i), final L1 normalization
+    * per side, DIRECTED edges (no symmetrization). */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |a0 AS (SELECT DISTINCT dst AS node, 1.0 AS a FROM pairs)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s""",
+         |h$i AS (SELECT p.src AS node, sum(a.a) AS h
+         |  FROM pairs p JOIN a${i - 1} a ON p.dst = a.node GROUP BY p.src),
+         |a$i AS (SELECT p.dst AS node, sum(h.h) AS a
+         |  FROM pairs p JOIN h$i h ON p.src = h.node GROUP BY p.dst)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |, th AS (SELECT sum(h) AS t FROM h$iterations),
+         |ta AS (SELECT sum(a) AS t FROM a$iterations)
+         |SELECT node, 'hub' AS role, round(h / (SELECT t FROM th), 8) AS score
+         |FROM h$iterations
+         |UNION ALL
+         |SELECT node, 'auth' AS role, round(a / (SELECT t FROM ta), 8) AS score
+         |FROM a$iterations
+         |ORDER BY role, node""".stripMargin
   }
 
   /** Shared twin for the four ANN recall gates ([[annRecallGate]]): the
@@ -5724,6 +5789,29 @@ object Ext {
         |ORDER BY s.c_custkey""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(10),
     "graph_trustrank" -> trustRankOracleSql(10),
+    "graph_hits" -> hitsOracleSql(5),
+    // t-closeness: grid completion + window-ordered cumulative EMD
+    "priv_tcloseness" ->
+      """WITH s AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens FROM customer),
+        |gl AS (SELECT sens, count(*) AS qn FROM s GROUP BY sens),
+        |gs AS (SELECT count(*) AS m, sum(qn) AS nn FROM gl),
+        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+        |        FROM s GROUP BY 1, 2),
+        |cell AS (SELECT c_nationkey, c_mktsegment, sens, count(*) AS cn
+        |         FROM s GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.grp_n, b.sens, b.qn
+        |         FROM grp g CROSS JOIN gl b),
+        |j AS (SELECT grid.*, coalesce(cell.cn, 0) AS cn FROM grid
+        |      LEFT JOIN cell USING (c_nationkey, c_mktsegment, sens)),
+        |c AS (SELECT *, sum(cn / CAST(grp_n AS DOUBLE)
+        |        - qn / CAST((SELECT nn FROM gs) AS DOUBLE))
+        |        OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sens) AS cum
+        |      FROM j)
+        |SELECT c_nationkey, c_mktsegment, CAST(grp_n AS BIGINT) AS grp_n,
+        |  round(sum(abs(cum)) / ((SELECT m FROM gs) - 1) + 1e-9, 6) AS t_emd,
+        |  sum(abs(cum)) / ((SELECT m FROM gs) - 1) <= 0.2 AS t_ok
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     // same synthetic 4-regular graph, same canonical a<b<c enumeration
     "graph_triangles" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),

@@ -147,4 +147,34 @@ class GraphRankSpec extends SparkSpec {
     assert(e.getMessage.contains("not-an-id"), e.getMessage)
   }
 
+
+  test("hits: hand-computed one-iteration scores on a tiny bipartite graph") {
+    import graft.operators.GraphRank
+    // c1->{s1,s2}, c2->{s1}; a0=1: h=(2,1), a=(3,2)
+    // L1-normalized: hubs (2/3, 1/3), auths (3/5, 2/5)
+    val e = Seq((10L, 21L), (10L, 23L), (12L, 21L)).toDF("src", "dst")
+    val got = GraphRank.hits(e, "src", "dst", iterations = 1)
+      .orderBy("role", "node").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val exp = Seq((21L, "auth", 0.6), (23L, "auth", 0.4),
+      (10L, "hub", 2.0 / 3), (12L, "hub", 1.0 / 3))
+    assert(got.length === 4)
+    got.zip(exp).foreach { case ((n, r, s), (en, er, es)) =>
+      assert(n === en && r === er, s"$n/$r vs $en/$er")
+      assert(math.abs(s - es) < 1e-12, s"$n score $s vs $es")
+    }
+  }
+
+  test("hits: driver-vector and distributed paths agree") {
+    import graft.operators.GraphRank
+    // deterministic 60-edge directed bipartite graph
+    val e = (0 until 60).map(i => ((i % 7).toLong, 100L + (i * 13 % 11)))
+      .toDF("src", "dst")
+    val a = GraphRank.hits(e, "src", "dst", iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = GraphRank.hits(e, "src", "dst", iterations = 5, vectorMaxNodes = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"$k: $v vs ${b(k)}") }
+  }
 }

@@ -135,4 +135,29 @@ class PrivacySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ===
       Seq((1L, true), (2L, true), (3L, true), (4L, false), (5L, false)))
   }
+
+  test("tCloseness: hand-computed EMD, unequal group sizes") {
+    // g1: sens [0,0,1,1] (n=4), g2: [1,1] (n=2); global q=(1/3, 2/3), m=2
+    // EMD(g1) = |0.5 - 1/3| = 1/6; EMD(g2) = |0 - 1/3| = 1/3
+    val d = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L), ("g1", 1L),
+      ("g2", 1L), ("g2", 1L)).toDF("grp", "sens")
+    val out = Privacy.tCloseness(d, Seq("grp"), col("sens"), t = 0.2)
+      .orderBy("grp").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g1", "g2"))
+    assert(out.map(_.getAs[Long]("grp_n")).toSeq === Seq(4L, 2L))
+    assert(out.map(_.getAs[Double]("t_emd")).toSeq === Seq(0.166667, 0.333333))
+    assert(out.map(_.getAs[Boolean]("t_ok")).toSeq === Seq(true, false))
+  }
+
+  test("tCloseness: missing global bins complete as zeros in the cumulative walk") {
+    // g2 lacks bin 1 entirely; global bins {0,1,2}, m=3
+    // g1 p=(1/3,1/3,1/3) q=(1/3,1/6,1/2): cums 0, 1/6, 0 -> EMD 1/12
+    // g2 p=(1/3,0,2/3):                   cums 0,-1/6, 0 -> EMD 1/12
+    val d = Seq(("g1", 0L), ("g1", 1L), ("g1", 2L),
+      ("g2", 0L), ("g2", 2L), ("g2", 2L)).toDF("grp", "sens")
+    val out = Privacy.tCloseness(d, Seq("grp"), col("sens"), t = 0.1)
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[Double]("t_emd")).toSeq === Seq(0.083333, 0.083333))
+    assert(out.forall(_.getAs[Boolean]("t_ok")))
+  }
 }

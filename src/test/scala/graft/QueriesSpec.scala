@@ -213,6 +213,7 @@ class QueriesSpec extends SparkSpec {
       "agg_sketch_joinsize", "agg_sketch_overlap", "rpt_corpus_novelty", // 1-row sketch aggs
       "ev_seasonality", "rpt_join_skew", "txt_bm25", "txt_top_terms",    // 1-row denominators
       "rpt_calibration",               // 1-row ECE total crossed into the bins-bounded bucket table
+      "priv_tcloseness",               // classes × sensitive-bins grid completion, both sides dim-bounded
       "q19_scalar_subquery",                                             // scalar subquery
       "mix_budget",                    // planner: 1-row totals crossed into a rows-per-source frame
       "pipeline_select",               // same planner cross (budgetPlan over the DSIR selection)
