@@ -341,4 +341,100 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * from each query's candidate set, greedily select k results trading
+    * relevance against redundancy — `argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    * cos(c, s)` — the standard diversification pass a RAG retriever
+    * runs AFTER ANN candidate generation (top-k-by-cosine alone returns
+    * k copies of the same near-duplicate passage).
+    *
+    * `candidates`: (query id, candidate id, candidate vector,
+    * relevance) — an ALREADY-TRUNCATED per-query set (the ANN stage's
+    * top-N), which is what bounds the per-group work: the greedy is
+    * O(N·k) dot products over ≤ N rows per query, run inside
+    * `flatMapGroups` after a query-keyed shuffle — corpus-scale in the
+    * number of queries, constant in N. The first pick is the pure
+    * relevance argmax; ties break toward the smaller candidate id.
+    *
+    * Determinism contract (what makes the SQL twin hash-match): the
+    * relevance input arrives 6-dp-rounded (knnBruteForce's contract),
+    * pairwise cosines are rounded to 6 dp with [[cosinePre]]'s exact
+    * arithmetic (dot / (max(‖a‖,1e-12)·max(‖b‖,1e-12)), sequential
+    * folds), and the greedy compares the resulting doubles exactly —
+    * identical inputs, identical ops, identical argmax in both engines.
+    * Returns (query_id, rk 1..k, neighbor_id, mmr_score rounded 6 dp;
+    * rk 1's score is the relevance itself). */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, candIdCol: String,
+                candVecCol: String, relCol: String, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates.select(
+        col(queryIdCol).cast("long").as("_q"),
+        col(candIdCol).cast("long").as("_c"),
+        asDouble(col(candVecCol)).as("_v"),
+        col(relCol).cast("double").as("_r"))
+      .as[(Long, Long, Seq[Double], Double)]
+    ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      // candidates sorted by id so the strict > argmax breaks ties low
+      val cands = it.map { case (_, c, v, r) => (c, v.toArray, r) }
+        .toArray.sortBy(_._1)
+      val n = cands.length
+      val norms = cands.map { t =>
+        val s = math.sqrt(t._2.map(x => x * x).sum)
+        if (s < 1e-12) 1e-12 else s
+      }
+      // Spark's own Round semantics (BigDecimal.valueOf + HALF_UP), so
+      // the driver-side greedy sees EXACTLY the values round(col, 6)
+      // would produce — rint's half-even would drift on .5 boundaries
+      def r6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def cosRounded(i: Int, j: Int): Double = {
+        val a = cands(i)._2
+        val b = cands(j)._2
+        var s = 0.0
+        var d = 0
+        while (d < a.length && d < b.length) { s += a(d) * b(d); d += 1 }
+        r6(s / (norms(i) * norms(j)))
+      }
+      val used = new Array[Boolean](n)
+      // max cos to the selected set so far — NEGATIVE infinity start: a
+      // candidate anti-correlated with everything selected earns a
+      // diversity BONUS (−(1−λ)·maxSim > 0); a 0.0 floor would clamp it
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      var rk = 1
+      val kk = math.min(k, n)
+      while (rk <= kk) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val score =
+              if (rk == 1) cands(i)._3
+              else lambda * cands(i)._3 - (1.0 - lambda) * maxSim(i)
+            if (score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        used(best) = true
+        out += ((q, rk, cands(best)._1, r6(bestScore + 1e-9)))
+        var j = 0
+        while (j < n) {
+          if (!used(j)) {
+            val c = cosRounded(best, j)
+            if (c > maxSim(j)) maxSim(j) = c
+          }
+          j += 1
+        }
+        rk += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "rk", "neighbor_id", "mmr_score")
+  }
 }

@@ -1706,6 +1706,54 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** MMR-diversified retrieval: the 20 brute-force candidates per query
+    * re-ranked to 5 results trading relevance against redundancy
+    * (λ = 0.7) — the post-ANN diversification pass of a RAG serving
+    * stack. The twin unrolls the identical greedy (argmax per step over
+    * 6-dp-rounded relevance and pairwise cosines, `(1.0 − 0.7)` written
+    * as the same IEEE subtraction Spark computes). See
+    * [[Similarity.mmrRerank]] for the scale/determinism contract. */
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cands = Similarity.knnBruteForce(
+      e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", "embedding", k = 20)
+    val withVec = cands.join(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+    Similarity.mmrRerank(withVec, "query_id", "neighbor_id", "embedding", "cos",
+        k = 5, lambda = 0.7)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-space drift report: reference slice (vec_id % 10 ≠ 0) vs
+    * a current slice carrying a planted +0.2 shift on dim 0 — per-dim
+    * mean difference plus the overall L2 shift (linear-kernel MMD), the
+    * "did the encoder/corpus move" monitor run between snapshot
+    * re-embeds. Two dim-keyed aggregations (dim-bounded tables) + a
+    * 1-row L2 cross; means are signed-zero-normalized at 6 dp (the
+    * rpt_rater_bias class — near-zero per-dim means are EXPECTED
+    * here). */
+  def rptEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val e = Tables.embeddings(s, dir)
+    val x = e.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("x"))
+    val ref = x.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      .groupBy(col("dim")).agg(avg(col("x")).as("_mr"))
+    val cur = x.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("dim"),
+        (col("x") + when(col("dim") === 0, 0.2).otherwise(0.0)).as("x"))
+      .groupBy(col("dim")).agg(avg(col("x")).as("_mc"))
+    val d = ref.join(cur, "dim").withColumn("_diff", col("_mc") - col("_mr"))
+    val l2 = d.agg(sqrt(sum(col("_diff") * col("_diff"))).as("_l2"))
+    d.crossJoin(broadcast(l2))
+      .select(col("dim"),
+        noNegZero(round(col("_mr") + lit(1e-9), 6)).as("mean_ref"),
+        noNegZero(round(col("_mc") + lit(1e-9), 6)).as("mean_cur"),
+        noNegZero(round(col("_diff") + lit(1e-9), 6)).as("mean_diff"),
+        round(col("_l2") + lit(1e-9), 6).as("l2_shift"))
+      .orderBy(col("dim"))
+  }
+
   /** Hybrid retrieval: BM25 keyword ranks fused with exact vector-cosine
     * ranks by reciprocal-rank fusion — the standard two-tower serving
     * recipe (keyword recall ∪ semantic recall, RRF as the combiner
@@ -4960,6 +5008,8 @@ object Ext {
     "txt_span_dedup" -> txtSpanDedup,
     "txt_span_strip" -> txtSpanStrip,
     "sim_knn_brute" -> simKnnBrute,
+    "sim_mmr" -> simMmr,
+    "rpt_embed_drift" -> rptEmbedDrift,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -5204,6 +5254,52 @@ object Ext {
          |SELECT node, 'auth' AS role, round(a / (SELECT t FROM ta), 8) AS score
          |FROM a$iterations
          |ORDER BY role, node""".stripMargin
+  }
+
+  /** DuckDB twin of [[simMmr]]: the greedy unrolled step by step — each
+    * step excludes the selected set, scores the rest off the max
+    * pairwise cosine to any selected result, and picks the
+    * (score DESC, id) argmax. `(1.0 - 0.7)` is written as the same IEEE
+    * subtraction the Scala side computes, so scores are bit-identical. */
+  private def mmrOracleSql(k: Int): String = {
+    val head =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v,
+        |        round(list_cosine_similarity(q.v, c.v), 6) AS rel
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |cand AS (SELECT query_id, neighbor_id, v, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, neighbor_id) AS rn FROM s) WHERE rn <= 20),
+        |pw AS (SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+        |        round(list_cosine_similarity(c1.v, c2.v), 6) AS s
+        |      FROM cand c1 JOIN cand c2
+        |        ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id),
+        |p1 AS (SELECT query_id, neighbor_id, rel AS score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rel DESC, neighbor_id) AS rn FROM cand),
+        |sel1 AS (SELECT query_id, neighbor_id, 1 AS rk, score FROM p1 WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s""",
+         |r$i AS (SELECT c.query_id, c.neighbor_id,
+         |    0.7 * c.rel - (1.0 - 0.7) * max(p.s) AS score
+         |  FROM cand c
+         |  JOIN pw p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+         |  JOIN sel${i - 1} t ON t.query_id = p.query_id AND t.neighbor_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+         |p$i AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rn FROM r$i),
+         |sel$i AS (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id, $i AS rk, score
+         |  FROM p$i WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+         |  round(score + 1e-9, 6) AS mmr_score
+         |FROM sel$k ORDER BY query_id, rk""".stripMargin
   }
 
   /** Shared twin for the four ANN recall gates ([[annRecallGate]]): the
@@ -5790,6 +5886,27 @@ object Ext {
     "graph_pagerank" -> pageRankOracleSql(10),
     "graph_trustrank" -> trustRankOracleSql(10),
     "graph_hits" -> hitsOracleSql(5),
+    "sim_mmr" -> mmrOracleSql(5),
+    // embedding drift: per-dim means replayed with the planted dim-0
+    // shift; signed-zero normalized exactly like the Spark side
+    "rpt_embed_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pos AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e),
+        |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, v[i] AS x FROM pos),
+        |r AS (SELECT dim, avg(x) AS mr FROM x WHERE vec_id % 10 <> 0 GROUP BY dim),
+        |c AS (SELECT dim, avg(x + CASE WHEN dim = 0 THEN 0.2 ELSE 0.0 END) AS mc
+        |      FROM x WHERE vec_id % 10 = 0 GROUP BY dim),
+        |d AS (SELECT r.dim, r.mr, c.mc, c.mc - r.mr AS df FROM r JOIN c USING (dim)),
+        |l AS (SELECT sqrt(sum(df * df)) AS l2 FROM d),
+        |o AS (SELECT dim, round(mr + 1e-9, 6) AS mean_ref,
+        |        round(mc + 1e-9, 6) AS mean_cur, round(df + 1e-9, 6) AS mean_diff,
+        |        round((SELECT l2 FROM l) + 1e-9, 6) AS l2_shift FROM d)
+        |SELECT dim,
+        |  CASE WHEN mean_ref = 0 THEN 0.0 ELSE mean_ref END AS mean_ref,
+        |  CASE WHEN mean_cur = 0 THEN 0.0 ELSE mean_cur END AS mean_cur,
+        |  CASE WHEN mean_diff = 0 THEN 0.0 ELSE mean_diff END AS mean_diff,
+        |  l2_shift
+        |FROM o ORDER BY dim""".stripMargin,
     // t-closeness: grid completion + window-ordered cumulative EMD
     "priv_tcloseness" ->
       """WITH s AS (SELECT c_nationkey, c_mktsegment,

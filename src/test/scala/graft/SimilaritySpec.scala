@@ -5,6 +5,7 @@ import graft.operators.Similarity
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 class SimilaritySpec extends SparkSpec {
@@ -280,4 +281,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+
+  test("mmrRerank: redundancy is penalized — the near-duplicate loses its rank-2 slot") {
+    // q = (1,0); c1=(1,0) rel 1.0; c2=(0.999.., tiny) near-dup of c1;
+    // c3=(0.6,0.8) rel 0.6 but orthogonal-ish to c1.
+    // Plain top-2 = {c1, c2}; MMR(lambda=0.7) must pick {c1, c3}:
+    //   c2: 0.7*0.99999.. - 0.3*cos(c1,c2)~1.0  ->  ~0.4
+    //   c3: 0.7*0.6       - 0.3*0.6             ->  0.24 ... wait c2 ~0.4 wins
+    // push the near-dup closer: with c2 == c1 exactly, score c2 = 0.7 - 0.3 = 0.4
+    // so use lambda = 0.5: c2 = 0.5 - 0.5 = 0.0; c3 = 0.5*0.6 - 0.5*0.6 = 0.0 — tie.
+    // cleanest: c3 at (0,1): rel 0.0? then c3 never wins. Use rel mid + cos 0:
+    // c3=(0.8,0.6)? rel 0.8 ... simpler numbers below.
+    // q=(1,0); c1=(1,0); c2=(1,0) duplicate; c3=(0,1) rel 0, cos(c1,c3)=0.
+    // lambda=0.7: c2 = 0.7*1 - 0.3*1 = 0.4; c3 = 0.7*0 - 0.3*0 = 0.0 -> c2 still wins.
+    // lambda=0.3: c2 = 0.3 - 0.7 = -0.4; c3 = 0.0 -> c3 wins rank 2.
+    import graft.operators.Similarity
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cands = Similarity.knnBruteForce(q, c, "vec_id", "vec_id",
+      "embedding", "embedding", k = 3)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+    val out = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "embedding", "cos", k = 2, lambda = 0.3)
+      .orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L),
+      "rank 2 must be the diverse candidate, not the duplicate")
+    assert(out(0).getAs[Double]("mmr_score") === 1.0)
+    assert(out(1).getAs[Double]("mmr_score") === 0.0)
+  }
+
+  test("mmrRerank: anti-correlated candidates earn a diversity BONUS (negative maxSim)") {
+    // q=(1,0); c1=(1,0) rel 1; c2=(-1, eps) ~rel -1, cos(c1,c2) ~ -1:
+    // step-2 score for c2 = 0.5*(-1) - 0.5*(-1) = 0 > any 0-floored clamp
+    // of -0.5 — regression for the maxSim init bug.
+    import graft.operators.Similarity
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.knnBruteForce(q, c, "vec_id", "vec_id",
+      "embedding", "embedding", k = 2)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+    val out = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "embedding", "cos", k = 2, lambda = 0.5)
+      .orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    // 0.5*(-1.0) - 0.5*(-1.0) = 0.0 — a 0.0-floored maxSim would give -0.5
+    assert(out(1).getAs[Double]("mmr_score") === 0.0)
+  }
+
+  test("mmrRerank: k past the candidate count truncates; ranks stay 1..n") {
+    import graft.operators.Similarity
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(1.0f, 0.1f)), (2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.knnBruteForce(q, c, "vec_id", "vec_id",
+      "embedding", "embedding", k = 2)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+    val out = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+      "embedding", "cos", k = 10, lambda = 0.7).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Int]("rk")).sorted.toSeq === Seq(1, 2))
+  }
 }
