@@ -1724,6 +1724,39 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Cluster-quality report: centroid-based silhouette per sign-LSH
+    * cell (sign bits of dims 0–2 → 8 deterministic cells — rerunnable
+    * by the twin, unlike a trained k-means assignment). Per vector:
+    * a = distance to own centroid, b = min distance to the other
+    * centroids, s = (b−a)/max(a,b); reported as per-cell n and mean s —
+    * the "are these clusters real" readout next to [[rptTopics]]'s
+    * labels. Scale shape: one posexplode scan → (cells×dims)-bounded
+    * centroid table broadcast back → per-(vector, cell) distance
+    * aggregate: the corpus is scanned once and multiplied only by the
+    * CELL count, never joined to itself. */
+  def rptSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val e = Tables.embeddings(s, dir)
+    val v = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell",
+        (when(element_at(col("v"), 1) >= 0, 4).otherwise(0) +
+          when(element_at(col("v"), 2) >= 0, 2).otherwise(0) +
+          when(element_at(col("v"), 3) >= 0, 1).otherwise(0)).cast("int"))
+    val x = v.select(col("vec_id"), col("cell"), posexplode(col("v")))
+      .select(col("vec_id"), col("cell"), col("pos").as("dim"), col("col").as("x"))
+    val cent = x.groupBy(col("cell").as("cell2"), col("dim")).agg(avg(col("x")).as("c"))
+    val d2 = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("cell"), col("cell2"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val per = d2.groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("cell2") === col("cell"), sqrt(col("d2")))).as("a"),
+        min(when(col("cell2") =!= col("cell"), sqrt(col("d2")))).as("b"))
+    val sil = per.withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+    sil.groupBy(col("cell")).agg(count(lit(1)).as("n"),
+        noNegZero(round(avg(col("sil")) + lit(1e-9), 6)).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
   /** Embedding-space drift report: reference slice (vec_id % 10 ≠ 0) vs
     * a current slice carrying a planted +0.2 shift on dim 0 — per-dim
     * mean difference plus the overall L2 shift (linear-kernel MMD), the
@@ -2447,6 +2480,34 @@ object Ext {
       .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
         col("value"), round(z + lit(1e-9), 4).as("z"))
       .orderBy(col("event_id"))
+  }
+
+  /** CUSUM changepoint locator per event type: hourly means, running
+    * cumulative deviation from the type's grand hourly mean (window-
+    * ORDERED sum — both engines add in hr order), and the hour where
+    * &#124;CUSUM&#124; peaks — the classic "when did the level shift"
+    * monitor. Hour buckets (types × hours) are time-bounded, so every
+    * post-aggregation step runs on a small table; the corpus pays one
+    * keyed aggregation. */
+  def evCusum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val ev = Tables.events(s, dir)
+    val hourly = ev.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+      .agg(avg(col("value")).as("m"))
+    val grand = hourly.groupBy(col("event_type"))
+      .agg(avg(col("m")).as("g"), count(lit(1)).as("n_hours"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+    val cus = hourly.join(broadcast(grand), "event_type")
+      .withColumn("cusum", sum(col("m") - col("g")).over(w))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(abs(col("cusum")).desc, col("hr"))
+    cus.withColumn("rk", row_number().over(wr)).where(col("rk") === 1)
+      .select(col("event_type"), col("n_hours"), col("hr").as("peak_hr"),
+        noNegZero(round(col("cusum") + lit(1e-9), 4)).as("peak_cusum"),
+        (col("cusum") > 0).as("shift_up"))
+      .orderBy(col("event_type"))
   }
 
   /** First-order Markov transition matrix over per-user event streams:
@@ -5010,6 +5071,8 @@ object Ext {
     "sim_knn_brute" -> simKnnBrute,
     "sim_mmr" -> simMmr,
     "rpt_embed_drift" -> rptEmbedDrift,
+    "rpt_silhouette" -> rptSilhouette,
+    "ev_cusum" -> evCusum,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -5887,6 +5950,46 @@ object Ext {
     "graph_trustrank" -> trustRankOracleSql(10),
     "graph_hits" -> hitsOracleSql(5),
     "sim_mmr" -> mmrOracleSql(5),
+    // centroid-based silhouette over the deterministic sign-LSH cells
+    "rpt_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cv AS (SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS cell FROM e),
+        |p AS (SELECT vec_id, cell, v, unnest(generate_series(1, len(v))) AS i FROM cv),
+        |x AS (SELECT vec_id, cell, CAST(i - 1 AS INTEGER) AS dim, v[i] AS x FROM p),
+        |cent AS (SELECT cell AS cell2, dim, avg(x) AS c FROM x GROUP BY 1, 2),
+        |d2 AS (SELECT x.vec_id, x.cell, cent.cell2,
+        |         sum((x.x - cent.c) * (x.x - cent.c)) AS d2
+        |       FROM x JOIN cent ON x.dim = cent.dim GROUP BY 1, 2, 3),
+        |per AS (SELECT vec_id, cell,
+        |    max(CASE WHEN cell2 = cell THEN sqrt(d2) END) AS a,
+        |    min(CASE WHEN cell2 <> cell THEN sqrt(d2) END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sil AS (SELECT cell, (b - a) / greatest(a, b) AS sil FROM per),
+        |o AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |        round(avg(sil) + 1e-9, 6) AS ms FROM sil GROUP BY cell)
+        |SELECT cell, n, CASE WHEN ms = 0 THEN 0.0 ELSE ms END AS mean_silhouette
+        |FROM o ORDER BY cell""".stripMargin,
+    // CUSUM: window-ordered cumulative deviation over hourly means
+    "ev_cusum" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, avg(value) AS m
+        |  FROM events GROUP BY 1, 2),
+        |grand AS (SELECT event_type, avg(m) AS g, CAST(count(*) AS BIGINT) AS n_hours
+        |          FROM hourly GROUP BY 1),
+        |cus AS (SELECT h.event_type, h.hr, g.n_hours,
+        |    sum(h.m - g.g) OVER (PARTITION BY h.event_type ORDER BY h.hr) AS cusum
+        |  FROM hourly h JOIN grand g USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum) DESC, hr) AS rk FROM cus),
+        |o AS (SELECT event_type, n_hours, hr AS peak_hr,
+        |        round(cusum + 1e-9, 4) AS pc, cusum > 0 AS shift_up
+        |      FROM r WHERE rk = 1)
+        |SELECT event_type, n_hours, peak_hr,
+        |  CASE WHEN pc = 0 THEN 0.0 ELSE pc END AS peak_cusum, shift_up
+        |FROM o ORDER BY event_type""".stripMargin,
     // embedding drift: per-dim means replayed with the planted dim-0
     // shift; signed-zero normalized exactly like the Spark side
     "rpt_embed_drift" ->
