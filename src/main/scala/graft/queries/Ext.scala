@@ -1724,6 +1724,85 @@ object Ext {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext recipe): source side X (vec_id < 30) scored
+    * against candidate side Y, margin = cos(x,y) / (mean top-4 cos of
+    * x + mean top-4 cos of y), top-1 y per x kept above 1.25 — the
+    * ratio criterion that suppresses hubs a raw cosine threshold
+    * mines as false pairs. Scale shape: X broadcasts (the query side
+    * is small by contract), the scored frame is &#124;Y&#124;×&#124;X&#124; — the
+    * standard mining cost — with two bounded neighborhood tables
+    * joined back; the margin rank keys on the ROUNDED margin so both
+    * engines break ties identically. */
+  def simBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val x = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("x_id"), col("embedding").cast("array<double>").as("xv"))
+    val y = e.filter(col("vec_id") >= 30)
+      .select(col("vec_id").as("y_id"), col("embedding").cast("array<double>").as("yv"))
+    val scored = y.crossJoin(broadcast(x))
+      .select(col("x_id"), col("y_id"),
+        round(Similarity.cosine(col("xv"), col("yv")), 6).as("cos"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x_id")).orderBy(col("cos").desc, col("y_id"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("y_id")).orderBy(col("cos").desc, col("x_id"))
+    val ranked = scored.withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val ax = ranked.where(col("rx") <= 4).groupBy(col("x_id"))
+      .agg((sum(col("cos")) / (2 * 4)).as("ax"))
+    val ay = ranked.where(col("ry") <= 4).groupBy(col("y_id"))
+      .agg((sum(col("cos")) / (2 * 4)).as("ay"))
+    val margined = scored.join(broadcast(ax), "x_id").join(ay, "y_id")
+      .withColumn("margin", round(col("cos") / (col("ax") + col("ay")) + lit(1e-9), 6))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))
+    margined.withColumn("rk", row_number().over(wm))
+      .where(col("rk") === 1 && col("margin") > 1.25)
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+      .orderBy(col("x_id"))
+  }
+
+  /** Length-bias diagnostic over preference pairs — THE known DPO
+    * artifact (raters prefer longer answers; a reward model inherits
+    * it): fraction of pairs whose chosen response is longer, mean
+    * length gap, and the Pearson correlation between score margin and
+    * length gap, computed from EXACT integer sums (count/sum of int
+    * products stay < 2^53, so the closed-form corr is bit-identical
+    * cross-engine — engines' streaming corr() would not be). Fixture:
+    * the sft_pref_pairs grammar with hash-driven VARIABLE response
+    * lengths. One per-prompt aggregate + one O(1) reduction. */
+  def rptLengthBias(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val d = Tables.documents(s, dir).select(
+      expr("doc_id div 5").cast("long").as("prompt_id"),
+      pmod(col("doc_id"), lit(5)).cast("int").as("resp_id"),
+      col("text").substr(lit(1),
+        (pmod(col("doc_id") * 7L, lit(50L)) + 10L).cast("int")).as("response"),
+      (pmod(col("doc_id") * 48271L, lit(997L))).cast("int").as("score"))
+    val p = graft.operators.Sft.preferencePairs(d, "prompt_id", "resp_id",
+        "response", "score")
+      .select(length(col("chosen")).cast("long").as("lc"),
+        length(col("rejected")).cast("long").as("lr"),
+        col("margin").cast("long").as("mg"))
+      .withColumn("gap", col("lc") - col("lr"))
+    val a = p.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_chosen_longer"),
+      sum(when(col("gap") === 0, 1L).otherwise(0L)).as("n_ties"),
+      sum(col("gap")).as("_sg"), sum(col("mg")).as("_sm"),
+      sum(col("gap") * col("gap")).as("_sgg"),
+      sum(col("mg") * col("mg")).as("_smm"),
+      sum(col("gap") * col("mg")).as("_sgm"))
+    a.select(col("n_pairs"), col("n_chosen_longer"), col("n_ties"),
+      round(col("n_chosen_longer") / col("n_pairs") + lit(1e-9), 6).as("frac_chosen_longer"),
+      round(col("_sg") / col("n_pairs") + lit(1e-9), 4).as("mean_len_gap"),
+      noNegZero(round((col("n_pairs") * col("_sgm") - col("_sg") * col("_sm")) /
+        (sqrt((col("n_pairs") * col("_sgg") - col("_sg") * col("_sg")).cast("double")) *
+          sqrt((col("n_pairs") * col("_smm") - col("_sm") * col("_sm")).cast("double")))
+        + lit(1e-9), 6)).as("corr_len_margin"))
+  }
+
   /** Cluster-quality report: centroid-based silhouette per sign-LSH
     * cell (sign bits of dims 0–2 → 8 deterministic cells — rerunnable
     * by the twin, unlike a trained k-means assignment). Per vector:
@@ -5073,6 +5152,8 @@ object Ext {
     "rpt_embed_drift" -> rptEmbedDrift,
     "rpt_silhouette" -> rptSilhouette,
     "ev_cusum" -> evCusum,
+    "sim_bitext_margin" -> simBitextMargin,
+    "rpt_length_bias" -> rptLengthBias,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -5972,6 +6053,63 @@ object Ext {
         |        round(avg(sil) + 1e-9, 6) AS ms FROM sil GROUP BY cell)
         |SELECT cell, n, CASE WHEN ms = 0 THEN 0.0 ELSE ms END AS mean_silhouette
         |FROM o ORDER BY cell""".stripMargin,
+    // margin-criterion pair mining: ratio of cos to both sides' mean
+    // top-4 neighborhoods, argmax on the ROUNDED margin
+    "sim_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id AS x_id, v FROM e WHERE vec_id < 30),
+        |y AS (SELECT vec_id AS y_id, v FROM e WHERE vec_id >= 30),
+        |s AS (SELECT x.x_id, y.y_id,
+        |        round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |      FROM x CROSS JOIN y),
+        |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id
+        |         ORDER BY cos DESC, y_id) AS r FROM s),
+        |ry AS (SELECT *, row_number() OVER (PARTITION BY y_id
+        |         ORDER BY cos DESC, x_id) AS r FROM s),
+        |ax AS (SELECT x_id, sum(cos) / 8 AS ax FROM rx WHERE r <= 4 GROUP BY x_id),
+        |ay AS (SELECT y_id, sum(cos) / 8 AS ay FROM ry WHERE r <= 4 GROUP BY y_id),
+        |m AS (SELECT s.x_id, s.y_id, s.cos,
+        |        round(s.cos / (ax.ax + ay.ay) + 1e-9, 6) AS margin
+        |      FROM s JOIN ax USING (x_id) JOIN ay USING (y_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY x_id
+        |        ORDER BY margin DESC, y_id) AS rk FROM m)
+        |SELECT x_id, y_id, cos, margin FROM r
+        |WHERE rk = 1 AND margin > 1.25 ORDER BY x_id""".stripMargin,
+    // length bias: pref-pair grammar with variable lengths; corr from
+    // exact integer sums (closed form, not streaming corr())
+    "rpt_length_bias" ->
+      """WITH r AS (SELECT CAST(doc_id // 5 AS BIGINT) AS prompt_id,
+        |  CAST(doc_id % 5 AS INTEGER) AS resp_id,
+        |  substr(text, 1, CAST((doc_id * 7) % 50 + 10 AS INTEGER)) AS response,
+        |  CAST((doc_id * 48271) % 997 AS INTEGER) AS score FROM documents),
+        |c AS (SELECT *,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS rc,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id ASC) AS rr
+        |  FROM r),
+        |p AS (SELECT CAST(length(a.response) AS BIGINT) AS lc,
+        |        CAST(length(b.response) AS BIGINT) AS lr,
+        |        CAST(a.score - b.score AS BIGINT) AS mg,
+        |        CAST(length(a.response) - length(b.response) AS BIGINT) AS gap
+        |      FROM c a JOIN c b ON a.prompt_id = b.prompt_id AND a.rc = 1 AND b.rr = 1
+        |      WHERE a.score - b.score > 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+        |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+        |    CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(mg) AS BIGINT) AS sm,
+        |    CAST(sum(gap * gap) AS BIGINT) AS sgg,
+        |    CAST(sum(mg * mg) AS BIGINT) AS smm,
+        |    CAST(sum(gap * mg) AS BIGINT) AS sgm
+        |  FROM p),
+        |o AS (SELECT n_pairs, n_chosen_longer, n_ties,
+        |    round(n_chosen_longer / CAST(n_pairs AS DOUBLE) + 1e-9, 6) AS frac_chosen_longer,
+        |    round(sg / CAST(n_pairs AS DOUBLE) + 1e-9, 4) AS mean_len_gap,
+        |    round((n_pairs * sgm - sg * sm) /
+        |      (sqrt(CAST(n_pairs * sgg - sg * sg AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * smm - sm * sm AS DOUBLE))) + 1e-9, 6) AS clm
+        |  FROM a)
+        |SELECT n_pairs, n_chosen_longer, n_ties, frac_chosen_longer, mean_len_gap,
+        |  CASE WHEN clm = 0 THEN 0.0 ELSE clm END AS corr_len_margin
+        |FROM o""".stripMargin,
     // CUSUM: window-ordered cumulative deviation over hourly means
     "ev_cusum" ->
       """WITH hourly AS (SELECT event_type,

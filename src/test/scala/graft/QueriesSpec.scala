@@ -222,6 +222,7 @@ class QueriesSpec extends SparkSpec {
       "sim_hashed_embed", "sim_ivf", "sim_ivfpq", "sim_knn_brute",
       "sim_knn_filtered", "sim_knn_int8", "txt_decontam_sem",
       "sim_mmr",                       // broadcast-kNN candidate stage feeding the greedy
+      "sim_bitext_margin",             // broadcast-X mining cross (the scored |Y|x|X| frame)
       "rpt_embed_drift",               // 1-row L2-shift total crossed into the dim-bounded table
       "sim_ivfpq_served",             // annRecallGate's broadcast gate cross (served-index variant)
       "sim_hybrid_rrf")               // bm25's 1-row corpus-stats denominator + broadcast-kNN side
