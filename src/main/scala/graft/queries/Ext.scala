@@ -1198,6 +1198,42 @@ object Ext {
       .orderBy(col("source"), col("n"))
   }
 
+  /** Zipf-law fit over the top-100 vocabulary: least-squares slope /
+    * intercept / R² of ln(count) on ln(rank) — natural corpora sit near
+    * slope −1; template spam and synthetic loops bend the tail, so the
+    * fit is a one-row corpus-health signal next to [[rptVocab]]'s raw
+    * list. The regression runs in closed form from six sums over the
+    * 100-row heap output (global rank window DECLARED — it ranks the
+    * top-100 table, never the corpus). */
+  def rptZipf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val top = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val xy = top.withColumn("rk", row_number().over(w))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val a = xy.agg(count(lit(1)).cast("double").as("cn"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val fitted = a
+      .withColumn("_sl", (col("cn") * col("sxy") - col("sx") * col("sy")) /
+        (col("cn") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("_ic", (col("sy") - col("_sl") * col("sx")) / col("cn"))
+      .withColumn("_r", (col("cn") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("cn") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("cn") * col("syy") - col("sy") * col("sy"))))
+    fitted.select(col("cn").cast("long").as("n_terms"),
+      noNegZero(round(col("_sl") + lit(1e-9), 6)).as("zipf_slope"),
+      noNegZero(round(col("_ic") + lit(1e-9), 6)).as("intercept"),
+      noNegZero(round(col("_r") * col("_r") + lit(1e-9), 6)).as("r2"))
+  }
+
   def rptVocab(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -2586,6 +2622,27 @@ object Ext {
       .select(col("event_type"), col("n_hours"), col("hr").as("peak_hr"),
         noNegZero(round(col("cusum") + lit(1e-9), 4)).as("peak_cusum"),
         (col("cusum") > 0).as("shift_up"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Seasonal-naive forecast backtest: forecast(hour) = value one week
+    * (168 h) earlier, evaluated per event type as MAE and MAPE over
+    * every hour with a week-old twin — the baseline every fancier
+    * forecaster must beat, and the standing data-quality monitor for a
+    * metrics stream. One corpus aggregation; the self-join and error
+    * means run on the bounded hours×types table. */
+  def evForecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hourly = ev.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+      .agg(avg(col("value")).as("m"))
+    val fc = hourly.select(col("event_type"), (col("hr") + 168).as("hr"),
+      col("m").as("fcst"))
+    hourly.join(fc, Seq("event_type", "hr"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_eval"),
+        round(avg(abs(col("m") - col("fcst"))) + lit(1e-9), 4).as("mae"),
+        round(avg(abs(col("m") - col("fcst")) / col("m")) + lit(1e-9), 6).as("mape"))
       .orderBy(col("event_type"))
   }
 
@@ -5154,6 +5211,8 @@ object Ext {
     "ev_cusum" -> evCusum,
     "sim_bitext_margin" -> simBitextMargin,
     "rpt_length_bias" -> rptLengthBias,
+    "ev_forecast_snaive" -> evForecastSnaive,
+    "rpt_zipf" -> rptZipf,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -6110,6 +6169,43 @@ object Ext {
         |SELECT n_pairs, n_chosen_longer, n_ties, frac_chosen_longer, mean_len_gap,
         |  CASE WHEN clm = 0 THEN 0.0 ELSE clm END AS corr_len_margin
         |FROM o""".stripMargin,
+    // seasonal-naive backtest: hour-168 self-join on the hourly table
+    "ev_forecast_snaive" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, avg(value) AS m
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.m, f.m AS fcst
+        |      FROM hourly a JOIN hourly f
+        |        ON a.event_type = f.event_type AND a.hr = f.hr + 168)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(avg(abs(m - fcst)) + 1e-9, 4) AS mae,
+        |  round(avg(abs(m - fcst) / m) + 1e-9, 6) AS mape
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Zipf fit: closed-form least squares from six sums over the
+    // top-100 vocabulary
+    "rpt_zipf" ->
+      s"""WITH top AS (SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE length(token) > 0
+         |  GROUP BY token ORDER BY n DESC, token LIMIT 100),
+         |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         |         ln(CAST(n AS DOUBLE)) AS y FROM top),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS cn, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM xy),
+         |f AS (SELECT cn, sx, sy,
+         |    (cn * sxy - sx * sy) / (cn * sxx - sx * sx) AS sl,
+         |    (cn * sxy - sx * sy) /
+         |      (sqrt(cn * sxx - sx * sx) * sqrt(cn * syy - sy * sy)) AS r
+         |  FROM a),
+         |o AS (SELECT CAST(cn AS BIGINT) AS n_terms,
+         |    round(sl + 1e-9, 6) AS zipf_slope,
+         |    round((sy - sl * sx) / cn + 1e-9, 6) AS intercept,
+         |    round(r * r + 1e-9, 6) AS r2 FROM f)
+         |SELECT n_terms,
+         |  CASE WHEN zipf_slope = 0 THEN 0.0 ELSE zipf_slope END AS zipf_slope,
+         |  CASE WHEN intercept = 0 THEN 0.0 ELSE intercept END AS intercept,
+         |  CASE WHEN r2 = 0 THEN 0.0 ELSE r2 END AS r2
+         |FROM o""".stripMargin,
     // CUSUM: window-ordered cumulative deviation over hourly means
     "ev_cusum" ->
       """WITH hourly AS (SELECT event_type,

@@ -184,6 +184,7 @@ class QueriesSpec extends SparkSpec {
         "upstream (the exact-CDF floor is a deliberate, documented trade)"),
       "rpt_join_skew" -> "rank window over the top-10 heap output (TakeOrderedAndProject first, k=10 rows)",
       "smp_dsir" -> "Dsir.rankedTopK rank window over the k=100 TakeOrderedAndProject survivors",
+      "rpt_zipf" -> "ln(rank) window over the top-100 vocabulary heap output (limit 100 first, never the corpus)",
       "smp_dsir_gumbel" -> "same rankedTopK shape over the k Gumbel-top-k survivors")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
