@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Online-experiment (A/B test) analysis over per-unit outcome tables —
@@ -24,6 +24,25 @@ object Experiment {
 
   /** Exact two-sided 97.5 % normal quantile (z for α = 0.05). */
   val Z95: Double = 1.959963984540054
+
+  /** 80 % / 90 % one-sided normal quantiles (z_β for power planning). */
+  val Z80: Double = 0.8416212335729143
+  val Z90: Double = 1.2815515655446004
+
+  /** Required per-arm sample size for a two-proportion test detecting
+    * an absolute lift `delta` off baseline `p` — the standard normal-
+    * approximation formula `n = ⌈(z_{α/2}·√(2p̄(1−p̄)) +
+    * z_β·√(p(1−p)+p'(1−p')))² / δ²⌉` with `p' = p+δ`, `p̄ = (p+p')/2`.
+    * Pure column arithmetic (IEEE sqrt/ceil are exactly-rounded, so
+    * identical inputs give identical outputs in any engine). */
+  def requiredNPerArm(p: Column, delta: Column, zAlpha: Column,
+                      zBeta: Column): Column = {
+    val p2 = p + delta
+    val pbar = (p + p2) / 2
+    val s = zAlpha * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      zBeta * sqrt(p * (lit(1.0) - p) + p2 * (lit(1.0) - p2))
+    ceil(s * s / (delta * delta)).cast("long")
+  }
 
   /** One-row two-proportion report over `perUnit` (one row per
     * experimental unit). `variantCol`: 0 = control A, nonzero = B.

@@ -1198,6 +1198,38 @@ object Ext {
       .orderBy(col("source"), col("n"))
   }
 
+  /** DoReMi-style domain reweighting (Xie 2023, one exponentiated-
+    * gradient step): per-language mean cross-entropy against the en
+    * reference bigram LM, excess loss over the best domain, weights
+    * `w ∝ (1/k)·exp(excess)` normalized — upweight the domains the
+    * reference models worst, the data-mixing answer to "train on what
+    * you're bad at". Rides the proven [[LangModel.perplexityAgainst]]
+    * machinery; everything after the per-doc scoring runs on the
+    * languages-bounded table (two 1-row broadcast crosses, declared).
+    * The full DoReMi loop re-trains and iterates; one step with η = 1
+    * is the deterministic, twin-able core update. */
+  def mixDoremi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val d = Tables.documents(s, dir)
+    val scored = LangModel.perplexityAgainst(
+      d.where(col("lang") === "en"), d, "doc_id", "text", maxVocab = 200)
+    val byLang = scored.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(avg(col("cross_entropy")).as("ce"), count(lit(1)).as("n_docs"))
+    val ref = byLang.agg(min(col("ce")).as("ce_ref"),
+      count(lit(1)).cast("double").as("k"))
+    val ex = byLang.crossJoin(broadcast(ref))
+      .withColumn("excess", col("ce") - col("ce_ref"))
+      .withColumn("_u", exp(col("excess")) / col("k"))
+    val z = ex.agg(sum(col("_u")).as("_z"))
+    ex.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("ce") + lit(1e-9), 4).as("mean_ce"),
+        noNegZero(round(col("excess") + lit(1e-9), 4)).as("excess_ce"),
+        round(col("_u") / col("_z") + lit(1e-9), 6).as("doremi_weight"))
+      .orderBy(col("lang"))
+  }
+
   /** Zipf-law fit over the top-100 vocabulary: least-squares slope /
     * intercept / R² of ln(count) on ln(rank) — natural corpora sit near
     * slope −1; template spam and synthetic loops bend the tail, so the
@@ -2571,6 +2603,33 @@ object Ext {
     Experiment.twoProportion(perUser, "variant", "purchased", "purchase_conversion")
       .unionAll(Experiment.twoProportion(perUser, "variant", "engaged", "planted_engagement"))
       .orderBy(col("metric"))
+  }
+
+  /** Experiment power planning off the MEASURED baseline: the
+    * [[rptAbTest]] conversion (big-ticket purchase per user, an exact
+    * integer ratio) fed through the standard two-proportion sample-size
+    * formula over an MDE × power grid — "how long must this experiment
+    * run" is the question that follows every A/B readout. All
+    * arithmetic is exactly-rounded IEEE on identical inputs; one
+    * per-user aggregate + a 6-row literal grid. */
+  def rptPower(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+        .otherwise(0L)).as("c"))
+      .agg(sum(col("c")).cast("double").as("x"), count(lit(1)).cast("double").as("n"))
+      .select((col("x") / col("n")).as("p"))
+    val grid = s.range(1)
+      .select(explode(array(lit(0.02), lit(0.05), lit(0.10))).as("mde"))
+      .crossJoin(s.range(1).select(explode(array(lit(0.8), lit(0.9))).as("power")))
+    grid.crossJoin(broadcast(base))
+      .select(col("mde"), col("power"),
+        round(col("p") + lit(1e-9), 6).as("baseline_rate"),
+        Experiment.requiredNPerArm(col("p"), col("mde"),
+          lit(Experiment.Z95),
+          when(col("power") === 0.8, Experiment.Z80)
+            .otherwise(Experiment.Z90)).as("n_per_arm"))
+      .orderBy(col("mde"), col("power"))
   }
 
   /** Seasonal-residual anomaly detection: per (event_type, day-of-week,
@@ -5213,6 +5272,8 @@ object Ext {
     "rpt_length_bias" -> rptLengthBias,
     "ev_forecast_snaive" -> evForecastSnaive,
     "rpt_zipf" -> rptZipf,
+    "rpt_power" -> rptPower,
+    "mix_doremi" -> mixDoremi,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -6169,6 +6230,44 @@ object Ext {
         |SELECT n_pairs, n_chosen_longer, n_ties, frac_chosen_longer, mean_len_gap,
         |  CASE WHEN clm = 0 THEN 0.0 ELSE clm END AS corr_len_margin
         |FROM o""".stripMargin,
+    // power planning: measured baseline rate through the closed-form
+    // two-proportion sample-size formula over the MDE x power grid
+    "rpt_power" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT sum(c) / CAST(count(*) AS DOUBLE) AS p FROM u),
+        |g AS (SELECT mde, power FROM (SELECT unnest([0.02, 0.05, 0.10]) AS mde)
+        |      CROSS JOIN (SELECT unnest([0.8, 0.9]) AS power)),
+        |f AS (SELECT g.mde, g.power, b.p, g.mde + b.p AS p2,
+        |        CASE WHEN g.power = 0.8 THEN 0.8416212335729143
+        |             ELSE 1.2815515655446004 END AS zb
+        |      FROM g CROSS JOIN b)
+        |SELECT mde, power, round(p + 1e-9, 6) AS baseline_rate,
+        |  CAST(ceil(pow(1.959963984540054 * sqrt(2.0 * ((p + p2) / 2) * (1.0 - (p + p2) / 2))
+        |    + zb * sqrt(p * (1.0 - p) + p2 * (1.0 - p2)), 2) / (mde * mde)) AS BIGINT) AS n_per_arm
+        |FROM f ORDER BY mde, power""".stripMargin,
+    // DoReMi one-step EG update over per-lang mean cross-entropy from
+    // the shared bigram-LM chain
+    "mix_doremi" ->
+      s"""WITH $duckPplCtes,
+         |ced AS (SELECT sc.doc_id, d.lang, round(-avg(sc.lp), 4) AS dce
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id GROUP BY 1, 2),
+         |lang_ce AS (SELECT lang, avg(dce) AS ce, CAST(count(*) AS BIGINT) AS n_docs
+         |            FROM ced GROUP BY lang),
+         |ref AS (SELECT min(ce) AS ce_ref, CAST(count(*) AS DOUBLE) AS k FROM lang_ce),
+         |ex AS (SELECT lang, n_docs, ce,
+         |         ce - (SELECT ce_ref FROM ref) AS excess,
+         |         exp(ce - (SELECT ce_ref FROM ref)) / (SELECT k FROM ref) AS u
+         |       FROM lang_ce),
+         |z AS (SELECT sum(u) AS z FROM ex),
+         |o AS (SELECT lang, n_docs, round(ce + 1e-9, 4) AS mean_ce,
+         |        round(excess + 1e-9, 4) AS ec,
+         |        round(u / (SELECT z FROM z) + 1e-9, 6) AS doremi_weight
+         |      FROM ex)
+         |SELECT lang, n_docs, mean_ce,
+         |  CASE WHEN ec = 0 THEN 0.0 ELSE ec END AS excess_ce, doremi_weight
+         |FROM o ORDER BY lang""".stripMargin,
     // seasonal-naive backtest: hour-168 self-join on the hourly table
     "ev_forecast_snaive" ->
       """WITH hourly AS (SELECT event_type,

@@ -48,4 +48,19 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(fwd.getAs[Double]("abs_lift") + rev.getAs[Double]("abs_lift")) < 1e-8)
     assert(fwd.getAs[Boolean]("significant") === rev.getAs[Boolean]("significant"))
   }
+
+  test("requiredNPerArm matches the hand-computed normal-approximation value") {
+    // p=0.5, delta=0.1, alpha=.05 two-sided, power=.8 -> 387.34 -> 388
+    import org.apache.spark.sql.functions._
+    val out = spark.range(1).select(Experiment.requiredNPerArm(
+      lit(0.5), lit(0.1), lit(Experiment.Z95), lit(Experiment.Z80)).as("n"))
+      .collect()(0).getAs[Long]("n")
+    assert(out === 388L)
+    // more power or a smaller effect always needs more samples
+    def n(d: Double, zb: Double) = spark.range(1).select(
+      Experiment.requiredNPerArm(lit(0.5), lit(d), lit(Experiment.Z95), lit(zb)).as("n"))
+      .collect()(0).getAs[Long]("n")
+    assert(n(0.1, Experiment.Z90) > 388L)
+    assert(n(0.05, Experiment.Z80) > 4 * 388L * 9 / 10, "quadratic in 1/delta")
+  }
 }

@@ -225,6 +225,8 @@ class QueriesSpec extends SparkSpec {
       "sim_mmr",                       // broadcast-kNN candidate stage feeding the greedy
       "sim_bitext_margin",             // broadcast-X mining cross (the scored |Y|x|X| frame)
       "rpt_embed_drift",               // 1-row L2-shift total crossed into the dim-bounded table
+      "rpt_power",                     // 1-row measured baseline crossed into the 6-row MDE x power grid
+      "mix_doremi",                    // two 1-row crosses (best-domain ref + normalizer) on the langs table
       "sim_ivfpq_served",             // annRecallGate's broadcast gate cross (served-index variant)
       "sim_hybrid_rrf")               // bm25's 1-row corpus-stats denominator + broadcast-kNN side
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
