@@ -446,7 +446,34 @@ object Soak {
             .groupBy(col("token"), col("n")).agg(count(lit(1)).as("cnt"))
             .where(col("cnt") > col("n") / 33.0).count()
         }))
-      if (mult <= 10) dedup ++ once else dedup
+      // round-16 session-2 additions, soaked through BOTH decades:
+      // hits (graph scales with the corpus), mmr + bitext (fixed query
+      // sides, corpus-side scans dominate — the priced mining shape),
+      // silhouette (scan × CELLS multiplier, linear by construction)
+      val r16b = Seq(
+        "graph_hits" -> (() => {
+          val n = docs.count()
+          val ids = docs.select(col("doc_id").cast("long").as("src"))
+          val edges = ids.select(col("src"), explode(array(
+            (1 to 4).map(k => pmod(col("src") * 31 + k, lit(n))): _*)).as("dst"))
+          graft.operators.GraphRank.hits(edges, "src", "dst", iterations = 5).count()
+        }),
+        "sim_mmr" -> (() => {
+          val cands = graft.operators.Similarity.knnBruteForce(
+            embs.filter(col("vec_id") < 20), embs, "vec_id", "vec_id",
+            "embedding", "embedding", k = 20)
+          val withVec = cands.join(
+            embs.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+          graft.operators.Similarity.mmrRerank(withVec, "query_id",
+            "neighbor_id", "embedding", "cos", k = 5, lambda = 0.7).count()
+        }),
+        "sim_bitext_margin" -> (() =>
+          graft.queries.Ext.simBitextMargin(spark, dir)
+            .queryExecution.toRdd.count()),
+        "rpt_silhouette" -> (() =>
+          graft.queries.Ext.rptSilhouette(spark, dir)
+            .queryExecution.toRdd.count()))
+      if (mult <= 10) dedup ++ r16b ++ once else dedup ++ r16b
     }
 
     val opFilter = args.lift(3).map(_.split(",").toSet)

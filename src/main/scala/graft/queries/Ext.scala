@@ -1230,6 +1230,39 @@ object Ext {
       .orderBy(col("lang"))
   }
 
+  /** Code-vs-prose detection — the pretraining-mix routing signal
+    * (code shards tokenize, pack, and weight differently): symbol
+    * density, indented-line fraction, and keyword hits, gated as
+    * `symbol_frac > 0.05 AND (indent_frac > 0.3 OR kw_hits >= 2)`.
+    * Every 7th doc is REPLACED by a code snippet derived from its id,
+    * so the planted set is exactly the docs the gate must flag and the
+    * prose docs exercise the negative path. One narrow pass — regex
+    * counts + a line-level HOF, no shuffle before the presentation
+    * sort. */
+  def txtCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val text = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit("def f_"), col("doc_id"),
+        lit("(x):\n    y = x * 2;\n    if (y > 10) {\n        return y;\n    }\n    return [x, y];\n")))
+      .otherwise(col("text"))
+    val nSym = length(regexp_replace(text, "[^{}()\\[\\];=<>]", ""))
+    val lines = split(text, "\n")
+    val nIndent = size(filter(lines, l => l.startsWith("    ")))
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    val kw = size(array_intersect(toks, array(
+      Seq("def", "return", "if", "import", "class", "function",
+        "const", "var", "void", "int").map(lit): _*)))
+    d.select(col("doc_id"),
+        round(nSym / greatest(length(text), lit(1)).cast("double") + lit(1e-9), 4)
+          .as("symbol_frac"),
+        round(nIndent / size(lines).cast("double") + lit(1e-9), 4).as("indent_frac"),
+        kw.cast("int").as("kw_hits"))
+      .withColumn("is_code",
+        col("symbol_frac") > 0.05 &&
+          (col("indent_frac") > 0.3 || col("kw_hits") >= 2))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-law fit over the top-100 vocabulary: least-squares slope /
     * intercept / R² of ln(count) on ln(rank) — natural corpora sit near
     * slope −1; template spam and synthetic loops bend the tail, so the
@@ -2654,6 +2687,53 @@ object Ext {
       .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
         col("value"), round(z + lit(1e-9), 4).as("z"))
       .orderBy(col("event_id"))
+  }
+
+  /** RFM user segmentation — recency (hours since last event),
+    * frequency (event count), monetary (purchase value sum) scored
+    * into terciles and labeled: the standard user-value map behind
+    * per-cohort sampling and retention targeting. Tercile thresholds
+    * are exact percentiles rounded to 4 dp BEFORE the comparison (the
+    * perplexityBuckets device: both engines cut on identical doubles;
+    * monetary compares its ROUNDED value for the same reason). One
+    * user-keyed aggregation + two 1-row broadcast crosses. */
+  def evRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts"))).as("_mx"))
+    val per = ev.groupBy(col("user_id")).agg(
+      max(unix_timestamp(col("ts"))).as("_last"),
+      count(lit(1)).as("frequency"),
+      round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)) + lit(1e-9), 2).as("monetary"))
+    val rec = per.crossJoin(broadcast(maxTs))
+      .withColumn("recency_hours", (col("_mx") - col("_last")) / 3600.0)
+    val th = rec.agg(
+      round(percentile(col("frequency"), lit(1.0 / 3)), 4).as("f1"),
+      round(percentile(col("frequency"), lit(2.0 / 3)), 4).as("f2"),
+      round(percentile(col("monetary"), lit(1.0 / 3)), 4).as("m1"),
+      round(percentile(col("monetary"), lit(2.0 / 3)), 4).as("m2"),
+      round(percentile(col("recency_hours"), lit(1.0 / 3)), 4).as("r1"),
+      round(percentile(col("recency_hours"), lit(2.0 / 3)), 4).as("r2"))
+    val scored = rec.crossJoin(broadcast(th))
+      .withColumn("r_score",
+        when(col("recency_hours") <= col("r1"), 3)
+          .when(col("recency_hours") <= col("r2"), 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") > col("f2"), 3)
+          .when(col("frequency") > col("f1"), 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("monetary") > col("m2"), 3)
+          .when(col("monetary") > col("m1"), 2).otherwise(1))
+    scored.withColumn("segment",
+        when(col("r_score") === 3 && col("f_score") === 3 && col("m_score") === 3,
+          "champion")
+          .when(col("r_score") === 1 && col("f_score") >= 2, "at_risk")
+          .when(col("f_score") === 1 && col("m_score") === 1, "low_value")
+          .otherwise("regular"))
+      .select(col("user_id"), col("frequency"), col("monetary"),
+        round(col("recency_hours") + lit(1e-9), 4).as("recency_hours"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
   }
 
   /** CUSUM changepoint locator per event type: hourly means, running
@@ -5274,6 +5354,8 @@ object Ext {
     "rpt_zipf" -> rptZipf,
     "rpt_power" -> rptPower,
     "mix_doremi" -> mixDoremi,
+    "txt_code_detect" -> txtCodeDetect,
+    "ev_rfm" -> evRfm,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -6230,6 +6312,61 @@ object Ext {
         |SELECT n_pairs, n_chosen_longer, n_ties, frac_chosen_longer, mean_len_gap,
         |  CASE WHEN clm = 0 THEN 0.0 ELSE clm END AS corr_len_margin
         |FROM o""".stripMargin,
+    // code detection: same regex counts, 'g' standing in for Spark's
+    // replace-all default; planted snippet rebuilt with chr(10)
+    "txt_code_detect" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'def f_' || doc_id || '(x):' || chr(10) ||
+        |      '    y = x * 2;' || chr(10) || '    if (y > 10) {' || chr(10) ||
+        |      '        return y;' || chr(10) || '    }' || chr(10) ||
+        |      '    return [x, y];' || chr(10)
+        |    ELSE text END AS text FROM documents),
+        |m AS (SELECT doc_id,
+        |    round(length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g'))
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) + 1e-9, 4) AS symbol_frac,
+        |    round(len(list_filter(string_split(text, chr(10)), l -> l LIKE '    %'))
+        |      / CAST(len(string_split(text, chr(10))) AS DOUBLE) + 1e-9, 4) AS indent_frac,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |      ['def','return','if','import','class','function','const','var','void','int'])) AS INTEGER) AS kw_hits
+        |  FROM t)
+        |SELECT doc_id, symbol_frac, indent_frac, kw_hits,
+        |  symbol_frac > 0.05 AND (indent_frac > 0.3 OR kw_hits >= 2) AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // RFM: truncated-epoch recency, rounded-before-compare thresholds
+    "ev_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        |      + 1e-9, 2) AS monetary
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(last_ts) AS mx FROM per),
+        |rec AS (SELECT *, ((SELECT mx FROM mx) - last_ts) / 3600.0 AS recency_hours
+        |        FROM per),
+        |th AS (SELECT
+        |    round(quantile_cont(frequency, 0.3333333333333333), 4) AS f1,
+        |    round(quantile_cont(frequency, 0.6666666666666666), 4) AS f2,
+        |    round(quantile_cont(monetary, 0.3333333333333333), 4) AS m1,
+        |    round(quantile_cont(monetary, 0.6666666666666666), 4) AS m2,
+        |    round(quantile_cont(recency_hours, 0.3333333333333333), 4) AS r1,
+        |    round(quantile_cont(recency_hours, 0.6666666666666666), 4) AS r2
+        |  FROM rec),
+        |sc AS (SELECT rec.*,
+        |    CASE WHEN recency_hours <= (SELECT r1 FROM th) THEN 3
+        |         WHEN recency_hours <= (SELECT r2 FROM th) THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency > (SELECT f2 FROM th) THEN 3
+        |         WHEN frequency > (SELECT f1 FROM th) THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN monetary > (SELECT m2 FROM th) THEN 3
+        |         WHEN monetary > (SELECT m1 FROM th) THEN 2 ELSE 1 END AS m_score
+        |  FROM rec)
+        |SELECT user_id, frequency, monetary,
+        |  round(recency_hours + 1e-9, 4) AS recency_hours,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3 THEN 'champion'
+        |       WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+        |       WHEN f_score = 1 AND m_score = 1 THEN 'low_value'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
     // power planning: measured baseline rate through the closed-form
     // two-proportion sample-size formula over the MDE x power grid
     "rpt_power" ->
