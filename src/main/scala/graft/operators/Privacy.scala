@@ -190,21 +190,53 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
-    // the key encodes each group value as md5(value) + a null flag:
-    // FIXED-length components cannot alias across positions (a '|'-join
-    // would collide ('x|y','z') with ('x','y|z') and hand two groups the
-    // same noise draw), and NULL is distinguished from every real value
-    // including '' — same arithmetic in the DuckDB twin
+    val lap = lit(-1.0 / eps) * laplaceUnit(groupCols, salt)
+    val out = counts.withColumn("noisy_n", round(col("_n") + lap, 4))
+    if (keepTrueCount) out.withColumnRenamed("_n", "n")
+    else out.drop("_n")
+  }
+
+  /** The engine-reproducible unit Laplace draw shared by the DP
+    * mechanisms: `sign(u−½)·ln(1−2|u−½|)` from the md5-fraction `u` of
+    * the group key. The key encodes each group value as md5(value) + a
+    * null flag: FIXED-length components cannot alias across positions
+    * (a '|'-join would collide ('x|y','z') with ('x','y|z') and hand
+    * two groups the same noise draw), and NULL is distinguished from
+    * every real value including '' — same arithmetic in the DuckDB
+    * twins. The log argument is clamped away from 0 (u = 0, one in
+    * 2^32 keys, would otherwise release an infinite value). Callers
+    * multiply by their mechanism's scale. */
+  private def laplaceUnit(groupCols: Seq[String], salt: String): Column = {
     val key = concat((lit(salt) +: groupCols.map(c => concat(
       md5(coalesce(col(c).cast("string"), lit(""))),
       when(col(c).isNull, "0").otherwise("1")))): _*)
     val u = conv(substring(md5(key), 1, 8), 16, 10).cast("double") / 4294967296.0
-    // clamp the log argument away from 0: u = 0 (one in 2^32 keys)
-    // would otherwise release an infinite count
     val arg = greatest(lit(1.0) - lit(2.0) * abs(u - 0.5), lit(1.0 / 4294967296.0))
-    val lap = lit(-1.0 / eps) * signum(u - 0.5) * log(arg)
-    val out = counts.withColumn("noisy_n", round(col("_n") + lap, 4))
-    if (keepTrueCount) out.withColumnRenamed("_n", "n")
-    else out.drop("_n")
+    signum(u - 0.5) * log(arg)
+  }
+
+  /** Differentially-private per-group MEANS: values clipped to [0, clip]
+    * (the clipping bound is what bounds the sensitivity — without it a
+    * single outlier row moves the mean arbitrarily), noise scale
+    * `clip / (n·eps)` — the known-n Laplace mean mechanism. Same
+    * engine-reproducible draw contract as [[dpNoisyCounts]] (tests and
+    * twins hash-compare the arithmetic; production swaps the draw for
+    * secure randomness). `keepTrueMean` retains the exact clipped mean
+    * for validation ONLY. One keyed aggregate + a narrow projection. */
+  def dpNoisyMeans(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   clip: Double, eps: Double, salt: String = "",
+                   keepTrueMean: Boolean = false): DataFrame = {
+    require(eps > 0, "eps must be > 0")
+    require(clip > 0, "clip must be > 0")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(0.0)), lit(clip))
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(clipped).as("_s"))
+    val lap = (lit(clip) / (col("n") * lit(eps))) * laplaceUnit(groupCols, salt)
+    val out = agg
+      .withColumn("noisy_mean", round(col("_s") / col("n") + lap, 4))
+    if (keepTrueMean)
+      out.withColumn("mean", round(col("_s") / col("n") + lit(1e-9), 4)).drop("_s")
+    else out.drop("_s")
   }
 }

@@ -5166,9 +5166,51 @@ object Ext {
         keepTrueCount = true)
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** DP noisy means release: per-(nation, segment) account-balance
+    * means, values clipped to [0, 5000] (the sensitivity bound),
+    * Laplace scale clip/(n·eps) through the shared md5-fraction draw —
+    * deterministic BY DESIGN so the mechanism's arithmetic is
+    * hash-gated (production swaps the draw; see
+    * [[graft.operators.Privacy.dpNoisyMeans]]). True means retained
+    * for exactly this validation. */
+  def privDpMean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpNoisyMeans(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+        clip = 5000.0, eps = 0.5, salt = "dpm16", keepTrueMean = true)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Purchase attribution over per-user event streams: each purchase
+    * credits the LAST non-purchase touch before it and the user's
+    * FIRST-ever touch (last-/first-touch attribution, the marketing-
+    * analytics classic) — two frame-bounded window passes on the
+    * user-keyed stream, then a (types×types)-bounded aggregate of
+    * purchase counts and revenue. */
+  def evAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val order = Seq(col("ts"), col("event_id"))
+    val prevW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ev.withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(prevW))
+      .withColumn("first_touch", first(col("event_type")).over(firstW))
+      .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .groupBy(col("last_touch"), col("first_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")) + lit(1e-9), 2).as("revenue"))
+      .orderBy(col("last_touch"), col("first_touch"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_generalize" -> privGeneralize,
     "priv_dp_noise" -> privDpNoise,
+    "priv_dp_mean" -> privDpMean,
+    "ev_attribution" -> evAttribution,
     "sft_render_chat" -> sftRenderChat,
     "sft_tool_traces" -> sftToolTraces,
     "pipeline_agentic" -> pipelineAgentic,
@@ -5977,6 +6019,36 @@ object Ext {
         |  round(n + (-1.0 / 0.5) * sign(u - 0.5) *
         |    ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1.0 / 4294967296.0)), 4) AS noisy_n
         |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // DP means: same md5-fraction draw, clip/(n*eps) scale
+    "priv_dp_mean" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(least(greatest(CAST(c_acctbal AS DOUBLE), 0.0), 5000.0)) AS s
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (SELECT *,
+        |  CAST(('0x' || substring(md5('dpm16'
+        |    || md5(coalesce(CAST(c_nationkey AS VARCHAR), '')) || CASE WHEN c_nationkey IS NULL THEN '0' ELSE '1' END
+        |    || md5(coalesce(c_mktsegment, '')) || CASE WHEN c_mktsegment IS NULL THEN '0' ELSE '1' END), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  round(s / n + (5000.0 / (n * 0.5)) * sign(u - 0.5) *
+        |    ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1.0 / 4294967296.0)), 4) AS noisy_mean,
+        |  round(s / n + 1e-9, 4) AS mean
+        |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // first/last-touch attribution: identical frames + IGNORE NULLS
+    "ev_attribution" ->
+      """WITH a AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    first_value(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+        |  FROM events)
+        |SELECT last_touch, first_touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value) + 1e-9, 2) AS revenue
+        |FROM a WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // leak-free split: fingerprint clusters -> min-id representative ->
     // pure-function split; the twin recomputes all three stages so the
     // per-row hash gates cluster atomicity across the train/eval boundary
