@@ -2677,15 +2677,15 @@ object Ext {
     * rounded at 4 dp like the seasonality shares. */
   def evAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"), col("value"),
+    val cells = ev
+      .select(col("event_type"), col("value"),
         (weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
-    val cells = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
       .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
-    val z = (col("value") - col("mu")) / col("sd")
-    ev.join(broadcast(cells), Seq("event_type", "dow", "hr"))
-      .where(col("sd") > 1e-9 && abs(z) > 3.0)
-      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
-        col("value"), round(z + lit(1e-9), 4).as("z"))
+    // scoring is the SHARED batch/stream definition — see
+    // graft.streaming.EventStreams.anomalyScore (train-batch /
+    // serve-stream: the same code runs on an unbounded stream)
+    graft.streaming.EventStreams.anomalyScore(ev, cells)
       .orderBy(col("event_id"))
   }
 

@@ -24,6 +24,27 @@ object EventStreams {
   def fileSource(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)
 
+  /** Seasonal-residual anomaly scoring SHARED by the batch query
+    * (`Ext.evAnomaly`, oracle-gated) and the streaming monitor: a
+    * stateless projection + a broadcast join against the TRAINED
+    * per-(type, dow, hour) profile table, flagging
+    * `|value − μ| > 3σ`. `cells` is the batch-trained profile (types ×
+    * 168 rows — the train-batch / serve-stream deployment every
+    * monitoring stack uses); because the operator is stateless, the
+    * SAME code serves a batch frame or an unbounded stream (stream-
+    * static broadcast join, no watermark or state needed). One shared
+    * definition — the stream can never drift from the gated batch
+    * semantics. */
+  def anomalyScore(events: DataFrame, cells: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"), col("value"),
+      (weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+    val z = (col("value") - col("mu")) / col("sd")
+    e.join(broadcast(cells), Seq("event_type", "dow", "hr"))
+      .where(col("sd") > 1e-9 && abs(z) > 3.0)
+      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
+        col("value"), round(z + lit(1e-9), 4).as("z"))
+  }
+
   /** Tumbling 1-hour counts/sums per event type. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

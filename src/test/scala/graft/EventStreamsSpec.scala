@@ -685,6 +685,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length === rows.length,
       "corpus texts are pairwise distinct — no near-dup slipped through")
   }
+
+  test("anomalyScore: streaming monitor emits exactly the gated batch rows") {
+    import org.apache.spark.sql.functions.{avg, hour, stddev_pop, weekday}
+    implicit val ctx = spark.sqlContext
+    // train the profile on a batch slice of the real fixture, then feed
+    // the SAME events through a MemoryStream: the stateless stream-
+    // static join must reproduce the oracle-gated batch output row for row
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"event_type", $"value").cache()
+    val cells = ev
+      .select($"event_type", $"value",
+        (weekday($"ts") + 1).as("dow"), hour($"ts").as("hr"))
+      .groupBy($"event_type", $"dow", $"hr")
+      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sd"))
+      .cache()
+    val batch = EventStreams.anomalyScore(ev, cells)
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.anomalyScore(stream, cells)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      input.addData(ev.as[(Long, Timestamp, String, Double)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anom").collect().map(_.toSeq).toSet
+      assert(streamed === batch, s"stream ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+    ev.unpersist()
+    cells.unpersist()
+    ()
+  }
 }
 
 /** JVM-wide kill switch for the crash-injection case (UDFs close over
