@@ -103,7 +103,36 @@ object Dedup {
     * on anyway. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double,
-                        maxDocFreq: Int = 0): DataFrame = {
+                        maxDocFreq: Int = 0): DataFrame =
+    intersectionPairs(df, idCol, textCol, blockCols, maxDocFreq)
+      .withColumn("j", round(col("_common") / (col("_sza") + col("_szb") - col("_common")), 4))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), col("j"))
+
+  /** Shingle-CONTAINMENT pairs: `C = |A∩B| / min(|A|, |B|) >= threshold`
+    * — the asymmetric near-dup signal symmetric Jaccard is blind to. A
+    * quote, excerpt, or truncated mirror of a long document has
+    * J = |A|/|B| (arbitrarily small as B grows) but containment ~ 1;
+    * C4/RealNews-style curation drops exactly these. Same inverted-
+    * index posting join and `maxDocFreq` stop-shingle knob as
+    * [[ngramJaccardPairs]] (one shared candidate stage — the two
+    * metrics can never see different pair sets), same cost shape:
+    * Σ df(shingle)², never #pairs-in-block. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], threshold: Double,
+                       maxDocFreq: Int = 0): DataFrame =
+    intersectionPairs(df, idCol, textCol, blockCols, maxDocFreq)
+      .withColumn("containment",
+        round(col("_common") / least(col("_sza"), col("_szb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared candidate-intersection stage of the exact set-overlap
+    * family: posting join on (block, shingle hash), pair-grouped match
+    * counts — emits (id_a < id_b, _sza, _szb, _common). */
+  private def intersectionPairs(df: DataFrame, idCol: String, textCol: String,
+                                blockCols: Seq[String],
+                                maxDocFreq: Int): DataFrame = {
     val allPosts = shinglePosts(df, idCol, textCol, blockCols)
     val posts = if (maxDocFreq <= 0) allPosts else {
       // df per (block, shingle-hash): window count over the same keys the
@@ -118,9 +147,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
       .agg(count(lit(1)).as("_common"))
-      .withColumn("j", round(col("_common") / (col("_sza") + col("_szb") - col("_common")), 4))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), col("j"))
   }
 
   /** Edit-distance-verified near-dup pairs: candidate pairs share >=1

@@ -1263,6 +1263,51 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — [[rptZipf]]'s companion: distinct
+    * vocabulary V vs cumulative token count N at ten document-prefix
+    * checkpoints, with the least-squares fit of ln V on ln N (Heaps:
+    * V = k·N^β, natural text β ≈ 0.4–0.6; duplicated or templated
+    * corpora flatten the curve). No corpus-sized window: V(cut) counts
+    * tokens whose FIRST document id is below the cut (one token-keyed
+    * min), N(cut) sums per-doc token counts below it — both via a
+    * 10-row broadcast grid join (declared). */
+  def rptHeaps(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nDocs = d.count()
+    val toks = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val firstDoc = toks.groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val grid = s.range(1, 11).select(col("id").cast("int").as("point"),
+      floor(col("id") * nDocs / 10.0).cast("long").as("cut"))
+    val nTok = perDoc.join(broadcast(grid), perDoc("doc_id") < grid("cut"))
+      .groupBy(col("point")).agg(sum(col("nt")).as("n_tokens"))
+    val vocab = firstDoc.join(broadcast(grid), firstDoc("fd") < grid("cut"))
+      .groupBy(col("point")).agg(count(lit(1)).as("vocab"))
+    val pts = nTok.join(vocab, "point")
+      .select(col("point"), col("n_tokens"), col("vocab"),
+        log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+    val a = pts.agg(count(lit(1)).cast("double").as("cn"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val fit = a
+      .withColumn("_b", (col("cn") * col("sxy") - col("sx") * col("sy")) /
+        (col("cn") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("_r", (col("cn") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("cn") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("cn") * col("syy") - col("sy") * col("sy"))))
+      .select(round(col("_b") + lit(1e-9), 6).as("heaps_beta"),
+        round(exp((col("sy") - col("_b") * col("sx")) / col("cn")) + lit(1e-9), 6)
+          .as("heaps_k"),
+        round(col("_r") * col("_r") + lit(1e-9), 6).as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("point"), col("n_tokens"), col("vocab"),
+        col("heaps_beta"), col("heaps_k"), col("r2"))
+      .orderBy(col("point"))
+  }
+
   /** Zipf-law fit over the top-100 vocabulary: least-squares slope /
     * intercept / R² of ln(count) on ln(rank) — natural corpora sit near
     * slope −1; template spam and synthetic loops bend the tail, so the
@@ -1644,6 +1689,29 @@ object Ext {
     Dedup.editDistPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCols = Seq("lang"), maxDistFrac = 0.2)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Containment near-dups: every 25th doc gets an EXCERPT twin (its
+    * first half of tokens, id + 1e6) planted into the corpus — a
+    * prefix excerpt's trigram shingles are a subset of the original's,
+    * so containment ~ 1.0 while symmetric Jaccard sits near 0.5,
+    * exactly the quote/truncated-mirror case the Jaccard family
+    * under-scores. Shares [[graft.operators.Dedup.containmentPairs]]'s
+    * candidate stage with the Jaccard detector (one posting join
+    * definition). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val excerpts = d.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          floor(size(toks) / 2).cast("int")), " ").as("text"),
+        col("lang"))
+    val corpus = d.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(excerpts)
+    Dedup.containmentPairs(corpus, "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   def dedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
@@ -5398,6 +5466,8 @@ object Ext {
     "mix_doremi" -> mixDoremi,
     "txt_code_detect" -> txtCodeDetect,
     "ev_rfm" -> evRfm,
+    "dedup_containment" -> dedupContainment,
+    "rpt_heaps" -> rptHeaps,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
     "sim_hard_negatives" -> simHardNegatives,
@@ -6384,6 +6454,58 @@ object Ext {
         |SELECT n_pairs, n_chosen_longer, n_ties, frac_chosen_longer, mean_len_gap,
         |  CASE WHEN clm = 0 THEN 0.0 ELSE clm END AS corr_len_margin
         |FROM o""".stripMargin,
+    // containment: planted prefix excerpts + the posting-join replay
+    // over the unioned corpus (i / min(|A|,|B|))
+    "dedup_containment" ->
+      s"""WITH tok0 AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |exc AS (SELECT doc_id + 1000000 AS doc_id, lang,
+         |    coalesce(array_to_string(toks[1:CAST(floor(len(toks) / 2) AS INTEGER)], ' '), '') AS text
+         |  FROM tok0 WHERE doc_id % 25 = 0),
+         |corpus AS (SELECT doc_id, lang, text FROM documents
+         |           UNION ALL SELECT doc_id, lang, text FROM exc),
+         |sh AS MATERIALIZED (SELECT doc_id, lang, $duckShingles AS s FROM corpus),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |post AS (SELECT doc_id, lang, unnest(s) AS h FROM sh),
+         |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM post a JOIN post b ON a.h = b.h AND a.lang = b.lang
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT ix.id_a, ix.id_b,
+         |    round(ix.i / CAST(least(na.n, nb.n) AS DOUBLE), 4) AS containment
+         |  FROM ix JOIN sz na ON ix.id_a = na.doc_id
+         |    JOIN sz nb ON ix.id_b = nb.doc_id)
+         |SELECT id_a, id_b, containment FROM p
+         |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // Heaps fit: first-doc vocabulary counts + cumulative token counts
+    // at ten prefix cuts, closed-form regression
+    "rpt_heaps" ->
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+         |fd AS (SELECT token, min(doc_id) AS fd FROM t GROUP BY token),
+         |pd AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY doc_id),
+         |grid AS (SELECT CAST(i AS INTEGER) AS point,
+         |    CAST(floor(i * (SELECT n FROM nd) / 10.0) AS BIGINT) AS cut
+         |  FROM generate_series(1, 10) g(i)),
+         |ntok AS (SELECT point, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM pd JOIN grid ON pd.doc_id < grid.cut GROUP BY point),
+         |voc AS (SELECT point, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM fd JOIN grid ON fd.fd < grid.cut GROUP BY point),
+         |pts AS (SELECT ntok.point, n_tokens, vocab,
+         |    ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+         |  FROM ntok JOIN voc USING (point)),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS cn, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM pts),
+         |f AS (SELECT *,
+         |    (cn * sxy - sx * sy) / (cn * sxx - sx * sx) AS b,
+         |    (cn * sxy - sx * sy) /
+         |      (sqrt(cn * sxx - sx * sx) * sqrt(cn * syy - sy * sy)) AS r
+         |  FROM a)
+         |SELECT pts.point, pts.n_tokens, pts.vocab,
+         |  round(f.b + 1e-9, 6) AS heaps_beta,
+         |  round(exp((f.sy - f.b * f.sx) / f.cn) + 1e-9, 6) AS heaps_k,
+         |  round(f.r * f.r + 1e-9, 6) AS r2
+         |FROM pts CROSS JOIN f ORDER BY pts.point""".stripMargin,
     // code detection: same regex counts, 'g' standing in for Spark's
     // replace-all default; planted snippet rebuilt with chr(10)
     "txt_code_detect" ->

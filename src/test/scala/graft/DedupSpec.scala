@@ -806,4 +806,25 @@ class DedupSpec extends SparkSpec {
     assert(minId.filter(col("id") === col("rep")).select("id").as[Long]
       .collect().toSet === Set(1L, 10L, 20L))
   }
+
+  test("containmentPairs flags a prefix excerpt that Jaccard under-scores") {
+    // doc 1: 12 tokens; doc 2: its first 6 tokens (prefix excerpt).
+    // Excerpt shingles are a SUBSET of the original's: containment = 1.0,
+    // while J = |A|/|B| = 4/10 sits far below a 0.5 Jaccard gate.
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    val half = (1 to 6).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words, "en"), (2L, half, "en"),
+      (3L, "completely different text here now", "en"))
+      .toDF("id", "text", "lang")
+    val cont = Dedup.containmentPairs(docs, "id", "text", Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", Seq("lang"), 0.5)
+    assert(jac.count() === 0L, "symmetric Jaccard misses the excerpt at 0.5")
+    // shared candidate stage: lowering the Jaccard gate surfaces the
+    // SAME pair — the two metrics see one pair set
+    val jacLow = Dedup.ngramJaccardPairs(docs, "id", "text", Seq("lang"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jacLow.toSeq === Seq((1L, 2L)))
+  }
 }

@@ -227,6 +227,7 @@ class QueriesSpec extends SparkSpec {
       "rpt_embed_drift",               // 1-row L2-shift total crossed into the dim-bounded table
       "rpt_power",                     // 1-row measured baseline crossed into the 6-row MDE x power grid
       "ev_rfm",                        // two 1-row crosses (corpus max-ts + tercile thresholds) on the users table
+      "rpt_heaps",                     // 10-row checkpoint grid range-joined into the bounded count tables + 1-row fit cross
       "mix_doremi",                    // two 1-row crosses (best-domain ref + normalizer) on the langs table
       "sim_ivfpq_served",             // annRecallGate's broadcast gate cross (served-index variant)
       "sim_hybrid_rrf")               // bm25's 1-row corpus-stats denominator + broadcast-kNN side
