@@ -123,7 +123,16 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => only(kv._1))
+    // Per-query start offsets (seconds since bench start) ride into the
+    // artifact: three same-code gated runs in round 16 produced DISJOINT
+    // flag sets whose common factor was only visible by correlating
+    // WHEN each flagged query ran against the start/end IO probes (the
+    // fsync'd write probe collapsed 464 -> 20 MB/s within one run).
+    // With offsets recorded, that adjudication is mechanical instead of
+    // reconstructed.
+    val benchT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
+      val startOffset = (System.nanoTime() - benchT0) / 1e9
       if (perQueryWarmup) {
         try materialize(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(_) => () }
@@ -137,16 +146,18 @@ object Bench {
           case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${t.getMessage}")
         }
       }
-      name -> outcomes
+      name -> (startOffset, outcomes)
     }
-    val medians = results.map { case (name, outcomes) =>
+    val startOffsets = results.map { case (name, (off, _)) => name -> off }
+    val outcomesByName = results.map { case (name, (_, o)) => name -> o }
+    val medians = outcomesByName.map { case (name, outcomes) =>
       val ok = outcomes.collect { case Right(t) => t }
       // all-failed -> null median (never a number a consumer could read
       // as "fast"); partial failure keeps the successful-run median but
       // still carries err
       name -> (if (ok.isEmpty) None else Some(median(ok)))
     }
-    val errs = results.map { case (name, outcomes) =>
+    val errs = outcomesByName.map { case (name, outcomes) =>
       name -> outcomes.collectFirst { case Left(e) => e }
     }
     val nFailed = errs.count(_._2.isDefined)
@@ -154,7 +165,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + v.map(jstr).getOrElse("null") }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
+    val offsetsJson = startOffsets.map { case (k, v) =>
+      jstr(k) + ":" + (math.rint(v * 100) / 100).toString
+    }.mkString("{", ",", "}")
+    val raw = outcomesByName.map { case (k, v) =>
       jstr(k) + ":" + v.map {
         case Right(t) => t.toString
         case Left(_)  => "null"
@@ -254,7 +268,7 @@ object Bench {
     val (ioWriteEnd, ioReadEnd) = probeIo()
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val probesJson = s"""{"cpu_sec_start":${r3(cpuProbeStart)},"cpu_sec_end":${r3(cpuProbeEnd)},"io_write_mbps_start":${r3(ioWriteStart)},"io_write_mbps_end":${r3(ioWriteEnd)},"io_read_mbps_start":${r3(ioReadStart)},"io_read_mbps_end":${r3(ioReadEnd)}}"""
-    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"runs_per_query":$runs,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"start_offsets":$offsetsJson,"runs_per_query":$runs,"sf":"$sfDir"}"""
     println(jsonLine)
     spark.stop()
     // Persist the complete artifact BEFORE any exit decision (judge r15
