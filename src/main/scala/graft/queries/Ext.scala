@@ -1713,6 +1713,32 @@ object Ext {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-source dedup impact — the report a curation team reads after
+    * the near-dup pass: docs, survivors, dropped count, characters
+    * dropped, and the duplicate fraction per source (which feeds
+    * straight into [[mixBudget]]-style reweighting: a source that is
+    * 40 % duplicates contributes far fewer effective tokens than its
+    * raw size claims). Same minhash pairs → connected components →
+    * min-id survival as dedup_drop; the twin replays the exact pair
+    * graph with the recursive closure and groups by source — every
+    * reported number is an exact integer (one rounded rational). */
+  def rptDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashNearDupPairs(d, "doc_id", "text", threshold = 0.5)
+    val cc = Dedup.connectedComponents(d.select(col("doc_id")), "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id")
+    d.join(cc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("rep"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("rep"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .withColumn("dup_frac",
+        round(col("n_dropped") / col("n_docs") + lit(1e-9), 4))
+      .orderBy(col("source"))
+  }
+
   def dedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -5467,6 +5493,7 @@ object Ext {
     "txt_code_detect" -> txtCodeDetect,
     "ev_rfm" -> evRfm,
     "dedup_containment" -> dedupContainment,
+    "rpt_dedup_impact" -> rptDedupImpact,
     "rpt_heaps" -> rptHeaps,
     "sim_hybrid_rrf" -> simHybridRrf,
     "sim_hashed_embed" -> simHashedEmbed,
@@ -8574,6 +8601,25 @@ object Ext {
     // the components closure reduced to its min-id survivors: valid as an
     // exact twin for the same reason as dedup_minhash (LSH recall ~1 at
     // this corpus's J spectrum, candidates exactly verified)
+    // dedup impact: the dedup_drop closure grouped by source
+    "rpt_dedup_impact" ->
+      s"""WITH RECURSIVE
+         |${duckVerifiedPairs(langMatched = false)},
+         |e AS (SELECT id_a AS s, id_b AS d FROM p WHERE jx >= 0.5
+         |      UNION ALL SELECT id_b, id_a FROM p WHERE jx >= 0.5),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lab.rep = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |  CAST(sum(CASE WHEN lab.rep <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN lab.rep <> d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+         |  round(sum(CASE WHEN lab.rep <> d.doc_id THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS dup_frac
+         |FROM documents d JOIN lab USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_drop" ->
       s"""WITH RECURSIVE
          |${duckVerifiedPairs(langMatched = false)},
