@@ -220,6 +220,42 @@ object Bench {
       .getOrElse(Seq.empty)
     val goneQs = base.map(b => BenchGate.baselineMissing(medians, b.medians))
       .getOrElse(Seq.empty)
+    // SECOND-CHANCE pass (round-17 gate redesign; see BenchGate.confirm):
+    // re-measure ONLY the flagged queries once more at the run tail —
+    // a fresh window, bracketed by its own host probes and stamped with
+    // offsets on the same clock — and flag only queries slow in BOTH
+    // passes. Four consecutive driver reds (r13-r16) adjudicated
+    // environmental by exactly this re-measurement done by hand; the
+    // gate now performs it itself and persists both passes so a red
+    // that survives is double-confirmed evidence, not window luck.
+    // Pass 2 reuses the pass-1 thresholds (suite-normalized); no
+    // per-query warmup (the main loop already warmed these queries in
+    // this JVM — a pass-2 warmup would only push the re-measurement
+    // further from the flagged window without adding information).
+    val secondChanceOn = gateOn && alarms.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SECOND_CHANCE", "1") != "0"
+    val (p2CpuProbe, p2IoProbe) =
+      if (secondChanceOn) (probeCpu(), probeIo()) else (0.0, (0.0, 0.0))
+    val pass2 = if (!secondChanceOn) Map.empty[String, (Double, Seq[Either[String, Double]])]
+      else alarms.map { a =>
+        val fn = SparkEntry.queries(a.query)
+        val startOffset = (System.nanoTime() - benchT0) / 1e9
+        val outcomes: Seq[Either[String, Double]] = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case t: Throwable => Left(s"${t.getClass.getSimpleName}: ${t.getMessage}") }
+        }
+        a.query -> (startOffset, outcomes)
+      }.toMap
+    val (p2CpuProbeEnd, p2IoProbeEnd) =
+      if (secondChanceOn) (probeCpu(), probeIo()) else (0.0, (0.0, 0.0))
+    val pass2Medians: Map[String, Option[Double]] = pass2.map { case (q, (_, outcomes)) =>
+      val ok = outcomes.collect { case Right(t) => t }
+      q -> (if (ok.isEmpty) None else Some(median(ok)))
+    }
+    val (confirmed, cleared) =
+      if (secondChanceOn) BenchGate.confirm(alarms, pass2Medians)
+      else (alarms, Seq.empty[BenchGate.Alarm])
     // raw vs applied scale: the thresholds use min(raw, cap); when raw
     // exceeds the cap the JSON says so and stderr warns — an engine-wide
     // uniform regression and extreme host drift are indistinguishable by
@@ -254,9 +290,31 @@ object Bench {
         f"machine_scale_raw $mScaleRaw%.3f — either the disk drifted independently of CPU " +
         "or the SHARED write path regressed class-wide (which the per-class normalization " +
         "cannot distinguish); adjudicate with a controlled re-run before trusting rc 0")
-    val regJson = alarms.map(a =>
+    def alarmsJson(as: Seq[BenchGate.Alarm]): String = as.map(a =>
       jstr(a.query) + s""":{"base":${a.base},"median":${a.median},"threshold":${math.rint(a.threshold * 1000) / 1000},"ratio":${math.rint(a.ratio * 100) / 100}}""")
       .mkString("{", ",", "}")
+    // `regressions`/`regressed` carry the CONFIRMED (double-failed) set —
+    // the gate's verdict; pass-1 alarms and the full pass-2 measurements
+    // (medians, raw runs, offsets, its own probe bracket) ride alongside
+    // so a red OR a clear is adjudicable from the artifact alone.
+    val regJson = alarmsJson(confirmed)
+    val p2MediansJson = pass2Medians.toSeq.sortBy(_._1).map { case (q, m) =>
+      jstr(q) + ":" + m.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val p2RunsJson = pass2.toSeq.sortBy(_._1).map { case (q, (_, outcomes)) =>
+      jstr(q) + ":" + outcomes.map {
+        case Right(t) => t.toString
+        case Left(_)  => "null"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val p2OffsetsJson = pass2.toSeq.sortBy(_._1).map { case (q, (off, _)) =>
+      jstr(q) + ":" + (math.rint(off * 100) / 100).toString
+    }.mkString("{", ",", "}")
+    def r3p(x: Double) = math.rint(x * 1000) / 1000
+    val p2ProbesJson = if (!secondChanceOn) "null" else
+      s"""{"cpu_sec_start":${r3p(p2CpuProbe)},"cpu_sec_end":${r3p(p2CpuProbeEnd)},"io_write_mbps_start":${r3p(p2IoProbe._1)},"io_write_mbps_end":${r3p(p2IoProbeEnd._1)},"io_read_mbps_start":${r3p(p2IoProbe._2)},"io_read_mbps_end":${r3p(p2IoProbeEnd._2)}}"""
+    val secondChanceJson =
+      s"""{"ran":$secondChanceOn,"medians":$p2MediansJson,"runs":$p2RunsJson,"start_offsets":$p2OffsetsJson,"probes":$p2ProbesJson,"cleared":${cleared.map(a => jstr(a.query)).mkString("[", ",", "]")},"confirmed":${confirmed.map(a => jstr(a.query)).mkString("[", ",", "]")}}"""
     val gateState = loadRes match {
       case _ if !gateOn                         => "\"off\""
       case BenchGate.NoFile                     => "\"no_baseline_file\""
@@ -268,7 +326,7 @@ object Bench {
     val (ioWriteEnd, ioReadEnd) = probeIo()
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val probesJson = s"""{"cpu_sec_start":${r3(cpuProbeStart)},"cpu_sec_end":${r3(cpuProbeEnd)},"io_write_mbps_start":${r3(ioWriteStart)},"io_write_mbps_end":${r3(ioWriteEnd)},"io_read_mbps_start":${r3(ioReadStart)},"io_read_mbps_end":${r3(ioReadEnd)}}"""
-    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${alarms.size},"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"start_offsets":$offsetsJson,"runs_per_query":$runs,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${confirmed.size},"pass1_regressions":${alarmsJson(alarms)},"pass1_regressed":${alarms.size},"second_chance":$secondChanceJson,"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"start_offsets":$offsetsJson,"runs_per_query":$runs,"sf":"$sfDir"}"""
     println(jsonLine)
     spark.stop()
     // Persist the complete artifact BEFORE any exit decision (judge r15
@@ -279,8 +337,13 @@ object Bench {
     // elsewhere, instead of a hardcoded machine path
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST",
       "BENCH_LAST.json")
+    if (cleared.nonEmpty)
+      System.err.println(s"[bench-gate] second chance cleared ${cleared.size} pass-1 " +
+        s"alarm(s) (slow in the main loop, at/under threshold on re-measurement — the " +
+        s"host-window class): ${cleared.map(a => f"${a.query} ${a.median}%.2f->" +
+        f"${pass2Medians.get(a.query).flatten.getOrElse(Double.NaN)}%.2f s vs thr ${a.threshold}%.2f").mkString("; ")}")
     val rc = BenchGate.finishRun(jsonLine, artifactPath, gateOn, loadRes,
-      alarms.size)
+      confirmed.size)
     if (rc == 4) {
       val detail = loadRes match {
         case BenchGate.Unreadable(err) => s" ($err)"
@@ -290,8 +353,10 @@ object Bench {
         "cannot run; fix or deliberately re-record the baseline")
     }
     if (rc == 3)
-      System.err.println(s"[bench-gate] ${alarms.size} per-query regression(s) vs $baselinePath: " +
-        alarms.map(a => f"${a.query} ${a.base}%.2f->${a.median}%.2f s (${a.ratio}%.2fx)").mkString("; ") +
+      System.err.println(s"[bench-gate] ${confirmed.size} per-query regression(s) vs $baselinePath" +
+        (if (secondChanceOn) " (confirmed in BOTH the main loop and the run-tail re-measurement)" else "") + ": " +
+        confirmed.map(a => f"${a.query} ${a.base}%.2f->${a.median}%.2f s (${a.ratio}%.2fx)" +
+          pass2Medians.get(a.query).flatten.map(m => f" [pass2 $m%.2f s]").getOrElse("")).mkString("; ") +
         " — fix the regression or re-baseline deliberately (BENCH_NOTES entry + fresh BENCH_BASELINE.json)")
     if (rc != 0) sys.exit(rc)
   }

@@ -226,6 +226,32 @@ object BenchGate {
     }
   }
 
+  /** Second-chance confirmation: keep only pass-1 alarms whose fresh
+    * RE-measurement (taken at the run tail, after the main loop) STILL
+    * exceeds the SAME pass-1 threshold. Four consecutive driver-round
+    * reds (r13–r16) all adjudicated environmental — a transient host
+    * window (multi-core scheduler steal, fsync-probe collapse 385→115
+    * MB/s mid-run) inflating whichever queries happened to run inside
+    * it, with disjoint flag sets across same-code runs. The judge's
+    * adjudication each round was exactly one controlled re-measurement
+    * of the flagged set; this bakes that step into the gate itself: a
+    * query must measure slow in BOTH independent windows to fail the
+    * run. A genuine code regression is slow in every window and stays
+    * red; window noise clears. The threshold is NOT recomputed from the
+    * pass-2 subset (all-flagged medians would distort the class scales)
+    * — pass 1's suite-normalized threshold is the contract both passes
+    * answer to. A query whose re-run is absent or failed outright is
+    * NOT exonerated (kept confirmed): absence of evidence must never
+    * clear an alarm. Returns (confirmed, cleared). */
+  def confirm(pass1: Seq[Alarm],
+              pass2: Map[String, Option[Double]]): (Seq[Alarm], Seq[Alarm]) =
+    pass1.partition { a =>
+      pass2.get(a.query) match {
+        case Some(Some(m)) => m > a.threshold
+        case _             => true
+      }
+    }
+
   /** Queries present in this run but absent from the baseline — not
     * alarms (a new query has no prior), but surfaced so a re-baseline
     * picks them up instead of leaving them permanently un-gated. */

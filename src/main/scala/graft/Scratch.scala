@@ -36,6 +36,23 @@ object Scratch {
         s"purity=${purity.getLong(0).toDouble / purity.getLong(1)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("hybridprobe")) {
+      // sim_hybrid_rrf gate calibration: measured per-query overlap of
+      // the served (IVF-PQ-fed) vs exact fused top-10 at this SF — the
+      // 0.25 floor sits >=2x under the minimum recorded here
+      import org.apache.spark.sql.functions._
+      val (_, fused, exactFused) = graft.queries.Ext.simHybridRrfFusions(spark, dir)
+      val per = fused.select(col("q_id"), col("doc_id"))
+        .join(exactFused.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      val n = fused.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      val stats = n.join(per, Seq("q_id"), "left")
+        .select((coalesce(col("hits"), lit(0L)) / col("n")).as("ov"))
+        .agg(min("ov"), avg("ov"), max("ov")).collect()(0)
+      println(f"[hybridprobe] $dir overlap min=${stats.getDouble(0)}%.3f " +
+        f"avg=${stats.getDouble(1)}%.3f max=${stats.getDouble(2)}%.3f")
+      spark.stop(); return
+    }
     if (args.headOption.contains("semsplit")) {
       // harness-vs-operator decomposition for the semantic-dedup family
       // (BENCH_NOTES #35): the bench numbers for dedup_semantic /

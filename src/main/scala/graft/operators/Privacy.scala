@@ -162,9 +162,17 @@ object Privacy {
     val q = col("_qn").cast("double") / col("_n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiCols.map(col): _*).orderBy(col("_sens"))
+    // fail LOUD on m < 2 (advisor r16): with a single global bin the
+    // (m-1) denominator is 0 and the EMD would release null/Inf (or an
+    // opaque ANSI error) — a lazily-raised error keeps the operator
+    // plan-only while making the misuse message meaningful
+    val emdDenom = when(first(col("_m")) >= 2, first(col("_m")) - lit(1))
+      .otherwise(raise_error(lit("tCloseness requires >= 2 distinct global " +
+        "sensitive bins (ordered-EMD over one bin is undefined); bin the " +
+        "sensitive attribute upstream")).cast("long"))
     grid.withColumn("_cum", sum(p - q).over(w))
       .groupBy((quasiCols.map(col) :+ col("grp_n")): _*)
-      .agg((sum(abs(col("_cum"))) / (first(col("_m")) - 1)).as("_emd"))
+      .agg((sum(abs(col("_cum"))) / emdDenom).as("_emd"))
       .select((quasiCols.map(col) :+ col("grp_n") :+
         round(col("_emd") + lit(1e-9), 6).as("t_emd") :+
         (col("_emd") <= t).as("t_ok")): _*)
@@ -232,7 +240,13 @@ object Privacy {
     val clipped = least(greatest(col(valueCol).cast("double"), lit(0.0)), lit(clip))
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(clipped).as("_s"))
-    val lap = (lit(clip) / (col("n") * lit(eps))) * laplaceUnit(groupCols, salt)
+    // negative scale, matching dpNoisyCounts: both mechanisms release
+    // `scale * (-sign(u-1/2)*ln(1-2|u-1/2|))` — ONE sign convention for
+    // the shared draw (advisor r16: the mirror-image +scale here made
+    // the two mechanisms add opposite-signed noise for the same key,
+    // contradicting the factored-draw intent; distributionally
+    // symmetric, but the convention is the contract)
+    val lap = (lit(-clip) / (col("n") * lit(eps))) * laplaceUnit(groupCols, salt)
     val out = agg
       .withColumn("noisy_mean", round(col("_s") / col("n") + lap, 4))
     if (keepTrueMean)

@@ -100,10 +100,31 @@ object Relevance {
     * document frequency and corpus stats are query-independent and stay
     * the [[bm25Scores]] aggregates. The corpus is scanned twice
     * (postings + stats), both narrow — same contract as the
-    * single-query form. */
+    * single-query form.
+    *
+    * `eagerStats`: resolve the two corpus scalars (N, avgdl) with a
+    * driver-side one-row action and inject them as LITERALS instead of
+    * broadcasting a 1-row frame. Identical arithmetic; the difference
+    * is plan shape — the lazy form plans a 1-row
+    * BroadcastNestedLoopJoin (harmless but whitelisted in the join
+    * audit), the eager form carries no cross at all, at the price of
+    * running the stats scan at construction time. The operator already
+    * materializes `tf` eagerly, so eager stats adds no new laziness
+    * break — it is the right mode for serving-shaped compositions
+    * (sim_hybrid_rrf); the lazy default remains for one-shot scoring.
+    *
+    * `materializeTf`: the default (true) eagerly checkpoints the
+    * query-matched (doc, term) rows so the corpus postings scan runs
+    * ONCE — the 100 TB contract ([[bm25Scores]]'s rationale). For a
+    * small FIXED query panel the matched postings are bounded and the
+    * extra driver-sequential job costs more than the second scan it
+    * saves (exchange reuse collapses most of the duplication anyway);
+    * false keeps the whole leg lazy — one job end to end. */
   def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
                    queries: DataFrame, qidCol: String, qtextCol: String,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   eagerStats: Boolean = false,
+                   materializeTf: Boolean = true): DataFrame = {
     val qt = queries.select(col(qidCol),
         explode(TextAnalysis.tokens(col(qtextCol))).as("_tok"))
       .filter(length(col("_tok")) > 0)
@@ -112,15 +133,26 @@ object Relevance {
     val posts = docs
       .select(col(idCol), size(toks).as("_dl"), explode(toks).as("_tok"))
       .join(broadcast(qt.select(col("_tok")).distinct()), Seq("_tok"), "left_semi")
-    val tf = graft.core.Checkpoint.materialize(
-      posts.groupBy(col(idCol), col("_tok"))
-        .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf")))
+    val tfLazy = posts.groupBy(col(idCol), col("_tok"))
+      .agg(first(col("_dl")).as("_dl"), count(lit(1)).as("_tf"))
+    val tf = if (materializeTf) graft.core.Checkpoint.materialize(tfLazy) else tfLazy
     val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     val stats = docs.select(size(TextAnalysis.tokens(col(textCol))).as("_l"))
       .agg(count(lit(1)).as("_n"), avg(col("_l")).as("_avgdl"))
-    tf.join(broadcast(dfreq), "_tok")
+    val scored = tf.join(broadcast(dfreq), "_tok")
       .join(broadcast(qt), Seq("_tok")) // attach (query, qtf); bounded fan-out
-      .join(broadcast(stats))
+    val withStats =
+      if (!eagerStats) scored.join(broadcast(stats))
+      else {
+        // bounded-metadata collect (one row, two scalars) -> literals
+        val r = stats.head()
+        // n = 0 implies an empty postings table (no rows downstream);
+        // any finite avgdl placeholder is unreachable arithmetic then
+        val avgdl = if (r.isNullAt(1)) 1.0 else r.getDouble(1)
+        scored.withColumn("_n", lit(r.getLong(0)))
+          .withColumn("_avgdl", lit(avgdl))
+      }
+    withStats
       .withColumn("_idf", log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
       .withColumn("_s", col("_idf") * col("_tf") * (k1 + 1) /
         (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl")))

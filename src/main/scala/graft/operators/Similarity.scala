@@ -396,9 +396,16 @@ object Similarity {
       def cosRounded(i: Int, j: Int): Double = {
         val a = cands(i)._2
         val b = cands(j)._2
+        // equal lengths are a hard precondition (advisor r16): silently
+        // truncating to the shorter vector would DIVERGE from the twin
+        // (DuckDB's list_cosine_similarity errors on mismatched lists) —
+        // malformed input must fail fast on both engines, not drift
+        require(a.length == b.length,
+          s"mmrRerank: mismatched vector lengths within query group $q " +
+            s"(${a.length} vs ${b.length} for candidates ${cands(i)._1}, ${cands(j)._1})")
         var s = 0.0
         var d = 0
-        while (d < a.length && d < b.length) { s += a(d) * b(d); d += 1 }
+        while (d < a.length) { s += a(d) * b(d); d += 1 }
         r6(s / (norms(i) * norms(j)))
       }
       val used = new Array[Boolean](n)

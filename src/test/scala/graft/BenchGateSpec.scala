@@ -128,6 +128,72 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.alarms(ioOnly, base).isEmpty)
   }
 
+  test("second chance: a query slow in pass 1 and at baseline in pass 2 clears; " +
+    "slow in BOTH stays confirmed; a failed or absent re-run never exonerates") {
+    // the r13-r16 driver-red class: host window inflates whichever
+    // queries ran inside it; a tail re-measurement outside the window
+    // is at baseline. threshold here = base * 1.5 (scale 1, no spread).
+    val base = Map("windowed" -> 1.0, "genuine" -> 2.0, "crashy" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0, "h" -> 1.0)
+    val pass1 = Map[String, Option[Double]](
+      "windowed" -> Some(2.2),  // 2.2x in the bad window
+      "genuine" -> Some(5.0),   // a real 2.5x regression
+      "crashy" -> Some(2.5),    // slow pass 1, FAILS pass 2
+      "e" -> Some(1.0), "f" -> Some(1.0), "g" -> Some(1.0), "h" -> Some(1.0))
+    val alarms = BenchGate.alarms(pass1, base)
+    assert(alarms.map(_.query).toSet === Set("windowed", "genuine", "crashy"))
+    val pass2 = Map[String, Option[Double]](
+      "windowed" -> Some(0.95), // back at baseline -> cleared
+      "genuine" -> Some(4.8),   // still past threshold -> confirmed
+      "crashy" -> None)         // re-run failed -> NOT exonerated
+    val (confirmed, cleared) = BenchGate.confirm(alarms, pass2)
+    assert(cleared.map(_.query) === Seq("windowed"))
+    assert(confirmed.map(_.query).toSet === Set("genuine", "crashy"))
+    // absent from pass 2 entirely (re-run skipped/died): kept confirmed
+    val (c2, _) = BenchGate.confirm(alarms, Map.empty)
+    assert(c2.map(_.query).toSet === Set("windowed", "genuine", "crashy"))
+    // pass 2 is judged against the SAME pass-1 threshold: exactly AT the
+    // threshold does not confirm (strictly-greater, matching alarms())
+    val at = alarms.find(_.query == "windowed").get
+    val (c3, cl3) = BenchGate.confirm(Seq(at), Map("windowed" -> Some(at.threshold)))
+    assert(c3.isEmpty && cl3.map(_.query) === Seq("windowed"))
+  }
+
+  test("second chance end-to-end: all pass-1 alarms cleared -> rc 0 with " +
+    "both passes persisted in the artifact (the r13-r16 false-red class " +
+    "resolves in-process)") {
+    val base = Map("windowed" -> 1.0, "e" -> 1.0, "f" -> 1.0, "g" -> 1.0)
+    val pass1 = Map[String, Option[Double]]("windowed" -> Some(2.2),
+      "e" -> Some(1.0), "f" -> Some(1.0), "g" -> Some(1.0))
+    val alarms = BenchGate.alarms(pass1, base)
+    assert(alarms.map(_.query) === Seq("windowed"))
+    val (confirmed, cleared) = BenchGate.confirm(alarms,
+      Map("windowed" -> Some(0.97)))
+    assert(confirmed.isEmpty && cleared.map(_.query) === Seq("windowed"))
+    // the Bench.main decision path: rc from the CONFIRMED count, artifact
+    // (carrying both passes, exactly as Bench assembles it) written first
+    val dir = java.nio.file.Files.createTempDirectory("bench_sc").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "BENCH_LAST.json").getAbsolutePath
+    val json = """{"regressions":{},"regressed":0,""" +
+      """"pass1_regressions":{"windowed":{"base":1.0,"median":2.2,"threshold":1.5,"ratio":2.2}},""" +
+      """"pass1_regressed":1,"second_chance":{"ran":true,"medians":{"windowed":0.97},""" +
+      """"cleared":["windowed"],"confirmed":[]}}"""
+    val rc = BenchGate.finishRun(json, path, gateOn = true,
+      BenchGate.Loaded(BenchGate.Baseline("sf", base, Map.empty)),
+      nAlarms = confirmed.size)
+    assert(rc === 0)
+    val onDisk = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(onDisk.contains("\"pass1_regressed\":1") &&
+      onDisk.contains("\"cleared\":[\"windowed\"]") &&
+      onDisk.contains("\"medians\":{\"windowed\":0.97}"))
+    // and a DOUBLE-failure still exits nonzero through the same path
+    assert(BenchGate.finishRun(json, path, gateOn = true,
+      BenchGate.Loaded(BenchGate.Baseline("sf", base, Map.empty)),
+      nAlarms = 1) === 3)
+  }
+
   test("load: parses the recorded file; missing vs corrupt are DISTINCT outcomes") {
     val f = java.io.File.createTempFile("bench_baseline", ".json")
     f.deleteOnExit()

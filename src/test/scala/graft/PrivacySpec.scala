@@ -149,6 +149,42 @@ class PrivacySpec extends SparkSpec {
     assert(out.map(_.getAs[Boolean]("t_ok")).toSeq === Seq(true, false))
   }
 
+  test("tCloseness: a single global sensitive bin fails LOUD, not null/Inf (advisor r16)") {
+    // one distinct sensitive value -> m=1 -> (m-1)=0 denominator; the
+    // operator must raise a meaningful error instead of releasing
+    // null/Inf (or an opaque ANSI divide error)
+    val d = Seq(("g1", 7L), ("g1", 7L), ("g2", 7L)).toDF("grp", "sens")
+    val e = intercept[Exception] {
+      Privacy.tCloseness(d, Seq("grp"), col("sens"), t = 0.2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2 distinct global")),
+      s"expected the >=2-bins message, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("dpNoisyMeans and dpNoisyCounts share ONE sign convention for the shared draw (advisor r16)") {
+    // same group key + same salt -> identical unit Laplace draw; the two
+    // mechanisms must push the release the SAME direction (the r16
+    // advisor found means using +scale while counts used -scale —
+    // mirror-image noise for the same key)
+    val d = Seq(("x", 10.0), ("x", 20.0), ("x", 30.0),
+      ("y", 5.0), ("y", 15.0)).toDF("g", "v")
+    val counts = graft.operators.Privacy.dpNoisyCounts(d, Seq("g"), eps = 0.5,
+        salt = "conv", keepTrueCount = true).orderBy("g").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2) - r.getLong(1))).toMap
+    val means = graft.operators.Privacy.dpNoisyMeans(d, Seq("g"), "v",
+        clip = 100.0, eps = 0.5, salt = "conv", keepTrueMean = true)
+      .orderBy("g").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("noisy_mean") - r.getAs[Double]("mean"))).toMap
+    for (g <- Seq("x", "y")) {
+      assert(counts(g) !== 0.0)
+      assert(math.signum(counts(g)) === math.signum(means(g)),
+        s"group $g: counts noise ${counts(g)} vs means noise ${means(g)} must share sign")
+    }
+  }
+
   test("tCloseness: missing global bins complete as zeros in the cumulative walk") {
     // g2 lacks bin 1 entirely; global bins {0,1,2}, m=3
     // g1 p=(1/3,1/3,1/3) q=(1/3,1/6,1/2): cums 0, 1/6, 0 -> EMD 1/12

@@ -229,8 +229,14 @@ class QueriesSpec extends SparkSpec {
       "ev_rfm",                        // two 1-row crosses (corpus max-ts + tercile thresholds) on the users table
       "rpt_heaps",                     // 10-row checkpoint grid range-joined into the bounded count tables + 1-row fit cross
       "mix_doremi",                    // two 1-row crosses (best-domain ref + normalizer) on the langs table
-      "sim_ivfpq_served",             // annRecallGate's broadcast gate cross (served-index variant)
-      "sim_hybrid_rrf")               // bm25's 1-row corpus-stats denominator + broadcast-kNN side
+      "sim_ivfpq_served")             // annRecallGate's broadcast gate cross (served-index variant)
+    // sim_hybrid_rrf left this list in round 17: its vector leg moved
+    // from corpus-proportional broadcast-kNN to the cell-partitioned
+    // IVF-PQ probe, its BM25 stats to eager literals, and its gate
+    // attachments to q_id equi-joins — the serving plan carries no
+    // cross product (the exact reference harness materializes eagerly
+    // at construction, outside the audited plan, like all gate
+    // harnesses).
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")

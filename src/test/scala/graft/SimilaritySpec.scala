@@ -330,6 +330,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getAs[Double]("mmr_score") === 0.0)
   }
 
+  test("mmrRerank: mismatched vector lengths within a group fail FAST (advisor r16)") {
+    // silent truncation to the shorter vector would drift from the
+    // DuckDB twin (list_cosine_similarity errors on mismatched lists);
+    // the greedy must fail loudly the moment it scores such a pair
+    import graft.operators.Similarity
+    val cands = Seq(
+      (100L, 1L, Array(1.0f, 0.0f), 1.0),
+      (100L, 2L, Array(1.0f, 0.0f, 0.5f), 0.9) // 3-dim among 2-dims
+    ).toDF("query_id", "neighbor_id", "embedding", "cos")
+    val e = intercept[Exception] {
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "embedding", "cos", k = 2, lambda = 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("mismatched vector lengths")),
+      s"expected the fail-fast message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("mmrRerank: k past the candidate count truncates; ranks stay 1..n") {
     import graft.operators.Similarity
     val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
