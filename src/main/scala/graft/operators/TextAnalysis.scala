@@ -315,6 +315,135 @@ object TextAnalysis {
        regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"),
        lit(PhoneRe)))
 
+  // ---- structural / gazetteer PII (NER beyond regex) --------------------
+
+  /** Demo first-name gazetteer for the person-name rule. A real
+    * curation gate broadcasts a locale-specific list of 10⁴–10⁵ names
+    * (or compiles it into an Aho–Corasick scan); the in-plan
+    * alternation here is the bounded demo form, the [[EnStopwords]]
+    * precedent. The COLUMN CONTRACT is the point: swapping the list
+    * changes one constant, not the operator. */
+  val FirstNameGazetteer: Seq[String] = Seq(
+    "Alice", "Bob", "Carol", "David", "Emma", "Frank", "Grace", "Henry",
+    "Maria", "James", "Linda", "Robert", "Sarah", "Michael", "Nancy",
+    "Peter", "Laura", "Thomas", "Karen", "Oliver")
+
+  /** Gazetteer-first-name + capitalized-surname pair — the structural
+    * person-name rule (a bare gazetteer hit like "grace period" never
+    * fires: the first name must be capitalized AND followed by a
+    * capitalized token). Built from [[FirstNameGazetteer]]; Java∩RE2
+    * subset. */
+  private[graft] def NameRe: String =
+    "\\b(" + FirstNameGazetteer.mkString("|") + ") [A-Z][a-z]+\\b"
+
+  /** US-style street address: house number + 1–3 capitalized words +
+    * a canonical street suffix. Deliberately conservative — dates,
+    * versions, and bare numbers never carry a suffix token. */
+  private[graft] val AddressRe =
+    "\\b\\d{1,5} ([A-Z][a-z]+ ){1,3}(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr)\\b"
+
+  /** Card-number CANDIDATE (4-4-4-(1..4) digit groups, space/dash
+    * separators): candidates are cheap; the [[graft.functions.LuhnValid]]
+    * checksum is the decision — a 16-digit serial or timestamp run
+    * fails mod-10 with probability 0.9. */
+  private[graft] val CardCandidateRe =
+    "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b"
+
+  /** IBAN CANDIDATE (ISO 13616 shape: country code + 2 check digits +
+    * 11–30 alphanumerics); [[graft.functions.IbanValid]]'s mod-97 fold
+    * decides. */
+  private[graft] val IbanCandidateRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** Structural-PII counts beyond [[redactPii]]'s regex classes:
+    * (names, addresses, luhn-valid cards, mod97-valid ibans). The
+    * checksum classes extract candidates with `regexp_extract_all`
+    * and gate each through the codegen'd validator inside an array
+    * `filter` — a narrow scan, no shuffle, no UDF. The twin replays
+    * the same candidates and folds the same checksums in SQL
+    * (generate_series Luhn sum; list_reduce mod-97). */
+  def piiNerCounts(text: Column): (Column, Column, Column, Column) = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
+    val names = regexp_count(text, lit(NameRe))
+    val addrs = regexp_count(text, lit(AddressRe))
+    val cards = size(filter(regexp_extract_all(text, lit(CardCandidateRe), lit(0)),
+      c => cc(graft.functions.LuhnValid(ee(c)))))
+    val ibans = size(filter(regexp_extract_all(text, lit(IbanCandidateRe), lit(0)),
+      c => cc(graft.functions.IbanValid(ee(c)))))
+    (names, addrs, cards, ibans)
+  }
+
+  // ---- licence / provenance detection -----------------------------------
+
+  /** SPDX tag extractor — `SPDX-License-Identifier: <id>` is the
+    * machine-readable licence declaration the SPDX spec defines and
+    * most code corpora carry; the id charset is the SPDX short-form
+    * grammar (letters, digits, `.+-`). Same Java∩RE2 regex subset as
+    * the PII patterns, so the DuckDB twin replays it verbatim. */
+  private[graft] val SpdxIdRe =
+    "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+
+  /** Canonical licence-header phrases, most-specific first (the order
+    * IS the precedence: AGPL/LGPL outrank the bare-GPL patterns their
+    * names embed, BSD-3's endorse-clause marker outranks the shared
+    * BSD preamble). Each pattern is one distinctive sentence from the
+    * licence's canonical text (public knowledge — the dozen headers
+    * every provenance scanner matches), case-insensitive, with bounded
+    * gaps (`.{0,n}` under `(?s)`, never `.*`) so a pathological
+    * document cannot turn the scan quadratic. Java∩RE2 subset only —
+    * no lookaround, no backreferences. */
+  private[graft] val LicenseHeaderPatterns: Seq[(String, String)] = Seq(
+    "Apache-2.0"   -> "(?i)Apache License,? Version 2\\.0",
+    "AGPL-3.0"     -> "(?i)GNU Affero General Public License",
+    "LGPL"         -> "(?i)GNU (Lesser|Library) General Public License",
+    "GPL-3.0"      -> "(?is)GNU General Public License.{0,200}version 3",
+    "GPL-2.0"      -> "(?is)GNU General Public License.{0,200}version 2",
+    "MIT"          -> "(?i)Permission is hereby granted, free of charge, to any person obtaining a copy",
+    "BSD-3-Clause" -> "(?is)Redistribution and use in source and binary forms.{0,800}endorse or promote",
+    "BSD-2-Clause" -> "(?i)Redistribution and use in source and binary forms",
+    "MPL-2.0"      -> "(?i)Mozilla Public License,? (Version |v\\.? ?)?2\\.0",
+    "ISC"          -> "(?i)Permission to use, copy, modify, and(/or)? distribute this software",
+    "Unlicense"    -> "(?i)free and unencumbered software released into the public domain",
+    "CC0-1.0"      -> "(?i)waived all copyright and related or neighboring rights")
+
+  /** SPDX ids classified permissive; everything matching the
+    * GPL/AGPL/LGPL/MPL prefixes is copyleft (weak copyleft included —
+    * both impose redistribution obligations a compliance gate must
+    * surface); anything else (unknown SPDX ids, `NONE`) is unknown —
+    * the conservative default a curation pipeline QUARANTINES rather
+    * than ships. */
+  private[graft] val PermissiveLicenseIds: Seq[String] = Seq(
+    "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+    "Unlicense", "CC0-1.0", "0BSD", "Zlib")
+
+  def licenseFamily(id: Column): Column =
+    when(id.isin(PermissiveLicenseIds: _*), "permissive")
+      // prefix match classifies the whole SPDX variant space
+      // (GPL-3.0-only, LGPL-2.1-or-later, ...) without enumerating it
+      .when(id.rlike("^(AGPL|LGPL|GPL|MPL)"), "copyleft")
+      .otherwise("unknown")
+
+  /** Licence detection: (licence_id, family, via). An SPDX tag wins
+    * over header prose (it is the declared intent; case 'header says
+    * MIT, tag says BSD-3-Clause' resolves to the tag); otherwise the
+    * first matching header pattern; otherwise `NONE`/unknown/none.
+    * One narrow codegen'd scan — ~a dozen bounded regex probes per
+    * row, fused by whole-stage codegen with whatever filter follows
+    * (repeated subtrees collapse under subexpression elimination).
+    * This is the first compliance gate of a code-data pipeline:
+    * route permissive, quarantine unknown, exclude-or-comply
+    * copyleft. */
+  def detectLicense(text: Column): (Column, Column, Column) = {
+    val spdx = regexp_extract(text, SpdxIdRe, 1)
+    val header = LicenseHeaderPatterns.reverse.foldLeft(lit("NONE")) {
+      case (acc, (id, re)) => when(text.rlike(re), lit(id)).otherwise(acc)
+    }
+    val id = when(length(spdx) > 0, spdx).otherwise(header)
+    val via = when(length(spdx) > 0, lit("spdx"))
+      .when(header =!= "NONE", lit("header"))
+      .otherwise(lit("none"))
+    (id, licenseFamily(id), via)
+  }
+
   /** Canonical text form for fingerprinting: lowercase, punctuation
     * stripped, whitespace collapsed. */
   /** Repair UTF-8-decoded-as-cp1252 mojibake ("cafÃ©" -> "café") via

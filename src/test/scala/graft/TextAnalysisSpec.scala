@@ -376,4 +376,92 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
     assert(fromCounts.toSeq === out.toSeq)
   }
+
+  test("piiNerCounts: checksum-valid entities count, one-digit-corrupted twins do not") {
+    def counts(texts: Seq[String]): Seq[(Long, Long, Long, Long)] = {
+      val (n, a, c, i) = TextAnalysis.piiNerCounts($"t")
+      texts.toDF("t").select(n.cast("long"), a.cast("long"),
+          c.cast("long"), i.cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    val got = counts(Seq(
+      "card 4111 1111 1111 1111 and card 5500-0000-0000-0004 on file",  // 2 Luhn-valid
+      "card 4111 1111 1111 1112 rejected",                               // corrupt twin
+      "send to DE89370400440532013000 or GB82WEST12345698765432",        // 2 valid ibans
+      "send to DE89370400440532013001 instead",                          // corrupt twin
+      "ask Alice Johnson or Peter Smith; grace period applies",          // 2 names; lowercase 'grace' not one
+      "Ship to 742 Maple Street or 9 Old Mill Road"))                    // 2 addresses
+    assert(got(0) === ((0L, 0L, 2L, 0L)))
+    assert(got(1) === ((0L, 0L, 0L, 0L)), "Luhn must reject the corrupted card")
+    assert(got(2) === ((0L, 0L, 0L, 2L)))
+    assert(got(3) === ((0L, 0L, 0L, 0L)), "mod-97 must reject the corrupted iban")
+    assert(got(4) === ((2L, 0L, 0L, 0L)))
+    assert(got(5) === ((0L, 2L, 0L, 0L)))
+  }
+
+  test("piiNerCounts negatives: dates, versions, and digit runs survive untouched") {
+    val (n, a, c, i) = TextAnalysis.piiNerCounts($"t")
+    val got = Seq(
+      "released 2026-01-02, updated 2026-08-16 09:30",
+      "version 2.0.1 build 4711 at 1234 5678",     // too few digit groups for a card
+      "serial 123456789012 and 12345678901234567890", // bare runs: no 4-4-4-n grouping
+      "Emma went home; emma lowercase never fires alone",
+      "42 is not an address; neither is 10 Downing")   // no street-suffix token
+      .toDF("t")
+      .select(n.cast("long") + a.cast("long") + c.cast("long") + i.cast("long"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(_ === 0L), s"false positives: ${got.toSeq}")
+  }
+
+  test("detectLicense: every canonical header resolves to its id; SPDX tag beats header prose") {
+    def detect(texts: Seq[String]): Seq[(String, String, String)] = {
+      val (id, fam, via) = TextAnalysis.detectLicense($"t")
+      texts.toDF("t").select(id.as("i"), fam.as("f"), via.as("v"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    }
+    val headerCases = Seq(
+      "Permission is hereby granted, free of charge, to any person obtaining a copy of this code." -> ("MIT", "permissive"),
+      "licensed under the apache license, version 2.0 (the License)" -> ("Apache-2.0", "permissive"),
+      "under the terms of the GNU General Public License, either version 3 of the License" -> ("GPL-3.0", "copyleft"),
+      "under the GNU General Public License; version 2 applies" -> ("GPL-2.0", "copyleft"),
+      "covered by the GNU Affero General Public License version 3" -> ("AGPL-3.0", "copyleft"),
+      "the GNU Lesser General Public License version 2.1 applies" -> ("LGPL", "copyleft"),
+      "Redistribution and use in source and binary forms are fine, but never to endorse or promote products." -> ("BSD-3-Clause", "permissive"),
+      "Redistribution and use in source and binary forms, with or without modification." -> ("BSD-2-Clause", "permissive"),
+      "subject to the Mozilla Public License, v. 2.0 as distributed" -> ("MPL-2.0", "copyleft"),
+      "Permission to use, copy, modify, and distribute this software for any purpose" -> ("ISC", "permissive"),
+      "this is free and unencumbered software released into the public domain" -> ("Unlicense", "permissive"),
+      "the author has waived all copyright and related or neighboring rights" -> ("CC0-1.0", "permissive"))
+    val got = detect(headerCases.map(_._1))
+    headerCases.zip(got).foreach { case ((txt, (wantId, wantFam)), (i, f, v)) =>
+      assert((i, f, v) === ((wantId, wantFam, "header")), s"for header: $txt")
+    }
+    // SPDX precedence: tag wins over a contradicting header; unknown
+    // SPDX ids keep the id but classify unknown; variant ids hit the
+    // prefix family rule
+    val spdx = detect(Seq(
+      "// SPDX-License-Identifier: GPL-3.0-or-later\nPermission is hereby granted, free of charge, to any person obtaining a copy.",
+      "# SPDX-License-Identifier: MyCorp-1.0\nsome proprietary notice",
+      "/* SPDX-License-Identifier: LGPL-2.1-only */",
+      "SPDX-License-Identifier: 0BSD"))
+    assert(spdx(0) === (("GPL-3.0-or-later", "copyleft", "spdx")))
+    assert(spdx(1) === (("MyCorp-1.0", "unknown", "spdx")))
+    assert(spdx(2) === (("LGPL-2.1-only", "copyleft", "spdx")))
+    assert(spdx(3) === (("0BSD", "permissive", "spdx")))
+  }
+
+  test("detectLicense negatives: licence-adjacent prose never matches; NONE/unknown/none default") {
+    val (id, fam, via) = TextAnalysis.detectLicense($"t")
+    val got = Seq(
+      "He obtained a driving license, version 2.0 of the form.",
+      "the general public was granted free admission to the library",
+      "redistribution of this article in any form requires permission",
+      "public domain data from the census bureau",
+      "SPDX-License-Identifier missing its colon MIT",
+      "").toDF("t")
+      .select(id.as("i"), fam.as("f"), via.as("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.forall(_ === (("NONE", "unknown", "none"))),
+      s"false positives: ${got.toSeq}")
+  }
 }
