@@ -224,6 +224,60 @@ object EventStreams {
      else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
   }
 
+  /** HISTORICAL BACKFILL through the SAME transform the live landing
+    * pipeline runs — one code path, so a backfilled range and the live
+    * tail cannot diverge semantically (the two-systems
+    * lambda-architecture drift this kills). `Trigger.AvailableNow`
+    * drains the bounded historical directory, then the query stops on
+    * its own; blocks until done (done-or-throw semantics — a backfill
+    * is a job, not a service).
+    *
+    * The append-mode caveat every event-time backfill must handle:
+    * windows/sessions only EMIT once the watermark passes them, and a
+    * drained bounded source never advances the watermark past its last
+    * real event — without intervention the FINAL windows stay in state
+    * and never flush. `flushSentinel` is the standard fix: caller-built
+    * rows whose event time sits beyond the historical horizon +
+    * watermark delay, carrying a reserved key (e.g. user_id = -1) so
+    * the sentinel's own window is droppable downstream. The harness
+    * lands them as one extra file in a harness-owned dir (under the
+    * fresh checkpoint) and reads BOTH dirs through one glob source; the
+    * file source processes oldest-modified first, so the sentinel
+    * arrives last and flushes everything real. Stateless transforms
+    * (quality gates, projections) need no sentinel.
+    *
+    * `maxFilesPerBatch` bounds each micro-batch (progress checkpoints
+    * land every N files — a 100 TB backfill survives preemption without
+    * redoing the range; it also guarantees the sentinel lands in a
+    * LATER batch than the data it flushes). */
+  def backfill(spark: SparkSession, historicalDir: String, schemaFrom: DataFrame,
+               transform: DataFrame => DataFrame,
+               outDir: String, checkpointDir: String,
+               flushSentinel: Option[DataFrame] = None,
+               maxFilesPerBatch: Option[Int] = None): Unit = {
+    val srcPath = flushSentinel match {
+      case None => historicalDir
+      case Some(rows) =>
+        val sdir = s"$checkpointDir/flush_sentinel"
+        rows.coalesce(1).write.mode("overwrite").parquet(sdir)
+        // hadoop glob: both dirs through ONE source. The leading '/'
+        // must sit OUTSIDE the braces — a path starting with '{' is
+        // relative and resolves against the session cwd
+        s"/{${historicalDir.stripPrefix("/")},${sdir.stripPrefix("/")}}"
+    }
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    val src = maxFilesPerBatch.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(srcPath)
+    val q = transform(src).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming corpus quality gate: the batch gate's fused narrow
     * projection + filter applied to each micro-batch. Stateless — no
     * watermark, no state store; works in append mode on any document

@@ -686,6 +686,83 @@ class EventStreamsSpec extends SparkSpec {
       "corpus texts are pairwise distinct — no near-dup slipped through")
   }
 
+  test("backfill: AvailableNow replay through the LIVE graph equals the batch twin " +
+    "(tumbling windows, sessionizer, quality gate — one code path)") {
+    import org.apache.spark.sql.functions.{col, round => fround}
+    val base = java.nio.file.Files.createTempDirectory("graft-backfill-").toString
+    // ---- historical events: 3 users over ~3 hours, two landed files
+    val hist = s"$base/hist"
+    val rows = Seq(
+      (1L, ts(5), 1.0, "click"), (1L, ts(20), 2.0, "click"),
+      (2L, ts(10), 3.0, "view"), (2L, ts(70), 4.0, "view"),
+      (3L, ts(65), 5.0, "click"), (1L, ts(130), 6.0, "view"),
+      (2L, ts(95), 7.0, "click"), (3L, ts(170), 8.0, "view"))
+    rows.take(4).toDF("user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(hist)
+    rows.drop(4).toDF("user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(hist)
+    val histBatch = spark.read.parquet(hist)
+    val evSchema = Seq.empty[(Long, Timestamp, Double, String)]
+      .toDF("user_id", "ts", "value", "event_type")
+    // sentinel: event time far past horizon + watermark, reserved key
+    def sentinel = Seq((-1L, ts(100000), 0.0, "sentinel"))
+      .toDF("user_id", "ts", "value", "event_type")
+
+    // ---- 1) tumbling windows: the SAME function serves stream and batch
+    // (withWatermark is a no-op on a batch frame) — the strongest
+    // one-code-path statement available
+    EventStreams.backfill(spark, hist, evSchema,
+      df => EventStreams.tumblingCounts(df, watermark = "30 minutes"),
+      s"$base/out_t", s"$base/chk_t",
+      flushSentinel = Some(sentinel), maxFilesPerBatch = Some(1))
+    val gotT = spark.read.parquet(s"$base/out_t")
+      .filter(col("event_type") =!= "sentinel")
+      .collect().map(_.toSeq).toSet
+    val wantT = EventStreams.tumblingCounts(histBatch, watermark = "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(gotT === wantT, s"tumbling: stream $gotT vs batch $wantT")
+    assert(gotT.nonEmpty && gotT.size >= 4, "the flush sentinel must close EVERY real window")
+
+    // ---- 2) custom-state sessionizer vs the declarative batch twin
+    // (session_window over the same frame, same 30-minute gap)
+    EventStreams.backfill(spark, hist, evSchema,
+      df => EventStreams.sessionize(
+        df.select(col("user_id"), col("ts"), col("value")).as[Event],
+        gapMs = 30L * 60000L, watermark = "30 minutes").toDF(),
+      s"$base/out_s", s"$base/chk_s",
+      flushSentinel = Some(sentinel), maxFilesPerBatch = Some(1))
+    val gotS = spark.read.parquet(s"$base/out_s")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast("long"), fround(col("total_value"), 2))
+      .collect().map(_.toSeq).toSet
+    val wantS = EventStreams.sessionCounts(histBatch,
+        gap = "30 minutes", watermark = "30 minutes")
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast("long"), fround(col("total_value"), 2))
+      .collect().map(_.toSeq).toSet
+    assert(gotS === wantS, s"sessions: stream $gotS vs batch $wantS")
+    assert(gotS.size >= 5, "every user's final session must flush, not die in state")
+
+    // ---- 3) stateless quality gate: no sentinel needed, same operator
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and it is a fine day in the park"),
+      (2L, "en", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "en", "a reasonable second document with enough varied words to clear the quality gate today"))
+      .toDF("doc_id", "lang", "text")
+    val dhist = s"$base/dhist"
+    docs.coalesce(1).write.parquet(dhist)
+    val docSchema = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    EventStreams.backfill(spark, dhist, docSchema,
+      df => EventStreams.qualityGateStream(df).select("doc_id", "lang", "text"),
+      s"$base/out_q", s"$base/chk_q")
+    val gotQ = spark.read.parquet(s"$base/out_q").select("doc_id")
+      .as[Long].collect().toSet
+    val wantQ = graft.operators.TextAnalysis.qualityGate(spark.read.parquet(dhist))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotQ === wantQ, "gate: one shared implementation, identical survivors")
+  }
+
   test("anomalyScore: streaming monitor emits exactly the gated batch rows") {
     import org.apache.spark.sql.functions.{avg, hour, stddev_pop, weekday}
     implicit val ctx = spark.sqlContext
