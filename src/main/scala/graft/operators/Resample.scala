@@ -74,4 +74,35 @@ object Resample {
         expr(s"INTERVAL $stepSec SECONDS"))).as("grid_ts"): _*)
     AsOfJoin.leftAsOf(grid, events, keyCols, "grid_ts", tsCol, valueCols)
   }
+
+  import org.apache.spark.sql.Column
+
+  /** Holt's linear-trend exponential smoothing over an ORDERED series
+    * column (`array<double>`, length >= 2) — one `aggregate` HOF fold,
+    * no shuffle, no driver loop. Convention (mirrored exactly by the
+    * DuckDB twin): level₀ = x₀, trend₀ = 0; for each subsequent x:
+    * forecast = level + trend, err accumulates |x − forecast|, then
+    * level' = α·x + (1−α)·forecast, trend' = β·(level'−level) +
+    * (1−β)·trend. Returns a struct (level, trend, sae) — the caller
+    * derives forecast_next = level + trend and mae = sae/(n−1). The
+    * in-sample one-step-ahead MAE is the standard backtest the
+    * seasonal-naive baseline (ev_forecast_snaive) is judged against.
+    * The series must be BOUNDED (hours × types, not rows — the same
+    * collect_list contract as the snaive hourly table). */
+  def holtLinear(xs: Column, alpha: Double, beta: Double): Column = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(beta > 0 && beta < 1, "beta must be in (0, 1)")
+    aggregate(
+      slice(xs, lit(2), size(xs) - 1),
+      struct(element_at(xs, 1).as("level"), lit(0.0).as("trend"),
+        lit(0.0).as("sae")),
+      (acc, x) => {
+        val f = acc.getField("level") + acc.getField("trend")
+        val nl = lit(alpha) * x + lit(1.0 - alpha) * f
+        struct(nl.as("level"),
+          (lit(beta) * (nl - acc.getField("level")) +
+            lit(1.0 - beta) * acc.getField("trend")).as("trend"),
+          (acc.getField("sae") + abs(x - f)).as("sae"))
+      })
+  }
 }

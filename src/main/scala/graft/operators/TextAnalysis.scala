@@ -360,10 +360,18 @@ object TextAnalysis {
     * and gate each through the codegen'd validator inside an array
     * `filter` — a narrow scan, no shuffle, no UDF. The twin replays
     * the same candidates and folds the same checksums in SQL
-    * (generate_series Luhn sum; list_reduce mod-97). */
+    * (generate_series Luhn sum; list_reduce mod-97).
+    *
+    * The NAMES leg runs on the Aho–Corasick automaton
+    * ([[graft.functions.AcGazetteerNameCount]]) — one pass regardless
+    * of gazetteer size, where the [[NameRe]] alternation scan grows
+    * with the dictionary. The two forms are provably equal on
+    * prefix-free gazetteers (TextAnalysisSpec pins it on randomized
+    * text), and the DuckDB twin keeps replaying the REGEX form — the
+    * oracle is a standing cross-implementation check. */
   def piiNerCounts(text: Column): (Column, Column, Column, Column) = {
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
-    val names = regexp_count(text, lit(NameRe))
+    val names = cc(graft.functions.AcGazetteerNameCount(ee(text), FirstNameGazetteer))
     val addrs = regexp_count(text, lit(AddressRe))
     val cards = size(filter(regexp_extract_all(text, lit(CardCandidateRe), lit(0)),
       c => cc(graft.functions.LuhnValid(ee(c)))))

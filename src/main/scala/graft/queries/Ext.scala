@@ -3114,6 +3114,39 @@ object Ext {
       .orderBy(col("event_type"))
   }
 
+  /** Holt linear-trend forecast backtest — the next rung above the
+    * seasonal-naive baseline ([[evForecastSnaive]]): per event type,
+    * exponential smoothing with trend (α = 0.5, β = 0.3) over the
+    * hourly means, folded by ONE `aggregate` HOF
+    * ([[graft.operators.Resample.holtLinear]] — no shuffle beyond the
+    * hourly groupBy, no driver loop, series bounded by hours × types).
+    * Emits final level/trend, the one-step-ahead forecast, and the
+    * in-sample one-step MAE — directly comparable to snaive's MAE on
+    * the same hourly table. The twin refolds the recurrence with
+    * list_reduce over DOUBLE literals (`0.5e0` — DECIMAL literals
+    * silently change the arithmetic), so every smoothing step is
+    * cross-engine pinned. */
+  def evForecastHolt(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Agreement.noNegZero
+    val ev = Tables.events(s, dir)
+    val hourly = ev.groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+      .agg(avg(col("value")).as("m"))
+    val series = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hr"), col("m")))).as("_s"))
+      .withColumn("xs", transform(col("_s"), e => e.getField("m")))
+      .withColumn("n_hours", size(col("xs")).cast("long"))
+      .filter(col("n_hours") >= 2)
+    series.withColumn("_h", graft.operators.Resample.holtLinear(
+        col("xs"), alpha = 0.5, beta = 0.3))
+      .select(col("event_type"), col("n_hours"),
+        round(col("_h.level") + lit(1e-9), 4).as("level"),
+        noNegZero(round(col("_h.trend") + lit(1e-9), 4)).as("trend"),
+        round(col("_h.level") + col("_h.trend") + lit(1e-9), 4).as("forecast_next"),
+        round(col("_h.sae") / (col("n_hours") - 1) + lit(1e-9), 4).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * P(next event type | event type), from lead() pairs within each
     * user's time-ordered stream — the behavior model session analytics
@@ -5722,6 +5755,7 @@ object Ext {
     "sim_bitext_margin" -> simBitextMargin,
     "rpt_length_bias" -> rptLengthBias,
     "ev_forecast_snaive" -> evForecastSnaive,
+    "ev_forecast_holt" -> evForecastHolt,
     "rpt_zipf" -> rptZipf,
     "rpt_power" -> rptPower,
     "mix_doremi" -> mixDoremi,
@@ -7011,6 +7045,31 @@ FROM capd ORDER BY doc_id"""
         |  round(avg(abs(m - fcst)) + 1e-9, 4) AS mae,
         |  round(avg(CASE WHEN m <> 0 THEN abs(m - fcst) / m END) + 1e-9, 6) AS mape
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Holt linear smoothing: the recurrence refolds via list_reduce
+    // with a list-encoded [level, trend, sae] accumulator (duckdb 1.0's
+    // list_reduce has no initial-value arg, so the initial state rides
+    // as a prepended element of the same LIST type); all literals are
+    // e0-DOUBLES — plain 0.5 binds DECIMAL and changes every step
+    "ev_forecast_holt" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, avg(value) AS m
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(m ORDER BY hr) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n_hours
+        |  FROM hourly GROUP BY event_type HAVING count(*) >= 2),
+        |f AS (SELECT event_type, n_hours, list_reduce(
+        |    list_prepend([xs[1], 0.0e0, 0.0e0], list_transform(xs[2:], x -> [x])),
+        |    (acc, e) -> [
+        |      0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2]),
+        |      0.3e0 * ((0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2])) - acc[1]) + 0.7e0 * acc[2],
+        |      acc[3] + abs(e[1] - (acc[1] + acc[2]))]) AS r
+        |  FROM s)
+        |SELECT event_type, n_hours,
+        |  round(r[1] + 1e-9, 4) AS level,
+        |  CASE WHEN round(r[2] + 1e-9, 4) = 0 THEN 0.0 ELSE round(r[2] + 1e-9, 4) END AS trend,
+        |  round(r[1] + r[2] + 1e-9, 4) AS forecast_next,
+        |  round(r[3] / (n_hours - 1) + 1e-9, 4) AS mae
+        |FROM f ORDER BY event_type""".stripMargin,
     // Zipf fit: closed-form least squares from six sums over the
     // top-100 vocabulary
     "rpt_zipf" ->

@@ -67,4 +67,27 @@ class ResampleSpec extends SparkSpec {
       maxGridRowsPerKey = largest).count()
     assert(full === capped)
   }
+
+  test("holtLinear: hand-computed recurrence on [10,12,14,13,15], alpha=0.5 beta=0.3") {
+    // level0=10, trend0=0; stepping x=12,14,13,15 by hand:
+    //   x=12: f=10,   err 2;      level 11,      trend 0.3
+    //   x=14: f=11.3, err 2.7;    level 12.65,   trend 0.705
+    //   x=13: f=13.355, err .355; level 13.1775, trend 0.65175
+    //   x=15: f=13.82925, err 1.17075 -> level 14.414625, trend 0.8273625
+    // sae = 6.22575
+    import org.apache.spark.sql.functions._
+    val out = Seq(Seq(10.0, 12.0, 14.0, 13.0, 15.0)).toDF("xs")
+      .withColumn("h", Resample.holtLinear(col("xs"), alpha = 0.5, beta = 0.3))
+      .select(round(col("h.level"), 6), round(col("h.trend"), 7),
+        round(col("h.sae"), 5))
+      .collect().head
+    assert(out.getDouble(0) === 14.414625)
+    assert(out.getDouble(1) === 0.8273625)
+    assert(out.getDouble(2) === 6.22575)
+    // invalid smoothing constants fail loud at construction
+    intercept[IllegalArgumentException] {
+      Resample.holtLinear(col("xs"), alpha = 1.0, beta = 0.3)
+    }
+    ()
+  }
 }
