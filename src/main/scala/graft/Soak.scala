@@ -473,7 +473,29 @@ object Soak {
         "rpt_silhouette" -> (() =>
           graft.queries.Ext.rptSilhouette(spark, dir)
             .queryExecution.toRdd.count()))
-      if (mult <= 10) dedup ++ r16b ++ once else dedup ++ r16b
+      // round-17 compliance scans, soaked through BOTH decades: all
+      // narrow single-pass projections — the exponent must be ~1.0.
+      // The 10k-name automaton point is the dictionary-size claim: the
+      // scan costs one pass whether the gazetteer has 20 names (the
+      // demo constant) or 10,000 (a real locale list) — the regex
+      // alternation this replaces would embed 10k alternatives in the
+      // pattern.
+      val r17 = Seq(
+        "txt_licence" -> (() =>
+          graft.queries.Ext.txtLicence(spark, dir)
+            .queryExecution.toRdd.count()),
+        "txt_pii_ner" -> (() =>
+          graft.queries.Ext.txtPiiNer(spark, dir)
+            .queryExecution.toRdd.count()),
+        "ac_names_10k_gazetteer" -> (() => {
+          import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
+          // fixed-width ids => equal-length, distinct => prefix-free
+          val gaz = (0 until 10000).map(i => f"Nm$i%05dx")
+          docs.select(cc(graft.functions.AcGazetteerNameCount(
+              ee(col("text")), gaz)).as("n"))
+            .agg(sum(col("n"))).queryExecution.toRdd.count()
+        }))
+      if (mult <= 10) dedup ++ r16b ++ r17 ++ once else dedup ++ r16b ++ r17
     }
 
     val opFilter = args.lift(3).map(_.split(",").toSet)

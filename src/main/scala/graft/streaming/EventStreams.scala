@@ -288,6 +288,32 @@ object EventStreams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityGate(docs)
 
+  /** Streaming COMPLIANCE admission gate — the code-corpus landing
+    * twin of [[graft.queries.Ext.pipelineCodeCurate]]'s middle stages:
+    * licence routing (SPDX tag > canonical headers, permissive by
+    * default) and structural-PII screening (gazetteer names via the
+    * Aho–Corasick automaton, addresses, Luhn-valid cards, mod97-valid
+    * IBANs) applied per micro-batch. Stateless narrow ops sharing ONE
+    * implementation with the oracle-gated batch operators
+    * ([[graft.operators.TextAnalysis.detectLicense]] /
+    * [[graft.operators.TextAnalysis.piiNerCounts]]) — the
+    * [[qualityGateStream]] contract: the stream can never drift from
+    * the gated batch semantics, and the same call works on a batch
+    * frame (EventStreamsSpec asserts stream == batch on the same
+    * rows). Admitted = licence family in `allowFamilies` AND zero
+    * checksum-valid PII entities; the annotation columns survive so a
+    * downstream sink can audit WHY rows were admitted. */
+  def complianceGateStream(docs: DataFrame, textCol: String = "text",
+                           allowFamilies: Seq[String] = Seq("permissive")): DataFrame = {
+    require(allowFamilies.nonEmpty, "allowFamilies must be non-empty")
+    val (id, fam, _) = graft.operators.TextAnalysis.detectLicense(col(textCol))
+    val (n, a, c, i) = graft.operators.TextAnalysis.piiNerCounts(col(textCol))
+    docs.withColumn("licence_id", id)
+      .withColumn("licence_family", fam)
+      .withColumn("n_pii", (n + a + c + i).cast("long"))
+      .filter(col("licence_family").isin(allowFamilies: _*) && col("n_pii") === 0)
+  }
+
   /** Streaming MODEL-based quality gate: score each micro-batch with a
     * trained — typically persisted-and-LOADED — hashed text classifier
     * and keep rows clearing `minScore`. Stateless narrow predicate (the

@@ -304,6 +304,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compliance gate: licence routing + PII screening per micro-batch == batch on the same rows") {
+    implicit val ctx = spark.sqlContext
+    val mit = "Permission is hereby granted, free of charge, to any person obtaining a copy."
+    val rows = Seq(
+      (1L, s"$mit\ndef f(x):\n    return x"),                         // permissive, clean -> ADMIT
+      (2L, "under the GNU General Public License, version 3 applies\ncode"), // copyleft -> drop
+      (3L, s"$mit\ncard 4111 1111 1111 1111 on file"),                 // permissive but PII -> drop
+      (4L, "no licence header at all"),                                // unknown -> drop
+      (5L, "// SPDX-License-Identifier: Apache-2.0\nclean code"),      // tag permissive -> ADMIT
+      (6L, s"$mit\nRef 4111 1111 1111 1112 is NOT a valid card"))      // luhn-invalid: clean -> ADMIT
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.complianceGateStream(input.toDF().toDF("doc_id", "text"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("compl").outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*) // cross-batch: gate is stateless
+      q.processAllAvailable()
+      val streamed = spark.table("compl").as[Long].collect().toSet
+      assert(streamed === Set(1L, 5L, 6L), s"got $streamed")
+      // ONE implementation: the same call on a batch frame agrees
+      val batch = EventStreams.complianceGateStream(rows.toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("streaming domain gate drops blocklisted hosts per micro-batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
