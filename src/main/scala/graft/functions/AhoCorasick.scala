@@ -17,56 +17,80 @@ import org.apache.spark.unsafe.types.UTF8String
   * referenced object (the CentroidDots/TrigramLangId pattern); the
   * generated code calls the same scan the interpreted path uses, so
   * codegen and interpreted agree by construction. */
+object AcAutomaton {
+  /** Prefix-freedom check, automaton-free so expressions can validate
+    * EAGERLY at construction (a sort + adjacent startsWith — O(n log n)
+    * over a driver-bounded dictionary). */
+  def prefixFree(patterns: Seq[String]): Boolean = {
+    val sorted = patterns.distinct.sorted
+    !sorted.sliding(2).exists(w => w.length == 2 && w(1).startsWith(w(0)))
+  }
+}
+
 final class AcAutomaton(val patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty, "need at least one pattern")
   require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
 
   // trie: children as per-node char->state maps (built once; lookups in
   // the scan go through a flat sorted array pair per node for cache-
-  // friendly binary search)
-  private val (childKeys, childVals, fail, outLen) = {
+  // friendly binary search). Outputs keep EVERY pattern length ending at
+  // a state (descending), not only the longest: a boundary check can
+  // legitimately reject the longest candidate while a shorter suffix
+  // pattern ending at the same position satisfies it ({"free software",
+  // "software"} on "unfree software" — the regex counts "software"), so
+  // the scan must be able to fall through candidate lengths.
+  private val (childKeys, childVals, fail, outLens) = {
     import scala.collection.mutable
     val kids = mutable.ArrayBuffer(mutable.TreeMap.empty[Char, Int])
-    val out = mutable.ArrayBuffer(0)
+    val own = mutable.ArrayBuffer(0) // the pattern length terminal at this node (its depth), else 0
     patterns.foreach { p =>
       var s = 0
       p.foreach { c =>
         s = kids(s).getOrElseUpdate(c, {
           kids += mutable.TreeMap.empty[Char, Int]
-          out += 0
+          own += 0
           kids.size - 1
         })
       }
-      // longest pattern ending at s (equal-length duplicates collapse)
-      if (p.length > out(s)) out(s) = p.length
+      own(s) = p.length // equal-length duplicates collapse
     }
     val n = kids.size
     val f = Array.fill(n)(0)
+    // all pattern lengths ending at each state, DESCENDING: the node's
+    // own length (= its depth) followed by its fail state's list — every
+    // fail-chain length is a proper suffix, hence strictly shorter, so
+    // concatenation preserves the order with no sort. BFS order makes
+    // the fail state's list complete before it is consumed.
+    val outs = Array.fill[Array[Int]](n)(Array.emptyIntArray)
     val q = mutable.Queue.empty[Int]
     kids(0).foreach { case (_, s) => q.enqueue(s) }
     while (q.nonEmpty) {
       val u = q.dequeue()
+      val inherited = outs(f(u))
+      outs(u) =
+        if (own(u) > 0) {
+          val a = new Array[Int](inherited.length + 1)
+          a(0) = own(u)
+          System.arraycopy(inherited, 0, a, 1, inherited.length)
+          a
+        } else inherited
       kids(u).foreach { case (c, v) =>
         var fs = f(u)
         while (fs != 0 && !kids(fs).contains(c)) fs = f(fs)
         f(v) = kids(fs).get(c).filter(_ != v).getOrElse(0)
-        // propagate the longest suffix output so a hit is never missed
-        if (out(f(v)) > out(v)) out(v) = out(f(v))
         q.enqueue(v)
       }
     }
     (kids.map(_.keysIterator.toArray).toArray,
-      kids.map(_.valuesIterator.toArray).toArray, f, out.toArray)
+      kids.map(_.valuesIterator.toArray).toArray, f, outs)
   }
 
   /** Whether any pattern is a PROPER prefix of another — the name-rule
     * equivalence proof ([[AcGazetteerNameCount]]) requires prefix-free
     * dictionaries (two same-start candidates would make leftmost-match
     * order observable). */
-  val prefixFree: Boolean = {
-    val sorted = patterns.distinct.sorted
-    !sorted.sliding(2).exists(w => w.length == 2 && w(1).startsWith(w(0)))
-  }
+  val prefixFree: Boolean =
+    AcAutomaton.prefixFree(scala.collection.immutable.ArraySeq.unsafeWrapArray(patterns))
 
   @inline private def step(state0: Int, c: Char): Int = {
     var state = state0
@@ -86,20 +110,31 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
 
   /** Count of non-overlapping, word-boundary-delimited dictionary hits
     * (leftmost semantics: after a hit the scan resumes past it —
-    * `regexp_count(text, "\b(p1|...|pk)\b")` on a prefix-free
-    * dictionary). */
+    * `regexp_count(text, "\b(p1|...|pk)\b")`). Every candidate length
+    * ending at a position is boundary-tested longest-first: the right
+    * boundary is shared (same end), the left varies per length, and the
+    * regex counts one match per end position whichever alternative
+    * satisfies its boundaries — so the first passing candidate counts
+    * and the scan resumes past the match end. */
   def countWholeWords(text: String): Int = {
     var n = 0
     var state = 0
     var i = 0
     while (i < text.length) {
       state = step(state, text.charAt(i))
-      val len = outLen(state)
-      if (len > 0) {
-        val start = i - len + 1
-        val okL = start == 0 || !isWordChar(text.charAt(start - 1))
+      val lens = outLens(state)
+      if (lens.length > 0) {
         val okR = i == text.length - 1 || !isWordChar(text.charAt(i + 1))
-        if (okL && okR) { n += 1; state = 0 }
+        if (okR) {
+          var k = 0
+          var hit = false
+          while (!hit && k < lens.length) {
+            val start = i - lens(k) + 1
+            if (start == 0 || !isWordChar(text.charAt(start - 1))) hit = true
+            else k += 1
+          }
+          if (hit) { n += 1; state = 0 }
+        }
       }
       i += 1
     }
@@ -120,12 +155,13 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     var i = 0
     while (i < text.length) {
       state = step(state, text.charAt(i))
-      val len = outLen(state)
+      val lens = outLens(state)
       var advanced = false
-      if (len > 0) {
-        val start = i - len + 1
-        val okL = start == 0 || !isWordChar(text.charAt(start - 1))
-        if (okL && i + 2 < text.length && text.charAt(i + 1) == ' ') {
+      if (lens.length > 0) {
+        // the surname tail depends only on the shared end position, so
+        // test it once; the left boundary varies per candidate length —
+        // any passing candidate yields the same counted match span end
+        if (i + 2 < text.length && text.charAt(i + 1) == ' ') {
           val c2 = text.charAt(i + 2)
           if (c2 >= 'A' && c2 <= 'Z') {
             var j = i + 3
@@ -133,10 +169,19 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
             val surnameLen = j - (i + 2)
             val okR = j == text.length || !isWordChar(text.charAt(j))
             if (surnameLen >= 2 && okR) {
-              n += 1
-              state = 0
-              i = j // resume after the full match (for-loop ++ lands at j)
-              advanced = true
+              var k = 0
+              var okL = false
+              while (!okL && k < lens.length) {
+                val start = i - lens(k) + 1
+                if (start == 0 || !isWordChar(text.charAt(start - 1))) okL = true
+                else k += 1
+              }
+              if (okL) {
+                n += 1
+                state = 0
+                i = j // resume after the full match (for-loop ++ lands at j)
+                advanced = true
+              }
             }
           }
         }
@@ -153,14 +198,14 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
 case class AcGazetteerNameCount(child: Expression, names: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
   require(names.nonEmpty, "gazetteer must be non-empty")
+  // validated EAGERLY in the body (not inside the lazy automaton): an
+  // invalid gazetteer must fail at plan construction with this message,
+  // not as a mid-job task failure the first time a partition evaluates
+  require(AcAutomaton.prefixFree(names),
+    "gazetteer must be prefix-free for regex-equivalent name counting " +
+      "(a name that prefixes another makes match order observable)")
 
-  @transient lazy val automaton: AcAutomaton = {
-    val ac = new AcAutomaton(names.toArray)
-    require(ac.prefixFree,
-      "gazetteer must be prefix-free for regex-equivalent name counting " +
-        "(a name that prefixes another makes match order observable)")
-    ac
-  }
+  @transient lazy val automaton: AcAutomaton = new AcAutomaton(names.toArray)
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = IntegerType

@@ -260,10 +260,7 @@ object EventStreams {
       case Some(rows) =>
         val sdir = s"$checkpointDir/flush_sentinel"
         rows.coalesce(1).write.mode("overwrite").parquet(sdir)
-        // hadoop glob: both dirs through ONE source. The leading '/'
-        // must sit OUTSIDE the braces — a path starting with '{' is
-        // relative and resolves against the session cwd
-        s"/{${historicalDir.stripPrefix("/")},${sdir.stripPrefix("/")}}"
+        sentinelGlob(spark, historicalDir, sdir)
     }
     val reader = spark.readStream.schema(schemaFrom.schema)
     val src = maxFilesPerBatch.fold(reader)(n =>
@@ -276,6 +273,37 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The one-source glob over the historical dir + the sentinel dir,
+    * built from FULLY QUALIFIED Hadoop paths: both inputs qualify
+    * against the session filesystem first, so scheme-qualified
+    * (s3a://, hdfs://, file:) and relative inputs all yield a valid
+    * absolute glob — the naive `"/{a,b}"` string splice silently
+    * produced a cwd-relative glob (a Hadoop path starting with '{' is
+    * relative) for anything but absolute local POSIX paths. The two
+    * dirs must live on ONE filesystem because they feed one file
+    * source; a cross-filesystem pair fails loud here instead of
+    * globbing nothing. */
+  private[graft] def sentinelGlob(spark: SparkSession, historicalDir: String,
+                                      sentinelDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val histQ = {
+      val p = new Path(historicalDir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val sentQ = {
+      val p = new Path(sentinelDir)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val (hu, su) = (histQ.toUri, sentQ.toUri)
+    require(hu.getScheme == su.getScheme &&
+        Option(hu.getAuthority) == Option(su.getAuthority),
+      s"backfill historical dir ($histQ) and checkpoint dir ($sentQ) must " +
+        "live on the same filesystem — one glob file source reads both")
+    val authority = Option(hu.getAuthority).getOrElse("")
+    s"${hu.getScheme}://$authority/{${hu.getPath.stripPrefix("/")},${su.getPath.stripPrefix("/")}}"
   }
 
   /** Streaming corpus quality gate: the batch gate's fused narrow

@@ -85,13 +85,66 @@ class AhoCorasickSpec extends SparkSpec {
     assert(viaExpr === want)
   }
 
+  test("suffix-nested dictionary: a shorter suffix pattern rescues a boundary-failed longer one") {
+    // the advisor's exact masking case: "free software" ends where
+    // "software" ends; the longer candidate fails the left boundary in
+    // "unfree software" but the regex still counts the shorter — a
+    // longest-only output table returned 0 here
+    val dict = Seq("free software", "software")
+    val ac = new AcAutomaton(dict.toArray)
+    val re = "\\b(" + dict.mkString("|") + ")\\b"
+    val cases = Seq(
+      "unfree software", "free software", "software", "the software is free",
+      "unfree software and free software", "freesoftware", "unfree softwares")
+    val want = cases.toDF("t").select(regexp_count($"t", lit(re)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(cases.map(ac.countWholeWords) === want)
+    assert(ac.countWholeWords("unfree software") === 1)
+  }
+
+  test("countWholeWords == regexp_count on 300 randomized texts over a suffix-nested multi-word dict") {
+    val dict = Seq("free software", "software", "open source", "source",
+      "data set", "set", "big data set")
+    val ac = new AcAutomaton(dict.toArray)
+    val re = "\\b(" + dict.sortBy(-_.length).mkString("|") + ")\\b"
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Array("free", "software", "open", "source", "data", "set",
+      "big", "unfree", "softwares", "x", "reset", "sets", ",", "dataset")
+    val texts = (1 to 300).map { _ =>
+      (1 to (2 + rnd.nextInt(14))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    val want = texts.toDF("t").select(regexp_count($"t", lit(re)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    val got = texts.map(ac.countWholeWords)
+    val diffs = texts.zip(got.zip(want)).filter { case (_, (g, w)) => g != w }
+    assert(diffs.isEmpty, s"first divergences: ${diffs.take(3)}")
+    assert(want.sum > 100, "the generator must actually produce matches")
+  }
+
+  test("countNames: a suffix-nested gazetteer entry rescues a boundary-failed longer candidate") {
+    // multi-token gazetteer names pass the prefix-free require; the scan
+    // must still fall through to the shorter suffix candidate when the
+    // longer one fails its left boundary (the same masking class)
+    val gaz2 = Seq("Mary Ann", "Ann")
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, expression => ee}
+    def count(texts: Seq[String]): Seq[Int] =
+      texts.toDF("t").select(cc(AcGazetteerNameCount(ee($"t"), gaz2)))
+        .collect().map(_.getInt(0)).toSeq
+    assert(count(Seq("XMary Ann Smith")) === Seq(1))  // "Ann Smith" still counts
+    assert(count(Seq("Mary Ann Smith")) === Seq(1))   // longest wins once
+    assert(count(Seq("xann Smith")) === Seq(0))       // lowercase+joined: neither
+  }
+
   test("interpreted eval agrees with the DataFrame (codegen) path; prefix violations fail loud") {
     val ac = new AcAutomaton(gaz.toArray)
     val texts = Seq("Alice Johnson and Emma Stone", "nothing here", "Peter Parker")
     assert(texts.map(ac.countNames) === acNameCount(texts))
     val e = intercept[IllegalArgumentException] {
       import org.apache.spark.sql.GraftColumnBridge.{expression => ee}
-      AcGazetteerNameCount(ee(lit("x")), Seq("Ann", "Anna")).automaton
+      // EAGER: construction itself must throw (plan-build time), not the
+      // first task that forces the lazy automaton
+      AcGazetteerNameCount(ee(lit("x")), Seq("Ann", "Anna"))
     }
     assert(e.getMessage.contains("prefix-free"))
   }

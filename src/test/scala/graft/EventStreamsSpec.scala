@@ -791,6 +791,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(gotQ === wantQ, "gate: one shared implementation, identical survivors")
   }
 
+  test("sentinelGlob qualifies paths: absolute, scheme-qualified, and relative inputs " +
+    "all yield an absolute one-filesystem glob") {
+    // absolute local POSIX — the only shape the old string splice handled
+    assert(EventStreams.sentinelGlob(spark, "/a/hist", "/a/chk/flush_sentinel")
+      === "file:///{a/hist,a/chk/flush_sentinel}")
+    // scheme-qualified input must not double-prefix
+    assert(EventStreams.sentinelGlob(spark, "file:/a/hist", "/a/chk/s")
+      === "file:///{a/hist,a/chk/s}")
+    // a RELATIVE dir qualifies against the session filesystem's working
+    // directory instead of silently building a cwd-relative glob
+    val rel = EventStreams.sentinelGlob(spark, "relhist", "/a/chk/s")
+    assert(rel.startsWith("file:///") && rel.contains("relhist") && !rel.startsWith("file:///{rel"),
+      s"relative dir must qualify to an absolute path: $rel")
+  }
+
+  test("backfill reads a SCHEME-QUALIFIED historical dir through the sentinel glob") {
+    val base = java.nio.file.Files.createTempDirectory("graft-backfill-uri-").toString
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and it is a fine day in the park"),
+      (2L, "en", "spam spam spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "lang", "text")
+    val dhist = s"$base/dhist"
+    docs.coalesce(1).write.parquet(dhist)
+    val docSchema = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    // sentinel present -> the glob path is exercised; historicalDir is
+    // scheme-qualified (file:), which the old splice turned into garbage
+    val sentinel = Seq((-1L, "en", "sentinel row that does not matter for a stateless gate"))
+      .toDF("doc_id", "lang", "text")
+    EventStreams.backfill(spark, s"file:$dhist", docSchema,
+      df => EventStreams.qualityGateStream(df).select("doc_id", "lang", "text"),
+      s"$base/out_q", s"$base/chk_q", flushSentinel = Some(sentinel))
+    val got = spark.read.parquet(s"$base/out_q").select("doc_id")
+      .as[Long].collect().toSet
+    val want = graft.operators.TextAnalysis.qualityGate(spark.read.parquet(dhist))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_ >= 0) === want, "qualified-path backfill must read the historical dir")
+  }
+
   test("anomalyScore: streaming monitor emits exactly the gated batch rows") {
     import org.apache.spark.sql.functions.{avg, hour, stddev_pop, weekday}
     implicit val ctx = spark.sqlContext
