@@ -256,6 +256,50 @@ object Bench {
     val (confirmed, cleared) =
       if (secondChanceOn) BenchGate.confirm(alarms, pass2Medians)
       else (alarms, Seq.empty[BenchGate.Alarm])
+    // DOWNWARD BASELINE RATCHET (round 18; see BenchGate.ratchetStep):
+    // a query measuring <=0.6x its baseline in 3 consecutive gated
+    // FULL-SUITE runs re-records its entry (and spread) downward
+    // automatically, restoring the gate's regression teeth after the
+    // deliberately conservative round-17 max-merge re-baseline. Subset
+    // (BENCH_ONLY) runs never feed the streak: their per-job fixed cost
+    // differs systematically from full-suite numbers (the rpt_outliers
+    // lesson), so a subset streak would ratchet too low and alarm later
+    // full runs. Events persist in the artifact, the baseline file
+    // itself (last_ratchet), and an auto-appended BENCH_NOTES line.
+    val ratchetOn = gateOn && base.nonEmpty && only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RATCHET", "1") != "0"
+    val streaksPath = Option(new java.io.File(baselinePath).getParent)
+      .map(_ + "/BENCH_RATCHET.json").getOrElse("BENCH_RATCHET.json")
+    val (ratchetEvents, ratchetStreaks) =
+      if (!ratchetOn) (Seq.empty[BenchGate.RatchetEvent], Map.empty[String, Seq[Double]])
+      else {
+        val prior = BenchGate.loadStreaks(streaksPath, sfDir)
+        val (next, events) = BenchGate.ratchetStep(prior, medians, base.get)
+        try {
+          BenchGate.saveStreaks(streaksPath, sfDir, next)
+          if (events.nonEmpty) {
+            val stamp = java.time.Instant.now().toString
+            BenchGate.applyRatchetToFile(baselinePath, events, stamp)
+            val notesPath = Option(new java.io.File(baselinePath).getParent)
+              .map(_ + "/BENCH_NOTES.md").getOrElse("BENCH_NOTES.md")
+            val notesFile = new java.io.File(notesPath)
+            if (notesFile.isFile) {
+              val line = s"\nAUTO-RATCHET $stamp (BenchGate, 3 consecutive gated runs <=0.6x): " +
+                events.map(e => f"${e.query} ${e.oldMedian}%.3f->${e.newMedian}%.3f s " +
+                  f"(spread ${e.oldSpread}%.3f->${e.newSpread}%.3f)").mkString("; ") + "\n"
+              val w = new java.io.FileWriter(notesFile, true)
+              try w.write(line) finally w.close()
+            }
+            System.err.println(s"[bench-gate] ratcheted ${events.size} baseline " +
+              s"entr${if (events.size == 1) "y" else "ies"} downward: " +
+              events.map(e => f"${e.query} ${e.oldMedian}%.2f->${e.newMedian}%.2f s").mkString("; "))
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench-gate] ratchet persistence failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — baseline unchanged")
+        }
+        (events, next)
+      }
     // raw vs applied scale: the thresholds use min(raw, cap); when raw
     // exceeds the cap the JSON says so and stderr warns — an engine-wide
     // uniform regression and extreme host drift are indistinguishable by
@@ -315,6 +359,15 @@ object Bench {
       s"""{"cpu_sec_start":${r3p(p2CpuProbe)},"cpu_sec_end":${r3p(p2CpuProbeEnd)},"io_write_mbps_start":${r3p(p2IoProbe._1)},"io_write_mbps_end":${r3p(p2IoProbeEnd._1)},"io_read_mbps_start":${r3p(p2IoProbe._2)},"io_read_mbps_end":${r3p(p2IoProbeEnd._2)}}"""
     val secondChanceJson =
       s"""{"ran":$secondChanceOn,"medians":$p2MediansJson,"runs":$p2RunsJson,"start_offsets":$p2OffsetsJson,"probes":$p2ProbesJson,"cleared":${cleared.map(a => jstr(a.query)).mkString("[", ",", "]")},"confirmed":${confirmed.map(a => jstr(a.query)).mkString("[", ",", "]")}}"""
+    val ratchetJson = {
+      val evs = ratchetEvents.map(e =>
+        jstr(e.query) + s""":{"old_median":${math.rint(e.oldMedian * 1e6) / 1e6},"new_median":${math.rint(e.newMedian * 1e6) / 1e6},"old_spread":${math.rint(e.oldSpread * 1e6) / 1e6},"new_spread":${math.rint(e.newSpread * 1e6) / 1e6}}""")
+        .mkString("{", ",", "}")
+      val streaks = ratchetStreaks.toSeq.sortBy(_._1).map { case (q, xs) =>
+        jstr(q) + ":" + xs.length
+      }.mkString("{", ",", "}")
+      s"""{"enabled":$ratchetOn,"applied":$evs,"streaks":$streaks}"""
+    }
     val gateState = loadRes match {
       case _ if !gateOn                         => "\"off\""
       case BenchGate.NoFile                     => "\"no_baseline_file\""
@@ -326,7 +379,7 @@ object Bench {
     val (ioWriteEnd, ioReadEnd) = probeIo()
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val probesJson = s"""{"cpu_sec_start":${r3(cpuProbeStart)},"cpu_sec_end":${r3(cpuProbeEnd)},"io_write_mbps_start":${r3(ioWriteStart)},"io_write_mbps_end":${r3(ioWriteEnd)},"io_read_mbps_start":${r3(ioReadStart)},"io_read_mbps_end":${r3(ioReadEnd)}}"""
-    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${confirmed.size},"pass1_regressions":${alarmsJson(alarms)},"pass1_regressed":${alarms.size},"second_chance":$secondChanceJson,"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"start_offsets":$offsetsJson,"runs_per_query":$runs,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":$value,"unit":"sec","total_complete":${nFailed == 0},"sum_of_successful":$totalOk,"queries":$qs,"errors":$errJson,"failed":$nFailed,"regressions":$regJson,"regressed":${confirmed.size},"pass1_regressions":${alarmsJson(alarms)},"pass1_regressed":${alarms.size},"second_chance":$secondChanceJson,"ratchet":$ratchetJson,"unbaselined":${newQs.map(jstr).mkString("[", ",", "]")},"baseline_missing":${goneQs.map(jstr).mkString("[", ",", "]")},"machine_scale":${math.rint(mScale * 1000) / 1000},"machine_scale_raw":${math.rint(mScaleRaw * 1000) / 1000},"machine_scale_capped":${base.nonEmpty && mScaleRaw > gateScaleCap},"io_scale":${math.rint(ioScale * 1000) / 1000},"io_scale_raw":${math.rint(ioScaleRaw * 1000) / 1000},"io_scale_capped":${base.nonEmpty && ioScaleRaw > gateIoScaleCap},"probes":$probesJson,"gate":$gateState,"runs":$raw,"start_offsets":$offsetsJson,"runs_per_query":$runs,"sf":"$sfDir"}"""
     println(jsonLine)
     spark.stop()
     // Persist the complete artifact BEFORE any exit decision (judge r15

@@ -270,6 +270,149 @@ object BenchGate {
                       baseline: Map[String, Double]): Seq[String] =
     baseline.keys.filterNot(medians.contains).toSeq.sorted
 
+  /** One baseline entry re-recorded DOWNWARD by the ratchet. */
+  final case class RatchetEvent(query: String, oldMedian: Double, newMedian: Double,
+                                oldSpread: Double, newSpread: Double)
+
+  /** Downward baseline ratchet (round 18): the round-17 re-baseline was
+    * a deliberate element-wise MAX taken in a slow host window, leaving
+    * the recorded medians ~1.7× the suite's measured quiet cost — real
+    * sub-2× regressions were invisible behind that headroom. Rather than
+    * another wholesale re-record (which would repeat the same window
+    * roulette), each entry restores its own teeth: a query measuring
+    * `<= factor ×` its baseline in `k` CONSECUTIVE gated full-suite runs
+    * has proven the baseline stale across k independent windows, and its
+    * entry re-records to the streak's MAX (the most conservative of the
+    * fast measurements — the same max-merge philosophy as the two-JVM
+    * recording protocol, over temporally separated runs instead).
+    *
+    * The new spread is the streak's own max−min widened to never shrink
+    * below the old RELATIVE spread (old spread scaled by new/old median):
+    * k runs inside one quiet session can agree unrealistically tightly,
+    * and a ratchet must loosen staleness, not manufacture a hair-trigger.
+    *
+    * One fast run is a window; k=3 across gated runs (one per round plus
+    * deliberate full runs) is a trend. A single slow-or-normal run resets
+    * the streak — the ratchet only ever moves a baseline DOWN on
+    * sustained evidence, and never moves one up (that path stays the
+    * deliberate re-record + BENCH_NOTES contract).
+    *
+    * Returns (new streak state, events to apply). Queries absent from
+    * this run drop their streak (a renamed/removed query must not carry
+    * a stale streak back). */
+  def ratchetStep(streaks: Map[String, Seq[Double]],
+                  medians: Map[String, Option[Double]],
+                  baseline: Baseline,
+                  factor: Double = 0.6, k: Int = 3): (Map[String, Seq[Double]], Seq[RatchetEvent]) = {
+    val events = Seq.newBuilder[RatchetEvent]
+    val next = Map.newBuilder[String, Seq[Double]]
+    medians.foreach { case (q, mOpt) =>
+      (mOpt, baseline.medians.get(q)) match {
+        case (Some(m), Some(b)) if m <= factor * b =>
+          val streak = streaks.getOrElse(q, Seq.empty) :+ m
+          if (streak.size >= k) {
+            val newMedian = streak.max
+            val oldSpread = baseline.spread.getOrElse(q, 0.0)
+            val newSpread = math.max(streak.max - streak.min,
+              oldSpread * newMedian / b)
+            events += RatchetEvent(q, b, newMedian, oldSpread, newSpread)
+            // streak consumed; the next streak starts against the NEW entry
+          } else next += q -> streak
+        case _ => () // normal-speed, failed, or unbaselined: streak resets
+      }
+    }
+    (next.result(), events.result().sortBy(_.query))
+  }
+
+  /** Streak state sidecar ({"sf":..., "streaks": {q: [fast medians]}}).
+    * SF-scoped like the baseline itself; a mismatched or unreadable file
+    * yields an empty state (the ratchet then simply needs k fresh runs —
+    * losing a streak is safe, inventing one is not). */
+  def loadStreaks(path: String, expectSf: String): Map[String, Seq[Double]] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    try {
+      val root = new ObjectMapper().readTree(f)
+      if (root.path("sf").asText("") != expectSf) return Map.empty
+      val m = root.path("streaks")
+      val b = Map.newBuilder[String, Seq[Double]]
+      val it = m.fieldNames()
+      while (it.hasNext) {
+        val q = it.next()
+        val arr = m.get(q)
+        if (arr.isArray) {
+          val xs = (0 until arr.size()).map(arr.get(_)).filter(_.isNumber).map(_.asDouble())
+          if (xs.nonEmpty) b += q -> xs
+        }
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  def saveStreaks(path: String, sf: String, streaks: Map[String, Seq[Double]]): Unit = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("sf", sf)
+    val s = root.putObject("streaks")
+    streaks.toSeq.sortBy(_._1).foreach { case (q, xs) =>
+      val a = s.putArray(q)
+      xs.foreach(x => { a.add(math.rint(x * 1e6) / 1e6); () })
+    }
+    atomicWrite(path, m.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+  }
+
+  /** Apply ratchet events to the baseline FILE in place: medians and
+    * spread update for the ratcheted queries, total_sec re-sums, every
+    * other field (source/recorded/note) is preserved, and a
+    * `last_ratchet` field records what moved and when — the same
+    * no-silent-re-baseline contract, executed by the gate itself on
+    * k-run evidence instead of by hand. Atomic temp+rename write. */
+  def applyRatchetToFile(baselinePath: String, events: Seq[RatchetEvent],
+                         stamp: String): Unit = {
+    if (events.isEmpty) return
+    val m = new ObjectMapper()
+    val root = m.readTree(new java.io.File(baselinePath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val med = root.path("medians").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val spr = root.path("spread").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    events.foreach { e =>
+      med.put(e.query, math.rint(e.newMedian * 1e6) / 1e6)
+      spr.put(e.query, math.rint(e.newSpread * 1e6) / 1e6)
+      ()
+    }
+    var total = 0.0
+    val it = med.fieldNames()
+    while (it.hasNext) total += med.get(it.next()).asDouble()
+    root.put("total_sec", math.rint(total * 1000) / 1000)
+    val lr = root.putObject("last_ratchet")
+    lr.put("at", stamp)
+    val entries = lr.putObject("entries")
+    events.foreach { e =>
+      val o = entries.putObject(e.query)
+      o.put("old_median", math.rint(e.oldMedian * 1e6) / 1e6)
+      o.put("new_median", math.rint(e.newMedian * 1e6) / 1e6)
+      o.put("old_spread", math.rint(e.oldSpread * 1e6) / 1e6)
+      o.put("new_spread", math.rint(e.newSpread * 1e6) / 1e6)
+      ()
+    }
+    atomicWrite(baselinePath,
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+  }
+
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Persist the complete bench JSON to `artifactPath`, THEN compute
     * the gate's exit code — in that order, unconditionally (judge r15
     * #3): both driver reds (r14, r15) exited nonzero with the JSON line

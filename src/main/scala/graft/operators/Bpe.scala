@@ -358,4 +358,87 @@ object Bpe {
     * a truncated vocab.json must never silently emit id 0. */
   def encodeIds(words: Column, model: ByteModel, vocab: Map[String, Int]): Column =
     transform(encodeTokensBytes(words, model), t => element_at(typedLit(vocab), t))
+
+  // ---- Hugging Face tokenizer.json interchange --------------------------
+
+  /** Load a Hugging Face `tokenizer.json` — the single-file artifact
+    * every published BPE checkpoint ships (the format is public: a JSON
+    * object whose `model` carries `type`, `vocab` (token → id) and
+    * `merges`). This is the production ask behind the import seam: count
+    * token budgets under the EXTERNALLY TRAINED model the corpus will
+    * actually be consumed by, not a self-trained stand-in —
+    * [[Pack.byTokenBudget]], `txt_chunk`, and the quality gates all take
+    * the returned model through the same `tokenizer` parameter.
+    *
+    * Both published merge encodings load: the legacy `"left right"`
+    * string (unambiguous — the byte-mapped alphabet contains no raw
+    * space) and the newer `["left","right"]` two-element array emitted
+    * by current tokenizers releases. `model.type` must be `"BPE"`
+    * (WordPiece/Unigram files carry different semantics and must fail
+    * loud, not load as an empty merge list). `added_tokens` /
+    * normalizer / pre-tokenizer sections are the CALLER's contract —
+    * pair the model with the matching pre-tokenizer (e.g.
+    * [[gpt2PreTokens]]) exactly as with [[importMergesTxt]].
+    *
+    * Returns (model, token → id). Driver-bounded: a tokenizer.json is
+    * ≤ ~vocab-size entries, megabytes at most. */
+  def loadHuggingFace(spark: SparkSession, path: String): (ByteModel, Map[String, Int]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val model = root.path("model")
+    require(model.isObject, s"$path has no 'model' object — not a tokenizer.json")
+    val tpe = model.path("type").asText("")
+    require(tpe == "BPE",
+      s"tokenizer.json model.type is '$tpe'; only BPE imports (WordPiece/Unigram " +
+        "artifacts carry different semantics and must not load as a merge list)")
+    val mergesNode = model.path("merges")
+    require(mergesNode.isArray, s"$path model.merges is not an array")
+    val merges = (0 until mergesNode.size()).map { i =>
+      val n = mergesNode.get(i)
+      if (n.isArray) {
+        require(n.size() == 2, s"merge $i is an array of ${n.size()} elements, want 2")
+        (n.get(0).asText(), n.get(1).asText())
+      } else {
+        val t = n.asText()
+        val sp = t.indexOf(' ')
+        require(sp > 0 && t.indexOf(' ', sp + 1) < 0,
+          s"merge $i is not exactly two space-separated symbols: '$t'")
+        (t.substring(0, sp), t.substring(sp + 1))
+      }
+    }.toArray
+    val vocabNode = model.path("vocab")
+    require(vocabNode.isObject, s"$path model.vocab is not an object")
+    val vb = Map.newBuilder[String, Int]
+    val it = vocabNode.fieldNames()
+    while (it.hasNext) { val k = it.next(); vb += k -> vocabNode.get(k).asInt() }
+    (ByteModel(merges), vb.result())
+  }
+
+  /** Write `model` as a minimal `tokenizer.json` (version, model.type
+    * BPE, the [[vocabIds]] table, merges in the modern two-element-array
+    * encoding) — the companion of [[loadHuggingFace]], so round-trip
+    * fixtures exercise the exact artifact path a published checkpoint
+    * takes. */
+  def exportHuggingFace(spark: SparkSession, model: ByteModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      root.put("version", "1.0")
+      val mn = root.putObject("model")
+      mn.put("type", "BPE")
+      val vn = mn.putObject("vocab")
+      vocabIds(model).toSeq.sortBy(_._2).foreach { case (tok, id) => vn.put(tok, id); () }
+      val arr = mn.putArray("merges")
+      model.merges.foreach { case (a, b) =>
+        val pair = arr.addArray(); pair.add(a); pair.add(b); ()
+      }
+      out.write(m.writeValueAsBytes(root))
+    } finally out.close()
+  }
 }

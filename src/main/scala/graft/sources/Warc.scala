@@ -167,7 +167,7 @@ object Warc {
 
   // ---- split planning --------------------------------------------------
 
-  private def planSplits(spark: SparkSession, path: String,
+  private[sources] def planSplits(spark: SparkSession, path: String,
                          maxSplitBytes: Long): Seq[(String, Long, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -191,7 +191,7 @@ object Warc {
 
   /** Hadoop Configuration is not serializable; ship its entries and
     * rebuild executor-side (keeps s3a credentials etc. working). */
-  private def serializableConf(spark: SparkSession): Map[String, String] = {
+  private[sources] def serializableConf(spark: SparkSession): Map[String, String] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
@@ -205,7 +205,16 @@ object Warc {
     * (the normal layout) the scan hits on its first candidate, so the
     * resync machinery doubles as cheap per-member validation. */
   private[graft] def readSplit(conf: Configuration, file: String,
-                                 start: Long, end: Long): Iterator[Row] = {
+                                 start: Long, end: Long): Iterator[Row] =
+    readSplitMembers(conf, file, start, end).flatMap(m => parseRecords(m._3))
+
+  /** The member-granular form of [[readSplit]]: each element is
+    * (compressed member start, compressed member length, inflated
+    * bytes). This is the index-construction seam — a CDX builder
+    * ([[Cdx.build]]) records exactly these byte extents so a later
+    * selective fetch can pread one member without any resync scan. */
+  private[graft] def readSplitMembers(conf: Configuration, file: String,
+                                      start: Long, end: Long): Iterator[(Long, Long, Array[Byte])] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val len = fs.getFileStatus(path).getLen
@@ -219,15 +228,15 @@ object Warc {
     }
     val reader = new MemberReader(in, len)
     var pos = reader.findMember(start, end)
-    new Iterator[Array[Byte]] {
-      private var nextBytes: Array[Byte] = null
+    new Iterator[(Long, Long, Array[Byte])] {
+      private var nextMember: (Long, Long, Array[Byte]) = null
       private var done = false
       private def advance(): Unit = {
-        while (nextBytes == null && !done) {
+        while (nextMember == null && !done) {
           if (pos < 0 || pos >= end || pos >= len) { done = true; in.close() }
           else reader.inflateMember(pos) match {
             case Some((bytes, nextPos)) =>
-              nextBytes = bytes
+              nextMember = (pos, nextPos - pos, bytes)
               pos = if (nextPos >= end) -1L else reader.findMember(nextPos, end)
             case None =>
               // validated candidate still failed full inflation (corrupt
@@ -239,12 +248,47 @@ object Warc {
           }
         }
       }
-      override def hasNext: Boolean = { advance(); nextBytes != null }
-      override def next(): Array[Byte] = {
+      override def hasNext: Boolean = { advance(); nextMember != null }
+      override def next(): (Long, Long, Array[Byte]) = {
         advance()
-        val b = nextBytes; nextBytes = null; b
+        val m = nextMember; nextMember = null; m
       }
-    }.flatMap(parseRecords)
+    }
+  }
+
+  /** Inflate ONE complete gzip member handed over as exact bytes (the
+    * CDX fetch path: the index supplies [offset, offset+length) so the
+    * caller preads precisely this slice — no scan, no resync). RFC 1952
+    * header parse + raw inflate, same [[MaxRecordBytes]] guard as the
+    * streaming reader. */
+  private[graft] def inflateMemberBytes(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length > 10 && (bytes(0) & 0xff) == 0x1f &&
+      (bytes(1) & 0xff) == 0x8b && bytes(2) == 8,
+      s"not a gzip member (${bytes.length} bytes) — stale or misaligned CDX entry?")
+    val flg = bytes(3) & 0xff
+    var h = 10
+    if ((flg & 4) != 0) { val xlen = (bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8); h += 2 + xlen }
+    if ((flg & 8) != 0) { while (bytes(h) != 0) h += 1; h += 1 }  // FNAME
+    if ((flg & 16) != 0) { while (bytes(h) != 0) h += 1; h += 1 } // FCOMMENT
+    if ((flg & 2) != 0) h += 2                                    // FHCRC
+    val inf = new Inflater(true)
+    inf.setInput(bytes, h, bytes.length - h)
+    val out = new ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    val chunk = new Array[Byte](64 << 10)
+    try {
+      while (!inf.finished()) {
+        val r = inf.inflate(chunk)
+        if (r > 0) {
+          out.write(chunk, 0, r)
+          if (out.size() > MaxRecordBytes)
+            throw new IllegalStateException(
+              s"gzip member exceeds $MaxRecordBytes inflated bytes")
+        } else if (inf.needsInput() || inf.needsDictionary())
+          throw new java.util.zip.DataFormatException(
+            "truncated gzip member — CDX length shorter than the member")
+      }
+    } finally inf.end()
+    out.toByteArray
   }
 
   /** Buffered window over one open file + gzip member operations. Reads

@@ -194,6 +194,64 @@ class BenchGateSpec extends AnyFunSuite {
       nAlarms = 1) === 3)
   }
 
+  test("ratchet: 3 consecutive fast runs drop the entry; 2 do not; a normal run resets the streak") {
+    val baseline = BenchGate.Baseline("sf", Map("a" -> 1.0, "b" -> 1.0),
+      Map("a" -> 0.2, "b" -> 0.2))
+    def run(streaks: Map[String, Seq[Double]], a: Double, b: Double) =
+      BenchGate.ratchetStep(streaks,
+        Map("a" -> Some(a), "b" -> Some(b)), baseline)
+    // run 1: a fast (0.5 <= 0.6), b normal -> streak starts for a only
+    val (s1, e1) = run(Map.empty, 0.5, 0.9)
+    assert(e1.isEmpty && s1 === Map("a" -> Seq(0.5)))
+    // run 2: a fast again -> streak grows, still no event (2 < 3)
+    val (s2, e2) = run(s1, 0.55, 0.9)
+    assert(e2.isEmpty && s2("a") === Seq(0.5, 0.55))
+    // run 3: a fast a third time -> ratchet fires; new median is the
+    // streak MAX, new spread never shrinks below the scaled old spread
+    val (s3, e3) = run(s2, 0.45, 0.9)
+    assert(e3.map(_.query) === Seq("a"))
+    val ev = e3.head
+    assert(ev.oldMedian === 1.0 && ev.newMedian === 0.55)
+    // streak max-min = 0.10; old relative spread scaled = 0.2*0.55 = 0.11
+    assert(math.abs(ev.newSpread - 0.11) < 1e-9)
+    assert(!s3.contains("a"), "a consumed streak starts fresh against the new entry")
+    // a normal-speed run RESETS a partial streak
+    val (s4, _) = run(s1, 0.9, 0.9)
+    assert(s4.isEmpty)
+    // an absent query drops its streak; a failed (None) run resets too
+    val (s5, e5) = BenchGate.ratchetStep(Map("a" -> Seq(0.5, 0.5), "gone" -> Seq(0.4)),
+      Map("a" -> None, "b" -> Some(0.9)), baseline)
+    assert(e5.isEmpty && s5.isEmpty)
+  }
+
+  test("ratchet file round-trip: baseline medians/spread/total update, other fields survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratchet-").toString
+    val bp = s"$dir/BENCH_BASELINE.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bp),
+      """{"source":"test","sf":"sfX","note":"keep me","total_sec":3.0,
+         |"medians":{"a":1.0,"b":2.0},"spread":{"a":0.2,"b":0.1}}""".stripMargin
+        .getBytes("UTF-8"))
+    BenchGate.applyRatchetToFile(bp,
+      Seq(BenchGate.RatchetEvent("a", 1.0, 0.55, 0.2, 0.11)), "2026-08-16T00:00:00Z")
+    BenchGate.load(bp) match {
+      case BenchGate.Loaded(b) =>
+        assert(b.sf === "sfX")
+        assert(b.medians === Map("a" -> 0.55, "b" -> 2.0))
+        assert(b.spread("a") === 0.11 && b.spread("b") === 0.1)
+      case other => fail(s"reload failed: $other")
+    }
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bp)), "UTF-8")
+    assert(txt.contains("keep me") && txt.contains("last_ratchet")
+      && txt.contains("2.55")) // total re-summed
+    // streak sidecar round-trips and is SF-scoped
+    val sp = s"$dir/BENCH_RATCHET.json"
+    BenchGate.saveStreaks(sp, "sfX", Map("q" -> Seq(0.5, 0.45)))
+    assert(BenchGate.loadStreaks(sp, "sfX") === Map("q" -> Seq(0.5, 0.45)))
+    assert(BenchGate.loadStreaks(sp, "sfOTHER") === Map.empty)
+    assert(BenchGate.loadStreaks(s"$dir/absent.json", "sfX") === Map.empty)
+  }
+
   test("load: parses the recorded file; missing vs corrupt are DISTINCT outcomes") {
     val f = java.io.File.createTempFile("bench_baseline", ".json")
     f.deleteOnExit()

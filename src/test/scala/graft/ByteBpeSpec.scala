@@ -153,6 +153,59 @@ class ByteBpeSpec extends SparkSpec {
     assert(toks.map(t => inverse(vocab(t))).toSeq === toks.toSeq)
   }
 
+  test("tokenizer.json import: a hand-built HF file drives the expected merges and ids " +
+    "(both published merge encodings); non-BPE types fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf")
+    // legacy encoding: merges as "left right" strings
+    val legacy = dir.resolve("tokenizer_legacy.json")
+    java.nio.file.Files.writeString(legacy,
+      """{"version":"1.0","model":{"type":"BPE",
+        |"vocab":{"h":0,"e":1,"l":2,"o":3,"he":4,"ll":5,"hell":6,"hello":7},
+        |"merges":["h e","l l","he ll","hell o"]}}""".stripMargin)
+    val (m1, v1) = Bpe.loadHuggingFace(spark, legacy.toString)
+    assert(m1.merges.toSeq === Seq(("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o")))
+    assert(m1.vocab.encodeString("hello").toSeq === Seq("hello"))
+    assert(m1.vocab.encodeString("hell").toSeq === Seq("hell"))
+    assert(v1("hello") === 7 && v1("h") === 0 && v1.size === 8)
+    // modern encoding: merges as ["left","right"] pairs — same model
+    val modern = dir.resolve("tokenizer_modern.json")
+    java.nio.file.Files.writeString(modern,
+      """{"model":{"type":"BPE",
+        |"vocab":{"h":0,"e":1,"l":2,"o":3,"he":4,"ll":5,"hell":6,"hello":7},
+        |"merges":[["h","e"],["l","l"],["he","ll"],["hell","o"]]}}""".stripMargin)
+    val (m2, v2) = Bpe.loadHuggingFace(spark, modern.toString)
+    assert(m2.merges.toSeq === m1.merges.toSeq && v2 === v1)
+    // a WordPiece artifact must not load as an empty/garbled merge list
+    val wp = dir.resolve("tokenizer_wp.json")
+    java.nio.file.Files.writeString(wp,
+      """{"model":{"type":"WordPiece","vocab":{"[UNK]":0},"merges":[]}}""")
+    val e = intercept[IllegalArgumentException](Bpe.loadHuggingFace(spark, wp.toString))
+    assert(e.getMessage.contains("BPE"))
+    // not-a-tokenizer.json fails loud too
+    val junk = dir.resolve("junk.json")
+    java.nio.file.Files.writeString(junk, """{"weights":[1,2,3]}""")
+    intercept[IllegalArgumentException](Bpe.loadHuggingFace(spark, junk.toString))
+  }
+
+  test("tokenizer.json export/import round-trip reproduces the trained model and ids exactly") {
+    val docs = (1 to 40).map(i => (i.toLong, "the quick brown fox the quick the"))
+      .toDF("id", "text")
+    val trained = Bpe.trainBytes(docs, col("text"), numMerges = 30, maxWords = 100,
+      tokenizer = Bpe.gpt2PreTokens)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_rt").toString
+    Bpe.exportHuggingFace(spark, trained, s"$dir/tokenizer.json")
+    val (model, vocab) = Bpe.loadHuggingFace(spark, s"$dir/tokenizer.json")
+    assert(model.merges.toSeq === trained.merges.toSeq)
+    assert(vocab === Bpe.vocabIds(trained))
+    // encode equality on a probe with JSON-escaping hazards + multi-byte UTF-8
+    val probe = "the \"quick\" \\ fox café"
+    assert(model.vocab.encodeString(probe).toSeq === trained.vocab.encodeString(probe).toSeq)
+    val inverse = vocab.map(_.swap)
+    val toks = model.vocab.encodeString(probe)
+    assert(toks.forall(vocab.contains))
+    assert(toks.map(t => inverse(vocab(t))).toSeq === toks.toSeq)
+  }
+
   test("gpt2PreTokens: published pre-tokenizer keeps one leading space per word and is lossless") {
     val df = Seq(
       (1L, "hello world"), (2L, "it's  twice-spaced"), (3L, "a1b2 99 !?"),
