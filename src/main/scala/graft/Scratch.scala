@@ -29,8 +29,12 @@ object Scratch {
       // connectedComponents paths at 1M/10M/30M edges. The default
       // maxDriverEdges is tuned from this table (BENCH_NOTES).
       import org.apache.spark.sql.functions._
-      val sizes = { val s = args.drop(1).map(_.toLong); if (s.nonEmpty) s.toSeq
-        else Seq(1_000_000L, 10_000_000L, 30_000_000L) }
+      // optional leading path filter (driver|dist|both), then sizes
+      val pathArg = args.lift(1).filter(a => a == "driver" || a == "dist" || a == "both")
+      val which = pathArg.getOrElse("both")
+      val rest = args.drop(if (pathArg.isDefined) 2 else 1).map(_.toLong)
+      val sizes = if (rest.nonEmpty) rest.toSeq
+        else Seq(1_000_000L, 10_000_000L, 30_000_000L)
       sizes.foreach { m =>
         val pairs = spark.range(m).select(col("id").as("id_a"),
           when(col("id") % 5000 === 0, greatest(col("id") - 5000, lit(0L)))
@@ -45,8 +49,8 @@ object Scratch {
           println(f"[cccross] edges=$m%9d path=$label%-6s " +
             f"sec=${(System.nanoTime() - t0) / 1e9}%7.2f non_rep=$nonRep")
         }
-        run("driver", Long.MaxValue)
-        run("dist", 0L)
+        if (which != "dist") run("driver", Long.MaxValue)
+        if (which != "driver") run("dist", 0L)
       }
       spark.stop(); return
     }

@@ -830,7 +830,23 @@ object Soak {
       require(mult == 1 || new java.io.File(s"$dir/documents.parquet").exists(),
         s"run `runMain graft.Soak /root/testdata/sf0.1 $work $maxScale` first " +
           s"to build the x$mult fixture")
-      val docsPath = s"$dir/documents.parquet"
+      val docsPath0 = s"$dir/documents.parquet"
+      // the file stream source needs a DIRECTORY (it globs for landing
+      // files); the 1x base fixture ships as a single parquet file, so
+      // stage it into one — the decade fixtures are already directories
+      val docsPath = {
+        val hp = new org.apache.hadoop.fs.Path(docsPath0)
+        val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (hfs.getFileStatus(hp).isDirectory) docsPath0
+        else {
+          val staged = new org.apache.hadoop.fs.Path(s"$work/cstream_base_x$mult")
+          hfs.delete(staged, true); hfs.mkdirs(staged)
+          org.apache.hadoop.fs.FileUtil.copy(hfs, hp, hfs,
+            new org.apache.hadoop.fs.Path(staged, "part-00000.parquet"),
+            false, spark.sparkContext.hadoopConfiguration)
+          staged.toString
+        }
+      }
       val schemaFrom = spark.read.parquet(docsPath).limit(0)
       val out = s"$work/cstream_x$mult"
       val fs = new org.apache.hadoop.fs.Path(out)
@@ -838,8 +854,13 @@ object Soak {
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
       batches.synchronized(batches.clear())
       val t0 = System.nanoTime()
+      // allow 'unknown' too: the fixture corpus carries no SPDX tags, so
+      // the default permissive-only policy admits zero rows and the sink
+      // write would be free — admitting unknown makes the soak pay the
+      // FULL scan + annotate + sink volume (the provisioning worst case)
       graft.streaming.EventStreams.backfill(spark, docsPath, schemaFrom,
-        df => graft.streaming.EventStreams.complianceGateStream(df),
+        df => graft.streaming.EventStreams.complianceGateStream(df,
+          allowFamilies = Seq("permissive", "unknown")),
         s"$out/sink", s"$out/chk", maxFilesPerBatch = Some(8))
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async — drain before reading

@@ -592,7 +592,13 @@ object Dedup {
         .map(id => (id, find(id)))).toSeq
       val spark = nodes.sparkSession
       import spark.implicits._
-      val labelDf = broadcast(labels.toDF("id", "_rep"))
+      // broadcast the label map only while it is honestly broadcast-able:
+      // labels can reach 2x maxDriverEdges, and a caller raising that
+      // knob hit Spark's broadcast-build memory wall at ~30M labels
+      // (measured, Scratch cccross) — past the cap, fall back to a
+      // shuffle join instead of a hard crash
+      val labelsRaw = labels.toDF("id", "_rep")
+      val labelDf = if (labels.size <= 4_000_000) broadcast(labelsRaw) else labelsRaw
       nodes.select(col(idCol).as("id"))
         .join(labelDf, Seq("id"), "left")
         .select(col("id"), coalesce(col("_rep"), col("id")).as("rep"))
