@@ -267,4 +267,172 @@ object Unigram {
     val (unk, real) = rows.partition(_._1.isEmpty)
     Model(real, unk.headOption.map(_._2).getOrElse(-20.0))
   }
+
+  // ---- SentencePiece .model interchange ---------------------------------
+
+  /** SentencePiece piece types (public: sentencepiece_model.proto —
+    * NORMAL=1, UNKNOWN=2, CONTROL=3, USER_DEFINED=4, UNUSED=5, BYTE=6).
+    * NORMAL/USER_DEFINED/BYTE pieces carry segmentation probability;
+    * CONTROL pieces (<s>, </s>, …) are the caller's protocol tokens and
+    * never segment text, so the import keeps them OUT of the Viterbi
+    * table. */
+  private val SpNormal = 1
+  private val SpUnknown = 2
+  private val SpControl = 3
+  private val SpUserDefined = 4
+  private val SpByte = 6
+
+  /** SentencePiece's word-boundary convention for the pre-tokenizer
+    * seam: whitespace-split, each word prefixed with '▁' (U+2581 — the
+    * add_dummy_prefix + treat-space-as-piece-prefix behavior every
+    * published unigram .model assumes). Segmenting per ▁-word equals
+    * whole-sentence Viterbi whenever pieces carry '▁' only as a prefix
+    * — which is how published models are trained; a piece with an
+    * INTERIOR '▁' could span words and would diverge. Budgets counted
+    * under an imported model are only comparable to the production
+    * tokenizer when this pre-tokenization matches — same contract as
+    * [[Bpe.gpt2PreTokens]]. */
+  def spPreTokens(text: Column): Column =
+    transform(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      w => concat(lit("▁"), w))
+
+  /** Load a SentencePiece `.model` file (the published protobuf
+    * artifact next to every SentencePiece/Unigram checkpoint — T5,
+    * Llama-family, mT5 all ship one) into the existing [[Model]] seam,
+    * so [[Pack.byTokenBudget]]/token counts run in the PRODUCTION
+    * model's units. The wire format is public (protobuf encoding +
+    * sentencepiece_model.proto): ModelProto field 1 = repeated
+    * SentencePiece{piece=1 string, score=2 float, type=3 enum,
+    * default NORMAL}; scores are log probabilities — exactly this
+    * Model's table. Parsed with a ~40-line varint/length-delimited
+    * reader because the environment ships no protobuf library; unknown
+    * fields skip by wire type, so real files (which also carry
+    * trainer_spec etc.) load cleanly. Driver-bounded: a .model is the
+    * vocab table, megabytes at most. */
+  def loadSentencePiece(spark: SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= (64L << 20), s".model file suspiciously large: $len bytes")
+      val b = new Array[Byte](len.toInt)
+      in.readFully(b)
+      b
+    } finally in.close()
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      var more = true
+      while (more) {
+        require(pos < bytes.length && shift < 64, s"truncated varint at $pos")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      v
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case 2 =>
+        // read the length FIRST: `pos += varint()` would capture the left
+        // operand before varint() advances pos past the length bytes
+        val n = varint().toInt
+        pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w at $pos")
+    }
+    val pieces = Array.newBuilder[(String, Double, Int)]
+    def parsePiece(end: Int): Unit = {
+      var piece: String = null
+      var score = 0.0
+      var tpe = SpNormal // proto3 default when the field is omitted… spec default is NORMAL(=1)
+      while (pos < end) {
+        val tag = varint()
+        val (fld, wt) = ((tag >>> 3).toInt, (tag & 7).toInt)
+        (fld, wt) match {
+          case (1, 2) =>
+            val n = varint().toInt
+            piece = new String(bytes, pos, n, java.nio.charset.StandardCharsets.UTF_8)
+            pos += n
+          case (2, 5) =>
+            score = java.lang.Float.intBitsToFloat(
+              (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+                ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)).toDouble
+            pos += 4
+          case (3, 0) => tpe = varint().toInt
+          case (_, w) => skip(w)
+        }
+      }
+      require(piece != null, "SentencePiece entry without a piece string")
+      pieces += ((piece, score, tpe))
+    }
+    while (pos < bytes.length) {
+      val tag = varint()
+      val (fld, wt) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      if (fld == 1 && wt == 2) {
+        val n = varint().toInt
+        val end = pos + n
+        parsePiece(end)
+        require(pos == end, s"SentencePiece submessage overran at $pos != $end")
+      } else skip(wt)
+    }
+    val all = pieces.result()
+    require(all.nonEmpty, s"$path carries no pieces — not a SentencePiece model?")
+    val segmentable = all.filter(t =>
+      t._3 == SpNormal || t._3 == SpUserDefined || t._3 == SpByte)
+    require(segmentable.nonEmpty, s"$path has no segmentable (NORMAL) pieces")
+    val unk = all.find(_._3 == SpUnknown).map(_._2.toDouble)
+      // real models carry <unk> score 0 with segmentation handled by the
+      // library's unk penalty; a 0.0 log-prob would make unknowns FREE —
+      // floor it below the worst real piece like the trainer does
+      .map(s => if (s >= 0.0) segmentable.map(_._2).min - 10.0 else s)
+      .getOrElse(-20.0)
+    Model(segmentable.map(t => (t._1, t._2)), unk)
+  }
+
+  /** Write `model` as a minimal SentencePiece `.model` protobuf (one
+    * UNKNOWN piece then the table as NORMAL pieces) — the companion of
+    * [[loadSentencePiece]], so round-trip fixtures exercise the exact
+    * artifact path a published checkpoint takes. */
+  def exportSentencePiece(spark: SparkSession, model: Model, path: String): Unit = {
+    val out = new java.io.ByteArrayOutputStream(model.tokens.length * 16 + 64)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def pieceBytes(piece: String, score: Float, tpe: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(piece.length + 16)
+      val pb = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      b.write(0x0a); // field 1, wire 2
+      { var v = pb.length.toLong
+        while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        b.write(v.toInt) }
+      b.write(pb)
+      b.write(0x15) // field 2, wire 5 (fixed32)
+      val bits = java.lang.Float.floatToIntBits(score)
+      b.write(bits & 0xff); b.write((bits >>> 8) & 0xff)
+      b.write((bits >>> 16) & 0xff); b.write((bits >>> 24) & 0xff)
+      b.write(0x18) // field 3, wire 0
+      b.write(tpe)
+      b.toByteArray
+    }
+    def writePiece(bytes: Array[Byte]): Unit = {
+      out.write(0x0a) // ModelProto field 1, wire 2
+      varint(bytes.length.toLong)
+      out.write(bytes)
+    }
+    writePiece(pieceBytes("<unk>", model.unkLogProb.toFloat, SpUnknown))
+    model.tokens.foreach { case (tok, logp) =>
+      writePiece(pieceBytes(tok, logp.toFloat, SpNormal))
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(out.toByteArray) finally os.close()
+  }
 }

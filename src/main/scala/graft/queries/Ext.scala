@@ -2416,6 +2416,43 @@ object Ext {
       .orderBy(col("q_id"))
   }
 
+  /** SentencePiece `.model` import — the OTHER published tokenizer
+    * artifact (T5/Llama/mT5-family checkpoints ship a protobuf .model,
+    * not a tokenizer.json): train the unigram model under the
+    * SentencePiece word-boundary convention
+    * ([[graft.operators.Unigram.spPreTokens]] — '▁'-prefixed words),
+    * EXPORT as .model protobuf, IMPORT back through the dependency-free
+    * wire-format reader ([[graft.operators.Unigram.loadSentencePiece]]),
+    * and gate that the artifact round-trips at the FORMAT'S precision
+    * (scores are float32 on the wire — the honest equality), Viterbi
+    * segmentation under the imported model stays lossless in-row, and
+    * counts sit in the structural bracket. Twin asserts the booleans as
+    * literal TRUE over exact char/run counts; UnigramSpec pins a
+    * HAND-BUILT .model binary (varint-level) and the round-trip. */
+  def txtSpImport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val trained = graft.operators.Unigram.train(d, col("text"), vocabSize = 40,
+      maxWords = 10000, tokenizer = graft.operators.Unigram.spPreTokens)
+    val art = rtDir(s, "sp_import", dir)
+    graft.operators.Unigram.exportSentencePiece(s, trained, s"$art/sp.model")
+    val model = graft.operators.Unigram.loadSentencePiece(s, s"$art/sp.model")
+    val importIdentical =
+      model.tokens.map { case (t, p) => (t, p.toFloat) }.sameElements(
+        trained.tokens.map { case (t, p) => (t, p.toFloat) }) &&
+      model.unkLogProb.toFloat == trained.unkLogProb.toFloat
+    val words = graft.operators.Unigram.spPreTokens(col("text"))
+    val enc = graft.operators.Unigram.encodeTokens(words, model)
+    val nRuns = size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+    d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nRuns.as("n_runs"),
+        lit(importIdentical).as("import_identical"),
+        (concat_ws("", enc) === concat_ws("", words)).as("sp_lossless"),
+        (size(enc) >= nRuns &&
+          size(enc) <= length(col("text")) + nRuns).as("count_in_bracket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Engine-native embeddings end to end: hashed TF-IDF vectors fitted
     * on the corpus itself ([[graft.operators.Vectorize]] — no external
     * API, no fixture), fed straight into exact kNN. ORACLE-gated on the
@@ -5857,6 +5894,7 @@ object Ext {
     "txt_byte_bpe_encode" -> txtByteBpeEncode,
     "txt_bpe_import" -> txtBpeImport,
     "txt_hf_tokenize" -> txtHfTokenize,
+    "txt_sp_import" -> txtSpImport,
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_wordpiece_encode" -> txtWordPieceEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
@@ -9481,6 +9519,16 @@ FROM capd ORDER BY doc_id"""
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_runs,
         |  TRUE AS import_identical, TRUE AS ids_resolved,
         |  TRUE AS ids_invert, TRUE AS count_in_bracket, TRUE AS budget_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // SentencePiece .model interchange: exact char/run counts
+    // cross-engine; float32-precision model equality, in-row Viterbi
+    // losslessness, and the count bracket as literal-TRUE booleans
+    "txt_sp_import" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_runs,
+        |  TRUE AS import_identical, TRUE AS sp_lossless,
+        |  TRUE AS count_in_bracket
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_wordpiece_encode" ->
       """SELECT doc_id,

@@ -125,4 +125,98 @@ class UnigramSpec extends SparkSpec {
     assert(joined === "alphabetaalphabetaalphabetaalphabeta",
       "chunk coverage at stride==window is exact in unigram space")
   }
+
+  test("SentencePiece import: a HAND-BUILT .model binary drives the expected pieces; " +
+    "control pieces stay out of the table; unknown fields skip") {
+    // wire-format bytes assembled by hand (protobuf encoding is public):
+    // ModelProto { repeated SentencePiece pieces = 1 }
+    // SentencePiece { piece=1 string, score=2 float(fixed32), type=3 enum }
+    val out = new java.io.ByteArrayOutputStream()
+    def piece(p: String, score: Float, tpe: Int, extraField: Boolean = false): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val pb = p.getBytes("UTF-8")
+      b.write(0x0a); b.write(pb.length); b.write(pb)
+      b.write(0x15)
+      val bits = java.lang.Float.floatToIntBits(score)
+      b.write(bits & 0xff); b.write((bits >>> 8) & 0xff)
+      b.write((bits >>> 16) & 0xff); b.write((bits >>> 24) & 0xff)
+      b.write(0x18); b.write(tpe)
+      if (extraField) { b.write(0x22); b.write(3); b.write('x'); b.write('y'); b.write('z') } // unknown field 4
+      val body = b.toByteArray
+      out.write(0x0a); out.write(body.length); out.write(body)
+    }
+    piece("<unk>", -9.5f, 2)           // UNKNOWN
+    piece("<s>", 0.0f, 3)              // CONTROL: must not segment text
+    piece("▁he", -1.0f, 1)        // NORMAL
+    piece("▁hello", -1.5f, 1, extraField = true)
+    piece("l", -2.0f, 1)
+    piece("o", -2.5f, 1)
+    // an unknown top-level field (trainer_spec=2, length-delimited) must skip
+    out.write(0x12); out.write(2); out.write(1); out.write(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp")
+    val f = dir.resolve("m.model")
+    java.nio.file.Files.write(f, out.toByteArray)
+    val m = Unigram.loadSentencePiece(spark, f.toString)
+    assert(m.tokens.map(_._1).toSeq === Seq("▁he", "▁hello", "l", "o"))
+    assert(m.tokens.map(_._2.toFloat).toSeq === Seq(-1.0f, -1.5f, -2.0f, -2.5f))
+    assert(m.unkLogProb.toFloat === -9.5f)
+    // Viterbi under the hand-built scores: one ▁hello piece (-1.5) beats
+    // ▁he+l+l+o (-7.0... wait -1-2-2-2.5=-7.5)
+    assert(m.vocab.encode("▁hello").toSeq === Seq("▁hello"))
+    assert(m.vocab.encode("▁hell").toSeq === Seq("▁he", "l", "l"))
+    // a real model's <unk> ships score 0.0 — the import must floor it,
+    // never hand out FREE unknowns
+    val out2 = new java.io.ByteArrayOutputStream()
+    val save = out.toByteArray
+    def pieceTo(o: java.io.ByteArrayOutputStream)(p: String, score: Float, tpe: Int): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val pb = p.getBytes("UTF-8")
+      b.write(0x0a); b.write(pb.length); b.write(pb)
+      b.write(0x15)
+      val bits = java.lang.Float.floatToIntBits(score)
+      b.write(bits & 0xff); b.write((bits >>> 8) & 0xff)
+      b.write((bits >>> 16) & 0xff); b.write((bits >>> 24) & 0xff)
+      b.write(0x18); b.write(tpe)
+      val body = b.toByteArray
+      o.write(0x0a); o.write(body.length); o.write(body)
+    }
+    pieceTo(out2)("<unk>", 0.0f, 2)
+    pieceTo(out2)("a", -3.0f, 1)
+    val f2 = dir.resolve("m2.model")
+    java.nio.file.Files.write(f2, out2.toByteArray)
+    val m2 = Unigram.loadSentencePiece(spark, f2.toString)
+    assert(m2.unkLogProb < -3.0, s"unk must be floored below the worst piece: ${m2.unkLogProb}")
+    assert(save.nonEmpty) // silence unused warning
+    // not-a-model fails loud
+    val f3 = dir.resolve("junk.model")
+    java.nio.file.Files.write(f3, Array[Byte](0x12, 1, 0))
+    intercept[IllegalArgumentException](Unigram.loadSentencePiece(spark, f3.toString))
+  }
+
+  test("SentencePiece export/import round-trip reproduces the trained model at float32 precision") {
+    val docs = (1 to 30).map(i => (i.toLong, "the quick brown fox the quick the"))
+      .toDF("id", "text")
+    val trained = Unigram.train(docs, col("text"), vocabSize = 30, maxWords = 100,
+      tokenizer = Unigram.spPreTokens)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_rt").toString
+    Unigram.exportSentencePiece(spark, trained, s"$dir/sp.model")
+    val m = Unigram.loadSentencePiece(spark, s"$dir/sp.model")
+    assert(m.tokens.map { case (t, p) => (t, p.toFloat) }.toSeq ===
+      trained.tokens.map { case (t, p) => (t, p.toFloat) }.toSeq)
+    assert(m.unkLogProb.toFloat === trained.unkLogProb.toFloat)
+    // ▁-convention pre-tokens segment losslessly under the loaded model
+    val words = Seq("▁the", "▁quick", "▁zebra!")
+    words.foreach { w =>
+      assert(m.vocab.encode(w).mkString("") === w, s"lossless on $w")
+    }
+  }
+
+  test("spPreTokens: whitespace split, one ▁ prefix per word, blanks drop") {
+    val got = Seq((1L, " the  quick\tfox\n"), (2L, ""), (3L, "solo"))
+      .toDF("id", "t")
+      .select(Unigram.spPreTokens(col("t")).as("w"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got === Seq(
+      Seq("▁the", "▁quick", "▁fox"), Seq.empty, Seq("▁solo")))
+  }
 }
