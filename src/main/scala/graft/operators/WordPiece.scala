@@ -194,4 +194,56 @@ object WordPiece {
     val (unk, real) = rows.partition(_._2 == "unk")
     Model(real.map(_._1), unk.headOption.map(_._1).getOrElse("[UNK]"))
   }
+
+  // ---- published vocab.txt interchange (BERT) ----------------------------
+
+  /** Load a BERT-style `vocab.txt` — the published WordPiece artifact
+    * (one token per line; the LINE INDEX is the token id; `##` marks
+    * continuations; `[UNK]` is the unknown token; other `[...]` control
+    * tokens — [PAD]/[CLS]/[SEP]/[MASK] — are protocol ids that stay in
+    * the id table but, like every vocab entry, only ever match their
+    * literal spelling in text). Loads into the existing [[Model]] seam
+    * so token budgets count in the production encoder's units; returns
+    * (model, token → id) — ids are what a training pipeline ships.
+    * Driver-bounded: a vocab.txt is ≤ ~100k short lines. */
+  def importVocabTxt(spark: SparkSession, path: String): (Model, Map[String, Int]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines = try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val b = Array.newBuilder[String]
+      var line = r.readLine()
+      while (line != null) { b += line; line = r.readLine() }
+      b.result()
+    } finally in.close()
+    // ids are LINE indexes, so even a trailing blank line must not shift
+    // them — published files end with a newline; only fully trailing
+    // blanks drop (an INTERIOR blank line is a real, if odd, token slot)
+    val trimmed = lines.reverse.dropWhile(_.isEmpty).reverse
+    require(trimmed.nonEmpty, s"$path is empty — not a vocab.txt")
+    require(trimmed.distinct.length == trimmed.length,
+      s"$path has duplicate tokens — ids would be ambiguous")
+    val ids = trimmed.zipWithIndex.toMap
+    require(trimmed.contains("[UNK]"),
+      s"$path carries no [UNK] token — not a WordPiece vocab.txt?")
+    (Model(trimmed.filter(_ != "[UNK]"), "[UNK]"), ids)
+  }
+
+  /** Write the published layout: `[UNK]` then the vocabulary in array
+    * order, one token per line — the companion of [[importVocabTxt]],
+    * so round-trip fixtures take the exact artifact path a checkpoint
+    * directory would. */
+  def exportVocabTxt(spark: SparkSession, model: Model, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8)
+      w.write(model.unkToken); w.write('\n')
+      model.tokens.foreach { t => w.write(t); w.write('\n') }
+      w.flush()
+    } finally out.close()
+  }
 }

@@ -770,6 +770,43 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** BERT `vocab.txt` import — the fourth published tokenizer artifact
+    * (after GPT-2 merges.txt/vocab.json, HF tokenizer.json, and the
+    * SentencePiece .model): train WordPiece, EXPORT the line-per-token
+    * vocab.txt (line index = id), IMPORT back through
+    * [[graft.operators.WordPiece.importVocabTxt]], and gate that the
+    * artifact drives the engine bit-identically (vocab set + unk,
+    * driver-side — encode is a pure function of the set), every emitted
+    * piece resolves through the line-index id table (unk included),
+    * and the count/unk brackets hold under the imported model. Twin
+    * asserts the booleans as literal TRUE over the exact word count;
+    * WordPieceSpec pins a hand-built vocab.txt (continuations, id
+    * order, duplicate/missing-[UNK] fail-loud) and the round-trip. */
+  def txtWpImport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val trained = graft.operators.WordPiece.train(d, col("text"), numMerges = 40,
+      maxWords = 10000)
+    val art = rtDir(s, "wp_import", dir)
+    graft.operators.WordPiece.exportVocabTxt(s, trained, s"$art/vocab.txt")
+    val (model, ids) = graft.operators.WordPiece.importVocabTxt(s, s"$art/vocab.txt")
+    val importIdentical = model.unkToken == trained.unkToken &&
+      model.tokens.sorted.sameElements(trained.tokens.sorted) &&
+      ids.size == trained.tokens.length + 1
+    val words = TextAnalysis.regexTokens(col("text"))
+    val pieces = graft.operators.WordPiece.encodeTokens(words, model)
+    val pieceIds = transform(pieces, t => element_at(typedLit(ids), t))
+    d.select(col("doc_id"),
+        TextAnalysis.regexTokenCount(col("text")).as("word_tokens"),
+        lit(importIdentical).as("import_identical"),
+        forall(pieceIds, i => i.isNotNull && i >= 0 && i < lit(ids.size))
+          .as("ids_resolved"),
+        (size(pieces) >= size(words) &&
+          size(pieces) <= octet_length(col("text"))).as("wp_in_bracket"),
+        (size(filter(pieces, t => t === lit(model.unkToken))) <= size(words))
+          .as("unk_le_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sentence-boundary chunking (the RAG shape: a chunk never cuts
     * mid-sentence): the fixture text carries no punctuation, so a
     * deterministic sentence structure is planted first (every "the"
@@ -5895,6 +5932,7 @@ object Ext {
     "txt_bpe_import" -> txtBpeImport,
     "txt_hf_tokenize" -> txtHfTokenize,
     "txt_sp_import" -> txtSpImport,
+    "txt_wp_import" -> txtWpImport,
     "txt_unigram_encode" -> txtUnigramEncode,
     "txt_wordpiece_encode" -> txtWordPieceEncode,
     "txt_fix_mojibake" -> txtFixMojibake,
@@ -9529,6 +9567,15 @@ FROM capd ORDER BY doc_id"""
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_runs,
         |  TRUE AS import_identical, TRUE AS sp_lossless,
         |  TRUE AS count_in_bracket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // vocab.txt interchange: exact word count cross-engine; set-identical
+    // import, line-index id resolution, and the lossy-model brackets as
+    // literal-TRUE booleans
+    "txt_wp_import" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS word_tokens,
+        |  TRUE AS import_identical, TRUE AS ids_resolved,
+        |  TRUE AS wp_in_bracket, TRUE AS unk_le_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_wordpiece_encode" ->
       """SELECT doc_id,

@@ -129,4 +129,44 @@ class WordPieceSpec extends SparkSpec {
       tokenizer = tok)
     assert(chunks.count() > 0, "seam-driven chunking runs end to end")
   }
+
+  test("vocab.txt import: a hand-built published-format file drives the expected " +
+    "vocabulary and line-index ids; duplicates and missing [UNK] fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_vocab")
+    val f = dir.resolve("vocab.txt")
+    java.nio.file.Files.writeString(f,
+      "[PAD]\n[UNK]\n[CLS]\n[SEP]\nhe\n##ll\n##o\nhello\n")
+    val (m, ids) = WordPiece.importVocabTxt(spark, f.toString)
+    assert(m.unkToken === "[UNK]")
+    assert(ids === Map("[PAD]" -> 0, "[UNK]" -> 1, "[CLS]" -> 2, "[SEP]" -> 3,
+      "he" -> 4, "##ll" -> 5, "##o" -> 6, "hello" -> 7))
+    // greedy longest-prefix + ## continuations under the imported set
+    assert(m.vocab.encode("hello").toSeq === Seq("hello"))
+    assert(m.vocab.encode("hell").toSeq === Seq("he", "##ll"))
+    assert(m.vocab.encode("xyz").toSeq === Seq("[UNK]"))
+    // duplicates make ids ambiguous -> loud
+    val dup = dir.resolve("dup.txt")
+    java.nio.file.Files.writeString(dup, "[UNK]\na\na\n")
+    intercept[IllegalArgumentException](WordPiece.importVocabTxt(spark, dup.toString))
+    // no [UNK] -> not a WordPiece vocab
+    val nounk = dir.resolve("nounk.txt")
+    java.nio.file.Files.writeString(nounk, "a\nb\n")
+    intercept[IllegalArgumentException](WordPiece.importVocabTxt(spark, nounk.toString))
+  }
+
+  test("vocab.txt export/import round-trip reproduces the trained model exactly") {
+    val docs = (1 to 30).map(i => (i.toLong, "the quick brown fox the quick the"))
+      .toDF("id", "text")
+    val trained = WordPiece.train(docs, col("text"), numMerges = 25, maxWords = 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_rt").toString
+    WordPiece.exportVocabTxt(spark, trained, s"$dir/vocab.txt")
+    val (m, ids) = WordPiece.importVocabTxt(spark, s"$dir/vocab.txt")
+    assert(m.unkToken === trained.unkToken)
+    assert(m.tokens.sorted.toSeq === trained.tokens.sorted.toSeq)
+    assert(ids.size === trained.tokens.length + 1)
+    val probe = Seq("the", "quick", "unseen")
+    probe.foreach { w =>
+      assert(m.vocab.encode(w).toSeq === trained.vocab.encode(w).toSeq, s"encode($w)")
+    }
+  }
 }
