@@ -4152,6 +4152,39 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** BINARY-SEARCHED CDX host lookup → fetch — how shipped crawl
+    * indexes are actually served (pywb-style: the sorted shards exist
+    * so a one-host lookup costs O(log shardBytes) preads per shard,
+    * never a full index scan): multi-host WARC fixture → sorted 3-shard
+    * CDXJ → [[graft.sources.Cdx.lookupPrefix]] on one host's SURT
+    * prefix → exact-extent fetch of just those members. The oracle
+    * recomputes the host subset from the source table field by field,
+    * so a binary-search boundary error (first/last line of a shard, a
+    * range snapped to the wrong line start) surfaces as a lost or
+    * phantom row; CdxSpec pins the search against a full-scan filter
+    * on every host plus empty-prefix and boundary cases. */
+  def srcWarcCdxLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val recs = docs.select(
+      concat(lit("https://site"), (col("doc_id") % 3).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("conversion").as("record_type"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_cdx_lkp", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    val built = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.writeCdxj(built, s"$outDir.cdxj", numShards = 3)
+    val hits = graft.sources.Cdx.lookupPrefix(s, s"$outDir.cdxj", "example,site1)")
+    graft.sources.Cdx.fetch(s, hits, outDir)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -5881,6 +5914,7 @@ object Ext {
     "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_warc_roundtrip" -> srcWarcRoundtrip,
     "src_warc_cdx" -> srcWarcCdx,
+    "src_warc_cdx_lookup" -> srcWarcCdxLookup,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8478,6 +8512,18 @@ FROM capd ORDER BY doc_id"""
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  text
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY url""".stripMargin,
+    // the binary-search host lookup must equal the source-table host
+    // filter row for row — a shard-boundary or line-snap error in the
+    // search surfaces as a lost/phantom row
+    "src_warc_cdx_lookup" ->
+      """SELECT 'https://site' || CAST(doc_id % 3 AS VARCHAR) || '.example/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |  'conversion' AS record_type,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY url""".stripMargin,
     "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train

@@ -169,13 +169,135 @@ object Cdx {
     * split like any text source; the parse is declarative (one regex
     * cut + `from_json`), so it rides whole-stage codegen and the filter
     * a caller applies next pushes into the scan. */
-  def readCdxj(spark: SparkSession, path: String): DataFrame = {
+  def readCdxj(spark: SparkSession, path: String): DataFrame =
+    parseCdxjLines(spark.read.text(path))
+
+  // ---- sorted-shard prefix lookup -------------------------------------------
+
+  /** All index entries whose SURT key starts with `surtPrefix`, located
+    * by BINARY SEARCH over the sorted CDXJ shards instead of scanning
+    * them — the access path shipped indexes are sorted FOR (a petabyte
+    * crawl's index is terabytes across a few hundred sorted shards; a
+    * one-host lookup must cost O(log shardBytes) preads per shard, not
+    * a full text scan). Per shard the driver finds the byte range
+    * [first line with key >= prefix, first line with key >= successor)
+    * with ~2·log2(len) positioned reads, then ONLY those ranges are
+    * read and parsed (distributed when large, one task per shard
+    * range). Keys are compared as Java strings — valid because SURT
+    * keys are ASCII (lowercased host/path); `successor` is
+    * prefix+U+FFFF, which sorts after every extension of the prefix.
+    * Empty ranges cost two binary searches and read nothing. */
+  def lookupPrefix(spark: SparkSession, dir: String, surtPrefix: String): DataFrame = {
+    require(surtPrefix.nonEmpty, "surtPrefix must be non-empty")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = (if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".cdxj"))
+      else Seq(fs.getFileStatus(p))).sortBy(_.getPath.toString)
+    require(shards.nonEmpty, s"no .cdxj shards under $dir")
+    val successor = surtPrefix + "\uffff"
+    val ranges = shards.flatMap { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val len = st.getLen
+        val lo = firstLineWithKeyAtLeast(in, len, surtPrefix)
+        val hi = firstLineWithKeyAtLeast(in, len, successor)
+        if (hi > lo) Some((st.getPath.toString, lo, hi)) else None
+      } finally in.close()
+    }
+    if (ranges.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val confBc = spark.sparkContext.broadcast(Warc.serializableConf(spark))
+    val lines = spark.sparkContext.parallelize(ranges, ranges.size).flatMap {
+      case (file, lo, hi) =>
+        val conf = new Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val fp = new Path(file)
+        val fin = fp.getFileSystem(conf).open(fp)
+        try {
+          val n = (hi - lo).toInt
+          val buf = new Array[Byte](n)
+          fin.readFully(lo, buf)
+          new String(buf, UTF_8).split('\n').toSeq.filter(_.nonEmpty)
+        } finally fin.close()
+    }
+    import spark.implicits._
+    parseCdxjLines(lines.toDF("value"))
+      .filter(col("urlkey").startsWith(surtPrefix))
+  }
+
+  /** Byte offset of the first LINE START in [0, len] whose key (the
+    * text before the first space) sorts >= `target` — classic
+    * binary-search-in-a-sorted-text-file: probe a byte offset, advance
+    * to the next line start, read its key. Invariant: lo is always at
+    * a line start with key < target (or 0), hi at one with key >=
+    * target (or EOF). */
+  private def firstLineWithKeyAtLeast(in: org.apache.hadoop.fs.FSDataInputStream,
+                                      len: Long, target: String): Long = {
+    def lineStartAfter(pos: Long): Long = {
+      if (pos < 0) return 0L
+      var p = pos
+      val buf = new Array[Byte](8192)
+      while (p < len) {
+        val n = math.min(buf.length.toLong, len - p).toInt
+        in.readFully(p, buf, 0, n)
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') return p + i + 1
+          i += 1
+        }
+        p += n
+      }
+      len
+    }
+    def keyAt(lineStart: Long): String = {
+      val sb = new StringBuilder
+      var p = lineStart
+      val buf = new Array[Byte](512)
+      while (p < len) {
+        val n = math.min(buf.length.toLong, len - p).toInt
+        in.readFully(p, buf, 0, n)
+        var i = 0
+        while (i < n) {
+          val c = buf(i)
+          if (c == ' ' || c == '\n') return sb.toString
+          sb.append(c.toChar) // SURT keys are ASCII by construction
+          i += 1
+        }
+        p += n
+      }
+      sb.toString
+    }
+    // first line start at or after byte x (a line starts at x iff
+    // byte x-1 is '\n'; x=0 is always a line start)
+    def las(x: Long): Long = if (x <= 0) 0L else lineStartAfter(x - 1)
+    // monotone predicate over raw byte offsets: g(x) = key of the first
+    // line at-or-after x (EOF => +infinity). The file is sorted, so g is
+    // non-decreasing in x and {x : g(x) >= target} is a suffix — plain
+    // binary search over bytes, then snap the boundary to its line start.
+    def g(x: Long): Boolean = {
+      val s = las(x)
+      s >= len || keyAt(s) >= target
+    }
+    if (len == 0 || g(0)) return 0L
+    var lo = 0L  // g(lo) false
+    var hi = len // g(len) true (EOF)
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (g(mid)) hi = mid else lo = mid
+    }
+    las(hi)
+  }
+
+  /** The declarative CDXJ line parse shared by [[readCdxj]] and
+    * [[lookupPrefix]]. */
+  private def parseCdxjLines(lines: DataFrame): DataFrame = {
     val jsonSchema = StructType(Seq(
       StructField("url", StringType), StructField("filename", StringType),
       StructField("offset", StringType), StructField("length", StringType),
       StructField("mime", StringType), StructField("record_type", StringType)))
-    val lines = spark.read.text(path).filter(length(trim(col("value"))) > 0)
-    lines.select(
+    lines.filter(length(trim(col("value"))) > 0)
+      .select(
         regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 1).as("urlkey"),
         regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 2).as("_ts14"),
         from_json(regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 3), jsonSchema).as("j"))

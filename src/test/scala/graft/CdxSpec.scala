@@ -93,6 +93,40 @@ class CdxSpec extends SparkSpec {
     assert(rows(1).isNullAt(1), "'-' timestamp must parse to null")
   }
 
+  test("lookupPrefix: binary search over sorted shards == full-scan filter for EVERY host; " +
+    "first/last keys and absent prefixes behave") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_lkp").toString
+    fixture(80, s"$dir/warc", shards = 3)
+    val built = Cdx.build(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+    Cdx.writeCdxj(built, s"$dir/idx", numShards = 3)
+    val full = Cdx.readCdxj(spark, s"$dir/idx")
+    // every host: the searched range must equal the scanned filter
+    Seq("site0", "site1", "site2").foreach { host =>
+      val prefix = s"example,$host)"
+      val got = Cdx.lookupPrefix(spark, s"$dir/idx", prefix)
+        .select("urlkey", "offset").orderBy("urlkey", "offset")
+        .collect().map(_.toSeq)
+      val want = full.filter(col("urlkey").startsWith(prefix))
+        .select("urlkey", "offset").orderBy("urlkey", "offset")
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty && got.toSeq === want.toSeq, s"prefix $prefix")
+    }
+    // boundary prefixes: before-everything and after-everything find nothing
+    assert(Cdx.lookupPrefix(spark, s"$dir/idx", "aaaa").count() === 0)
+    assert(Cdx.lookupPrefix(spark, s"$dir/idx", "zzzz").count() === 0)
+    // a prefix that is an exact full key still matches that one line
+    val oneKey = full.orderBy("urlkey").limit(1).collect()(0).getString(0)
+    assert(Cdx.lookupPrefix(spark, s"$dir/idx", oneKey).count() >= 1)
+    // composes with fetch: lookup one host, pread those members only
+    val got = Cdx.fetch(spark,
+        Cdx.lookupPrefix(spark, s"$dir/idx", "example,site2)"), s"$dir/warc")
+      .select("url").orderBy("url").collect().map(_.getString(0)).toSeq
+    val want = Warc.read(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+      .filter(col("url").startsWith("https://site2.example/"))
+      .select("url").orderBy("url").collect().map(_.getString(0)).toSeq
+    assert(got === want)
+  }
+
   test("selective fetch == full-sweep filter; only the selected members are read; " +
     "a corrupt extent fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx_fetch").toString
