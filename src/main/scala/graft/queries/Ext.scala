@@ -4185,6 +4185,51 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** CDX lookup with the pywb `from=`/`to=` ts14 RANGE — the second
+    * half of the shipped-index access pattern (a host prefix alone can
+    * match years of captures; replay services always pair it with a
+    * capture-time window). The window rides the SAME binary-search
+    * machinery: because shard lines sort by (key, ts14) and CDXJ keys
+    * are `\S+`, the search's lower target tightens to
+    * `prefix + " " + from14` byte-lexicographically, and the window
+    * filter applies post-parse to every matched key
+    * ([[graft.sources.Cdx.lookupPrefix]]). Fixture timestamps encode
+    * doc_id (epoch 1700000000 + id), so the [min+span/4, min+span/2]
+    * doc_id band IS a ts14 window; the oracle recomputes host ∩ band
+    * from the source table — an off-by-one at either inclusive bound
+    * or a tz-shifted ts14 parse loses or invents whole rows. */
+  def srcWarcCdxRange(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val recs = docs.select(
+      concat(lit("https://site"), (col("doc_id") % 3).cast("string"),
+        lit(".example/doc/"), col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("conversion").as("record_type"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_cdx_rng", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    val built = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.writeCdxj(built, s"$outDir.cdxj", numShards = 3)
+    // capture-time window = the middle-quarter doc_id band (bounded
+    // 1-row agg; the twin derives the same band relationally)
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (bandLo, bandHi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val from14 = fmt.format(java.time.Instant.ofEpochSecond(1700000000L + bandLo))
+    val to14 = fmt.format(java.time.Instant.ofEpochSecond(1700000000L + bandHi))
+    val hits = graft.sources.Cdx.lookupPrefix(s, s"$outDir.cdxj", "example,site1)",
+      from14 = Some(from14), to14 = Some(to14))
+    graft.sources.Cdx.fetch(s, hits, outDir)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -5915,6 +5960,7 @@ object Ext {
     "src_warc_roundtrip" -> srcWarcRoundtrip,
     "src_warc_cdx" -> srcWarcCdx,
     "src_warc_cdx_lookup" -> srcWarcCdxLookup,
+    "src_warc_cdx_range" -> srcWarcCdxRange,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8524,6 +8570,22 @@ FROM capd ORDER BY doc_id"""
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  text
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY url""".stripMargin,
+    // pywb-style from/to ts14 window over the binary-searched lookup:
+    // capture time encodes doc_id, so the window IS the middle-quarter
+    // id band — both inclusive bounds re-derived relationally
+    "src_warc_cdx_range" ->
+      """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents)
+        |SELECT 'https://site' || CAST(doc_id % 3 AS VARCHAR) || '.example/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |  'conversion' AS record_type,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text
+        |FROM documents, b
+        |WHERE doc_id % 3 = 1
+        |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
+        |ORDER BY url""".stripMargin,
     "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train

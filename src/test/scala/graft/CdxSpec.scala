@@ -127,6 +127,161 @@ class CdxSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("byteSuccessor: bump last non-0xFF byte, truncate tail; all-0xFF has none") {
+    def s(a: Array[Byte]) = Cdx.byteSuccessor(a).map(_.toSeq)
+    assert(s("abc".getBytes("UTF-8")) === Some("abd".getBytes("UTF-8").toSeq))
+    assert(s(Array('a'.toByte, 0xff.toByte)) === Some(Seq('b'.toByte)))
+    assert(s(Array(0xff.toByte, 0xff.toByte)) === None)
+    assert(s(Array(0xfe.toByte)) === Some(Seq(0xff.toByte)))
+  }
+
+  test("lookupPrefix compares unsigned UTF-8 bytes: non-ASCII keys (incl. the " +
+    "UTF-16/UTF-8 order divergence above U+FFFF) are found, never silently missed") {
+    // UTF-8 byte order: 'a' (61) < é (C3A9) < U+FFFD (EFBFBD) < U+10348 (F0908D88).
+    // Java String (UTF-16) order SWAPS the last two (D800 surrogate < FFFD), so a
+    // string-comparing search probes the wrong half of the file for the last key.
+    val keys = Seq(
+      "org,example)/a", "org,example)/é",
+      "org,example)/�", "org,example)/" + new String(Character.toChars(0x10348)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_nonascii").toString
+    val body = keys.zipWithIndex.map { case (k, i) =>
+      s"""$k 2024010100000$i {"url": "https://x/$i", "filename": "f.warc.gz", """ +
+        s""""offset": "$i", "length": "1", "record_type": "response"}"""
+    }.mkString("", "\n", "\n")
+    // sanity: the fixture really is sorted in UTF-8 byte order and NOT in UTF-16 order
+    assert(keys != keys.sorted, "fixture must expose the UTF-16/UTF-8 divergence")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/p.cdxj"),
+      body.getBytes("UTF-8"))
+    keys.zipWithIndex.foreach { case (k, i) =>
+      val got = Cdx.lookupPrefix(spark, dir, k).collect()
+      assert(got.length === 1 && got(0).getLong(4) === i.toLong, s"key #$i $k")
+    }
+    // prefix covering all four
+    assert(Cdx.lookupPrefix(spark, dir, "org,example)/").count() === 4)
+  }
+
+  test("lookupPrefix ts14 range + exact mode: inclusive bounds, extended keys " +
+    "filtered in prefix mode, excluded in exact mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_ts").toString
+    // one exact key with four captures + an extension key interleaving in time
+    val lines = Seq(
+      """com,site)/page 20240101000000 {"url": "https://site.com/page", "filename": "f", "offset": "0", "length": "1", "record_type": "response"}""",
+      """com,site)/page 20240201000000 {"url": "https://site.com/page", "filename": "f", "offset": "1", "length": "1", "record_type": "response"}""",
+      """com,site)/page 20240301000000 {"url": "https://site.com/page", "filename": "f", "offset": "2", "length": "1", "record_type": "response"}""",
+      """com,site)/page 20240401000000 {"url": "https://site.com/page", "filename": "f", "offset": "3", "length": "1", "record_type": "response"}""",
+      """com,site)/page/sub 20240215000000 {"url": "https://site.com/page/sub", "filename": "f", "offset": "4", "length": "1", "record_type": "response"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/p.cdxj"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def offs(df: org.apache.spark.sql.DataFrame) =
+      df.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    // prefix mode + range: exact-key captures 2,3 (Feb 1 .. Mar 1 inclusive)
+    // AND the extension's Feb 15 capture — from/to applies to every match
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      from14 = Some("20240201000000"), to14 = Some("20240301000000"))) === Seq(1L, 2L, 4L))
+    // exact mode: extension key excluded entirely
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      from14 = Some("20240201000000"), to14 = Some("20240301000000"),
+      exact = true)) === Seq(1L, 2L))
+    // inclusive boundaries: from == to == an existing capture
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      from14 = Some("20240401000000"), to14 = Some("20240401000000"))) === Seq(3L))
+    // open-ended from / to
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      from14 = Some("20240301000001"))) === Seq(3L))
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      to14 = Some("20240131235959"), exact = true)) === Seq(0L))
+    // empty range
+    assert(Cdx.lookupPrefix(spark, dir, "com,site)/page",
+      from14 = Some("20250101000000")).count() === 0)
+    // exact mode without range == urlkey equality
+    assert(offs(Cdx.lookupPrefix(spark, dir, "com,site)/page", exact = true))
+      === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("lookupPrefix chunked range read: a matched range spanning many chunks " +
+    "parses distributed and equals the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_chunk").toString
+    val n = 3000
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      sb.append(f"com,load)/page/$i%06d 20240101000000 ")
+        .append(f"""{"url": "https://load.com/page/$i%06d", "filename": "f.warc.gz", """)
+        .append(f""""offset": "$i%d", "length": "1", "mime": "text/html", "record_type": "response"}%n""")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/p.cdxj"),
+      sb.toString.getBytes("UTF-8"))
+    val fileLen = new java.io.File(s"$dir/p.cdxj").length()
+    assert(fileLen > 3L * (1 << 16), "fixture must span several 64 KB chunks")
+    val got = Cdx.lookupPrefix(spark, dir, "com,load)/", maxChunkBytes = 1 << 16)
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until n.toLong))
+    // a narrower prefix inside the big file still lands exactly
+    val sub = Cdx.lookupPrefix(spark, dir, "com,load)/page/000777",
+      maxChunkBytes = 1 << 16).collect()
+    assert(sub.length === 1 && sub(0).getLong(4) === 777L)
+  }
+
+  test("readCdxj parses ts14 as UTC regardless of the session timezone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_tz").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.cdxj"),
+      "org,example)/tz 20240101120000 {\"url\": \"https://example.org/tz\", " +
+        "\"filename\": \"f\", \"offset\": \"0\", \"length\": \"1\", " +
+        "\"record_type\": \"response\"}\n")
+    // isolated session state: same SparkContext, different SQLConf
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val row = Cdx.readCdxj(s2, dir).collect()(0)
+    assert(row.getTimestamp(1).toInstant.toString === "2024-01-01T12:00:00Z")
+  }
+
+  test("fetch is member-granular: a multi-record member fetches once even when " +
+    "several of its records are selected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_multi").toString + "/warc"
+    new java.io.File(dir).mkdirs()
+    def rec(url: String, payload: String): Array[Byte] = {
+      val body = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // member 1: TWO records in one gzip member (nonstandard but legal);
+    // member 2: a normal single-record member
+    val f = java.nio.file.Paths.get(dir, "m.warc.gz")
+    java.nio.file.Files.write(f,
+      gz(rec("https://m.example/r1", "one") ++ rec("https://m.example/r2", "two")) ++
+        gz(rec("https://m.example/r3", "three")))
+    val idx = Cdx.build(spark, dir, maxSplitBytes = 1 << 16)
+    assert(idx.count() === 3) // every record indexed, multi-member rows share an extent
+    assert(idx.select("filename", "offset", "length").distinct().count() === 2)
+    // select ALL THREE index rows: the multi member must fetch ONCE -> 3 records
+    val all = Cdx.fetch(spark, idx, dir).select("url").collect().map(_.getString(0)).sorted
+    assert(all.toSeq === Seq("https://m.example/r1", "https://m.example/r2",
+      "https://m.example/r3"))
+    // selecting ONE record of the multi member yields that member's full set (2)
+    val one = Cdx.fetch(spark, idx.filter(col("url") === "https://m.example/r1"), dir)
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(one.toSeq === Seq("https://m.example/r1", "https://m.example/r2"))
+  }
+
+  test("fetch with a tiny per-task byte band (intra-file fan-out) == default fetch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_salt").toString
+    fixture(50, s"$dir/warc", shards = 2)
+    val idx = Cdx.build(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+    // 256-byte bands cut every file into many offset bands — the
+    // fan-out path a single-archive selection takes at scale
+    val a = Cdx.fetch(spark, idx, s"$dir/warc", maxBytesPerTask = 256L)
+      .select("url", "content_length").orderBy("url").collect().map(_.toSeq)
+    val b = Cdx.fetch(spark, idx, s"$dir/warc")
+      .select("url", "content_length").orderBy("url").collect().map(_.toSeq)
+    assert(a.length === 50 && a.toSeq === b.toSeq)
+  }
+
   test("selective fetch == full-sweep filter; only the selected members are read; " +
     "a corrupt extent fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx_fetch").toString
