@@ -200,8 +200,12 @@ case class AcGazetteerNameCount(child: Expression, names: Seq[String])
   require(names.nonEmpty, "gazetteer must be non-empty")
   // validated EAGERLY in the body (not inside the lazy automaton): an
   // invalid gazetteer must fail at plan construction with this message,
-  // not as a mid-job task failure the first time a partition evaluates
-  require(AcAutomaton.prefixFree(names),
+  // not as a mid-job task failure the first time a partition evaluates.
+  // Memoized by Seq IDENTITY: Catalyst rebuilds this node on every
+  // transformUp/withNewChildren during analysis+optimization, but every
+  // copy shares the SAME names instance — the O(n log n) distinct+sort
+  // runs once per gazetteer object, each copy pays one reference lookup
+  require(AcGazetteerNameCount.prefixFreeCached(names),
     "gazetteer must be prefix-free for regex-equivalent name counting " +
       "(a name that prefixes another makes match order observable)")
 
@@ -223,6 +227,19 @@ case class AcGazetteerNameCount(child: Expression, names: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object AcGazetteerNameCount {
+  // identity-keyed (not equals-keyed): a hit is one reference compare,
+  // never an O(n) Seq hash. Bounded: gazetteers are process-lifetime
+  // dictionary objects — the clear() path exists only as a leak guard
+  // against pathological per-row Seq construction.
+  private val validated = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[Seq[String], java.lang.Boolean]())
+  private[functions] def prefixFreeCached(names: Seq[String]): Boolean = {
+    if (validated.size > 1024) validated.clear()
+    validated.computeIfAbsent(names, n => AcAutomaton.prefixFree(n))
+  }
 }
 
 /** Count of non-overlapping whole-word dictionary hits — the automaton

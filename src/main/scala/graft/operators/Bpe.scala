@@ -375,19 +375,34 @@ object Bpe {
     * space) and the newer `["left","right"]` two-element array emitted
     * by current tokenizers releases. `model.type` must be `"BPE"`
     * (WordPiece/Unigram files carry different semantics and must fail
-    * loud, not load as an empty merge list). `added_tokens` /
-    * normalizer / pre-tokenizer sections are the CALLER's contract —
-    * pair the model with the matching pre-tokenizer (e.g.
+    * loud, not load as an empty merge list).
+    *
+    * `added_tokens` (the section every production checkpoint carries —
+    * Llama/GPT-NeoX special tokens like `<|endoftext|>`) import into
+    * [[HfTokenizer.specials]] and match ATOMICALLY pre-BPE through
+    * [[encodeIdsWithSpecials]] — ignoring them would silently
+    * byte-BPE a special marker as ordinary text and mis-count every
+    * budget. A non-null `normalizer` fails LOUD naming the section: an
+    * ignored normalizer silently changes tokenization, which is worse
+    * than refusing the artifact. The pre-tokenizer stays the CALLER's
+    * contract — pair the model with the matching one (e.g.
     * [[gpt2PreTokens]]) exactly as with [[importMergesTxt]].
     *
-    * Returns (model, token → id). Driver-bounded: a tokenizer.json is
-    * ≤ ~vocab-size entries, megabytes at most. */
-  def loadHuggingFace(spark: SparkSession, path: String): (ByteModel, Map[String, Int]) = {
+    * Driver-bounded: a tokenizer.json is ≤ ~vocab-size entries,
+    * megabytes at most. */
+  def loadHuggingFaceFull(spark: SparkSession, path: String): HfTokenizer = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
+    val norm = root.get("normalizer")
+    require(norm == null || norm.isNull,
+      s"$path carries a non-null 'normalizer' section " +
+        s"(type '${Option(norm).map(_.path("type").asText("?")).getOrElse("?")}'); " +
+        "importing it unapplied would silently change tokenization — refuse " +
+        "loud instead (normalize the corpus upstream or strip the section " +
+        "once verified identity)")
     val model = root.path("model")
     require(model.isObject, s"$path has no 'model' object — not a tokenizer.json")
     val tpe = model.path("type").asText("")
@@ -414,15 +429,83 @@ object Bpe {
     val vb = Map.newBuilder[String, Int]
     val it = vocabNode.fieldNames()
     while (it.hasNext) { val k = it.next(); vb += k -> vocabNode.get(k).asInt() }
-    (ByteModel(merges), vb.result())
+    val vocab = vb.result()
+    val addedNode = root.path("added_tokens")
+    val specials = if (!addedNode.isArray) Seq.empty[(String, Int)] else
+      (0 until addedNode.size()).map { i =>
+        val n = addedNode.get(i)
+        val content = n.path("content").asText("")
+        require(content.nonEmpty, s"$path added_tokens[$i] has no content")
+        require(n.path("id").isInt || n.path("id").isLong,
+          s"$path added_tokens[$i] ('$content') has no integer id")
+        (content, n.path("id").asInt())
+      }.toSeq
+    // a special may ALSO sit in the vocab (GPT-2's <|endoftext|> does)
+    // but then the ids must agree — a mismatch means the two tables
+    // disagree about what the id decodes to
+    specials.foreach { case (c, id) =>
+      vocab.get(c).foreach(vid => require(vid == id,
+        s"$path added token '$c' has id $id but vocab maps it to $vid"))
+    }
+    require(specials.map(_._1).distinct.size == specials.size,
+      s"$path added_tokens lists a duplicate content string")
+    HfTokenizer(ByteModel(merges), vocab, specials)
   }
 
-  /** Write `model` as a minimal `tokenizer.json` (version, model.type
-    * BPE, the [[vocabIds]] table, merges in the modern two-element-array
-    * encoding) — the companion of [[loadHuggingFace]], so round-trip
-    * fixtures exercise the exact artifact path a published checkpoint
-    * takes. */
-  def exportHuggingFace(spark: SparkSession, model: ByteModel, path: String): Unit = {
+  /** A loaded tokenizer.json: the BPE merge model, the token → id
+    * table, and the `added_tokens` specials (content → id) that must
+    * match atomically before any pre-tokenization. */
+  final case class HfTokenizer(model: ByteModel, vocab: Map[String, Int],
+                               specials: Seq[(String, Int)])
+
+  /** Back-compat form of [[loadHuggingFaceFull]] returning only
+    * (model, vocab) — callers that budget plain text and pair their
+    * own pre-tokenizer. Fails loud identically (normalizer, non-BPE,
+    * malformed merges). */
+  def loadHuggingFace(spark: SparkSession, path: String): (ByteModel, Map[String, Int]) = {
+    val t = loadHuggingFaceFull(spark, path)
+    (t.model, t.vocab)
+  }
+
+  /** Token IDS of raw `text` with `specials` matched ATOMICALLY first
+    * (the Hugging Face added-token contract): one alternation pass
+    * sentinel-wraps every special occurrence (longest-first at a
+    * position, so an overlapping shorter special never splits a longer
+    * one), the text splits into segments, special segments map straight
+    * to their ids, and only ordinary segments flow through
+    * `preTokens` + BPE + vocab. All codegen'd `functions._` — one
+    * narrow per-row pass, the specials table rides as a map literal.
+    * NUL bytes strip first (they are the sentinel; a NUL in crawl text
+    * is mojibake, not signal). With no specials this is exactly
+    * encodeIds ∘ preTokens. */
+  def encodeIdsWithSpecials(text: Column, tok: HfTokenizer,
+                            preTokens: Column => Column): Column = {
+    if (tok.specials.isEmpty)
+      return encodeIds(preTokens(text), tok.model, tok.vocab)
+    val sMap = tok.specials.toMap
+    val contents = tok.specials.map(_._1)
+    val pat = contents.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
+    val segs = filter(
+      split(regexp_replace(regexp_replace(text, "\u0000", ""), pat, "\u0000$1\u0000"),
+        "\u0000"),
+      s => length(s) > 0)
+    flatten(transform(segs, seg =>
+      when(seg.isInCollection(contents),
+          array(element_at(typedLit(sMap), seg)))
+        .otherwise(transform(encodeTokensBytes(preTokens(seg), tok.model),
+          t => element_at(typedLit(tok.vocab), t)))))
+  }
+
+  /** Write `model` as a minimal `tokenizer.json` (version, explicit
+    * `normalizer: null`, model.type BPE, the [[vocabIds]] table, merges
+    * in the modern two-element-array encoding, plus an `added_tokens`
+    * section when `specials` is non-empty — the shape published
+    * checkpoints carry) — the companion of [[loadHuggingFaceFull]], so
+    * round-trip fixtures exercise the exact artifact path a published
+    * checkpoint takes. */
+  def exportHuggingFace(spark: SparkSession, model: ByteModel, path: String,
+                        specials: Seq[(String, Int)] = Seq.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -430,6 +513,15 @@ object Bpe {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = m.createObjectNode()
       root.put("version", "1.0")
+      if (specials.nonEmpty) {
+        val at = root.putArray("added_tokens")
+        specials.foreach { case (content, id) =>
+          val e = at.addObject()
+          e.put("id", id); e.put("content", content); e.put("special", true)
+          ()
+        }
+      }
+      root.putNull("normalizer")
       val mn = root.putObject("model")
       mn.put("type", "BPE")
       val vn = mn.putObject("vocab")

@@ -228,4 +228,92 @@ class ByteBpeSpec extends SparkSpec {
     assert(m(4L) === Seq(" ", " leading", " and", " trailing", "  "))
     assert(m(5L) === Seq.empty)
   }
+
+  test("added_tokens: specials import, match atomically pre-BPE, and extend the id space") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_added")
+    val f = dir.resolve("tokenizer.json")
+    java.nio.file.Files.writeString(f,
+      """{"version":"1.0",
+        |"added_tokens":[{"id":100,"content":"<|eot|>","special":true},
+        |                {"id":101,"content":"<|eot|>x","special":true}],
+        |"normalizer":null,
+        |"model":{"type":"BPE",
+        |"vocab":{"h":0,"e":1,"l":2,"o":3,"x":4,"he":5,"ll":6,"hell":7,"hello":8},
+        |"merges":[["h","e"],["l","l"],["he","ll"],["hell","o"]]}}""".stripMargin)
+    val tok = Bpe.loadHuggingFaceFull(spark, f.toString)
+    assert(tok.specials === Seq(("<|eot|>", 100), ("<|eot|>x", 101)))
+    assert(tok.vocab.size === 9 && tok.model.merges.length === 4)
+    def ids(texts: String*): Seq[Seq[Int]] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), Bpe.encodeIdsWithSpecials(col("text"), tok,
+          Bpe.gpt2PreTokens).as("ids"))
+        .orderBy("id").collect().toSeq.map(_.getSeq[Int](1).toSeq)
+    // the special never byte-BPEs: one atomic id wherever it occurs
+    assert(ids("hello<|eot|>hello") === Seq(Seq(8, 100, 8)))
+    assert(ids("<|eot|>") === Seq(Seq(100)))
+    assert(ids("<|eot|>hello") === Seq(Seq(100, 8)))
+    assert(ids("hello<|eot|>") === Seq(Seq(8, 100)))
+    // LONGEST special wins at a shared position (alternation is
+    // longest-first): "<|eot|>x" is one token 101, never 100 then "x"
+    assert(ids("<|eot|>x") === Seq(Seq(101)))
+    assert(ids("<|eot|>xhello<|eot|>") === Seq(Seq(101, 8, 100)))
+    // adjacent specials, repeated specials
+    assert(ids("<|eot|><|eot|>") === Seq(Seq(100, 100)))
+    // no specials present == the plain encodeIds path
+    assert(ids("hellohello") === Seq(Seq(8, 8)))
+    assert(ids("hell") === Seq(Seq(7)))
+    // empty text
+    assert(ids("") === Seq(Seq.empty))
+  }
+
+  test("added_tokens fail-loud: non-null normalizer, vocab id conflict, duplicate content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_added_bad")
+    val norm = dir.resolve("norm.json")
+    java.nio.file.Files.writeString(norm,
+      """{"normalizer":{"type":"NFC"},"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""")
+    val e1 = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, norm.toString))
+    assert(e1.getMessage.contains("normalizer") && e1.getMessage.contains("NFC"))
+    // a special that ALSO sits in the vocab must agree on the id
+    val conflict = dir.resolve("conflict.json")
+    java.nio.file.Files.writeString(conflict,
+      """{"added_tokens":[{"id":9,"content":"a"}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, conflict.toString))
+    assert(e2.getMessage.contains("vocab maps it to"))
+    // agreement is fine (GPT-2 lists <|endoftext|> in BOTH tables)
+    val agree = dir.resolve("agree.json")
+    java.nio.file.Files.writeString(agree,
+      """{"added_tokens":[{"id":0,"content":"a"}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    assert(Bpe.loadHuggingFaceFull(spark, agree.toString).specials === Seq(("a", 0)))
+    val dup = dir.resolve("dup.json")
+    java.nio.file.Files.writeString(dup,
+      """{"added_tokens":[{"id":7,"content":"<s>"},{"id":8,"content":"<s>"}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    val e3 = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, dup.toString))
+    assert(e3.getMessage.contains("duplicate"))
+    // missing id / empty content fail loud
+    val noid = dir.resolve("noid.json")
+    java.nio.file.Files.writeString(noid,
+      """{"added_tokens":[{"content":"<s>"}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, noid.toString))
+  }
+
+  test("exportHuggingFace(specials) round-trips added_tokens and writes normalizer:null") {
+    val docs = (1 to 30).map(i => (i.toLong, "pack my box with five dozen jugs"))
+      .toDF("id", "text")
+    val trained = Bpe.trainBytes(docs, col("text"), numMerges = 20, maxWords = 100,
+      tokenizer = Bpe.gpt2PreTokens)
+    val n = Bpe.vocabIds(trained).size
+    val specials = Seq(("<|doc|>", n), ("<|end|>", n + 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_sp_rt").toString
+    Bpe.exportHuggingFace(spark, trained, s"$dir/tokenizer.json", specials)
+    val tok = Bpe.loadHuggingFaceFull(spark, s"$dir/tokenizer.json")
+    assert(tok.model.merges.toSeq === trained.merges.toSeq)
+    assert(tok.vocab === Bpe.vocabIds(trained))
+    assert(tok.specials === specials)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/tokenizer.json"))
+    assert(txt.contains("\"normalizer\":null"))
+  }
 }
