@@ -342,6 +342,23 @@ object Ivf {
       .repartition(1).write.mode("overwrite").parquet(s"$path/pq")
   }
 
+  /** Persist an [[encodePq]] output — the SERVING INDEX (neighbor_id,
+    * _cell, _codes) — under `path/encoded`, next to the model that
+    * produced it (the two must travel together: codes are meaningless
+    * under any other codebook). Write it LAST: its _SUCCESS is the
+    * artifact's completion marker, so a torn earlier write re-encodes
+    * instead of serving half an index. At 100 TB this is the whole
+    * point of PQ — the encoded index is (id, cell, m bytes) per vector,
+    * ~100× smaller than the raw embeddings, scanned per query batch
+    * while the raw corpus is never touched again. */
+  def saveEncodedPq(spark: SparkSession, encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("overwrite").parquet(s"$path/encoded")
+
+  /** The persisted serving index back as a DataFrame — pair with
+    * [[loadPqModel]] and [[searchEncodedTopKPq]]. */
+  def loadEncodedPq(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/encoded")
+
   def loadPqModel(spark: SparkSession, path: String): PqModel = {
     val coarse = loadModel(spark, path)
     val r = spark.read.parquet(s"$path/pq")
