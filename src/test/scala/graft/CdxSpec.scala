@@ -282,6 +282,65 @@ class CdxSpec extends SparkSpec {
     assert(a.length === 50 && a.toSeq === b.toSeq)
   }
 
+  test("fetchResolved: revisit records carry the ORIGINAL capture's payload; " +
+    "unresolvable and unlinked revisits pass through unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_revisit").toString
+    val t0 = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700086400L))
+    val tAbsent = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L))
+    val none: Option[String] = None
+    val noneTs: Option[java.sql.Timestamp] = None
+    val recs = Seq(
+      // originals
+      ("https://r.example/a", t0, "response", "text/plain",
+        "alpha body".getBytes("UTF-8"), none, noneTs),
+      ("https://r.example/b", t0, "response", "text/plain",
+        "beta body".getBytes("UTF-8"), none, noneTs),
+      // linked revisit -> /a@t0
+      ("https://r.example/a", t1, "revisit", null.asInstanceOf[String],
+        Array.empty[Byte], Some("https://r.example/a"), Some(t0)),
+      // revisit pointing OUTSIDE the index (different ts)
+      ("https://r.example/b", t1, "revisit", null.asInstanceOf[String],
+        Array.empty[Byte], Some("https://r.example/b"), Some(tAbsent)),
+      // revisit with NO linkage headers at all
+      ("https://r.example/c", t1, "revisit", null.asInstanceOf[String],
+        Array.empty[Byte], none, noneTs)
+    ).toDF("url", "ts", "record_type", "content_type", "payload",
+      "refers_to_url", "refers_to_ts")
+    Warc.write(recs, s"$dir/warc", numShards = 2)
+    val idx = Cdx.build(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+    assert(idx.count() === 5)
+    val got = Cdx.fetchResolved(spark, idx, idx, s"$dir/warc")
+      .select(col("url"), col("ts"), col("record_type"), col("content_type"),
+        col("content_length"), decode(col("payload"), "UTF-8").as("text"))
+      .orderBy("url", "ts").collect()
+    assert(got.length === 5)
+    // schema is exactly Warc.schema-shaped (no refers leakage)
+    assert(Cdx.fetchResolved(spark, idx, idx, s"$dir/warc").columns.toSeq ===
+      Warc.schema.fieldNames.toSeq)
+    val byKey = got.map(r => (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) ->
+      (r.getString(2), r.getString(3), r.getLong(4), r.getString(5))).toMap
+    // originals untouched
+    assert(byKey(("https://r.example/a", 1700000000L)) ===
+      (("response", "text/plain", 10L, "alpha body")))
+    // linked revisit: original's payload/ctype/clen, own type kept
+    assert(byKey(("https://r.example/a", 1700086400L)) ===
+      (("revisit", "text/plain", 10L, "alpha body")))
+    // unresolvable revisit: unchanged empty payload
+    assert(byKey(("https://r.example/b", 1700086400L)) ===
+      (("revisit", null, 0L, "")))
+    // unlinked revisit: unchanged
+    assert(byKey(("https://r.example/c", 1700086400L)) ===
+      (("revisit", null, 0L, "")))
+    // selecting ONLY revisits still resolves through the FULL index
+    val onlyRev = Cdx.fetchResolved(spark,
+        idx.filter(col("record_type") === "revisit"), idx, s"$dir/warc")
+      .select(col("url"), decode(col("payload"), "UTF-8").as("text"))
+      .orderBy("url").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(onlyRev.toSeq === Seq(("https://r.example/a", "alpha body"),
+      ("https://r.example/b", ""), ("https://r.example/c", "")))
+  }
+
   test("selective fetch == full-sweep filter; only the selected members are read; " +
     "a corrupt extent fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx_fetch").toString
