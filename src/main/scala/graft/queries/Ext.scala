@@ -4322,6 +4322,45 @@ object Ext {
       .orderBy(col("url"), col("ts_epoch"))
   }
 
+  /** WAT link-graph harvest — the OTHER CommonCrawl sidecar
+    * ([[graft.sources.Wat]]): `metadata` records whose JSON envelope
+    * carries each capture's outgoing links and title, shipped so
+    * 100 TB consumers harvest the WEB GRAPH without re-parsing HTML
+    * (the sidecar is ~1/4 the crawl and the harvest is a pure scan).
+    * Fixture: every doc captures with TWO deterministic outlinks
+    * (doc_id+1 in-domain, 3·doc_id+2 off-domain) and a title, written
+    * through the published envelope nesting
+    * ([[graft.sources.Wat.envelopeJson]]) as one-record-per-gzip-member
+    * WARC, read back with deliberately tiny splits (the resync path),
+    * parsed declaratively (`from_json` against the narrowed schema +
+    * one `explode_outer`). The twin rebuilds the full (src, link,
+    * title) edge list from doc_id arithmetic — a dropped capture, a
+    * mis-nested envelope field, or a lost/duplicated link row breaks
+    * the hash. */
+  def srcWarcWat(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val url = concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string"))
+    val links = array(
+      struct(lit("A@/href").as("path"),
+        concat(lit("https://crawl.example/doc/"),
+          (col("doc_id") + 1).cast("string")).as("url")),
+      struct(lit("A@/href").as("path"),
+        concat(lit("https://other.example/page/"),
+          (col("doc_id") * 3 + 2).cast("string")).as("url")))
+    val title = concat(lit("Doc "), col("doc_id").cast("string"))
+    val recs = docs.select(url.as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("metadata").as("record_type"),
+      lit("application/json").as("content_type"),
+      encode(graft.sources.Wat.envelopeJson(url, links, title), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_wat", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    graft.sources.Wat.readLinks(s, outDir, maxSplitBytes = 1 << 16)
+      .select(col("src_url"), unix_timestamp(col("ts")).as("ts_epoch"),
+        col("title"), col("link_path"), col("link_url"))
+      .orderBy(col("src_url"), col("link_url"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -6054,6 +6093,7 @@ object Ext {
     "src_warc_cdx_lookup" -> srcWarcCdxLookup,
     "src_warc_cdx_range" -> srcWarcCdxRange,
     "src_warc_revisit" -> srcWarcRevisit,
+    "src_warc_wat" -> srcWarcWat,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8679,6 +8719,25 @@ FROM capd ORDER BY doc_id"""
         |WHERE doc_id % 3 = 1
         |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
         |ORDER BY url""".stripMargin,
+    // WAT link harvest: the twin rebuilds the full (src, link, title)
+    // edge list from doc_id arithmetic — two links per capture
+    "src_warc_wat" ->
+      """SELECT src_url, ts_epoch, title, link_path, link_url
+        |FROM (
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+        |    CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |    'A@/href' AS link_path,
+        |    'https://crawl.example/doc/' || CAST(doc_id + 1 AS VARCHAR) AS link_url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+        |    CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |    'A@/href' AS link_path,
+        |    'https://other.example/page/' || CAST(doc_id * 3 + 2 AS VARCHAR) AS link_url
+        |  FROM documents
+        |) ORDER BY src_url, link_url""".stripMargin,
     // revisit resolution: response rows verbatim + revisit rows whose
     // text/ctype/clen the twin RE-READS from the source table — an
     // unresolved empty payload or a mis-joined original breaks the hash

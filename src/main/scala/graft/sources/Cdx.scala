@@ -500,9 +500,16 @@ object Cdx {
     require(maxBytesPerTask > 0, "maxBytesPerTask must be positive")
     val confBc = spark.sparkContext.broadcast(Warc.serializableConf(spark))
     val dirStr = warcDir
+    // EXPLICIT partition count: index rows are ~50 bytes but each one
+    // drives a `length`-byte pread — AQE would coalesce the tiny
+    // shuffle into one partition and serialize the whole fetch (it
+    // sizes by shuffle bytes, which do not measure the I/O the rows
+    // fan out into). Pinning numPartitions keeps the byte-band
+    // fan-out an actual fan-out.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     index.select(col("filename"), col("offset"), col("length"))
       .withColumn("_band", (col("offset") / maxBytesPerTask).cast("long"))
-      .repartition(col("filename"), col("_band"))
+      .repartition(nPart, col("filename"), col("_band"))
       .sortWithinPartitions(col("filename"), col("offset"), col("length"))
       .drop("_band")
       .rdd.mapPartitions { rows =>
