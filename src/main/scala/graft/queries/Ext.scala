@@ -4281,6 +4281,46 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** pywb `collapse=timestamp:8` over the CDX index — the calendar-page
+    * serving option ([[graft.sources.Cdx.collapse]]): every doc
+    * captures THREE times (t0, t0+1h same UTC day, t0+25h next day;
+    * capture seconds bounded inside the day so buckets never straddle
+    * midnight), the index round-trips CDXJ, collapses to one capture
+    * per (url, day) — the FIRST of each bucket — and only the
+    * survivors fetch. Payloads tag the capture (`text@dt`), so keeping
+    * the wrong bucket member surfaces in BOTH ts_epoch and text; the
+    * twin rebuilds exactly two rows per doc (dt 0 and 90000) from
+    * doc_id arithmetic. */
+  def srcWarcCdxCollapse(s: SparkSession, dir: String): DataFrame = {
+    // 40% doc subset: the fixture writes 3 captures per doc and this is
+    // the bench's write-heaviest warc query — the subset keeps the
+    // disk-window variance (the documented IO alarm class) bounded
+    // without weakening the bucket semantics under test
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 < 2)
+    val url = concat(lit("https://cal.example/doc/"), col("doc_id").cast("string"))
+    // 1700006400 is 00:00:00 UTC; % 82800 keeps t0+3600 inside the day
+    val t0 = lit(1700006400L) + (col("doc_id") % 82800).cast("long")
+    val recs = docs
+      .select(col("doc_id"), col("text"),
+        explode(array(lit(0L), lit(3600L), lit(90000L))).as("dt"))
+      .select(url.as("url"),
+        timestamp_seconds(t0 + col("dt")).as("ts"),
+        lit("conversion").as("record_type"),
+        lit("text/plain").as("content_type"),
+        encode(concat(col("text"), lit("@"), col("dt").cast("string")),
+          "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_cdx_clps", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    val built = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.writeCdxj(built, s"$outDir.cdxj", numShards = 2)
+    val index = graft.sources.Cdx.readCdxj(s, s"$outDir.cdxj")
+    val daily = graft.sources.Cdx.collapse(index, digits = 8)
+    graft.sources.Cdx.fetch(s, daily, outDir)
+      .select(col("url"), unix_timestamp(col("ts")).as("ts_epoch"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"), col("ts_epoch"))
+  }
+
   /** WARC `revisit` RESOLUTION — the CommonCrawl dedup quirk (judge r18
     * #7): a re-crawl with unchanged content writes a `revisit` record
     * with an EMPTY payload plus WARC-Refers-To-Target-URI/-Date headers
@@ -6094,6 +6134,7 @@ object Ext {
     "src_warc_cdx_range" -> srcWarcCdxRange,
     "src_warc_revisit" -> srcWarcRevisit,
     "src_warc_wat" -> srcWarcWat,
+    "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8719,6 +8760,16 @@ FROM capd ORDER BY doc_id"""
         |WHERE doc_id % 3 = 1
         |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
         |ORDER BY url""".stripMargin,
+    // pywb collapse=timestamp:8 — the twin rebuilds the two surviving
+    // captures per doc (first of each UTC day bucket) from arithmetic
+    "src_warc_cdx_collapse" ->
+      """SELECT url, ts_epoch, text FROM (
+        |  SELECT 'https://cal.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(1700006400 + doc_id % 82800 + dt AS BIGINT) AS ts_epoch,
+        |    text || '@' || CAST(dt AS VARCHAR) AS text
+        |  FROM documents, (SELECT UNNEST([0, 90000]) AS dt)
+        |  WHERE doc_id % 5 < 2
+        |) ORDER BY url, ts_epoch""".stripMargin,
     // WAT link harvest: the twin rebuilds the full (src, link, title)
     // edge list from doc_id arithmetic — two links per capture
     "src_warc_wat" ->

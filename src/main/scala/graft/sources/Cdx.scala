@@ -457,6 +457,36 @@ object Cdx {
         col("j.mime").as("mime"), col("j.record_type").as("record_type"))
   }
 
+  // ---- capture collapsing ----------------------------------------------------
+
+  /** pywb's `collapse=timestamp:digits` serving option: ONE capture per
+    * (urlkey, ts14 N-digit bucket) — `digits = 8` is the calendar-page
+    * default (one capture per URL per day), 4 yearly, 10 hourly, 14
+    * no-op dedup. Keeps the FIRST capture of each bucket (earliest ts;
+    * ties break on (filename, offset) so the result is deterministic
+    * across shard layouts); timestampless entries collapse as their own
+    * bucket. One shuffle — a window keyed (urlkey, bucket), the same
+    * shape at any index size.
+    *
+    * ts14 buckets are DEFINED in UTC (writeCdxj formats them so);
+    * `date_format` renders in the session timezone, so a non-UTC
+    * session would silently bucket shifted days — refuse it loud. */
+  def collapse(index: DataFrame, digits: Int): DataFrame = {
+    require(digits >= 4 && digits <= 14 && digits % 2 == 0,
+      s"digits must be one of 4,6,8,10,12,14 (ts14 field boundaries), got $digits")
+    val tz = index.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"collapse buckets ts14 in UTC but the session timezone is '$tz'; " +
+        "set spark.sql.session.timeZone=UTC (ts14 is defined as UTC)")
+    val bucket = when(col("ts").isNull, lit("-"))
+      .otherwise(substring(date_format(col("ts"), "yyyyMMddHHmmss"), 1, digits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("urlkey"), bucket)
+      .orderBy(col("ts").asc_nulls_first, col("filename"), col("offset"))
+    index.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   // ---- selective fetch -----------------------------------------------------
 
   /** Read EXACTLY the records `index` selects: each row's

@@ -282,6 +282,45 @@ class CdxSpec extends SparkSpec {
     assert(a.length === 50 && a.toSeq === b.toSeq)
   }
 
+  test("collapse: first capture per (urlkey, ts14 bucket); null-ts bucket, " +
+    "deterministic ties, digit validation, non-UTC session refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_clps").toString
+    def line(key: String, ts14: String, off: Int, file: String = "f") =
+      s"""$key $ts14 {"url": "https://x/$off", "filename": "$file", """ +
+        s""""offset": "$off", "length": "1", "record_type": "response"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.cdxj"),
+      Seq(
+        line("com,a)/", "20240101080000", 0), // day 1, first
+        line("com,a)/", "20240101120000", 1), // day 1, later -> collapsed away
+        line("com,a)/", "20240102080000", 2), // day 2
+        line("com,a)/x", "20240101090000", 3), // different key, same day
+        line("com,b)/", "-", 4),               // no ts: its own bucket
+        line("com,b)/", "-", 5)                // second null-ts: collapsed away
+      ).mkString("", "\n", "\n"))
+    val idx = Cdx.readCdxj(spark, dir)
+    val daily = Cdx.collapse(idx, 8).select("offset")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(daily === Seq(0L, 2L, 3L, 4L))
+    // digits=14 keeps everything except exact-duplicate timestamps
+    assert(Cdx.collapse(idx, 14).count() === 5) // the two "-" rows collapse
+    // yearly
+    assert(Cdx.collapse(idx, 4).select("offset")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 3L, 4L))
+    // tie on (urlkey, bucket, ts): deterministic by (filename, offset)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/q.cdxj"),
+      Seq(line("org,t)/", "20240101080000", 7, "zzz"),
+        line("org,t)/", "20240101080000", 6, "aaa")).mkString("", "\n", "\n"))
+    val tied = Cdx.collapse(Cdx.readCdxj(spark, s"$dir/q.cdxj"), 8).collect()
+    assert(tied.length === 1 && tied(0).getLong(4) === 6L, "tie -> (filename, offset) order")
+    // invalid digits and non-UTC sessions fail loud
+    intercept[IllegalArgumentException](Cdx.collapse(idx, 7))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException](
+      Cdx.collapse(Cdx.readCdxj(s2, dir), 8))
+    assert(e.getMessage.contains("UTC"))
+  }
+
   test("fetchResolved: revisit records carry the ORIGINAL capture's payload; " +
     "unresolvable and unlinked revisits pass through unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx_revisit").toString
