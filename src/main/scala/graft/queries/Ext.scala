@@ -4281,6 +4281,41 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** robots.txt exclusion decisions (RFC 9309,
+    * [[graft.sources.Robots]]) — the crawl-politeness gate every web
+    * pipeline runs before fetching: per-host rule groups parse
+    * relationally (window running group-ids), and the decision is ONE
+    * host-keyed join + per-url longest-match argmax (rule tables
+    * broadcast at scale, the URL set streams). Fixture: three hosts
+    * with literal-prefix rule sets exercising longest-match overrides
+    * (`/doc/12` allow inside `/doc/1` disallow), star-group fallback,
+    * exact-group-silences-star, and the no-rules default; the twin
+    * replays the SAME longest-match ranking over a VALUES rule table
+    * with LIKE-prefix matching — a wrong group pick, tie-break, or
+    * length ranking flips `allowed`/`matched_pattern` and breaks the
+    * hash. Wildcard/`$` pattern semantics are RobotsSpec's (the twin
+    * stays in the literal-prefix fragment SQL can replay). */
+  def srcRobotsDecide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val urls = docs.select(
+      concat(lit("site"), (col("doc_id") % 3).cast("string"),
+        lit(".example")).as("host"),
+      concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+    val robots = Seq(
+      ("site0.example",
+        "User-agent: GraftBot\nDisallow: /doc/1\nAllow: /doc/12\n" +
+          "\nUser-agent: *\nDisallow: /\n"),
+      ("site1.example",
+        "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"),
+      ("site2.example",
+        "User-agent: GraftBot\nDisallow:\n\nUser-agent: *\nDisallow: /\n")
+    ).toDF("host", "body")
+    graft.sources.Robots.decide(urls,
+        graft.sources.Robots.parseRules(robots), "GraftBot")
+      .orderBy(col("host"), col("path"))
+  }
+
   /** pywb `collapse=timestamp:8` over the CDX index — the calendar-page
     * serving option ([[graft.sources.Cdx.collapse]]): every doc
     * captures THREE times (t0, t0+1h same UTC day, t0+25h next day;
@@ -6135,6 +6170,7 @@ object Ext {
     "src_warc_revisit" -> srcWarcRevisit,
     "src_warc_wat" -> srcWarcWat,
     "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
+    "src_robots_decide" -> srcRobotsDecide,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8760,6 +8796,35 @@ FROM capd ORDER BY doc_id"""
         |WHERE doc_id % 3 = 1
         |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
         |ORDER BY url""".stripMargin,
+    // RFC 9309 longest-match replay: same VALUES rule table (the
+    // star-fallback group selection pre-resolved: GraftBot has an exact
+    // group on site0, site1 only has *, site2's exact group has no
+    // rules and SILENCES its * group), LIKE-prefix matching, identical
+    // (length desc, allow-first, pattern) ranking
+    "src_robots_decide" ->
+      """WITH urls AS (
+        |  SELECT 'site' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host,
+        |         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('site0.example', 'disallow', '/doc/1'),
+        |    ('site0.example', 'allow',    '/doc/12'),
+        |    ('site1.example', 'disallow', '/doc/'),
+        |    ('site1.example', 'allow',    '/doc/2')
+        |  ) AS t(host, rule, pattern)),
+        |m AS (
+        |  SELECT u.host, u.path, r.rule, r.pattern,
+        |    row_number() OVER (PARTITION BY u.host, u.path
+        |      ORDER BY length(r.pattern) DESC, (r.rule = 'allow') DESC, r.pattern) AS rn
+        |  FROM urls u JOIN rules r
+        |    ON u.host = r.host AND u.path LIKE r.pattern || '%')
+        |SELECT u.host, u.path,
+        |  COALESCE(m.rule = 'allow', TRUE) AS allowed,
+        |  m.pattern AS matched_pattern
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  USING (host, path)
+        |ORDER BY host, path""".stripMargin,
     // pywb collapse=timestamp:8 — the twin rebuilds the two surviving
     // captures per doc (first of each UTC day bucket) from arithmetic
     "src_warc_cdx_collapse" ->
