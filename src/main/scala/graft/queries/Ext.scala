@@ -4436,6 +4436,46 @@ object Ext {
       .orderBy(col("src_url"), col("link_url"))
   }
 
+  /** WET extraction sidecar end-to-end ([[graft.sources.Wet]]) — the
+    * third published CommonCrawl format: HTML `response` captures →
+    * markup-stripped `conversion` records written back in the same
+    * splittable one-member-per-record WARC layout. Fixture: every doc
+    * captures as the txt_strip_markup HTML wrapper (style/script
+    * subtrees, comments, entities) under `text/html`, except a % 11
+    * band captured as `image/png` — binary captures MUST be skipped,
+    * so a broken extractable-type filter surfaces as phantom rows.
+    * The twin replays the extraction relationally: the SAME regex
+    * chain as the txt_strip_markup twin (shared Java/RE2 syntax) over
+    * the non-binary subset, with content_length recomputed as the
+    * UTF-8 octet length of the stripped text — a wrong extraction, a
+    * lost/extra capture, or a stale length breaks the hash. Plan
+    * shape: scan → narrow codegen regex project → write; zero wide
+    * edges at any corpus size. */
+  def srcWarcWet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val url = concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string"))
+    val html = concat(
+      lit("<html><head><style>body { color: red }</style></head>\n<body><!-- nav\nbar --><p class=\"main\">"),
+      col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>&quot;quoted&quot; &amp; entity&nbsp;tail</body></html>"))
+    val responses = docs.select(url.as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("response").as("record_type"),
+      when(col("doc_id") % 11 === 3, lit("image/png"))
+        .otherwise(lit("text/html; charset=utf-8")).as("content_type"),
+      encode(html, "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_wet", dir)
+    graft.sources.Warc.write(responses, outDir, numShards = 2)
+    graft.sources.Wet.write(s, outDir, s"$outDir.wet", numShards = 2,
+      maxSplitBytes = 1 << 16)
+    graft.sources.Warc.read(s, s"$outDir.wet", maxSplitBytes = 1 << 16)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -6169,6 +6209,7 @@ object Ext {
     "src_warc_cdx_range" -> srcWarcCdxRange,
     "src_warc_revisit" -> srcWarcRevisit,
     "src_warc_wat" -> srcWarcWat,
+    "src_warc_wet" -> srcWarcWet,
     "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
     "src_robots_decide" -> srcRobotsDecide,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
@@ -8854,6 +8895,31 @@ FROM capd ORDER BY doc_id"""
         |    'https://other.example/page/' || CAST(doc_id * 3 + 2 AS VARCHAR) AS link_url
         |  FROM documents
         |) ORDER BY src_url, link_url""".stripMargin,
+    // WET extraction replay: the txt_strip_markup regex chain over the
+    // non-binary capture subset, content_length re-derived as UTF-8
+    // octet length of the stripped text — wrong extraction, a phantom
+    // binary capture, or a stale length breaks the hash
+    "src_warc_wet" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><style>body { color: red }</style></head>' || chr(10) ||
+        |  '<body><!-- nav' || chr(10) || 'bar --><p class="main">' || text ||
+        |  '</p><script type="text/javascript">var x = 1 < 2;</script>&quot;quoted&quot; &amp; entity&nbsp;tail</body></html>' AS h
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS h FROM w),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM s3),
+        |s5 AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM s4)
+        |SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |  'conversion' AS record_type,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(clean)) AS BIGINT) AS content_length,
+        |  clean AS text
+        |FROM s5 ORDER BY url""".stripMargin,
     // revisit resolution: response rows verbatim + revisit rows whose
     // text/ctype/clen the twin RE-READS from the source table — an
     // unresolved empty payload or a mis-joined original breaks the hash
