@@ -21,6 +21,12 @@ object GraftFunctions {
     })
     GraftColumnBridge.registerFunction(spark, "graft_morton", es => MortonCode(es(0), es(1)))
     GraftColumnBridge.registerFunction(spark, "graft_nfc", es => NfcNormalize(es(0)))
+    GraftColumnBridge.registerFunction(spark, "graft_unicode_normalize", {
+      case Seq(str, Literal(form: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        UnicodeNormalize(str, form.toString)
+      case _ => throw new IllegalArgumentException(
+        "graft_unicode_normalize(str, form) requires a literal form string (NFC/NFD/NFKC/NFKD)")
+    })
     GraftColumnBridge.registerFunction(spark, "graft_porter_stem", es => PorterStem(es(0)))
     GraftColumnBridge.registerFunction(spark, "graft_jaro_winkler", es => JaroWinkler(es(0), es(1)))
     GraftColumnBridge.registerFunction(spark, "graft_damerau_levenshtein",

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{BpeEncodeWords, BpeVocab, ByteBpeEncodeWords, ByteBpeVocab, ByteCoder}
+import scala.jdk.CollectionConverters._
 
 /** Trainable byte-pair-encoding subword tokenizer (Sennrich et al.
   * 2016) — the REAL answer to "budget in LLM tokens, not whitespace
@@ -382,11 +383,16 @@ object Bpe {
     * [[HfTokenizer.specials]] and match ATOMICALLY pre-BPE through
     * [[encodeIdsWithSpecials]] — ignoring them would silently
     * byte-BPE a special marker as ordinary text and mis-count every
-    * budget. A non-null `normalizer` fails LOUD naming the section: an
-    * ignored normalizer silently changes tokenization, which is worse
-    * than refusing the artifact. The pre-tokenizer stays the CALLER's
-    * contract — pair the model with the matching one (e.g.
-    * [[gpt2PreTokens]]) exactly as with [[importMergesTxt]].
+    * budget. The `normalizer` section imports when every step is a
+    * published shape we can replay exactly as codegen'd column
+    * transforms (NFC/NFD/NFKC/NFKD, Lowercase, Replace-String, Prepend,
+    * Strip, Sequence of those — see [[HfNorm]]); anything else
+    * (BertNormalizer, Precompiled, Replace-with-Regex) fails LOUD
+    * naming the section — an ignored or approximated normalizer
+    * silently changes tokenization, which is worse than refusing the
+    * artifact. The pre-tokenizer stays the CALLER's contract — pair
+    * the model with the matching one (e.g. [[gpt2PreTokens]]) exactly
+    * as with [[importMergesTxt]].
     *
     * Driver-bounded: a tokenizer.json is ≤ ~vocab-size entries,
     * megabytes at most. */
@@ -396,13 +402,9 @@ object Bpe {
     val in = fs.open(p)
     val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
-    val norm = root.get("normalizer")
-    require(norm == null || norm.isNull,
-      s"$path carries a non-null 'normalizer' section " +
-        s"(type '${Option(norm).map(_.path("type").asText("?")).getOrElse("?")}'); " +
-        "importing it unapplied would silently change tokenization — refuse " +
-        "loud instead (normalize the corpus upstream or strip the section " +
-        "once verified identity)")
+    val normNode = root.get("normalizer")
+    val norms = if (normNode == null || normNode.isNull) Seq.empty[HfNorm]
+      else parseNormalizer(path, normNode)
     val model = root.path("model")
     require(model.isObject, s"$path has no 'model' object — not a tokenizer.json")
     val tpe = model.path("type").asText("")
@@ -438,6 +440,16 @@ object Bpe {
         require(content.nonEmpty, s"$path added_tokens[$i] has no content")
         require(n.path("id").isInt || n.path("id").isLong,
           s"$path added_tokens[$i] ('$content') has no integer id")
+        // the HF contract matches a `normalized: true` added token
+        // AFTER normalization; our pipeline matches specials atomically
+        // on RAW text (the `special: true` convention, whose default is
+        // normalized=false) — with a live normalizer the two orders
+        // diverge, so an explicit normalized=true must refuse loud
+        require(norms.isEmpty || !n.path("normalized").asBoolean(false),
+          s"$path added_tokens[$i] ('$content') sets normalized=true under a " +
+            "non-identity normalizer; specials here match atomically on raw " +
+            "text (the special-token convention) — re-export the artifact " +
+            "with normalized=false or drop the normalizer")
         (content, n.path("id").asInt())
       }.toSeq
     // a special may ALSO sit in the vocab (GPT-2's <|endoftext|> does)
@@ -449,14 +461,83 @@ object Bpe {
     }
     require(specials.map(_._1).distinct.size == specials.size,
       s"$path added_tokens lists a duplicate content string")
-    HfTokenizer(ByteModel(merges), vocab, specials)
+    HfTokenizer(ByteModel(merges), vocab, specials, norms)
   }
 
+  /** One step of a tokenizer.json `normalizer` section — the published
+    * shapes a production checkpoint actually carries, each mapping to a
+    * codegen'd column transform (no UDF). Anything outside this set
+    * (BertNormalizer, Precompiled, Replace-with-Regex, …) fails loud at
+    * load: an ignored or approximated normalizer silently changes
+    * tokenization, which is worse than refusing the artifact. */
+  sealed trait HfNorm { def apply(c: Column): Column }
+  /** NFC/NFD/NFKC/NFKD ([[graft.functions.UnicodeNormalize]]). */
+  final case class NormUnicode(form: String) extends HfNorm {
+    require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form), s"bad form $form")
+    def apply(c: Column): Column = graft.functions.UnicodeNormalize(c, form)
+  }
+  case object NormLowercase extends HfNorm {
+    def apply(c: Column): Column = lower(c)
+  }
+  /** `Replace` with a STRING pattern (the metaspace space→▁ step in
+    * SentencePiece-style exports). Regex patterns refuse at parse —
+    * HF regex flavor is not Java's. */
+  final case class NormReplace(pattern: String, content: String) extends HfNorm {
+    def apply(c: Column): Column = replace(c, lit(pattern), lit(content))
+  }
+  /** `Prepend` (the metaspace leading-▁ step). */
+  final case class NormPrepend(prefix: String) extends HfNorm {
+    def apply(c: Column): Column = concat(lit(prefix), c)
+  }
+  /** `Strip` of leading/trailing whitespace. */
+  final case class NormStrip(left: Boolean, right: Boolean) extends HfNorm {
+    def apply(c: Column): Column = (left, right) match {
+      case (true, true) => trim(c)
+      case (true, false) => ltrim(c)
+      case (false, true) => rtrim(c)
+      case (false, false) => c
+    }
+  }
+
+  /** Parse a non-null `normalizer` node into the ordered step list
+    * (`Sequence` flattens — composition is associative). Unsupported
+    * types fail loud naming the section and type. */
+  private[graft] def parseNormalizer(
+      path: String, n: com.fasterxml.jackson.databind.JsonNode): Seq[HfNorm] =
+    n.path("type").asText("") match {
+      case "Sequence" =>
+        val steps = n.path("normalizers")
+        require(steps.isArray, s"$path normalizer Sequence has no 'normalizers' array")
+        (0 until steps.size()).flatMap(i => parseNormalizer(path, steps.get(i)))
+      case f @ ("NFC" | "NFD" | "NFKC" | "NFKD") => Seq(NormUnicode(f))
+      case "Lowercase" => Seq(NormLowercase)
+      case "Replace" =>
+        val pat = n.path("pattern")
+        require(pat.has("String"),
+          s"$path normalizer Replace carries a ${pat.fieldNames()
+            .asScala.mkString(",")} pattern; only String patterns import " +
+            "(the HF Regex flavor is not Java's — approximating it would " +
+            "silently change tokenization)")
+        Seq(NormReplace(pat.path("String").asText(), n.path("content").asText("")))
+      case "Prepend" => Seq(NormPrepend(n.path("prepend").asText("")))
+      case "Strip" => Seq(NormStrip(
+        n.path("strip_left").asBoolean(true), n.path("strip_right").asBoolean(true)))
+      case other => throw new IllegalArgumentException(
+        s"$path carries an unsupported normalizer type '$other'; importing it " +
+          "unapplied would silently change tokenization — refuse loud instead " +
+          "(normalize the corpus upstream or re-export without the section)")
+    }
+
   /** A loaded tokenizer.json: the BPE merge model, the token → id
-    * table, and the `added_tokens` specials (content → id) that must
-    * match atomically before any pre-tokenization. */
+    * table, the `added_tokens` specials (content → id) that match
+    * atomically before any pre-tokenization, and the parsed
+    * `normalizer` steps applied to ordinary text segments. */
   final case class HfTokenizer(model: ByteModel, vocab: Map[String, Int],
-                               specials: Seq[(String, Int)])
+                               specials: Seq[(String, Int)],
+                               norms: Seq[HfNorm] = Seq.empty) {
+    /** The artifact's normalizer as one composed column transform. */
+    def normalize(c: Column): Column = norms.foldLeft(c)((x, s) => s(x))
+  }
 
   /** Back-compat form of [[loadHuggingFaceFull]] returning only
     * (model, vocab) — callers that budget plain text and pair their
@@ -472,8 +553,10 @@ object Bpe {
     * sentinel-wraps every special occurrence (longest-first at a
     * position, so an overlapping shorter special never splits a longer
     * one), the text splits into segments, special segments map straight
-    * to their ids, and only ordinary segments flow through
-    * `preTokens` + BPE + vocab. All codegen'd `functions._` — one
+    * to their ids, and only ordinary segments flow through the
+    * artifact's normalizer (HF order: added-token split first, then
+    * each non-special piece normalizes independently) + `preTokens` +
+    * BPE + vocab. All codegen'd `functions._` — one
     * narrow per-row pass, the specials table rides as a map literal.
     * NUL bytes strip first (they are the sentinel; a NUL in crawl text
     * is mojibake, not signal). With no specials this is exactly
@@ -481,7 +564,7 @@ object Bpe {
   def encodeIdsWithSpecials(text: Column, tok: HfTokenizer,
                             preTokens: Column => Column): Column = {
     if (tok.specials.isEmpty)
-      return encodeIds(preTokens(text), tok.model, tok.vocab)
+      return encodeIds(preTokens(tok.normalize(text)), tok.model, tok.vocab)
     val sMap = tok.specials.toMap
     val contents = tok.specials.map(_._1)
     val pat = contents.sortBy(-_.length)
@@ -493,7 +576,8 @@ object Bpe {
     flatten(transform(segs, seg =>
       when(seg.isInCollection(contents),
           array(element_at(typedLit(sMap), seg)))
-        .otherwise(transform(encodeTokensBytes(preTokens(seg), tok.model),
+        .otherwise(transform(
+          encodeTokensBytes(preTokens(tok.normalize(seg)), tok.model),
           t => element_at(typedLit(tok.vocab), t)))))
   }
 
@@ -505,7 +589,8 @@ object Bpe {
     * round-trip fixtures exercise the exact artifact path a published
     * checkpoint takes. */
   def exportHuggingFace(spark: SparkSession, model: ByteModel, path: String,
-                        specials: Seq[(String, Int)] = Seq.empty): Unit = {
+                        specials: Seq[(String, Int)] = Seq.empty,
+                        norms: Seq[HfNorm] = Seq.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -521,7 +606,34 @@ object Bpe {
           ()
         }
       }
-      root.putNull("normalizer")
+      if (norms.isEmpty) root.putNull("normalizer")
+      else {
+        // single step inline, several under the published Sequence shape
+        def step(n: HfNorm): com.fasterxml.jackson.databind.node.ObjectNode = {
+          val o = m.createObjectNode()
+          n match {
+            case NormUnicode(f) => o.put("type", f)
+            case NormLowercase => o.put("type", "Lowercase")
+            case NormReplace(pat, content) =>
+              o.put("type", "Replace")
+              o.putObject("pattern").put("String", pat)
+              o.put("content", content)
+            case NormPrepend(p) => o.put("type", "Prepend"); o.put("prepend", p)
+            case NormStrip(l, r) =>
+              o.put("type", "Strip")
+              o.put("strip_left", l); o.put("strip_right", r)
+          }
+          o
+        }
+        if (norms.size == 1) root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer", step(norms.head))
+        else {
+          val seqNode = root.putObject("normalizer")
+          seqNode.put("type", "Sequence")
+          val arr = seqNode.putArray("normalizers")
+          norms.foreach(n => arr.add(step(n)))
+        }
+        ()
+      }
       val mn = root.putObject("model")
       mn.put("type", "BPE")
       val vn = mn.putObject("vocab")

@@ -654,6 +654,67 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** HF tokenizer.json NORMALIZER import end-to-end (round 19; closes
+    * the interchange family's last parsed-section gap): the artifact
+    * exports WITH a published normalizer Sequence (NFC → Lowercase →
+    * Strip), the import must round-trip the steps, and encoding must
+    * apply them in artifact order — [[graft.operators.Bpe.HfNorm]]
+    * steps compile to codegen'd column transforms (no UDF). Probe: a
+    * safe-alphabet slice of each doc, uppercased, padded with spaces
+    * and a DECOMPOSED accent (A + U+0301) so every step does real work
+    * (NFC composes, Lowercase folds, Strip trims). Decision columns:
+    * `norm_roundtrip` (export→import step identity, driver-side),
+    * `norm_applied` (tokenizer-path ids == manually composed
+    * nfc→lower→trim pipeline ids, per row), `special_skips_norm` (a
+    * special matches RAW text; its segment neighbors still normalize),
+    * `mangled_not_special` (a case-mangled special is ordinary text —
+    * pre-normalization matching means lowercase-folding cannot conjure
+    * a special id). `n_norm_chars` derives from the IMPORTED artifact's
+    * composed normalize, so a mis-parsed step order or dropped step
+    * shifts real hashed data, not just a boolean. */
+  def txtHfNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val trained = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40,
+      maxWords = 10000, tokenizer = graft.operators.Bpe.gpt2PreTokens)
+    val art = rtDir(s, "hf_norm", dir)
+    val nVocab = graft.operators.Bpe.vocabIds(trained).size
+    val specials = Seq(("<|doc|>", nVocab))
+    val norms = Seq(graft.operators.Bpe.NormUnicode("NFC"),
+      graft.operators.Bpe.NormLowercase,
+      graft.operators.Bpe.NormStrip(left = true, right = true))
+    graft.operators.Bpe.exportHuggingFace(s, trained, s"$art/tokenizer.json",
+      specials, norms)
+    val tok = graft.operators.Bpe.loadHuggingFaceFull(s, s"$art/tokenizer.json")
+    val normRoundtrip = tok.norms == norms && tok.specials == specials &&
+      tok.model.merges.sameElements(trained.merges)
+    // safe-alphabet probe: upper/lower is engine-identical on A-Za-z
+    val probe = upper(regexp_replace(substring(col("text"), 1, 40),
+      "[^A-Za-z ]", ""))
+    // the accent is DECOMPOSED in source (A + combining U+0301): NFC
+    // must do real work composing it
+    val wrapped = concat(lit("  Á "), probe, lit("  "))
+    // the manually composed pipeline the artifact's steps must equal
+    val manual = trim(lower(graft.functions.UnicodeNormalize(wrapped, "NFC")))
+    val manualIds = transform(
+      graft.operators.Bpe.encodeTokensBytes(
+        graft.operators.Bpe.gpt2PreTokens(manual), tok.model),
+      t => element_at(typedLit(tok.vocab), t))
+    val viaTok = graft.operators.Bpe.encodeIdsWithSpecials(
+      wrapped, tok, graft.operators.Bpe.gpt2PreTokens)
+    val marked = graft.operators.Bpe.encodeIdsWithSpecials(
+      concat(lit("<|doc|>"), wrapped), tok, graft.operators.Bpe.gpt2PreTokens)
+    val mangled = graft.operators.Bpe.encodeIdsWithSpecials(
+      concat(lit("<|DOC|>"), probe), tok, graft.operators.Bpe.gpt2PreTokens)
+    d.select(col("doc_id"), length(col("text")).as("n_chars"),
+        length(tok.normalize(wrapped)).as("n_norm_chars"),
+        lit(normRoundtrip).as("norm_roundtrip"),
+        (viaTok === manualIds).as("norm_applied"),
+        (marked === concat(array(lit(nVocab)), viaTok)).as("special_skips_norm"),
+        coalesce(element_at(mangled, 1) =!= lit(nVocab), lit(true))
+          .as("mangled_not_special"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Invisible-character hygiene end-to-end: plant zero-widths, a BOM,
     * soft hyphens, and NBSPs deterministically in every doc, strip
     * them, and show the token/fingerprint damage the invisibles caused
@@ -6262,6 +6323,7 @@ object Ext {
     "txt_byte_bpe_encode" -> txtByteBpeEncode,
     "txt_bpe_import" -> txtBpeImport,
     "txt_hf_tokenize" -> txtHfTokenize,
+    "txt_hf_normalize" -> txtHfNormalize,
     "txt_sp_import" -> txtSpImport,
     "txt_wp_import" -> txtWpImport,
     "txt_unigram_encode" -> txtUnigramEncode,
@@ -10022,6 +10084,20 @@ FROM capd ORDER BY doc_id"""
         |  TRUE AS import_identical, TRUE AS ids_resolved,
         |  TRUE AS ids_invert, TRUE AS count_in_bracket, TRUE AS budget_ok,
         |  TRUE AS special_atomic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // normalizer import replay: n_norm_chars re-derived through
+    // DuckDB's OWN nfc_normalize -> lower -> trim over the identically
+    // built wrapped probe (decomposed accent via chr(769)); the
+    // import/application invariants assert literal TRUE
+    "txt_hf_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(trim(lower(nfc_normalize(
+        |    '  A' || chr(769) || ' ' ||
+        |    upper(regexp_replace(substr(text, 1, 40), '[^A-Za-z ]', '', 'g')) ||
+        |    '  ')))) AS INTEGER) AS n_norm_chars,
+        |  TRUE AS norm_roundtrip, TRUE AS norm_applied,
+        |  TRUE AS special_skips_norm, TRUE AS mangled_not_special
         |FROM documents ORDER BY doc_id""".stripMargin,
     // SentencePiece .model interchange: exact char/run counts
     // cross-engine; float32-precision model equality, in-row Viterbi

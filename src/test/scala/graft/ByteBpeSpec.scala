@@ -266,13 +266,40 @@ class ByteBpeSpec extends SparkSpec {
     assert(ids("") === Seq(Seq.empty))
   }
 
-  test("added_tokens fail-loud: non-null normalizer, vocab id conflict, duplicate content") {
+  test("added_tokens fail-loud: unsupported normalizer, vocab id conflict, duplicate content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hf_added_bad")
     val norm = dir.resolve("norm.json")
     java.nio.file.Files.writeString(norm,
-      """{"normalizer":{"type":"NFC"},"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""")
+      """{"normalizer":{"type":"BertNormalizer","lowercase":true},"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""")
     val e1 = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, norm.toString))
-    assert(e1.getMessage.contains("normalizer") && e1.getMessage.contains("NFC"))
+    assert(e1.getMessage.contains("normalizer") && e1.getMessage.contains("BertNormalizer"))
+    // a supported normalizer type now imports as parsed steps
+    val nfc = dir.resolve("nfc.json")
+    java.nio.file.Files.writeString(nfc,
+      """{"normalizer":{"type":"NFC"},"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""")
+    assert(Bpe.loadHuggingFaceFull(spark, nfc.toString).norms === Seq(Bpe.NormUnicode("NFC")))
+    // Replace with a Regex pattern refuses (HF regex flavor is not Java's)
+    val rex = dir.resolve("rex.json")
+    java.nio.file.Files.writeString(rex,
+      """{"normalizer":{"type":"Replace","pattern":{"Regex":" {2,}"},"content":" "},
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    val eRex = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, rex.toString))
+    assert(eRex.getMessage.contains("Regex"))
+    // an added token explicitly normalized=true under a live normalizer
+    // refuses (match order would diverge from the atomic-on-raw contract)
+    val nt = dir.resolve("nt.json")
+    java.nio.file.Files.writeString(nt,
+      """{"normalizer":{"type":"Lowercase"},
+        |"added_tokens":[{"id":9,"content":"<s>","special":true,"normalized":true}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    val eNt = intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, nt.toString))
+    assert(eNt.getMessage.contains("normalized=true"))
+    // ... but normalized=true with NO normalizer is harmless and loads
+    val ntOk = dir.resolve("nt_ok.json")
+    java.nio.file.Files.writeString(ntOk,
+      """{"added_tokens":[{"id":9,"content":"<s>","special":true,"normalized":true}],
+        |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    assert(Bpe.loadHuggingFaceFull(spark, ntOk.toString).specials === Seq(("<s>", 9)))
     // a special that ALSO sits in the vocab must agree on the id
     val conflict = dir.resolve("conflict.json")
     java.nio.file.Files.writeString(conflict,
@@ -298,6 +325,72 @@ class ByteBpeSpec extends SparkSpec {
       """{"added_tokens":[{"content":"<s>"}],
         |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
     intercept[IllegalArgumentException](Bpe.loadHuggingFaceFull(spark, noid.toString))
+  }
+
+  test("normalizer: steps apply in artifact order, specials match on raw text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_norm")
+    val f = dir.resolve("tokenizer.json")
+    java.nio.file.Files.writeString(f,
+      """{"version":"1.0",
+        |"added_tokens":[{"id":100,"content":"<|eot|>","special":true}],
+        |"normalizer":{"type":"Sequence","normalizers":[
+        |  {"type":"NFKC"},
+        |  {"type":"Lowercase"},
+        |  {"type":"Replace","pattern":{"String":"x"},"content":"he"},
+        |  {"type":"Strip","strip_left":true,"strip_right":true}]},
+        |"model":{"type":"BPE",
+        |"vocab":{"h":0,"e":1,"l":2,"o":3,"x":4,"he":5,"ll":6,"hell":7,"hello":8},
+        |"merges":[["h","e"],["l","l"],["he","ll"],["hell","o"]]}}""".stripMargin)
+    val tok = Bpe.loadHuggingFaceFull(spark, f.toString)
+    assert(tok.norms === Seq(Bpe.NormUnicode("NFKC"), Bpe.NormLowercase,
+      Bpe.NormReplace("x", "he"), Bpe.NormStrip(left = true, right = true)))
+    def ids(texts: String*): Seq[Seq[Int]] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), Bpe.encodeIdsWithSpecials(col("text"), tok,
+          Bpe.gpt2PreTokens).as("ids"))
+        .orderBy("id").collect().toSeq.map(_.getSeq[Int](1).toSeq)
+    // Lowercase
+    assert(ids("HELLO") === Seq(Seq(8)))
+    // NFKC: fullwidth letters fold to ASCII before everything else
+    assert(ids("ＨＥＬＬＯ") === Seq(Seq(8))) // ＨＥＬＬＯ
+    // ORDER pins: Replace runs AFTER Lowercase, so "X" -> "x" -> "he";
+    // reversed order would leave "x" (id 4)
+    assert(ids("X") === Seq(Seq(5)))
+    // Strip: without it " hello " pre-tokenizes to " hello" (no vocab hit)
+    assert(ids("  hello  ") === Seq(Seq(8)))
+    // specials match the RAW text; the surrounding segments normalize
+    assert(ids("HELLO<|eot|>X") === Seq(Seq(8, 100, 5)))
+    // ... and a case-mangled special is NOT a special: it normalizes as
+    // ordinary text (lowercases to "<|eot|>", which BPE-chews; the 'e'
+    // (1), 'o' (3), 'he' after x-replace etc. resolve, punctuation
+    // misses the toy vocab -> nulls are fine — just NOT id 100)
+    assert(!ids("<|EOT|>").head.contains(100))
+    // no-specials path normalizes too (encodeIds ∘ preTokens ∘ normalize)
+    val tokNoSp = tok.copy(specials = Seq.empty)
+    val noSp = Seq((1L, "HELLO")).toDF("id", "text")
+      .select(Bpe.encodeIdsWithSpecials(col("text"), tokNoSp,
+        Bpe.gpt2PreTokens).as("ids"))
+      .collect().head.getSeq[Int](0).toSeq
+    assert(noSp === Seq(8))
+  }
+
+  test("exportHuggingFace(norms) round-trips the normalizer section both shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf_norm_rt")
+    val docs = Seq((1L, "hello hello")).toDF("id", "text")
+    val model = Bpe.trainBytes(docs, col("text"), numMerges = 3,
+      maxWords = 100, tokenizer = Bpe.gpt2PreTokens)
+    val norms = Seq(Bpe.NormUnicode("NFKC"), Bpe.NormLowercase,
+      Bpe.NormReplace(" ", "▁"), Bpe.NormStrip(left = true, right = false))
+    val multi = dir.resolve("multi.json").toString
+    Bpe.exportHuggingFace(spark, model, multi, norms = norms)
+    assert(Bpe.loadHuggingFaceFull(spark, multi).norms === norms)
+    // single step exports inline (no Sequence wrapper) and re-imports
+    val single = dir.resolve("single.json").toString
+    Bpe.exportHuggingFace(spark, model, single, norms = Seq(Bpe.NormPrepend("▁")))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(single)))
+    assert(m.path("normalizer").path("type").asText() === "Prepend")
+    assert(Bpe.loadHuggingFaceFull(spark, single).norms === Seq(Bpe.NormPrepend("▁")))
   }
 
   test("exportHuggingFace(specials) round-trips added_tokens and writes normalizer:null") {
