@@ -4377,6 +4377,68 @@ object Ext {
       .orderBy(col("host"), col("path"))
   }
 
+  /** Sitemap frontier seeding end-to-end
+    * ([[graft.sources.Sitemaps]]) — the DISCOVERY half of crawl
+    * politeness next to src_robots_decide's exclusion half: robots
+    * documents carry group-independent `Sitemap:` directives, a
+    * `<sitemapindex>` fans out one level to per-parity child urlsets,
+    * and every `<url>` entry seeds the frontier with its freshness
+    * hints. Fixture: 5 hosts; host 4's robots omits the directive (its
+    * sitemap EXISTS but is unreferenced — discovery must not invent
+    * it); entries omit `<lastmod>` on a %7 band (absent optional
+    * fields null), changefreq cycles %3, priority cycles %4 through
+    * binary-exact quarters. XML builds relationally (entry concat →
+    * per-host-parity collect_list), parses back declaratively with
+    * `from_xml`; the twin reconstructs every seeded row from doc_id
+    * arithmetic — a dropped/invented host, a mis-parsed optional
+    * field, a wrong index hop, or a tz-shifted lastmod breaks the
+    * hash. */
+  def srcSitemapFrontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val host = concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".example"))
+    val loc = concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string"))
+    val lastmod = date_format(
+      date_add(to_date(lit("2024-01-01")), (col("doc_id") % 300).cast("int")),
+      "yyyy-MM-dd")
+    val cf = element_at(typedLit(Seq("daily", "weekly", "monthly")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val pr = element_at(typedLit(Seq("0", "0.25", "0.5", "0.75")),
+      (col("doc_id") % 4).cast("int") + 1)
+    val entry = concat(
+      lit("<url><loc>"), loc, lit("</loc>"),
+      when(col("doc_id") % 7 =!= 0,
+        concat(lit("<lastmod>"), lastmod, lit("</lastmod>"))).otherwise(lit("")),
+      lit("<changefreq>"), cf, lit("</changefreq><priority>"), pr,
+      lit("</priority></url>"))
+    val urlsetDocs = docs
+      .select(host.as("_host"), (col("doc_id") % 2).cast("int").as("_par"),
+        entry.as("_e"))
+      .groupBy(col("_host"), col("_par"))
+      .agg(concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        array_join(collect_list(col("_e")), ""), lit("</urlset>")).as("body"))
+      .select(concat(lit("https://"), col("_host"), lit("/"),
+        when(col("_par") === 0, "even").otherwise("odd"), lit(".xml")).as("url"),
+        col("body"))
+    val hosts = docs.select(host.as("_host")).distinct()
+    val indexDocs = hosts.select(
+      concat(lit("https://"), col("_host"), lit("/index.xml")).as("url"),
+      concat(lit("<sitemapindex><sitemap><loc>https://"), col("_host"),
+        lit("/even.xml</loc></sitemap><sitemap><loc>https://"), col("_host"),
+        lit("/odd.xml</loc></sitemap></sitemapindex>")).as("body"))
+    val robots = hosts.select(col("_host").as("host"),
+      when(col("_host") =!= "site4.example",
+        concat(lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+          col("_host"), lit("/index.xml\n")))
+        .otherwise(lit("User-agent: *\nDisallow: /private\n")).as("body"))
+    graft.sources.Sitemaps.frontier(robots, urlsetDocs.unionByName(indexDocs))
+      .select(col("host"), col("loc"),
+        unix_timestamp(graft.sources.Sitemaps.lastmodTs(col("lastmod")))
+          .as("lastmod_epoch"),
+        col("changefreq"), col("priority"))
+      .orderBy(col("loc"))
+  }
+
   /** pywb `collapse=timestamp:8` over the CDX index — the calendar-page
     * serving option ([[graft.sources.Cdx.collapse]]): every doc
     * captures THREE times (t0, t0+1h same UTC day, t0+25h next day;
@@ -6273,6 +6335,7 @@ object Ext {
     "src_warc_wet" -> srcWarcWet,
     "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
     "src_robots_decide" -> srcRobotsDecide,
+    "src_sitemap_frontier" -> srcSitemapFrontier,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8928,6 +8991,20 @@ FROM capd ORDER BY doc_id"""
         |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
         |  USING (host, path)
         |ORDER BY host, path""".stripMargin,
+    // sitemap frontier replay: every seeded row reconstructed from
+    // doc_id arithmetic (host 4 unreferenced -> excluded; %7 lastmod
+    // omission -> NULL epoch; binary-exact quarter priorities)
+    "src_sitemap_frontier" ->
+      """SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |  'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/doc/'
+        |    || CAST(doc_id AS VARCHAR) AS loc,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+        |      + (doc_id % 300) * INTERVAL 1 DAY) AS BIGINT) END AS lastmod_epoch,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'daily'
+        |    WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+        |  CAST(doc_id % 4 AS DOUBLE) * 25 / 100 AS priority
+        |FROM documents WHERE doc_id % 5 <> 4 ORDER BY loc""".stripMargin,
     // pywb collapse=timestamp:8 — the twin rebuilds the two surviving
     // captures per doc (first of each UTC day bucket) from arithmetic
     "src_warc_cdx_collapse" ->
