@@ -4439,6 +4439,42 @@ object Ext {
       .orderBy(col("loc"))
   }
 
+  /** Polite crawl scheduling end-to-end
+    * ([[graft.sources.Robots.crawlDelays]] +
+    * [[graft.sources.Robots.politeSchedule]]) — the third leg of crawl
+    * politeness after exclusion (src_robots_decide) and discovery
+    * (src_sitemap_frontier): `Crawl-delay` extracts per agent GROUP
+    * (exact-agent groups silence `*`, same selection as decide; the
+    * directive sits inside groups, so grouping runs over the full rule
+    * stream — dropping rule lines first would merge adjacent groups),
+    * and the frontier schedules per host: slots FIFO by priority desc
+    * (loc tie-break), each slot `delay` seconds after the previous.
+    * Fixture: exact-group delays 1/2/3 s on hosts 0–2 (each next to a
+    * 60 s `*` decoy that must LOSE group selection), `*`-only 60 s on
+    * host 3, no delay on host 4 (default 5 s). The twin replays the
+    * identical window arithmetic over the same per-host delay CASE —
+    * a wrong group pick surfaces as a 60×-off offset, a wrong slot
+    * order as swapped rows. */
+  def srcCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val host = concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".example"))
+    val frontier = docs.select(host.as("host"),
+      concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string")).as("loc"),
+      ((col("doc_id") % 4).cast("double") * 25 / 100).as("priority"))
+    val hosts = docs.select(host.as("host")).distinct()
+    val k = regexp_extract(col("host"), "site(\\d)", 1).cast("int")
+    val robots = hosts.select(col("host"),
+      when(k <= 2, concat(
+          lit("User-agent: GraftBot\nDisallow: /tmp\nCrawl-delay: "),
+          (k + 1).cast("string"),
+          lit("\n\nUser-agent: *\nCrawl-delay: 60\n")))
+        .when(k === 3, lit("User-agent: *\nCrawl-delay: 60\n"))
+        .otherwise(lit("User-agent: *\nDisallow: /private\n")).as("body"))
+    val delays = graft.sources.Robots.crawlDelays(robots, "GraftBot")
+    graft.sources.Robots.politeSchedule(frontier, delays, defaultDelaySec = 5.0)
+      .orderBy(col("host"), col("slot"))
+  }
+
   /** pywb `collapse=timestamp:8` over the CDX index — the calendar-page
     * serving option ([[graft.sources.Cdx.collapse]]): every doc
     * captures THREE times (t0, t0+1h same UTC day, t0+25h next day;
@@ -6336,6 +6372,7 @@ object Ext {
     "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
     "src_robots_decide" -> srcRobotsDecide,
     "src_sitemap_frontier" -> srcSitemapFrontier,
+    "src_crawl_schedule" -> srcCrawlSchedule,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -8991,6 +9028,26 @@ FROM capd ORDER BY doc_id"""
         |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
         |  USING (host, path)
         |ORDER BY host, path""".stripMargin,
+    // polite scheduling replay: same per-host delay CASE (group
+    // selection pre-resolved: GraftBot's exact groups beat the 60s *
+    // decoys) + identical window arithmetic
+    "src_crawl_schedule" ->
+      """WITH f AS (
+        |  SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS loc,
+        |    CAST(doc_id % 4 AS DOUBLE) * 25 / 100 AS priority,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 1.0 WHEN 1 THEN 2.0 WHEN 2 THEN 3.0
+        |      WHEN 3 THEN 60.0 ELSE 5.0 END AS delay_sec
+        |  FROM documents),
+        |r AS (SELECT host, loc, delay_sec,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, loc) AS INTEGER) AS slot
+        |  FROM f)
+        |SELECT host, loc, delay_sec, slot,
+        |  CAST(slot - 1 AS DOUBLE) * delay_sec AS fetch_offset_sec
+        |FROM r ORDER BY host, slot""".stripMargin,
     // sitemap frontier replay: every seeded row reconstructed from
     // doc_id arithmetic (host 4 unreferenced -> excluded; %7 lastmod
     // omission -> NULL epoch; binary-exact quarter priorities)

@@ -140,4 +140,80 @@ object Robots {
         when(col("_match"), col("pattern")).otherwise(lit(null).cast("string"))
           .as("matched_pattern")): _*)
   }
+
+  /** Per-host `Crawl-delay` for `agent` → `(host, crawl_delay_sec)`.
+    * The directive is non-RFC but universally implemented; it lives
+    * INSIDE agent groups, so grouping must run over the full kept line
+    * stream (user-agent + rules + crawl-delay — dropping rule lines
+    * first would merge adjacent groups), and group selection follows
+    * [[decide]]: the host's exact-agent groups if any exist, else its
+    * `*` groups. Several applicable values take the MAX (the
+    * conservative politeness bound). Hosts without a parseable value
+    * are simply absent — the scheduler supplies the default. */
+  def crawlDelays(robots: DataFrame, agent: String,
+                  hostCol: String = "host", bodyCol: String = "body"): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("host"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow", "crawl-delay"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("_isUA", (col("key") === "user-agent").cast("int"))
+      .withColumn("_starts",
+        (col("_isUA") === 1 &&
+          coalesce(lag(col("_isUA"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("group_id", sum(col("_starts")).over(w))
+      .filter(col("group_id") >= 1)
+    val agents = grouped.filter(col("key") === "user-agent")
+      .groupBy(col("host"), col("group_id"))
+      .agg(collect_set(lower(col("value"))).as("agents"))
+    val delays = grouped
+      .filter(col("key") === "crawl-delay" &&
+        col("value").rlike("^\\d+(\\.\\d+)?$"))
+      .groupBy(col("host"), col("group_id"))
+      .agg(max(col("value").cast("double")).as("_delay"))
+    // group SELECTION runs over ALL groups, then the directive looks up
+    // inside the selected ones — an exact-agent group without a
+    // Crawl-delay still silences the host's * group (you never inherit
+    // another agent's pacing), exactly like rule selection in [[decide]]
+    val exact = agents.filter(array_contains(col("agents"), a))
+    val exactHosts = exact.select(col("host")).distinct()
+    val star = agents.filter(array_contains(col("agents"), "*"))
+      .join(exactHosts, Seq("host"), "left_anti")
+    exact.unionByName(star)
+      .join(delays, Seq("host", "group_id"))
+      .groupBy(col("host"))
+      .agg(max(col("_delay")).as("crawl_delay_sec"))
+  }
+
+  /** Polite fetch schedule over a seeded frontier: per host, slots
+    * assign FIFO by descending priority (ties break on the url — fully
+    * deterministic), and each slot waits `crawl_delay_sec` after the
+    * previous (hosts without a discovered delay pace at
+    * `defaultDelaySec`). One window per host key — politeness is
+    * INHERENTLY serial per host, so a giant host's slot numbering
+    * costing one partition is the semantics, not a bottleneck to
+    * engineer away; across hosts the plan is embarrassingly parallel
+    * and the delay table broadcasts. */
+  def politeSchedule(frontier: DataFrame, delays: DataFrame,
+                     defaultDelaySec: Double = 1.0,
+                     hostCol: String = "host", locCol: String = "loc",
+                     priorityCol: String = "priority"): DataFrame = {
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(priorityCol).desc_nulls_last, col(locCol))
+    frontier.join(delays, Seq(hostCol), "left")
+      .withColumn("delay_sec",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+      .withColumn("slot", row_number().over(w))
+      .withColumn("fetch_offset_sec",
+        (col("slot") - 1).cast("double") * col("delay_sec"))
+      .select(col(hostCol), col(locCol), col("delay_sec"), col("slot"),
+        col("fetch_offset_sec"))
+  }
 }

@@ -103,4 +103,46 @@ class RobotsSpec extends SparkSpec {
     assert("/p.q".matches(Robots.patternRegex("/p.q")))
     assert(!"/pXq".matches(Robots.patternRegex("/p.q")))
   }
+
+  test("crawlDelays: inside-group extraction, group-merge hazard, selection, max") {
+    val robots = Seq(
+      // UA line AFTER rule lines must START a new group — if rule lines
+      // dropped before grouping, the * group would merge into GraftBot's
+      ("a.test", "User-agent: GraftBot\nDisallow: /x\nCrawl-delay: 2\n" +
+        "User-agent: *\nCrawl-delay: 60\n"),
+      // star-only host
+      ("b.test", "User-agent: *\nDisallow:\nCrawl-delay: 7.5\n"),
+      // several applicable values -> MAX; non-numeric ignored
+      ("c.test", "User-agent: GraftBot\nCrawl-delay: 3\nCrawl-delay: 9\n" +
+        "Crawl-delay: soon\n"),
+      // no delay anywhere -> absent row
+      ("d.test", "User-agent: *\nDisallow: /\n"),
+      // exact group WITHOUT a delay still silences *: selection is by
+      // group, then the directive reads from the selected group only —
+      // an agent never inherits another agent's pacing -> absent
+      ("e.test", "User-agent: GraftBot\nDisallow: /x\n" +
+        "User-agent: *\nCrawl-delay: 60\n"))
+      .toDF("host", "body")
+    val got = Robots.crawlDelays(robots, "GraftBot").orderBy("host")
+      .as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a.test", 2.0), ("b.test", 7.5), ("c.test", 9.0)))
+  }
+
+  test("politeSchedule: priority order, per-host offsets, default delay, tie-break") {
+    val frontier = Seq(
+      ("a.test", "https://a.test/p1", 0.5),
+      ("a.test", "https://a.test/p2", 0.9),
+      ("a.test", "https://a.test/p0", 0.5), // ties with p1 -> loc order
+      ("b.test", "https://b.test/q", 0.1))
+      .toDF("host", "loc", "priority")
+    val delays = Seq(("a.test", 2.0)).toDF("host", "crawl_delay_sec")
+    val got = Robots.politeSchedule(frontier, delays, defaultDelaySec = 5.0)
+      .orderBy("host", "slot")
+      .as[(String, String, Double, Int, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a.test", "https://a.test/p2", 2.0, 1, 0.0),
+      ("a.test", "https://a.test/p0", 2.0, 2, 2.0),
+      ("a.test", "https://a.test/p1", 2.0, 3, 4.0),
+      ("b.test", "https://b.test/q", 5.0, 1, 0.0)))
+  }
 }
