@@ -4475,6 +4475,45 @@ object Ext {
       .orderBy(col("host"), col("slot"))
   }
 
+  /** Change-rate recrawl priority over the CDX index
+    * ([[graft.sources.Cdx.refetchPriority]]) — the recrawl-budgeting
+    * question a cumulative crawl index exists to answer, now possible
+    * because round 19 added the published `digest` field (base32
+    * payload SHA-1) to build/CDXJ interchange: per URL, observed
+    * change rate = (distinct digests − 1)/capture span, priority =
+    * expected missed changes since the last capture (rate × age —
+    * pure IEEE arithmetic, no exp, bit-identical cross-engine).
+    * Fixture: three captures per doc a day apart whose payload
+    * version count cycles %3 (1/2/3 distinct payloads — `least(k,
+    * band)` version tags), routed through writeCdxj→readCdxj so the
+    * digest ROUND-TRIPS the text interchange; a digest bug (wrong
+    * hash, dropped field, collapsed versions) shifts n_versions and
+    * every priority. The twin reconstructs all five measures from
+    * doc_id arithmetic. 40% doc subset bounds the triple-write IO
+    * (same device as src_warc_cdx_collapse). */
+  def srcCdxRefetch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 < 2)
+    val url = concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string"))
+    val recs = docs
+      .select(col("doc_id"), col("text"),
+        explode(array(lit(0), lit(1), lit(2))).as("k"))
+      .select(url.as("url"),
+        timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L) +
+          col("k").cast("long") * 86400L).as("ts"),
+        lit("response").as("record_type"),
+        lit("text/plain").as("content_type"),
+        encode(concat(col("text"), lit("@v"),
+          least(col("k"), col("doc_id") % 3).cast("string")), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "cdx_refetch", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    val built = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.writeCdxj(built, s"$outDir.cdxj", numShards = 2)
+    val index = graft.sources.Cdx.readCdxj(s, s"$outDir.cdxj")
+    graft.sources.Cdx.refetchPriority(index,
+        new java.sql.Timestamp((1700000000L + 345600L) * 1000L))
+      .orderBy(col("urlkey"))
+  }
+
   /** pywb `collapse=timestamp:8` over the CDX index — the calendar-page
     * serving option ([[graft.sources.Cdx.collapse]]): every doc
     * captures THREE times (t0, t0+1h same UTC day, t0+25h next day;
@@ -6373,6 +6412,7 @@ object Ext {
     "src_robots_decide" -> srcRobotsDecide,
     "src_sitemap_frontier" -> srcSitemapFrontier,
     "src_crawl_schedule" -> srcCrawlSchedule,
+    "src_cdx_refetch" -> srcCdxRefetch,
     "rpt_snapshot_upsert" -> rptSnapshotUpsert,
     "pipeline_incremental_refresh" -> pipelineIncrementalRefresh,
     "pipeline_ingest" -> pipelineIngest,
@@ -9028,6 +9068,22 @@ FROM capd ORDER BY doc_id"""
         |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
         |  USING (host, path)
         |ORDER BY host, path""".stripMargin,
+    // recrawl priority replay: five measures from doc_id arithmetic —
+    // n_versions = the %3 version-count cycle, span fixed at 2 days,
+    // age = asOf - last capture, priority = (d-1)*age/span in the SAME
+    // IEEE operations
+    "src_cdx_refetch" ->
+      """SELECT 'example,crawl)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+        |  'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(3 AS BIGINT) AS n_captures,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 2
+        |    ELSE 3 END AS BIGINT) AS n_versions,
+        |  CAST(172800 AS BIGINT) AS span_sec,
+        |  CAST(172800 - doc_id AS BIGINT) AS age_sec,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      ELSE 2 END AS DOUBLE)
+        |    * CAST(172800 - doc_id AS DOUBLE) / CAST(172800 AS DOUBLE) AS priority
+        |FROM documents WHERE doc_id % 5 < 2 ORDER BY urlkey""".stripMargin,
     // polite scheduling replay: same per-host delay CASE (group
     // selection pre-resolved: GraftBot's exact groups beat the 60s *
     // decoys) + identical window arithmetic

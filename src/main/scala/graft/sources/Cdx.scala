@@ -45,7 +45,11 @@ object Cdx {
     StructField("offset", LongType, nullable = false),
     StructField("length", LongType, nullable = false),
     StructField("mime", StringType, nullable = true),
-    StructField("record_type", StringType, nullable = false)))
+    StructField("record_type", StringType, nullable = false),
+    // base32 SHA-1 of the record payload — the published CDXJ `digest`
+    // field (CommonCrawl's dedup keys revisit records on it); null for
+    // index rows from sources that never carried one
+    StructField("digest", StringType, nullable = true)))
 
   /** SURT (Sort-friendly URI Reordering Transform) key — the public
     * canonical form every CDX index sorts by: lowercase, host labels
@@ -93,11 +97,31 @@ object Cdx {
               val url = if (r.isNullAt(0)) null else r.getString(0)
               if (url == null) Iterator.empty
               else Iterator.single(Row(surt(url), r.get(1), url, name, off, len,
-                if (r.isNullAt(3)) null else r.getString(3), r.getString(2)))
+                if (r.isNullAt(3)) null else r.getString(3), r.getString(2),
+                sha1Base32(r.getAs[Array[Byte]](5))))
             }
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** RFC 4648 base32 (no padding — SHA-1's 160 bits pack to exactly 32
+    * characters) of the payload's SHA-1, the encoding shipped CDX
+    * `digest` fields use. */
+  private[graft] def sha1Base32(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder(32)
+    var acc = 0L; var bits = 0; var i = 0
+    while (i < d.length) {
+      acc = (acc << 8) | (d(i) & 0xffL); bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((acc >>> bits) & 0x1f).toInt))
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   // ---- CDXJ text interchange ----------------------------------------------
@@ -120,8 +144,11 @@ object Cdx {
     fs.mkdirs(p)
     val confBc = spark.sparkContext.broadcast(Warc.serializableConf(spark))
     val dirStr = dir
-    index.select(col("urlkey"), col("ts"), col("url"), col("filename"),
-        col("offset"), col("length"), col("mime"), col("record_type"))
+    val withDigest = if (index.columns.contains("digest")) index
+      else index.withColumn("digest", lit(null).cast("string"))
+    withDigest.select(col("urlkey"), col("ts"), col("url"), col("filename"),
+        col("offset"), col("length"), col("mime"), col("record_type"),
+        col("digest"))
       .repartitionByRange(numShards, col("urlkey"), col("ts"))
       .sortWithinPartitions(col("urlkey"), col("ts"))
       .rdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -141,7 +168,9 @@ object Cdx {
                 .append(", \"offset\": \"").append(r.getLong(4))
                 .append("\", \"length\": \"").append(r.getLong(5)).append('"')
               if (!r.isNullAt(6)) json.append(", \"mime\": ").append(jstr(r.getString(6)))
-              json.append(", \"record_type\": ").append(jstr(r.getString(7))).append('}')
+              json.append(", \"record_type\": ").append(jstr(r.getString(7)))
+              if (!r.isNullAt(8)) json.append(", \"digest\": ").append(jstr(r.getString(8)))
+              json.append('}')
               w.write(r.getString(0)); w.write(' ')
               w.write(if (ts == null) "-" else Ts14.format(ts.toInstant)); w.write(' ')
               w.write(json.toString); w.write('\n')
@@ -435,7 +464,8 @@ object Cdx {
     val jsonSchema = StructType(Seq(
       StructField("url", StringType), StructField("filename", StringType),
       StructField("offset", StringType), StructField("length", StringType),
-      StructField("mime", StringType), StructField("record_type", StringType)))
+      StructField("mime", StringType), StructField("record_type", StringType),
+      StructField("digest", StringType)))
     lines.filter(length(trim(col("value"))) > 0)
       .select(
         regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 1).as("urlkey"),
@@ -454,8 +484,39 @@ object Cdx {
         col("j.url").as("url"), col("j.filename").as("filename"),
         col("j.offset").cast("long").as("offset"),
         col("j.length").cast("long").as("length"),
-        col("j.mime").as("mime"), col("j.record_type").as("record_type"))
+        col("j.mime").as("mime"), col("j.record_type").as("record_type"),
+        col("j.digest").as("digest"))
   }
+
+  // ---- change-rate recrawl priority -----------------------------------------
+
+  /** Refetch priority from capture history — the recrawl-budgeting
+    * pass a 100 TB cumulative index exists to answer: per `urlkey`,
+    * the OBSERVED change rate is (distinct payload digests − 1) over
+    * the capture span, and the priority is the EXPECTED number of
+    * missed changes since the last capture, `rate × age`. Pure
+    * count/min/max aggregation + IEEE arithmetic — one shuffle on
+    * urlkey at any index size, no window, no exp (bit-identical
+    * cross-engine). Single-capture histories (span 0) get priority 0 —
+    * no observed change rate, nothing to extrapolate; timestampless
+    * index rows are not captures and are ignored. */
+  def refetchPriority(index: DataFrame,
+                      asOf: java.sql.Timestamp): DataFrame =
+    index.filter(col("ts").isNotNull)
+      .groupBy(col("urlkey"))
+      .agg(max(col("url")).as("url"),
+        count(lit(1)).as("n_captures"),
+        countDistinct(col("digest")).as("n_versions"),
+        min(unix_timestamp(col("ts"))).as("_first"),
+        max(unix_timestamp(col("ts"))).as("_last"))
+      .select(col("urlkey"), col("url"), col("n_captures"), col("n_versions"),
+        (col("_last") - col("_first")).as("span_sec"),
+        (lit(asOf.getTime / 1000L) - col("_last")).as("age_sec"),
+        when(col("_last") > col("_first"),
+            (col("n_versions") - 1).cast("double") *
+              (lit(asOf.getTime / 1000L) - col("_last")).cast("double") /
+              (col("_last") - col("_first")).cast("double"))
+          .otherwise(lit(0.0)).as("priority"))
 
   // ---- capture collapsing ----------------------------------------------------
 

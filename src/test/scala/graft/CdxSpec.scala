@@ -404,4 +404,64 @@ class CdxSpec extends SparkSpec {
     assert(e.getMessage.contains("gzip") || Option(e.getCause).exists(
       _.getMessage.contains("gzip")))
   }
+
+  test("digest: base32 payload SHA-1 in build, CDXJ round-trip, absent field null") {
+    // RFC 4648 base32 of SHA-1("") and of a fixture payload — reference
+    // vectors computed with an independent implementation
+    assert(Cdx.sha1Base32(Array.emptyByteArray) === "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // fixture record 1's payload is "payload body 1 x" (i%50 = one x)
+    assert(Cdx.sha1Base32("payload body 1 x".getBytes("UTF-8")) ===
+      "JEIXSENLWFJKTPVOKY2FI7CPTIYZIL5O")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_digest").toString
+    fixture(10, s"$dir/warc")
+    val built = Cdx.build(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+    val ds = built.select("digest").as[String].collect()
+    assert(ds.length === 10 && ds.forall(d => d != null && d.length == 32 &&
+      d.forall(c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7'))))
+    assert(ds.distinct.length === 10, "distinct payloads -> distinct digests")
+    // record 1's digest is the reference vector's payload
+    val d1 = built.filter(col("url").endsWith("/page/1")).select("digest")
+      .as[String].head()
+    assert(d1 === "JEIXSENLWFJKTPVOKY2FI7CPTIYZIL5O")
+    // text interchange round-trips the field
+    Cdx.writeCdxj(built, s"$dir/idx", numShards = 2)
+    val back = Cdx.readCdxj(spark, s"$dir/idx")
+    assert(back.orderBy("urlkey", "ts").select("digest").as[String].collect().toSeq ===
+      built.orderBy("urlkey", "ts").select("digest").as[String].collect().toSeq)
+    // a line without the field (pre-digest index) parses to null
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/old.cdxj"),
+      "org,example)/p 20240101000000 {\"url\": \"https://example.org/p\", " +
+        "\"filename\": \"f\", \"offset\": \"0\", \"length\": \"1\", " +
+        "\"record_type\": \"response\"}\n")
+    assert(Cdx.readCdxj(spark, s"$dir/old.cdxj").select("digest").as[String]
+      .head() === null)
+  }
+
+  test("refetchPriority: change-rate arithmetic, single-capture and null-ts edges") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // u1: 3 captures over 2 days, 2 versions -> rate=(2-1)/172800, age=86400
+    // u2: single capture -> span 0, priority 0
+    // u3: 2 captures SAME digest -> (1-1)*... = 0.0 but span/age real
+    val rows = Seq(
+      ("com,a)/1", ts(1000000L), "https://a.com/1", "f", 0L, 1L, null.asInstanceOf[String], "response", "D1"),
+      ("com,a)/1", ts(1000000L + 86400), "https://a.com/1", "f", 1L, 1L, null.asInstanceOf[String], "response", "D1"),
+      ("com,a)/1", ts(1000000L + 172800), "https://a.com/1", "f", 2L, 1L, null.asInstanceOf[String], "response", "D2"),
+      ("com,a)/2", ts(1000000L), "https://a.com/2", "f", 3L, 1L, null.asInstanceOf[String], "response", "D3"),
+      ("com,a)/3", ts(1000000L), "https://a.com/3", "f", 4L, 1L, null.asInstanceOf[String], "response", "D4"),
+      ("com,a)/3", ts(1000000L + 100), "https://a.com/3", "f", 5L, 1L, null.asInstanceOf[String], "response", "D4"),
+      // null-ts row (a "-" interchange line) must be ignored entirely
+      ("com,a)/1", null.asInstanceOf[java.sql.Timestamp], "https://a.com/1", "f", 6L, 1L, null.asInstanceOf[String], "response", "DX"))
+      .toDF("urlkey", "ts", "url", "filename", "offset", "length", "mime",
+        "record_type", "digest")
+    val got = Cdx.refetchPriority(rows, ts(1000000L + 259200))
+      .orderBy("urlkey").collect()
+    assert(got.length === 3)
+    assert(got(0).getLong(2) === 3L && got(0).getLong(3) === 2L) // n_captures, n_versions
+    assert(got(0).getLong(4) === 172800L && got(0).getLong(5) === 86400L)
+    assert(got(0).getDouble(6) === 1.0 * 86400 / 172800)
+    assert(got(1).getLong(2) === 1L && got(1).getLong(4) === 0L)
+    assert(got(1).getDouble(6) === 0.0)
+    assert(got(2).getLong(3) === 1L && got(2).getDouble(6) === 0.0)
+    assert(got(2).getLong(4) === 100L)
+  }
 }
