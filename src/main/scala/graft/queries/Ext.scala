@@ -4674,6 +4674,47 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** WAT sidecar GENERATION end-to-end ([[graft.sources.Wat.write]]) —
+    * the producer side of src_warc_wat's consumer: HTML `response`
+    * captures → href harvest ([[graft.operators.WebCurate
+    * .extractLinks]], the same codegen scan the curation pipeline
+    * uses) + `<title>` extract → published envelope nesting →
+    * `metadata` records → read back through [[graft.sources.Wat
+    * .readLinks]]. Fixture edge bands: a %9 band carries NO anchors
+    * (its page must still surface as ONE null-link graph node via
+    * explode_outer) and a %13 band no `<title>` (null title); body
+    * text angle-brackets neutralize so the twin predicts links from
+    * the anchor formulas alone. A lost capture, swallowed null-link
+    * node, mis-packed envelope field, or title/href regex drift
+    * breaks the hash. */
+  def srcWarcWatGen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val url = concat(lit("https://crawl.example/doc/"), col("doc_id").cast("string"))
+    val anchors = when(col("doc_id") % 9 === 0, lit("")).otherwise(concat(
+      lit("<a class=\"n\" href=\"https://crawl.example/doc/"),
+      (col("doc_id") + 1).cast("string"), lit("\">next</a>"),
+      lit("<a href=\"https://other.example/page/"),
+      (col("doc_id") * 3 + 2).cast("string"), lit("\">x</a>")))
+    val titleTag = when(col("doc_id") % 13 === 0, lit("")).otherwise(
+      concat(lit("<title>Doc "), col("doc_id").cast("string"), lit("</title>")))
+    val html = concat(lit("<html><head>"), titleTag,
+      lit("</head><body><p>"), regexp_replace(col("text"), "[<>]", " "),
+      lit("</p>"), anchors, lit("</body></html>"))
+    val responses = docs.select(url.as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("response").as("record_type"),
+      lit("text/html; charset=utf-8").as("content_type"),
+      encode(html, "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_wat_gen", dir)
+    graft.sources.Warc.write(responses, outDir, numShards = 2)
+    graft.sources.Wat.write(s, outDir, s"$outDir.wat", numShards = 2,
+      maxSplitBytes = 1 << 16)
+    graft.sources.Wat.readLinks(s, s"$outDir.wat", maxSplitBytes = 1 << 16)
+      .select(col("src_url"), unix_timestamp(col("ts")).as("ts_epoch"),
+        col("title"), col("link_path"), col("link_url"))
+      .orderBy(col("src_url"), col("link_url"))
+  }
+
   /** Corpus MERGE/upsert end-to-end ([[graft.sources.Merge]]): documents
     * become a bucketed manifest table; one changeset rewrites ~7%
     * modified rows, adds new ids, and deletes others — only the touched
@@ -6408,6 +6449,7 @@ object Ext {
     "src_warc_revisit" -> srcWarcRevisit,
     "src_warc_wat" -> srcWarcWat,
     "src_warc_wet" -> srcWarcWet,
+    "src_warc_wat_gen" -> srcWarcWatGen,
     "src_warc_cdx_collapse" -> srcWarcCdxCollapse,
     "src_robots_decide" -> srcRobotsDecide,
     "src_sitemap_frontier" -> srcSitemapFrontier,
@@ -9146,6 +9188,30 @@ FROM capd ORDER BY doc_id"""
         |    'A@/href' AS link_path,
         |    'https://other.example/page/' || CAST(doc_id * 3 + 2 AS VARCHAR) AS link_url
         |  FROM documents
+        |) ORDER BY src_url, link_url""".stripMargin,
+    // WAT generation replay: link rows from the anchor formulas, the
+    // %9 no-anchor band as single null-link nodes, %13 null titles
+    "src_warc_wat_gen" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title FROM documents)
+        |SELECT src_url, ts_epoch, title, link_path, link_url FROM (
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+        |    CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch, title,
+        |    'A@/href' AS link_path,
+        |    'https://crawl.example/doc/' || CAST(doc_id + 1 AS VARCHAR) AS link_url
+        |  FROM d WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR),
+        |    CAST(doc_id + 1700000000 AS BIGINT), title,
+        |    'A@/href',
+        |    'https://other.example/page/' || CAST(doc_id * 3 + 2 AS VARCHAR)
+        |  FROM d WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR),
+        |    CAST(doc_id + 1700000000 AS BIGINT), title,
+        |    NULL, NULL
+        |  FROM d WHERE doc_id % 9 = 0
         |) ORDER BY src_url, link_url""".stripMargin,
     // WET extraction replay: the txt_strip_markup regex chain over the
     // non-binary capture subset, content_length re-derived as UTF-8

@@ -81,4 +81,33 @@ object Wat {
           ).as("HTTP-Response-Metadata")
         ).as("Payload-Metadata")
       ).as("Envelope")))
+
+  /** GENERATE the WAT sidecar from the HTML `response` captures of the
+    * crawl at `warcPath` — the producer side of [[readLinks]], so a
+    * crawl written here ships the same sidecar pair CommonCrawl does
+    * (round 19 added [[Wet]] for the text sidecar; this completes the
+    * trio). Per capture: outgoing links harvested with the same
+    * codegen'd href scan the curation pipeline uses
+    * ([[graft.operators.WebCurate.extractLinks]], emitted under the
+    * WAT `A@/href` path), the `<title>` (first, dotall; absent →
+    * null), packed into the published envelope nesting and written as
+    * `metadata` records. Scan → narrow regex project → write: zero
+    * wide edges at any crawl size. */
+  def write(spark: SparkSession, warcPath: String, watDir: String,
+            numShards: Int, maxSplitBytes: Long = 128L << 20): Unit = {
+    val html = decode(col("payload"), "UTF-8")
+    val links = transform(
+      graft.operators.WebCurate.extractLinks(html),
+      u => struct(lit("A@/href").as("path"), u.as("url")))
+    val title = nullif(
+      trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)), lit(""))
+    val recs = Warc.read(spark, warcPath, maxSplitBytes)
+      .filter(col("record_type") === "response" &&
+        col("content_type").rlike(Wet.extractableType))
+      .select(col("url"), col("ts"),
+        lit("metadata").as("record_type"),
+        lit("application/json").as("content_type"),
+        encode(envelopeJson(col("url"), links, title), "UTF-8").as("payload"))
+    Warc.write(recs, watDir, numShards)
+  }
 }
