@@ -4342,6 +4342,46 @@ object Ext {
       .orderBy(col("url"))
   }
 
+  /** pywb `matchType=domain` lookup over the CDX index
+    * ([[graft.sources.Cdx.lookupDomain]]) — "everything under this
+    * site" incl. subdomains, served from the SAME binary-searched
+    * shard range (SURT keys make subdomains a shared prefix) plus a
+    * boundary filter. Fixture hosts per doc: `site{id%3}.example`
+    * normally, a `www.` subdomain on the %5 band, and — the trap — a
+    * `site{k}x.example` DECOY host on the %7 band whose SURT key
+    * shares the byte prefix (`example,site1x)`) and therefore falls
+    * INSIDE the searched range: only the `[,)]` boundary filter keeps
+    * it out, so a missing or wrong boundary check surfaces as phantom
+    * decoy rows. The twin reconstructs the domain membership (host
+    * itself + www subdomain, decoys excluded) from doc_id bands. */
+  def srcWarcCdxDomain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val k = (col("doc_id") % 3).cast("string")
+    val hostExpr = when(col("doc_id") % 7 === 0,
+        concat(lit("site"), k, lit("x.example")))
+      .when(col("doc_id") % 5 === 0,
+        concat(lit("www.site"), k, lit(".example")))
+      .otherwise(concat(lit("site"), k, lit(".example")))
+    val recs = docs.select(
+      concat(lit("https://"), hostExpr, lit("/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(col("doc_id").cast("long") + lit(1700000000L)).as("ts"),
+      lit("conversion").as("record_type"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val outDir = rtDir(s, "warc_cdx_dom", dir)
+    graft.sources.Warc.write(recs, outDir, numShards = 2)
+    val built = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    graft.sources.Cdx.writeCdxj(built, s"$outDir.cdxj", numShards = 3)
+    val hits = graft.sources.Cdx.lookupDomain(s, s"$outDir.cdxj", "example,site1")
+    graft.sources.Cdx.fetch(s, hits, outDir)
+      .select(col("url"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        col("record_type"), col("content_type"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .orderBy(col("url"))
+  }
+
   /** robots.txt exclusion decisions (RFC 9309,
     * [[graft.sources.Robots]]) — the crawl-politeness gate every web
     * pipeline runs before fetching: per-host rule groups parse
@@ -6446,6 +6486,7 @@ object Ext {
     "src_warc_cdx" -> srcWarcCdx,
     "src_warc_cdx_lookup" -> srcWarcCdxLookup,
     "src_warc_cdx_range" -> srcWarcCdxRange,
+    "src_warc_cdx_domain" -> srcWarcCdxDomain,
     "src_warc_revisit" -> srcWarcRevisit,
     "src_warc_wat" -> srcWarcWat,
     "src_warc_wet" -> srcWarcWet,
@@ -9081,6 +9122,23 @@ FROM capd ORDER BY doc_id"""
         |WHERE doc_id % 3 = 1
         |  AND doc_id BETWEEN b.mn + (b.mx - b.mn) // 4 AND b.mn + (b.mx - b.mn) // 2
         |ORDER BY url""".stripMargin,
+    // domain lookup replay: site1 itself + its www subdomain, the
+    // byte-prefix decoy host (site1x) excluded by the boundary filter
+    "src_warc_cdx_domain" ->
+      """SELECT url, ts_epoch, record_type, content_type, content_length, text
+        |FROM (
+        |  SELECT 'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN 'www.site1.example'
+        |         ELSE 'site1.example' END
+        |    || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |    'conversion' AS record_type,
+        |    'text/plain' AS content_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |    text
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 <> 0
+        |) ORDER BY url""".stripMargin,
     // RFC 9309 longest-match replay: same VALUES rule table (the
     // star-fallback group selection pre-resolved: GraftBot has an exact
     // group on site0, site1 only has *, site2's exact group has no

@@ -488,6 +488,28 @@ object Cdx {
         col("j.digest").as("digest"))
   }
 
+  /** pywb `matchType=domain`: every capture of `surtHost` AND its
+    * subdomains — the access pattern behind "give me everything under
+    * this site" queries. SURT makes it a RANGE problem: a host's
+    * subdomains all share its comma-joined reversed-label prefix
+    * (`example,site` → `example,site)` itself, `example,site,www)` a
+    * subdomain), so the same binary-searched shard range serves the
+    * query; the ONLY extra work is a boundary filter dropping
+    * longer-label false hits (`example,sitex)`) — the next character
+    * after the host prefix must be `,` (subdomain) or `)` (the host
+    * itself). Pass the SURT host WITHOUT the `)` terminator; ts14
+    * range and chunking behave exactly like [[lookupPrefix]]. */
+  def lookupDomain(spark: SparkSession, dir: String, surtHost: String,
+                   from14: Option[String] = None, to14: Option[String] = None,
+                   maxChunkBytes: Long = 64L << 20): DataFrame = {
+    require(surtHost.nonEmpty && !surtHost.endsWith(")"),
+      s"pass the SURT host without ')': '$surtHost'")
+    lookupPrefix(spark, dir, surtHost, from14, to14,
+        exact = false, maxChunkBytes = maxChunkBytes)
+      .filter(col("urlkey").rlike(
+        "^" + java.util.regex.Pattern.quote(surtHost) + "[,)]"))
+  }
+
   // ---- change-rate recrawl priority -----------------------------------------
 
   /** Refetch priority from capture history — the recrawl-budgeting

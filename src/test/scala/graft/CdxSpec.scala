@@ -464,4 +464,32 @@ class CdxSpec extends SparkSpec {
     assert(got(2).getLong(3) === 1L && got(2).getDouble(6) === 0.0)
     assert(got(2).getLong(4) === 100L)
   }
+
+  test("lookupDomain: host + subdomains from the prefix range; byte-prefix decoy excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_dom").toString
+    val recs = Seq(
+      ("https://site.example/a", 1L), ("https://www.site.example/b", 2L),
+      ("https://deep.www.site.example/c", 3L),
+      ("https://sitex.example/decoy", 4L), // shares the byte prefix "example,site"
+      ("https://other.example/d", 5L))
+      .map { case (u, i) => (u,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        "conversion", "text/plain", s"p$i".getBytes("UTF-8")) }
+      .toDF("url", "ts", "record_type", "content_type", "payload")
+    Warc.write(recs, s"$dir/warc", numShards = 1)
+    val built = Cdx.build(spark, s"$dir/warc", maxSplitBytes = 1 << 16)
+    Cdx.writeCdxj(built, s"$dir/idx", numShards = 2)
+    val got = Cdx.lookupDomain(spark, s"$dir/idx", "example,site")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(got === Seq("https://deep.www.site.example/c",
+      "https://site.example/a", "https://www.site.example/b"))
+    // == the full-scan filter on the same boundary semantics
+    val full = Cdx.readCdxj(spark, s"$dir/idx")
+      .filter(col("urlkey").rlike("^\\Qexample,site\\E[,)]"))
+      .select("url").as[String].collect().sorted.toSeq
+    assert(got === full)
+    // the ')' -terminated form is rejected (that's lookupPrefix's job)
+    intercept[IllegalArgumentException](
+      Cdx.lookupDomain(spark, s"$dir/idx", "example,site)"))
+  }
 }
