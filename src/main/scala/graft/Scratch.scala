@@ -87,6 +87,85 @@ object Scratch {
         f"avg=${stats.getDouble(1)}%.3f max=${stats.getDouble(2)}%.3f")
       spark.stop(); return
     }
+    if (args.headOption.contains("hybridsplit")) {
+      // sim_hybrid_rrf stage decomposition (r20 regression hunt): time
+      // the BM25 leg, the served ANN leg, the exact-kNN reference leg,
+      // and the full query — three passes in one JVM to expose
+      // accumulating-state growth.
+      import org.apache.spark.sql.functions._
+      // stage-level timing: print every stage over 200 ms
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val ms = (for {s <- info.submissionTime; c <- info.completionTime} yield c - s).getOrElse(-1L)
+          if (ms > 200) {
+            val tm = info.taskMetrics
+            val extra = if (tm == null) "" else
+              f" run=${tm.executorRunTime / 1000.0}%6.2f cpu=${tm.executorCpuTime / 1e9}%6.2f " +
+              f"deser=${tm.executorDeserializeTime / 1000.0}%5.2f gc=${tm.jvmGCTime / 1000.0}%5.2f " +
+              f"sRead=${tm.shuffleReadMetrics.totalBytesRead / 1024}%6dK sWrite=${tm.shuffleWriteMetrics.bytesWritten / 1024}%6dK in=${tm.inputMetrics.bytesRead / 1024}%6dK"
+            println(f"[stage] ${info.stageId}%4d ${ms / 1000.0}%7.2f s  tasks=${info.numTasks}%4d$extra")
+            if (ms > 1500) info.details.split("\n").take(12).foreach(l => println(s"[stage-detail] $l"))
+          }
+        }
+      })
+      def time(label: String, i: Int)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scratch] hybridsplit $label%-14s pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+      (1 to 3).foreach { i =>
+        val d = graft.sources.Tables.documents(spark, dir)
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val q = d.filter(col("doc_id") < 24L)
+          .select(col("doc_id").as("q_id"), substring(col("text"), 1, 40).as("q_text"))
+        time("tokenize_scan", i) {
+          d.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("_t"))
+            .queryExecution.toRdd.count()
+        }
+        time("bm25_lazy", i) {
+          graft.operators.Relevance.bm25PerQuery(
+            d, "doc_id", "text", q, "q_id", "q_text",
+            eagerStats = true, materializeTf = false).count()
+        }
+        time("bm25_mat", i) {
+          graft.operators.Relevance.bm25PerQuery(
+            d, "doc_id", "text", q, "q_id", "q_text",
+            eagerStats = true, materializeTf = true).count()
+        }
+        def bmTopDf() = {
+          val bm = graft.operators.Relevance.bm25PerQuery(
+            d, "doc_id", "text", q, "q_id", "q_text",
+            eagerStats = true, materializeTf = false)
+          val wb = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+          bm.withColumn("r", row_number().over(wb)).filter(col("r") <= 10)
+            .select(col("q_id"), col("doc_id"), col("r"))
+        }
+        if (i == 1) bmTopDf().explain("formatted")
+        time("wtop_count", i) { bmTopDf().count() }
+        time("wtop_ckpt", i) { graft.core.Checkpoint.materialize(bmTopDf()).count() }
+        time("tiny_ckpt", i) {
+          graft.core.Checkpoint.materialize(
+            spark.range(240).toDF("x")).count()
+        }
+        val qe = e.filter(col("vec_id") < 24L)
+        time("ann_served", i) {
+          val (model, encodedIdx) = graft.queries.Ext.sharedPqServingProbe(spark, dir)
+          graft.operators.Ivf.searchEncodedTopKPq(qe, encodedIdx, model,
+            "vec_id", "embedding", topK = 10, nProbe = 4).count()
+        }
+        time("exact_knn", i) {
+          graft.operators.Similarity.knnBruteForce(qe, e, "vec_id", "vec_id",
+            "embedding", "embedding", k = 10).count()
+        }
+        time("full_query", i) {
+          SparkEntry.queries("sim_hybrid_rrf")(spark, dir).queryExecution.toRdd.count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("semsplit")) {
       // harness-vs-operator decomposition for the semantic-dedup family
       // (BENCH_NOTES #35): the bench numbers for dedup_semantic /

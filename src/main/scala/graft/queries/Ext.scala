@@ -2476,6 +2476,10 @@ object Ext {
     * written LAST, so ITS _SUCCESS is the completion sentinel; a torn
     * write rebuilds both. Consumers pay a parquet scan of (id, cell,
     * m bytes) rows instead of re-encoding the raw embeddings. */
+  /** Scratch-probe alias for [[sharedPqServing]] (hybridsplit timing). */
+  private[graft] def sharedPqServingProbe(s: SparkSession, dir: String)
+      : (graft.operators.Ivf.PqModel, DataFrame) = sharedPqServing(s, dir)
+
   private def sharedPqServing(s: SparkSession, dir: String)
       : (graft.operators.Ivf.PqModel, DataFrame) = {
     val path = rtDir(s, "pq_shared", dir)
