@@ -8,6 +8,24 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.get("graft-scratch")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SCRATCH_STAGES=1: print every stage over 200 ms with task metrics
+    // (the no-UI sandbox's substitute for the stage page — r20)
+    if (sys.env.getOrElse("SCRATCH_STAGES", "0") == "1")
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val ms = (for {s <- info.submissionTime; c <- info.completionTime} yield c - s).getOrElse(-1L)
+          if (ms > 200) {
+            val tm = info.taskMetrics
+            val extra = if (tm == null) "" else
+              f" run=${tm.executorRunTime / 1000.0}%6.2f cpu=${tm.executorCpuTime / 1e9}%6.2f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.2f sRead=${tm.shuffleReadMetrics.totalBytesRead / 1024}%6dK " +
+              f"sWrite=${tm.shuffleWriteMetrics.bytesWritten / 1024}%6dK in=${tm.inputMetrics.bytesRead / 1024}%6dK"
+            println(f"[stage] ${info.stageId}%4d ${ms / 1000.0}%7.2f s  tasks=${info.numTasks}%4d$extra  ${info.name.take(60)}")
+          }
+        }
+      })
     if (args.headOption.contains("ccdist")) {
       // distributed-propagation CC on real near-dup pairs (driver path off)
       import org.apache.spark.sql.functions.col

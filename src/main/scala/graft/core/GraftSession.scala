@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Let AQE re-plan (and coalesce) the output partitioning of plans
+      // that feed a .persist(): off by default, which leaves cached
+      // frames at the static shuffle-partition count — a tiny cached
+      // edge list materialized as 64 near-empty partitions re-read as
+      // 128 near-empty cache blocks downstream (graph prologues,
+      // measured r20). Scale-neutral: AQE sizes partitions by bytes.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 

@@ -46,6 +46,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Edges per task for the driver-vector treeAggregate paths: the fold
+    * is ~an array increment per edge, so a task under this many edges
+    * is pure scheduling overhead; above it, tasks parallelize the fold.
+    * Partitioning derives from edge count capped at defaultParallelism
+    * — scale-adaptive, not tuned to either local mode or a cluster. */
+  private val EdgesPerVectorTask = 1000000L
+
   /** PageRank over `edges(srcCol, dstCol)` (long-castable node ids).
     * Returns (node: long, pr: double) for every node appearing as a
     * source or destination. Fixed `iterations` (deterministic, twin-able
@@ -160,11 +167,23 @@ object GraphRank {
     // shuffle, no exchange planning, just per-partition array folds
     // combined on the driver (the same shape as the classifier's
     // gradient loop). Per-partition accumulator = n doubles.
-    val eIdx = e0.as[(Long, Long)].rdd
+    // Partition count derives from EDGE COUNT, not the shuffle default:
+    // every task allocates an n-double accumulator and every iteration
+    // pays (tasks x scheduling + combine) overhead, so tiny graphs on
+    // 32 partitions spend the whole iteration on task dispatch
+    // (measured r20: 10 iterations of ~1s wall for <20ms of fold CPU).
+    // The edge count rides out of the outdegree pass the path already
+    // runs (no extra job); coalesce() moves no data, and the
+    // defaultParallelism cap keeps large graphs using every core.
+    val eRaw = e0.as[(Long, Long)].rdd
       .map { case (s0, d0) => (idx.get(s0).intValue(), idx.get(d0).intValue()) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = new Array[Long](n)
-    eIdx.map(_._1).countByValue().foreach { case (j, d) => outdeg(j) = d }
+    var nE = 0L
+    eRaw.map(_._1).countByValue().foreach { case (j, d) => outdeg(j) = d; nE += d }
+    val eParts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nE / EdgesPerVectorTask + 1L)).toInt
+    val eIdx = eRaw.coalesce(eParts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // teleport vector: uniform, or 1/|seeds∩nodes| on the seeds
     val t: Array[Double] = seeds match {
       case None => Array.fill(n)(1.0 / nL)
@@ -326,9 +345,13 @@ object GraphRank {
     i = 0
     while (i < nd) { di.put(dsts(i), i); i += 1 }
     // index-map edges once (same idiom as driverVector): each iteration
-    // is two treeAggregate stages over the cached int pairs
+    // is two treeAggregate stages over the cached int pairs, partition
+    // count edge-derived (see driverVector's coalesce note)
+    val eParts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      e0.count() / EdgesPerVectorTask + 1L)).toInt
     val eIdx = e0.as[(Long, Long)].rdd
       .map { case (s0, d0) => (si.get(s0).intValue(), di.get(d0).intValue()) }
+      .coalesce(eParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var a = Array.fill(nd)(1.0)
     var h = new Array[Double](ns)

@@ -3030,9 +3030,16 @@ object Ext {
     import graft.operators.Similarity.{asDouble, dot, l2Norm}
     val base = e.select(col("vec_id"), asDouble(col("embedding")).as("_v"))
       .withColumn("_n", l2Norm(col("_v")))
+    // r20: the embeddings table is one parquet split, so the broadcast
+    // nested-loop's STREAMED side otherwise evaluates every O(n^2/2)
+    // dot product in a single task; the round-robin repartition (AQE
+    // never coalesces a user-numbered shuffle) spreads the quadratic
+    // gate across cores. Per-pair arithmetic is untouched.
+    val parts = e.sparkSession.sessionState.conf.numShufflePartitions
     val aa = base.select(col("vec_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+      .repartition(parts)
     val bb = base.select(col("vec_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
-    aa.join(bb, col("id_a") < col("id_b"))
+    aa.join(broadcast(bb), col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("_va"), col("_vb")) /
         (greatest(col("_na"), lit(1e-12)) * greatest(col("_nb"), lit(1e-12))), 6))
       .filter(col("cos") >= threshold)
@@ -3191,12 +3198,23 @@ object Ext {
         """concat(substring(c_name, 1, _p - 1), substring(c_name, _p + 1, 1),
           |       substring(c_name, _p, 1), substring(c_name, _p + 2, 100)) AS name"""
           .stripMargin)
+    val parts = s.sessionState.conf.numShufflePartitions
+    // round-robin repartition of the streamed side: the one-file
+    // customer scan otherwise scores every blocked pair in a single
+    // task (measured 2.3 s of 1-task CPU at sf0.1), and AQE never
+    // coalesces a user-numbered shuffle (the editDistVerify idiom) —
+    // the shuffle moves a few hundred KB of names to unlock 32-way DP
     val orig = c.selectExpr("c_custkey AS k0", "c_nationkey AS n0", "c_name AS name0")
-    orig.join(dups, col("n0") === col("n"))
+      .repartition(parts)
+    val scored = orig.join(dups, col("n0") === col("n"))
       .select(col("k0"), col("k"),
         round(graft.functions.JaroWinkler(col("name0"), col("name")), 4).as("jw"),
         graft.functions.DamerauLevenshtein(col("name0"), col("name")).as("dl"))
       .where(col("jw") >= 0.985)
+    // eager checkpoint before the global sort: orderBy's range-bounds
+    // sampling pass otherwise re-executes the full join + similarity
+    // scoring a second time (the survivors are a bounded pair list)
+    graft.core.Checkpoint.materialize(scored)
       .orderBy(col("k0"), col("k"))
   }
 
@@ -3536,36 +3554,51 @@ object Ext {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    // Split into parallel-friendly jobs — packing everything into one
-    // agg measured 20s at sf0.1 (3 distinct expansions x 6 percentile
-    // buffers funneled through one reducer):
-    //  - ndv per column as distinct().count(): the distinct is a 2-stage
-    //    hash agg whose FINAL phase parallelizes over 32 partitions,
-    //    unlike global countDistinct whose finish runs on one reducer;
-    //  - one percentile buffer per column via the array form;
-    //  - cheap min/max/null in one combined agg.
-    // At 100 TB swap percentile -> approx_percentile and ndv -> HLL.
-    // NDV conventionally excludes NULL (reported separately as n_nulls),
-    // matching the twin's count(DISTINCT c)
-    val ndvs = cols.map(c =>
-      li.where(col(c).isNotNull).select(col(c)).distinct().count())
-    val basics = li.agg(
-      count(when(col(cols(0)).isNull, lit(1))).as("nn0"),
-      count(when(col(cols(1)).isNull, lit(1))).as("nn1"),
-      count(when(col(cols(2)).isNull, lit(1))).as("nn2"),
-      min(col(cols(0))).cast("double").as("mn0"),
-      min(col(cols(1))).cast("double").as("mn1"),
-      min(col(cols(2))).cast("double").as("mn2"),
-      max(col(cols(0))).cast("double").as("mx0"),
-      max(col(cols(1))).cast("double").as("mx1"),
-      max(col(cols(2))).cast("double").as("mx2")).head()
-    val pcts = li.agg(
-      expr(s"percentile(${cols(0)}, array(0.25, 0.5, 0.75))").as("p0"),
-      expr(s"percentile(${cols(1)}, array(0.25, 0.5, 0.75))").as("p1"),
-      expr(s"percentile(${cols(2)}, array(0.25, 0.5, 0.75))").as("p2")).head()
+    // Per-column jobs — ndv as distinct().count() (2-stage hash agg,
+    // parallel final), one exact percentile buffer per column, cheap
+    // min/max/null in one combined agg. At 100 TB swap percentile ->
+    // approx_percentile and ndv -> HLL. NDV conventionally excludes
+    // NULL (reported separately as n_nulls), matching the twin's
+    // count(DISTINCT c).
+    // r20: the seven actions are INDEPENDENT, and several end in
+    // single-task final stages (each percentile merge is a one-reducer
+    // funnel by nature). Running them driver-sequentially serialized
+    // those funnels (measured 4.5-6.2 s); submitting them from a small
+    // thread pool lets the FIFO scheduler back-fill idle cores (guide
+    // §2.6), overlapping the single-task tails. Each job — and so
+    // every reported number — is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val (ndvs, basics, pcts) = try {
+      val ndvF = cols.map(c => Future {
+        li.where(col(c).isNotNull).select(col(c)).distinct().count()
+      })
+      val basicsF = Future {
+        li.agg(
+          count(when(col(cols(0)).isNull, lit(1))).as("nn0"),
+          count(when(col(cols(1)).isNull, lit(1))).as("nn1"),
+          count(when(col(cols(2)).isNull, lit(1))).as("nn2"),
+          min(col(cols(0))).cast("double").as("mn0"),
+          min(col(cols(1))).cast("double").as("mn1"),
+          min(col(cols(2))).cast("double").as("mn2"),
+          max(col(cols(0))).cast("double").as("mx0"),
+          max(col(cols(1))).cast("double").as("mx1"),
+          max(col(cols(2))).cast("double").as("mx2")).head()
+      }
+      val pctF = cols.map(c => Future {
+        li.agg(expr(s"percentile($c, array(0.25, 0.5, 0.75))")).head()
+          .getSeq[Double](0)
+      })
+      (ndvF.map(Await.result(_, Duration.Inf)),
+        Await.result(basicsF, Duration.Inf),
+        pctF.map(Await.result(_, Duration.Inf)))
+    } finally pool.shutdown()
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = cols.zipWithIndex.map { case (c, i) =>
-      val p = pcts.getSeq[Double](i)
+      val p = pcts(i)
       (c, ndvs(i), basics.getLong(i),
         r4(basics.getDouble(3 + i)), r4(basics.getDouble(6 + i)),
         r4(p(0)), r4(p(1)), r4(p(2)))
