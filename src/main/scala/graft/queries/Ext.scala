@@ -24,6 +24,20 @@ object Ext {
         s"graft_rt_${s.sparkContext.applicationId}"),
       s"${tag}_${new java.io.File(dir).getName}").toString
 
+  /** Round-robin repartition applied ONLY when the frame plans fewer
+    * partitions than the session's parallelism (r20, guide §2): the
+    * fixture corpus is a one-row-group parquet file, so a narrow
+    * per-row-heavy pipeline over it (BPE/LM encode, PII scan) runs as
+    * ONE task; a real corpus scans as many splits and this is a no-op
+    * — the shuffle never fires at scale, so it cannot regress the
+    * 100 TB plan shape. The explicit numbering also pins the exchange
+    * against AQE byte-based coalescing (work here is CPU-per-row, not
+    * bytes — the editDistVerify rationale). */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   /** [[rtDir]] wiped at invocation start — for queries whose semantics
     * need an EMPTY scratch root each run (the resume queries' "run 1
     * pays all" ledger; model save/load dirs), where a fresh
@@ -68,7 +82,8 @@ object Ext {
     * prediction rides along as `marker_lang` (its own oracle line in
     * the twin), keeping the old signal visible for comparison. */
   def txtLangId(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = spread(Tables.documents(s, dir)) // r20: 1-split fixture scan, per-row-heavy
+
     val model = TextAnalysis.trainTrigramLangId(d, col("text"), col("lang"))
     d.select(col("doc_id"),
         TextAnalysis.langIdTrigram(col("text"), model).as("pred_lang"),
@@ -205,7 +220,8 @@ object Ext {
     * no-false-positive side (text survives verbatim, all counts zero);
     * the planted-PII positive side is spec-covered (TextAnalysisSpec). */
   def txtPiiRedact(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = spread(Tables.documents(s, dir)) // r20: 1-split fixture scan, per-row-heavy
+
     val (em, ip, ph) = TextAnalysis.piiCounts(col("text"))
     d.select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("text_redacted"),
@@ -222,7 +238,8 @@ object Ext {
     * any already in the text) never survive. The twin reruns the split/
     * hash/reassemble in SQL, so the whole grammar hash-compares. */
   def txtPiiPseudo(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = spread(Tables.documents(s, dir)) // r20: 1-split fixture scan, per-row-heavy
+
     val withContact = concat(col("text"), lit("\ncontact: user"),
       pmod(col("doc_id"), lit(7)).cast("string"), lit("@mail.example"))
     d.select(col("doc_id"),
@@ -520,7 +537,9 @@ object Ext {
     * import invariants as literal TRUE. BpeSpec pins a hand-built
     * merges.txt against expected tokens. */
   def txtBpeImport(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // spread(): the corpus-wide BPE encode is per-row-heavy and the
+    // fixture scan is one split (r20 — see spread's scaladoc)
+    val d = spread(Tables.documents(s, dir))
     val trained = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40,
       maxWords = 10000, tokenizer = graft.operators.Bpe.gpt2PreTokens)
     val art = rtDir(s, "bpe_import", dir)
@@ -588,7 +607,9 @@ object Ext {
     * longest-first overlap + fail-loud cases, non-null normalizer
     * refusal) against expected tokens and ids. */
   def txtHfTokenize(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // spread(): the corpus-wide BPE encode is per-row-heavy and the
+    // fixture scan is one split (r20 — see spread's scaladoc)
+    val d = spread(Tables.documents(s, dir))
     val trained = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40,
       maxWords = 10000, tokenizer = graft.operators.Bpe.gpt2PreTokens)
     val art = rtDir(s, "hf_tok", dir)
@@ -673,7 +694,9 @@ object Ext {
     * composed normalize, so a mis-parsed step order or dropped step
     * shifts real hashed data, not just a boolean. */
   def txtHfNormalize(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // spread(): the corpus-wide BPE encode is per-row-heavy and the
+    // fixture scan is one split (r20 — see spread's scaladoc)
+    val d = spread(Tables.documents(s, dir))
     val trained = graft.operators.Bpe.trainBytes(d, col("text"), numMerges = 40,
       maxWords = 10000, tokenizer = graft.operators.Bpe.gpt2PreTokens)
     val art = rtDir(s, "hf_norm", dir)
@@ -875,7 +898,8 @@ object Ext {
     * WordPieceSpec pins a hand-built vocab.txt (continuations, id
     * order, duplicate/missing-[UNK] fail-loud) and the round-trip. */
   def txtWpImport(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = spread(Tables.documents(s, dir)) // r20: 1-split fixture scan, per-row-heavy
+
     val trained = graft.operators.WordPiece.train(d, col("text"), numMerges = 40,
       maxWords = 10000)
     val art = rtDir(s, "wp_import", dir)
@@ -1609,7 +1633,8 @@ object Ext {
     * the hash. One narrow codegen scan; no shuffle before the
     * presentation sort. */
   def txtPiiNer(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = spread(Tables.documents(s, dir)) // r20: 1-split fixture scan, per-row-heavy
+
     val line = element_at(array(piiNerFixtureLines.map(lit): _*),
       (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
     val tx = when(length(line) > 0, concat(col("text"), lit("\n"), line))
