@@ -2069,8 +2069,13 @@ object Ext {
     * relative bound — the order-sensitive refinement of the Jaccard
     * family ([[graft.operators.Dedup.editDistPairs]]). */
   def dedupEditDist(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistPairs(Tables.documents(s, dir), "doc_id", "text",
-        blockCols = Seq("lang"), maxDistFrac = 0.2)
+    // eager checkpoint before the global sort (r20): orderBy's
+    // range-sampling pass otherwise re-executes the Σdf² posting join
+    // AND the banded DP a second time (two back-to-back ~33 s-CPU
+    // stages at sf0.1); the verified pair list is bounded
+    graft.core.Checkpoint.materialize(
+      Dedup.editDistPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), maxDistFrac = 0.2))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Containment near-dups: every 25th doc gets an EXCERPT twin (its
