@@ -93,14 +93,28 @@ object Embed {
   /** The paid-call core shared by [[embed]] and [[embedResumable]]:
     * range-batch an already-indexed frame and drive the sliding CALL
     * window over each batch partition. Input must carry `_row_idx` as
-    * its LAST column; output appends `embedding`. */
+    * its LAST column; output appends `embedding`.
+    *
+    * `knownCount` / `fixedRange`: identical contract to
+    * [[Enrich]]'s paid core — the resumable chunk loop passes both so a
+    * chunk pays neither a count job nor a RangePartitioner sampling
+    * pass; batches become arithmetic contiguous index ranges with rows
+    * sorted in index order within each batch partition. */
   private def runPaidEmbeds(indexed: DataFrame, columnIndex: Int, cfg: Config,
                             clientFactory: () => EmbedClient,
                             progress: Option[LongAccumulator],
-                            throttles: Option[LongAccumulator]): DataFrame = {
-    val n = indexed.count()
+                            throttles: Option[LongAccumulator],
+                            knownCount: Option[Long] = None,
+                            fixedRange: Option[(Long, Long)] = None): DataFrame = {
+    val n = knownCount.getOrElse(indexed.count())
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
-    val batched = indexed.repartitionByRange(numBatches, col("_row_idx"))
+    val batched = fixedRange match {
+      case Some((lo, hi)) =>
+        indexed.repartition(numBatches,
+            Enrich.fixedBatchKey(lo, hi, numBatches, col("_row_idx")))
+          .sortWithinPartitions(col("_row_idx"))
+      case None => indexed.repartitionByRange(numBatches, col("_row_idx"))
+    }
 
     val outSchema = StructType(batched.schema.fields :+
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true))
@@ -222,8 +236,9 @@ object Embed {
     * never results).
     *
     * Same preconditions and shapes as the enrich sibling: byte-stable
-    * input (`_row_idx` is row identity), one bounded anti-join, one
-    * Merge version per chunk (+ one isEmpty probe), output assembled
+    * input (`_row_idx` is row identity), one bounded anti-join folded
+    * into one per-chunk-count aggregation (r21 — no per-chunk isEmpty
+    * probes), one Merge version per paid chunk, output assembled
     * purely from parquet so the final order-restoring shuffle re-pays
     * nothing. */
   def embedResumable(df: DataFrame, columnIndex: Int, cfg: Config,
@@ -254,9 +269,9 @@ object Embed {
 
     // pinned snapshot — same consistency/cost argument as
     // Enrich.enrichResumable (the chunk loop's actions must all see ONE
-    // input image)
-    val indexed = graft.core.Checkpoint.materialize(Enrich.withRowIndex(df))
-    val n = indexed.count()
+    // input image); the count rides the indexing pass (r21)
+    val (indexedRaw, n) = Enrich.withRowIndexCounted(df)
+    val indexed = graft.core.Checkpoint.materialize(indexedRaw)
 
     def tableExists: Boolean = {
       val p = new org.apache.hadoop.fs.Path(cacheRoot, "manifest")
@@ -272,16 +287,30 @@ object Embed {
       else indexed.select(col("_row_idx").as("row_idx")).limit(0)
     val todo = indexed.join(done, col("_row_idx") === col("row_idx"), "left_anti")
 
+    // per-chunk DONE counts from the cache alone; TODO counts follow by
+    // arithmetic over the contiguous [0, n) index domain — one bounded
+    // job on resume, zero on a fresh table; same argument as
+    // Enrich.resumeColumn (r21)
+    val doneCounts: Map[Long, Long] =
+      if (!tableExists) Map.empty
+      else done.groupBy(expr(s"row_idx DIV ${chunkRows}L").as("_chunk"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
     var lo = 0L
     while (lo < n) {
       val hi = math.min(n, lo + chunkRows)
-      val chunk = todo.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
-      if (!chunk.isEmpty) {
+      val doneCnt = doneCounts.getOrElse(lo / chunkRows, 0L)
+      val cnt = math.max(0L, (hi - lo) - doneCnt)
+      if (cnt > 0L) {
+        val base = if (doneCnt == 0L) indexed else todo
+        val chunk = base.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
         // exactly-once materialization before the multi-action sink —
         // same argument as enrichResumable
         val res = graft.core.Checkpoint.materialize(
           runPaidEmbeds(chunk, columnIndex, cfg, clientFactory,
-              progress, throttles)
+              progress, throttles,
+              knownCount = Some(cnt), fixedRange = Some((lo, hi)))
             .select(
               concat_ws("-", lit(cfg.requestId), col("_row_idx")).as("cache_id"),
               lit(cfg.requestId).as("request_id"),
@@ -290,6 +319,12 @@ object Embed {
               col("embedding")))
         if (!tableExists)
           graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
+        else if (doneCnt == 0L)
+          // chunk ids are exactly [lo, hi) — known-id commit skips the
+          // touched-bucket collect job (r21)
+          graft.sources.Merge.upsertKnownIds(spark, cacheRoot, res,
+            res.select(col("cache_id")).limit(0),
+            (lo until hi).map(i => s"${cfg.requestId}-$i"))
         else
           graft.sources.Merge.upsert(spark, cacheRoot, res,
             res.select(col("cache_id")).limit(0))

@@ -86,10 +86,28 @@ object Enrich {
     * RDD round-trip that materializes every column and severs the scan
     * from whole-stage codegen. [[withRowIndexSharded]] is the opt-in
     * that avoids both when contiguity isn't needed. */
-  def withRowIndex(df: DataFrame, idxCol: String = "_row_idx"): DataFrame = {
+  def withRowIndex(df: DataFrame, idxCol: String = "_row_idx"): DataFrame =
+    withRowIndexCounted(df, idxCol)._1
+
+  /** [[withRowIndex]] + the total row count, ONE pass of jobs (r21):
+    * zipWithIndex's internal partition-size job already counts every
+    * row, so a caller that also needs `count()` was paying a second
+    * full action for a number this pass had computed and thrown away.
+    * Index assignment is bit-identical to `zipWithIndex` (partition-
+    * major cumulative offsets). The resumable operators read the count
+    * here and derive head/chunk totals arithmetically. */
+  def withRowIndexCounted(df: DataFrame, idxCol: String = "_row_idx"): (DataFrame, Long) = {
     val schema = StructType(df.schema.fields :+ StructField(idxCol, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val rdd0 = df.rdd
+    val sizes = rdd0.mapPartitions(it => {
+      var c = 0L; while (it.hasNext) { it.next(); c += 1L }; Iterator(c)
+    }, preservesPartitioning = true).collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { case (pi, it) =>
+      var i = offsets(pi)
+      it.map { row => val r = Row.fromSeq(row.toSeq :+ i); i += 1L; r }
+    }
+    (df.sparkSession.createDataFrame(rdd, schema), offsets.last)
   }
 
   /** SHARDED row index (SURVEY §8.3's 100 TB alternative): index =
@@ -140,6 +158,44 @@ object Enrich {
   }
   private[operators] final class LeasedGate(c: graft.llm.InFlightBudget.BudgetClient) extends CallGate {
     def acquire(): Unit = c.acquire(); def release(): Unit = c.release()
+  }
+
+  /** Arithmetic batch key for a contiguous `_row_idx` interval
+    * [lo, hi): batch ordinal = (idx − lo) DIV width, remapped through a
+    * driver-searched token per ordinal so that under
+    * `HashPartitioning(numBatches)` every batch lands in its OWN
+    * partition — a raw small-integer ordinal can hash-collide two
+    * batches into one task and serialize the batch pool (observed:
+    * 2 batches → 1 task at the fixture). Placement is a concurrency-
+    * envelope property only: any mapping is semantically correct, so a
+    * Spark-internals hash drift degrades to fewer concurrent pools,
+    * never wrong output. */
+  private[graft] def fixedBatchKey(lo: Long, hi: Long, numBatches: Int,
+                                   idx: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val width = math.max(1L, (hi - lo + numBatches - 1) / numBatches)
+    if (numBatches <= 1) return lit(0L) // constant key, one partition
+    def partOf(t: Long): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(t, org.apache.spark.sql.types.LongType, 42L).toInt
+      ((h % numBatches) + numBatches) % numBatches
+    }
+    // first numBatches tokens hitting pairwise-distinct partitions;
+    // coupon-collector bound ~n ln n probes of a cheap hash
+    val tokens = new Array[Long](numBatches)
+    val used = new Array[Boolean](numBatches)
+    var t = 0L
+    var b = 0
+    while (b < numBatches) {
+      val p = partOf(t)
+      if (!used(p)) { used(p) = true; tokens(b) = t; b += 1 }
+      t += 1L
+    }
+    val tokMap: Map[Long, Long] =
+      tokens.zipWithIndex.map { case (tok, ord) => (ord.toLong, tok) }.toMap
+    // floor of a correctly-rounded double division is exact integer
+    // division for chunk-scale magnitudes (≪ 2^53)
+    element_at(typedLit(tokMap), floor((idx - lit(lo)) / lit(width)).cast("long"))
   }
 
   /** Executor-side gate resolution (call inside mapPartitions):
@@ -209,14 +265,38 @@ object Enrich {
     * LLM submission window over each batch partition. Input must carry
     * `_row_idx` as its LAST column; output appends `Response`. Pays one
     * `count()` (the batch-count job — the price [[enrich]]'s scaladoc
-    * documents). */
+    * documents) unless the caller already knows the row count
+    * (`knownCount` — the resumable chunk loop does, from its one
+    * up-front per-chunk aggregation).
+    *
+    * `fixedRange = Some((lo, hi))`: the input's `_row_idx` values are
+    * known to lie in the contiguous interval [lo, hi) (true for every
+    * resumable chunk — zipWithIndex indexes, chunked by bound), so the
+    * batch id is PURE ARITHMETIC over the index and the range shuffle
+    * needs no RangePartitioner sampling pass (one job per chunk saved —
+    * the sampling re-executed the chunk's anti-join against the cache).
+    * The within-partition sort keeps rows in index order regardless of
+    * shuffle fetch order — the reference's sequential-row processing
+    * shape, strictly stronger than the sampled range partitioning gave.
+    * The default (None) keeps RangePartitioner for callers whose index
+    * distribution is unknown ([[enrich]]'s sharded indexes are sparse —
+    * arithmetic width over them would collapse every row into one
+    * batch). */
   private def runPaidCalls(head: DataFrame, columnIndex: Int, cfg: Config,
                            clientFactory: () => LlmClient,
                            progress: Option[LongAccumulator],
-                           throttles: Option[LongAccumulator]): DataFrame = {
-    val n = head.count()
+                           throttles: Option[LongAccumulator],
+                           knownCount: Option[Long] = None,
+                           fixedRange: Option[(Long, Long)] = None): DataFrame = {
+    val n = knownCount.getOrElse(head.count())
     val numBatches = math.max(1, math.ceil(n.toDouble / cfg.batchSize).toInt)
-    val batched = head.repartitionByRange(numBatches, col("_row_idx"))
+    val batched = fixedRange match {
+      case Some((lo, hi)) =>
+        head.repartition(numBatches,
+            fixedBatchKey(lo, hi, numBatches, col("_row_idx")))
+          .sortWithinPartitions(col("_row_idx"))
+      case None => head.repartitionByRange(numBatches, col("_row_idx"))
+    }
 
     val outSchema = StructType(batched.schema.fields :+ StructField("Response", StringType, nullable = true))
     val colIdx = columnIndex // avoid closing over `this`
@@ -334,8 +414,10 @@ object Enrich {
     * sibling and deduplicating on it after.
     *
     * Scale shape: one zipWithIndex pass, one anti-join against the
-    * bounded succeeded-row set, then per chunk one bounded job + one
-    * Merge upsert (work ∝ touched buckets). Each chunk is a Merge
+    * bounded succeeded-row set folded into ONE per-chunk-count
+    * aggregation (replacing per-chunk emptiness probes — r21), then per
+    * chunk one bounded paid job + one Merge upsert (work ∝ touched
+    * buckets). Each chunk is a Merge
     * version — `Merge.vacuum(cacheRoot)` periodically. `cacheBuckets`
     * fixes the cache table's grid at creation (~total_rows/1M at scale). */
   def enrichResumable(df: DataFrame, columnIndex: Int, cfg: Config,
@@ -360,11 +442,14 @@ object Enrich {
     // different chunks different snapshots under one row-identity). The
     // checkpoint pins one snapshot for the whole run; its storage cost is
     // the session's policy knob (local executor blocks / reliable dir).
-    val indexed = graft.core.Checkpoint.materialize(withRowIndex(df))
+    val (indexedRaw, total) = withRowIndexCounted(df)
+    val indexed = graft.core.Checkpoint.materialize(indexedRaw)
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = indexed.filter(col("_row_idx") >= cfg.maxRows)
       .withColumn("Response", lit(""))
-    val n = head.count()
+    // head count by arithmetic — indexes are contiguous [0, total), so
+    // no separate count() action (r21)
+    val n = math.min(total, cfg.maxRows)
 
     val responses = resumeColumn(head, n, columnIndex, cfg.systemPrompt,
       outCol = "", cfg, clientFactory, cacheRoot, chunkRows, cacheBuckets,
@@ -433,13 +518,33 @@ object Enrich {
       else head.select(col("_row_idx").as("row_idx")).limit(0)
     val todo = head.join(done, col("_row_idx") === col("row_idx"), "left_anti")
 
+    // Per-chunk DONE counts from the CACHE alone (r21, guide §2
+    // job-count): head's indexes are contiguous [0, n), so a chunk's
+    // total row count is pure arithmetic and its TODO count is
+    // total − done. This costs ONE bounded aggregation over the cache
+    // when it exists and ZERO jobs on a fresh table — replacing the
+    // per-chunk `isEmpty` probes and (via knownCount) the paid pass's
+    // per-chunk `count()` jobs of the r20 shape. `DIV` is exact long
+    // division. The max(0, …) guards a cache larger than head (a
+    // byte-stable-input violation) from going negative — the loop then
+    // simply skips, same as the old anti-join-probe shape.
+    val doneCounts: Map[Long, Long] =
+      if (!tableExists) Map.empty
+      else done.groupBy(expr(s"row_idx DIV ${chunkRows}L").as("_chunk"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
     var lo = 0L
     while (lo < n) {
       val hi = math.min(n, lo + chunkRows)
-      val chunk = todo.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
-      // isEmpty is one cheap job per chunk — the price of skipping a
-      // fully-cached chunk without running its (empty) paid pass + commit
-      if (!chunk.isEmpty) {
+      val doneCnt = doneCounts.getOrElse(lo / chunkRows, 0L)
+      val cnt = math.max(0L, (hi - lo) - doneCnt)
+      if (cnt > 0L) {
+        // a chunk with zero done rows anti-joins nothing — read the
+        // pinned snapshot directly so the paid job's plan skips the
+        // cache scan + anti-join entirely (the run-1 common case)
+        val base = if (doneCnt == 0L) head else todo
+        val chunk = base.filter(col("_row_idx") >= lo && col("_row_idx") < hi)
         // materialize the paid pass EXACTLY ONCE before the sink sees it:
         // Merge runs several actions over its upsert frame (touched-bucket
         // collect, anti-join, write), each of which would re-execute the
@@ -450,7 +555,8 @@ object Enrich {
         // mid-chunk kill: the rerun resumes from the last committed chunk.)
         val res = graft.core.Checkpoint.materialize(
           runPaidCalls(chunk, columnIndex, paidCfg, clientFactory,
-              progress, throttles)
+              progress, throttles,
+              knownCount = Some(cnt), fixedRange = Some((lo, hi)))
             .select(
               cacheIdExpr.as("cache_id"),
               lit(cfg.requestId).as("request_id"),
@@ -460,6 +566,15 @@ object Enrich {
               col("Response").as("response")))
         if (!tableExists)
           graft.sources.Merge.init(res, cacheRoot, "cache_id", cacheBuckets)
+        else if (doneCnt == 0L)
+          // the chunk is exactly [lo, hi): its cache-id set is known on
+          // the driver, so the commit skips the touched-bucket collect
+          // job (Merge.upsertKnownIds — r21)
+          graft.sources.Merge.upsertKnownIds(spark, cacheRoot, res,
+            res.select(col("cache_id")).limit(0),
+            (lo until hi).map(i =>
+              if (outCol.isEmpty) s"${cfg.requestId}-$i"
+              else s"${cfg.requestId}-$i-$outCol"))
         else
           graft.sources.Merge.upsert(spark, cacheRoot, res,
             res.select(col("cache_id")).limit(0))
@@ -512,12 +627,13 @@ object Enrich {
 
     // one pinned snapshot for N column passes — same consistency/cost
     // argument as the single-column operator, multiplied by columns
-    val indexed = graft.core.Checkpoint.materialize(withRowIndex(df))
+    val (indexedRaw, total) = withRowIndexCounted(df)
+    val indexed = graft.core.Checkpoint.materialize(indexedRaw)
     val head = indexed.filter(col("_row_idx") < cfg.maxRows)
     val tail = columns.foldLeft(
       indexed.filter(col("_row_idx") >= cfg.maxRows))((d, c) =>
       d.withColumn(c.outputCol, lit("")))
-    val n = head.count()
+    val n = math.min(total, cfg.maxRows) // arithmetic head count (r21)
 
     val out = columns.foldLeft(head) { (acc, spec) =>
       val resp = resumeColumn(head, n, spec.columnIndex, spec.systemPrompt,

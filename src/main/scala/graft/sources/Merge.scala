@@ -84,6 +84,36 @@ object Merge {
     upsertFrom(spark, root, currentManifest(spark, root), upserts, deleteIds,
       batchId = None)
 
+  /** [[upsert]] for writers that know the changeset's EXACT id set on
+    * the driver (the resumable chunk loops: cache ids derive from a
+    * contiguous index range) — the touched-bucket set is computed
+    * locally via [[bucketOf]] instead of the distinct+collect job over
+    * the changeset, one fewer action per commit (r21, guide §2
+    * overhead). `changedIds` MUST cover every id in
+    * `upserts` ∪ `deleteIds`: a missing id's bucket would not be
+    * rewritten, leaving the OLD row alive next to the new one —
+    * corruption, not slowness. Extra ids only rewrite unchanged buckets
+    * (wasted IO, still correct). MergeSpec pins [[bucketOf]] against
+    * the SQL bucket expression. */
+  def upsertKnownIds(spark: SparkSession, root: String,
+                     upserts: DataFrame, deleteIds: DataFrame,
+                     changedIds: Iterable[String]): Int = {
+    val m = currentManifest(spark, root)
+    val touched = changedIds.iterator.map(bucketOf(_, m.nBuckets)).toSet
+    upsertFrom(spark, root, m, upserts, deleteIds, batchId = None,
+      knownTouched = Some(touched))
+  }
+
+  /** Driver-side twin of the SQL bucket expression
+    * (`pmod(xxhash64(cast(id as string)), nBuckets)`) — byte-identical
+    * hashing via catalyst's own interpreted xxhash64. */
+  def bucketOf(id: String, nBuckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(id)
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      u, org.apache.spark.sql.types.StringType, 42L)
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   /** [[upsert]] keyed by a monotonic `batchId` — the exactly-once seam
     * for Structured Streaming's `foreachBatch` (micro-batch ids are
     * monotonic per query; a restart REPLAYS the last uncommitted one).
@@ -114,7 +144,8 @@ object Merge {
 
   private def upsertFrom(spark: SparkSession, root: String, m: Manifest,
                          upserts: DataFrame, deleteIds: DataFrame,
-                         batchId: Option[Long]): Int = {
+                         batchId: Option[Long],
+                         knownTouched: Option[Set[Int]] = None): Int = {
     val idCol = m.idCol
     val newV = m.version + 1
     // UNIQUE dir per attempt: two concurrent upserts racing for version
@@ -126,12 +157,14 @@ object Merge {
     val dataDir = s"data/v$newV-${attemptId()}"
 
     // changed ids, bucketed. Driver-side bucket LIST only (<= nBuckets
-    // values — bounded by the partition grid, not the data).
+    // values — bounded by the partition grid, not the data). Callers
+    // that know the id set pass the buckets precomputed ([[bucketOf]]);
+    // the anti-join below still uses the DataFrame-side ids either way.
     val changeIds = upserts.select(col(idCol))
       .unionByName(deleteIds.toDF(idCol)).distinct()
-    val touched = changeIds
+    val touched = knownTouched.getOrElse(changeIds
       .select(bucketExpr(col(idCol), m.nBuckets).as("_pt")).distinct()
-      .collect().map(_.getInt(0)).toSet
+      .collect().map(_.getInt(0)).toSet)
     if (touched.isEmpty) return m.version // empty changeset: no new version
 
     // surviving old rows of touched buckets: read ONLY those dirs,
@@ -315,7 +348,14 @@ object Merge {
   private def writeBuckets(df: DataFrame, root: String, dataDir: String,
                            idCol: String, nBuckets: Int): Unit =
     df.withColumn("_pt", bucketExpr(col(idCol), nBuckets))
-      .repartition(col("_pt"))
+      // EXPLICIT partition count (r21): an un-numbered repartition let
+      // AQE coalesce the byte-small fixture shuffle to ONE task, which
+      // then wrote every touched bucket's (bloom-filtered) file
+      // serially. Pinning to the bucket grid keeps one task per
+      // TOUCHED bucket at any scale — empty reduce partitions are
+      // never scheduled, so a 5-bucket upsert on a 100k-bucket grid
+      // still runs 5 tasks, not 100k.
+      .repartition(nBuckets, col("_pt"))
       .sortWithinPartitions(col("_pt"), col(idCol))
       .write
       .option(s"parquet.bloom.filter.enabled#$idCol", "true")

@@ -444,6 +444,23 @@ class EnrichSpec extends SparkSpec {
     }
   }
 
+  test("fixedBatchKey: every batch ordinal lands in its own shuffle partition") {
+    // the r21 arithmetic batching must not hash-collide two batch
+    // ordinals into one task (that serializes the batch pool); tokens
+    // are driver-searched to hit pairwise-distinct partitions
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    for (nb <- Seq(2, 3, 5, 8)) {
+      val df = spark.range(0, 2000).toDF("_row_idx")
+      val key = Enrich.fixedBatchKey(0L, 2000L, nb, col("_row_idx"))
+      val parts = df.repartition(nb, key)
+        .select(spark_partition_id().as("p"), col("_row_idx"))
+        .groupBy("p").count().collect()
+      assert(parts.length == nb, s"nb=$nb: expected $nb non-empty partitions, got ${parts.length}")
+      val sizes = parts.map(_.getLong(1))
+      assert(sizes.max - sizes.min <= 2000 / nb + 1, s"nb=$nb skewed: ${sizes.mkString(",")}")
+    }
+  }
+
   // ---- cross-run durability (enrichResumable) ---------------------------
 
   private def resumeRoot(): String =

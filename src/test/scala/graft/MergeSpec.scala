@@ -308,6 +308,30 @@ class MergeSpec extends SparkSpec {
     assert(got === bucketOf.filter(_._2 == 1).keys.toSet)
   }
 
+  test("bucketOf (driver) matches the SQL bucket expression bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // ascii, numeric-derived cache ids, unicode, empty — all grids
+    val ids = Seq("req-0", "req-123456789-Summary", "résumé-7", "", "a" * 300) ++
+      (0L until 500L).map(i => s"resume-oracle-$i")
+    for (n <- Seq(1, 7, 16, 64)) {
+      val sql = ids.toDF("id")
+        .select(col("id"), pmod(xxhash64(col("id").cast("string")), lit(n.toLong)).cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      ids.foreach(id => assert(Merge.bucketOf(id, n) == sql(id),
+        s"bucketOf('$id', $n) = ${Merge.bucketOf(id, n)} != SQL ${sql(id)}"))
+    }
+  }
+
+  test("upsertKnownIds commits the same snapshot as upsert") {
+    val (root, _) = table(40)
+    val batch = Seq((3L, "NEW3", 0), (41L, "NEW41", 1)).toDF("id", "text", "grp")
+    Merge.upsertKnownIds(spark, root, batch,
+      batch.select("id").limit(0), Seq("3", "41"))
+    val got = Merge.read(spark, root)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(got(3L) == "NEW3" && got(41L) == "NEW41" && got.size == 41)
+  }
+
   test("vacuum retention: a YOUNG unreferenced dir (possible in-flight upsert) survives") {
     val (root, _) = table(20)
     // simulate another writer mid-upsert: data written, manifest not yet renamed
