@@ -87,12 +87,17 @@ object Snapshot {
     * (ks, n_ref, n_cur).
     *
     * Shape: per-sample value counts reduce both inputs to their
-    * DISTINCT values first (one shuffle each), the full-outer-joined
-    * count table is NDV-sized, and the prefix sums run as ONE window
-    * over that reduced set — fine wherever NDV ≪ rows (measured
-    * columns, scores, lengths). For genuinely continuous high-NDV
-    * columns quantile-bin upstream or accept the sort: the window is
-    * the exact-CDF floor. */
+    * DISTINCT values first (one shuffle each), and the exact prefix
+    * sums over the NDV-sized count table run RANGE-BUCKETED (r21,
+    * guide §2): a distribution-free monotonic log-band bin, a
+    * cumulative window partitioned BY BIN, and per-bin offsets from
+    * the encoding-bounded bin-totals table. The old single
+    * unpartitioned window moved the whole distinct-value table —
+    * data-sized at 100 TB — to ONE partition (`WindowExec: No
+    * Partition Defined`); long-count arithmetic makes the bucketed
+    * sums bit-identical to that form. A pathological distribution
+    * (all mass inside one ~28% value band) degrades toward the old
+    * single-partition cost, never worse. */
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, out: String) = df
       .where(col(valueCol).isNotNull)
@@ -101,22 +106,52 @@ object Snapshot {
     val merged = counts(ref, "a").join(counts(cur, "b"), Seq("v"), "full_outer")
       .select(col("v"),
         coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // sample totals from a full-frame window over the SAME reduced set —
-    // each input is scanned exactly once (no separate count() jobs);
-    // an empty sample fails loud at evaluation time
-    val wf = Window.orderBy(col("v"))
+    // DISTRIBUTION-FREE monotonic bin: sign-aware log-scale bands
+    // (~4 bins per e-fold) with explicit ±inf / NaN / zero bands that
+    // mirror Spark's double ordering (-inf < finite < +inf < NaN)
+    // exactly — so bin k's values all precede bin k+1's and the
+    // per-bin prefix sums + offsets compose to the exact global
+    // prefix. No (min, max) pre-pass touches the data, and the bin
+    // count is bounded by the ENCODING (≤ ~12k bands over the whole
+    // double domain; log/×/floor are all (semi-)monotonic), never by
+    // data.
+    val v = col("v")
+    val bin =
+      when(isnan(v), lit(10000L))
+        .when(v === Double.PositiveInfinity, lit(9000L))
+        .when(v === Double.NegativeInfinity, lit(-9000L))
+        .when(v > 0, lit(3000L) + floor(log(v) * 4))
+        .when(v < 0, lit(-3000L) - floor(log(-v) * 4))
+        .otherwise(lit(0L))
+    val binned = merged.withColumn("_bin", bin.cast("int"))
+    val btot = binned.groupBy(col("_bin"))
+      .agg(sum(col("a")).as("_ta"), sum(col("b")).as("_tb"))
+    // exclusive per-bin offsets + sample totals: a global window over
+    // the bin-TOTALS table — bounded by the encoding's band count, the
+    // Dsir-class bounded frame, declared in the engine-wide window
+    // audit. The corpus-NDV-sized global window this replaces is gone.
+    val wOff = Window.orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val na = sum(col("a")).over(wf)
-    val nb = sum(col("b")).over(wf)
-    merged
+    val boff = btot.select(col("_bin"),
+      coalesce(sum(col("_ta")).over(wOff), lit(0L)).as("_offa"),
+      coalesce(sum(col("_tb")).over(wOff), lit(0L)).as("_offb"),
+      sum(col("_ta")).over(wAll).as("_na"),
+      sum(col("_tb")).over(wAll).as("_nb"))
+    // within-bin cumulative window — partitioned, so no single-partition
+    // data-sized WindowExec anywhere in the plan; an empty sample still
+    // fails loud at evaluation time
+    val w = Window.partitionBy(col("_bin")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(boff), Seq("_bin"))
       .select(
-        when(na === 0 || nb === 0,
+        when(col("_na") === 0 || col("_nb") === 0,
           raise_error(lit("ksStatistic: both samples must be non-empty")))
-          .otherwise(abs(sum(col("a")).over(w) / na.cast("double")
-            - sum(col("b")).over(w) / nb.cast("double"))).as("d"),
-        na.as("na"), nb.as("nb"))
+          .otherwise(abs(
+            (sum(col("a")).over(w) + col("_offa")) / col("_na").cast("double")
+              - (sum(col("b")).over(w) + col("_offb")) / col("_nb").cast("double"))).as("d"),
+        col("_na").as("na"), col("_nb").as("nb"))
       .agg(round(max(col("d")), 6).as("ks"),
         max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"))
   }
