@@ -26,6 +26,26 @@ object Scratch {
           }
         }
       })
+    // SCRATCH_JOBS=1: print EVERY job with wall time and description —
+    // the commit-machinery families (resume, merge-table) spend their
+    // time in many sub-200ms driver-sequential jobs the stage listener
+    // never prints; this accounts for them (r21)
+    if (sys.env.getOrElse("SCRATCH_JOBS", "0") == "1")
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          starts.put(js.jobId, (System.nanoTime(), if (desc.nonEmpty) desc else site))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, what) =>
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${what.take(80)}")
+          }
+        }
+      })
     if (args.headOption.contains("ccdist")) {
       // distributed-propagation CC on real near-dup pairs (driver path off)
       import org.apache.spark.sql.functions.col
@@ -111,7 +131,10 @@ object Scratch {
       // and the full query — three passes in one JVM to expose
       // accumulating-state growth.
       import org.apache.spark.sql.functions._
-      // stage-level timing: print every stage over 200 ms
+      // stage-level timing: print every stage over 200 ms (skipped when
+      // SCRATCH_STAGES=1 already registered the shared listener —
+      // ADVICE r20: the duplicate printed every stage twice)
+      if (sys.env.getOrElse("SCRATCH_STAGES", "0") != "1")
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

@@ -175,15 +175,19 @@ object GraphRank {
     // The edge count rides out of the outdegree pass the path already
     // runs (no extra job); coalesce() moves no data, and the
     // defaultParallelism cap keeps large graphs using every core.
+    // persist the mapped pairs BEFORE the outdegree pass (ADVICE r20):
+    // countByValue materializes the cache, so the idx-map scan of e0
+    // runs exactly once; eIdx is then a coalesce VIEW over the cached
+    // blocks (narrow, moves no data) rather than a second full scan.
     val eRaw = e0.as[(Long, Long)].rdd
       .map { case (s0, d0) => (idx.get(s0).intValue(), idx.get(d0).intValue()) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = new Array[Long](n)
     var nE = 0L
     eRaw.map(_._1).countByValue().foreach { case (j, d) => outdeg(j) = d; nE += d }
     val eParts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       nE / EdgesPerVectorTask + 1L)).toInt
     val eIdx = eRaw.coalesce(eParts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // teleport vector: uniform, or 1/|seeds∩nodes| on the seeds
     val t: Array[Double] = seeds match {
       case None => Array.fill(n)(1.0 / nL)
@@ -220,7 +224,7 @@ object GraphRank {
       }
       pr = next
     }
-    eIdx.unpersist(blocking = false)
+    eRaw.unpersist(blocking = false)
     spark.sparkContext.parallelize(nodes.indices.map(k => (nodes(k), pr(k))), 1)
       .toDF("node", "pr")
   }

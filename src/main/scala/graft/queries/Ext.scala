@@ -32,10 +32,17 @@ object Ext {
     * — the shuffle never fires at scale, so it cannot regress the
     * 100 TB plan shape. The explicit numbering also pins the exchange
     * against AQE byte-based coalescing (work here is CPU-per-row, not
-    * bytes — the editDistVerify rationale). */
+    * bytes — the editDistVerify rationale).
+    *
+    * PRECONDITION: wrap shuffle-free scans only. The probe reads the
+    * physical plan's partition count via `queryExecution.toRdd`
+    * (ADVICE r20: `df.rdd` built a second deserializing plan per call,
+    * and under AQE probing a plan that CONTAINS shuffles eagerly
+    * executes its upstream stages as a side effect — every current
+    * call site is a flat file scan, where toRdd is pure metadata). */
   private def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    if (df.queryExecution.toRdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
   /** [[rtDir]] wiped at invocation start — for queries whose semantics
@@ -3065,6 +3072,12 @@ object Ext {
     // dot product in a single task; the round-robin repartition (AQE
     // never coalesces a user-numbered shuffle) spreads the quadratic
     // gate across cores. Per-pair arithmetic is untouched.
+    // SCALE BOUNDARY (r21 doc, VERDICT #4): the explicit broadcast(bb)
+    // below is GATE-ONLY — this helper is the fixture-scale exact
+    // reference leg, quadratic by design. Broadcasting the full
+    // embeddings side OOMs on any real corpus; do NOT lift this helper
+    // into an operator path (the at-scale path is the cell-blocked
+    // semanticNearDupPairs it gates).
     val parts = e.sparkSession.sessionState.conf.numShufflePartitions
     val aa = base.select(col("vec_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
       .repartition(parts)
@@ -3602,11 +3615,20 @@ object Ext {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // job group around the pooled actions (ADVICE r20): if one Await
+    // throws, the remaining in-flight jobs are CANCELLED instead of
+    // running on into the next benchmark query's timing window (job
+    // groups are thread-local, so each future sets it itself)
+    val group = "rpt_column_stats"
+    def grouped[T](f: => T): Future[T] = Future {
+      s.sparkContext.setJobGroup(group, "rpt_column_stats pooled action")
+      f
+    }
     val (ndvs, basics, pcts) = try {
-      val ndvF = cols.map(c => Future {
+      val ndvF = cols.map(c => grouped {
         li.where(col(c).isNotNull).select(col(c)).distinct().count()
       })
-      val basicsF = Future {
+      val basicsF = grouped {
         li.agg(
           count(when(col(cols(0)).isNull, lit(1))).as("nn0"),
           count(when(col(cols(1)).isNull, lit(1))).as("nn1"),
@@ -3618,13 +3640,17 @@ object Ext {
           max(col(cols(1))).cast("double").as("mx1"),
           max(col(cols(2))).cast("double").as("mx2")).head()
       }
-      val pctF = cols.map(c => Future {
+      val pctF = cols.map(c => grouped {
         li.agg(expr(s"percentile($c, array(0.25, 0.5, 0.75))")).head()
           .getSeq[Double](0)
       })
-      (ndvF.map(Await.result(_, Duration.Inf)),
-        Await.result(basicsF, Duration.Inf),
-        pctF.map(Await.result(_, Duration.Inf)))
+      try {
+        (ndvF.map(Await.result(_, Duration.Inf)),
+          Await.result(basicsF, Duration.Inf),
+          pctF.map(Await.result(_, Duration.Inf)))
+      } catch {
+        case e: Throwable => s.sparkContext.cancelJobGroup(group); throw e
+      }
     } finally pool.shutdown()
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = cols.zipWithIndex.map { case (c, i) =>
