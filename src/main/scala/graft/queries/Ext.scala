@@ -4719,7 +4719,7 @@ object Ext {
         url.as("refers_to_url"), origTs.as("refers_to_ts"))
     val outDir = rtDir(s, "warc_revisit", dir)
     graft.sources.Warc.write(responses.unionByName(revisits), outDir, numShards = 2)
-    val index = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 16)
+    val index = graft.sources.Cdx.build(s, outDir, maxSplitBytes = 1 << 20)
     graft.sources.Cdx.fetchResolved(s, index, index, outDir)
       .select(col("url"),
         unix_timestamp(col("ts")).as("ts_epoch"),
